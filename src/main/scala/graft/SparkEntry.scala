@@ -1,13 +1,223 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator registers here twice: a Spark query in
+  * [[queries]] and (where SQL-expressible) a DuckDB oracle in [[oracleSql]].
+  * Column names are aliased identically on both sides (driver compare
+  * sorts columns by name before hashing). Cross-engine numeric determinism
+  * rules live in [[graft.ops.Relational]]'s scaladoc.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- reference parity shapes (SURVEY §2.1-2.5)
+    "q_scan_project"    -> (Relational.scanProject _),
+    "q_filter_date_eq"  -> (Relational.filterDateEq _),
+    "q_union_snapshots" -> (Relational.unionSnapshots _),
+    "q_cast_types"      -> (Relational.castTypes _),
+    "q_null_handling"   -> (Relational.nullHandling _),
+    "q_distinct"        -> (Relational.distinctSegments _),
+    // -- aggregation (SURVEY §2.7)
+    "q1_agg"            -> (Relational.q1PricingSummary _),
+    "q_rollup"          -> (Relational.rollupOrders _),
+    "q_cube"            -> (Relational.cubeEvents _),
+    "q_case_when_agg"   -> (Relational.caseWhenAgg _),
+    // -- joins
+    "q3_top_revenue"    -> (Relational.q3ShippingPriority _),
+    "q_star_join"       -> (Relational.starJoin _),
+    "q_semi_join"       -> (Relational.semiJoin _),
+    "q_anti_join"       -> (Relational.antiJoin _),
+    "q_outer_join_agg"  -> (Relational.outerJoinAgg _),
+    // -- windows
+    "q_window_latest"   -> (Relational.windowLatestOrder _),
+    "q_window_running"  -> (Relational.windowRunningSum _),
+    "q_topk_per_group"  -> (Relational.windowTopKPerGroup _),
+    // -- sort/limit/set ops
+    "q_sort_limit"      -> (Relational.sortLimit _),
+    "q_set_intersect"   -> (Relational.setIntersect _),
+    "q_set_except"      -> (Relational.setExcept _),
+    // -- scalar function batteries
+    "q_scalar_strings"  -> (Relational.scalarStrings _),
+    "q_scalar_dates"    -> (Relational.scalarDates _),
+    "q_scalar_math"     -> (Relational.scalarMath _),
+    // -- subquery / semi-structured / time rollup
+    "q_above_avg"       -> (Relational.aboveAvgOrders _),
+    "q_events_json"     -> (Relational.eventsJson _),
+    "q_events_hourly"   -> (Relational.eventsHourly _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity < 5""".stripMargin,
+    "q_filter_date_eq" ->
+      "SELECT * FROM orders WHERE o_orderdate = TIMESTAMP '1995-03-01 00:00:00'",
+    "q_union_snapshots" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+        |UNION ALL
+        |SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1995-03-01 00:00:00'""".stripMargin,
+    "q_cast_types" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
+        |       CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
+        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |       CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem""".stripMargin,
+    "q_null_handling" ->
+      """SELECT doc_id, nullif(lang, 'en') AS lang_or_null,
+        |       coalesce(nullif(lang, 'en'), 'unknown') AS lang_norm,
+        |       (lang IS NULL) AS was_null
+        |FROM documents""".stripMargin,
+    "q_distinct" -> "SELECT DISTINCT c_mktsegment FROM customer",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY CUBE (event_type, hour_of_day)""".stripMargin,
+    "q_case_when_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+        |  CAST(sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_tax,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)""".stripMargin,
+    "q_outer_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  lag(l_quantity, 1) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |FROM lineitem WHERE l_suppkey <= 5""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_orderstatus, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice, row_number() OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t WHERE rk <= 3""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q_scalar_strings" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substr(p_type, 1, 5) AS type_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+        |  trim(p_name) AS name_trim,
+        |  (p_name LIKE '%green%') AS is_green
+        |FROM part""".stripMargin,
+    "q_scalar_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS o_day,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
+        |    AS days_to_2002
+        |FROM orders""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  sqrt(l_extendedprice) AS price_sqrt,
+        |  l_orderkey % 7 AS key_mod7,
+        |  l_quantity * l_extendedprice AS qty_price
+        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
+        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+  )
 }
