@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default zone too: java.sql.{Date,Timestamp}.valueOf and
+  // anything else that consults user.timezone must agree with the UTC
+  // session zone on any host (ADVICE r1).
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -75,7 +75,7 @@ object SparkEntry {
     "q_cast_types" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
         |       CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
-        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |       CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem""".stripMargin,
     "q_null_handling" ->

@@ -23,11 +23,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to Spark's
-    * native µs — same truncation DuckDB applies, so oracles agree. */
+  /** Session conf every graft entrypoint sets at SparkSession construction.
+    * events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects outright
+    * (PARQUET_TYPE_ILLEGAL); nanosAsLong reads it as long (harmless for the
+    * µs/ms timestamps in every other table). Set once up front — per-read
+    * conf mutation would race under concurrent queries (ADVICE r1). */
+  val requiredConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** events.ts nanos → Spark-native µs truncation — the same truncation
+    * DuckDB applies, so oracles agree. The nanosAsLong flag must already be
+    * set ([[requiredConf]]); if a caller-supplied session lacks it, set it
+    * idempotently here (same value always — no behavior change mid-session,
+    * unlike the r1 version that flipped it as a read side effect). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requiredConf.foreach { case (k, v) =>
+      if (!s.conf.getOption(k).contains(v)) s.conf.set(k, v)
+    }
     val df = apply(s, d, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

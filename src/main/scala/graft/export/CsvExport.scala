@@ -40,9 +40,13 @@ object CsvExport {
     shaped.write
       .mode(SaveMode.Overwrite)
       .option("header", "true")
-      // export NULL = empty string (op:49-56), NOT the \N ingest sentinel
+      // export NULL = empty string (op:49-56), NOT the \N ingest sentinel.
+      // No emptyValue override: Python csv.writer QUOTE_MINIMAL renders
+      // both None and "" as an unquoted empty field, so NULL and empty
+      // string deliberately collapse on export exactly as the reference
+      // does (ADVICE r1; SURVEY §1.4 asymmetry).
       .option("nullValue", "")
-      .option("emptyValue", "\"\"")
+      .option("emptyValue", "")
       // RFC 4180 doubled-quote escaping, matching Python csv.writer
       // QUOTE_MINIMAL (op:49-53) — not Spark's default backslash escape
       .option("escape", "\"")

@@ -137,10 +137,13 @@ object CsvIngest {
       candidatePaths: Seq[String],
       schema: StructType,
       mode: BadRecordsMode = FailFast): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // Resolve the filesystem PER PATH: FileSystem.get(conf) returns only the
+    // default-scheme FS, which throws or lies for s3a:// (or any mixed-
+    // scheme candidate list) — ADVICE r1.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val present = candidatePaths.filter { p =>
-      fs.exists(new org.apache.hadoop.fs.Path(p))
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hadoopConf).exists(path)
     }
     require(present.nonEmpty, s"no snapshot files exist among $candidatePaths")
     readCsv(spark, present, schema, mode)

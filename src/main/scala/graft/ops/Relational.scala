@@ -27,6 +27,12 @@ import graft.Tables
   */
 object Relational {
 
+  /** Timestamp literal resolved in the session timezone (UTC per build.sbt
+    * and every entrypoint) — unlike java.sql.Timestamp.valueOf, which
+    * parses in the JVM default zone and silently diverges from the DuckDB
+    * oracle on a non-UTC host (ADVICE r1). */
+  private[ops] def ts(v: String): Column = to_timestamp(lit(v))
+
   /** Exact sum of a double column: cast to DECIMAL(18,2) (testdata doubles
     * carry 2 decimals), sum exactly, cast back — order-insensitive. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -51,16 +57,16 @@ object Relational {
     * pruning makes this metadata-cheap at 100 TB. */
   def filterDateEq(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .filter(col("o_orderdate") === lit(java.sql.Timestamp.valueOf("1995-03-01 00:00:00")))
+      .filter(col("o_orderdate") === ts("1995-03-01 00:00:00"))
 
   /** S-4: snapshot union-all — two date slices of the same table unioned,
     * a single multi-source scan with no shuffle. */
   def unionSnapshots(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    val jan = o.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
-      col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-02-01 00:00:00")))
-    val feb = o.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-02-01 00:00:00")) &&
-      col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-03-01 00:00:00")))
+    val jan = o.filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+      col("o_orderdate") < ts("1995-02-01 00:00:00"))
+    val feb = o.filter(col("o_orderdate") >= ts("1995-02-01 00:00:00") &&
+      col("o_orderdate") < ts("1995-03-01 00:00:00"))
     jan.unionByName(feb)
   }
 
@@ -71,7 +77,9 @@ object Relational {
       .select(
         col("l_orderkey").cast("string").as("key_str"),
         floor(col("l_quantity")).cast("int").as("qty_int"),
-        col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"),
+        // decimal→double at the end: the driver's hasher renders DECIMAL
+        // differently across engines even when values agree (ADVICE r1)
+        col("l_extendedprice").cast(DecimalType(18, 2)).cast("double").as("price_dec"),
         col("l_shipdate").cast("date").as("ship_date"))
 
   /** F-3 NULL semantics: nullif/coalesce round-trip (the engine-internal
@@ -95,7 +103,7 @@ object Relational {
     * no matter the scale factor. */
   def q1PricingSummary(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+      .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -139,9 +147,9 @@ object Relational {
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, d)
-      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
     val l = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(o("o_orderkey"), o("o_orderdate"), o("o_orderpriority"))
@@ -278,7 +286,7 @@ object Relational {
       quarter(col("o_orderdate")).as("o_quarter"),
       date_trunc("month", col("o_orderdate")).as("month_start"),
       (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
-      datediff(lit(java.sql.Date.valueOf("2002-01-01")), col("o_orderdate").cast("date"))
+      datediff(to_date(lit("2002-01-01")), col("o_orderdate").cast("date"))
         .as("days_to_2002"))
 
   /** Math function battery — only cross-engine-exact ops (sqrt is IEEE;

@@ -23,13 +23,10 @@ object PipelineMain {
     val runDate =
       if (args.length > 4) LocalDate.parse(args(4)) else LocalDate.now()
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-pipeline")
-      .config("spark.sql.shuffle.partitions",
+    val spark = graft.GraftSession.builder(
+        sys.env.getOrElse("SPARK_MASTER", "local[*]"),
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+      .appName("graft-pipeline")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
