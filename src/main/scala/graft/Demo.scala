@@ -1,0 +1,39 @@
+package graft
+
+/** Library-surface smoke demo: exercises the public API the way a user
+  * would — SQL-registered native functions, the mapPartitions multimodal
+  * path, and a streaming-equivalent batch query. Run:
+  *
+  *   sbt "runMain graft.Demo /root/testdata/sf0.001"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+
+    spark.read.parquet(s"$d/embeddings.parquet").createOrReplaceTempView("embeddings")
+    println("== cosine_sim via SQL registry ==")
+    spark.sql(
+      """SELECT a.vec_id, round(cosine_sim(a.embedding, a.embedding), 6) AS self_sim
+        |FROM embeddings a ORDER BY a.vec_id LIMIT 3""".stripMargin).show()
+
+    println("== cosine_sim error surfaces ==")
+    Seq(
+      "SELECT cosine_sim(embedding) FROM embeddings",
+      "SELECT cosine_sim(vec_id, embedding) FROM embeddings").foreach { q =>
+      try { spark.sql(q).collect(); println(s"UNEXPECTED OK: $q") }
+      catch { case e: Exception =>
+        println(s"expected error: ${e.getMessage.linesIterator.next().take(160)}") }
+    }
+
+    println("== multimodal decode (mapPartitions batch path) ==")
+    val feats = multimodal.Multimodal.decodeFeatures(spark, d)
+    feats.printSchema()
+    feats.orderBy("media_id").show(3, truncate = false)
+
+    println("== plan check: brute-force knn should broadcast + codegen ==")
+    similarity.Similarity.bruteForceTopK(spark, d).explain("formatted")
+
+    spark.stop()
+  }
+}

@@ -24,10 +24,13 @@ object GraftSession {
     Tables.requiredConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 
-  /** local[cpus] session for harness entrypoints. */
+  /** local[cpus] session for harness entrypoints. Also registers graft's
+    * native SQL functions (cosine_sim) — cluster deploys get the same via
+    * spark.sql.extensions=graft.functions.GraftExtensions. */
   def local(cpus: String): SparkSession = {
     val spark = builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

@@ -2,7 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.ops.Relational
+import graft.similarity.Similarity
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +59,22 @@ object SparkEntry {
     "q_above_avg"       -> (Relational.aboveAvgOrders _),
     "q_events_json"     -> (Relational.eventsJson _),
     "q_events_hourly"   -> (Relational.eventsHourly _),
+    // -- LLM-pipeline: text analysis (north star §7.4)
+    "q_text_stats"      -> (TextAnalysis.textStats _),
+    "q_lang_id"         -> (TextAnalysis.langId _),
+    "q_fingerprint"     -> (TextAnalysis.fingerprint _),
+    // -- LLM-pipeline: deduplication
+    "q_dedup_exact"     -> (Dedup.exactDedup _),
+    "q_dedup_jaccard"   -> (Dedup.ngramJaccard _),
+    "q_dedup_minhash"   -> (Dedup.minhashLsh _),
+    "q_dedup_simhash"   -> (Dedup.simhashDedup _),
+    // -- LLM-pipeline: similarity search
+    "q_knn_brute"       -> (Similarity.bruteForceTopK _),
+    "q_knn_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q_centroids"       -> (Similarity.labelCentroids _),
+    // -- LLM-pipeline: multimodal + sessionization
+    "q_media_meta"      -> (Multimodal.mediaMeta _),
+    "q_sessionize"      -> (EventStreams.sessionizeBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,5 +240,20 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    // -- LLM-pipeline extensions. q_knn_lsh is deliberately omitted
+    // (bucket membership hinges on float-sign evaluation DuckDB cannot
+    // reproduce bit-exactly → driver records the weaker rows-only check;
+    // recall vs q_knn_brute is asserted in SimilaritySpec instead).
+    "q_text_stats"    -> TextAnalysis.textStatsSql,
+    "q_lang_id"       -> TextAnalysis.langIdSql,
+    "q_fingerprint"   -> TextAnalysis.fingerprintSql,
+    "q_dedup_exact"   -> Dedup.exactDedupSql,
+    "q_dedup_jaccard" -> Dedup.ngramJaccardSql,
+    "q_dedup_minhash" -> Dedup.minhashLshSql,
+    "q_dedup_simhash" -> Dedup.simhashDedupSql,
+    "q_knn_brute"     -> Similarity.bruteForceTopKSql,
+    "q_centroids"     -> Similarity.labelCentroidsSql,
+    "q_media_meta"    -> Multimodal.mediaMetaSql,
+    "q_sessionize"    -> EventStreams.sessionizeBatchSql,
   )
 }

@@ -1,0 +1,232 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` — the LLM-corpus-curation
+  * surface (north star, SURVEY.md §7.4): exact, n-gram Jaccard, MinHash
+  * LSH, and SimHash near-dup detection.
+  *
+  * Scale design notes (the 100 TB story, per operator):
+  *  - signatures (minhash vectors, simhash ints, shingle arrays) are pure
+  *    per-row array expressions — no UDFs, no shuffle, codegen'd;
+  *  - candidate generation shuffles on *short hash keys* (band signature /
+  *    simhash half), never on document text: shuffle volume is
+  *    O(docs × bands × 32 bytes), independent of document length;
+  *  - pairwise verification only touches candidate pairs, never the
+  *    full cross product — the same block-then-verify shape that holds
+  *    when "500 docs" becomes "5 billion docs" (cf. the GPT-3/C4
+  *    dedup recipe: MinHash bucketing then exact Jaccard on buckets);
+  *  - all hashes are md5-derived so every stage is engine-portable and
+  *    deterministic (no seed state, no RNG).
+  */
+object Dedup {
+
+  /** Word tokens, the shared shingle base. */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct word 3-gram shingles per document. Guarded for docs shorter
+    * than 3 words: Spark's `sequence(1, n)` runs DESCENDING when n < 1,
+    * which would fabricate bogus shingles rather than none. */
+  def shingles3(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) < 3, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+  }
+
+  /** Exact dedup keyed on an 8-word prefix (the "URL/snapshot collapse"
+    * shape: same leading content = same doc). Keeps the smallest doc_id
+    * per group — deterministic winner, matching the usual keep-first rule.
+    * One hash-aggregate shuffle on the md5 key, map-side partial combine. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks, 1, 8))).as("prefix_key"))
+      .groupBy("prefix_key")
+      .agg(min("doc_id").as("kept_doc_id"), count("*").as("n_members"))
+
+  /** Pairwise n-gram Jaccard over candidate pairs that share >= 1 shingle.
+    * Explode distinct shingles, self-join on the shingle (the inverted-
+    * index join — shuffle key is the shingle hash, not the text), count
+    * intersections, then Jaccard from per-doc set sizes. Emits pairs with
+    * J >= 0.2. Jaccard is an exact int/int division — oracle-stable. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  /** Number of minhash functions and LSH band width (rows per band).
+    * 16 hashes in 8 bands of 2: detection probability 1-(1-J^2)^8 —
+    * ~0.99 at J=0.7, ~0.75 at J=0.4 — tuned to surface the planted
+    * near-dup pairs while keeping random-collision candidates rare. */
+  val numHashes = 16
+  val bandWidth = 2
+  val numBands: Int = numHashes / bandWidth
+
+  /** Minhash signature: for hash j, min over shingles of md5(j:shingle).
+    * An array expression per row (array_min over a transformed array) —
+    * signatures never shuffle document text. */
+  def minhashSignature(shingleCol: Column): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleCol, g => md5(concat(lit(s"$j:"), g))))
+    }: _*)
+
+  /** MinHash LSH candidate pairs: docs agreeing on at least one full band
+    * of the signature. Output: (doc_a, doc_b, n_bands_shared). The only
+    * shuffles are a groupBy on (band_idx, band_signature) — a 2×32-byte
+    * key — and the final pair dedup. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), minhashSignature(shingles3(col("text"))).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until numBands).map { b =>
+        concat_ws("|",
+          element_at(col("sig"), b * bandWidth + 1),
+          element_at(col("sig"), b * bandWidth + 2))
+      }: _*)).as(Seq("band_idx", "band_sig")))
+    val x = bands.as("x"); val y = bands.as("y")
+    x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_sig") === col("y.band_sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count("*").as("n_bands_shared"))
+  }
+
+  /** SimHash width in bits. 16 bits = the 16 leading hex chars of md5. */
+  val simhashBits = 16
+
+  /** 16-bit SimHash over word occurrences (multiplicity = tf weighting):
+    * bit i is the sign of sum over words of ±1, where the ±1 is hex char
+    * i of md5(word) >= '8' (the high bit of that nibble). Pure integer
+    * arithmetic — portable and exact. */
+  def simhash(wordsCol: Column): Column =
+    (0 until simhashBits).map { i =>
+      val bitSum = aggregate(wordsCol, lit(0),
+        (acc, w) => acc + when(substring(md5(w), i + 1, 1) >= "8", 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs at hamming distance <= 1, found by the
+    * multi-index trick: split the 16-bit hash into two 8-bit halves; any
+    * pair at distance <= 1 agrees exactly on at least one half
+    * (pigeonhole), so blocking on each half finds ALL such pairs with no
+    * cross product — the scale-correct rendering of "group by simhash".
+    * Output: per-doc simhash plus its near-dup partner count. */
+  def simhashDedup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), simhash(toks).as("sh16"))
+    val halves = base.select(col("doc_id"), col("sh16"),
+      posexplode(array((col("sh16") % 256).cast("long"),
+        (col("sh16") / 256).cast("long")))
+        .as(Seq("half_idx", "half_val")))
+    val p = halves.as("p"); val q = halves.as("q")
+    val pairs = p.join(q,
+        col("p.half_idx") === col("q.half_idx") &&
+        col("p.half_val") === col("q.half_val") &&
+        col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        col("p.sh16").as("sh_a"), col("q.sh16").as("sh_b"))
+      .distinct()
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 1)
+    base.join(
+        pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count("*").as("n_near_dups")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sh16").as("simhash"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+  }
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+
+  /** Shared shingle CTE (DuckDB): distinct word 3-grams per doc. */
+  private val shingleCte =
+    """WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM words)""".stripMargin
+
+  val exactDedupSql: String =
+    """SELECT md5(array_to_string((string_split(text,' '))[1:8], ' ')) AS prefix_key,
+      |  min(doc_id) AS kept_doc_id, count(*) AS n_members
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2""".stripMargin
+
+  val minhashLshSql: String = {
+    val sigExprs = (0 until numHashes).map { j =>
+      s"list_min(list_transform(s, g -> md5('$j:' || g)))"
+    }
+    val bandExprs = (0 until numBands).map { b =>
+      s"(sig[${b * bandWidth + 1}] || '|' || sig[${b * bandWidth + 2}])"
+    }
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, [${sigExprs.mkString(",\n  ")}] AS sig FROM sh),
+       |bands AS (SELECT doc_id, i - 1 AS band_idx, [${bandExprs.mkString(",\n  ")}][i] AS band_sig
+       |  FROM sig, generate_series(1, $numBands) AS t(i))
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands_shared
+       |FROM bands x JOIN bands y
+       |  ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+       | AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  val simhashDedupSql: String = {
+    val bitExprs = (0 until simhashBits).map { i =>
+      s"""CASE WHEN list_sum(list_transform(w,
+         |  x -> CASE WHEN substr(md5(x), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(${1L << i} AS BIGINT) ELSE 0 END""".stripMargin
+    }
+    s"""WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |base AS (SELECT doc_id, (${bitExprs.mkString("\n + ")}) AS sh16 FROM words),
+       |halves AS (
+       |  SELECT doc_id, sh16, i - 1 AS half_idx,
+       |    [sh16 % 256, sh16 // 256][i] AS half_val
+       |  FROM base, generate_series(1, 2) AS t(i)),
+       |pairs AS (
+       |  SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b,
+       |    p.sh16 AS sh_a, q.sh16 AS sh_b
+       |  FROM halves p JOIN halves q
+       |    ON p.half_idx = q.half_idx AND p.half_val = q.half_val
+       |   AND p.doc_id < q.doc_id),
+       |near AS (
+       |  SELECT * FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 1),
+       |cnt AS (
+       |  SELECT doc_id, count(*) AS n_near_dups FROM (
+       |    SELECT doc_a AS doc_id FROM near
+       |    UNION ALL SELECT doc_b AS doc_id FROM near) GROUP BY 1)
+       |SELECT b.doc_id, b.sh16 AS simhash,
+       |  coalesce(c.n_near_dups, 0) AS n_near_dups
+       |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.shims
+
+/** Registration surface for graft's native expressions.
+  *
+  * Two entry styles, both public-Spark:
+  *  - `GraftExtensions` for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the cluster-deploy path: the function exists in every session created
+  *    from the conf, including SQL-only clients);
+  *  - [[GraftFunctions.register]] for imperative wiring from an existing
+  *    session (the test/driver path).
+  *
+  * Plus a typed Column API ([[GraftFunctions.cosineSim]]) that needs no
+  * registration at all.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+  }
+}
+
+object GraftFunctions {
+
+  private[functions] val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_sim expects exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+
+  /** Imperatively register `cosine_sim` in an existing session's function
+    * registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val (ident, info, builder) = cosineSimDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+
+  /** Column-API form: `df.select(cosineSim($"a", $"b"))` — no registry. */
+  def cosineSim(a: Column, b: Column): Column =
+    shims.column(CosineSimilarity(shims.expression(a), shims.expression(b)))
+}

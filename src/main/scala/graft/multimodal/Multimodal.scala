@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (north star, SURVEY.md §7.4): media as
+  * opaque `BINARY` columns with typed metadata, batch feature extraction
+  * via `mapPartitions`.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic FAKE decoder; everything AROUND it —
+  * schema, batch shape, partitioning, null behavior — is the real
+  * production plumbing a codec would drop into.
+  *
+  * Scale notes: media bytes never shuffle (all ops are per-row/map-only);
+  * metadata extraction streams partition iterators (constant memory per
+  * task, no partition-sized materialization); a real decoder would bound
+  * `spark.sql.files.maxPartitionBytes` so one task's batch of decoded
+  * frames fits executor memory.
+  */
+object Multimodal {
+
+  /** The typed metadata contract for a media column — what a real
+    * pipeline would carry next to the raw bytes. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** Documents lifted to a media table: text bytes standing in for an
+    * encoded image payload. In production this column arrives from the
+    * source (parquet BINARY / object-store blobs); deriving it from
+    * `text` here keeps the harness deterministic. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source").as("origin"))
+
+  /** FAKE DECODER — deterministic stand-in for an image decode.
+    * A real implementation would parse the container header (PNG/JPEG)
+    * and hand pixel buffers to the feature step; this derives "width" /
+    * "height" / "format" from the payload bytes so tests have stable
+    * expectations. The seam (bytes in → meta + features out) is the
+    * production contract. */
+  def decodeStub(payload: Array[Byte]): (Row, Array[Float]) = {
+    val len = payload.length.toLong
+    // fake dimensions: spread bytes into a plausible aspect ratio
+    val w = (len % 640 + 32).toInt
+    val h = (len % 480 + 24).toInt
+    val meta = Row(len, "fake/raw", w, h)
+    // fake feature vector: 4 moments of the byte distribution
+    var sum = 0L; var min = 255; var max = 0
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b; if (b < min) min = b; if (b > max) max = b
+      i += 1
+    }
+    val mean = if (len == 0) 0f else sum.toFloat / len
+    (meta, Array(len.toFloat, mean, min.toFloat, max.toFloat))
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("meta", mediaMetaType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** Batch decode: one `mapPartitions` pass, iterator-to-iterator (no
+    * partition materialization), binary payloads consumed and dropped —
+    * only metadata + features flow downstream. This is where a Pandas-UDF
+    * / codec batch call would sit on a real cluster. */
+  def decodeFeatures(s: SparkSession, d: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    mediaTable(s, d)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (meta, feats) = decodeStub(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), meta, feats.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Oracle-checkable metadata projection: byte length, payload hash and
+    * a header sample, computed SQL-side (no decode). The md5 is over the
+    * text (DuckDB 1.0 cannot md5 blobs); identical bytes by construction. */
+  def mediaMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+      md5(col("text")).as("payload_md5"),
+      substring(col("text"), 1, 12).as("header_sample"),
+      ((length(encode(col("text"), "UTF-8")) % 640) + 32).cast("int").as("fake_width"),
+      ((length(encode(col("text"), "UTF-8")) % 480) + 24).cast("int").as("fake_height"))
+
+  val mediaMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS payload_md5,
+      |  substr(text, 1, 12) AS header_sample,
+      |  CAST(octet_length(encode(text)) % 640 + 32 AS INTEGER) AS fake_width,
+      |  CAST(octet_length(encode(text)) % 480 + 24 AS INTEGER) AS fake_height
+      |FROM documents""".stripMargin
+}

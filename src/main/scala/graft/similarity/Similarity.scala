@@ -1,0 +1,137 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.cosineSim
+
+/** Similarity search over the `embeddings` table (`ARRAY<FLOAT>[64]`) —
+  * the ANN surface of an LLM data pipeline (north star, SURVEY.md §7.4).
+  *
+  * Two-tier design, the standard recipe at scale:
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+  *    set against the full corpus; one codegen'd pass, no shuffle of the
+  *    corpus. Cost O(queries × corpus × dim) — right whenever the query
+  *    set is small, at any corpus size.
+  *  - [[lshTopK]] — the scale path: sign-random-projection LSH buckets
+  *    the corpus ONCE (a per-row projection, no shuffle), then searches
+  *    only matching buckets. Cost O(queries × corpus / 2^planes × dim).
+  *    Hyperplanes are md5-derived ±1 vectors: deterministic, seed-free,
+  *    and identical on every executor with no broadcast state.
+  *
+  * Scores are computed by the native codegen'd [[graft.functions.CosineSimilarity]]
+  * expression. Oracle outputs round to 4 decimals: DuckDB's
+  * `list_cosine_similarity` accumulates in float32 (~7e-8 error vs our
+  * double accumulation — measured, sf0.01); ranking tie-breaks go through
+  * the ROUNDED score then vec_id, so order never depends on sub-rounding
+  * noise.
+  */
+object Similarity {
+
+  /** Number of query vectors (vec_id < nQueries) and neighbors returned. */
+  val nQueries = 5
+  val topK = 3
+
+  /** Exact top-k cosine neighbors for each query vector. The query side
+    * is broadcast (it is tiny by construction); the corpus is scanned
+    * once; ranking shuffles only (query, candidate, score) triples. */
+  def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineSim(col("q_emb"), col("c_emb")), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
+  /** Number of LSH hyperplanes → 2^planes buckets. */
+  val nPlanes = 8
+
+  /** Deterministic ±1 "random" hyperplanes: plane p, dimension i is +1
+    * iff the first hex char of md5("p:i") has its high bit set. Computed
+    * once on the driver (planes × dims chars of md5 — trivially small)
+    * and inlined as literals into the projection expression. */
+  private[similarity] def planeSign(p: Int, i: Int): Int = {
+    val c = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    if ((c(0) & 0x80) != 0) 1 else -1
+  }
+
+  /** LSH bucket id of an embedding column: bit p = sign of the dot
+    * product with pseudo-hyperplane p. A pure per-row expression. */
+  def lshBucket(emb: Column, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      val dot = (0 until dim).map { i =>
+        element_at(emb, i + 1) * lit(planeSign(p, i))
+      }.reduce(_ + _)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates limited to the query's LSH bucket.
+    * Same output shape as [[bruteForceTopK]]; recall measured in
+    * SimilaritySpec (not oracle-checked — bucket membership depends on
+    * float sign evaluation that DuckDB cannot reproduce bit-exactly). */
+  def lshTopK(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), dim).as("bucket"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineSim(col("q_emb"), col("c_emb")), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
+  /** Centroid per label — the IVF coarse-quantizer build step done as a
+    * plain aggregation: avg of each dimension grouped by label (labels
+    * stand in for cluster assignments). Array avg via posexplode +
+    * groupBy — one shuffle of (label, dim, value) triples. Exactness:
+    * sums of float32 values accumulated as double in BOTH engines via
+    * explicit element indexing, same addition order enforced by
+    * aggregating dimension-wise (each (label,dim) group sums scalars —
+    * order-insensitive up to fp-addition; oracle rounds to 4 decimals). */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 4).as("centroid_v"),
+        count("*").as("n_vectors"))
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+
+  val bruteForceTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    round(CAST(list_cosine_similarity(q.q_emb, c.embedding) AS DOUBLE), 4) AS cosine
+       |  FROM embeddings c, q WHERE q.query_id != c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, cand_id, cosine FROM ranked WHERE rank <= $topK""".stripMargin
+
+  val labelCentroidsSql: String =
+    """SELECT label, u.i - 1 AS dim,
+      |  round(avg(CAST(embedding[u.i] AS DOUBLE)), 4) AS centroid_v,
+      |  count(*) AS n_vectors
+      |FROM embeddings, (SELECT unnest(generate_series(1,
+      |  (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i) u
+      |GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Event-time processing over `events` — batch sessionization with a
+  * DuckDB oracle, plus the Structured Streaming renderings of the same
+  * semantics (tumbling/sliding windows with watermark, stateful
+  * sessionization via flatMapGroupsWithState).
+  *
+  * The streaming entry points take an input DataFrame rather than a path
+  * so tests drive them from MemoryStream and production from readStream;
+  * the TRANSFORMATION is identical either way — exactly Spark's
+  * batch/streaming unification.
+  *
+  * Scale: sessionization shuffles once on user_id; window aggregations
+  * shuffle once on (window, key). Watermarks bound state: with a 30 min
+  * gap and 10 min watermark, state per key is O(1 open session).
+  */
+object EventStreams {
+
+  /** Session gap: a new session starts after 30 minutes of inactivity. */
+  val sessionGapMinutes = 30
+
+  /** Batch sessionization (the oracle-checked reference semantics):
+    * classic gaps-and-islands — lag() the previous event time per user,
+    * flag gaps > 30 min, running-sum the flags into session ids, then
+    * aggregate. Two window passes over one user_id shuffle. */
+  def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >
+            sessionGapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count("*").as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"))
+  }
+
+  val sessionizeBatchSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > ${sessionGapMinutes * 60}
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |  count(*) AS n_events,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  date_diff('second', min(ts), max(ts)) AS duration_sec
+       |FROM sessions GROUP BY user_id, session_seq""".stripMargin
+
+  /** Tumbling 1-hour event-time window with a 10-minute watermark —
+    * late events beyond the watermark are dropped, the streaming-native
+    * rendering of q_events_hourly. */
+  def hourlyTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 1-hour window advancing every 15 minutes (each event lands
+    * in 4 windows) — rate smoothing for monitoring feeds. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, duration_sec: Long)
+
+  /** Streaming sessionization: custom state machine via
+    * flatMapGroupsWithState. State per user = the one open session;
+    * a processing-time timeout flushes sessions idle past the gap.
+    * Semantics mirror [[sessionizeBatch]] for in-order input (asserted
+    * in StreamingSpec). */
+  def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = sessionGapMinutes * 60 * 1000L
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.last <= gapMs =>
+                cur = Some(st.copy(last = t, n = st.n + 1))
+              case Some(st) =>
+                out += SessionOut(userId, new Timestamp(st.start),
+                  st.n, (st.last - st.start) / 1000)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(st => out += SessionOut(userId, new Timestamp(st.start),
+              st.n, (st.last - st.start) / 1000))
+            state.remove()
+          } else {
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutDuration(gapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the LLM-training-
+  * pipeline surface (north star, SURVEY.md §7.4): token counting, quality
+  * scoring, language ID, and document fingerprinting.
+  *
+  * Scale design: every operator here is a pure per-row projection over
+  * array expressions — zero shuffles, zero UDFs, fully inside whole-stage
+  * codegen. At 100 TB these run at scan speed with column pruning (only
+  * `doc_id`/`text` read). Cross-engine determinism: all arithmetic is
+  * integer or a single double division of two exact integers, so DuckDB
+  * oracles hash-match bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** English-ish stopword list used by [[langId]] and the quality score.
+    * Tiny on purpose: the heuristic must be cheap enough to run at ingest
+    * (a literal IN-list, codegen'd to a switch — no broadcast needed). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Whitespace tokens of `text` — the shared tokenizer. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count: each whitespace token contributes
+    * `ceil(len/3)` subwords (~3 chars per merge, the empirical BPE rate).
+    * A stand-in for a merge-table tokenizer that keeps the count exact in
+    * both engines: floor of a small-int double division is never within
+    * 1 ulp of a boundary. */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + floor((length(t) + lit(2)) / lit(3)).cast("long"))
+
+  private def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(stopwords)))
+
+  /** Token statistics + quality score per document.
+    *
+    * quality_score = stopword_ratio + type_token_ratio + short_word_ratio:
+    * three exact int/int divisions summed — a deterministic stand-in for
+    * the usual trained quality classifiers, shaped like Gopher/C4 rules
+    * (length, lexical diversity, function-word share). */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("int").as("n_tokens"),
+      size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
+      subwordCount(col("text")).cast("int").as("n_subwords"),
+      stopwordCount(toks).cast("int").as("n_stopwords"),
+      (length(col("text")).cast("double") / size(toks)).as("chars_per_token"),
+      (stopwordCount(toks).cast("double") / size(toks) +
+        size(array_distinct(toks)).cast("double") / size(toks) +
+        size(filter(toks, t => length(t) < lit(4))).cast("double") / size(toks))
+        .as("quality_score"))
+  }
+
+  /** Language ID: n-gram/stopword-overlap heuristic. With >=2 stopword hits
+    * the doc is called `en`, 1 hit `maybe_en`, 0 `unknown`; ties broken by
+    * nothing — the decision is a pure integer threshold, so the oracle
+    * can't diverge. (A real fastText-style classifier would be a model
+    * lookup; the *engine surface* — per-row classify at scan speed — is
+    * identical.) */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = stopwordCount(toks)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      hits.cast("int").as("stopword_hits"),
+      when(hits >= 2, lit("en"))
+        .when(hits === 1, lit("maybe_en"))
+        .otherwise(lit("unknown")).as("predicted_lang"))
+  }
+
+  /** Document fingerprint: positional rolling hash over word hashes,
+    * `sum((i+1) * wordhash_i) mod 2^31-1`, where wordhash is the first
+    * 8 hex digits of md5(word). Order-sensitive (anagram docs differ),
+    * associative-sum form so both engines evaluate it exactly; values
+    * bounded (~100 words * 2^32) far below long overflow. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hashed = transform(toks, (w, i) =>
+      (i + 1).cast("long") * conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (aggregate(hashed, lit(0L), (acc, x) => acc + x) % 2147483647L)
+        .as("fingerprint"),
+      substring(md5(col("text")), 1, 16).as("content_hash_prefix"))
+  }
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens,
+       |  CAST(list_sum(list_transform(string_split(text,' '),
+       |    t -> CAST(floor((length(t)+2)/3) AS BIGINT))) AS INTEGER) AS n_subwords,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS INTEGER)
+       |    AS n_stopwords,
+       |  CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) AS chars_per_token,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+       |      / len(string_split(text,' '))
+       |    + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |      / len(string_split(text,' '))
+       |    + CAST(len(list_filter(string_split(text,' '), t -> len(t) < 4)) AS DOUBLE)
+       |      / len(string_split(text,' ')) AS quality_score
+       |FROM documents""".stripMargin
+
+  val langIdSql: String =
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS INTEGER)
+       |    AS stopword_hits,
+       |  CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ($stopList))) >= 2 THEN 'en'
+       |       WHEN len(list_filter(string_split(text,' '), t -> t IN ($stopList))) = 1 THEN 'maybe_en'
+       |       ELSE 'unknown' END AS predicted_lang
+       |FROM documents""".stripMargin
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(1, len(string_split(text,' '))),
+      |    i -> i * CAST(('0x' || substr(md5(string_split(text,' ')[i]), 1, 8)) AS BIGINT)))
+      |    % 2147483647 AS BIGINT) AS fingerprint,
+      |  substr(md5(text), 1, 16) AS content_hash_prefix
+      |FROM documents""".stripMargin
+}
