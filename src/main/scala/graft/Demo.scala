@@ -31,6 +31,15 @@ object Demo {
     feats.printSchema()
     feats.orderBy("media_id").show(3, truncate = false)
 
+    println("== approximate vs exact knn: recall@k ==")
+    val exact = similarity.Similarity.bruteForceTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = similarity.Similarity.lshTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    println(f"lsh recall@${similarity.Similarity.topK}: " +
+      f"${exact.intersect(approx).size.toDouble / exact.size}%.2f " +
+      f"(${approx.size} approx pairs, ${exact.size} exact)")
+
     println("== plan check: brute-force knn should broadcast + codegen ==")
     similarity.Similarity.bruteForceTopK(spark, d).explain("formatted")
 

@@ -53,12 +53,18 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
-  /** Number of LSH hyperplanes → 2^planes buckets. */
-  val nPlanes = 8
+  /** Multi-table sign-random-projection LSH: `nTables` independent hash
+    * tables of `nPlanes` hyperplanes each (the OR-of-ANDs banding trick,
+    * same shape as MinHash bands). One table of b planes has per-plane
+    * agreement p = 1 - θ/π, so candidate probability p^b; L tables lift
+    * recall to 1-(1-p^b)^L while each table stays coarse enough to keep
+    * buckets populated. */
+  val nPlanes = 4
+  val nTables = 8
 
   /** Deterministic ±1 "random" hyperplanes: plane p, dimension i is +1
-    * iff the first hex char of md5("p:i") has its high bit set. Computed
-    * once on the driver (planes × dims chars of md5 — trivially small)
+    * iff the first byte of md5("p:i") has its high bit set. Computed
+    * once on the driver (planes × dims md5 calls — trivially small)
     * and inlined as literals into the projection expression. */
   private[similarity] def planeSign(p: Int, i: Int): Int = {
     val c = java.security.MessageDigest.getInstance("MD5")
@@ -66,30 +72,42 @@ object Similarity {
     if ((c(0) & 0x80) != 0) 1 else -1
   }
 
-  /** LSH bucket id of an embedding column: bit p = sign of the dot
-    * product with pseudo-hyperplane p. A pure per-row expression. */
-  def lshBucket(emb: Column, dim: Int): Column =
-    (0 until nPlanes).map { p =>
+  /** Bucket id of `emb` in hash table `t`: nPlanes sign bits of dot
+    * products with pseudo-hyperplanes. A pure per-row expression. */
+  def lshBucket(emb: Column, dim: Int, t: Int): Column =
+    (0 until nPlanes).map { b =>
+      val p = t * nPlanes + b
       val dot = (0 until dim).map { i =>
         element_at(emb, i + 1) * lit(planeSign(p, i))
       }.reduce(_ + _)
-      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+      when(dot > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates limited to the query's LSH bucket.
-    * Same output shape as [[bruteForceTopK]]; recall measured in
-    * SimilaritySpec (not oracle-checked — bucket membership depends on
-    * float sign evaluation that DuckDB cannot reproduce bit-exactly). */
+  /** Approximate top-k: candidates are corpus vectors sharing the
+    * query's bucket in ANY of the nTables hash tables (deduplicated
+    * before scoring, so each candidate is scored once). Same output
+    * shape as [[bruteForceTopK]]; recall asserted in SimilaritySpec
+    * (not oracle-checked — bucket membership depends on float-sign
+    * evaluation DuckDB cannot reproduce bit-exactly). */
   def lshTopK(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
+    def withBuckets(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col("embedding"), dim, t)): _*)).as(Seq("table_idx", "bucket")))
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), dim).as("bucket"))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket"))
-    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+    val queries = withBuckets(emb.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("table_idx"), col("bucket"))
+    val corpus = withBuckets(emb)
+      .select(col("vec_id").as("cand_id"), col("table_idx"), col("bucket"))
+    val candidates = corpus.join(broadcast(queries), Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val byId = emb.select(col("vec_id"), col("embedding"))
+    val scored = candidates
+      .join(byId.as("qe"), col("query_id") === col("qe.vec_id"))
+      .join(byId.as("ce"), col("cand_id") === col("ce.vec_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosineSim(col("q_emb"), col("c_emb")), 4).as("cosine"))
+        round(cosineSim(col("qe.embedding"), col("ce.embedding")), 4).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -97,15 +97,22 @@ object EventStreams {
 
   /** Streaming sessionization: custom state machine via
     * flatMapGroupsWithState. State per user = the one open session;
-    * a processing-time timeout flushes sessions idle past the gap.
-    * Semantics mirror [[sessionizeBatch]] for in-order input (asserted
-    * in StreamingSpec). */
-  def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
+    * with the default ProcessingTimeTimeout, sessions idle past the gap
+    * are flushed by the timeout path. Semantics mirror
+    * [[sessionizeBatch]] for in-order input (asserted in StreamingSpec;
+    * the spec passes NoTimeout — a registered 30-minute processing-time
+    * timeout makes `processAllAvailable` wait on the timeout-servicing
+    * batch, which never comes inside a test). */
+  def sessionizeStream(
+      events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val usesTimeout = timeout != GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           val gapMs = sessionGapMinutes * 60 * 1000L
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
@@ -130,7 +137,7 @@ object EventStreams {
           } else {
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutDuration(gapMs)
+              if (usesTimeout) state.setTimeoutDuration(gapMs)
             }
           }
           out.iterator

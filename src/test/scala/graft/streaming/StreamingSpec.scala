@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends GraftTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  behavior of "sessionizeBatch"
+
+  it should "split on gaps > 30 minutes and aggregate session stats" in {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "a", 1.0),
+      Event(3, ts("2024-01-01 11:30:00"), 1, "a", 1.0), // gap 80min -> new session
+      Event(4, ts("2024-01-01 10:05:00"), 2, "b", 1.0)
+    ).toDF()
+    events.write.mode("overwrite").parquet("/tmp/graft-spec-events/events.parquet")
+    val out = EventStreams.sessionizeBatch(spark, "/tmp/graft-spec-events")
+      .orderBy("user_id", "session_seq").collect()
+    out should have length 3
+    out(0).getAs[Long]("n_events") shouldBe 2
+    out(0).getAs[Long]("duration_sec") shouldBe 600
+    out(1).getAs[Long]("n_events") shouldBe 1
+    out(2).getAs[Long]("user_id") shouldBe 2
+  }
+
+  behavior of "hourlyTumbling (streaming)"
+
+  it should "match the batch group-by on the same data" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.hourlyTumbling(
+        input.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.format("memory").queryName("hourly_spec")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+        Event(2, ts("2024-01-01 10:55:00"), 2, "click", 3.0),
+        Event(3, ts("2024-01-01 11:05:00"), 1, "view", 5.0))
+      query.processAllAvailable()
+      val got = spark.table("hourly_spec")
+        .orderBy("hour", "event_type").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      got shouldBe Array(
+        ("2024-01-01 10:00:00.0", "click", 2L, 5.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0))
+    } finally query.stop()
+  }
+
+  behavior of "sessionizeStream"
+
+  it should "emit closed sessions matching batch semantics for in-order input" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // NoTimeout: a registered processing-time timeout would make
+    // processAllAvailable block on the future timeout-servicing batch
+    val query = EventStreams.sessionizeStream(input.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions_spec")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "a", 1.0))
+      query.processAllAvailable()
+      // second micro-batch: event past the gap closes the first session
+      input.addData(Event(3, ts("2024-01-01 11:30:00"), 1, "a", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions_spec").collect()
+      out should have length 1 // only the CLOSED session is emitted
+      out(0).getAs[Long]("user_id") shouldBe 1
+      out(0).getAs[Timestamp]("session_start") shouldBe ts("2024-01-01 10:00:00")
+      out(0).getAs[Long]("n_events") shouldBe 2
+      out(0).getAs[Long]("duration_sec") shouldBe 600
+    } finally query.stop()
+  }
+
+  behavior of "slidingCounts (streaming)"
+
+  it should "land each event in 4 overlapping windows" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding_spec")
+      .outputMode("complete").start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:31:00"), 1, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sliding_spec").collect()
+      rows should have length 4 // 1h window / 15min slide
+      all(rows.map(_.getAs[Long]("n"))) shouldBe 1L
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class TextAnalysisSpec extends GraftTestBase {
+
+  behavior of "textStats"
+
+  it should "satisfy counting invariants on every document" in {
+    val bad = TextAnalysis.textStats(spark, sf)
+      .filter(
+        col("n_distinct_tokens") > col("n_tokens") ||
+        col("n_stopwords") > col("n_tokens") ||
+        col("n_subwords") < col("n_tokens") || // every token has >= 1 subword
+        col("quality_score") < 0 || col("quality_score") > 3 ||
+        col("chars_per_token") <= 0)
+    bad.count() shouldBe 0
+  }
+
+  it should "compute exact values on a known sentence" in {
+    import spark.implicits._
+    val row = Seq("the cat sat on the mat")
+      .toDF("text").withColumn("doc_id", lit(1L))
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+      .head()
+    row.getSeq[String](1) shouldBe Seq("the", "cat", "sat", "on", "the", "mat")
+    row.getLong(2) shouldBe 6 // all words <= 3 chars -> 1 subword each
+  }
+
+  behavior of "langId"
+
+  it should "classify using the stopword threshold exactly" in {
+    val out = TextAnalysis.langId(spark, sf)
+    out.filter(col("stopword_hits") >= 2 && col("predicted_lang") =!= "en")
+      .count() shouldBe 0
+    out.filter(col("stopword_hits") === 0 && col("predicted_lang") =!= "unknown")
+      .count() shouldBe 0
+  }
+
+  behavior of "fingerprint"
+
+  it should "be deterministic and order-sensitive" in {
+    import spark.implicits._
+    val fps = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma")
+      .toDF("text")
+      .select(col("text"), TextAnalysis.fingerprintExpr(col("text")).as("fp"))
+      .collect().map(_.getLong(1))
+    fps(0) shouldBe fps(2) // deterministic
+    fps(0) should not be fps(1) // anagram docs differ (positional hash)
+  }
+
+  it should "fingerprint every doc into the modulus range" in {
+    val out = TextAnalysis.fingerprint(spark, sf).collect()
+    all(out.map(_.getLong(1))) should (be >= 0L and be < 2147483647L)
+    out.map(_.getLong(1)).distinct.length should be > out.length / 2
+  }
+}
