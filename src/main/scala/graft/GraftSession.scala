@@ -21,6 +21,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // InferFiltersFromGenerate synthesizes size(e)>0 filters under every
+      // explode; PushDownPredicates then substitutes the full generator
+      // expression through the staged projections to the scan — for our
+      // lambda-heavy shingle arrays (no CSE inside lambdas) that
+      // re-tokenizes each document several times per row and cost ~15s of
+      // a 19s query at sf0.1. Text corpora here never carry empty/null
+      // arrays, so the inferred skip-filter buys nothing. Measured, not
+      // guessed: q_dedup_jaccard 19s -> see BENCH notes.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     Tables.requiredConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 

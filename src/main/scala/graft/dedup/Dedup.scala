@@ -27,16 +27,27 @@ object Dedup {
   /** Word tokens, the shared shingle base. */
   private def toks: Column = split(col("text"), " ")
 
-  /** Distinct word 3-gram shingles per document. Guarded for docs shorter
-    * than 3 words: Spark's `sequence(1, n)` runs DESCENDING when n < 1,
-    * which would fabricate bogus shingles rather than none. */
-  def shingles3(text: Column): Column = {
-    val w = split(text, " ")
+  /** Distinct word 3-gram shingles from an ALREADY-MATERIALIZED words
+    * column. Callers must stage `split(text, " ")` in its own projection
+    * first: Catalyst performs no common-subexpression elimination inside
+    * lambda functions, so passing `split(...)` directly re-tokenizes the
+    * document for every `element_at` — measured 5x-100x slowdowns on the
+    * shingle-heavy queries. Guarded for docs shorter than 3 words
+    * (Spark's `sequence(1, n)` runs DESCENDING when n < 1, which would
+    * fabricate bogus shingles rather than none). */
+  def shinglesFromWords(w: Column): Column =
     when(size(w) < 3, array().cast("array<string>")).otherwise(
       array_distinct(transform(
         sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-  }
+
+  /** doc_id + staged shingle column (words materialized in an inner
+    * projection so the lambda sees a cheap attribute, see
+    * [[shinglesFromWords]]). */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
 
   /** Exact dedup keyed on an 8-word prefix (the "URL/snapshot collapse"
     * shape: same leading content = same doc). Keeps the smallest doc_id
@@ -55,8 +66,7 @@ object Dedup {
     * intersections, then Jaccard from per-doc set sizes. Emits pairs with
     * J >= 0.2. Jaccard is an exact int/int division — oracle-stable. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val docs = docShingles(s, d)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
     val a = exploded.as("a"); val b = exploded.as("b")
@@ -93,8 +103,8 @@ object Dedup {
     * shuffles are a groupBy on (band_idx, band_signature) — a 2×32-byte
     * key — and the final pair dedup. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"), minhashSignature(shingles3(col("text"))).as("sig"))
+    val sig = docShingles(s, d)
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until numBands).map { b =>
         concat_ws("|",
@@ -132,7 +142,8 @@ object Dedup {
     * Output: per-doc simhash plus its near-dup partner count. */
   def simhashDedup(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
-      .select(col("doc_id"), simhash(toks).as("sh16"))
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), simhash(col("w")).as("sh16"))
     val halves = base.select(col("doc_id"), col("sh16"),
       posexplode(array((col("sh16") % 256).cast("long"),
         (col("sh16") / 256).cast("long")))

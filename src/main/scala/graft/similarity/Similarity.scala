@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.shims
+
 import graft.Tables
 import graft.functions.GraftFunctions.cosineSim
 
@@ -72,16 +74,15 @@ object Similarity {
     if ((c(0) & 0x80) != 0) 1 else -1
   }
 
-  /** Bucket id of `emb` in hash table `t`: nPlanes sign bits of dot
-    * products with pseudo-hyperplanes. A pure per-row expression. */
-  def lshBucket(emb: Column, dim: Int, t: Int): Column =
-    (0 until nPlanes).map { b =>
-      val p = t * nPlanes + b
-      val dot = (0 until dim).map { i =>
-        element_at(emb, i + 1) * lit(planeSign(p, i))
-      }.reduce(_ + _)
-      when(dot > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** All nTables bucket ids of `emb` as one array column, via the
+    * native [[graft.functions.SignRandomProjection]] expression (a
+    * built-in-expression rendering of the same math blows past Janino's
+    * 64 KB method limit and knocks the stage out of codegen). */
+  def lshBuckets(emb: Column, dim: Int): Column = {
+    val signs = Array.tabulate(nTables * nPlanes, dim)((p, i) => planeSign(p, i).toByte)
+    shims.column(graft.functions.SignRandomProjection(
+      shims.expression(emb), signs, nTables, nPlanes))
+  }
 
   /** Approximate top-k: candidates are corpus vectors sharing the
     * query's bucket in ANY of the nTables hash tables (deduplicated
@@ -92,8 +93,7 @@ object Similarity {
   def lshTopK(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
     def withBuckets(df: DataFrame): DataFrame =
       df.select(col("*"),
-        posexplode(array((0 until nTables).map(t =>
-          lshBucket(col("embedding"), dim, t)): _*)).as(Seq("table_idx", "bucket")))
+        posexplode(lshBuckets(col("embedding"), dim)).as(Seq("table_idx", "bucket")))
     val emb = Tables.embeddings(s, d)
     val queries = withBuckets(emb.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("table_idx"), col("bucket"))

@@ -31,8 +31,11 @@ object TextAnalysis {
     * A stand-in for a merge-table tokenizer that keeps the count exact in
     * both engines: floor of a small-int double division is never within
     * 1 ulp of a boundary. */
-  def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+  def subwordCount(text: Column): Column = subwordCountOf(tokens(text))
+
+  /** Same, over a pre-tokenized words column. */
+  def subwordCountOf(toks: Column): Column =
+    aggregate(toks, lit(0L),
       (acc, t) => acc + floor((length(t) + lit(2)) / lit(3)).cast("long"))
 
   private def stopwordCount(toks: Column): Column =
@@ -45,18 +48,22 @@ object TextAnalysis {
     * the usual trained quality classifiers, shaped like Gopher/C4 rules
     * (length, lexical diversity, function-word share). */
   def textStats(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      size(toks).cast("int").as("n_tokens"),
-      size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
-      subwordCount(col("text")).cast("int").as("n_subwords"),
-      stopwordCount(toks).cast("int").as("n_stopwords"),
-      (length(col("text")).cast("double") / size(toks)).as("chars_per_token"),
-      (stopwordCount(toks).cast("double") / size(toks) +
-        size(array_distinct(toks)).cast("double") / size(toks) +
-        size(filter(toks, t => length(t) < lit(4))).cast("double") / size(toks))
-        .as("quality_score"))
+    // stage the token array once: no CSE inside lambdas, so computing
+    // from split(text) directly re-tokenizes per referencing expression
+    val toks = col("toks")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("int").as("n_tokens"),
+        size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
+        subwordCountOf(toks).cast("int").as("n_subwords"),
+        stopwordCount(toks).cast("int").as("n_stopwords"),
+        (length(col("text")).cast("double") / size(toks)).as("chars_per_token"),
+        (stopwordCount(toks).cast("double") / size(toks) +
+          size(array_distinct(toks)).cast("double") / size(toks) +
+          size(filter(toks, t => length(t) < lit(4))).cast("double") / size(toks))
+          .as("quality_score"))
   }
 
   /** Language ID: n-gram/stopword-overlap heuristic. With >=2 stopword hits
@@ -66,15 +73,16 @@ object TextAnalysis {
     * lookup; the *engine surface* — per-row classify at scan speed — is
     * identical.) */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val hits = stopwordCount(toks)
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      col("lang").as("labeled_lang"),
-      hits.cast("int").as("stopword_hits"),
-      when(hits >= 2, lit("en"))
-        .when(hits === 1, lit("maybe_en"))
-        .otherwise(lit("unknown")).as("predicted_lang"))
+    val hits = stopwordCount(col("toks"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        hits.cast("int").as("stopword_hits"),
+        when(hits >= 2, lit("en"))
+          .when(hits === 1, lit("maybe_en"))
+          .otherwise(lit("unknown")).as("predicted_lang"))
   }
 
   /** Document fingerprint: positional rolling hash over word hashes,

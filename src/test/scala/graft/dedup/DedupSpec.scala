@@ -6,14 +6,15 @@ import graft.GraftTestBase
 
 class DedupSpec extends GraftTestBase {
 
-  behavior of "shingles3"
+  behavior of "shinglesFromWords"
 
   it should "produce distinct in-order 3-gram shingles and handle short docs" in {
     import spark.implicits._
     val df = Seq(
       ("a b c d", 1), ("a b", 2), ("", 3), ("x y z", 4)
     ).toDF("text", "id")
-      .select(col("id"), Dedup.shingles3(col("text")).as("sh"))
+      .select(col("id"), split(col("text"), " ").as("w"))
+      .select(col("id"), Dedup.shinglesFromWords(col("w")).as("sh"))
     val m = df.collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
     m(1) shouldBe Seq("a b c", "b c d")
     m(2) shouldBe Seq.empty // < 3 words: no descending-sequence artifacts
