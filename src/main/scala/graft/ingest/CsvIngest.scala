@@ -145,7 +145,10 @@ object CsvIngest {
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(hadoopConf).exists(path)
     }
-    require(present.nonEmpty, s"no snapshot files exist among $candidatePaths")
+    require(present.nonEmpty,
+      s"no snapshot files exist among $candidatePaths — note the expected " +
+        "naming is listing-<date>-processed.csv (the reference's preprocess-" +
+        "stage output name); stage raw files under that name")
     readCsv(spark, present, schema, mode)
       .withColumn("source_file", input_file_name())
   }

@@ -1,0 +1,58 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC relational scan — the engine-native rendering of the reference's
+  * arbitrary-SQL export source (`cursor.execute(query); fetchall()`,
+  * postgres_to_s3_operator.py:40-44 / SURVEY.md S-3).
+  *
+  * Differences from the reference, by design:
+  *  - the full query is pushed to the database (`query` option), so the
+  *    DB still plans/filters exactly as it did for psycopg2 — but rows
+  *    stream into executor partitions instead of `fetchall()`'s
+  *    single-process heap materialization (the reference's documented
+  *    scalability cliff, SURVEY.md §3.3);
+  *  - `partitionColumn/lowerBound/upperBound/numPartitions` shard the
+  *    read across executors for large tables — the reference reads on
+  *    one connection;
+  *  - `fetchsize` keeps per-round-trip memory bounded.
+  *
+  * Not exercised by the harness (zero-egress container, no live
+  * Postgres — SURVEY.md §7.5); the parquet-backed [[graft.Tables]] path
+  * stands in for verification, exactly as planned there.
+  */
+object JdbcSource {
+
+  final case class Conn(url: String, user: String, password: String,
+      driver: String = "org.postgresql.Driver")
+
+  /** Whole-query pushdown read (the reference's operator shape). */
+  def readQuery(spark: SparkSession, conn: Conn, query: String,
+      fetchSize: Int = 10000): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", conn.url)
+      .option("user", conn.user)
+      .option("password", conn.password)
+      .option("driver", conn.driver)
+      .option("query", query)
+      .option("fetchsize", fetchSize)
+      .load()
+
+  /** Partitioned table read for large relations: numPartitions parallel
+    * range-sharded connections on a numeric/date column. */
+  def readTablePartitioned(spark: SparkSession, conn: Conn, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, fetchSize: Int = 10000): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", conn.url)
+      .option("user", conn.user)
+      .option("password", conn.password)
+      .option("driver", conn.driver)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .option("fetchsize", fetchSize)
+      .load()
+}
