@@ -50,6 +50,12 @@ object CsvExport {
       // RFC 4180 doubled-quote escaping, matching Python csv.writer
       // QUOTE_MINIMAL (op:49-53) — not Spark's default backslash escape
       .option("escape", "\"")
+      // Spark's CSV WRITER trims unquoted leading/trailing whitespace by
+      // default (these options default true on write, false on read);
+      // Python csv.writer preserves field bytes verbatim — found by the
+      // round-trip property test (" padded " came back "padded")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("dateFormat", "yyyy-MM-dd")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(outPath)

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for hot keys — the manual counterpart to
+  * AQE's runtime skew-join splitting, for when skew is KNOWN up front
+  * (power-law keys: the empty-string document, the null user, the
+  * default partition) and the plan should never build a hot partition in
+  * the first place.
+  *
+  * Both helpers preserve exact results (asserted in SkewSpec against the
+  * unsalted forms):
+  *  - [[saltedAggregate]]: two-level aggregation. Stage 1 groups on
+  *    (key, salt) — the hot key's rows spread over `buckets` reducers;
+  *    stage 2 merges the partials per key. Correct for any algebraic
+  *    aggregate expressed as (partial, merge) pair.
+  *  - [[saltedBroadcastableJoin]] is intentionally ABSENT: if one side
+  *    broadcasts, skew is already irrelevant — broadcast first, salt
+  *    only when both sides are large ([[saltedJoinLarge]]).
+  *  - [[saltedJoinLarge]]: replicate the small-ish side `buckets` times
+  *    with explicit salt, salt the skewed side randomly-but-
+  *    deterministically (hash of a tiebreaker column), join on
+  *    (key, salt). Shuffle of the hot key spreads `buckets`-wide.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) from a tiebreaker column —
+    * deterministic so retries/speculative tasks agree (a `rand()` salt
+    * breaks exactly-once file commits on task retry). */
+  def salt(tiebreaker: Column, buckets: Int): Column =
+    pmod(xxhash64(tiebreaker), lit(buckets)).cast("int")
+
+  /** Two-level skew-safe sum/count aggregation.
+    *
+    * @param partials (outputName, partialAggExpr, mergeAggExpr) triples,
+    *        e.g. ("total", sum(col("v")), sum(col("total"))) */
+  def saltedAggregate(
+      df: DataFrame,
+      key: Column,
+      tiebreaker: Column,
+      buckets: Int,
+      partials: Seq[(String, Column, Column)]): DataFrame = {
+    val stage1 = df
+      .groupBy(key.as("k"), salt(tiebreaker, buckets).as("s"))
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map(p => p._2.as(p._1)): _*)
+    stage1
+      .groupBy(col("k"))
+      .agg(partials.head._3.as(partials.head._1),
+        partials.tail.map(p => p._3.as(p._1)): _*)
+  }
+
+  /** Skew-safe equi-join of a large skewed left side against a smaller
+    * (but not broadcastable) right side: right is replicated `buckets`
+    * times, left salted deterministically; the join key becomes
+    * (key, salt) so one hot key occupies `buckets` partitions. */
+  def saltedJoinLarge(
+      left: DataFrame, leftKey: String, leftTiebreaker: String,
+      right: DataFrame, rightKey: String,
+      buckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt", salt(col(leftTiebreaker), buckets))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
+    saltedLeft.join(replicatedRight,
+      saltedLeft(leftKey) === replicatedRight(rightKey) &&
+        saltedLeft("_salt") === replicatedRight("_salt"))
+      .drop("_salt")
+  }
+}
