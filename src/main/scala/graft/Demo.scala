@@ -31,6 +31,10 @@ object Demo {
     feats.printSchema()
     feats.orderBy("media_id").show(3, truncate = false)
 
+    println("== multimodal frame sampling (video-decode shape) ==")
+    multimodal.Multimodal.sampleFrames(spark, d)
+      .orderBy("media_id", "frame_idx").show(4, truncate = 40)
+
     println("== approximate vs exact knn: recall@k ==")
     val exact = similarity.Similarity.bruteForceTopK(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -87,6 +87,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** FAKE RESIZE — the transform step of an image pipeline. A real
+    * implementation rescales pixel buffers; this deterministic stand-in
+    * keeps the contract (bytes in → bytes out, target dims in metadata)
+    * by sampling every k-th byte so output size tracks the scale factor. */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    if (payload.isEmpty) return payload
+    val ratio = math.max(1, payload.length / math.max(1, targetW * targetH / 64))
+    payload.indices.collect { case i if i % ratio == 0 => payload(i) }.toArray
+  }
+
+  /** FAKE FRAME SAMPLER — the video-decode step. Splits the payload into
+    * `frameCount` equal "frames" and returns every `stride`-th one; a real
+    * codec would seek keyframes. Deterministic: same payload, same frames. */
+  def frameSampleStub(payload: Array[Byte], frameCount: Int, stride: Int): Seq[Array[Byte]] = {
+    if (payload.isEmpty || frameCount <= 0) return Seq.empty
+    val frameLen = math.max(1, payload.length / frameCount)
+    (0 until frameCount by math.max(1, stride)).map { f =>
+      payload.slice(f * frameLen, math.min((f + 1) * frameLen, payload.length))
+    }.filter(_.nonEmpty)
+  }
+
+  /** Frame-sampling over the media table: one mapPartitions pass explodes
+    * each payload into sampled frame rows (media_id, frame_idx, frame
+    * bytes, per-frame feature) — the shape a video pretraining pipeline
+    * feeds downstream. Iterator-to-iterator; frames of one payload are
+    * produced lazily so a long video never materializes whole. */
+  def sampleFrames(s: SparkSession, d: String,
+      frameCount: Int = 8, stride: Int = 2): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType),
+      StructField("frame_mean", FloatType)))
+    val enc = RowEncoder.encoderFor(schema)
+    mediaTable(s, d)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val frames = frameSampleStub(r.getAs[Array[Byte]]("payload"), frameCount, stride)
+          frames.iterator.zipWithIndex.map { case (f, i) =>
+            val mean = if (f.isEmpty) 0f else f.map(b => (b & 0xff).toFloat).sum / f.length
+            Row(r.getLong(0), i, f, mean)
+          }
+        }
+      }(enc)
+  }
+
   /** Oracle-checkable metadata projection: byte length, payload hash and
     * a header sample, computed SQL-side (no decode). The md5 is over the
     * text (DuckDB 1.0 cannot md5 blobs); identical bytes by construction. */

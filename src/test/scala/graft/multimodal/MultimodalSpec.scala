@@ -45,6 +45,31 @@ class MultimodalSpec extends GraftTestBase {
     a shouldBe b
   }
 
+  behavior of "sampleFrames"
+
+  it should "explode payloads into deterministic frame rows with features" in {
+    val out = Multimodal.sampleFrames(spark, sf, frameCount = 8, stride = 2)
+    val rows = out.collect()
+    rows.length should be > 0
+    // stride 2 over 8 frames -> at most 4 frames per payload
+    rows.groupBy(_.getLong(0)).values.foreach(_.length should be <= 4)
+    val again = Multimodal.sampleFrames(spark, sf, frameCount = 8, stride = 2).collect()
+    rows.map(r => (r.getLong(0), r.getInt(1), r.getFloat(3))).sorted shouldBe
+      again.map(r => (r.getLong(0), r.getInt(1), r.getFloat(3))).sorted
+  }
+
+  behavior of "resizeStub and frameSampleStub"
+
+  it should "shrink payloads and partition frames deterministically" in {
+    val payload = Array.tabulate(1000)(_.toByte)
+    Multimodal.resizeStub(payload, 8, 8).length should be < payload.length
+    Multimodal.resizeStub(Array.emptyByteArray, 8, 8) shouldBe empty
+    val frames = Multimodal.frameSampleStub(payload, 10, 1)
+    frames should have length 10
+    frames.map(_.length).sum should be <= payload.length
+    Multimodal.frameSampleStub(payload, 0, 1) shouldBe empty
+  }
+
   behavior of "decodeStub"
 
   it should "compute byte statistics exactly" in {

@@ -86,6 +86,36 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "hourlyTumbling late data (append + watermark)"
+
+  it should "drop events later than the watermark and emit closed windows once" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.hourlyTumbling(input.toDF())
+      .writeStream.format("memory").queryName("late_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: events in hour 10; advances watermark to 10:55 - 10min = 10:45
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:55:00"), 1, "click", 1.0))
+      query.processAllAvailable()
+      // batch 2: watermark jumps past hour 10 (12:30 -> 12:20), closing it
+      input.addData(Event(3, ts("2024-01-01 12:30:00"), 1, "view", 1.0))
+      query.processAllAvailable()
+      // batch 3: a straggler for hour 10 — beyond the watermark, dropped
+      input.addData(Event(4, ts("2024-01-01 10:30:00"), 1, "click", 9.0))
+      query.processAllAvailable()
+      val closed = spark.table("late_spec").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      // hour 10 emitted exactly once, with 2 events — the straggler's
+      // count=3/value=10 never appears
+      closed.count(_._1.startsWith("2024-01-01 10:00")) shouldBe 1
+      closed.find(_._1.startsWith("2024-01-01 10:00")).get._3 shouldBe 2L
+    } finally query.stop()
+  }
+
   behavior of "slidingCounts (streaming)"
 
   it should "land each event in 4 overlapping windows" in {
