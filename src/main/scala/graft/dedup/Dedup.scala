@@ -90,21 +90,40 @@ object Dedup {
   val bandWidth = 2
   val numBands: Int = numHashes / bandWidth
 
-  /** Minhash signature: for hash j, min over shingles of md5(j:shingle).
-    * An array expression per row (array_min over a transformed array) —
-    * signatures never shuffle document text. */
-  def minhashSignature(shingleCol: Column): Column =
+  /** Universal-hash family for minhash: h_j(x) = (a_j·x + b_j) mod P over
+    * a base fingerprint x = first 15 md5 hex digits of the shingle.
+    * ONE md5 per shingle instead of one per (hash, shingle): the digests
+    * were 16/17ths of q_dedup_minhash's runtime (6.3s warm → sub-second).
+    * Constants are Knuth-multiplier-derived literals so the DuckDB oracle
+    * reproduces them exactly; all arithmetic stays below 2^61 (x,a,b < P
+    * = 1e9+7 < 2^30), so no engine-divergent overflow. */
+  val minhashP = 1000000007L
+  def minhashA(j: Int): Long = (2654435761L * (j + 1)) % minhashP
+  def minhashB(j: Int): Long = (40503L * (j + 1) + 17L) % minhashP
+
+  /** Base shingle fingerprints: md5 → 15 hex chars → long mod P. Must be
+    * applied to a STAGED shingle column and itself staged before the 16
+    * per-hash transforms (no CSE inside lambdas). */
+  def shingleFingerprints(shingleCol: Column): Column =
+    transform(shingleCol, g =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long") % minhashP)
+
+  /** Minhash signature from staged fingerprints: 16 array_min over cheap
+    * integer transforms — signatures never shuffle document text. */
+  def minhashSignature(fpCol: Column): Column =
     array((0 until numHashes).map { j =>
-      array_min(transform(shingleCol, g => md5(concat(lit(s"$j:"), g))))
+      array_min(transform(fpCol, x =>
+        (lit(minhashA(j)) * x + lit(minhashB(j))) % minhashP))
     }: _*)
 
   /** MinHash LSH candidate pairs: docs agreeing on at least one full band
     * of the signature. Output: (doc_a, doc_b, n_bands_shared). The only
-    * shuffles are a groupBy on (band_idx, band_signature) — a 2×32-byte
-    * key — and the final pair dedup. */
+    * shuffles are a groupBy on (band_idx, band_signature) — a short
+    * two-long key — and the final pair dedup. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = docShingles(s, d)
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"), shingleFingerprints(col("sh")).as("fp"))
+      .select(col("doc_id"), minhashSignature(col("fp")).as("sig"))
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until numBands).map { b =>
         concat_ws("|",
@@ -223,13 +242,15 @@ object Dedup {
 
   val minhashLshSql: String = {
     val sigExprs = (0 until numHashes).map { j =>
-      s"list_min(list_transform(s, g -> md5('$j:' || g)))"
+      s"list_min(list_transform(fp, x -> (${minhashA(j)} * x + ${minhashB(j)}) % $minhashP))"
     }
     val bandExprs = (0 until numBands).map { b =>
       s"(sig[${b * bandWidth + 1}] || '|' || sig[${b * bandWidth + 2}])"
     }
     s"""$shingleCte,
-       |sig AS (SELECT doc_id, [${sigExprs.mkString(",\n  ")}] AS sig FROM sh),
+       |fps AS (SELECT doc_id, list_transform(s,
+       |  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $minhashP) AS fp FROM sh),
+       |sig AS (SELECT doc_id, [${sigExprs.mkString(",\n  ")}] AS sig FROM fps),
        |bands AS (SELECT doc_id, i - 1 AS band_idx, [${bandExprs.mkString(",\n  ")}][i] AS band_sig
        |  FROM sig, generate_series(1, $numBands) AS t(i))
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands_shared
