@@ -31,6 +31,10 @@ object Demo {
     feats.printSchema()
     feats.orderBy("media_id").show(3, truncate = false)
 
+    println("== optimizer rule: cosine_sim(x, x) -> self_cosine(x) ==")
+    println(spark.sql("SELECT cosine_sim(embedding, embedding) AS s FROM embeddings")
+      .queryExecution.optimizedPlan.toString.linesIterator.next())
+
     println("== multimodal frame sampling (video-decode shape) ==")
     multimodal.Multimodal.sampleFrames(spark, d)
       .orderBy("media_id", "frame_idx").show(4, truncate = 40)

@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder = {
     val b = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

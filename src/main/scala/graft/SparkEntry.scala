@@ -78,6 +78,11 @@ object SparkEntry {
     // -- embedding near-dup + approximate sketches
     "q_dedup_embed"     -> (Dedup.embeddingNearDup _),
     "q_sketches"        -> (graft.ops.Sketches.orderSketches _),
+    // -- time-series joins/windows + ranking battery
+    "q_asof_join"       -> (graft.ops.TimeSeries.asofLatestClick _),
+    "q_range_join"      -> (graft.ops.TimeSeries.eventPairsWithin30Min _),
+    "q_window_range"    -> (graft.ops.TimeSeries.trailingWindowStats _),
+    "q_window_rank"     -> (Relational.windowRankBattery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -262,5 +267,18 @@ object SparkEntry {
     // summary estimates are engine-specific; SketchSpec asserts error
     // bounds against exact values instead.
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,
+    "q_asof_join"     -> graft.ops.TimeSeries.asofLatestClickSql,
+    "q_range_join"    -> graft.ops.TimeSeries.eventPairsWithin30MinSql,
+    "q_window_range"  -> graft.ops.TimeSeries.trailingWindowStatsSql,
+    "q_window_rank"   ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
   )
 }

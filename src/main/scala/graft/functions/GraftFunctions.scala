@@ -20,6 +20,7 @@ import org.apache.spark.sql.graft.shims
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectOptimizerRule(_ => SelfCosineRule)
   }
 }
 

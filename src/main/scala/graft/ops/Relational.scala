@@ -289,6 +289,23 @@ object Relational {
       datediff(to_date(lit("2002-01-01")), col("o_orderdate").cast("date"))
         .as("days_to_2002"))
 
+  /** Ranking-function battery: rank / dense_rank / percent_rank /
+    * cume_dist / ntile over one deterministic total order. percent_rank
+    * and cume_dist are exact int-ratio formulas, so they hash-match. */
+  def windowRankBattery(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+  }
+
   /** Math function battery — only cross-engine-exact ops (sqrt is IEEE;
     * no libm transcendentals in oracle-checked queries). */
   def scalarMath(s: SparkSession, d: String): DataFrame =

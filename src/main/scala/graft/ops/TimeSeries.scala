@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series join/window operators over `events` — the shapes Spark has
+  * no single built-in operator for, composed from windows and range
+  * predicates (SURVEY.md §2.7 "range/as-of" row).
+  *
+  * Scale notes: the as-of join is the union-free single-table form — one
+  * user_id shuffle, state = one running value per partition row, no join
+  * at all (the two-table form unions tagged streams first, same shape).
+  * The interval self-join is an equi-join on user_id with the range as a
+  * post-join predicate: SortMergeJoin keys stay small and AQE handles
+  * per-user skew; a banded-time bucketing key would bound worst-case
+  * pairs at 100 TB. */
+object TimeSeries {
+
+  /** As-of join: for every event, the timestamp and value of the same
+    * user's most recent 'click' event at-or-before it (NULL until the
+    * first click). The classic trades-to-quotes shape, rendered as
+    * last_value(IGNORE NULLS) over an ordered per-user window. */
+  def asofLatestClick(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w).as("asof_click_ts"),
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true)
+          .over(w).as("asof_click_value"))
+  }
+
+  /** Interval (range) self-join: ordered pairs of same-user events at
+    * most 30 minutes apart — the session-stitching / correlated-burst
+    * primitive. */
+  def eventPairsWithin30Min(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val a = e.select(col("user_id"), col("event_id").as("event_a"),
+      col("ts").as("ts_a"))
+    val b = e.select(col("user_id"), col("event_id").as("event_b"),
+      col("ts").as("ts_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        (unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))).as("gap_sec"))
+  }
+
+  /** Trailing 30-minute RANGE-frame aggregation per user: event count and
+    * exact decimal value sum in the sliding time window ending at each
+    * event. RANGE (time-based), not ROWS — frame membership is defined by
+    * timestamps, so ties and bursts are handled identically everywhere. */
+  def trailingWindowStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-1800L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count("*").over(w).as("n_trailing_30m"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("value_trailing_30m"))
+  }
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+
+  val asofLatestClickSql: String =
+    """SELECT event_id, user_id, ts, event_type,
+      |  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |    OVER w AS asof_click_ts,
+      |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |    OVER w AS asof_click_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val eventPairsWithin30MinSql: String =
+    """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+      |  date_diff('second', a.ts, b.ts) AS gap_sec
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+
+  val trailingWindowStatsSql: String =
+    """SELECT event_id, user_id, ts,
+      |  count(*) OVER w AS n_trailing_30m,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_trailing_30m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)""".stripMargin
+  // ORDER BY floor(epoch): Spark's ts.cast("long") truncates to whole
+  // seconds; DuckDB's epoch() keeps fractional seconds, which would put
+  // sub-second boundary events in different frames.
+}

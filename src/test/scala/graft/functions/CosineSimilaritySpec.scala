@@ -73,6 +73,20 @@ class CosineSimilaritySpec extends GraftTestBase {
     }
   }
 
+  it should "be rewritten to SelfCosine by the optimizer for identical inputs" in {
+    val df = graft.Tables.embeddings(spark, sf)
+      .select(cosineSim(col("embedding"), col("embedding")).as("s"))
+    df.queryExecution.optimizedPlan.toString should include("self_cosine")
+    // ...and the rewrite preserves semantics
+    val vals = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    all(vals) shouldBe Some(1.0)
+    // distinct inputs must NOT be rewritten
+    val df2 = graft.Tables.embeddings(spark, sf).limit(5).as("x")
+      .crossJoin(graft.Tables.embeddings(spark, sf).limit(5).as("y"))
+      .select(cosineSim(col("x.embedding"), col("y.embedding")).as("s"))
+    df2.queryExecution.optimizedPlan.toString should not include "self_cosine"
+  }
+
   it should "resolve through the SQL function registry" in {
     GraftFunctions.register(spark)
     graft.Tables.embeddings(spark, sf).createOrReplaceTempView("emb_spec")
