@@ -28,6 +28,17 @@ object EventStreams {
   /** Session gap: a new session starts after 30 minutes of inactivity. */
   val sessionGapMinutes = 30
 
+  /** Add the standard 10-minute event-time watermark on `ts` unless the
+    * plan already carries one — chaining stateful operators (dedup →
+    * window agg) must share a single watermark; redefining it is an
+    * AnalysisException since Spark 3.5. */
+  private def withEventWatermark(df: DataFrame): DataFrame = {
+    val has = df.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+    }.isDefined
+    if (has) df else df.withWatermark("ts", "10 minutes")
+  }
+
   /** Batch sessionization (the oracle-checked reference semantics):
     * classic gaps-and-islands — lag() the previous event time per user,
     * flag gaps > 30 min, running-sum the flags into session ids, then
@@ -73,8 +84,7 @@ object EventStreams {
     * late events beyond the watermark are dropped, the streaming-native
     * rendering of q_events_hourly. */
   def hourlyTumbling(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
+    withEventWatermark(events)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count("*").as("n"), sum("value").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
@@ -83,11 +93,20 @@ object EventStreams {
   /** Sliding 1-hour window advancing every 15 minutes (each event lands
     * in 4 windows) — rate smoothing for monitoring feeds. */
   def slidingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
+    withEventWatermark(events)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count("*").as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Streaming exact deduplication on event_id with state bounded by the
+    * watermark: an id reappearing within the 10-minute horizon is
+    * dropped; state for ids older than the watermark is evicted (the
+    * unbounded-state hazard of plain dropDuplicates on a stream). The
+    * streaming rendering of [[graft.dedup.Dedup.exactDedup]]'s contract
+    * for at-least-once upstream delivery. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    withEventWatermark(events)
+      .dropDuplicatesWithinWatermark("event_id")
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

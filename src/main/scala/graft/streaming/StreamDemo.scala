@@ -44,7 +44,9 @@ object StreamDemo {
           expr("timestamp_micros(ts div 1000)")
         else col("ts"))
 
-    val query = EventStreams.hourlyTumbling(stream)
+    // chained stateful operators: watermarked dedup feeding the windowed
+    // aggregation — the standard at-least-once-upstream ingest shape
+    val query = EventStreams.hourlyTumbling(EventStreams.dedupEvents(stream))
       .writeStream
       .outputMode("append")
       .format("parquet")

@@ -86,6 +86,29 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "dedupEvents (streaming)"
+
+  it should "drop redelivered event_ids within the watermark horizon" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_spec")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0), // same-batch dup
+        Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      query.processAllAvailable()
+      // redelivery in a later micro-batch, still inside the watermark
+      input.addData(Event(1, ts("2024-01-01 10:02:00"), 1, "click", 1.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_spec").collect().map(_.getAs[Long]("event_id"))
+      ids.sorted shouldBe Array(1L, 2L)
+    } finally query.stop()
+  }
+
   behavior of "hourlyTumbling late data (append + watermark)"
 
   it should "drop events later than the watermark and emit closed windows once" in {
