@@ -83,6 +83,8 @@ object SparkEntry {
     "q_range_join"      -> (graft.ops.TimeSeries.eventPairsWithin30Min _),
     "q_window_range"    -> (graft.ops.TimeSeries.trailingWindowStats _),
     "q_window_rank"     -> (Relational.windowRankBattery _),
+    // -- deterministic corpus splitting
+    "q_train_split"     -> (TextAnalysis.trainSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -267,6 +269,7 @@ object SparkEntry {
     // summary estimates are engine-specific; SketchSpec asserts error
     // bounds against exact values instead.
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,
+    "q_train_split"   -> TextAnalysis.trainSplitSql,
     "q_asof_join"     -> graft.ops.TimeSeries.asofLatestClickSql,
     "q_range_join"    -> graft.ops.TimeSeries.eventPairsWithin30MinSql,
     "q_window_range"  -> graft.ops.TimeSeries.trailingWindowStatsSql,

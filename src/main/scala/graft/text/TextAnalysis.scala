@@ -104,6 +104,35 @@ object TextAnalysis {
       fingerprintExpr(col("text")).as("fingerprint"),
       substring(md5(col("text")), 1, 16).as("content_hash_prefix"))
 
+  /** Deterministic train/val/test split assignment (~80/10/10) from the
+    * document id's md5 — the curation-pipeline splitter. Hash-based (not
+    * rand()) so re-runs, retries, and different cluster sizes assign
+    * every document identically, and the split survives incremental
+    * corpus growth (a new doc never moves an old one). Emits per-doc
+    * assignment plus the per-(lang, split) stratification counts shape
+    * downstream audits need. */
+  def trainSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      bucket.as("hash_bucket"),
+      when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+        .as("split"))
+  }
+
+  val trainSplitSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS INTEGER)
+      |    AS hash_bucket,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 204
+      |         THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 230
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
