@@ -61,24 +61,38 @@ object Dedup {
       .agg(min("doc_id").as("kept_doc_id"), count("*").as("n_members"))
 
   /** Pairwise n-gram Jaccard over candidate pairs that share >= 1 shingle.
-    * Explode distinct shingles, self-join on the shingle (the inverted-
-    * index join — shuffle key is the shingle hash, not the text), count
-    * intersections, then Jaccard from per-doc set sizes. Emits pairs with
-    * J >= 0.2. Jaccard is an exact int/int division — oracle-stable. */
+    * Inverted-index form WITHOUT a self-join: explode shingles once,
+    * group docs per gram, generate the per-gram doc pairs from the
+    * (sorted) posting list, then count pairs. Halves the scan+shingle
+    * work vs the classic two-leg self-join (Spark recomputes identical
+    * join legs; measured). Posting lists here are bounded (<=25 docs per
+    * gram at sf0.1); at web scale a document-frequency cap on grams is
+    * the standard knob before pair generation — a stop-shingle appearing
+    * in k docs materializes k²/2 pairs. Emits pairs with J >= 0.2;
+    * Jaccard is an exact int/int division — oracle-stable. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = docShingles(s, d)
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val a = exploded.as("a"); val b = exploded.as("b")
-    val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // set sizes ride along inside the posting lists, so Jaccard needs no
+    // size-lookup joins at the end — joining a sizes leg would recompute
+    // the scan+shingle subtree once per join (Spark plans share nothing
+    // across subtrees)
+    val exploded = docShingles(s, d)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    val postings = exploded
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    postings
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x.doc_id AS doc_a, x.n AS n_a,
+          |           y.doc_id AS doc_b, y.n AS n_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.n_a").as("n_a"),
+        col("p.doc_b").as("doc_b"), col("p.n_b").as("n_b"))
       .agg(count("*").as("n_inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("n_inter"))).as("jaccard"))
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
   }
 
