@@ -48,8 +48,13 @@ object TextAnalysis {
     * the usual trained quality classifiers, shaped like Gopher/C4 rules
     * (length, lexical diversity, function-word share). */
   def textStats(s: SparkSession, d: String): DataFrame = {
-    // stage the token array once: no CSE inside lambdas, so computing
-    // from split(text) directly re-tokenizes per referencing expression
+    // stage the token array once (no CSE inside lambdas: computing from
+    // split(text) directly re-tokenizes per referencing expression), then
+    // stage the integer counts once (each lambda-bearing count would
+    // otherwise be evaluated again inside quality_score, and the repeated
+    // subtrees inflate Janino compile time). quality_score keeps the
+    // three SEPARATE divisions — (a+b+c)/n is a different double than
+    // a/n + b/n + c/n, and the oracle computes the latter.
     val toks = col("toks")
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
@@ -59,11 +64,15 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
         subwordCountOf(toks).cast("int").as("n_subwords"),
         stopwordCount(toks).cast("int").as("n_stopwords"),
-        (length(col("text")).cast("double") / size(toks)).as("chars_per_token"),
-        (stopwordCount(toks).cast("double") / size(toks) +
-          size(array_distinct(toks)).cast("double") / size(toks) +
-          size(filter(toks, t => length(t) < lit(4))).cast("double") / size(toks))
-          .as("quality_score"))
+        size(filter(toks, t => length(t) < lit(4))).cast("int").as("n_short"),
+        length(col("text")).cast("int").as("n_chars_txt"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_subwords"), col("n_stopwords"),
+        (col("n_chars_txt").cast("double") / col("n_tokens")).as("chars_per_token"),
+        (col("n_stopwords").cast("double") / col("n_tokens") +
+          col("n_distinct_tokens").cast("double") / col("n_tokens") +
+          col("n_short").cast("double") / col("n_tokens")).as("quality_score"))
   }
 
   /** Language ID: n-gram/stopword-overlap heuristic. With >=2 stopword hits
