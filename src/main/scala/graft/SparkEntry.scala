@@ -39,6 +39,9 @@ object SparkEntry {
     "q_case_when_agg"   -> (Relational.caseWhenAgg _),
     // -- joins
     "q3_top_revenue"    -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplierVolume _),
+    "q12_priority"      -> (Relational.q12PriorityBuckets _),
+    "q14_promo"         -> (Relational.q14PromoRevenue _),
     "q_star_join"       -> (Relational.starJoin _),
     "q_semi_join"       -> (Relational.semiJoin _),
     "q_anti_join"       -> (Relational.antiJoin _),
@@ -160,6 +163,44 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_revenue_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
     "q_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal

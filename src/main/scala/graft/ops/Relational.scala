@@ -160,6 +160,64 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape: 6-table join (lineitem ⋈ orders ⋈ customer ⋈
+    * supplier ⋈ nation ⋈ region) with the local-supplier predicate
+    * (customer and supplier in the same nation), region filter, group by
+    * nation. Exercises Catalyst join ordering: the three dims broadcast;
+    * the two fact joins shuffle; the nation-equality becomes a join-side
+    * filter. */
+  def q5LocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-01-01 00:00:00"))
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .filter(c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q12 shape: join + CASE-bucketed conditional aggregation
+    * (high/low priority line counts per return flag). */
+  def q12PriorityBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= ts("1995-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-01-01 00:00:00"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+
+  /** TPC-H Q14 shape: ratio of a conditional aggregate to a total — the
+    * promo-revenue percentage. One join, two decimal-exact sums, one
+    * final double division (a single IEEE op, oracle-exact). */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= ts("1995-09-01 00:00:00") &&
+        col("l_shipdate") < ts("1995-10-01 00:00:00"))
+      .agg(
+        (sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") * 100.0 /
+          sum(rev).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Broadcast star join: customer → nation → region, all dims broadcast —
     * zero shuffle on the fact side. */
   def starJoin(s: SparkSession, d: String): DataFrame =
