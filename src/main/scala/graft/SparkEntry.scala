@@ -86,8 +86,10 @@ object SparkEntry {
     "q_range_join"      -> (graft.ops.TimeSeries.eventPairsWithin30Min _),
     "q_window_range"    -> (graft.ops.TimeSeries.trailingWindowStats _),
     "q_window_rank"     -> (Relational.windowRankBattery _),
-    // -- deterministic corpus splitting
+    // -- deterministic corpus splitting + corpus audits
     "q_train_split"     -> (TextAnalysis.trainSplit _),
+    "q_top_bigrams"     -> (TextAnalysis.topBigrams _),
+    "q_len_histogram"   -> (TextAnalysis.lengthHistogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,6 +313,8 @@ object SparkEntry {
     // bounds against exact values instead.
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,
     "q_train_split"   -> TextAnalysis.trainSplitSql,
+    "q_top_bigrams"   -> TextAnalysis.topBigramsSql,
+    "q_len_histogram" -> TextAnalysis.lengthHistogramSql,
     "q_asof_join"     -> graft.ops.TimeSeries.asofLatestClickSql,
     "q_range_join"    -> graft.ops.TimeSeries.eventPairsWithin30MinSql,
     "q_window_range"  -> graft.ops.TimeSeries.trailingWindowStatsSql,

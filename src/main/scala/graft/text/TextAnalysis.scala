@@ -142,6 +142,43 @@ object TextAnalysis {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Corpus-wide bigram frequencies, top 50 — the n-gram census every
+    * corpus audit starts with. Explode, count, deterministic top-k
+    * (count desc, gram asc). Map-side partial counts keep the shuffle at
+    * O(distinct grams), and TopK pushes the limit into the sort. */
+  def topBigrams(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(50)
+  }
+
+  /** Token-count histogram in buckets of 10 per language — the corpus
+    * length-distribution audit (integer bucketing, oracle-exact). */
+  def lengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        (floor(size(split(col("text"), " ")) / 10) * 10).cast("int").as("len_bucket"))
+      .groupBy("lang", "len_bucket").agg(count("*").as("n_docs"))
+
+  val topBigramsSql: String =
+    """SELECT bigram, count(*) AS n FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+      |  FROM documents)
+      |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin
+
+  val lengthHistogramSql: String =
+    """SELECT lang,
+      |  CAST(floor(len(string_split(text,' ')) / 10) * 10 AS INTEGER) AS len_bucket,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY lang, len_bucket""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
