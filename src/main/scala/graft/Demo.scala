@@ -47,6 +47,10 @@ object Demo {
     println(f"lsh recall@${similarity.Similarity.topK}: " +
       f"${exact.intersect(approx).size.toDouble / exact.size}%.2f " +
       f"(${approx.size} approx pairs, ${exact.size} exact)")
+    val ivf = similarity.Similarity.ivfTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    println(f"ivf recall@${similarity.Similarity.topK} (nProbe=3/10 partitions): " +
+      f"${exact.intersect(ivf).size.toDouble / exact.size}%.2f")
 
     println("== plan check: brute-force knn should broadcast + codegen ==")
     similarity.Similarity.bruteForceTopK(spark, d).explain("formatted")

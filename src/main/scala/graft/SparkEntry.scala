@@ -74,6 +74,7 @@ object SparkEntry {
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q_knn_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_centroids"       -> (Similarity.labelCentroids _),
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
@@ -293,10 +294,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
-    // -- LLM-pipeline extensions. q_knn_lsh is deliberately omitted
-    // (bucket membership hinges on float-sign evaluation DuckDB cannot
-    // reproduce bit-exactly → driver records the weaker rows-only check;
-    // recall vs q_knn_brute is asserted in SimilaritySpec instead).
+    // -- LLM-pipeline extensions. q_knn_lsh and q_knn_ivf are
+    // deliberately omitted (bucket/centroid assignment hinges on float
+    // evaluation DuckDB cannot reproduce bit-exactly → driver records the
+    // weaker rows-only check; recall vs q_knn_brute is asserted in
+    // SimilaritySpec instead).
     "q_text_stats"    -> TextAnalysis.textStatsSql,
     "q_lang_id"       -> TextAnalysis.langIdSql,
     "q_fingerprint"   -> TextAnalysis.fingerprintSql,

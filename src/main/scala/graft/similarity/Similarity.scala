@@ -130,6 +130,46 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 4).as("centroid_v"),
         count("*").as("n_vectors"))
 
+  /** IVF-style approximate top-k: assign each query to its `nProbe`
+    * nearest label centroids (the coarse quantizer from
+    * [[labelCentroids]]), then search only corpus vectors in those
+    * partitions. The classic two-level ANN: centroid table is tiny
+    * (labels × dim) and broadcast; the fine search touches
+    * corpus × nProbe / nLabels vectors. Spec-verified recall (centroid
+    * assignment hinges on float sums — not oracle-portable). */
+  def ivfTopK(s: SparkSession, d: String, nProbe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // coarse quantizer: per-label mean vector, assembled dim-ordered
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("dcv"))
+      .select(col("label").as("cent_label"),
+        expr("transform(dcv, x -> CAST(x.cv AS FLOAT))").as("centroid"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // probe assignment: rank centroids per query, keep nProbe
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("cent_label"),
+        cosineSim(col("q_emb"), col("centroid")).as("cent_sim"))
+      .withColumn("cent_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cent_sim").desc, col("cent_label"))))
+      .filter(col("cent_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cent_label"))
+    // fine search within probed partitions only
+    val scored = probes.join(emb, col("label") === col("cent_label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(cosineSim(col("q_emb"), col("embedding")), 4).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   val bruteForceTopKSql: String =

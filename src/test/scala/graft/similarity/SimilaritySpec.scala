@@ -48,6 +48,21 @@ class SimilaritySpec extends GraftTestBase {
       (0 until 64).map(Similarity.planeSign(1, _))
   }
 
+  behavior of "ivfTopK"
+
+  it should "return topK per query from probed partitions with sane recall" in {
+    val out = Similarity.ivfTopK(spark, sf).collect()
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.map(_.getInt(1)).sorted shouldBe (1 to Similarity.topK)
+    }
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // labels are weak clusters on this corpus; nProbe=3 of 10 partitions
+    // still must beat random coverage (~0) by a wide margin
+    (exact.intersect(approx).size.toDouble / exact.size) should be > 0.2
+  }
+
   behavior of "labelCentroids"
 
   it should "produce one centroid per (label, dim) with consistent counts" in {
