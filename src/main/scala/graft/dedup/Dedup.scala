@@ -131,9 +131,20 @@ object Dedup {
     }: _*)
 
   /** MinHash LSH candidate pairs: docs agreeing on at least one full band
-    * of the signature. Output: (doc_a, doc_b, n_bands_shared). The only
-    * shuffles are a groupBy on (band_idx, band_signature) — a short
-    * two-long key — and the final pair dedup. */
+    * of the signature. Output: (doc_a, doc_b, n_bands_shared).
+    *
+    * Posting-list form, like [[ngramJaccard]] — NOT a bands-on-bands
+    * self-join: Spark shares nothing across join legs, so the self-join
+    * evaluated the whole md5+signature subtree twice and was the
+    * engine's most variance-sensitive query under CPU contention
+    * (driver bench r2: 18.2s vs 2.4s local on the same data). Here
+    * signatures are computed once; the only shuffles are a groupBy on
+    * (band_idx, band_sig) — a short string key — and the final pair
+    * count. Bucket sizes are near-duplicate cluster sizes (tiny by
+    * construction); at web scale a bucket-size cap before pair
+    * generation bounds the k²/2 blowup of degenerate buckets
+    * (boilerplate documents), same knob as the stop-shingle cap in
+    * [[ngramJaccard]]. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = docShingles(s, d)
       .select(col("doc_id"), shingleFingerprints(col("sh")).as("fp"))
@@ -144,12 +155,15 @@ object Dedup {
           element_at(col("sig"), b * bandWidth + 1),
           element_at(col("sig"), b * bandWidth + 2))
       }: _*)).as(Seq("band_idx", "band_sig")))
-    val x = bands.as("x"); val y = bands.as("y")
-    x.join(y,
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_sig") === col("y.band_sig") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    bands
+      .groupBy("band_idx", "band_sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count("*").as("n_bands_shared"))
   }
 
@@ -181,13 +195,20 @@ object Dedup {
       posexplode(array((col("sh16") % 256).cast("long"),
         (col("sh16") / 256).cast("long")))
         .as(Seq("half_idx", "half_val")))
-    val p = halves.as("p"); val q = halves.as("q")
-    val pairs = p.join(q,
-        col("p.half_idx") === col("q.half_idx") &&
-        col("p.half_val") === col("q.half_val") &&
-        col("p.doc_id") < col("q.doc_id"))
-      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
-        col("p.sh16").as("sh_a"), col("q.sh16").as("sh_b"))
+    // posting-list pairing, not a halves-on-halves self-join: the join
+    // legs would each recompute the 16-lambda simhash subtree (Spark
+    // shares nothing across subtrees) — see minhashLsh
+    val pairs = halves
+      .groupBy("half_idx", "half_val")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh16")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           x.sh16 AS sh_a, y.sh16 AS sh_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
       .distinct()
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 1)
     base.join(

@@ -32,8 +32,11 @@ object Sketches {
         count("*").as("n_rows"),
         countDistinct("o_custkey").as("custkeys_exact"),
         approx_count_distinct("o_custkey").as("custkeys_approx"),
-        expr("approx_percentile(o_totalprice, array(0.5, 0.95))")
-          .as("price_p50_p95"),
+        // scalar columns, not one array(0.5,0.95) result: the driver's
+        // rows-only check still loads the parquet into pandas and sorts
+        // every column — an array column is unhashable there (r2 gate err)
+        expr("approx_percentile(o_totalprice, 0.5)").as("price_p50"),
+        expr("approx_percentile(o_totalprice, 0.95)").as("price_p95"),
         min("o_totalprice").as("price_min"),
         max("o_totalprice").as("price_max"))
 }

@@ -21,11 +21,11 @@ class SketchesSpec extends GraftTestBase {
 
   it should "produce percentiles inside the observed min/max and ordered" in {
     Sketches.orderSketches(spark, sf).collect().foreach { r =>
-      val ps = r.getSeq[Double](r.fieldIndex("price_p50_p95"))
-      ps should have length 2
-      ps(0) should be <= ps(1)
-      ps(0) should be >= r.getAs[Double]("price_min")
-      ps(1) should be <= r.getAs[Double]("price_max")
+      val p50 = r.getAs[Double]("price_p50")
+      val p95 = r.getAs[Double]("price_p95")
+      p50 should be <= p95
+      p50 should be >= r.getAs[Double]("price_min")
+      p95 should be <= r.getAs[Double]("price_max")
     }
   }
 
