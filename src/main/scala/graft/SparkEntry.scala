@@ -91,6 +91,15 @@ object SparkEntry {
     "q_train_split"     -> (TextAnalysis.trainSplit _),
     "q_top_bigrams"     -> (TextAnalysis.topBigrams _),
     "q_len_histogram"   -> (TextAnalysis.lengthHistogram _),
+    // -- analytics widening: reshaping, grouping sets, percentiles,
+    //    moments, ordered string agg, window frames
+    "q_pivot"           -> (graft.ops.Analytics.pivotOrderCounts _),
+    "q_unpivot"         -> (graft.ops.Analytics.unpivotOrderMeasures _),
+    "q_grouping_sets"   -> (graft.ops.Analytics.groupingSetsCustomers _),
+    "q_percentiles"     -> (graft.ops.Analytics.percentilesByStatus _),
+    "q_moments"         -> (graft.ops.Analytics.momentsByReturnFlag _),
+    "q_string_agg"      -> (graft.ops.Analytics.nationsPerRegion _),
+    "q_window_frames"   -> (graft.ops.Analytics.windowFrameBattery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -317,6 +326,13 @@ object SparkEntry {
     "q_train_split"   -> TextAnalysis.trainSplitSql,
     "q_top_bigrams"   -> TextAnalysis.topBigramsSql,
     "q_len_histogram" -> TextAnalysis.lengthHistogramSql,
+    "q_pivot"         -> graft.ops.Analytics.pivotOrderCountsSql,
+    "q_unpivot"       -> graft.ops.Analytics.unpivotOrderMeasuresSql,
+    "q_grouping_sets" -> graft.ops.Analytics.groupingSetsCustomersSql,
+    "q_percentiles"   -> graft.ops.Analytics.percentilesByStatusSql,
+    "q_moments"       -> graft.ops.Analytics.momentsByReturnFlagSql,
+    "q_string_agg"    -> graft.ops.Analytics.nationsPerRegionSql,
+    "q_window_frames" -> graft.ops.Analytics.windowFrameBatterySql,
     "q_asof_join"     -> graft.ops.TimeSeries.asofLatestClickSql,
     "q_range_join"    -> graft.ops.TimeSeries.eventPairsWithin30MinSql,
     "q_window_range"  -> graft.ops.TimeSeries.trailingWindowStatsSql,

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Analytics widening over the harness testdata: reshaping (pivot/unpivot),
+  * explicit grouping sets, exact percentiles, statistical moments, ordered
+  * string aggregation, and a window-frame battery — the §2.7 checklist
+  * entries beyond [[Relational]]'s core shapes.
+  *
+  * Cross-engine determinism follows [[Relational]]'s contract: double
+  * aggregates go through exact DECIMAL sums with one final double
+  * expression (identical IEEE ops in both engines, insensitive to
+  * partial-aggregation order), every ORDER BY carries a unique tiebreak.
+  * The moments queries take this further: variance/correlation are
+  * computed from exact decimal power sums instead of Spark's native
+  * one-pass co-moment aggregates, whose float merge order varies with
+  * partitioning — the native forms are NOT reproducible bit-for-bit
+  * across engines (or even across cluster sizes), the power-sum forms
+  * are, and at scale they partial-aggregate just as well (3 decimal sums
+  * per group vs 1 co-moment state).
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // ------------------------------------------------------------- reshaping
+
+  /** PIVOT: order counts per priority, one column per order status.
+    * The pivot values are declared (no extra distinct-scan job, stable
+    * column order); empty cells are 0 not NULL, matching the conditional-
+    * aggregation rendering every other engine uses. A declared-values
+    * pivot is a single hash aggregate — one shuffle on the groupBy key,
+    * no transpose materialization, scale-indifferent. */
+  def pivotOrderCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  val pivotOrderCountsSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT (melt): a wide per-status aggregate reshaped to long
+    * (status, measure, value) — the wide→long boundary every metrics
+    * export crosses. Spark's native `unpivot` keeps this a zero-shuffle
+    * projection over the aggregate. */
+  def unpivotOrderMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_orders"))
+      .unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("sum_price"), col("n_orders")),
+        "measure", "value")
+
+  val unpivotOrderMeasuresSql: String =
+    """WITH wide AS (
+      |  SELECT o_orderstatus,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(count(*) AS DOUBLE) AS n_orders
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, 'sum_price' AS measure, sum_price AS value FROM wide
+      |UNION ALL
+      |SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM wide""".stripMargin
+
+  // -------------------------------------------------------- grouping sets
+
+  /** Explicit GROUPING SETS — ((region, nation), (region), ()) over the
+    * customer dimension join, with grouping_id() distinguishing the
+    * aggregation levels (0 = leaf, 1 = per-region, 3 = grand total).
+    * Same single-shuffle expand-then-aggregate plan as rollup/cube;
+    * dimension joins are broadcast. */
+  def groupingSetsCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+
+  val groupingSetsCustomersSql: String =
+    """SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
+      |  count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""".stripMargin
+
+  // ----------------------------------------------- percentiles & moments
+
+  /** Exact percentiles per group (median/p90 via linear interpolation —
+    * the same rule DuckDB's quantile_cont applies). Exact percentile is
+    * a sort-based aggregate: fine per-group here, but the 100 TB path is
+    * approx_percentile ([[Sketches.orderSketches]]) — fixed-size
+    * mergeable summaries instead of a per-group value sort. Rounded to 4
+    * decimals: interpolation arithmetic is engine-identical, rounding
+    * guards the representation. */
+  def percentilesByStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("price_p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("price_p90"),
+        min("o_totalprice").as("price_min"),
+        max("o_totalprice").as("price_max"),
+        count(lit(1)).as("n_orders"))
+
+  val percentilesByStatusSql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS price_p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS price_p90,
+      |  min(o_totalprice) AS price_min,
+      |  max(o_totalprice) AS price_max,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Sample variance / stddev / correlation per return flag, from exact
+    * decimal power sums (n, Σx, Σx², Σxy): one map-side-combinable
+    * aggregate, then pure double arithmetic. See the object scaladoc for
+    * why this beats the native `var_samp`/`corr` one-pass co-moments on
+    * cross-engine (and cross-partitioning) determinism. */
+  def momentsByReturnFlag(s: SparkSession, d: String): DataFrame = {
+    val q = dec(col("l_quantity"))
+    val p = dec(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(q * q).as("sqq"),
+        sum(p).as("sp"), sum(p * p).as("spp"),
+        sum(q * p).as("sqp"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double") / col("n"))
+          / (col("n") - 1)).as("var_qty"),
+        sqrt((col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))
+          / (col("n") - 1)).as("std_price"),
+        ((col("sqp").cast("double") - col("sq").cast("double") * col("sp").cast("double") / col("n"))
+          / sqrt((col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double") / col("n"))
+            * (col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))))
+          .as("corr_qty_price"))
+  }
+
+  val momentsByReturnFlagSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)
+      |    AS var_qty,
+      |  sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1))
+      |    AS std_price,
+      |  (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+      |    / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+      |         * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n))
+      |    AS corr_qty_price
+      |FROM s""".stripMargin
+
+  // ------------------------------------------------- ordered string agg
+
+  /** Ordered string aggregation: nations per region as one sorted
+    * comma-joined string. collect_list is unordered (partition arrival
+    * order); sorting the collected array before joining is what makes
+    * the result deterministic — same contract as DuckDB's
+    * `string_agg(... ORDER BY ...)`. Bounded group width only (a
+    * dimension roster); unbounded text concat at scale is a smell. */
+  def nationsPerRegion(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+
+  val nationsPerRegionSql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  // --------------------------------------------------- window frame battery
+
+  /** Analytic window functions with explicit frames: first/last/nth value
+    * over the partition, lead into the next row, and a trailing
+    * 3-row sum — one sort-shuffle on the partition key serves all five
+    * (single Window node, single exchange). Frames are written out
+    * explicitly on both engines; last_value/nth_value default frames
+    * differ across engines, so relying on defaults is a portability bug.
+    * Decimal-cast trailing sum keeps the frame arithmetic exact. */
+  def windowFrameBattery(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        first("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_price"),
+        last("o_totalprice").over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(-3, -1))
+          .cast("double").as("trailing3_price"))
+  }
+
+  val windowFrameBatterySql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS first_price,
+      |  last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS last_price,
+      |  nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS trailing3_price
+      |FROM orders WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)""".stripMargin
+}

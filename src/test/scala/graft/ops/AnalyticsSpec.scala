@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class AnalyticsSpec extends GraftTestBase {
+
+  behavior of "pivotOrderCounts"
+
+  it should "put every order in exactly one status column" in {
+    val rows = Analytics.pivotOrderCounts(spark, sf).collect()
+    val total = rows.map(r =>
+      r.getAs[Long]("n_f") + r.getAs[Long]("n_o") + r.getAs[Long]("n_p")).sum
+    total shouldBe graft.Tables.orders(spark, sf).count()
+  }
+
+  behavior of "unpivotOrderMeasures"
+
+  it should "emit one long row per (status, measure) cell" in {
+    val df = Analytics.unpivotOrderMeasures(spark, sf)
+    val statuses = graft.Tables.orders(spark, sf)
+      .select("o_orderstatus").distinct().count()
+    df.count() shouldBe statuses * 2
+    df.select("measure").distinct().collect().map(_.getString(0)).sorted shouldBe
+      Array("n_orders", "sum_price")
+  }
+
+  behavior of "groupingSetsCustomers"
+
+  it should "produce leaf, per-region, and grand-total levels with matching totals" in {
+    val rows = Analytics.groupingSetsCustomers(spark, sf).collect()
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    byGid.keySet shouldBe Set(0, 1, 3)
+    val grand = byGid(3).head.getAs[Long]("n_customers")
+    byGid(1).map(_.getAs[Long]("n_customers")).sum shouldBe grand
+    byGid(0).map(_.getAs[Long]("n_customers")).sum shouldBe grand
+    grand shouldBe graft.Tables.customer(spark, sf).count()
+  }
+
+  behavior of "percentilesByStatus"
+
+  it should "order p50 <= p90 within [min, max]" in {
+    Analytics.percentilesByStatus(spark, sf).collect().foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("price_p50"), r.getAs[Double]("price_p90"))
+      p50 should be <= p90
+      p50 should be >= r.getAs[Double]("price_min")
+      p90 should be <= r.getAs[Double]("price_max")
+    }
+  }
+
+  behavior of "momentsByReturnFlag"
+
+  it should "match Spark's native var_samp/stddev_samp/corr to float tolerance" in {
+    val ours = Analytics.momentsByReturnFlag(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(var_samp("l_quantity").as("v"), stddev_samp("l_extendedprice").as("s"),
+        corr("l_quantity", "l_extendedprice").as("c"))
+      .collect().foreach { r =>
+        val o = ours(r.getString(0))
+        o.getAs[Double]("var_qty") shouldBe r.getAs[Double]("v") +- 1e-6
+        o.getAs[Double]("std_price") shouldBe r.getAs[Double]("s") +- 1e-4
+        o.getAs[Double]("corr_qty_price") shouldBe r.getAs[Double]("c") +- 1e-9
+      }
+  }
+
+  behavior of "nationsPerRegion"
+
+  it should "sort nation names inside each region roster" in {
+    Analytics.nationsPerRegion(spark, sf).collect().foreach { r =>
+      val names = r.getAs[String]("nations").split(",")
+      names.length.toLong shouldBe r.getAs[Long]("n_nations")
+      names.toSeq shouldBe names.toSeq.sorted
+    }
+  }
+
+  behavior of "windowFrameBattery"
+
+  it should "satisfy the per-partition frame invariants" in {
+    val rows = Analytics.windowFrameBattery(spark, sf).collect()
+    rows should not be empty
+    rows.groupBy(_.getAs[String]("o_orderstatus")).foreach { case (_, part) =>
+      // last/second value are whole-partition constants
+      part.map(_.getAs[Double]("last_price")).distinct should have length 1
+      if (part.length >= 2)
+        part.map(_.getAs[Double]("second_price")).distinct should have length 1
+      // exactly the partition-first row has an empty (-3,-1) frame,
+      // exactly the partition-last row has no lead
+      val firsts = part.filter(r => r.isNullAt(r.fieldIndex("trailing3_price")))
+      firsts should have length 1
+      part.count(r => r.isNullAt(r.fieldIndex("next_price"))) shouldBe 1
+      // the partition-first row's running first_value is its own price
+      firsts.head.getAs[Double]("first_price") shouldBe
+        firsts.head.getAs[Double]("o_totalprice")
+    }
+  }
+
+  it should "plan one Window node / one sort exchange for all five functions" in {
+    val plan = Analytics.windowFrameBattery(spark, sf)
+      .queryExecution.executedPlan.toString
+    "Window \\[".r.findAllIn(plan).size shouldBe 1
+  }
+}
