@@ -100,6 +100,12 @@ object SparkEntry {
     "q_moments"         -> (graft.ops.Analytics.momentsByReturnFlag _),
     "q_string_agg"      -> (graft.ops.Analytics.nationsPerRegion _),
     "q_window_frames"   -> (graft.ops.Analytics.windowFrameBattery _),
+    // -- deep TPC-H shapes + conditional aggs + UDAF + regexp
+    "q10_returned"      -> (Relational.q10ReturnedCustomers _),
+    "q17_small_qty"     -> (Relational.q17SmallQtyRevenue _),
+    "q_cond_agg"        -> (graft.ops.Analytics.conditionalAggBattery _),
+    "q_checksum"        -> (graft.ops.Analytics.checksumAudit _),
+    "q_regexp"          -> (graft.ops.Analytics.regexpBattery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -326,6 +332,33 @@ object SparkEntry {
     "q_train_split"   -> TextAnalysis.trainSplitSql,
     "q_top_bigrams"   -> TextAnalysis.topBigramsSql,
     "q_len_histogram" -> TextAnalysis.lengthHistogramSql,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (
+        |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(count(l2.l_quantity) AS DOUBLE) * 0.2
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_cond_agg"      -> graft.ops.Analytics.conditionalAggBatterySql,
+    "q_checksum"      -> graft.ops.Analytics.checksumAuditSql,
+    "q_regexp"        -> graft.ops.Analytics.regexpBatterySql,
     "q_pivot"         -> graft.ops.Analytics.pivotOrderCountsSql,
     "q_unpivot"       -> graft.ops.Analytics.unpivotOrderMeasuresSql,
     "q_grouping_sets" -> graft.ops.Analytics.groupingSetsCustomersSql,

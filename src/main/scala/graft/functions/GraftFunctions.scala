@@ -35,14 +35,20 @@ object GraftFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
-  /** Imperatively register `cosine_sim` in an existing session's function
-    * registry (idempotent). */
+  /** Imperatively register `cosine_sim` and the `xor_checksum` UDAF in an
+    * existing session (idempotent). UDAFs have no SparkSessionExtensions
+    * injection point, so xor_checksum is registered here (and by
+    * GraftSession) rather than in GraftExtensions. */
   def register(spark: SparkSession): Unit = {
     val (ident, info, builder) = cosineSimDescriptor
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    spark.udf.register("xor_checksum", XorChecksum.udaf)
   }
 
   /** Column-API form: `df.select(cosineSim($"a", $"b"))` — no registry. */
   def cosineSim(a: Column, b: Column): Column =
     shims.column(CosineSimilarity(shims.expression(a), shims.expression(b)))
+
+  /** Column-API form of the [[XorChecksum]] aggregate — no registry. */
+  def xorChecksum(c: Column): Column = XorChecksum.udaf(c)
 }

@@ -207,6 +207,90 @@ object Analytics {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  // ------------------------------------------- conditional / ordered aggs
+
+  /** Conditional-aggregate battery: count_if, bool_and/bool_or, and a
+    * deterministic max_by/min_by — the "which row won" aggregate. The
+    * max_by value is a (price, key) composite — an exact decimal
+    * price*1e9 + key, unique because keys are — so ties on price can't
+    * make the winner partitioning-dependent (bare max_by on a non-unique
+    * value is nondeterministic at any scale, a distributed-correctness
+    * bug that never shows up in single-node tests; a struct value would
+    * be the idiomatic Spark form, but DuckDB's arg_max can't take one). */
+  def conditionalAggBattery(s: SparkSession, d: String): DataFrame = {
+    val tiebroken = dec(col("o_totalprice")) * 1000000000L + col("o_orderkey")
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"),
+        max_by(col("o_orderkey"), tiebroken).as("top_order"),
+        min_by(col("o_orderkey"), tiebroken).as("bottom_order"))
+  }
+
+  val conditionalAggBatterySql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(o_orderstatus = 'P') AS any_pending,
+      |  arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 1000000000 + o_orderkey)
+      |    AS top_order,
+      |  arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 1000000000 + o_orderkey)
+      |    AS bottom_order
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** XOR content checksum per group via the [[graft.functions.XorChecksum]]
+    * typed Aggregator — keys and (exact-decimal) prices each folded into an
+    * order-independent 64-bit digest. Run on both sides of a copy to prove
+    * row-set equality with one aggregate scan and no sort. */
+  def checksumAudit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"),
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("key_h"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("price_c"))
+      .groupBy("o_orderstatus")
+      .agg(
+        graft.functions.GraftFunctions.xorChecksum(col("key_h")).as("key_checksum"),
+        graft.functions.GraftFunctions.xorChecksum(col("price_c")).as("price_checksum"),
+        count(lit(1)).as("n_rows"))
+
+  val checksumAuditSql: String =
+    """SELECT o_orderstatus,
+      |  bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT))
+      |    AS key_checksum,
+      |  bit_xor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS price_checksum,
+      |  count(*) AS n_rows
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------- regexp battery
+
+  /** Regular-expression battery over part names: anchored group extract,
+    * extract-all count, rlike predicate, and split_part — all RE2-safe
+    * patterns (no lookarounds/backrefs), so the same query runs on any
+    * regex engine. Pure codegen'd projections, scan-speed at any scale. */
+  def regexpBattery(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+          .as("n_vowel_runs"),
+        col("p_name").rlike("^[a-g]").as("starts_early"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"))
+
+  val regexpBatterySql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER) AS n_vowel_runs,
+      |  regexp_matches(p_name, '^[a-g]') AS starts_early,
+      |  split_part(p_type, ' ', 1) AS type_head
+      |FROM part""".stripMargin
+
   // --------------------------------------------------- window frame battery
 
   /** Analytic window functions with explicit frames: first/last/nth value

