@@ -106,6 +106,10 @@ object SparkEntry {
     "q_cond_agg"        -> (graft.ops.Analytics.conditionalAggBattery _),
     "q_checksum"        -> (graft.ops.Analytics.checksumAudit _),
     "q_regexp"          -> (graft.ops.Analytics.regexpBattery _),
+    // -- array HOFs + remaining set/join variants
+    "q_array_hof"       -> (graft.ops.Analytics.arrayHofBattery _),
+    "q_union_distinct"  -> (Relational.unionDistinct _),
+    "q_nullsafe_join"   -> (Relational.nullSafeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -359,6 +363,20 @@ object SparkEntry {
     "q_cond_agg"      -> graft.ops.Analytics.conditionalAggBatterySql,
     "q_checksum"      -> graft.ops.Analytics.checksumAuditSql,
     "q_regexp"        -> graft.ops.Analytics.regexpBatterySql,
+    "q_array_hof"     -> graft.ops.Analytics.arrayHofBatterySql,
+    "q_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |UNION
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q_nullsafe_join" ->
+      """WITH even AS (
+        |  SELECT lang, count(*) AS n_even FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY lang),
+        |odd AS (
+        |  SELECT lang, count(*) AS n_odd FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY lang)
+        |SELECT even.lang AS lang, n_even, n_odd
+        |FROM even JOIN odd ON even.lang IS NOT DISTINCT FROM odd.lang""".stripMargin,
     "q_pivot"         -> graft.ops.Analytics.pivotOrderCountsSql,
     "q_unpivot"       -> graft.ops.Analytics.unpivotOrderMeasuresSql,
     "q_grouping_sets" -> graft.ops.Analytics.groupingSetsCustomersSql,

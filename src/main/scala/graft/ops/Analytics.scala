@@ -265,6 +265,40 @@ object Analytics {
       |  count(*) AS n_rows
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------- higher-order array fns
+
+  /** Higher-order-function battery over token arrays: filter/forall/
+    * exists/aggregate/slice+join, all scalar outputs. The token array is
+    * staged in its own projection first — Catalyst does no CSE inside
+    * lambda bodies, so an inline split() would re-tokenize per lambda
+    * (the r2 performance cliff). Pure per-row projection: scan-speed at
+    * any scale, zero shuffles. */
+  def arrayHofBattery(s: SparkSession, d: String): DataFrame = {
+    val toks = col("toks")
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(filter(toks, t => length(t) > 5)).cast("int").as("n_long"),
+        forall(toks, t => t === lower(t)).as("all_lower"),
+        exists(toks, t => t.isInCollection(graft.text.TextAnalysis.stopwords))
+          .as("has_stopword"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+        array_join(slice(toks, 1, 3), "-").as("first3"))
+  }
+
+  val arrayHofBatterySql: String = {
+    val stopList = graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(w, t -> len(t) > 5)) AS INTEGER) AS n_long,
+       |  len(list_filter(w, t -> t = lower(t))) = len(w) AS all_lower,
+       |  len(list_filter(w, t -> t IN ($stopList))) > 0 AS has_stopword,
+       |  CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS total_chars,
+       |  array_to_string(w[1:3], '-') AS first3
+       |FROM words""".stripMargin
+  }
+
   // ------------------------------------------------------- regexp battery
 
   /** Regular-expression battery over part names: anchored group extract,

@@ -248,13 +248,21 @@ object Relational {
     * brand filter broadcasts. Threshold arithmetic = exact decimal sum /
     * count * 0.2, one double rounding point, oracle-identical. */
   def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+    // semi-join BEFORE the per-part aggregate: thresholds are only ever
+    // consumed for the filtered brand's parts, so don't aggregate the
+    // other 96% of lineitem (Catalyst won't infer this reduction across
+    // an aggregation boundary — it must be written). The per-part average
+    // still sees every line of the surviving parts, so results are
+    // unchanged.
     val thresholds = Tables.lineitem(s, d)
+      .join(broadcast(brandParts.select(col("p_partkey").as("bp_key"))),
+        col("l_partkey") === col("bp_key"), "left_semi")
       .groupBy(col("l_partkey").as("t_partkey"))
       .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
         count(col("l_quantity")).cast("double") * 0.2).as("qty_threshold"))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")),
-        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
       .join(thresholds, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg(
@@ -362,6 +370,28 @@ object Relational {
     val o = Tables.orders(s, d)
     def inYear(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
     inYear(1995).except(inYear(1996))
+  }
+
+  /** UNION (distinct): customers ordering in either year, each once —
+    * union-all plus one dedup shuffle (how every engine plans it). */
+  def unionDistinct(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def inYear(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+    inYear(1995).union(inYear(1996)).distinct()
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): per-language
+    * counts of two corpus halves joined INCLUDING the NULL-language
+    * group, which a plain equality join silently drops — the classic
+    * reconciliation-query bug. */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang").as("lang_e")).agg(count(lit(1)).as("n_even"))
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("lang").as("lang_o")).agg(count(lit(1)).as("n_odd"))
+    even.join(odd, col("lang_e") <=> col("lang_o"))
+      .select(col("lang_e").as("lang"), col("n_even"), col("n_odd"))
   }
 
   // ---------------------------------------------------- scalar functions

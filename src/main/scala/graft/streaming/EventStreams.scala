@@ -108,6 +108,33 @@ object EventStreams {
     withEventWatermark(events)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static dimension enrichment: each micro-batch broadcast-joins
+    * the (small, slowly-changing) dimension snapshot — no state, no
+    * watermark interaction; the static side is re-read per batch, so a
+    * dimension refresh is picked up without restarting the query. The
+    * streaming face of the batch star join. */
+  def enrichEvents(events: DataFrame, userDims: DataFrame): DataFrame =
+    events.join(broadcast(userDims), Seq("user_id"), "left")
+
+  /** Stream-stream interval join: pair each view with the clicks of the
+    * same user within the following 30 minutes (the streaming rendering
+    * of [[graft.ops.TimeSeries.eventPairsWithin30Min]]). Both sides carry
+    * watermarks and the join condition bounds event time in both
+    * directions — that's what lets Spark evict buffered state; an
+    * unbounded condition would grow state forever. */
+  def correlateStreams(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $sessionGapMinutes MINUTES"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

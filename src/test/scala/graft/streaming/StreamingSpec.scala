@@ -156,4 +156,49 @@ class StreamingSpec extends GraftTestBase {
       all(rows.map(_.getAs[Long]("n"))) shouldBe 1L
     } finally query.stop()
   }
+
+  behavior of "enrichEvents (stream-static join)"
+
+  it should "broadcast-join each micro-batch against the static dims" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val query = EventStreams.enrichEvents(input.toDF(), dims)
+      .writeStream.format("memory").queryName("enrich_spec")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 3, "click", 1.0)) // no dim row
+      query.processAllAvailable()
+      val got = spark.table("enrich_spec")
+        .select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      got shouldBe Map(1L -> Some("gold"), 2L -> None) // left join keeps unmatched
+    } finally query.stop()
+  }
+
+  behavior of "correlateStreams (stream-stream interval join)"
+
+  it should "pair views with same-user clicks inside the 30-minute bound only" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val query = EventStreams.correlateStreams(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("corr_spec")
+      .outputMode("append").start()
+    try {
+      views.addData(Event(10, ts("2024-01-01 10:00:00"), 1, "view", 1.0))
+      clicks.addData(
+        Event(20, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // within 30min
+        Event(21, ts("2024-01-01 11:10:00"), 1, "click", 1.0), // too late
+        Event(22, ts("2024-01-01 10:10:00"), 2, "click", 1.0)) // other user
+      query.processAllAvailable()
+      val got = spark.table("corr_spec")
+        .select("v_event", "c_event").collect().map(r => (r.getLong(0), r.getLong(1)))
+      got shouldBe Array((10L, 20L))
+    } finally query.stop()
+  }
 }
