@@ -51,4 +51,10 @@ object GraftFunctions {
 
   /** Column-API form of the [[XorChecksum]] aggregate — no registry. */
   def xorChecksum(c: Column): Column = XorChecksum.udaf(c)
+
+  /** Column-API form of [[TokenStats]]: one-pass token statistics struct.
+    * Not SQL-registered (the stopword list is a constructor argument, not
+    * an expression child). */
+  def tokenStats(text: Column, stopwords: Seq[String], shortLen: Int = 4): Column =
+    shims.column(TokenStats(shims.expression(text), stopwords, shortLen))
 }

@@ -38,9 +38,6 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => acc + floor((length(t) + lit(2)) / lit(3)).cast("long"))
 
-  private def stopwordCount(toks: Column): Column =
-    size(filter(toks, t => t.isInCollection(stopwords)))
-
   /** Token statistics + quality score per document.
     *
     * quality_score = stopword_ratio + type_token_ratio + short_word_ratio:
@@ -48,31 +45,28 @@ object TextAnalysis {
     * the usual trained quality classifiers, shaped like Gopher/C4 rules
     * (length, lexical diversity, function-word share). */
   def textStats(s: SparkSession, d: String): DataFrame = {
-    // stage the token array once (no CSE inside lambdas: computing from
-    // split(text) directly re-tokenizes per referencing expression), then
-    // stage the integer counts once (each lambda-bearing count would
-    // otherwise be evaluated again inside quality_score, and the repeated
-    // subtrees inflate Janino compile time). quality_score keeps the
-    // three SEPARATE divisions — (a+b+c)/n is a different double than
+    // ONE pass over the text via the native TokenStats expression — the
+    // lambda-composed form (staged split + five array walks) was the
+    // suite's slowest cold query purely on Janino compile of the lambda
+    // forest; see TokenStats scaladoc. quality_score keeps the three
+    // SEPARATE divisions — (a+b+c)/n is a different double than
     // a/n + b/n + c/n, and the oracle computes the latter.
-    val toks = col("toks")
+    val ts = col("ts")
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), length(col("text")).cast("int").as("n_chars_txt"),
+        graft.functions.GraftFunctions.tokenStats(col("text"), stopwords).as("ts"))
       .select(
         col("doc_id"),
-        size(toks).cast("int").as("n_tokens"),
-        size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
-        subwordCountOf(toks).cast("int").as("n_subwords"),
-        stopwordCount(toks).cast("int").as("n_stopwords"),
-        size(filter(toks, t => length(t) < lit(4))).cast("int").as("n_short"),
-        length(col("text")).cast("int").as("n_chars_txt"))
-      .select(
-        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
-        col("n_subwords"), col("n_stopwords"),
-        (col("n_chars_txt").cast("double") / col("n_tokens")).as("chars_per_token"),
-        (col("n_stopwords").cast("double") / col("n_tokens") +
-          col("n_distinct_tokens").cast("double") / col("n_tokens") +
-          col("n_short").cast("double") / col("n_tokens")).as("quality_score"))
+        ts.getField("n_tokens").as("n_tokens"),
+        ts.getField("n_distinct").as("n_distinct_tokens"),
+        ts.getField("n_subwords").as("n_subwords"),
+        ts.getField("n_stopwords").as("n_stopwords"),
+        (col("n_chars_txt").cast("double") / ts.getField("n_tokens"))
+          .as("chars_per_token"),
+        (ts.getField("n_stopwords").cast("double") / ts.getField("n_tokens") +
+          ts.getField("n_distinct").cast("double") / ts.getField("n_tokens") +
+          ts.getField("n_short").cast("double") / ts.getField("n_tokens"))
+          .as("quality_score"))
   }
 
   /** Language ID: n-gram/stopword-overlap heuristic. With >=2 stopword hits
@@ -82,13 +76,14 @@ object TextAnalysis {
     * lookup; the *engine surface* — per-row classify at scan speed — is
     * identical.) */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val hits = stopwordCount(col("toks"))
+    val hits = col("ts").getField("n_stopwords")
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.GraftFunctions.tokenStats(col("text"), stopwords).as("ts"))
       .select(
         col("doc_id"),
         col("lang").as("labeled_lang"),
-        hits.cast("int").as("stopword_hits"),
+        hits.as("stopword_hits"),
         when(hits >= 2, lit("en"))
           .when(hits === 1, lit("maybe_en"))
           .otherwise(lit("unknown")).as("predicted_lang"))
