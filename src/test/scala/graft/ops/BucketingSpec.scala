@@ -9,6 +9,10 @@ class BucketingSpec extends GraftTestBase {
   behavior of "Bucketing"
 
   it should "plan a co-located join with zero exchanges and matching results" in {
+    // the warehouse location outlives the per-JVM derby metastore; a
+    // stale directory makes CREATE TABLE fail with LOCATION_ALREADY_EXISTS
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-bucketdb"))
     spark.sql(
       "CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '/tmp/graft-bucketdb'")
     Bucketing.writeBucketed(
