@@ -110,6 +110,12 @@ object SparkEntry {
     "q_array_hof"       -> (graft.ops.Analytics.arrayHofBattery _),
     "q_union_distinct"  -> (Relational.unionDistinct _),
     "q_nullsafe_join"   -> (Relational.nullSafeJoin _),
+    // -- dedup clustering, fuzzy matching, curation/history/privacy
+    "q_dedup_clusters"  -> (Dedup.dedupClusters _),
+    "q_fuzzy_names"     -> (Dedup.fuzzyNames _),
+    "q_tfidf"           -> (TextAnalysis.tfIdfTopTerms _),
+    "q_scd2"            -> (graft.ops.TimeSeries.scd2StatusHistory _),
+    "q_pii_kanon"       -> (graft.ops.Privacy.kAnonymize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -387,6 +393,11 @@ object SparkEntry {
     "q_asof_join"     -> graft.ops.TimeSeries.asofLatestClickSql,
     "q_range_join"    -> graft.ops.TimeSeries.eventPairsWithin30MinSql,
     "q_window_range"  -> graft.ops.TimeSeries.trailingWindowStatsSql,
+    "q_dedup_clusters" -> Dedup.dedupClustersSql,
+    "q_fuzzy_names"   -> Dedup.fuzzyNamesSql,
+    "q_tfidf"         -> TextAnalysis.tfIdfTopTermsSql,
+    "q_scd2"          -> graft.ops.TimeSeries.scd2StatusHistorySql,
+    "q_pii_kanon"     -> graft.ops.Privacy.kAnonymizeSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

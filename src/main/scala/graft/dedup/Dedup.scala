@@ -220,6 +220,75 @@ object Dedup {
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
   }
 
+  /** Transitive near-dup clusters: connected components over the
+    * [[minhashLsh]] candidate pairs. Pairwise dedup is not enough for
+    * corpus curation — if A~B and B~C, all three are one duplicate
+    * group and exactly one representative survives; pairs alone would
+    * keep two. Output: every doc appearing in a pair, its cluster id
+    * (= min doc_id in the component — the kept representative), and the
+    * component size.
+    *
+    * Algorithm: min-label propagation. labels start at
+    * min(self, neighbors); each iteration replaces a label with the min
+    * over neighbors' labels; fixpoint = components. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow by
+    * construction (diameter a handful), so 3-4 rounds at any corpus
+    * size; each round is one shuffle join on short (id, label) pairs.
+    * This is GraphX-free by design: the DataFrame rendering keeps AQE,
+    * codegen, and the same shuffle machinery as everything else; at
+    * web scale the standard large-star/small-star variant bounds the
+    * high-degree-node fan-in the same way. Edges are localCheckpoint'd
+    * once so the minhash signature pipeline runs exactly once, and each
+    * iteration's labels are checkpointed to keep the plan flat
+    * (iterative lineage otherwise grows exponentially). */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 16) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("doc_id"))
+        .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
+        .filter(col("label") =!= col("old_label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count("*").as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Fuzzy (edit-distance) duplicate detection over the DISTINCT name
+    * domain: pairs of part names within levenshtein distance 3, each
+    * carrying its row count. Comparing the distinct value dictionary
+    * (64 names) instead of the fact table (20k rows at sf0.1) is the
+    * scale-correct shape — entity resolution cost is O(|domain|²), not
+    * O(|rows|²), and the dictionary aggregate is a map-side-combinable
+    * groupBy. At larger domains the all-pairs stage gets a blocking
+    * key (first token / phonetic code) exactly like [[ngramJaccard]]'s
+    * posting lists. */
+  def fuzzyNames(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).groupBy(col("p_name")).agg(count("*").as("n_parts"))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"))
+    a.join(b, col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors within cosine >= 0.4
     * (threshold chosen from the corpus: max pairwise cosine ~0.51, so the
     * output is the discriminative near-dup tail, not noise).
@@ -275,25 +344,61 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4""".stripMargin
 
-  val minhashLshSql: String = {
+  /** CTE body (no leading WITH) computing minhash LSH candidate `pairs` —
+    * shared between [[minhashLshSql]] and the recursive-CTE clusters
+    * oracle (WITH RECURSIVE must own the single WITH keyword). */
+  private val minhashPairsBody: String = {
     val sigExprs = (0 until numHashes).map { j =>
       s"list_min(list_transform(fp, x -> (${minhashA(j)} * x + ${minhashB(j)}) % $minhashP))"
     }
     val bandExprs = (0 until numBands).map { b =>
       s"(sig[${b * bandWidth + 1}] || '|' || sig[${b * bandWidth + 2}])"
     }
-    s"""$shingleCte,
+    s"""words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+       |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM words),
        |fps AS (SELECT doc_id, list_transform(s,
        |  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $minhashP) AS fp FROM sh),
        |sig AS (SELECT doc_id, [${sigExprs.mkString(",\n  ")}] AS sig FROM fps),
        |bands AS (SELECT doc_id, i - 1 AS band_idx, [${bandExprs.mkString(",\n  ")}][i] AS band_sig
-       |  FROM sig, generate_series(1, $numBands) AS t(i))
-       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands_shared
-       |FROM bands x JOIN bands y
-       |  ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
-       | AND x.doc_id < y.doc_id
-       |GROUP BY 1, 2""".stripMargin
+       |  FROM sig, generate_series(1, $numBands) AS t(i)),
+       |pairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands_shared
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+       |   AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
   }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashPairsBody
+       |SELECT doc_a, doc_b, n_bands_shared FROM pairs""".stripMargin
+
+  /** Connected components as a recursive CTE: `reach(doc, r)` holds every
+    * node r reachable from doc; the component id is min(r). Equivalent to
+    * the Spark min-label-propagation fixpoint by construction. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsBody,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, re.r FROM edges e JOIN reach re ON re.doc_id = e.dst),
+       |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM labels l JOIN (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
+       |USING (cluster_id)""".stripMargin
+
+  val fuzzyNamesSql: String =
+    """WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist,
+      |  a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM names a JOIN names b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
 
   val simhashDedupSql: String = {
     val bitExprs = (0 until simhashBits).map { i =>

@@ -95,4 +95,47 @@ object TimeSeries {
   // ORDER BY floor(epoch): Spark's ts.cast("long") truncates to whole
   // seconds; DuckDB's epoch() keeps fractional seconds, which would put
   // sub-second boundary events in different frames.
+
+  /** SCD type-2 history build: collapse each customer's order-status
+    * sequence into validity intervals [valid_from, valid_to), one row per
+    * status CHANGE (the change-data-capture → dimension-history shape the
+    * reference's delete-then-reload batch contract sidesteps entirely —
+    * this is what "keep history" looks like instead).
+    *
+    * Change detection is lag() over (customer, date, orderkey); interval
+    * close is lead() over the SURVIVING change rows — valid_to = next
+    * version's valid_from, NULL for the open current version. Both
+    * windows and the change filter share one hash partitioning on
+    * o_custkey: a single shuffle end-to-end, any table size. Ties on
+    * o_orderdate are broken by o_orderkey, so versions are total-ordered
+    * and the output engine-portable. */
+  def scd2StatusHistory(s: SparkSession, d: String): DataFrame = {
+    val seq = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_status", lag("o_orderstatus", 1).over(seq))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+      .withColumn("version", row_number().over(seq))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(seq))
+      .select(col("o_custkey"), col("o_orderstatus").as("status"), col("version"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
+  val scd2StatusHistorySql: String =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    lag(o_orderstatus) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+      |  FROM orders),
+      |chg AS (
+      |  SELECT * FROM seq
+      |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+      |SELECT o_custkey, o_orderstatus AS status,
+      |  row_number() OVER w AS version,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  CAST(lead(o_orderdate) OVER w IS NULL AS INT) AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -152,6 +153,50 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(50)
   }
+
+  /** TF-IDF: top-3 most characteristic terms per document. tf from one
+    * explode+groupBy (map-side combinable); df as a window count over the
+    * term partition of the SAME tf relation — no second scan, no join
+    * back (a df-lookup join would recompute the tokenize subtree, the
+    * lambda-CSE trap measured on the dedup queries); the corpus size N
+    * rides in as a broadcast 1-row cross join so the plan stays fully
+    * lazy. Scores round to 4 decimals BEFORE ranking so the per-doc
+    * ordering (score desc, term asc) is engine-portable; top-3 via
+    * row_number is WindowGroupLimit-pruned before the final shuffle. */
+  def tfIdfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count("*").as("tf"))
+    val nDocs = docs.agg(count("*").as("n_docs"))
+    val scored = tf
+      .withColumn("df", count("*").over(Window.partitionBy("term")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
+
+  val tfIdfTopTermsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |    count(*) OVER (PARTITION BY term) AS df,
+      |    round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+      |                  / count(*) OVER (PARTITION BY term)), 4) AS tfidf
+      |  FROM tf)
+      |SELECT doc_id, term, tf, df, tfidf, rn FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3""".stripMargin
 
   /** Token-count histogram in buckets of 10 per language — the corpus
     * length-distribution audit (integer bucketing, oracle-exact). */

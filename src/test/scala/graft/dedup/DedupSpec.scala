@@ -73,4 +73,45 @@ class DedupSpec extends GraftTestBase {
     hamming(hashes(0), hashes(1)) should be <= 4
     hamming(hashes(0), hashes(2)) should be > hamming(hashes(0), hashes(1))
   }
+
+  behavior of "dedupClusters"
+
+  it should "match a driver-side union-find over the minhash pairs" in {
+    val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val rows = Dedup.dedupClusters(spark, sf).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+    // cluster_size is the true member count of each component
+    val memberCounts = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r => r.getLong(2) shouldBe memberCounts(r.getLong(1)) }
+  }
+
+  behavior of "fuzzyNames"
+
+  it should "emit ordered within-threshold pairs with true per-name counts" in {
+    val rows = Dedup.fuzzyNames(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[String]("name_a") should be < r.getAs[String]("name_b")
+      r.getAs[Int]("dist") should be <= 3
+    }
+    val counts = graft.Tables.part(spark, sf).groupBy("p_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      r.getAs[Long]("n_a") shouldBe counts(r.getAs[String]("name_a"))
+      r.getAs[Long]("n_b") shouldBe counts(r.getAs[String]("name_b"))
+    }
+  }
 }

@@ -58,4 +58,29 @@ class TextAnalysisSpec extends GraftTestBase {
     all(out.map(_.getLong(1))) should (be >= 0L and be < 2147483647L)
     out.map(_.getLong(1)).distinct.length should be > out.length / 2
   }
+
+  behavior of "tfIdfTopTerms"
+
+  it should "rank at most 3 terms per doc by descending score with corpus-consistent df" in {
+    val rows = TextAnalysis.tfIdfTopTerms(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    rows.groupBy(_.getLong(0)).values.foreach { terms =>
+      terms.length should be <= 3
+      val byRank = terms.toArray.sortBy(_.getInt(5))
+      byRank.map(_.getInt(5)).toSeq shouldBe (1 to byRank.length)
+      byRank.map(_.getDouble(4)).sliding(2).foreach {
+        case Array(hi, lo) => hi should be >= lo
+        case _ =>
+      }
+    }
+    // df is a corpus-level property: identical for every appearance of a term
+    rows.groupBy(_.getString(1)).values.foreach { rs =>
+      rs.map(_.getLong(3)).distinct.length shouldBe 1
+    }
+    // df bounded by corpus size; a corpus-universal term scores exactly 0
+    rows.foreach { r =>
+      r.getLong(3) should be <= nDocs
+      if (r.getLong(3) == nDocs) r.getDouble(4) shouldBe 0.0
+    }
+  }
 }
