@@ -5,6 +5,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    // Warm the session once (scheduler, codegen pipeline, parquet reader)
+    // so the first measured query doesn't absorb JVM bring-up. Per-query
+    // times stay cold-PLAN: each query's own analysis+codegen is counted.
+    spark.range(0, 1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

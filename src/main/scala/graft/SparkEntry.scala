@@ -116,6 +116,8 @@ object SparkEntry {
     "q_tfidf"           -> (TextAnalysis.tfIdfTopTerms _),
     "q_scd2"            -> (graft.ops.TimeSeries.scd2StatusHistory _),
     "q_pii_kanon"       -> (graft.ops.Privacy.kAnonymize _),
+    "q_skew_agg"        -> (graft.ops.Skew.skewAggByFlag _),
+    "q_sample_strat"    -> (Relational.stratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,6 +400,8 @@ object SparkEntry {
     "q_tfidf"         -> TextAnalysis.tfIdfTopTermsSql,
     "q_scd2"          -> graft.ops.TimeSeries.scd2StatusHistorySql,
     "q_pii_kanon"     -> graft.ops.Privacy.kAnonymizeSql,
+    "q_skew_agg"      -> graft.ops.Skew.skewAggByFlagSql,
+    "q_sample_strat"  -> Relational.stratifiedSampleSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

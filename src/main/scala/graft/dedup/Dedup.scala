@@ -256,13 +256,16 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nbr_label"))
+      // the `changed` flag rides along in the same pass, so convergence
+      // detection is a cheap scan of the checkpointed result — not a
+      // second join of old vs new labels (halves the jobs per round)
       val next = labels.join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
+        .select(col("doc_id"),
+          least(col("label"), col("nbr_label")).as("label"),
+          (col("nbr_label") < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
-        .filter(col("label") =!= col("old_label")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count("*").as("cluster_size"))

@@ -484,4 +484,27 @@ object Relational {
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  /** Deterministic ~20% stratified sample audit: hash-select rows per
+    * market segment (md5-mod, seedless — stable across runs, executors,
+    * and engines, unlike `sample()`/`TABLESAMPLE` whose RNG is
+    * per-partition and engine-specific) and report per-stratum sampled
+    * vs total counts. The per-row pick is a pure projection; the audit
+    * is one map-side-combinable groupBy — nothing about the sample
+    * changes if the table is repartitioned or grows. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val picked = conv(substring(md5(concat(lit("smp|"),
+      col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long") % 5 === 0
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(picked, 1)).as("n_sampled"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT c_mktsegment, count(*) AS n_total,
+      |  count(CASE WHEN CAST(('0x' || substr(md5('smp|' || CAST(c_custkey AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 5 = 0 THEN 1 END) AS n_sampled
+      |FROM customer GROUP BY 1""".stripMargin
 }

@@ -67,4 +67,34 @@ object Skew {
         saltedLeft("_salt") === replicatedRight("_salt"))
       .drop("_salt")
   }
+
+  /** Driver-graded rendering of [[saltedAggregate]]: lineitem totals by
+    * return flag — a 3-value key over 600k rows at sf0.1, i.e. the
+    * maximally skewed aggregation shape. The oracle is the PLAIN
+    * group-by: salting is a physical rewrite and must be invisible in
+    * the result. Decimal partials keep the two-level sum exact (double
+    * partials would make the merge order observable). */
+  def skewAggByFlag(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val agg = saltedAggregate(
+      graft.Tables.lineitem(s, d),
+      col("l_returnflag"), col("l_orderkey"), buckets = 16,
+      Seq(
+        ("sum_qty", sum(col("l_quantity").cast(DecimalType(18, 2))),
+          sum(col("sum_qty"))),
+        ("sum_price", sum(col("l_extendedprice").cast(DecimalType(18, 2))),
+          sum(col("sum_price"))),
+        ("n_rows", count(lit(1)), sum(col("n_rows")))))
+    agg.select(col("k").as("l_returnflag"),
+      col("sum_qty").cast("double").as("sum_qty"),
+      col("sum_price").cast("double").as("sum_price"),
+      col("n_rows"))
+  }
+
+  val skewAggByFlagSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY 1""".stripMargin
 }

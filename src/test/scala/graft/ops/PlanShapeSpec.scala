@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftTestBase, Tables}
+
+/** Plan-shape assertions for the scale-critical behaviors — the things
+  * that make a query survive a 100× scale-up. Correctness specs prove the
+  * numbers; this spec proves the PLAN: pushdown reached the scan, the
+  * small side broadcast, aggregation combines map-side, top-k pruned
+  * before the shuffle, and the hot path stayed inside codegen. Each
+  * assertion here failed at least once during development for a query
+  * that still returned correct rows — plan regressions are silent,
+  * which is exactly why they are pinned in tests.
+  */
+class PlanShapeSpec extends GraftTestBase {
+
+  behavior of "scan pushdown"
+
+  it should "push filters and prune columns at the parquet scan" in {
+    val q = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    scan should include("PushedFilters")
+    // the rendered filter list truncates, so assert on its leading entries
+    scan should include("GreaterThanOrEqual(l_shipdate")
+    // projection pruning: the scan reads only the referenced columns
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("l_orderkey")
+    (readSchema should not).include("l_extendedprice")
+  }
+
+  behavior of "join strategy"
+
+  it should "broadcast the dimension side of a fact-dim join" in {
+    val q = Tables.orders(spark, sf).join(
+      Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+    q.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
+  behavior of "aggregation"
+
+  it should "partial-aggregate map-side before the exchange" in {
+    val q = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("partial_sum")
+    plan should include("Exchange hashpartitioning(l_returnflag")
+  }
+
+  behavior of "top-k per group"
+
+  it should "push the rank limit below the window sort (WindowGroupLimit)" in {
+    Relational.windowTopKPerGroup(spark, sf)
+      .queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
+  behavior of "codegen"
+
+  it should "keep the per-row text pipeline inside whole-stage codegen" in {
+    val plan = graft.text.TextAnalysis.textStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    plan should include("*(1)") // the whole-stage-codegen marker
+    (plan should not).include("InMemoryTableScan")
+  }
+}
