@@ -55,6 +55,21 @@ object Demo {
     println("== plan check: brute-force knn should broadcast + codegen ==")
     similarity.Similarity.bruteForceTopK(spark, d).explain("formatted")
 
+    println("== transitive dedup clusters (pairs -> connected components) ==")
+    dedup.Dedup.dedupClusters(spark, d)
+      .orderBy(org.apache.spark.sql.functions.col("cluster_size").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .show(6)
+
+    println("== per-column profile audit ==")
+    ops.Profile.profileCustomer(spark, d).show(truncate = false)
+
+    println("== k-anonymized extract (suppression rate) ==")
+    val kanon = ops.Privacy.kAnonymize(spark, d)
+    val n = kanon.count()
+    val suppressed = kanon.filter(org.apache.spark.sql.functions.col("nationkey").isNull).count()
+    println(f"suppressed $suppressed of $n rows (k=${ops.Privacy.kThreshold})")
+
     spark.stop()
   }
 }

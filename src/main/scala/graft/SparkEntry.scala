@@ -118,6 +118,7 @@ object SparkEntry {
     "q_pii_kanon"       -> (graft.ops.Privacy.kAnonymize _),
     "q_skew_agg"        -> (graft.ops.Skew.skewAggByFlag _),
     "q_sample_strat"    -> (Relational.stratifiedSample _),
+    "q_profile"         -> (graft.ops.Profile.profileCustomer _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -402,6 +403,7 @@ object SparkEntry {
     "q_pii_kanon"     -> graft.ops.Privacy.kAnonymizeSql,
     "q_skew_agg"      -> graft.ops.Skew.skewAggByFlagSql,
     "q_sample_strat"  -> Relational.stratifiedSampleSql,
+    "q_profile"       -> graft.ops.Profile.profileCustomerSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -135,6 +135,38 @@ object EventStreams {
         col("c_ts") <= col("v_ts") + expr(s"INTERVAL $sessionGapMinutes MINUTES"))
   }
 
+  /** Incremental materialized view: maintain per-event-type running
+    * totals as a queryable parquet table, updated every micro-batch.
+    *
+    * Mechanics: an UPDATE-mode streaming aggregate emits only the keys
+    * whose totals changed this batch, carrying their COMPLETE new values
+    * (streaming state holds the running totals). foreachBatch lands
+    * those rows with dynamic partition overwrite keyed on event_type —
+    * only touched keys' partitions rewrite, untouched keys' files stand.
+    * Overwrite is idempotent, so a batch retry converges to the same
+    * files: exactly-once at the sink without a transactional table
+    * format. This is the streaming face of the batch delete-then-load
+    * contract ([[graft.ingest.BatchLoad]]): same dynamic-overwrite
+    * primitive, keyed on the aggregation key instead of load_date.
+    * At scale the MV refresh cost tracks the number of CHANGED keys per
+    * batch, not table size. */
+  def incrementalTotals(events: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_type")
+          .parquet(outDir)
+      }
+      .start()
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

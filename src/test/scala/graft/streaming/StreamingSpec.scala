@@ -201,4 +201,36 @@ class StreamingSpec extends GraftTestBase {
       got shouldBe Array((10L, 20L))
     } finally query.stop()
   }
+
+  behavior of "incrementalTotals (streaming materialized view)"
+
+  it should "refresh only touched keys and retain untouched partitions" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/tmp/graft-spec-mv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val input = MemoryStream[Event]
+    val query = EventStreams.incrementalTotals(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")),
+      s"$dir/table", s"$dir/ckpt")
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 2.0),
+        Event(2, ts("2024-01-01 10:01:00"), 2, "click", 3.0),
+        Event(3, ts("2024-01-01 10:02:00"), 1, "view", 5.0))
+      query.processAllAvailable()
+      val mv1 = spark.read.parquet(s"$dir/table")
+        .collect().map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+      mv1 shouldBe Map("click" -> (2L, 5.0), "view" -> (1L, 5.0))
+      // second batch touches only "click" — "view" partition must survive
+      // untouched while click's totals include BOTH batches (state carries)
+      input.addData(Event(4, ts("2024-01-01 10:03:00"), 3, "click", 10.0))
+      query.processAllAvailable()
+      val mv2 = spark.read.parquet(s"$dir/table")
+        .collect().map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+      mv2 shouldBe Map("click" -> (3L, 15.0), "view" -> (1L, 5.0))
+    } finally query.stop()
+  }
 }
