@@ -119,6 +119,7 @@ object SparkEntry {
     "q_skew_agg"        -> (graft.ops.Skew.skewAggByFlag _),
     "q_sample_strat"    -> (Relational.stratifiedSample _),
     "q_profile"         -> (graft.ops.Profile.profileCustomer _),
+    "q_map_funcs"       -> (graft.ops.Analytics.mapFuncsBattery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -404,6 +405,7 @@ object SparkEntry {
     "q_skew_agg"      -> graft.ops.Skew.skewAggByFlagSql,
     "q_sample_strat"  -> Relational.stratifiedSampleSql,
     "q_profile"       -> graft.ops.Profile.profileCustomerSql,
+    "q_map_funcs"     -> graft.ops.Analytics.mapFuncsBatterySql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

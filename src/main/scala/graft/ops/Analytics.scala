@@ -273,6 +273,44 @@ object Analytics {
     * lambda bodies, so an inline split() would re-tokenize per lambda
     * (the r2 performance cliff). Pure per-row projection: scan-speed at
     * any scale, zero shuffles. */
+  /** Map-type surface: build a real map per user (event_type → count via
+    * map_from_entries over a SORTED entry list — key order pinned so
+    * downstream key joins are deterministic), then exercise the map HOF
+    * battery: size, map_keys, element_at lookups, aggregate over
+    * map_values, map_filter. Output flattens to scalars; the oracle
+    * computes the same scalars map-free, so what's checked is the map
+    * semantics, not an engine-specific map rendering. One shuffle for
+    * the (user, type) count, one for the per-user map — both
+    * map-side-combinable. */
+  def mapFuncsBattery(s: SparkSession, d: String): DataFrame = {
+    val m = col("m")
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        size(m).as("n_types"),
+        concat_ws(",", map_keys(m)).as("types"),
+        coalesce(element_at(m, "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(m, "view"), lit(0L)).as("n_view"),
+        aggregate(map_values(m), lit(0L), (a, b) => a + b).as("n_total"),
+        size(map_filter(m, (_, v) => v >= 10)).as("n_types_ge10"))
+  }
+
+  val mapFuncsBatterySql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(count(*) AS INT) AS n_types,
+      |  string_agg(event_type, ',' ORDER BY event_type) AS types,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS n_click,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN n END), 0) AS BIGINT) AS n_view,
+      |  CAST(sum(n) AS BIGINT) AS n_total,
+      |  CAST(count(CASE WHEN n >= 10 THEN 1 END) AS INT) AS n_types_ge10
+      |FROM c GROUP BY user_id""".stripMargin
+
   def arrayHofBattery(s: SparkSession, d: String): DataFrame = {
     val toks = col("toks")
     Tables.documents(s, d)
