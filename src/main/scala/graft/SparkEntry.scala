@@ -120,6 +120,7 @@ object SparkEntry {
     "q_sample_strat"    -> (Relational.stratifiedSample _),
     "q_profile"         -> (graft.ops.Profile.profileCustomer _),
     "q_map_funcs"       -> (graft.ops.Analytics.mapFuncsBattery _),
+    "q_session_window"  -> (EventStreams.sessionWindowAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -406,6 +407,7 @@ object SparkEntry {
     "q_sample_strat"  -> Relational.stratifiedSampleSql,
     "q_profile"       -> graft.ops.Profile.profileCustomerSql,
     "q_map_funcs"     -> graft.ops.Analytics.mapFuncsBatterySql,
+    "q_session_window" -> EventStreams.sessionWindowAggSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

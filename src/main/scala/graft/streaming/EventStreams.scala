@@ -61,6 +61,42 @@ object EventStreams {
         (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"))
   }
 
+  /** Native session_window rendering of sessionization — the built-in
+    * operator alternative to the lag/running-sum form ([[sessionizeBatch]])
+    * and the stateful streaming form ([[sessionizeStream]]). One shuffle
+    * on user_id; Spark merges overlapping per-event windows internally
+    * (no window-function pass at all). Boundary semantics differ from
+    * the lag form on purpose and the oracle mirrors them exactly: an
+    * event at precisely prev_ts + gap starts a NEW session (windows are
+    * half-open [ts, ts+gap)), and the comparison is full microsecond
+    * precision, not whole-second date_diff. session_end is last event
+    * + gap — the window's half-open upper bound, not max(ts). */
+  def sessionWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$sessionGapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  val sessionWindowAggSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts >= lag(ts) OVER w + INTERVAL $sessionGapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM flagged)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL $sessionGapMinutes MINUTE AS session_end,
+       |  count(*) AS n_events
+       |FROM sess GROUP BY user_id, s""".stripMargin
+
   val sessionizeBatchSql: String =
     s"""WITH flagged AS (
        |  SELECT user_id, event_id, ts,

@@ -56,6 +56,36 @@ class PlanShapeSpec extends GraftTestBase {
       .queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
 
+  behavior of "partition pruning"
+
+  it should "prune non-matching partitions of a partitioned table at plan time" in {
+    val dir = "/tmp/graft-planshape-part"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Tables.orders(spark, sf).write.partitionBy("o_orderstatus").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val scan = q.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters: [isnotnull(o_orderstatus")
+    // after execution the scan must have opened only the F partition's
+    // files, not the whole table (inputFiles reflects the unpruned
+    // relation, so assert on the executed scan's numFiles metric)
+    q.collect() // execute THIS QueryExecution (count() would plan a new one)
+    def parquetFilesUnder(p: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .count(f => f.toString.endsWith(".parquet")).toLong
+    }
+    val executed = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanned = executed.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.metrics("numFiles").value
+    scanned shouldBe parquetFilesUnder(s"$dir/o_orderstatus=F")
+    scanned should be < parquetFilesUnder(dir)
+  }
+
   behavior of "codegen"
 
   it should "keep the per-row text pipeline inside whole-stage codegen" in {

@@ -202,6 +202,19 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "sessionWindowAgg"
+
+  it should "cover every event with non-overlapping per-user sessions" in {
+    import org.apache.spark.sql.expressions.Window
+    val sess = EventStreams.sessionWindowAgg(spark, sf)
+    sess.agg(sum("n_events")).head().getLong(0) shouldBe
+      graft.Tables.events(spark, sf).count()
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    sess.withColumn("prev_end", lag("session_end", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
+      .count() shouldBe 0
+  }
+
   behavior of "incrementalTotals (streaming materialized view)"
 
   it should "refresh only touched keys and retain untouched partitions" in {
