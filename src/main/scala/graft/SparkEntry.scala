@@ -121,6 +121,16 @@ object SparkEntry {
     "q_profile"         -> (graft.ops.Profile.profileCustomer _),
     "q_map_funcs"       -> (graft.ops.Analytics.mapFuncsBattery _),
     "q_session_window"  -> (EventStreams.sessionWindowAgg _),
+    // -- round 3: TPC-H subquery shapes, CDC merge, behavioral analytics,
+    //    feature standardization, repetition quality filters
+    "q4_priority_exists" -> (Relational.q4PriorityExists _),
+    "q7_nation_volume"  -> (Relational.q7NationVolume _),
+    "q18_big_orders"    -> (Relational.q18BigOrders _),
+    "q_merge_upsert"    -> (graft.ops.Merge.cdcMerge _),
+    "q_funnel"          -> (graft.ops.Behavior.funnelCounts _),
+    "q_cohort"          -> (graft.ops.Behavior.cohortRetention _),
+    "q_zscore"          -> (graft.ops.Analytics.zscorePrices _),
+    "q_repetition"      -> (TextAnalysis.repetitionStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -408,6 +418,14 @@ object SparkEntry {
     "q_profile"       -> graft.ops.Profile.profileCustomerSql,
     "q_map_funcs"     -> graft.ops.Analytics.mapFuncsBatterySql,
     "q_session_window" -> EventStreams.sessionWindowAggSql,
+    "q4_priority_exists" -> Relational.q4PriorityExistsSql,
+    "q7_nation_volume" -> Relational.q7NationVolumeSql,
+    "q18_big_orders"  -> Relational.q18BigOrdersSql,
+    "q_merge_upsert"  -> graft.ops.Merge.cdcMergeSql,
+    "q_funnel"        -> graft.ops.Behavior.funnelCountsSql,
+    "q_cohort"        -> graft.ops.Behavior.cohortRetentionSql,
+    "q_zscore"        -> graft.ops.Analytics.zscorePricesSql,
+    "q_repetition"    -> TextAnalysis.repetitionStatsSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -184,6 +184,49 @@ object Analytics {
       |    AS corr_qty_price
       |FROM s""".stripMargin
 
+  /** Feature standardization: per-group z-scores of the price column —
+    * the ML-feature-engineering normalizer. Group mean/stddev come from
+    * the same exact decimal power sums as [[momentsByReturnFlag]] (the
+    * native stddev_samp's float merge order varies with partitioning),
+    * then broadcast-join back onto the rows: stats are one
+    * map-side-combinable aggregate over 6 groups, so the scoring pass is
+    * scan-speed at any scale. Output restricted to a stable key range to
+    * keep the verified result bounded; z rounds to 4 decimals. */
+  def zscorePrices(s: SparkSession, d: String): DataFrame = {
+    val p = dec(col("l_extendedprice"))
+    val stats = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(p).as("sp"), sum(p * p).as("spp"))
+      .select(col("l_returnflag"),
+        (col("sp").cast("double") / col("n")).as("mean_price"),
+        sqrt((col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))
+          / (col("n") - 1)).as("std_price"))
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .join(broadcast(stats), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        round((col("l_extendedprice") - col("mean_price")) / col("std_price"), 4)
+          .as("z_price"))
+  }
+
+  val zscorePricesSql: String =
+    """WITH stats AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp
+      |  FROM lineitem GROUP BY l_returnflag),
+      |ms AS (
+      |  SELECT l_returnflag,
+      |    CAST(sp AS DOUBLE) / n AS mean_price,
+      |    sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1))
+      |      AS std_price
+      |  FROM stats)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  round((l_extendedprice - mean_price) / std_price, 4) AS z_price
+      |FROM lineitem JOIN ms USING (l_returnflag)
+      |WHERE l_orderkey <= 500""".stripMargin
+
   // ------------------------------------------------- ordered string agg
 
   /** Ordered string aggregation: nations per region as one sorted

@@ -271,6 +271,105 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q4 shape: EXISTS correlated subquery — orders with at least one
+    * line shipped more than 60 days after the order date, counted per
+    * priority. Catalyst plans the EXISTS as a left-semi join on the order
+    * key with the date comparison as a join-side predicate: the lineitem
+    * side projects two columns, the semi join short-circuits on first
+    * match, and at 100 TB both sides shuffle once on the (already
+    * co-partitionable) order key. */
+  def q4PriorityExists(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    Tables.orders(s, d)
+      .join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  val q4PriorityExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 shape: bi-directional nation-pair trade volume by ship year.
+    * The nation dimension joins twice under different roles (supplier
+    * nation / customer nation) — both broadcast; the pair predicate is a
+    * disjunction evaluated after both dims resolve, so the two fact joins
+    * (lineitem⋈orders, then supplier/customer keys) stay plain equi-joins
+    * the optimizer can order freely. Revenue is the exact-decimal sum. */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q18 shape: IN over a HAVING subquery — large-volume orders
+    * (total quantity > 300) joined back to orders and customer. The
+    * aggregate runs first (map-side combinable, one shuffle on the order
+    * key), survives the HAVING filter as a tiny key set, and the join
+    * back to orders is AQE-broadcastable at any scale where "large
+    * volume" stays selective; customer broadcasts outright. */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("big_okey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("big_okey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  val q18BigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   /** Broadcast star join: customer → nation → region, all dims broadcast —
     * zero shuffle on the fact side. */
   def starJoin(s: SparkSession, d: String): DataFrame =

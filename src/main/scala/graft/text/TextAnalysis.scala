@@ -198,6 +198,73 @@ object TextAnalysis {
       |  FROM scored) t
       |WHERE rn <= 3""".stripMargin
 
+  /** Repetition quality filters (the Gopher/MassiveText repetition rules):
+    * per document, the fraction of tokens taken by the single most
+    * frequent token, and the duplicate-3-gram fraction
+    * (1 − distinct/total 3-grams). Docs failing either threshold are the
+    * boilerplate/degenerate-generation candidates every corpus filter
+    * drops first.
+    *
+    * Shapes: the 3-gram fraction is a pure per-row array expression
+    * (scan speed, no shuffle); the top-token count is the wordcount shape
+    * — explode → two-level aggregate with map-side partial combine, so
+    * the shuffle carries O(distinct (doc, token)) short rows. The
+    * constant-per-doc columns ride through the first aggregate as min()
+    * instead of joining a second scan leg (Spark shares nothing across
+    * join legs — the lambda-CSE trap). Both fractions are single int/int
+    * divisions rounded to 4 decimals; the flag compares the ROUNDED
+    * values so the boolean can't diverge across engines. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    val sh = col("sh")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), w,
+        when(size(w) < 3, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(1), size(w) - 2), i =>
+            concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+          .as("sh"))
+      .select(col("doc_id"), size(w).as("n_toks"),
+        when(size(sh) > 0,
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+          .otherwise(lit(0.0)).as("dup3"),
+        explode(w).as("tok"))
+    base
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"), min("n_toks").as("n_toks"), min("dup3").as("dup3"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_tok"), min("n_toks").as("n_toks"), min("dup3").as("dup3"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("max_tok").cast("double") / col("n_toks"), 4).as("top_tok_frac"),
+        round(col("dup3"), 4).as("dup_3gram_frac"))
+      .withColumn("is_repetitive",
+        col("top_tok_frac") >= 0.15 || col("dup_3gram_frac") >= 0.15)
+  }
+
+  val repetitionStatsSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_toks,
+      |    CASE WHEN len(w) >= 3 THEN
+      |      1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(w)-2),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+      |          / (len(w) - 2)
+      |    ELSE 0.0 END AS dup3,
+      |    unnest(w) AS tok
+      |  FROM words),
+      |tc AS (
+      |  SELECT doc_id, tok, count(*) AS c, min(n_toks) AS n_toks, min(dup3) AS dup3
+      |  FROM base GROUP BY doc_id, tok),
+      |agg AS (
+      |  SELECT doc_id, max(c) AS max_tok, min(n_toks) AS n_toks, min(dup3) AS dup3
+      |  FROM tc GROUP BY doc_id)
+      |SELECT doc_id, n_toks,
+      |  round(CAST(max_tok AS DOUBLE) / n_toks, 4) AS top_tok_frac,
+      |  round(dup3, 4) AS dup_3gram_frac,
+      |  round(CAST(max_tok AS DOUBLE) / n_toks, 4) >= 0.15
+      |    OR round(dup3, 4) >= 0.15 AS is_repetitive
+      |FROM agg""".stripMargin
+
   /** Token-count histogram in buckets of 10 per language — the corpus
     * length-distribution audit (integer bucketing, oracle-exact). */
   def lengthHistogram(s: SparkSession, d: String): DataFrame =

@@ -145,4 +145,24 @@ class AnalyticsSpec extends GraftTestBase {
       .queryExecution.executedPlan.toString
     "Window \\[".r.findAllIn(plan).size shouldBe 1
   }
+
+  behavior of "zscorePrices"
+
+  it should "standardize against agreeing group stats and broadcast the stats join" in {
+    val out = Analytics.zscorePrices(spark, sf).cache()
+    try {
+      // recompute mean/std per flag with Spark's native aggregates; the
+      // power-sum rendering must agree to float tolerance
+      val native = graft.Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag")
+        .agg(avg("l_extendedprice").as("m"), stddev_samp("l_extendedprice").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      out.collect().foreach { r =>
+        val (m, s) = native(r.getAs[String]("l_returnflag"))
+        val expected = (r.getAs[Double]("l_extendedprice") - m) / s
+        r.getAs[Double]("z_price") shouldBe expected +- 1e-3
+      }
+      out.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+    } finally out.unpersist()
+  }
 }

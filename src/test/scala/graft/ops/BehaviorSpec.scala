@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class BehaviorSpec extends GraftTestBase {
+
+  behavior of "funnelCounts"
+
+  it should "produce a monotonically shrinking funnel bounded by the user count" in {
+    val r = Behavior.funnelCounts(spark, sf).head()
+    val (v, vc, vcp) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_view_click"),
+      r.getAs[Long]("n_full_funnel"))
+    val users = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    v should be <= users
+    vc should be <= v
+    vcp should be <= vc
+    v should be > 0L
+  }
+
+  behavior of "cohortRetention"
+
+  it should "cover every user at offset 0 and never emit negative offsets" in {
+    val rows = Behavior.cohortRetention(spark, sf).collect()
+    rows.map(_.getAs[Int]("day_offset")).min shouldBe 0
+    // offset 0 contains each user's first-seen day, so summing over
+    // cohorts at offset 0 counts every user exactly once
+    rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(_.getAs[Long]("n_users")).sum shouldBe
+      graft.Tables.events(spark, sf).select("user_id").distinct().count()
+  }
+
+  it should "never retain more users at an offset than the cohort holds at day 0" in {
+    val rows = Behavior.cohortRetention(spark, sf).collect()
+    val day0 = rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(r => r.getAs[java.sql.Date]("cohort_day") -> r.getAs[Long]("n_users")).toMap
+    rows.foreach { r =>
+      r.getAs[Long]("n_users") should be <= day0(r.getAs[java.sql.Date]("cohort_day"))
+    }
+  }
+
+  behavior of "cdcMerge"
+
+  it should "classify every key and preserve base keys exactly once" in {
+    val out = Merge.cdcMerge(spark, sf).cache()
+    try {
+      val orders = graft.Tables.orders(spark, sf)
+      // output keys are unique (merge is keyed)
+      out.count() shouldBe out.select("o_orderkey").distinct().count()
+      val byAction = out.groupBy("action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      byAction.keySet shouldBe Set("insert", "update", "keep")
+      // every delta key (o_orderkey % 5 == 0) surfaces as insert or update
+      byAction("insert") + byAction("update") shouldBe
+        orders.filter(col("o_orderkey") % 5 === 0).count()
+      // updated rows carry the restated status
+      out.filter(col("action") === "update" || col("action") === "insert")
+        .filter(col("o_orderstatus") =!= "U").count() shouldBe 0
+      // kept rows are bit-identical to their base column values
+      val basePrices = orders
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      out.filter(col("action") === "keep")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .exceptAll(basePrices).count() shouldBe 0
+    } finally out.unpersist()
+  }
+}

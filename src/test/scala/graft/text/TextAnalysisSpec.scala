@@ -83,4 +83,31 @@ class TextAnalysisSpec extends GraftTestBase {
       if (r.getLong(3) == nDocs) r.getDouble(4) shouldBe 0.0
     }
   }
+
+  behavior of "repetitionStats"
+
+  it should "bound both fractions in [0,1] and flag a synthetic degenerate doc" in {
+    val out = TextAnalysis.repetitionStats(spark, sf).collect()
+    out.length shouldBe graft.Tables.documents(spark, sf).count()
+    out.foreach { r =>
+      r.getAs[Double]("top_tok_frac") should (be >= 0.0 and be <= 1.0)
+      r.getAs[Double]("dup_3gram_frac") should (be >= 0.0 and be <= 1.0)
+      // a doc's most common token takes at least 1/n of it (4-decimal rounding)
+      r.getAs[Double]("top_tok_frac") should be >= 1.0 / r.getAs[Int]("n_toks") - 5e-5
+    }
+    // plant one degenerate doc: "spam spam spam ..." must trip both filters
+    import spark.implicits._
+    val planted = Seq((-1L, Seq.fill(50)("spam").mkString(" "), "en", "src0", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft-repetition-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.Tables.documents(spark, sf).unionByName(planted)
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.repetitionStats(spark, dir)
+      .filter($"doc_id" === -1L).head()
+    r.getAs[Double]("top_tok_frac") shouldBe 1.0
+    // output rounds to 4 decimals
+    r.getAs[Double]("dup_3gram_frac") shouldBe (1.0 - 1.0 / 48) +- 1e-4
+    r.getAs[Boolean]("is_repetitive") shouldBe true
+  }
 }
