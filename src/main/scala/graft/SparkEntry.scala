@@ -131,6 +131,7 @@ object SparkEntry {
     "q_cohort"          -> (graft.ops.Behavior.cohortRetention _),
     "q_zscore"          -> (graft.ops.Analytics.zscorePrices _),
     "q_repetition"      -> (TextAnalysis.repetitionStats _),
+    "q_share_of_total"  -> (graft.ops.Analytics.revenueShareByNation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -426,6 +427,7 @@ object SparkEntry {
     "q_cohort"        -> graft.ops.Behavior.cohortRetentionSql,
     "q_zscore"        -> graft.ops.Analytics.zscorePricesSql,
     "q_repetition"    -> TextAnalysis.repetitionStatsSql,
+    "q_share_of_total" -> graft.ops.Analytics.revenueShareByNationSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

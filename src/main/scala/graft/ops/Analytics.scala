@@ -227,6 +227,37 @@ object Analytics {
       |FROM lineitem JOIN ms USING (l_returnflag)
       |WHERE l_orderkey <= 500""".stripMargin
 
+  /** Share-of-total (ratio_to_report): each nation's revenue as a fraction
+    * of the grand total — the window-over-aggregate shape every BI layer
+    * emits. The empty-frame window sum runs over the 25-row aggregate,
+    * not the fact table, so the "global" window is driver-cheap at any
+    * scale; the division is one double op over two exact decimal sums,
+    * rounded to 4. */
+  def revenueShareByNation(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+    rev.select(col("n_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(Window.partitionBy()).cast("double"), 4)
+          .as("share_of_total"))
+  }
+
+  val revenueShareByNationSql: String =
+    """WITH rev AS (
+      |  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 4)
+      |    AS share_of_total
+      |FROM rev""".stripMargin
+
   // ------------------------------------------------- ordered string agg
 
   /** Ordered string aggregation: nations per region as one sorted
