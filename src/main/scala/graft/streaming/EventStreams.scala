@@ -209,6 +209,58 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       n_events: Long, duration_sec: Long)
 
+  final case class FunnelState(v: Long, c: Long, p: Long)
+  final case class StageOut(user_id: Long, stage: String, ts: Timestamp)
+
+  /** Streaming funnel: the incremental rendering of
+    * [[graft.ops.Behavior.funnelCounts]]. State per user = the first-seen
+    * timestamp of each stage event; a stage-transition row is emitted the
+    * moment the batch predicate (first click strictly after first view,
+    * first purchase strictly after that click) flips true, so
+    * `count(stage)` over the output stream equals the batch funnel at
+    * every point in time — asserted in StreamingSpec. O(24 bytes) state
+    * per user, no timeout (a funnel has no expiry; production would add
+    * a TTL timeout to cap the key space).
+    *
+    * Assumes per-user event-time order (guaranteed here by the per-batch
+    * sort + in-order source). Under out-of-order delivery a pre-view
+    * click arriving late could falsify an emitted transition — Append
+    * mode can't revoke, so a real deployment fronts this with a
+    * watermarked sort buffer, the same contract as any Append-mode
+    * stateful operator. */
+  def funnelStream(events: Dataset[Event]): Dataset[StageOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          def reachedV(s: FunnelState) = s.v != 0L
+          def reachedVC(s: FunnelState) = reachedV(s) && s.c != 0L && s.c > s.v
+          def reachedVCP(s: FunnelState) = reachedVC(s) && s.p != 0L && s.p > s.c
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageOut]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val prev = st
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view"     if st.v == 0L => st = st.copy(v = t)
+              case "click"    if st.c == 0L => st = st.copy(c = t)
+              case "purchase" if st.p == 0L => st = st.copy(p = t)
+              case _ =>
+            }
+            if (reachedV(st) && !reachedV(prev))
+              out += StageOut(userId, "view", new Timestamp(st.v))
+            if (reachedVC(st) && !reachedVC(prev))
+              out += StageOut(userId, "view_click", new Timestamp(st.c))
+            if (reachedVCP(st) && !reachedVCP(prev))
+              out += StageOut(userId, "full_funnel", new Timestamp(st.p))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming sessionization: custom state machine via
     * flatMapGroupsWithState. State per user = the one open session;
     * with the default ProcessingTimeTimeout, sessions idle past the gap

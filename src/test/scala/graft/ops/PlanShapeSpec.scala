@@ -86,6 +86,29 @@ class PlanShapeSpec extends GraftTestBase {
     scanned should be < parquetFilesUnder(dir)
   }
 
+  behavior of "join shapes (round-3 queries)"
+
+  it should "plan the EXISTS of q4 as a left-semi join with the date predicate on the join" in {
+    val plan = Relational.q4PriorityExists(spark, sf)
+      .queryExecution.executedPlan.toString
+    plan should include("LeftSemi")
+    // the date comparison must ride the join, not a post-join filter
+    plan should include regex "LeftSemi.*l_shipdate|l_shipdate.*LeftSemi"
+  }
+
+  it should "plan cdcMerge as a single full-outer shuffle join" in {
+    val plan = Merge.cdcMerge(spark, sf).queryExecution.executedPlan.toString
+    plan should include("FullOuter")
+    // merge must be ONE pass: exactly one join operator in the plan
+    "FullOuter".r.findAllIn(plan).size shouldBe 1
+  }
+
+  it should "broadcast both nation roles in q7" in {
+    val plan = Relational.q7NationVolume(spark, sf)
+      .queryExecution.executedPlan.toString
+    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+  }
+
   behavior of "codegen"
 
   it should "keep the per-row text pipeline inside whole-stage codegen" in {

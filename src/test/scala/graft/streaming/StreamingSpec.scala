@@ -215,6 +215,38 @@ class StreamingSpec extends GraftTestBase {
       .count() shouldBe 0
   }
 
+  behavior of "funnelStream"
+
+  it should "emit stage transitions whose counts equal the batch funnel on the full event log" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed the REAL events table in event-time order, split across two
+    // micro-batches, so state must carry stage progress between batches
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].orderBy("ts").collect()
+    val (first, second) = all.splitAt(all.length / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_spec")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+      val got = spark.table("funnel_spec").groupBy("stage").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val b = graft.ops.Behavior.funnelCounts(spark, sf).head()
+      got.getOrElse("view", 0L) shouldBe b.getAs[Long]("n_view")
+      got.getOrElse("view_click", 0L) shouldBe b.getAs[Long]("n_view_click")
+      got.getOrElse("full_funnel", 0L) shouldBe b.getAs[Long]("n_full_funnel")
+      // no user emits a stage twice
+      spark.table("funnel_spec").groupBy("user_id", "stage").count()
+        .filter(col("count") > 1).count() shouldBe 0
+    } finally query.stop()
+  }
+
   behavior of "incrementalTotals (streaming materialized view)"
 
   it should "refresh only touched keys and retain untouched partitions" in {
