@@ -132,6 +132,8 @@ object SparkEntry {
     "q_zscore"          -> (graft.ops.Analytics.zscorePrices _),
     "q_repetition"      -> (TextAnalysis.repetitionStats _),
     "q_share_of_total"  -> (graft.ops.Analytics.revenueShareByNation _),
+    "q_vector_norms"    -> (Similarity.vectorNorms _),
+    "q_deciles"         -> (graft.ops.Analytics.decileStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,6 +430,8 @@ object SparkEntry {
     "q_zscore"        -> graft.ops.Analytics.zscorePricesSql,
     "q_repetition"    -> TextAnalysis.repetitionStatsSql,
     "q_share_of_total" -> graft.ops.Analytics.revenueShareByNationSql,
+    "q_vector_norms"  -> Similarity.vectorNormsSql,
+    "q_deciles"       -> graft.ops.Analytics.decileStatsSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -258,6 +258,37 @@ object Analytics {
       |    AS share_of_total
       |FROM rev""".stripMargin
 
+  /** Equal-frequency decile bucketing of order prices (NTILE) with
+    * per-decile stats — the quantile-binning feature transform. NTILE
+    * needs a total order: the sort carries the unique order key as
+    * tiebreak so equal prices land deterministically. A single global
+    * window is the one shape that cannot shard — at 100 TB the same
+    * binning runs as approx-quantile cut points + a range join
+    * ([[Sketches]] has the estimator); this exact form stays the per-
+    * partition / bounded-slice tool. The global sort range-partitions
+    * (no single-reducer funnel); the decile aggregate after it is tiny. */
+  def decileStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("price_lo"),
+        max("o_totalprice").as("price_hi"),
+        dsum(col("o_totalprice")).as("price_sum"))
+
+  val decileStatsSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT decile, count(*) AS n_orders,
+      |  min(o_totalprice) AS price_lo,
+      |  max(o_totalprice) AS price_hi,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM ranked GROUP BY decile""".stripMargin
+
   // ------------------------------------------------- ordered string agg
 
   /** Ordered string aggregation: nations per region as one sorted

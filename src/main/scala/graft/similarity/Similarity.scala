@@ -170,6 +170,36 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
+  /** Per-vector scalar math over the embedding column — the vector-ops
+    * surface (norms, component extrema) as a pure projection: no shuffle,
+    * scan-speed at any scale, arrays never leave the executor. Every
+    * element is cast to double BEFORE summing in both engines so the
+    * accumulation is double-precision and index-ordered — float32
+    * accumulation differs engine-to-engine (the list_cosine_similarity
+    * lesson); rounding to 4 guards the final representation. */
+  def vectorNorms(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        size(e).as("n_dims"),
+        round(sqrt(aggregate(e, lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"),
+        round(array_max(transform(e, x => abs(x.cast("double")))), 4).as("max_abs"),
+        round(aggregate(e, lit(0.0d), (acc, x) => acc + x.cast("double")) /
+          size(e), 4).as("mean_v"))
+  }
+
+  val vectorNormsSql: String =
+    """SELECT vec_id, label,
+      |  CAST(len(embedding) AS INTEGER) AS n_dims,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      |  round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4)
+      |    AS max_abs,
+      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |    / len(embedding), 4) AS mean_v
+      |FROM embeddings""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   val bruteForceTopKSql: String =
