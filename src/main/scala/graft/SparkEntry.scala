@@ -134,6 +134,7 @@ object SparkEntry {
     "q_share_of_total"  -> (graft.ops.Analytics.revenueShareByNation _),
     "q_vector_norms"    -> (Similarity.vectorNorms _),
     "q_deciles"         -> (graft.ops.Analytics.decileStats _),
+    "q_window_distinct" -> (graft.ops.Analytics.windowDistinctCount _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -432,6 +433,7 @@ object SparkEntry {
     "q_share_of_total" -> graft.ops.Analytics.revenueShareByNationSql,
     "q_vector_norms"  -> Similarity.vectorNormsSql,
     "q_deciles"       -> graft.ops.Analytics.decileStatsSql,
+    "q_window_distinct" -> graft.ops.Analytics.windowDistinctCountSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

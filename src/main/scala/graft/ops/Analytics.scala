@@ -289,6 +289,31 @@ object Analytics {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
       |FROM ranked GROUP BY decile""".stripMargin
 
+  /** COUNT(DISTINCT) OVER a partition — an aggregate Spark's window
+    * operator doesn't accept (`DISTINCT` in windows is unsupported),
+    * rendered with the dense_rank identity: the distinct count of x in a
+    * partition equals max(dense_rank ordered by x). Both window passes
+    * share ONE partition shuffle (the second frame is unbounded, no
+    * re-sort); the oracle uses DuckDB's native distinct window aggregate,
+    * so what's verified is the identity itself. Restricted to a stable
+    * key slice to bound verified output. */
+  def windowDistinctCount(s: SparkSession, d: String): DataFrame = {
+    val byStatus = Window.partitionBy("o_orderstatus")
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .withColumn("dr", dense_rank().over(byStatus.orderBy(col("o_custkey"))))
+      .withColumn("n_cust_distinct",
+        max(col("dr")).over(byStatus))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+        col("n_cust_distinct").cast("long").as("n_cust_distinct"))
+  }
+
+  val windowDistinctCountSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_custkey,
+      |  count(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus)
+      |    AS n_cust_distinct
+      |FROM orders WHERE o_orderkey <= 2000""".stripMargin
+
   // ------------------------------------------------- ordered string agg
 
   /** Ordered string aggregation: nations per region as one sorted

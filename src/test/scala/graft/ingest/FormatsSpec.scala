@@ -47,4 +47,38 @@ class FormatsSpec extends GraftTestBase {
     an[IllegalArgumentException] should be thrownBy
       Formats.read(spark, "/tmp/nowhere", "json")
   }
+
+  behavior of "readEvolved"
+
+  it should "present one stable schema over files written by different schema versions" in {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = "/tmp/graft-formats-evolve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // v1 writer: two columns
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(dir)
+    // v2 writer: adds a score column, appended into the same table dir
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("source", StringType))) // column no file has yet
+    val out = Formats.readEvolved(spark, dir, target,
+      defaults = Map("score" -> -1.0, "source" -> "legacy"))
+    out.schema.fieldNames.toSeq shouldBe Seq("id", "name", "score", "source")
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    // score exists in SOME files: pre-evolution rows read as null
+    // (Delta contract — a real null must stay null), new rows keep data
+    byId(1L).isNullAt(2) shouldBe true
+    byId(3L).getDouble(2) shouldBe 9.5
+    // source exists in NO file: the declared default fills every row
+    all(byId.values.map(_.getString(3))) shouldBe "legacy"
+    // reverse evolution: a narrower target drops the extra column
+    val narrow = Formats.readEvolved(spark, dir,
+      StructType(Seq(StructField("id", LongType))))
+    narrow.schema.fieldNames.toSeq shouldBe Seq("id")
+    narrow.count() shouldBe 3
+  }
 }
