@@ -70,6 +70,26 @@ object Demo {
     val suppressed = kanon.filter(org.apache.spark.sql.functions.col("nationkey").isNull).count()
     println(f"suppressed $suppressed of $n rows (k=${ops.Privacy.kThreshold})")
 
+    println("== CDC merge (insert/update/keep split) ==")
+    ops.Merge.cdcMerge(spark, d).groupBy("action").count().orderBy("action").show()
+
+    println("== funnel: view -> click -> purchase ==")
+    ops.Behavior.funnelCounts(spark, d).show()
+
+    println("== repetition quality filters (most repetitive docs) ==")
+    text.TextAnalysis.repetitionStats(spark, d)
+      .orderBy(org.apache.spark.sql.functions.col("top_tok_frac").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .show(5)
+
+    println("== small-file compaction + range clustering ==")
+    val cdir = "/tmp/graft-demo-compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cdir))
+    Tables.orders(spark, d).repartition(32).write.parquet(s"$cdir/frag")
+    ops.Compaction.compact(spark, s"$cdir/frag", s"$cdir/out", 10000)
+    print("fragmented:  "); ops.Compaction.layoutStats(spark, s"$cdir/frag").show()
+    print("compacted:   "); ops.Compaction.layoutStats(spark, s"$cdir/out").show()
+
     spark.stop()
   }
 }
