@@ -135,6 +135,7 @@ object SparkEntry {
     "q_vector_norms"    -> (Similarity.vectorNorms _),
     "q_deciles"         -> (graft.ops.Analytics.decileStats _),
     "q_window_distinct" -> (graft.ops.Analytics.windowDistinctCount _),
+    "q_asof_broadcast"  -> (graft.ops.TimeSeries.asofLatestClickBroadcast _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -410,6 +411,9 @@ object SparkEntry {
     "q_string_agg"    -> graft.ops.Analytics.nationsPerRegionSql,
     "q_window_frames" -> graft.ops.Analytics.windowFrameBatterySql,
     "q_asof_join"     -> graft.ops.TimeSeries.asofLatestClickSql,
+    // same oracle on purpose: the custom broadcast as-of operator must
+    // reproduce the window rendering's contract row-for-row
+    "q_asof_broadcast" -> graft.ops.TimeSeries.asofLatestClickSql,
     "q_range_join"    -> graft.ops.TimeSeries.eventPairsWithin30MinSql,
     "q_window_range"  -> graft.ops.TimeSeries.trailingWindowStatsSql,
     "q_dedup_clusters" -> Dedup.dedupClustersSql,

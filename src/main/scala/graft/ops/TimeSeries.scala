@@ -35,6 +35,24 @@ object TimeSeries {
           .over(w).as("asof_click_value"))
   }
 
+  /** The SAME as-of semantics as [[asofLatestClick]] through the custom
+    * broadcast as-of PHYSICAL operator ([[graft.plans.AsofJoin]]): the
+    * clicks dimension is indexed and broadcast, the fact side streams
+    * through with zero shuffles — registered against the identical DuckDB
+    * oracle, so the driver verifies the custom operator row-for-row
+    * against the window rendering's contract. */
+  def asofLatestClickBroadcast(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.plans.AsofJoin.broadcastAsof(
+      fact = ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+      dim = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      key = "user_id",
+      factTime = "ts", factSeq = "event_id",
+      dimTime = "ts", dimSeq = "event_id",
+      payload = Seq("ts" -> "asof_click_ts", "value" -> "asof_click_value"))
+  }
+
   /** Interval (range) self-join: ordered pairs of same-user events at
     * most 30 minutes apart — the session-stitching / correlated-burst
     * primitive. */
