@@ -136,6 +136,7 @@ object SparkEntry {
     "q_deciles"         -> (graft.ops.Analytics.decileStats _),
     "q_window_distinct" -> (graft.ops.Analytics.windowDistinctCount _),
     "q_asof_broadcast"  -> (graft.ops.TimeSeries.asofLatestClickBroadcast _),
+    "q_winsorize"       -> (graft.ops.Analytics.winsorizedPrices _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -438,6 +439,7 @@ object SparkEntry {
     "q_vector_norms"  -> Similarity.vectorNormsSql,
     "q_deciles"       -> graft.ops.Analytics.decileStatsSql,
     "q_window_distinct" -> graft.ops.Analytics.windowDistinctCountSql,
+    "q_winsorize"     -> graft.ops.Analytics.winsorizedPricesSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -314,6 +314,40 @@ object Analytics {
       |    AS n_cust_distinct
       |FROM orders WHERE o_orderkey <= 2000""".stripMargin
 
+  /** Winsorization: clip prices to their group's [p05, p95] — the
+    * outlier-capping feature transform (the robust sibling of
+    * [[zscorePrices]]). Caps come from one exact-percentile aggregate
+    * over 3 groups (broadcast back); the clip itself is a pure
+    * projection. Caps round to 4 decimals BEFORE clipping so the
+    * boundary decision is engine-portable; clipped values are either
+    * raw data or a rounded cap — exact either way. */
+  def winsorizedPrices(s: SparkSession, d: String): DataFrame = {
+    val caps = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.05)"), 4).as("cap_lo"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("cap_hi"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .join(broadcast(caps), Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        least(greatest(col("o_totalprice"), col("cap_lo")), col("cap_hi"))
+          .as("price_winsorized"),
+        (col("o_totalprice") < col("cap_lo") || col("o_totalprice") > col("cap_hi"))
+          .as("was_clipped"))
+  }
+
+  val winsorizedPricesSql: String =
+    """WITH caps AS (
+      |  SELECT o_orderstatus,
+      |    round(quantile_cont(o_totalprice, 0.05), 4) AS cap_lo,
+      |    round(quantile_cont(o_totalprice, 0.95), 4) AS cap_hi
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  least(greatest(o_totalprice, cap_lo), cap_hi) AS price_winsorized,
+      |  o_totalprice < cap_lo OR o_totalprice > cap_hi AS was_clipped
+      |FROM orders JOIN caps USING (o_orderstatus)
+      |WHERE o_orderkey <= 2000""".stripMargin
+
   // ------------------------------------------------- ordered string agg
 
   /** Ordered string aggregation: nations per region as one sorted

@@ -109,6 +109,17 @@ class PlanShapeSpec extends GraftTestBase {
     "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
   }
 
+  it should "honor join strategy hints" in {
+    val o = graft.Tables.orders(spark, sf)
+    val c = graft.Tables.customer(spark, sf)
+    val merged = o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    merged should include("SortMergeJoin")
+    val hashed = o.join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    hashed should include("ShuffledHashJoin")
+  }
+
   behavior of "codegen"
 
   it should "keep the per-row text pipeline inside whole-stage codegen" in {
