@@ -137,6 +137,7 @@ object SparkEntry {
     "q_window_distinct" -> (graft.ops.Analytics.windowDistinctCount _),
     "q_asof_broadcast"  -> (graft.ops.TimeSeries.asofLatestClickBroadcast _),
     "q_winsorize"       -> (graft.ops.Analytics.winsorizedPrices _),
+    "q_udtf_ngrams"     -> (TextAnalysis.ngramGenerate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -440,6 +441,7 @@ object SparkEntry {
     "q_deciles"       -> graft.ops.Analytics.decileStatsSql,
     "q_window_distinct" -> graft.ops.Analytics.windowDistinctCountSql,
     "q_winsorize"     -> graft.ops.Analytics.winsorizedPricesSql,
+    "q_udtf_ngrams"   -> TextAnalysis.ngramGenerateSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -20,6 +20,7 @@ import org.apache.spark.sql.graft.shims
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectFunction(GraftFunctions.wordNgramsDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
@@ -36,13 +37,25 @@ object GraftFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
-  /** Imperatively register `cosine_sim` and the `xor_checksum` UDAF in an
-    * existing session (idempotent). UDAFs have no SparkSessionExtensions
-    * injection point, so xor_checksum is registered here (and by
-    * GraftSession) rather than in GraftExtensions. */
+  private[functions] val wordNgramsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "word_ngrams expects exactly 2 arguments")
+      WordNgrams(children.head, children(1))
+    })
+
+  /** Imperatively register the native functions and the `xor_checksum`
+    * UDAF in an existing session (idempotent). UDAFs have no
+    * SparkSessionExtensions injection point, so xor_checksum is
+    * registered here (and by GraftSession) rather than in
+    * GraftExtensions. */
   def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(cosineSimDescriptor, wordNgramsDescriptor).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     spark.udf.register("xor_checksum", XorChecksum.udaf)
   }
 
@@ -52,6 +65,12 @@ object GraftFunctions {
 
   /** Column-API form of the [[XorChecksum]] aggregate — no registry. */
   def xorChecksum(c: Column): Column = XorChecksum.udaf(c)
+
+  /** Column-API form of the [[WordNgrams]] generator (UDTF): emits
+    * (pos, ngram) rows, used like `explode`. */
+  def wordNgrams(text: Column, n: Int): Column =
+    shims.column(WordNgrams(shims.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
   /** Column-API form of [[TokenStats]]: one-pass token statistics struct.
     * Not SQL-registered (the stopword list is a constructor argument, not

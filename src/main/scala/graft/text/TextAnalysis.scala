@@ -265,6 +265,29 @@ object TextAnalysis {
       |    OR round(dup3, 4) >= 0.15 AS is_repetitive
       |FROM agg""".stripMargin
 
+  /** Positional trigram expansion through the native [[graft.functions.WordNgrams]]
+    * GENERATOR (the UDTF extension point): one (pos, ngram) row per word
+    * trigram, streamed out without materializing the n-gram array the
+    * `explode(transform(...))` rendering would build per document.
+    * Bounded to a stable doc range; the oracle rebuilds the same rows
+    * with generate_series. */
+  def ngramGenerate(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 50)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.wordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
+
+  val ngramGenerateSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE doc_id <= 50),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |  FROM words)
+      |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+      |  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+      |FROM idx""".stripMargin
+
   /** Token-count histogram in buckets of 10 per language — the corpus
     * length-distribution audit (integer bucketing, oracle-exact). */
   def lengthHistogram(s: SparkSession, d: String): DataFrame =
