@@ -348,9 +348,13 @@ object Relational {
     * back to orders is AQE-broadcastable at any scale where "large
     * volume" stays selective; customer broadcasts outright. */
   def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    // plain double sum, no decimal: quantities are integral (1-50), so
+    // IEEE addition is exact and order-independent — the decimal detour
+    // the price columns need buys nothing here and the 150k-group
+    // aggregate is this query's entire cost
     val big = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("big_okey"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 300)
     Tables.orders(s, d)
       .join(big, col("o_orderkey") === col("big_okey"))
@@ -361,10 +365,9 @@ object Relational {
 
   val q18BigOrdersSql: String =
     """WITH big AS (
-      |  SELECT l_orderkey,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
       |  FROM lineitem GROUP BY l_orderkey
-      |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+      |  HAVING sum(l_quantity) > 300)
       |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
       |FROM orders
       |JOIN big ON o_orderkey = l_orderkey
