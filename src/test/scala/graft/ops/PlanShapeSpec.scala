@@ -109,6 +109,18 @@ class PlanShapeSpec extends GraftTestBase {
     "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
   }
 
+  it should "prune the documents scan to (doc_id, text) for the repetition filters" in {
+    // plan string form: the scan node under AdaptiveSparkPlan isn't a
+    // collectLeaves leaf before execution
+    val plan = graft.text.TextAnalysis.repetitionStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(plan).get.group(1)
+    // lang/source/n_chars must not be read: 100 TB of text is scanned,
+    // but only the two needed columns leave the parquet reader
+    readSchema should (include("doc_id") and include("text"))
+    readSchema should (not include "lang" and not include "source")
+  }
+
   it should "honor join strategy hints" in {
     val o = graft.Tables.orders(spark, sf)
     val c = graft.Tables.customer(spark, sf)
