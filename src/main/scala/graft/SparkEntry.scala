@@ -138,6 +138,8 @@ object SparkEntry {
     "q_asof_broadcast"  -> (graft.ops.TimeSeries.asofLatestClickBroadcast _),
     "q_winsorize"       -> (graft.ops.Analytics.winsorizedPrices _),
     "q_udtf_ngrams"     -> (TextAnalysis.ngramGenerate _),
+    "q_entropy"         -> (TextAnalysis.tokenEntropy _),
+    "q_traffic_matrix"  -> (graft.ops.Behavior.trafficMatrix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -442,6 +444,8 @@ object SparkEntry {
     "q_window_distinct" -> graft.ops.Analytics.windowDistinctCountSql,
     "q_winsorize"     -> graft.ops.Analytics.winsorizedPricesSql,
     "q_udtf_ngrams"   -> TextAnalysis.ngramGenerateSql,
+    "q_entropy"       -> TextAnalysis.tokenEntropySql,
+    "q_traffic_matrix" -> graft.ops.Behavior.trafficMatrixSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -67,6 +67,26 @@ object Behavior {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Traffic heatmap: event counts on the (day-of-week × hour-of-day)
+    * grid per event type — the date-part extraction battery every
+    * monitoring dashboard runs. Engine alignment: Spark's `dayofweek` is
+    * 1-based Sunday=1, DuckDB's 0-based Sunday=0 — the oracle adds 1
+    * rather than both sides guessing; hour/minute extraction agrees
+    * as-is. One map-side-combinable aggregate over a 7×24×5 grid. */
+  def trafficMatrix(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  val trafficMatrixSql: String =
+    """SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+      |  CAST(hour(ts) AS INTEGER) AS hod,
+      |  event_type, count(*) AS n_events
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH first_seen AS (
       |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day

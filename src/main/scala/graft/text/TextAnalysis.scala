@@ -288,6 +288,35 @@ object TextAnalysis {
       |  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
       |FROM idx""".stripMargin
 
+  /** Shannon entropy of the token distribution per source — the
+    * vocabulary-concentration audit (low entropy = templated/boilerplate
+    * source, the corpus-level sibling of [[repetitionStats]]). Counts
+    * are exact integers (wordcount shuffle, map-side combinable); the
+    * -Σ p·ln p fold is double arithmetic whose summation order differs
+    * across engines, so the result rounds to 4 decimals like every
+    * other transcendental in the suite (error ~1e-13 « 5e-5). */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum(col("c") * log(col("c"))).cast("double") / sum("c") +
+          log(sum("c")), 4).as("entropy"))
+  }
+
+  val tokenEntropySql: String =
+    """WITH counts AS (
+      |  SELECT source, tok, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY source, tok)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+      |  round(-CAST(sum(c * ln(c)) AS DOUBLE) / sum(c) + ln(sum(c)), 4)
+      |    AS entropy
+      |FROM counts GROUP BY source""".stripMargin
+
   /** Token-count histogram in buckets of 10 per language — the corpus
     * length-distribution audit (integer bucketing, oracle-exact). */
   def lengthHistogram(s: SparkSession, d: String): DataFrame =
