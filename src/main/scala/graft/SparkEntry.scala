@@ -140,6 +140,7 @@ object SparkEntry {
     "q_udtf_ngrams"     -> (TextAnalysis.ngramGenerate _),
     "q_entropy"         -> (TextAnalysis.tokenEntropy _),
     "q_traffic_matrix"  -> (graft.ops.Behavior.trafficMatrix _),
+    "q_sample_weighted" -> (Relational.weightedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -446,6 +447,7 @@ object SparkEntry {
     "q_udtf_ngrams"   -> TextAnalysis.ngramGenerateSql,
     "q_entropy"       -> TextAnalysis.tokenEntropySql,
     "q_traffic_matrix" -> graft.ops.Behavior.trafficMatrixSql,
+    "q_sample_weighted" -> Relational.weightedSampleSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

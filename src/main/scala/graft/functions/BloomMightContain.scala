@@ -1,0 +1,44 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native membership probe against a pre-built
+  * [[org.apache.spark.util.sketch.BloomFilter]] — the predicate half of
+  * [[graft.ops.BloomPrune]]. The serialized filter ships in the task
+  * closure exactly like Spark's own runtime-filter expression; codegen
+  * emits one static call against a referenced deserialized filter, so
+  * the probe stays inside whole-stage codegen at scan speed. */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects BIGINT, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    bf.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloom", bf,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $bfRef.mightContainLong($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_might_contain"
+}

@@ -373,6 +373,34 @@ object Relational {
       |JOIN big ON o_orderkey = l_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  /** Weighted (importance) sampling: keep each order with probability
+    * proportional to its price — the PPS sampler training pipelines use
+    * to overweight rare/valuable strata. Deterministic like
+    * [[stratifiedSample]]: the acceptance uniform is a 24-bit md5 slice
+    * of the key (an exact dyadic rational, bit-identical everywhere), so
+    * re-runs, retries, and both engines select the same rows; a new row
+    * never flips an old row's fate under corpus growth. The max-price
+    * normalizer rides in as a broadcast 1-row cross join — fully lazy,
+    * no driver round-trip. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val maxP = Tables.orders(s, d).agg(max("o_totalprice").as("max_price"))
+    val u = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+      .cast("double") / 16777216.0
+    Tables.orders(s, d)
+      .crossJoin(broadcast(maxP))
+      .filter(u < col("o_totalprice") / col("max_price") * 0.3)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(col("o_totalprice") / col("max_price"), 4).as("rel_weight"))
+  }
+
+  val weightedSampleSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  round(o_totalprice / mp.max_price, 4) AS rel_weight
+      |FROM orders, (SELECT max(o_totalprice) AS max_price FROM orders) mp
+      |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT)
+      |      / 16777216.0
+      |    < o_totalprice / mp.max_price * 0.3""".stripMargin
+
   /** Broadcast star join: customer → nation → region, all dims broadcast —
     * zero shuffle on the fact side. */
   def starJoin(s: SparkSession, d: String): DataFrame =
