@@ -141,6 +141,7 @@ object SparkEntry {
     "q_entropy"         -> (TextAnalysis.tokenEntropy _),
     "q_traffic_matrix"  -> (graft.ops.Behavior.trafficMatrix _),
     "q_sample_weighted" -> (Relational.weightedSample _),
+    "q_mad"             -> (graft.ops.Analytics.madByStatus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -448,6 +449,7 @@ object SparkEntry {
     "q_entropy"       -> TextAnalysis.tokenEntropySql,
     "q_traffic_matrix" -> graft.ops.Behavior.trafficMatrixSql,
     "q_sample_weighted" -> Relational.weightedSampleSql,
+    "q_mad"           -> graft.ops.Analytics.madByStatusSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -348,6 +348,37 @@ object Analytics {
       |FROM orders JOIN caps USING (o_orderstatus)
       |WHERE o_orderkey <= 2000""".stripMargin
 
+  /** Median absolute deviation per group — the robust dispersion measure
+    * ([[zscorePrices]]'s mean/stddev break under heavy tails; median/MAD
+    * don't). Two exact-percentile passes over the same partitioning:
+    * medians first, broadcast back, then the median of absolute
+    * deviations. Interpolated percentile matches quantile_cont; rounds
+    * to 4 like all interpolation arithmetic in the suite. */
+  def madByStatus(s: SparkSession, d: String): DataFrame = {
+    val med = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med_price"))
+    Tables.orders(s, d)
+      .join(broadcast(med), Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(
+        round(first(col("med_price")), 4).as("median_price"),
+        round(expr("percentile(abs(o_totalprice - med_price), 0.5)"), 4)
+          .as("mad_price"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val madByStatusSql: String =
+    """WITH med AS (
+      |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med_price
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus,
+      |  round(any_value(med_price), 4) AS median_price,
+      |  round(quantile_cont(abs(o_totalprice - med_price), 0.5), 4) AS mad_price,
+      |  count(*) AS n_orders
+      |FROM orders JOIN med USING (o_orderstatus)
+      |GROUP BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------- ordered string agg
 
   /** Ordered string aggregation: nations per region as one sorted
