@@ -134,6 +134,7 @@ object SparkEntry {
     "q_share_of_total"  -> (graft.ops.Analytics.revenueShareByNation _),
     "q_vector_norms"    -> (Similarity.vectorNorms _),
     "q_deciles"         -> (graft.ops.Analytics.decileStats _),
+    "q_deciles_dist"    -> (graft.ops.Analytics.decileStatsDistributed _),
     "q_window_distinct" -> (graft.ops.Analytics.windowDistinctCount _),
     "q_asof_broadcast"  -> (graft.ops.TimeSeries.asofLatestClickBroadcast _),
     "q_winsorize"       -> (graft.ops.Analytics.winsorizedPrices _),
@@ -443,6 +444,9 @@ object SparkEntry {
     "q_share_of_total" -> graft.ops.Analytics.revenueShareByNationSql,
     "q_vector_norms"  -> Similarity.vectorNormsSql,
     "q_deciles"       -> graft.ops.Analytics.decileStatsSql,
+    // same oracle as q_deciles: the driver proves the distributed
+    // range-partition rendering row-equal to the single-reducer window
+    "q_deciles_dist"  -> graft.ops.Analytics.decileStatsSql,
     "q_window_distinct" -> graft.ops.Analytics.windowDistinctCountSql,
     "q_winsorize"     -> graft.ops.Analytics.winsorizedPricesSql,
     "q_udtf_ngrams"   -> TextAnalysis.ngramGenerateSql,

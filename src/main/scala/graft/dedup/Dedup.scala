@@ -268,6 +268,13 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    // fail loudly rather than return silently-split components: a graph
+    // with diameter > the round cap would otherwise yield wrong cluster
+    // ids that no downstream check can detect (ADVICE r3)
+    require(converged,
+      s"dedup cluster label propagation did not converge in $iter rounds — " +
+        "component diameter exceeds the cap; raise the iteration limit or " +
+        "switch to large-star/small-star rewrites for deep graphs")
     val sizes = labels.groupBy(col("label")).agg(count("*").as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

@@ -37,6 +37,19 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
     nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $bfRef.mightContainLong($v);")
   }
 
+  // Array[Byte] is reference-equal by default, so two structurally
+  // identical probes would never compare semanticEqual (defeating
+  // canonicalization/subexpression elimination) — compare the filter
+  // by content instead (ADVICE r3).
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 

@@ -261,12 +261,13 @@ object Analytics {
   /** Equal-frequency decile bucketing of order prices (NTILE) with
     * per-decile stats — the quantile-binning feature transform. NTILE
     * needs a total order: the sort carries the unique order key as
-    * tiebreak so equal prices land deterministically. A single global
-    * window is the one shape that cannot shard — at 100 TB the same
-    * binning runs as approx-quantile cut points + a range join
-    * ([[Sketches]] has the estimator); this exact form stays the per-
-    * partition / bounded-slice tool. The global sort range-partitions
-    * (no single-reducer funnel); the decile aggregate after it is tiny. */
+    * tiebreak so equal prices land deterministically. NOTE the scale
+    * posture honestly (ADVICE r3): a window with no PARTITION BY plans
+    * as Exchange SinglePartition — this exact form IS a single-reducer
+    * sort, the bounded-input / reference tool only. The scale path is
+    * [[decileStatsDistributed]] below (identical semantics, verified
+    * against the same oracle), which range-partitions and never funnels
+    * rows through one task. */
   def decileStats(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -288,6 +289,76 @@ object Analytics {
       |  max(o_totalprice) AS price_hi,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
       |FROM ranked GROUP BY decile""".stripMargin
+
+  /** The scale rendering of [[decileStats]]: exact NTILE(10) semantics
+    * with NO single-partition window (registered against the SAME DuckDB
+    * oracle, so the driver proves the two plans row-equal — the same
+    * custom-vs-reference pattern as q_asof_broadcast).
+    *
+    * Shape: one range repartition on (price, key) — Spark's distributed
+    * sort primitive, every partition holds a disjoint contiguous rank
+    * range — then a metadata pass collects the 32 per-partition row
+    * counts (the only driver round-trip; O(partitions), never O(rows)),
+    * and a narrow mapPartitions turns offset+local-position into the
+    * exact global rank and folds each row straight into per-decile
+    * partial aggregates (count / min / max / exact decimal sum). Each
+    * partition emits at most 10 partial rows; the final combine
+    * aggregates ≤ 10 × partitions rows. Total cost at any scale: one
+    * shuffle of (key, price) pairs + a scan — the single-reducer NTILE
+    * funnel is gone, and unlike approx-quantile cut points the bucket
+    * boundaries are exact, so results are bit-identical to the window
+    * form. The per-partition counting pass reads the localCheckpoint'd
+    * shuffle output, not the source table. */
+  def decileStatsDistributed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val ranged = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").cast("double").as("p"))
+      .repartitionByRange(nPart, col("p"), col("k"))
+      .sortWithinPartitions(col("p"), col("k"))
+      .select(col("k"), col("p"))
+      .as[(Long, Double)]
+      .rdd
+    ranged.localCheckpoint()
+    val counts = ranged
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val q = n / 10
+    val rem = n % 10
+    val partials = ranged.mapPartitionsWithIndex { (pid, it) =>
+      val off = offsets(pid)
+      var pos = 0L
+      val accC = new Array[Long](11)
+      val accLo = Array.fill(11)(Double.MaxValue)
+      val accHi = Array.fill(11)(Double.MinValue)
+      val accS = Array.fill(11)(java.math.BigDecimal.ZERO)
+      it.foreach { case (_, p) =>
+        pos += 1
+        val r = off + pos // exact global rank, 1-based
+        // NTILE remainder rule: the first rem buckets get q+1 rows
+        val dcl =
+          if (r <= rem * (q + 1)) (((r - 1) / (q + 1)) + 1).toInt
+          else (rem + ((r - rem * (q + 1) - 1) / q) + 1).toInt
+        accC(dcl) += 1
+        if (p < accLo(dcl)) accLo(dcl) = p
+        if (p > accHi(dcl)) accHi(dcl) = p
+        accS(dcl) = accS(dcl).add(java.math.BigDecimal.valueOf(p)
+          .setScale(2, java.math.RoundingMode.HALF_UP))
+      }
+      (1 to 10).iterator.filter(accC(_) > 0).map(dcl =>
+        (dcl, accC(dcl), accLo(dcl), accHi(dcl), accS(dcl).toPlainString))
+    }
+    s.createDataset(partials).toDF("decile", "n", "lo", "hi", "sum_str")
+      .groupBy("decile")
+      .agg(sum(col("n")).as("n_orders"),
+        min(col("lo")).as("price_lo"),
+        max(col("hi")).as("price_hi"),
+        sum(col("sum_str").cast(DecimalType(18, 2))).cast("double").as("price_sum"))
+  }
 
   /** COUNT(DISTINCT) OVER a partition — an aggregate Spark's window
     * operator doesn't accept (`DISTINCT` in windows is unsupported),

@@ -298,21 +298,39 @@ object Relational {
 
   /** TPC-H Q7 shape: bi-directional nation-pair trade volume by ship year.
     * The nation dimension joins twice under different roles (supplier
-    * nation / customer nation) — both broadcast; the pair predicate is a
-    * disjunction evaluated after both dims resolve, so the two fact joins
-    * (lineitem⋈orders, then supplier/customer keys) stay plain equi-joins
-    * the optimizer can order freely. Revenue is the exact-decimal sum. */
+    * nation / customer nation). The join ORDER is hand-staged for scale:
+    * each fact table is pruned by its own nation-filtered dimension
+    * BEFORE the lineitem⋈orders join — Catalyst derives the per-side
+    * `n_name IN (pair)` scan filters from the disjunction, but it keeps
+    * the DataFrame's join order, and joining the two full facts first
+    * means the big join (or its broadcast build) runs on 100% of rows
+    * when only ~(2/25)² of them can survive. Staged, the big join sees
+    * both sides pre-reduced to 8%: supplier+nation broadcasts into
+    * lineitem, the nation-filtered customer set reduces orders, and the
+    * residual pair disjunction runs as a cheap post-filter. Revenue is
+    * the exact-decimal sum. */
   def q7NationVolume(s: SparkSession, d: String): DataFrame = {
-    val n1 = Tables.nation(s, d)
+    val names = Seq("NATION_3", "NATION_7")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(names: _*))
       .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
-    val n2 = Tables.nation(s, d)
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(names: _*))
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+    // supplier is the genuinely small dim — broadcast it pre-joined with
+    // its nation role; customer can be large at scale, so its join is
+    // left to the planner (AQE broadcasts the 8% slice when it fits,
+    // shuffles co-partitioned with orders when it doesn't)
+    val su = Tables.supplier(s, d)
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cu = Tables.customer(s, d)
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val o = Tables.orders(s, d)
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    val l = Tables.lineitem(s, d)
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
         (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),

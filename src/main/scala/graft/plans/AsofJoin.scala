@@ -5,8 +5,9 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
@@ -136,11 +137,26 @@ case class AsofJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // The fact side streams through untouched, so its partitioning and
+  // ordering survive — advertising them lets downstream operators skip
+  // exchanges/sorts this node never disturbed (ADVICE r3).
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   /** Per-key index: times/seqs sorted lexicographically, payload row per
     * entry (values pre-extracted, so probe-side work is pure lookup). */
   private type Index = Map[Any, (Array[Long], Array[Long], Array[Array[Any]])]
 
-  protected override def doExecute(): RDD[InternalRow] = {
+  /** Driver-side build cap — the fail-fast BroadcastExchange enforces via
+    * maxBroadcastTableBytes/maxBroadcastRows; without it a mistakenly
+    * large dimension silently OOMs the driver (ADVICE r3). */
+  private def maxBuildRows: Long =
+    conf.getConfString("spark.graft.asof.maxBuildRows", "10000000").toLong
+
+  /** Built once per plan instance and reused across doExecute() calls —
+    * re-collecting and re-broadcasting the dimension on every execution
+    * (e.g. a reused DataFrame actioned twice) is pure waste. */
+  @transient private lazy val indexBroadcast = {
     val rOut = right.output
     val rKey = AsofJoin.ordinal(rOut, rightKey)
     val rKeyDt = rightKey.dataType
@@ -149,8 +165,20 @@ case class AsofJoinExec(
     val pOrds: Array[(Int, DataType)] =
       payload.map(p => (AsofJoin.ordinal(rOut, p), p.dataType)).toArray
 
+    val cap = maxBuildRows
+    // executeTake(cap + 1) bounds what ever reaches the driver: an
+    // over-limit dimension fails fast with a sizing error instead of
+    // materializing fully and OOMing during executeCollect.
+    val rows = right.executeTake(
+      math.min(cap + 1, Int.MaxValue.toLong).toInt)
+    if (rows.length > cap) {
+      throw new IllegalStateException(
+        s"as-of join build side exceeds spark.graft.asof.maxBuildRows=$cap; " +
+          "use the window rendering (TimeSeries.asofLatestClick shape) for " +
+          "non-broadcastable dimensions")
+    }
     val grouped = mutable.HashMap.empty[Any, mutable.ArrayBuffer[(Long, Long, Array[Any])]]
-    right.executeCollect().foreach { row =>
+    rows.foreach { row =>
       if (!row.isNullAt(rKey) && !row.isNullAt(rTime) && !row.isNullAt(rSeq)) {
         val vals = pOrds.map { case (o, dt) =>
           if (row.isNullAt(o)) null else InternalRow.copyValue(row.get(o, dt))
@@ -163,7 +191,11 @@ case class AsofJoinExec(
       val sorted = buf.sortBy(e => (e._1, e._2)).toArray
       (sorted.map(_._1), sorted.map(_._2), sorted.map(_._3))
     }.toMap
-    val bc = sparkContext.broadcast(index)
+    sparkContext.broadcast(index)
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val bc = indexBroadcast
 
     val lOut = left.output
     val lKey = AsofJoin.ordinal(lOut, leftKey)
