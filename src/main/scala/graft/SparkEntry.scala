@@ -143,6 +143,17 @@ object SparkEntry {
     "q_traffic_matrix"  -> (graft.ops.Behavior.trafficMatrix _),
     "q_sample_weighted" -> (Relational.weightedSample _),
     "q_mad"             -> (graft.ops.Analytics.madByStatus _),
+    // -- round 4: time-series repair, tolerance as-of, path/transition
+    //    analytics, basket pairs, weighted median, RFM, data-quality audits
+    "q_gapfill"         -> (graft.ops.TimeSeries.gapFillDailyOrders _),
+    "q_asof_tolerance"  -> (graft.ops.TimeSeries.asofClickWithTolerance _),
+    "q_event_paths"     -> (graft.ops.Behavior.topEventPaths _),
+    "q_transitions"     -> (graft.ops.Behavior.transitionMatrix _),
+    "q_copurchase"      -> (graft.ops.Behavior.coPurchasePairs _),
+    "q_weighted_median" -> (graft.ops.Analytics.weightedMedianPrice _),
+    "q_rfm"             -> (graft.ops.Analytics.rfmSegments _),
+    "q_dq_audit"        -> (graft.ops.Quality.dqAudit _),
+    "q_benford"         -> (graft.ops.Quality.benfordAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -454,6 +465,15 @@ object SparkEntry {
     "q_traffic_matrix" -> graft.ops.Behavior.trafficMatrixSql,
     "q_sample_weighted" -> Relational.weightedSampleSql,
     "q_mad"           -> graft.ops.Analytics.madByStatusSql,
+    "q_gapfill"       -> graft.ops.TimeSeries.gapFillDailyOrdersSql,
+    "q_asof_tolerance" -> graft.ops.TimeSeries.asofClickWithToleranceSql,
+    "q_event_paths"   -> graft.ops.Behavior.topEventPathsSql,
+    "q_transitions"   -> graft.ops.Behavior.transitionMatrixSql,
+    "q_copurchase"    -> graft.ops.Behavior.coPurchasePairsSql,
+    "q_weighted_median" -> graft.ops.Analytics.weightedMedianPriceSql,
+    "q_rfm"           -> graft.ops.Analytics.rfmSegmentsSql,
+    "q_dq_audit"      -> graft.ops.Quality.dqAuditSql,
+    "q_benford"       -> graft.ops.Quality.benfordAuditSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -668,4 +668,91 @@ object Analytics {
       |    OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS trailing3_price
       |FROM orders WHERE o_orderkey <= 2000
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** Weighted median: per return flag, the smallest extended price whose
+    * cumulative quantity weight reaches half the total — the
+    * robust-center statistic when rows carry unequal mass (price ticks
+    * weighted by volume, doc scores weighted by length).
+    *
+    * Determinism: the cumulative weight uses a RANGE frame ordered by
+    * price, so every row's cumw includes ALL rows of equal price —
+    * tie-order inside a price cannot shift the crossing point; weights
+    * are exact decimals, so partial-sum order cannot either. The scan,
+    * both windows, and the final aggregate share one l_returnflag
+    * partitioning — one shuffle end-to-end; the crossing test
+    * `2·cumw >= total` stays in integer-exact decimal arithmetic. */
+  def weightedMedianPrice(s: SparkSession, d: String): DataFrame = {
+    val byFlag = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"))
+    val cum = byFlag.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("l_returnflag")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("decimal(12,2)").as("wt"))
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        sum(col("wt")).over(cum).as("cumw"),
+        sum(col("wt")).over(all).as("totw"))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median_price"),
+        max(col("totw")).cast("double").as("total_weight"))
+  }
+
+  val weightedMedianPriceSql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+      |      PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+      |      PARTITION BY l_returnflag) AS totw
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  min(l_extendedprice) AS weighted_median_price,
+      |  CAST(max(totw) AS DOUBLE) AS total_weight
+      |FROM w WHERE cumw * 2 >= totw
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** RFM customer segmentation: every customer scored 1-5 on Recency
+    * (latest order date), Frequency (order count), and Monetary (exact
+    * total spend) via NTILE(5), then counted per (r, f, m) cell with the
+    * cell's total spend — the marketing-segmentation workhorse.
+    *
+    * Each NTILE orders by its measure with c_custkey as unique tiebreak
+    * (identical cuts on both engines). The input to the windows is the
+    * per-customer aggregate (one map-side-combinable shuffle), ~1/15th of
+    * fact rows; the three global NTILEs are the single-partition
+    * reference form — at scale each becomes the exact range-partitioned
+    * rank rendering of [[decileStatsDistributed]] (same semantics, no
+    * funnel), which the driver proves row-equal to the window form. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count("*").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    perCust
+      .select(col("o_custkey"), col("spend"),
+        ntile(5).over(Window.orderBy(col("last_order").desc, col("o_custkey"))).as("r"),
+        ntile(5).over(Window.orderBy(col("n_orders").desc, col("o_custkey"))).as("f"),
+        ntile(5).over(Window.orderBy(col("spend").desc, col("o_custkey"))).as("m"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count("*").as("n_customers"),
+        sum(col("spend")).cast("double").as("cell_spend"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT spend,
+      |    ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+      |    ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+      |    ntile(5) OVER (ORDER BY spend DESC, o_custkey) AS m
+      |  FROM per_cust)
+      |SELECT r, f, m, count(*) AS n_customers,
+      |  CAST(sum(spend) AS DOUBLE) AS cell_spend
+      |FROM scored GROUP BY 1, 2, 3""".stripMargin
 }

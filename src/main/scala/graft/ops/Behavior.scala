@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -98,4 +99,110 @@ object Behavior {
       |  count(DISTINCT user_id) AS n_users
       |FROM first_seen JOIN activity USING (user_id)
       |GROUP BY 1, 2""".stripMargin
+
+  /** Top user journeys: each user's first five events (by time, event_id
+    * tiebreak) joined into a `a>b>c` path string, counted across users —
+    * the path-analysis query behind every "how do users reach checkout"
+    * dashboard. Top 20 paths with a deterministic (count DESC, path) tie
+    * order on BOTH engines, so LIMIT cuts identically.
+    *
+    * Scale: the rank filter is a per-user window (user_id shuffle), the
+    * path build is a per-user aggregate on the SAME partitioning (no
+    * second shuffle), and the path census aggregates strings of bounded
+    * length (5 event types) — the wide state is O(distinct paths), which
+    * is capped by the event-type alphabet, not by users. */
+  def topEventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type")))).as("steps"))
+      .select(array_join(transform(col("steps"), _.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count("*").as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  val topEventPathsSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+
+  /** First-order Markov transition matrix over event types: for every
+    * consecutive (prev → next) pair inside a user's timeline, the count
+    * and the transition probability P(next | prev). The
+    * sequence-modeling / anomaly-baseline primitive.
+    *
+    * lag() and the pair count share one user_id partitioning; the
+    * probability denominator is a window sum over the 5×5 transition
+    * grid, not the event log — O(|alphabet|²) state no matter how many
+    * events. Counts are exact longs; the probability is one long/long
+    * IEEE division, portable. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count("*").as("n"))
+    pairs.select(col("prev_type"), col("next_type"), col("n"),
+      (col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("prev_type"))).as("p"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      |FROM pairs""".stripMargin
+
+  /** Market-basket co-occurrence: pairs of parts appearing in the same
+    * order, counted across orders, kept where support >= 2 — the
+    * co-purchase affinity primitive behind "frequently bought together".
+    *
+    * The pair space is generated per order from the sorted DISTINCT part
+    * list (combinations, a < b), so cost is Σ k_i²/2 over basket sizes —
+    * bounded by the largest basket (~7 lineitems), NEVER a fact-table
+    * self-join: the classic a⋈b-on-orderkey rendering shuffles and
+    * recomputes the scan twice and blows up on big baskets. At 100 TB the
+    * one knob needed is a basket-size cap before pair expansion (degenerate
+    * mega-baskets are data bugs, same guard as the dedup posting lists). */
+  def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(org.apache.spark.sql.functions.size(col("ps")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS part_a, y AS part_b))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+      .agg(count("*").as("n_orders"))
+      .filter(col("n_orders") >= 2)
+
+  val coPurchasePairsSql: String =
+    """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  count(*) AS n_orders
+      |FROM d a JOIN d b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 }

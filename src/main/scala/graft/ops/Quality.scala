@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality auditing — the validation layer the reference runs as
+  * ad-hoc row-count logging (`postgres_to_s3_operator.py:46,65-70`
+  * reconciliation counts), promoted to first-class queries: a
+  * constraint-violation audit and a Benford leading-digit screen.
+  *
+  * Scale posture: every check is either a single conditional aggregate
+  * over one table scan (map-side combinable, one pass no matter how many
+  * checks ride the scan) or a key-only anti/semi join whose build side is
+  * the dimension — the fact table is never shuffled whole. Audit outputs
+  * are O(checks) or O(digits): driver-safe forever.
+  */
+object Quality {
+
+  /** Constraint audit over the star schema: one row per check with its
+    * violation count (0 = clean). Covers the dbt-test canon —
+    * not-null, uniqueness, referential integrity, accepted ranges, and
+    * cross-column temporal sanity:
+    *   - `orders_null_custkey`      o_custkey IS NULL
+    *   - `orders_dup_pk`            o_orderkey appearing more than once
+    *   - `orders_nonpositive_price` o_totalprice <= 0
+    *   - `orders_orphan_custkey`    o_custkey missing from customer
+    *   - `lineitem_orphan_orderkey` l_orderkey missing from orders
+    *   - `lineitem_discount_range`  l_discount outside [0, 1]
+    *   - `lineitem_ship_before_order` l_shipdate earlier than the order date
+    *
+    * The three orders-side scalar checks share ONE scan/aggregate; the
+    * uniqueness check aggregates keys then counts the excess; RI checks
+    * are anti joins on keys only (dimension side broadcast-able); the
+    * temporal check joins lineitem to orders on the join both already
+    * share. Counts are exact longs — engine-portable by construction. */
+  def dqAudit(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val scalarChecks = o.agg(
+      sum(col("o_custkey").isNull.cast("long")).as("orders_null_custkey"),
+      sum((col("o_totalprice") <= 0).cast("long")).as("orders_nonpositive_price"))
+    val dupPk = o.groupBy(col("o_orderkey")).agg(count("*").as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n"))
+      .select(lit("orders_dup_pk").as("check"), col("n").as("n_violations"))
+    val orphanCust = o.join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count("*").as("n"))
+      .select(lit("orders_orphan_custkey").as("check"), col("n").as("n_violations"))
+    val orphanOrder = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count("*").as("n"))
+      .select(lit("lineitem_orphan_orderkey").as("check"), col("n").as("n_violations"))
+    val discRange = l.agg(
+        sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long")).as("n"))
+      .select(lit("lineitem_discount_range").as("check"), col("n").as("n_violations"))
+    val shipBefore = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum((col("l_shipdate") < col("o_orderdate")).cast("long")).as("n"))
+      .select(lit("lineitem_ship_before_order").as("check"), col("n").as("n_violations"))
+    scalarChecks
+      .select(explode(map(
+        lit("orders_null_custkey"), col("orders_null_custkey"),
+        lit("orders_nonpositive_price"), col("orders_nonpositive_price")))
+        .as(Seq("check", "n_violations")))
+      .unionAll(dupPk)
+      .unionAll(orphanCust)
+      .unionAll(orphanOrder)
+      .unionAll(discRange)
+      .unionAll(shipBefore)
+  }
+
+  val dqAuditSql: String =
+    """SELECT 'orders_null_custkey' AS check,
+      |  CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations FROM orders
+      |UNION ALL
+      |SELECT 'orders_nonpositive_price',
+      |  CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 'orders_dup_pk', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+      |FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+      |UNION ALL
+      |SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT) FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |UNION ALL
+      |SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |UNION ALL
+      |SELECT 'lineitem_discount_range',
+      |  CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT) FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_ship_before_order',
+      |  CAST(count(*) FILTER (l_shipdate < o_orderdate) AS BIGINT)
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  /** Benford leading-digit screen over order totals: observed frequency of
+    * each first significant digit vs the Benford expectation
+    * log10(1 + 1/d) — the classic fabricated-numbers / corrupted-feed
+    * smell test for financial columns.
+    *
+    * The digit is extracted through exact integer arithmetic (price is a
+    * 2-decimal quantity, so round(p·100) is integral): first char of the
+    * cents value — multiplying by 100 never changes the leading
+    * significant digit. No log10-of-data anywhere, so no float-boundary
+    * flakiness between engines; the only doubles are one n/total division
+    * and the 6-dp-rounded expectation constant. One map-side-combinable
+    * 9-row aggregate. */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count("*").as("n"))
+    digits.select(col("digit"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+          .as("observed_freq"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford_freq"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH digits AS (
+      |  SELECT substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+      |    AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit)
+      |SELECT digit, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS observed_freq,
+      |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_freq
+      |FROM counts""".stripMargin
+}

@@ -156,4 +156,98 @@ object TimeSeries {
       |  CAST(lead(o_orderdate) OVER w IS NULL AS INT) AS is_current
       |FROM chg
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** Gap-filled daily resample: orders rolled up to one row per
+    * (priority, calendar day) over the FULL date spine — absent days
+    * appear with n_orders = 0 and the day's average price carried forward
+    * from the last observed day (LOCF). The two canonical time-series
+    * repair modes (zero-fill for flows, last-observation-carried-forward
+    * for levels) in one query.
+    *
+    * Scale shape: the daily aggregate is a map-side-combinable groupBy
+    * whose output is O(priorities × days) — tiny forever. The spine is
+    * generated from a 1-row min/max aggregate (`sequence` + explode) and
+    * cross-joined with the distinct priorities: pure metadata, broadcast
+    * into the left join. The LOCF window partitions by priority — no
+    * single-reducer stage anywhere, and the fact table is touched exactly
+    * once. */
+  def gapFillDailyOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice"))
+    // avg as exact-decimal sum over count with ONE final double division:
+    // Spark's avg(DECIMAL) rounds to scale+4 while DuckDB's returns a
+    // double — sum/count is the engine-portable rendering
+    val daily = o.groupBy(col("o_orderpriority"), col("day"))
+      .agg(count("*").as("n"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count("*")).as("avg_price"))
+    val spine = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val grid = spine.crossJoin(o.select(col("o_orderpriority")).distinct())
+    val locf = Window.partitionBy("o_orderpriority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("o_orderpriority", "day"), "left")
+      .select(col("o_orderpriority"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        last(col("avg_price"), ignoreNulls = true).over(locf).as("avg_price_locf"))
+  }
+
+  val gapFillDailyOrdersSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, o_totalprice
+      |  FROM orders),
+      |daily AS (
+      |  SELECT o_orderpriority, day, count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |  FROM o GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM o),
+      |grid AS (SELECT p.o_orderpriority, s.day
+      |  FROM spine s CROSS JOIN (SELECT DISTINCT o_orderpriority FROM o) p)
+      |SELECT g.o_orderpriority, g.day,
+      |  coalesce(d.n, 0) AS n_orders,
+      |  last_value(d.avg_price IGNORE NULLS) OVER (
+      |    PARTITION BY g.o_orderpriority ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_price_locf
+      |FROM grid g LEFT JOIN daily d
+      |  ON g.o_orderpriority = d.o_orderpriority AND g.day = d.day""".stripMargin
+
+  /** As-of join WITH TOLERANCE: each event sees the same user's most
+    * recent 'click' only if it happened within the last hour — beyond
+    * the tolerance the match expires to NULL (the attribution-window /
+    * staleness-bounded quote-match semantics; plain as-of never forgets).
+    *
+    * Rendered as a trailing RANGE frame on epoch seconds [-3600, 0]: frame
+    * membership is time-defined, so it IS the tolerance. "Latest click"
+    * inside the frame is max over a (ts, event_id, payload) struct —
+    * lexicographic max on a unique prefix, so ties in the ordering column
+    * (same-second events) cannot make the result engine-dependent, unlike
+    * last_value whose ROWS position is tie-arbitrary. One user_id shuffle,
+    * same cost envelope as [[trailingWindowStats]] at any scale. */
+  def asofClickWithTolerance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        max(when(col("event_type") === "click",
+          struct(col("ts"), col("event_id"), col("value")))).over(w).as("m"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("m.ts").as("tol_click_ts"), col("m.value").as("tol_click_value"))
+  }
+
+  val asofClickWithToleranceSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click'
+      |        THEN struct_pack(ts := ts, eid := event_id, v := value) END) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS m
+      |  FROM events)
+      |SELECT event_id, user_id, ts, event_type,
+      |  m.ts AS tol_click_ts, m.v AS tol_click_value
+      |FROM base""".stripMargin
 }

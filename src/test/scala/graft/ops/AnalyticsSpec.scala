@@ -165,4 +165,42 @@ class AnalyticsSpec extends GraftTestBase {
       out.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
     } finally out.unpersist()
   }
+
+  behavior of "weightedMedianPrice"
+
+  it should "pick the smallest price whose cumulative weight reaches half the total" in {
+    val rows = Analytics.weightedMedianPrice(spark, sf).collect()
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val wm = r.getAs[Double]("weighted_median_price")
+      val grp = li.filter(_._1 == flag)
+      val tot = grp.map(_._3).sum // integral doubles: exact
+      (grp.filter(_._2 <= wm).map(_._3).sum * 2) should be >= tot
+      val smaller = grp.map(_._2).filter(_ < wm)
+      if (smaller.nonEmpty)
+        (grp.filter(_._2 <= smaller.max).map(_._3).sum * 2) should be < tot
+      r.getAs[Double]("total_weight") shouldBe tot
+    }
+  }
+
+  behavior of "rfmSegments"
+
+  it should "score 1-5 on every axis and conserve customers and spend" in {
+    val rows = Analytics.rfmSegments(spark, sf).collect()
+    rows.foreach { r =>
+      r.getAs[Int]("r") should (be >= 1 and be <= 5)
+      r.getAs[Int]("f") should (be >= 1 and be <= 5)
+      r.getAs[Int]("m") should (be >= 1 and be <= 5)
+    }
+    val o = graft.Tables.orders(spark, sf)
+    rows.map(_.getAs[Long]("n_customers")).sum shouldBe
+      o.select("o_custkey").distinct().count()
+    val spend = o.agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    rows.map(_.getAs[Double]("cell_spend")).sum shouldBe spend +- 1e-4
+  }
 }

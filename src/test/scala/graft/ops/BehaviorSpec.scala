@@ -67,4 +67,45 @@ class BehaviorSpec extends GraftTestBase {
         .exceptAll(basePrices).count() shouldBe 0
     } finally out.unpersist()
   }
+
+  behavior of "topEventPaths"
+
+  it should "emit at most 20 descending-count paths of at most 5 steps" in {
+    val rows = Behavior.topEventPaths(spark, sf).collect()
+    rows.length should be <= 20
+    rows.length should be > 0
+    rows.foreach(r => r.getAs[String]("path").split(">").length should be <= 5)
+    val users = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    rows.map(_.getAs[Long]("n_users")).sum should be <= users
+    val ns = rows.map(_.getAs[Long]("n_users")).toSeq
+    ns.zip(ns.tail).foreach { case (a, b) => a should be >= b }
+  }
+
+  behavior of "transitionMatrix"
+
+  it should "emit per-prev probability rows summing to 1 and conserve pair counts" in {
+    val rows = Behavior.transitionMatrix(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("prev_type")).values.foreach { g =>
+      g.map(_.getAs[Double]("p")).sum shouldBe 1.0 +- 1e-9
+    }
+    // every non-first event contributes exactly one transition
+    val e = graft.Tables.events(spark, sf)
+    rows.map(_.getAs[Long]("n")).sum shouldBe
+      e.count() - e.select("user_id").distinct().count()
+  }
+
+  behavior of "coPurchasePairs"
+
+  it should "match the brute-force distinct self-join rendering exactly" in {
+    val out = Behavior.coPurchasePairs(spark, sf)
+    val l = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val brute = l.toDF("ok", "pa").join(l.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").count().filter(col("count") >= 2)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("count").as("n_orders"))
+    out.exceptAll(brute).count() shouldBe 0
+    brute.exceptAll(out).count() shouldBe 0
+  }
 }

@@ -52,4 +52,51 @@ class TimeSeriesSpec extends GraftTestBase {
     released.groupBy(r => (r.getInt(1), r.getDouble(2), r.getString(3)))
       .values.foreach(_.length.toLong should be >= Privacy.kThreshold.toLong)
   }
+
+  behavior of "gapFillDailyOrders"
+
+  it should "cover the contiguous spine, conserve counts, and carry prices forward" in {
+    val out = TimeSeries.gapFillDailyOrders(spark, sf).collect()
+    val prios = out.map(_.getAs[String]("o_orderpriority")).distinct
+    val days = out.map(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay).distinct.sorted
+    days.zip(days.tail).foreach { case (a, b) => (b - a) shouldBe 1L }
+    out.length shouldBe prios.length * days.length
+    out.map(_.getAs[Long]("n_orders")).sum shouldBe
+      graft.Tables.orders(spark, sf).count()
+    // some gap rows must exist (otherwise the query tests nothing) and
+    // LOCF leaves no NULL after a priority's first observed day
+    out.count(_.getAs[Long]("n_orders") == 0L) should be > 0
+    out.groupBy(_.getAs[String]("o_orderpriority")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+      val first = sorted.indexWhere(_.getAs[Long]("n_orders") > 0L)
+      sorted.drop(first).foreach { r =>
+        r.isNullAt(r.fieldIndex("avg_price_locf")) shouldBe false
+      }
+    }
+  }
+
+  behavior of "asofClickWithTolerance"
+
+  it should "match a brute-force per-user scan of the 1-hour window" in {
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Timestamp](2),
+        r.getString(3), r.getDouble(4)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val out = TimeSeries.asofClickWithTolerance(spark, sf).collect()
+    out.length shouldBe ev.length
+    out.foreach { r =>
+      val (eid, uid) = (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"))
+      val sec = ev.find(_._1 == eid).get._3.getTime / 1000
+      // frame = clicks whose floor-second lies in [sec-3600, sec]
+      val inWin = clicksByUser.getOrElse(uid, Array.empty)
+        .filter(c => { val cs = c._3.getTime / 1000; cs >= sec - 3600 && cs <= sec })
+      if (inWin.isEmpty) r.isNullAt(r.fieldIndex("tol_click_ts")) shouldBe true
+      else {
+        val best = inWin.maxBy(c => (c._3.getTime, c._1))
+        r.getAs[java.sql.Timestamp]("tol_click_ts") shouldBe best._3
+        r.getAs[Double]("tol_click_value") shouldBe best._5
+      }
+    }
+  }
 }
