@@ -303,19 +303,29 @@ object Dedup {
     * (threshold chosen from the corpus: max pairwise cosine ~0.51, so the
     * output is the discriminative near-dup tail, not noise).
     *
-    * This is the exact all-pairs form — O(n²) scored by the codegen'd
-    * [[graft.functions.CosineSimilarity]], broadcast on the build side.
-    * At 100 TB this operator runs with an LSH blocking stage first
+    * This is the exact all-pairs form — O(n²) pairs, but the per-pair
+    * work is hoisted down to ONE fused dot-product loop
+    * ([[graft.functions.DotProduct]]): each side precomputes its L2 norm
+    * once per ROW, and `dot / (norm_a * norm_b)` is bit-identical to
+    * [[graft.functions.CosineSimilarity]] (same accumulation order, same
+    * `sqrt(nx) * sqrt(ny)` denominator grouping, same null-on-zero-norm
+    * contract) at a third of the pair-loop flops. At 100 TB this
+    * operator runs with an LSH blocking stage first
     * ([[graft.similarity.Similarity.lshTopK]] shape: bucket-join then
-    * verify); the all-pairs form stays the per-bucket verifier. Oracle
-    * rounds to 4 decimals (engine-portable, see Similarity scaladoc). */
+    * verify); the all-pairs form stays the per-bucket verifier, and the
+    * norms column rides the O(n) row side, never the O(n²) pair space.
+    * Oracle rounds to 4 decimals (engine-portable, see Similarity
+    * scaladoc). */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{dotProduct, l2Norm}
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      l2Norm(col("embedding")).as("norm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      l2Norm(col("embedding")).as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(graft.functions.GraftFunctions.cosineSim(col("emb_a"), col("emb_b")), 4)
+        round(dotProduct(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 4)
           .as("cosine"))
       .filter(col("cosine") >= 0.4)
   }

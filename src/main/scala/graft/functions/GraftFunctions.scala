@@ -63,6 +63,14 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     shims.column(CosineSimilarity(shims.expression(a), shims.expression(b)))
 
+  /** Fused float-vector dot product ([[DotProduct]]) — pair-loop half of
+    * the hoisted-norm cosine identity. */
+  def dotProduct(a: Column, b: Column): Column =
+    shims.column(DotProduct(shims.expression(a), shims.expression(b)))
+
+  /** L2 norm ([[L2Norm]]); null on zero-norm/null input. */
+  def l2Norm(a: Column): Column = shims.column(L2Norm(shims.expression(a)))
+
   /** Column-API form of the [[XorChecksum]] aggregate — no registry. */
   def xorChecksum(c: Column): Column = XorChecksum.udaf(c)
 
