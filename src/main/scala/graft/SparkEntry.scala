@@ -154,6 +154,12 @@ object SparkEntry {
     "q_rfm"             -> (graft.ops.Analytics.rfmSegments _),
     "q_dq_audit"        -> (graft.ops.Quality.dqAudit _),
     "q_benford"         -> (graft.ops.Quality.benfordAudit _),
+    "q6_forecast"       -> (Relational.q6Forecast _),
+    "q19_disjunctive"   -> (Relational.q19Disjunctive _),
+    "q22_global_sales"  -> (Relational.q22GlobalSales _),
+    "q_intersect_all"   -> (Relational.setIntersectAll _),
+    "q_except_all"      -> (Relational.setExceptAll _),
+    "q_mode"            -> (graft.ops.Analytics.modeSegmentByNation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -474,6 +480,12 @@ object SparkEntry {
     "q_rfm"           -> graft.ops.Analytics.rfmSegmentsSql,
     "q_dq_audit"      -> graft.ops.Quality.dqAuditSql,
     "q_benford"       -> graft.ops.Quality.benfordAuditSql,
+    "q6_forecast"     -> Relational.q6ForecastSql,
+    "q19_disjunctive" -> Relational.q19DisjunctiveSql,
+    "q22_global_sales" -> Relational.q22GlobalSalesSql,
+    "q_intersect_all" -> Relational.setIntersectAllSql,
+    "q_except_all"    -> Relational.setExceptAllSql,
+    "q_mode"          -> graft.ops.Analytics.modeSegmentByNationSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -712,6 +712,33 @@ object Analytics {
       |FROM w WHERE cumw * 2 >= totw
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Deterministic MODE (most frequent value) per group: each nation's
+    * most common market segment among its customers, with the count.
+    * Plain `mode()` is tie-nondeterministic in every engine; here the
+    * winner is pinned by lexicographic max over (count, segment) — on
+    * tied counts the lexically LAST segment wins, identically everywhere.
+    * Two map-side-combinable aggregates (value counts, then per-group
+    * struct max); the second input is O(groups × distinct values). */
+  def modeSegmentByNation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count("*").as("n"))
+      .groupBy(col("c_nationkey"))
+      .agg(max(struct(col("n"), col("c_mktsegment"))).as("m"))
+      .select(col("c_nationkey"), col("m.c_mktsegment").as("mode_segment"),
+        col("m.n").as("n_customers"))
+
+  val modeSegmentByNationSql: String =
+    """WITH counts AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |win AS (
+      |  SELECT c_nationkey,
+      |    max(struct_pack(n := n, seg := c_mktsegment)) AS m
+      |  FROM counts GROUP BY 1)
+      |SELECT c_nationkey, m.seg AS mode_segment, m.n AS n_customers
+      |FROM win""".stripMargin
+
   /** RFM customer segmentation: every customer scored 1-5 on Recency
     * (latest order date), Frequency (order count), and Monetary (exact
     * total spend) via NTILE(5), then counted per (r, f, m) cell with the

@@ -391,6 +391,146 @@ object Relational {
       |JOIN big ON o_orderkey = l_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  /** TPC-H Q6 shape: the forecasting-revenue-change scan — a pure
+    * filter + single-row aggregate with NO join, THE predicate-pushdown
+    * benchmark. All three predicates (date range, discount band,
+    * quantity cap) must reach the parquet reader as PushedFilters
+    * (PlanShapeSpec asserts this); at 100 TB this query is a row-group-
+    * pruned scan and one map-side-combinable scalar aggregate — network
+    * traffic is 32 partial sums, full stop. Revenue is the exact decimal
+    * product-sum: price(18,2) × discount(3,2) stays exact, one final
+    * cast. Discounts are compared as exact decimals too — the doubles
+    * 0.05/0.07 are binary-inexact and a raw double BETWEEN can flake at
+    * the band edge across engines. */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") &&
+        col("l_discount").cast(DecimalType(3, 2)).between(
+          lit("0.05").cast(DecimalType(3, 2)), lit("0.07").cast(DecimalType(3, 2))) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(3, 2))).cast("double").as("revenue"),
+        count("*").as("n_lines"))
+
+  val q6ForecastSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |  AND CAST(l_discount AS DECIMAL(3,2))
+      |      BETWEEN CAST('0.05' AS DECIMAL(3,2)) AND CAST('0.07' AS DECIMAL(3,2))
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q19 shape: disjunctive multi-predicate join — revenue over
+    * three OR'd (brand, size-band, quantity-band) branches that each
+    * reference BOTH join sides. The optimizer stress here is predicate
+    * decomposition: Catalyst extracts the join-key equality out of the
+    * disjunction and derives per-side IN/range filters from the OR
+    * (brand ∈ {the three brands} reaches the part scan, quantity ≤ the
+    * max band cap reaches lineitem), so the join runs equi + residual —
+    * never a cross product. part broadcasts; the residual OR evaluates
+    * codegen'd post-join. */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    def branch(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) && col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#1", 1, 15, 1, 21) ||
+        branch("Brand#12", 10, 25, 10, 30) ||
+        branch("Brand#20", 20, 40, 20, 40))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("revenue"),
+        count("*").as("n_lines"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 21)
+      |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  /** TPC-H Q22 shape: global-sales-opportunity — wealthy customers
+    * (balance above the positive-balance average, a scalar subquery)
+    * with NO orders in 1995 (anti join), rolled up per nation. The
+    * scalar average broadcasts as a 1-row cross join (lazy, no driver
+    * round-trip); the anti join's build side is the 1995 order keys —
+    * date-pruned at the scan, and the join is key-only so AQE broadcasts
+    * it whenever the year's customer set fits. */
+  def q22GlobalSales(s: SparkSession, d: String): DataFrame = {
+    val avgBal = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count("*")).as("avg_bal"))
+    val o95 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count("*").as("n_custs"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal"))
+  }
+
+  val q22GlobalSalesSql: String =
+    """WITH avg_bal AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0),
+      |o95 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+      |SELECT c_nationkey, count(*) AS n_custs,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer CROSS JOIN avg_bal
+      |WHERE c_acctbal > avg_bal
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM o95)
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** INTERSECT ALL / EXCEPT ALL: multiset semantics — a customer who
+    * placed 3 orders in 1995 and 2 in 1996 contributes min(3,2)=2 rows
+    * to the intersection and 3-2=1 row to the difference, where the
+    * DISTINCT forms ([[setIntersect]]/[[setExcept]]) collapse to one.
+    * Spark plans both as a count-comparing aggregate (one shuffle, no
+    * join explosion) — the multiplicity bookkeeping every reconciliation
+    * diff actually needs. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def inYear(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+    inYear(1995).intersectAll(inYear(1996))
+  }
+
+  val setIntersectAllSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin
+
+  def setExceptAll(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def inYear(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+    inYear(1995).exceptAll(inYear(1996))
+  }
+
+  val setExceptAllSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin
+
   /** Weighted (importance) sampling: keep each order with probability
     * proportional to its price — the PPS sampler training pipelines use
     * to overweight rare/valuable strata. Deterministic like

@@ -140,4 +140,35 @@ class PlanShapeSpec extends GraftTestBase {
     plan should include("*(1)") // the whole-stage-codegen marker
     (plan should not).include("InMemoryTableScan")
   }
+
+  behavior of "TPC-H predicate handling"
+
+  it should "push all three Q6 predicates to the lineitem scan" in {
+    // the scan's PushedFilters rendering truncates at 100 chars, which
+    // would hide the later entries this test exists to check
+    val prev = spark.conf.getOption("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val plan = Relational.q6Forecast(spark, sf).queryExecution.executedPlan.toString
+      plan should include("PushedFilters")
+      plan should include("GreaterThanOrEqual(l_shipdate")
+      plan should include("LessThan(l_quantity")
+      // no join anywhere: scan -> partial agg -> final agg
+      (plan should not).include("Join")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.maxMetadataStringLength", v)
+      case None => spark.conf.unset("spark.sql.maxMetadataStringLength")
+    }
+  }
+
+  it should "derive per-side scan filters from Q19's disjunction and keep an equi-join" in {
+    val plan = Relational.q19Disjunctive(spark, sf).queryExecution.executedPlan.toString
+    // the OR of conjunctions must NOT degrade to a cross product
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("NestedLoop")
+    // Catalyst extracts brand IN (...) from the disjunction onto the
+    // part side (In/EqualTo rendering both acceptable across versions)
+    plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString should include("p_brand")
+  }
 }
