@@ -212,6 +212,36 @@ object EventStreams {
   final case class FunnelState(v: Long, c: Long, p: Long)
   final case class StageOut(user_id: Long, stage: String, ts: Timestamp)
 
+  final case class TransState(lastType: String)
+  final case class TransitionOut(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming first-order transitions: the incremental rendering of
+    * [[graft.ops.Behavior.transitionMatrix]]. State per user is ONE
+    * event type (the previous one) — O(users) state total, watermark-free
+    * by construction — and every arriving event emits exactly its
+    * (prev → next) pair, so `groupBy(prev, next).count()` over the
+    * emitted rows equals the batch matrix at every stream prefix
+    * (asserted in StreamingSpec across micro-batch splits). Same
+    * in-order-input contract as [[sessionizeStream]]: within a batch
+    * events sort by (ts, event_id); cross-batch order is the source's. */
+  def transitionStream(events: Dataset[Event]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+          var last = state.getOption.map(_.lastType).orNull
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (last != null) out += TransitionOut(userId, last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(TransState(last))
+          out.iterator
+      }
+  }
+
   /** Streaming funnel: the incremental rendering of
     * [[graft.ops.Behavior.funnelCounts]]. State per user = the first-seen
     * timestamp of each stage event; a stage-transition row is emitted the

@@ -247,6 +247,37 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "transitionStream"
+
+  it should "emit transition pairs whose counts equal the batch matrix across batch splits" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].orderBy("ts", "event_id").collect()
+    // three uneven splits: state (the previous event type) must survive
+    // both boundaries for the counts to come out right
+    val (a, rest) = all.splitAt(all.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_spec")
+      .outputMode("append").start()
+    try {
+      Seq(a, b, c).foreach { part =>
+        input.addData(part.toSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("trans_spec")
+        .groupBy("prev_type", "next_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.Behavior.transitionMatrix(spark, sf)
+        .collect().map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+          r.getAs[Long]("n")).toMap
+      got shouldBe batch
+    } finally query.stop()
+  }
+
   behavior of "incrementalTotals (streaming materialized view)"
 
   it should "refresh only touched keys and retain untouched partitions" in {
