@@ -160,6 +160,8 @@ object SparkEntry {
     "q_intersect_all"   -> (Relational.setIntersectAll _),
     "q_except_all"      -> (Relational.setExceptAll _),
     "q_mode"            -> (graft.ops.Analytics.modeSegmentByNation _),
+    "q_wau"             -> (graft.ops.Behavior.rollingActiveUsers _),
+    "q_spearman"        -> (graft.ops.Analytics.spearmanPriceQty _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -486,6 +488,8 @@ object SparkEntry {
     "q_intersect_all" -> Relational.setIntersectAllSql,
     "q_except_all"    -> Relational.setExceptAllSql,
     "q_mode"          -> graft.ops.Analytics.modeSegmentByNationSql,
+    "q_wau"           -> graft.ops.Behavior.rollingActiveUsersSql,
+    "q_spearman"      -> graft.ops.Analytics.spearmanPriceQtySql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

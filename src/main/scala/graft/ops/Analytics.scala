@@ -712,6 +712,57 @@ object Analytics {
       |FROM w WHERE cumw * 2 >= totw
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Spearman rank correlation between price and quantity per return
+    * flag — the monotone-association measure that survives outliers and
+    * nonlinearity where Pearson ([[momentsByReturnFlag]]) does not.
+    *
+    * Ranks are min-ranks (`rank()`, identical tie semantics on both
+    * engines) from two windows sharing ONE l_returnflag partitioning;
+    * the correlation then runs over INTEGER ranks through exact
+    * decimal(38,0) power sums — partial-aggregation order cannot
+    * perturb anything, and the closing formula is one pinned sequence
+    * of double ops. Same scale posture as the moments query: one
+    * shuffle, O(groups) output. */
+  def spearmanPriceQty(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val byFlag = Window.partitionBy("l_returnflag")
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        rank().over(byFlag.orderBy(col("l_extendedprice"))).cast("long").as("rp"),
+        rank().over(byFlag.orderBy(col("l_quantity"))).cast("long").as("rq"))
+    ranked.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d0(col("rp"))).as("sx"), sum(d0(col("rq"))).as("sy"),
+        sum(d0(col("rp")) * d0(col("rq"))).as("sxy"),
+        sum(d0(col("rp")) * d0(col("rp"))).as("sxx"),
+        sum(d0(col("rq")) * d0(col("rq"))).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((d0(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("spearman_rho"))
+  }
+
+  val spearmanPriceQtySql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag,
+      |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rp,
+      |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS rq
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(rp AS HUGEINT)) AS sx, sum(CAST(rq AS HUGEINT)) AS sy,
+      |    sum(CAST(rp AS HUGEINT) * CAST(rq AS HUGEINT)) AS sxy,
+      |    sum(CAST(rp AS HUGEINT) * CAST(rp AS HUGEINT)) AS sxx,
+      |    sum(CAST(rq AS HUGEINT) * CAST(rq AS HUGEINT)) AS syy
+      |  FROM ranked GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+      |FROM s""".stripMargin
+
   /** Deterministic MODE (most frequent value) per group: each nation's
     * most common market segment among its customers, with the count.
     * Plain `mode()` is tie-nondeterministic in every engine; here the

@@ -205,4 +205,40 @@ object Behavior {
       |FROM d a JOIN d b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** DAU + trailing-7-day WAU per observed day — the engagement KPI pair.
+    * COUNT(DISTINCT) over a sliding window has no shardable direct form,
+    * so WAU uses the support-explosion identity: each (user, active-day)
+    * row supports the 7 window days it falls into; distinct (user,
+    * window-day) pairs then count per day. Cost is a bounded 7× blowup
+    * of the user-day GRID (already deduped, ≪ raw events), all flowing
+    * through ordinary hash aggregates — no window operator, no
+    * single-reducer stage, and the same shape extends to MAU with a 30×
+    * factor or to HyperLogLog supports when exactness can relax. */
+  def rollingActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = grid.groupBy(col("day")).agg(count("*").as("dau"))
+    val wau = grid
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .distinct()
+      .groupBy(col("wday")).agg(count("*").as("wau"))
+    // join back to the observed-day spine: trailing windows ending after
+    // the last active day would report partial weeks
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH grid AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM grid GROUP BY 1),
+      |support AS (
+      |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+      |  FROM grid, generate_series(0, 6) AS t(i)),
+      |wau AS (SELECT wday, count(*) AS wau FROM support GROUP BY 1)
+      |SELECT d.day, d.dau, w.wau
+      |FROM dau d JOIN wau w ON d.day = w.wday""".stripMargin
 }

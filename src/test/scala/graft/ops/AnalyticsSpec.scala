@@ -187,6 +187,41 @@ class AnalyticsSpec extends GraftTestBase {
     }
   }
 
+  behavior of "spearmanPriceQty"
+
+  it should "agree with a driver-side rank correlation and stay in [-1, 1]" in {
+    val rows = Analytics.spearmanPriceQty(spark, sf).collect()
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def minRanks(xs: Array[Double]): Array[Long] = {
+      val sorted = xs.sorted
+      // min-rank = 1 + count of strictly smaller values
+      val firstIdx = scala.collection.mutable.HashMap.empty[Double, Long]
+      var i = 0
+      while (i < sorted.length) {
+        firstIdx.getOrElseUpdate(sorted(i), i + 1L); i += 1
+      }
+      xs.map(firstIdx)
+    }
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val rho = r.getAs[Double]("spearman_rho")
+      rho should (be >= -1.0 and be <= 1.0)
+      val grp = li.filter(_._1 == flag)
+      val rp = minRanks(grp.map(_._2)).map(_.toDouble)
+      val rq = minRanks(grp.map(_._3)).map(_.toDouble)
+      val n = grp.length.toDouble
+      val (sx, sy) = (rp.sum, rq.sum)
+      val sxy = rp.zip(rq).map { case (a, b) => a * b }.sum
+      val sxx = rp.map(a => a * a).sum
+      val syy = rq.map(a => a * a).sum
+      val expected = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      rho shouldBe expected +- 1e-9
+    }
+  }
+
   behavior of "rfmSegments"
 
   it should "score 1-5 on every axis and conserve customers and spend" in {

@@ -94,6 +94,24 @@ class BehaviorSpec extends GraftTestBase {
       e.count() - e.select("user_id").distinct().count()
   }
 
+  behavior of "rollingActiveUsers"
+
+  it should "bound WAU between DAU and the trailing-7-day DAU sum" in {
+    val rows = Behavior.rollingActiveUsers(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+      .sortBy(_._1)
+    rows.length should be > 0
+    val dauByDay = rows.map(t => t._1 -> t._2).toMap
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    rows.foreach { case (day, dau, wau) =>
+      wau should be >= dau
+      wau should be <= (0 to 6).map(k => dauByDay.getOrElse(day - k, 0L)).sum
+      wau should be <= totalUsers
+    }
+  }
+
   behavior of "coPurchasePairs"
 
   it should "match the brute-force distinct self-join rendering exactly" in {
