@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Static plan linter: walks a query's physical plan and flags the
+  * shapes that are fine at test scale and fatal at 100 TB — the checks
+  * a reviewer runs by eye on `.explain()` output, mechanized so they can
+  * gate a pipeline instead of a code review.
+  *
+  * Every rule is SHAPE-based, never statistics-based: stats at dev scale
+  * are always tiny, which would exempt exactly the plans that explode in
+  * production. The only exemptions are statically PROVABLE ones — an
+  * empty-grouping aggregate emits exactly one row no matter the input,
+  * so moving its partial state through a SinglePartition exchange or
+  * broadcasting its result into a nested-loop join is size-safe at any
+  * scale.
+  *
+  * Rules (each maps to a scale note elsewhere in this codebase):
+  *  - `single-partition-exchange`: all rows funneled to one task — the
+  *    global-window / no-PARTITION-BY shape (see `Analytics.decileStats`
+  *    vs the clean `decileStatsDistributed` rendering). Findings on
+  *    windows over already-aggregated tiny frames (`revenueShareByNation`
+  *    style) are advisory: acknowledge, don't suppress.
+  *  - `cartesian-product`: shuffled cross join — row count multiplies.
+  *  - `nested-loop-join`: `BroadcastNestedLoopJoin` where no side is a
+  *    provably-one-row aggregate. The intentional all-pairs verifiers
+  *    (`embeddingNearDup`) trip this — correctly: they're documented as
+  *    bounded-input / per-bucket tools.
+  *  - `scala-udf`: breaks whole-stage codegen and hides from the
+  *    optimizer; a native expression or built-in exists for a reason.
+  *
+  * Returns human-readable findings; empty = clean. Run in tests (see
+  * PlanLintSpec) or ad hoc before promoting a query to a 1000-executor
+  * cluster. */
+object PlanLint {
+
+  final case class Finding(rule: String, node: String) {
+    override def toString: String = s"[$rule] $node"
+  }
+
+  /** One-row-by-construction: the subtree contains an aggregate with no
+    * grouping expressions (scalar aggregate), whose output cardinality
+    * is exactly 1 regardless of input size. */
+  private def provablyOneRow(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case agg: BaseAggregateExec if agg.groupingExpressions.isEmpty => agg
+    }.isDefined
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val executed = df.queryExecution.executedPlan
+    val plan = executed match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    plan.foreach {
+      case ex: ShuffleExchangeExec if ex.outputPartitioning == SinglePartition =>
+        // a scalar aggregate's exchange moves one partial-state row per
+        // task, not data rows — exempt; everything else funnels
+        if (!provablyOneRow(ex.child))
+          findings += Finding("single-partition-exchange",
+            ex.child.nodeName + " -> Exchange SinglePartition")
+      case j: CartesianProductExec =>
+        findings += Finding("cartesian-product", j.nodeName)
+      case j: BroadcastNestedLoopJoinExec =>
+        if (!Seq(j.left, j.right).exists(provablyOneRow))
+          findings += Finding("nested-loop-join",
+            s"${j.nodeName} (${j.joinType}) with no provably-small side")
+      case p =>
+        p.expressions.foreach(_.foreach {
+          case u: ScalaUDF =>
+            findings += Finding("scala-udf",
+              s"${u.udfName.getOrElse("anonymous")} in ${p.nodeName}")
+          case _ =>
+        })
+    }
+    findings.distinct.toSeq
+  }
+}

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftTestBase, Tables}
+
+class PlanLintSpec extends GraftTestBase {
+
+  behavior of "PlanLint"
+
+  it should "flag the global-window funnel and pass its distributed rendering" in {
+    val funnel = graft.ops.Analytics.decileStats(spark, sf)
+    PlanLint.lint(funnel).map(_.rule) should contain("single-partition-exchange")
+    // the scale rendering of the same semantics is clean
+    val dist = graft.ops.Analytics.decileStatsDistributed(spark, sf)
+    PlanLint.lint(dist).map(_.rule) should not contain "single-partition-exchange"
+  }
+
+  it should "not flag single-row aggregates or broadcast-able tiny sides" in {
+    // global scalar aggregate: the SinglePartition exchange moves 32
+    // partial-state rows, not data
+    PlanLint.lint(Relational6(spark)) shouldBe empty
+    // 1-row max-price cross join (weightedSample shape): small side known
+    val ws = graft.ops.Relational.weightedSample(spark, sf)
+    PlanLint.lint(ws).map(_.rule) should not contain "nested-loop-join"
+    PlanLint.lint(ws).map(_.rule) should not contain "cartesian-product"
+  }
+
+  it should "flag the intentional all-pairs verifier and scala UDFs" in {
+    PlanLint.lint(graft.dedup.Dedup.embeddingNearDup(spark, sf))
+      .map(_.rule) should contain("nested-loop-join")
+    val udf = org.apache.spark.sql.functions.udf((s: String) => s.length)
+    val withUdf = Tables.documents(spark, sf).select(udf(col("text")).as("n"))
+    PlanLint.lint(withUdf).map(_.rule) should contain("scala-udf")
+  }
+
+  it should "pass the headline relational queries clean" in {
+    Seq(
+      graft.ops.Relational.q3ShippingPriority(spark, sf),
+      graft.ops.Relational.q7NationVolume(spark, sf),
+      graft.ops.Relational.q19Disjunctive(spark, sf),
+      graft.ops.Behavior.rollingActiveUsers(spark, sf))
+      .foreach { q => PlanLint.lint(q) shouldBe empty }
+  }
+
+  private def Relational6(s: org.apache.spark.sql.SparkSession) =
+    graft.ops.Relational.q6Forecast(s, sf)
+}
