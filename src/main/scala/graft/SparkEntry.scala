@@ -161,6 +161,8 @@ object SparkEntry {
     "q_except_all"      -> (Relational.setExceptAll _),
     "q_mode"            -> (graft.ops.Analytics.modeSegmentByNation _),
     "q_wau"             -> (graft.ops.Behavior.rollingActiveUsers _),
+    // rows-only like q_sketches: HLL estimates are engine-specific
+    "q_wau_sketch"      -> (graft.ops.Behavior.rollingActiveUsersSketch _),
     "q_spearman"        -> (graft.ops.Analytics.spearmanPriceQty _),
   )
 

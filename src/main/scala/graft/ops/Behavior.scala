@@ -241,4 +241,30 @@ object Behavior {
       |wau AS (SELECT wday, count(*) AS wau FROM support GROUP BY 1)
       |SELECT d.day, d.dau, w.wau
       |FROM dau d JOIN wau w ON d.day = w.wday""".stripMargin
+
+  /** The sketch rendering of [[rollingActiveUsers]]: ONE HyperLogLog
+    * sketch per day (`hll_sketch_agg` — mergeable, fixed-size,
+    * map-side-combinable), then each day's sketch supports its 7 window
+    * days and `hll_union_agg` merges 7 SKETCHES per window — the
+    * re-aggregation trick that turns sliding COUNT(DISTINCT) into
+    * O(days × 7) sketch unions, independent of user count. This is what
+    * replaces the exact form's user-day-grid blowup when users number
+    * billions: the exact grid is the verifier (spec bounds the sketch's
+    * relative error against it), the sketch is the dashboard path.
+    * Rows-only in the driver gate: sketch estimates are
+    * engine-specific, like `q_sketches`. */
+  def rollingActiveUsersSketch(s: SparkSession, d: String): DataFrame = {
+    val daySketch = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    daySketch
+      .select(col("sk"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .groupBy(col("wday"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"))
+      // trim to observed days, like the exact form
+      .join(daySketch.select(col("day")), col("wday") === col("day"))
+      .select(col("day"), col("wau_est"))
+  }
 }

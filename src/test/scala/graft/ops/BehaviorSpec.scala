@@ -112,6 +112,19 @@ class BehaviorSpec extends GraftTestBase {
     }
   }
 
+  it should "estimate WAU within HLL error of the exact support-explosion form" in {
+    val exact = Behavior.rollingActiveUsers(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("wau")).toMap
+    val est = Behavior.rollingActiveUsersSketch(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("wau_est")).toMap
+    est.keySet shouldBe exact.keySet
+    est.foreach { case (day, e) =>
+      // default lgConfigK=12 gives ~1.6% standard error; 10% is a
+      // generous bound that still catches merge/window-support bugs
+      math.abs(e - exact(day)).toDouble should be <= math.max(2.0, exact(day) * 0.10)
+    }
+  }
+
   behavior of "coPurchasePairs"
 
   it should "match the brute-force distinct self-join rendering exactly" in {
