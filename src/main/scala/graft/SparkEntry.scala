@@ -155,6 +155,9 @@ object SparkEntry {
     "q_dq_audit"        -> (graft.ops.Quality.dqAudit _),
     "q_benford"         -> (graft.ops.Quality.benfordAudit _),
     "q6_forecast"       -> (Relational.q6Forecast _),
+    "q8_market_share"   -> (Relational.q8MarketShare _),
+    "q13_custdist"      -> (Relational.q13CustomerDistribution _),
+    "q15_top_supplier"  -> (Relational.q15TopSupplier _),
     "q19_disjunctive"   -> (Relational.q19Disjunctive _),
     "q22_global_sales"  -> (Relational.q22GlobalSales _),
     "q_intersect_all"   -> (Relational.setIntersectAll _),
@@ -485,6 +488,9 @@ object SparkEntry {
     "q_dq_audit"      -> graft.ops.Quality.dqAuditSql,
     "q_benford"       -> graft.ops.Quality.benfordAuditSql,
     "q6_forecast"     -> Relational.q6ForecastSql,
+    "q8_market_share" -> Relational.q8MarketShareSql,
+    "q13_custdist"    -> Relational.q13CustomerDistributionSql,
+    "q15_top_supplier" -> Relational.q15TopSupplierSql,
     "q19_disjunctive" -> Relational.q19DisjunctiveSql,
     "q22_global_sales" -> Relational.q22GlobalSalesSql,
     "q_intersect_all" -> Relational.setIntersectAllSql,

@@ -502,6 +502,131 @@ object Relational {
       |  AND c_custkey NOT IN (SELECT o_custkey FROM o95)
       |GROUP BY c_nationkey""".stripMargin
 
+  /** TPC-H Q8 shape: national market share — the fraction of a region's
+    * part-type trade revenue supplied by one nation, per order year.
+    * The share numerator is a conditional aggregate over the SAME rows
+    * as the denominator (sum(CASE WHEN supplier-nation)/sum(all)), so
+    * the five-way join runs once and the share costs nothing extra.
+    * Join staging mirrors [[q7NationVolume]]'s lesson: part (type-
+    * filtered, broadcast) prunes lineitem FIRST, customer+nation+region
+    * prune orders, supplier+nation broadcasts last for the numerator
+    * tag. Exact decimal sums; the share is one double division. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val vol = lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))
+    val partF = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val custRegion = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val o = Tables.orders(s, d)
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(s, d)
+      .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3",
+          col("l_extendedprice").cast(DecimalType(18, 2)) * vol)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("nation_rev"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) * vol).as("total_rev"))
+      .select(col("o_year"),
+        (col("nation_rev").cast("double") / col("total_rev").cast("double"))
+          .as("mkt_share"),
+        col("total_rev").cast("double").as("total_rev"))
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS mkt_share,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS total_rev
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q13 shape: the orders-per-customer distribution (how many
+    * customers placed k orders, including k = 0) — a LEFT join so
+    * order-less customers survive, then aggregate twice. The first
+    * groupBy is on c_custkey (one shuffle, map-side combinable); the
+    * histogram aggregate's input is O(customers) and its output
+    * O(distinct counts). The zero bucket is the business signal — an
+    * inner join would silently drop it. */
+  def q13CustomerDistribution(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count("*").as("custdist"))
+
+  val q13CustomerDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
+    * revenue "view" plus a max-subquery, rendered as one window max over
+    * the per-supplier aggregate (no second scan of the view, unlike the
+    * literal CREATE VIEW + scalar subquery form). Ties all surface, as
+    * in the spec. The window partitions by nothing but runs over the
+    * ALREADY-AGGREGATED supplier rows — O(suppliers), which is why this
+    * global window is fine where q_deciles' (over raw rows) is not:
+    * the PlanLint finding on this shape is the acknowledged-advisory
+    * case. Exact decimal revenue; supplier dim broadcasts. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1995-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        .as("total_rev"))
+    rev
+      .withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin
+
   /** INTERSECT ALL / EXCEPT ALL: multiset semantics — a customer who
     * placed 3 orders in 1995 and 2 in 1996 contributes min(3,2)=2 rows
     * to the intersection and 3-2=1 row to the difference, where the
