@@ -164,6 +164,8 @@ object SparkEntry {
     "q_except_all"      -> (Relational.setExceptAll _),
     "q_mode"            -> (graft.ops.Analytics.modeSegmentByNation _),
     "q_wau"             -> (graft.ops.Behavior.rollingActiveUsers _),
+    "q_bounce"          -> (graft.ops.Behavior.bounceRate _),
+    "q_oov"             -> (TextAnalysis.oovRate _),
     // rows-only like q_sketches: HLL estimates are engine-specific
     "q_wau_sketch"      -> (graft.ops.Behavior.rollingActiveUsersSketch _),
     "q_spearman"        -> (graft.ops.Analytics.spearmanPriceQty _),
@@ -497,6 +499,8 @@ object SparkEntry {
     "q_except_all"    -> Relational.setExceptAllSql,
     "q_mode"          -> graft.ops.Analytics.modeSegmentByNationSql,
     "q_wau"           -> graft.ops.Behavior.rollingActiveUsersSql,
+    "q_bounce"        -> graft.ops.Behavior.bounceRateSql,
+    "q_oov"           -> TextAnalysis.oovRateSql,
     "q_spearman"      -> graft.ops.Analytics.spearmanPriceQtySql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,

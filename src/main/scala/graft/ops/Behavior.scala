@@ -242,6 +242,32 @@ object Behavior {
       |SELECT d.day, d.dau, w.wau
       |FROM dau d JOIN wau w ON d.day = w.wday""".stripMargin
 
+  /** Session bounce rate per day: sessions (30-min-gap sessionization,
+    * [[graft.streaming.EventStreams.sessionizeBatch]]'s exact semantics)
+    * that ended after a single event, over all sessions starting that
+    * day — the engagement-quality KPI on top of the sessionizer. Re-uses
+    * the session pipeline's one user_id shuffle; the daily rollup input
+    * is O(sessions). The rate is one exact-long double division. */
+  def bounceRate(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.sessionizeBatch(s, d)
+      .select(to_date(col("session_start")).as("day"),
+        (col("n_events") === 1).cast("long").as("is_bounce"))
+      .groupBy(col("day"))
+      .agg(count("*").as("n_sessions"), sum("is_bounce").as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        (col("n_bounces").cast("double") / col("n_sessions")).as("bounce_rate"))
+
+  val bounceRateSql: String =
+    s"""WITH sess AS (${graft.streaming.EventStreams.sessionizeBatchSql}),
+       |daily AS (
+       |  SELECT CAST(session_start AS DATE) AS day,
+       |    CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS is_bounce
+       |  FROM sess)
+       |SELECT day, count(*) AS n_sessions,
+       |  CAST(sum(is_bounce) AS BIGINT) AS n_bounces,
+       |  CAST(sum(is_bounce) AS DOUBLE) / count(*) AS bounce_rate
+       |FROM daily GROUP BY day""".stripMargin
+
   /** The sketch rendering of [[rollingActiveUsers]]: ONE HyperLogLog
     * sketch per day (`hll_sketch_agg` — mergeable, fixed-size,
     * map-side-combinable), then each day's sketch supports its 7 window

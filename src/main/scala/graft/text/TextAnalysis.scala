@@ -375,4 +375,48 @@ object TextAnalysis {
       |    % 2147483647 AS BIGINT) AS fingerprint,
       |  substr(md5(text), 1, 16) AS content_hash_prefix
       |FROM documents""".stripMargin
+
+  /** Vocabulary size for the OOV audit: deliberately smaller than the
+    * corpus alphabet so the out-of-vocabulary tail is non-empty. */
+  val oovVocabSize = 10
+
+  /** Tokenizer-coverage / OOV audit: per source, the fraction of token
+    * OCCURRENCES not covered by the top-[[oovVocabSize]] vocabulary —
+    * the "how much of my corpus does this tokenizer's vocab actually
+    * cover" check run before committing to a vocab. The vocabulary is
+    * deterministic (count DESC, token ASC tiebreak, LIMIT on both
+    * engines); coverage joins the tiny vocab BROADCAST against the
+    * token census — the corpus-sized explode flows through one
+    * map-side-combinable aggregate and is never shuffled raw. Exact
+    * integer ratio at the end. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val vocab = counts.groupBy("tok").agg(sum("c").as("tc"))
+      .orderBy(col("tc").desc, col("tok"))
+      .limit(oovVocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    counts.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, tok, count(*) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |vocab AS (
+       |  SELECT tok FROM (SELECT tok, sum(c) AS tc FROM counts GROUP BY tok)
+       |  ORDER BY tc DESC, tok LIMIT ${oovVocabSize})
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+       |    AS oov_rate
+       |FROM counts LEFT JOIN vocab v USING (tok)
+       |GROUP BY source""".stripMargin
 }
