@@ -165,6 +165,7 @@ object SparkEntry {
     "q_mode"            -> (graft.ops.Analytics.modeSegmentByNation _),
     "q_wau"             -> (graft.ops.Behavior.rollingActiveUsers _),
     "q_bounce"          -> (graft.ops.Behavior.bounceRate _),
+    "q_range_banded"    -> (graft.ops.TimeSeries.eventPairsWithin30MinBanded _),
     "q_oov"             -> (TextAnalysis.oovRate _),
     // rows-only like q_sketches: HLL estimates are engine-specific
     "q_wau_sketch"      -> (graft.ops.Behavior.rollingActiveUsersSketch _),
@@ -500,6 +501,9 @@ object SparkEntry {
     "q_mode"          -> graft.ops.Analytics.modeSegmentByNationSql,
     "q_wau"           -> graft.ops.Behavior.rollingActiveUsersSql,
     "q_bounce"        -> graft.ops.Behavior.bounceRateSql,
+    // same oracle as q_range_join: the driver proves the banded
+    // (user_id, time-bucket) join row-equal to the per-user form
+    "q_range_banded"  -> graft.ops.TimeSeries.eventPairsWithin30MinSql,
     "q_oov"           -> TextAnalysis.oovRateSql,
     "q_spearman"      -> graft.ops.Analytics.spearmanPriceQtySql,
     "q_window_rank"   ->

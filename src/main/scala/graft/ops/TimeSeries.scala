@@ -69,6 +69,40 @@ object TimeSeries {
         (unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))).as("gap_sec"))
   }
 
+  /** The BANDED rendering of [[eventPairsWithin30Min]] — same result,
+    * registered against the SAME DuckDB oracle so the driver proves the
+    * two plans row-equal (the custom-vs-reference pattern of
+    * q_asof_broadcast / q_deciles_dist).
+    *
+    * The plain form equi-joins on user_id alone and filters time
+    * afterwards: per-user work is quadratic in that user's event count,
+    * and one hot user owns a whole task. Here time is bucketed at the
+    * window width (30 min): a pair within 30 minutes must land in the
+    * same or adjacent bucket, so the LEFT side duplicates into buckets
+    * [b, b+1] (bounded 2× — the window/bucket ratio, NOT data-dependent)
+    * and the join key becomes (user_id, bucket). Hot users shatter
+    * across time buckets, worst-case task size drops from O(k²) to
+    * O(k_bucket²), and the residual time predicate removes the
+    * adjacent-bucket false candidates. This is the generic recipe for
+    * any bounded-range join at scale; the window form stays the
+    * readability reference. */
+  def eventPairsWithin30MinBanded(s: SparkSession, d: String): DataFrame = {
+    val width = 1800L
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_timestamp(col("ts")) / width).cast("long").as("b"))
+    val a = e
+      .select(col("user_id"), col("event_id").as("event_a"), col("ts").as("ts_a"),
+        explode(array(col("b"), col("b") + 1)).as("jb"))
+    val bSide = e.select(col("user_id"), col("event_id").as("event_b"),
+      col("ts").as("ts_b"), col("b").as("jb"))
+    a.join(bSide, Seq("user_id", "jb"))
+      .filter(col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        (unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))).as("gap_sec"))
+  }
+
   /** Trailing 30-minute RANGE-frame aggregation per user: event count and
     * exact decimal value sum in the sliding time window ending at each
     * event. RANGE (time-based), not ROWS — frame membership is defined by

@@ -161,6 +161,29 @@ class PlanShapeSpec extends GraftTestBase {
     }
   }
 
+  it should "broadcast all Q8 dimensions and keep WAU window-free" in {
+    val q8 = Relational.q8MarketShare(spark, sf).queryExecution.executedPlan.toString
+    q8 should include("BroadcastHashJoin")
+    (q8 should not).include("NestedLoop")
+    // the sliding-distinct rendering must NOT plan a window operator —
+    // that is the whole point of the support-explosion identity
+    val wau = Behavior.rollingActiveUsers(spark, sf)
+      .queryExecution.executedPlan.toString
+    (wau should not).include("Window")
+    wau should include("HashAggregate")
+  }
+
+  it should "join the banded range self-join on (user, bucket), not user alone" in {
+    val plan = TimeSeries.eventPairsWithin30MinBanded(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the join keys must include the time bucket — that's what shatters
+    // hot users across tasks
+    plan.linesIterator.find(_.contains("SortMergeJoin"))
+      .orElse(plan.linesIterator.find(_.contains("ShuffledHashJoin")))
+      .getOrElse(plan.linesIterator.find(_.contains("BroadcastHashJoin")).get) should
+      include("jb")
+  }
+
   it should "derive per-side scan filters from Q19's disjunction and keep an equi-join" in {
     val plan = Relational.q19Disjunctive(spark, sf).queryExecution.executedPlan.toString
     // the OR of conjunctions must NOT degrade to a cross product
