@@ -127,6 +127,7 @@ object SparkEntry {
     "q7_nation_volume"  -> (Relational.q7NationVolume _),
     "q18_big_orders"    -> (Relational.q18BigOrders _),
     "q_merge_upsert"    -> (graft.ops.Merge.cdcMerge _),
+    "q_snapshot_diff"   -> (graft.ops.Merge.snapshotDiff _),
     "q_funnel"          -> (graft.ops.Behavior.funnelCounts _),
     "q_cohort"          -> (graft.ops.Behavior.cohortRetention _),
     "q_zscore"          -> (graft.ops.Analytics.zscorePrices _),
@@ -464,6 +465,7 @@ object SparkEntry {
     "q7_nation_volume" -> Relational.q7NationVolumeSql,
     "q18_big_orders"  -> Relational.q18BigOrdersSql,
     "q_merge_upsert"  -> graft.ops.Merge.cdcMergeSql,
+    "q_snapshot_diff" -> graft.ops.Merge.snapshotDiffSql,
     "q_funnel"        -> graft.ops.Behavior.funnelCountsSql,
     "q_cohort"        -> graft.ops.Behavior.cohortRetentionSql,
     "q_zscore"        -> graft.ops.Analytics.zscorePricesSql,

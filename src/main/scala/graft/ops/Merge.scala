@@ -72,4 +72,69 @@ object Merge {
        |       WHEN d_key IS NOT NULL THEN 'insert'
        |       ELSE 'keep' END AS action
        |FROM base FULL OUTER JOIN delta ON b_key = d_key""".stripMargin
+
+  /** Snapshot DIFF — the inverse of [[cdcMerge]]: given two keyed table
+    * versions, classify every key as added / removed / changed /
+    * unchanged with before/after values — the reconciliation report
+    * behind "what changed between yesterday's load and today's?", and
+    * the generator that produces a CDC batch FROM two snapshots when the
+    * source system can't emit one (the reference's full-refresh loads
+    * are exactly this situation).
+    *
+    * Versions are derived deterministically from `orders`: v2 restates
+    * the price (+10.00 exact decimal) for every 7th key and drops every
+    * 11th. Same scale shape as the merge: ONE full-outer shuffle join on
+    * the key, value comparison null-safe (`<=>` negation), output
+    * filtered to the non-trivial classes (unchanged rows are the bulk at
+    * scale and belong in a count, not a report — they're summarized by
+    * the caller if needed). */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k1"),
+        col("o_orderstatus").as("status_before"),
+        col("o_totalprice").as("price_before"))
+    val v2 = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        col("o_orderstatus").as("status_after"),
+        when(col("o_orderkey") % 7 === 0,
+          (col("o_totalprice").cast(DecimalType(18, 2)) +
+            lit(10).cast(DecimalType(18, 2))).cast("double"))
+          .otherwise(col("o_totalprice")).as("price_after"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(!(col("status_before") <=> col("status_after")) ||
+            !(col("price_before") <=> col("price_after")), "changed")
+          .otherwise("unchanged").as("change_type"),
+        col("status_before"), col("status_after"),
+        col("price_before"), col("price_after"))
+      .filter(col("change_type") =!= "unchanged")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k1, o_orderstatus AS status_before,
+      |    o_totalprice AS price_before
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey AS k2, o_orderstatus AS status_after,
+      |    CASE WHEN o_orderkey % 7 = 0
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+      |                CAST(10 AS DECIMAL(18,2)) AS DOUBLE)
+      |      ELSE o_totalprice END AS price_after
+      |  FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT coalesce(k1, k2) AS o_orderkey,
+      |  CASE WHEN k1 IS NULL THEN 'added'
+      |       WHEN k2 IS NULL THEN 'removed'
+      |       WHEN status_before IS DISTINCT FROM status_after
+      |         OR price_before IS DISTINCT FROM price_after THEN 'changed'
+      |       ELSE 'unchanged' END AS change_type,
+      |  status_before, status_after, price_before, price_after
+      |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+      |WHERE NOT (k1 IS NOT NULL AND k2 IS NOT NULL
+      |  AND status_before IS NOT DISTINCT FROM status_after
+      |  AND price_before IS NOT DISTINCT FROM price_after)""".stripMargin
 }

@@ -68,6 +68,27 @@ class BehaviorSpec extends GraftTestBase {
     } finally out.unpersist()
   }
 
+  behavior of "snapshotDiff"
+
+  it should "classify exactly the planted removals and restatements" in {
+    val out = Merge.snapshotDiff(spark, sf).collect()
+    val byType = out.groupBy(_.getAs[String]("change_type"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("o_orderkey")).toSet }
+    val keys = graft.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // v2 never adds keys; every 11th is removed; every 7th surviving key
+    // is price-restated
+    byType.getOrElse("added", Set.empty) shouldBe empty
+    byType.getOrElse("removed", Set.empty) shouldBe keys.filter(_ % 11 == 0)
+    byType.getOrElse("changed", Set.empty) shouldBe
+      keys.filter(k => k % 7 == 0 && k % 11 != 0)
+    // changed rows carry an exact +10.00 restatement
+    out.filter(_.getAs[String]("change_type") == "changed").foreach { r =>
+      r.getAs[Double]("price_after") shouldBe
+        (r.getAs[Double]("price_before") + 10.0) +- 1e-9
+    }
+  }
+
   behavior of "topEventPaths"
 
   it should "emit at most 20 descending-count paths of at most 5 steps" in {
