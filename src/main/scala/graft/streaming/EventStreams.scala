@@ -215,6 +215,56 @@ object EventStreams {
   final case class TransState(lastType: String)
   final case class TransitionOut(user_id: Long, prev_type: String, next_type: String)
 
+  /** State carries the click's ORIGINAL Timestamp: round-tripping
+    * through epoch millis would silently drop the sub-millisecond
+    * microseconds the events table carries, and the enriched output
+    * would no longer equal the batch window form bit-for-bit. */
+  final case class AsofState(ts: Timestamp, eventId: Long, value: Double)
+  /** asof fields are nullable (boxed Double / Timestamp): NULL until the
+    * user's first click, matching the batch window form's contract. */
+  final case class AsofOut(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String, asof_click_ts: Timestamp,
+      asof_click_value: java.lang.Double)
+
+  /** Full-microsecond ordering key for a Timestamp (getTime alone is
+    * millis and would tie-break sub-ms neighbors arbitrarily). */
+  private def micros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming as-of enrichment: the incremental rendering of
+    * [[graft.ops.TimeSeries.asofLatestClick]] (and of the custom batch
+    * operator [[graft.plans.AsofJoin]]): every event is enriched with
+    * the same user's latest 'click' at-or-before it. State per user is
+    * ONE (ts, event_id, value) triple — the streaming as-of join's whole
+    * trick: because the dimension lookup is "latest at-or-before", the
+    * unbounded click history collapses to a single running value, so
+    * state is O(users) forever with no watermark eviction needed.
+    * Same in-order-input contract as [[sessionizeStream]]; equality
+    * with the batch window form at every prefix is asserted in
+    * StreamingSpec across micro-batch splits. */
+  def asofEnrichStream(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[AsofState]) =>
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            // a click enriches ITSELF (at-or-before includes the event),
+            // so update state first when the event is the dimension row
+            if (e.event_type == "click")
+              last = AsofState(e.ts, e.event_id, e.value)
+            out += AsofOut(e.event_id, userId, e.ts, e.event_type,
+              if (last == null) null else last.ts,
+              if (last == null) null else java.lang.Double.valueOf(last.value))
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   /** Streaming first-order transitions: the incremental rendering of
     * [[graft.ops.Behavior.transitionMatrix]]. State per user is ONE
     * event type (the previous one) — O(users) state total, watermark-free
@@ -233,7 +283,7 @@ object EventStreams {
         (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
           var last = state.getOption.map(_.lastType).orNull
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             if (last != null) out += TransitionOut(userId, last, e.event_type)
             last = e.event_type
           }

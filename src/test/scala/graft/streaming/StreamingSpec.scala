@@ -278,6 +278,35 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "asofEnrichStream"
+
+  it should "equal the batch as-of window at every prefix across batch splits" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].orderBy("ts", "event_id").collect()
+    val (a, rest) = all.splitAt(all.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.asofEnrichStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_spec")
+      .outputMode("append").start()
+    try {
+      Seq(a, b, c).foreach { part =>
+        input.addData(part.toSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("asof_spec")
+        .select("event_id", "asof_click_ts", "asof_click_value")
+      val batch = graft.ops.TimeSeries.asofLatestClick(spark, sf)
+        .select("event_id", "asof_click_ts", "asof_click_value")
+      got.count() shouldBe all.length.toLong
+      got.exceptAll(batch).count() shouldBe 0
+      batch.exceptAll(got).count() shouldBe 0
+    } finally query.stop()
+  }
+
   behavior of "incrementalTotals (streaming materialized view)"
 
   it should "refresh only touched keys and retain untouched partitions" in {
