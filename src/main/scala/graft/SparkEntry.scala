@@ -155,6 +155,7 @@ object SparkEntry {
     "q_rfm"             -> (graft.ops.Analytics.rfmSegments _),
     "q_dq_audit"        -> (graft.ops.Quality.dqAudit _),
     "q_benford"         -> (graft.ops.Quality.benfordAudit _),
+    "q_anomaly"         -> (graft.ops.Quality.revenueAnomalies _),
     "q6_forecast"       -> (Relational.q6Forecast _),
     "q8_market_share"   -> (Relational.q8MarketShare _),
     "q13_custdist"      -> (Relational.q13CustomerDistribution _),
@@ -492,6 +493,7 @@ object SparkEntry {
     "q_rfm"           -> graft.ops.Analytics.rfmSegmentsSql,
     "q_dq_audit"      -> graft.ops.Quality.dqAuditSql,
     "q_benford"       -> graft.ops.Quality.benfordAuditSql,
+    "q_anomaly"       -> graft.ops.Quality.revenueAnomaliesSql,
     "q6_forecast"     -> Relational.q6ForecastSql,
     "q8_market_share" -> Relational.q8MarketShareSql,
     "q13_custdist"    -> Relational.q13CustomerDistributionSql,

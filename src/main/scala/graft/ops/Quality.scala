@@ -129,4 +129,74 @@ object Quality {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS observed_freq,
       |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_freq
       |FROM counts""".stripMargin
+
+  /** Schema-drift report between two table versions: every column that
+    * was added, removed, or retyped — the check a snapshot loader runs
+    * BEFORE data lands (the reference's fixed-DDL pipeline would simply
+    * crash on drift; see `dags/airbnb_postgres_to_s3.py:53-77`). Pure
+    * metadata: costs two footer reads, no data scan, any table size. */
+  def schemaDiff(before: org.apache.spark.sql.types.StructType,
+      after: org.apache.spark.sql.types.StructType): Seq[(String, String, String, String)] = {
+    val b = before.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val a = after.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val added = (a.keySet -- b.keySet).toSeq.sorted
+      .map(c => (c, "added", "", a(c)))
+    val removed = (b.keySet -- a.keySet).toSeq.sorted
+      .map(c => (c, "removed", b(c), ""))
+    val retyped = (a.keySet & b.keySet).toSeq.sorted
+      .filter(c => a(c) != b(c))
+      .map(c => (c, "retyped", b(c), a(c)))
+    added ++ removed ++ retyped
+  }
+
+  /** Rolling z-score anomaly detection over the daily revenue series:
+    * days whose revenue deviates more than 2σ from the TRAILING-28-day
+    * mean/σ (current day excluded — an anomaly must not dilute its own
+    * baseline). The monitoring query behind every "daily metric looks
+    * wrong" alert.
+    *
+    * The series is the per-day aggregate (map-side-combinable, output
+    * O(days)), so the window runs over days, never raw facts — the
+    * global ORDER BY day is a ~366-row sort at any fact-table size.
+    * Mean/σ come from exact decimal power sums inside the frame (same
+    * portability rule as [[Analytics.momentsByReturnFlag]]); the final
+    * z is one pinned double expression, rounded to 4 decimals. */
+  def revenueAnomalies(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")).rowsBetween(-28, -1)
+    daily
+      .select(col("day"), col("rev"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("rev")).over(w).as("s1"),
+        sum(col("rev") * col("rev")).over(w).as("s2"))
+      .filter(col("n") >= 14) // need a stable baseline
+      .select(col("day"), col("rev").cast("double").as("revenue"),
+        round(((col("rev").cast("double") - col("s1").cast("double") / col("n")) /
+          sqrt((col("s2").cast("double") - col("s1").cast("double") *
+            col("s1").cast("double") / col("n")) / (col("n") - 1))), 4).as("z"))
+      .filter(abs(col("z")) > 2)
+  }
+
+  val revenueAnomaliesSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |framed AS (
+      |  SELECT day, rev,
+      |    count(*) OVER w AS n,
+      |    sum(rev) OVER w AS s1,
+      |    sum(rev * rev) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT day, CAST(rev AS DOUBLE) AS revenue,
+      |    round((CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+      |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |           / (n - 1)), 4) AS z
+      |  FROM framed WHERE n >= 14)
+      |SELECT day, revenue, z FROM scored WHERE abs(z) > 2""".stripMargin
 }

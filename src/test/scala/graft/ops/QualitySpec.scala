@@ -22,6 +22,36 @@ class QualitySpec extends GraftTestBase {
     m.values.foreach(_ should be >= 0L)
   }
 
+  behavior of "schemaDiff"
+
+  it should "classify added, removed, and retyped columns" in {
+    import org.apache.spark.sql.types._
+    val v1 = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType),
+      StructField("legacy", StringType)))
+    val v2 = StructType(Seq(
+      StructField("id", LongType), StructField("price", DecimalType(10, 2)),
+      StructField("added_col", IntegerType)))
+    Quality.schemaDiff(v1, v2).toSet shouldBe Set(
+      ("added_col", "added", "", "int"),
+      ("legacy", "removed", "string", ""),
+      ("price", "retyped", "double", "decimal(10,2)"))
+    Quality.schemaDiff(v1, v1) shouldBe empty
+  }
+
+  behavior of "revenueAnomalies"
+
+  it should "only flag days beyond 2 sigma of their own trailing baseline" in {
+    val rows = Quality.revenueAnomalies(spark, sf).collect()
+    rows.foreach(r => math.abs(r.getAs[Double]("z")) should be > 2.0)
+    // baseline excludes the current day, so a quiet series flags little:
+    // the detector must not fire on more than a quarter of days
+    val nDays = graft.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate"))).distinct().count()
+    rows.length.toLong should be <= nDays / 4
+  }
+
   behavior of "benfordAudit"
 
   it should "emit a leading-digit distribution with coherent frequencies" in {
