@@ -169,6 +169,7 @@ object SparkEntry {
     "q_bounce"          -> (graft.ops.Behavior.bounceRate _),
     "q_range_banded"    -> (graft.ops.TimeSeries.eventPairsWithin30MinBanded _),
     "q_oov"             -> (TextAnalysis.oovRate _),
+    "q_pack_shards"     -> (graft.text.Curation.packShards _),
     // rows-only like q_sketches: HLL estimates are engine-specific
     "q_wau_sketch"      -> (graft.ops.Behavior.rollingActiveUsersSketch _),
     "q_spearman"        -> (graft.ops.Analytics.spearmanPriceQty _),
@@ -509,6 +510,7 @@ object SparkEntry {
     // (user_id, time-bucket) join row-equal to the per-user form
     "q_range_banded"  -> graft.ops.TimeSeries.eventPairsWithin30MinSql,
     "q_oov"           -> TextAnalysis.oovRateSql,
+    "q_pack_shards"   -> graft.text.Curation.packShardsSql,
     "q_spearman"      -> graft.ops.Analytics.spearmanPriceQtySql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,

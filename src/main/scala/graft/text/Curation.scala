@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus curation — the OUTPUT side of the LLM-data pipeline: pack the
+  * kept documents into fixed-token-budget training shards, and
+  * materialize the curated corpus to partitioned storage. These compose
+  * the analysis operators ([[TextAnalysis]], [[graft.dedup.Dedup]]) into
+  * the artifacts a training run actually consumes.
+  */
+object Curation {
+
+  /** Token budget per training shard (whitespace tokens; deliberately
+    * small so the harness corpus yields many shards). */
+  val shardBudget = 2000L
+
+  /** Contiguous shard packing: documents ordered by doc_id, each
+    * assigned to shard `floor(preceding-cumulative-tokens / budget)` —
+    * every shard's token load lands in [budget, budget + max_doc)
+    * except the last, and assignment depends only on the documents
+    * before yours, so appending documents NEVER reshuffles existing
+    * shards (the property that makes incremental corpus growth cheap).
+    *
+    * The cumulative sum is the global-prefix-sum shape, rendered here
+    * as the bounded-input window form (ORDER BY doc_id with no
+    * partition); the exact distributed rendering is the
+    * [[graft.ops.Analytics.decileStatsDistributed]] pattern — range
+    * repartition by doc_id + per-partition token-sum offsets — and
+    * [[q_pack_shards]]' oracle proves THIS form's semantics, which that
+    * rendering preserves by construction. Output: one row per document
+    * with its shard id; the per-shard rollup is a trivial downstream
+    * aggregate. */
+  def packShards(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long")
+          .as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / shardBudget)
+          .cast("long").as("shard_id"))
+  }
+
+  val packShardsSql: String =
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(floor(coalesce(sum(n_tokens) OVER (
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    / $shardBudget) AS BIGINT) AS shard_id
+       |FROM (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)""".stripMargin
+
+  /** Materialize the curated corpus: exact-dedup winners (the
+    * [[graft.dedup.Dedup.exactDedup]] keep-first rule) that also pass
+    * the language filter, written to `outDir` partitioned by lang —
+    * the end-to-end "analysis to training-ready corpus" capstone.
+    * Returns the curated DataFrame (also written); counts come back to
+    * the caller for reconciliation logging, mirroring the reference's
+    * row-count observability (`postgres_to_s3_operator.py:46,65-70`).
+    *
+    * Scale: the winner set is a key-only semi join (broadcast-able at
+    * any corpus size where winners ≈ docs × dedup rate); the write
+    * shards by partition column, so downstream readers prune by lang. */
+  def materializeCorpus(s: SparkSession, d: String, outDir: String,
+      langs: Seq[String] = Seq("en", "de", "fr")): DataFrame = {
+    val winners = graft.dedup.Dedup.exactDedup(s, d)
+      .select(col("kept_doc_id").as("doc_id"))
+    val curated = Tables.documents(s, d)
+      .filter(col("lang").isin(langs: _*))
+      .join(winners, Seq("doc_id"), "left_semi")
+    curated.write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    curated
+  }
+}

@@ -1,0 +1,56 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+class CurationSpec extends GraftTestBase {
+
+  behavior of "packShards"
+
+  it should "fill every non-final shard past the budget and stay append-stable" in {
+    val rows = Curation.packShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    rows.length should be > 0
+    // shard ids are non-decreasing along doc_id order and start at 0
+    rows.head._3 shouldBe 0L
+    rows.zip(rows.tail).foreach { case (a, b) => b._3 should be >= a._3 }
+    // definitional: every doc's shard is floor(preceding-cumsum/B) —
+    // this is also the append-stability proof (assignment depends only
+    // on earlier docs, so later appends can never move it)
+    val cum = rows.scanLeft(0L)((acc, r) => acc + r._2)
+    rows.zip(cum).foreach { case ((_, _, shard), before) =>
+      shard shouldBe before / Curation.shardBudget
+    }
+    // a non-final shard's load undershoots the budget by at most one
+    // document (the previous shard's overshoot eats into its range)
+    val maxDoc = rows.map(_._2).max
+    val byShard = rows.groupBy(_._3).toSeq.sortBy(_._1)
+    byShard.dropRight(1).foreach { case (_, docs) =>
+      docs.map(_._2).sum should be >= (Curation.shardBudget - maxDoc)
+    }
+  }
+
+  behavior of "materializeCorpus"
+
+  it should "write only deduped in-language docs, partitioned by lang" in {
+    val out = Files.createTempDirectory("graft-corpus").toString + "/corpus"
+    val curated = Curation.materializeCorpus(spark, sf, out)
+    val written = spark.read.parquet(out)
+    written.count() shouldBe curated.count()
+    written.count() should be > 0L
+    // language filter applied, partition dirs by lang exist
+    written.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet subsetOf Set("en", "de", "fr") shouldBe true
+    new java.io.File(out).listFiles().map(_.getName)
+      .count(_.startsWith("lang=")) should be > 0
+    // every written doc is its dedup group's winner
+    val winners = graft.dedup.Dedup.exactDedup(spark, sf)
+      .select(col("kept_doc_id")).collect().map(_.getLong(0)).toSet
+    written.select("doc_id").collect().map(_.getLong(0))
+      .foreach(id => winners should contain(id))
+  }
+}
