@@ -148,6 +148,7 @@ object SparkEntry {
     //    analytics, basket pairs, weighted median, RFM, data-quality audits
     "q_gapfill"         -> (graft.ops.TimeSeries.gapFillDailyOrders _),
     "q_asof_tolerance"  -> (graft.ops.TimeSeries.asofClickWithTolerance _),
+    "q_interpolate"     -> (graft.ops.TimeSeries.interpolateDailyPrice _),
     "q_event_paths"     -> (graft.ops.Behavior.topEventPaths _),
     "q_transitions"     -> (graft.ops.Behavior.transitionMatrix _),
     "q_copurchase"      -> (graft.ops.Behavior.coPurchasePairs _),
@@ -487,6 +488,7 @@ object SparkEntry {
     "q_mad"           -> graft.ops.Analytics.madByStatusSql,
     "q_gapfill"       -> graft.ops.TimeSeries.gapFillDailyOrdersSql,
     "q_asof_tolerance" -> graft.ops.TimeSeries.asofClickWithToleranceSql,
+    "q_interpolate"   -> graft.ops.TimeSeries.interpolateDailyPriceSql,
     "q_event_paths"   -> graft.ops.Behavior.topEventPathsSql,
     "q_transitions"   -> graft.ops.Behavior.transitionMatrixSql,
     "q_copurchase"    -> graft.ops.Behavior.coPurchasePairsSql,

@@ -248,6 +248,102 @@ object TimeSeries {
       |FROM grid g LEFT JOIN daily d
       |  ON g.o_orderpriority = d.o_orderpriority AND g.day = d.day""".stripMargin
 
+  /** Linear interpolation over the gap-filled daily series — the third
+    * repair mode next to [[gapFillDailyOrders]]'s zero-fill and LOCF:
+    * each absent day gets the straight-line value between its nearest
+    * observed neighbors (NULL outside the observed range, where a line
+    * is undefined). The sensor-series / metric-backfill standard.
+    *
+    * Both anchors come from the same per-priority window pass: LOCF
+    * carries the previous observation forward, the mirrored frame
+    * carries the next one backward — one partitioning, no joins beyond
+    * the spine build. Determinism is the interesting part: the naive
+    * `pv + (nv-pv)·w` float chain landed EXACTLY on a 4-dp rounding
+    * boundary in testing (engines differ in the last ulp), so the line
+    * equation is algebraically rearranged over exact integers — price
+    * sums as BIGINT cents, counts, and day deltas — into ONE final
+    * double division: interp = (Sp·nn·(dn−dd) + Sn·np·dd) /
+    * (np·nn·dn·100). Exact numerator and denominator, bit-identical
+    * everywhere, no rounding anywhere. */
+  def interpolateDailyPrice(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice"))
+    val daily = o.groupBy(col("o_orderpriority"), col("day"))
+      .agg(count("*").as("n"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+    val spine = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val grid = spine.crossJoin(o.select(col("o_orderpriority")).distinct())
+    val byPrio = Window.partitionBy("o_orderpriority").orderBy("day")
+    val back = byPrio.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byPrio.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dd = datediff(col("day"), col("pd")).cast("long")
+    val dn = datediff(col("nd"), col("pd")).cast("long")
+    grid.join(daily, Seq("o_orderpriority", "day"), "left")
+      .select(col("o_orderpriority"), col("day"), col("n"),
+        last(col("cents"), ignoreNulls = true).over(back).as("sp"),
+        last(col("n"), ignoreNulls = true).over(back).as("np"),
+        last(when(col("n").isNotNull, col("day")), ignoreNulls = true)
+          .over(back).as("pd"),
+        first(col("cents"), ignoreNulls = true).over(fwd).as("sn"),
+        first(col("n"), ignoreNulls = true).over(fwd).as("nn"),
+        first(when(col("n").isNotNull, col("day")), ignoreNulls = true)
+          .over(fwd).as("nd"))
+      .select(col("o_orderpriority"), col("day"),
+        // dn = 0 means the day is itself observed (both anchors are the
+        // day): the line degenerates and the value is the exact average
+        when(col("sp").isNotNull && col("sn").isNotNull && dn === 0L,
+          col("sp").cast("double") / (col("np") * 100L).cast("double"))
+          .when(col("sp").isNotNull && col("sn").isNotNull,
+            (col("sp") * col("nn") * (dn - dd) + col("sn") * col("np") * dd)
+              .cast("double") /
+              (col("np") * col("nn") * dn * 100L).cast("double"))
+          .otherwise(lit(null)).as("price_interp"))
+  }
+
+  val interpolateDailyPriceSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, o_totalprice
+      |  FROM orders),
+      |daily AS (
+      |  SELECT o_orderpriority, day, count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM o GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM o),
+      |grid AS (SELECT p.o_orderpriority, s.day
+      |  FROM spine s CROSS JOIN (SELECT DISTINCT o_orderpriority FROM o) p),
+      |anchored AS (
+      |  SELECT g.o_orderpriority, g.day,
+      |    last_value(d.cents IGNORE NULLS) OVER wb AS sp,
+      |    last_value(d.n IGNORE NULLS) OVER wb AS np,
+      |    last_value(CASE WHEN d.n IS NOT NULL THEN g.day END IGNORE NULLS)
+      |      OVER wb AS pd,
+      |    first_value(d.cents IGNORE NULLS) OVER wf AS sn,
+      |    first_value(d.n IGNORE NULLS) OVER wf AS nn,
+      |    first_value(CASE WHEN d.n IS NOT NULL THEN g.day END IGNORE NULLS)
+      |      OVER wf AS nd
+      |  FROM grid g LEFT JOIN daily d
+      |    ON g.o_orderpriority = d.o_orderpriority AND g.day = d.day
+      |  WINDOW
+      |    wb AS (PARTITION BY g.o_orderpriority ORDER BY g.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY g.o_orderpriority ORDER BY g.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT o_orderpriority, day,
+      |  CASE
+      |    WHEN sp IS NOT NULL AND sn IS NOT NULL
+      |     AND date_diff('day', pd, nd) = 0 THEN
+      |      CAST(sp AS DOUBLE) / CAST(np * 100 AS DOUBLE)
+      |    WHEN sp IS NOT NULL AND sn IS NOT NULL THEN
+      |      CAST(sp * nn * (date_diff('day', pd, nd) - date_diff('day', pd, day))
+      |           + sn * np * date_diff('day', pd, day) AS DOUBLE) /
+      |      CAST(np * nn * date_diff('day', pd, nd) * 100 AS DOUBLE)
+      |    ELSE NULL END AS price_interp
+      |FROM anchored""".stripMargin
+
   /** As-of join WITH TOLERANCE: each event sees the same user's most
     * recent 'click' only if it happened within the last hour — beyond
     * the tolerance the match expires to NULL (the attribution-window /
