@@ -174,6 +174,9 @@ object SparkEntry {
     // rows-only like q_sketches: HLL estimates are engine-specific
     "q_wau_sketch"      -> (graft.ops.Behavior.rollingActiveUsersSketch _),
     "q_spearman"        -> (graft.ops.Analytics.spearmanPriceQty _),
+    "q_mom_growth"      -> (graft.ops.Analytics.monthlyGrowth _),
+    // rows-only like q_sketches: sketch contents are merge-order-dependent
+    "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -514,6 +517,7 @@ object SparkEntry {
     "q_oov"           -> TextAnalysis.oovRateSql,
     "q_pack_shards"   -> graft.text.Curation.packShardsSql,
     "q_spearman"      -> graft.ops.Analytics.spearmanPriceQtySql,
+    "q_mom_growth"    -> graft.ops.Analytics.monthlyGrowthSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -712,6 +712,54 @@ object Analytics {
       |FROM w WHERE cumw * 2 >= totw
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Month-over-month revenue growth — the period-over-period BI staple:
+    * monthly exact-decimal revenue, the previous month's value (lag), and
+    * the growth ratio. The window runs over the per-month aggregate
+    * (O(months) rows at any fact size); the ratio is one long-cents /
+    * long-cents double division, so no float accumulation anywhere. */
+  def monthlyGrowth(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    val w = Window.orderBy("month")
+    monthly
+      .select(col("month"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        lag("cents", 1).over(w).as("prev_cents"),
+        col("cents"))
+      .select(col("month"), col("revenue"),
+        (col("prev_cents").cast("double") / 100.0).as("prev_revenue"),
+        (col("cents").cast("double") / col("prev_cents").cast("double") - 1.0)
+          .as("growth"))
+  }
+
+  val monthlyGrowthSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT month,
+      |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE) / 100.0 AS prev_revenue,
+      |  CAST(cents AS DOUBLE) / CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE) - 1.0
+      |    AS growth
+      |FROM monthly""".stripMargin
+
+  /** Per-group heavy hitters via the [[graft.functions.SpaceSaving]]
+    * sketch: the k most frequent part keys per return flag with
+    * guaranteed lower-bound counts, in O(k) state per group regardless
+    * of how many distinct parts exist. Registered rows-only like
+    * `q_sketches` (sketch contents are merge-order-dependent); the
+    * guarantee itself — heavy items never dismissed, bounds never
+    * overcount — is proven on skewed synthetic data in
+    * SpaceSavingSpec. */
+  def heavyHitterParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey").cast("string").as("pk"))
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.SpaceSaving.udaf(col("pk")).as("heavy_hitters"))
+
   /** Spearman rank correlation between price and quantity per return
     * flag — the monotone-association measure that survives outliers and
     * nonlinearity where Pearson ([[momentsByReturnFlag]]) does not.
