@@ -746,6 +746,59 @@ object Analytics {
       |    AS growth
       |FROM monthly""".stripMargin
 
+  /** OLS trend line per order priority: the least-squares slope and
+    * intercept of daily revenue against the day index — the trend
+    * detector behind "is this metric drifting". All power sums are over
+    * exact integers (x = epoch-day int, y = revenue cents long), so the
+    * closing slope/intercept formulas are single pinned double
+    * expressions — deterministic across engines and partitionings, the
+    * same discipline as [[momentsByReturnFlag]] and `q_spearman`. The
+    * regression input is the per-(priority, day) aggregate: O(priorities
+    * × days) rows at any fact size. */
+  def revenueTrend(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100).cast("long").as("y"))
+    daily.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d0(col("x"))).as("sx"), sum(d0(col("y"))).as("sy"),
+        sum(d0(col("x")) * d0(col("y"))).as("sxy"),
+        sum(d0(col("x")) * d0(col("x"))).as("sxx"))
+      .select(col("o_orderpriority"), col("n"),
+        ((d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") / 100.0)
+          .as("slope_per_day"),
+        ((col("sy").cast("double") / col("n").cast("double") -
+          (d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("sx").cast("double") / col("n").cast("double"))) / 100.0)
+          .as("intercept"))
+  }
+
+  val revenueTrendSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_day,
+      |  (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+      |   CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) *
+      |   (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 AS intercept
+      |FROM s""".stripMargin
+
   /** Per-group heavy hitters via the [[graft.functions.SpaceSaving]]
     * sketch: the k most frequent part keys per return flag with
     * guaranteed lower-bound counts, in O(k) state per group regardless
