@@ -7,14 +7,14 @@ package graft
   *
   * `--lint` runs [[graft.plans.PlanLint]] on each query and prints its
   * findings — the scale-antipattern audit over the full inventory.
-  * Known-accepted findings, 10 of 123 queries as of round 4 (each
+  * Known-accepted findings, 11 of 128 queries as of round 4 (each
   * documented at its definition): q_deciles (the single-reducer
   * reference form next to q_deciles_dist), q_share_of_total / q_rfm /
-  * q15_top_supplier / q_benford / q_anomaly (global windows over
-  * already-aggregated tiny frames: 25 / 100 / suppliers / 9 / ~366
-  * rows), q_dedup_embed / q_fuzzy_names (intentional bounded all-pairs
-  * verifiers), q_knn_brute / q_knn_ivf (broadcast of the
-  * small-by-construction query set — small by data contract, which
+  * q15_top_supplier / q_benford / q_anomaly / q_mom_growth (global
+  * windows over already-aggregated tiny frames: 25 / 100 / suppliers /
+  * 9 / ~366 / ~80 rows), q_dedup_embed / q_fuzzy_names (intentional
+  * bounded all-pairs verifiers), q_knn_brute / q_knn_ivf (broadcast of
+  * the small-by-construction query set — small by data contract, which
   * shape analysis cannot see). Anything OUTSIDE that list is a
   * regression. */
 object Explain {
