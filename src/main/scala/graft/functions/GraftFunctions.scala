@@ -57,6 +57,7 @@ object GraftFunctions {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
     spark.udf.register("xor_checksum", XorChecksum.udaf)
+    spark.udf.register("space_saving", SpaceSaving.udaf)
   }
 
   /** Column-API form: `df.select(cosineSim($"a", $"b"))` — no registry. */

@@ -33,6 +33,15 @@ class SpaceSavingSpec extends GraftTestBase {
     }
   }
 
+  it should "be callable from SQL after registration" in {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq("x", "x", "y").toDF("v").createOrReplaceTempView("ss_spec")
+    val m = spark.sql("SELECT space_saving(v) AS hh FROM ss_spec")
+      .head().getAs[Map[String, Long]]("hh")
+    m shouldBe Map("x" -> 2L, "y" -> 1L)
+  }
+
   it should "count exactly when distinct values fit within capacity" in {
     import spark.implicits._
     val items = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c")
