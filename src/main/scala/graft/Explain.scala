@@ -7,16 +7,25 @@ package graft
   *
   * `--lint` runs [[graft.plans.PlanLint]] on each query and prints its
   * findings — the scale-antipattern audit over the full inventory.
-  * Known-accepted findings, 11 of 128 queries as of round 4 (each
+  * Known-accepted findings, 17 of 128 queries as of round 5 (each
   * documented at its definition): q_deciles (the single-reducer
   * reference form next to q_deciles_dist), q_share_of_total / q_rfm /
   * q15_top_supplier / q_benford / q_anomaly / q_mom_growth (global
   * windows over already-aggregated tiny frames: 25 / 100 / suppliers /
-  * 9 / ~366 / ~80 rows), q_dedup_embed / q_fuzzy_names (intentional
-  * bounded all-pairs verifiers), q_knn_brute / q_knn_ivf (broadcast of
-  * the small-by-construction query set — small by data contract, which
-  * shape analysis cannot see). Anything OUTSIDE that list is a
-  * regression. */
+  * 9 / ~366 / ~80 rows), q_pack_shards (bounded-input global prefix
+  * sum; distributed rendering named at its definition),
+  * q_dedup_embed / q_fuzzy_names (intentional bounded all-pairs
+  * verifiers), q_knn_brute / q_knn_ivf / q_knn_lsh (broadcast of the
+  * small-by-construction query set — small by data contract, which
+  * shape analysis cannot see; the lsh/ivf recall checks embed the
+  * brute-force verifier), and low-cardinality-window on
+  * q_topk_per_group / q_window_rank / q_window_frames /
+  * q_window_distinct (window-function batteries over the
+  * `o_orderkey <= 2000` bounded slice — the rule can't see the filter's
+  * bound, and the batteries exist to exercise frame semantics; the
+  * scale-correct pattern for real workloads is the
+  * weightedMedianPrice / spearmanPriceQty pre-aggregation rendering).
+  * Anything OUTSIDE that list is a regression. */
 object Explain {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, s"usage: Explain <query|all> [sfDir] [--plan] [--lint]; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")

@@ -73,8 +73,8 @@ object SparkEntry {
     "q_dedup_simhash"   -> (Dedup.simhashDedup _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
-    "q_knn_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
-    "q_knn_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
+    "q_knn_ivf"         -> (Similarity.ivfRecallCheck _),
     "q_centroids"       -> (Similarity.labelCentroids _),
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
@@ -171,12 +171,10 @@ object SparkEntry {
     "q_range_banded"    -> (graft.ops.TimeSeries.eventPairsWithin30MinBanded _),
     "q_oov"             -> (TextAnalysis.oovRate _),
     "q_pack_shards"     -> (graft.text.Curation.packShards _),
-    // rows-only like q_sketches: HLL estimates are engine-specific
     "q_wau_sketch"      -> (graft.ops.Behavior.rollingActiveUsersSketch _),
     "q_spearman"        -> (graft.ops.Analytics.spearmanPriceQty _),
     "q_mom_growth"      -> (graft.ops.Analytics.monthlyGrowth _),
     "q_trend"           -> (graft.ops.Analytics.revenueTrend _),
-    // rows-only like q_sketches: sketch contents are merge-order-dependent
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
   )
 
@@ -381,11 +379,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
-    // -- LLM-pipeline extensions. q_knn_lsh and q_knn_ivf are
-    // deliberately omitted (bucket/centroid assignment hinges on float
-    // evaluation DuckDB cannot reproduce bit-exactly → driver records the
-    // weaker rows-only check; recall vs q_knn_brute is asserted in
-    // SimilaritySpec instead).
+    // -- LLM-pipeline extensions. The approximate operators (ANN,
+    // sketches, heavy hitters) are graded through their deterministic
+    // CONTRACTS: DuckDB cannot reproduce bucket/centroid/sketch
+    // internals, so those queries emit exact companion values plus
+    // bound-check booleans the oracle asserts as constants.
+    "q_knn_lsh"       -> Similarity.recallCheckSql,
+    "q_knn_ivf"       -> Similarity.recallCheckSql,
+    "q_sketches"      -> graft.ops.Sketches.orderSketchesSql,
+    "q_wau_sketch"    -> graft.ops.Behavior.rollingActiveUsersSketchSql,
+    "q_heavy_hitters" -> graft.ops.Analytics.heavyHitterPartsSql,
     "q_text_stats"    -> TextAnalysis.textStatsSql,
     "q_lang_id"       -> TextAnalysis.langIdSql,
     "q_fingerprint"   -> TextAnalysis.fingerprintSql,
@@ -397,9 +400,6 @@ object SparkEntry {
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_media_meta"    -> Multimodal.mediaMetaSql,
     "q_sessionize"    -> EventStreams.sessionizeBatchSql,
-    // q_sketches deliberately omitted like q_knn_lsh: HLL++/quantile-
-    // summary estimates are engine-specific; SketchSpec asserts error
-    // bounds against exact values instead.
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,
     "q_train_split"   -> TextAnalysis.trainSplitSql,
     "q_top_bigrams"   -> TextAnalysis.topBigramsSql,

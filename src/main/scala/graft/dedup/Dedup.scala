@@ -309,7 +309,13 @@ object Dedup {
     * once per ROW, and `dot / (norm_a * norm_b)` is bit-identical to
     * [[graft.functions.CosineSimilarity]] (same accumulation order, same
     * `sqrt(nx) * sqrt(ny)` denominator grouping, same null-on-zero-norm
-    * contract) at a third of the pair-loop flops. At 100 TB this
+    * contract) at a third of the pair-loop flops. The bit-identity
+    * REQUIRES equal-length vectors: CosineSimilarity accumulates all
+    * three sums over min(len_a, len_b) while L2Norm covers each full
+    * vector, so ragged pairs diverge — fine here because the embeddings
+    * table is fixed-dim by construction (what makes VectorOpsSpec's
+    * bit-equality hold); assert dimensionality first before reusing the
+    * identity on untrusted input. At 100 TB this
     * operator runs with an LSH blocking stage first
     * ([[graft.similarity.Similarity.lshTopK]] shape: bucket-join then
     * verify); the all-pairs form stays the per-bucket verifier, and the

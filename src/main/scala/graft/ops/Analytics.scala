@@ -112,10 +112,15 @@ object Analytics {
   // ----------------------------------------------- percentiles & moments
 
   /** Exact percentiles per group (median/p90 via linear interpolation —
-    * the same rule DuckDB's quantile_cont applies). Exact percentile is
-    * a sort-based aggregate: fine per-group here, but the 100 TB path is
-    * approx_percentile ([[Sketches.orderSketches]]) — fixed-size
-    * mergeable summaries instead of a per-group value sort. Rounded to 4
+    * the same rule DuckDB's quantile_cont applies). Memory contract:
+    * Spark's exact `percentile` buffers a value→count map per group, so
+    * state is O(distinct values per group) — bounded here (prices are a
+    * domain, not a fact count) but unbounded in general; the 100 TB path
+    * for open-domain columns is approx_percentile
+    * ([[Sketches.orderSketches]]) — fixed-size mergeable summaries
+    * instead of a per-group value map. The same contract applies
+    * everywhere exact `percentile` appears in this file
+    * ([[winsorizedPrices]] caps, [[madByStatus]]). Rounded to 4
     * decimals: interpolation arithmetic is engine-identical, rounding
     * guards the representation. */
   def percentilesByStatus(s: SparkSession, d: String): DataFrame =
@@ -320,9 +325,19 @@ object Analytics {
       .select(col("k"), col("p"))
       .as[(Long, Double)]
       .rdd
+    // localCheckpoint pins the shuffle output so the counting pass and
+    // the ranking pass read the SAME partitioning without recomputing
+    // the sort. Durability contract: localCheckpoint blocks live on
+    // executors, not reliable storage — losing an executor between the
+    // two passes fails the job (and it fails LOUDLY; a silent recompute
+    // could reorder). On a long-lived cluster checkpoint() to reliable
+    // storage buys the same pinning with fault tolerance at the cost of
+    // an HDFS round-trip.
     ranged.localCheckpoint()
     val counts = ranged
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+      // fold to a Long directly — Iterator.size returns Int and would
+      // wrap past 2^31 rows in one partition
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.foldLeft(0L)((n, _) => n + 1))),
         preservesPartitioning = true)
       .collect().sortBy(_._1).map(_._2)
     val n = counts.sum
@@ -388,7 +403,9 @@ object Analytics {
   /** Winsorization: clip prices to their group's [p05, p95] — the
     * outlier-capping feature transform (the robust sibling of
     * [[zscorePrices]]). Caps come from one exact-percentile aggregate
-    * over 3 groups (broadcast back); the clip itself is a pure
+    * over 3 groups (broadcast back; O(distinct values per group) state —
+    * see the [[percentilesByStatus]] memory contract, approx_percentile
+    * is the open-domain rendering); the clip itself is a pure
     * projection. Caps round to 4 decimals BEFORE clipping so the
     * boundary decision is engine-portable; clipped values are either
     * raw data or a rounded cap — exact either way. */
@@ -421,10 +438,12 @@ object Analytics {
 
   /** Median absolute deviation per group — the robust dispersion measure
     * ([[zscorePrices]]'s mean/stddev break under heavy tails; median/MAD
-    * don't). Two exact-percentile passes over the same partitioning:
-    * medians first, broadcast back, then the median of absolute
-    * deviations. Interpolated percentile matches quantile_cont; rounds
-    * to 4 like all interpolation arithmetic in the suite. */
+    * don't). Two exact-percentile passes over the same partitioning
+    * (each O(distinct values per group) state — see the
+    * [[percentilesByStatus]] memory contract): medians first, broadcast
+    * back, then the median of absolute deviations. Interpolated
+    * percentile matches quantile_cont; rounds to 4 like all
+    * interpolation arithmetic in the suite. */
   def madByStatus(s: SparkSession, d: String): DataFrame = {
     val med = Tables.orders(s, d)
       .groupBy("o_orderstatus")
@@ -674,14 +693,49 @@ object Analytics {
     * robust-center statistic when rows carry unequal mass (price ticks
     * weighted by volume, doc scores weighted by length).
     *
-    * Determinism: the cumulative weight uses a RANGE frame ordered by
-    * price, so every row's cumw includes ALL rows of equal price —
-    * tie-order inside a price cannot shift the crossing point; weights
-    * are exact decimals, so partial-sum order cannot either. The scan,
-    * both windows, and the final aggregate share one l_returnflag
-    * partitioning — one shuffle end-to-end; the crossing test
-    * `2·cumw >= total` stays in integer-exact decimal arithmetic. */
+    * Scale rendering: the weight is pre-aggregated by (flag, price)
+    * FIRST — a map-side-combinable shuffle — so the cumulative window
+    * runs over O(distinct prices) rows per flag, not the raw facts. The
+    * reference form ([[weightedMedianPriceWindowed]]) windows the raw
+    * table partitioned by a 3-value flag: at 100 TB each flag's entire
+    * billions of rows sort and cumulate through ONE task. Here the
+    * per-task window input is bounded by the price DOMAIN (which grows
+    * with the catalog, not the fact count). Equivalence: the reference's
+    * RANGE frame already treats equal prices as one cumulative group, so
+    * collapsing them before the window cannot move the crossing point —
+    * proven row-equal in AnalyticsSpec and graded against the SAME
+    * oracle as the windowed form.
+    *
+    * Determinism: weights are exact decimals, so neither pre-aggregation
+    * order nor partial-sum order can perturb the crossing test
+    * `2·cumw >= total`, which stays in integer-exact decimal arithmetic. */
   def weightedMedianPrice(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("wt"))
+    // prices are distinct per flag after the aggregate, so a ROWS frame
+    // is exactly the reference's RANGE frame
+    val byFlag = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"))
+    val cum = byFlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("l_returnflag")
+    byPrice
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        sum(col("wt")).over(cum).as("cumw"),
+        sum(col("wt")).over(all).as("totw"))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median_price"),
+        max(col("totw")).cast("double").as("total_weight"))
+  }
+
+  /** The reference window rendering of [[weightedMedianPrice]]: RANGE
+    * frame directly over the raw facts. Correct, and the clearest
+    * statement of the semantics — but the window partitions by a 3-value
+    * flag over unaggregated rows, the low-cardinality-window
+    * scale-antipattern PlanLint flags (each flag = one task at any data
+    * size). Kept as the spec's equivalence baseline and the lint's
+    * positive test case. */
+  private[graft] def weightedMedianPriceWindowed(s: SparkSession, d: String): DataFrame = {
     val byFlag = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"))
     val cum = byFlag.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy("l_returnflag")
@@ -800,31 +854,134 @@ object Analytics {
       |FROM s""".stripMargin
 
   /** Per-group heavy hitters via the [[graft.functions.SpaceSaving]]
-    * sketch: the k most frequent part keys per return flag with
-    * guaranteed lower-bound counts, in O(k) state per group regardless
-    * of how many distinct parts exist. Registered rows-only like
-    * `q_sketches` (sketch contents are merge-order-dependent); the
-    * guarantee itself — heavy items never dismissed, bounds never
-    * overcount — is proven on skewed synthetic data in
-    * SpaceSavingSpec. */
-  def heavyHitterParts(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_partkey").cast("string").as("pk"))
+    * sketch, graded through its GUARANTEES rather than its contents:
+    * sketch contents are merge-order-dependent (like every mergeable
+    * sketch), but the two SpaceSaving invariants are not —
+    *  - any item with true count > N/k is IN the sketch, and
+    *  - every kept item's lower bound never exceeds its true count.
+    *
+    * The item domain is a planted-skew remap of l_partkey: 70% of rows
+    * collapse onto three `hot_*` items (far above the N/16 threshold —
+    * guaranteed kept) while the rest stay a wide `cold_*` tail (far more
+    * distinct values than the sketch's 16 counters — evictions really
+    * happen). The query runs the O(k)-state sketch per flag, exfoliates
+    * it to flat rows, joins the exact per-item counts, and emits one row
+    * per flag: the exact count of guaranteed-heavy items plus two
+    * invariant booleans. n_guaranteed and the TRUE/TRUE pair are fully
+    * deterministic, so the driver hash-compares them against DuckDB
+    * computing the same threshold census — the sketch itself stays
+    * approximate, the CONTRACT is what's graded (same discipline as
+    * q_knn_lsh's recall check). The exact-count side is only the
+    * verifier; the production artifact is the sketch aggregate, O(k)
+    * state per group at any distinct-value count. */
+  def heavyHitterParts(s: SparkSession, d: String): DataFrame = {
+    val k = graft.functions.SpaceSaving.capacity
+    val keyed = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        when(col("l_partkey") % 10 < 7,
+          concat(lit("hot_"), (col("l_partkey") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), col("l_partkey").cast("string")))
+          .as("pk"))
+    val sketch = keyed
       .groupBy(col("l_returnflag"))
-      .agg(graft.functions.SpaceSaving.udaf(col("pk")).as("heavy_hitters"))
+      .agg(graft.functions.SpaceSaving.udaf(col("pk")).as("hh"))
+      .select(col("l_returnflag").as("sk_flag"),
+        explode(col("hh")).as(Seq("item", "count_lo")))
+    val exact = keyed
+      .groupBy(col("l_returnflag"), col("pk"))
+      .agg(count(lit(1)).as("c"))
+    val totals = Window.partitionBy("l_returnflag")
+    exact
+      .withColumn("n", sum(col("c")).over(totals))
+      .join(sketch,
+        col("l_returnflag") === col("sk_flag") && col("pk") === col("item"),
+        "left")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("c") * k > col("n"), 1L).otherwise(0L)).as("n_guaranteed"),
+        min(when(col("c") * k > col("n"), col("item").isNotNull)
+          .otherwise(lit(true))).as("all_guaranteed_present"),
+        min(when(col("item").isNotNull, col("count_lo") <= col("c"))
+          .otherwise(lit(true))).as("bounds_valid"))
+  }
+
+  val heavyHitterPartsSql: String =
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag,
+       |    CASE WHEN l_partkey % 10 < 7 THEN 'hot_' || CAST(l_partkey % 3 AS VARCHAR)
+       |         ELSE 'cold_' || CAST(l_partkey AS VARCHAR) END AS pk
+       |  FROM lineitem),
+       |counts AS (
+       |  SELECT l_returnflag, pk, count(*) AS c FROM keyed GROUP BY 1, 2),
+       |tot AS (SELECT l_returnflag, sum(c) AS n FROM counts GROUP BY 1)
+       |SELECT c.l_returnflag,
+       |  CAST(count(*) FILTER (WHERE c.c * ${graft.functions.SpaceSaving.capacity} > t.n)
+       |    AS BIGINT) AS n_guaranteed,
+       |  TRUE AS all_guaranteed_present,
+       |  TRUE AS bounds_valid
+       |FROM counts c JOIN tot t USING (l_returnflag)
+       |GROUP BY 1""".stripMargin
 
   /** Spearman rank correlation between price and quantity per return
     * flag — the monotone-association measure that survives outliers and
     * nonlinearity where Pearson ([[momentsByReturnFlag]]) does not.
     *
-    * Ranks are min-ranks (`rank()`, identical tie semantics on both
-    * engines) from two windows sharing ONE l_returnflag partitioning;
-    * the correlation then runs over INTEGER ranks through exact
-    * decimal(38,0) power sums — partial-aggregation order cannot
-    * perturb anything, and the closing formula is one pinned sequence
-    * of double ops. Same scale posture as the moments query: one
-    * shuffle, O(groups) output. */
+    * Scale rendering: min-ranks are NOT computed by ranking the raw
+    * facts (that window partitions by a 3-value flag — one task per flag
+    * at any data size, see [[spearmanPriceQtyWindowed]]). Instead the
+    * facts collapse to (flag, price, qty) → count first (map-side
+    * combinable, O(domain²) output), and each value's min-rank falls out
+    * of the cumulative count over the per-VALUE marginal:
+    * rank(v) = 1 + #rows with value < v = running Σ count − count(v) + 1
+    * — `rank()`'s exact tie semantics. The two rank windows and the
+    * joins back to the pair relation all run over DOMAIN-sized
+    * aggregates (prices × quantities, grows with the catalog, not the
+    * fact count); the raw table is touched by exactly one
+    * map-side-combinable aggregate. Graded against the SAME oracle as
+    * the windowed reference form.
+    *
+    * Determinism: ranks are exact integers weighted by exact long
+    * counts; power sums run in decimal(38,0) — partial-aggregation order
+    * cannot perturb anything, and the closing formula is one pinned
+    * sequence of double ops. */
   def spearmanPriceQty(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val pairs = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    def minRanks(valueCol: String, rankName: String): DataFrame = {
+      val w = Window.partitionBy("l_returnflag").orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.groupBy(col("l_returnflag"), col(valueCol))
+        .agg(sum(col("c")).as("nv"))
+        .select(col("l_returnflag"), col(valueCol),
+          (sum(col("nv")).over(w) - col("nv") + 1).cast("long").as(rankName))
+    }
+    val ranked = pairs
+      .join(minRanks("l_extendedprice", "rp"), Seq("l_returnflag", "l_extendedprice"))
+      .join(minRanks("l_quantity", "rq"), Seq("l_returnflag", "l_quantity"))
+    ranked.groupBy(col("l_returnflag"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(d0(col("rp")) * d0(col("c"))).as("sx"),
+        sum(d0(col("rq")) * d0(col("c"))).as("sy"),
+        sum(d0(col("rp")) * d0(col("rq")) * d0(col("c"))).as("sxy"),
+        sum(d0(col("rp")) * d0(col("rp")) * d0(col("c"))).as("sxx"),
+        sum(d0(col("rq")) * d0(col("rq")) * d0(col("c"))).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((d0(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("spearman_rho"))
+  }
+
+  /** The reference window rendering of [[spearmanPriceQty]]: `rank()`
+    * directly over the raw facts, two windows sharing one l_returnflag
+    * partitioning. Clear but scale-weak — the flag has 3 values, so each
+    * window partition is one task regardless of data size (the
+    * low-cardinality-window antipattern PlanLint flags). Kept as the
+    * spec's equivalence baseline and the lint's positive test case. */
+  private[graft] def spearmanPriceQtyWindowed(s: SparkSession, d: String): DataFrame = {
     val big = DecimalType(38, 0)
     def d0(c: Column): Column = c.cast(big)
     val byFlag = Window.partitionBy("l_returnflag")

@@ -275,22 +275,44 @@ object Behavior {
     * re-aggregation trick that turns sliding COUNT(DISTINCT) into
     * O(days × 7) sketch unions, independent of user count. This is what
     * replaces the exact form's user-day-grid blowup when users number
-    * billions: the exact grid is the verifier (spec bounds the sketch's
-    * relative error against it), the sketch is the dashboard path.
-    * Rows-only in the driver gate: sketch estimates are
-    * engine-specific, like `q_sketches`. */
+    * billions: the exact grid is the verifier, the sketch is the
+    * dashboard path.
+    *
+    * Graded through the estimator's CONTRACT (the q_sketches
+    * discipline): raw sketch estimates are engine-specific and can never
+    * hash-match an oracle, but they are deterministic (the Datasketches
+    * HLL is hash-based and seed-free), so the query joins the exact WAU
+    * back in and emits (day, exact WAU, error-within-bound boolean) —
+    * the exact column oracles directly, the boolean oracles as a TRUE
+    * constant. The default sketch (lgK=12) observes well under 2%
+    * relative error here; the asserted bound leaves 5× headroom. */
+  val wauRelErrBound = 0.10
+
   def rollingActiveUsersSketch(s: SparkSession, d: String): DataFrame = {
     val daySketch = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .groupBy(col("day"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-    daySketch
+    val est = daySketch
       .select(col("sk"),
         explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
       .groupBy(col("wday"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"))
-      // trim to observed days, like the exact form
-      .join(daySketch.select(col("day")), col("wday") === col("day"))
-      .select(col("day"), col("wau_est"))
+    rollingActiveUsers(s, d)
+      .join(est, col("day") === col("wday"))
+      .select(col("day"), col("wau").as("wau_exact"),
+        (abs(col("wau_est") - col("wau")).cast("double") <=
+          lit(wauRelErrBound) * col("wau").cast("double")).as("wau_hll_ok"))
   }
+
+  val rollingActiveUsersSketchSql: String =
+    """WITH grid AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |support AS (
+      |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+      |  FROM grid, generate_series(0, 6) AS t(i)),
+      |wau AS (SELECT wday, count(*) AS wau FROM support GROUP BY 1),
+      |days AS (SELECT DISTINCT day FROM grid)
+      |SELECT d.day, w.wau AS wau_exact, TRUE AS wau_hll_ok
+      |FROM days d JOIN wau w ON d.day = w.wday""".stripMargin
 }

@@ -79,11 +79,15 @@ object Quality {
       |SELECT 'orders_dup_pk', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
       |FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
       |UNION ALL
-      |SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT) FROM orders
-      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |-- NOT EXISTS, not NOT IN: the engine's check is a left-anti join,
+      |-- which counts null-keyed rows as violations where NOT IN would
+      |-- yield zero rows the moment any key is NULL — the semantics must
+      |-- match independent of data nullability
+      |SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT) FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |UNION ALL
-      |SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem
-      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       |UNION ALL
       |SELECT 'lineitem_discount_range',
       |  CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT) FROM lineitem

@@ -15,28 +15,61 @@ import graft.Tables
   *   Khanna-style): bounded memory, one pass.
   *
   * Approximate outputs are engine-specific (DuckDB's estimators differ),
-  * so these queries carry NO DuckDB oracle — the driver records a
-  * rows-only check, and SketchSpec asserts the estimates against exact
-  * values with the algorithms' error bounds. The exact companions
-  * (n_exact columns) are oracle-able and covered via q_outer_join_agg /
-  * q1_agg shapes elsewhere.
+  * so the raw estimates can never be hash-compared — but Spark's
+  * estimators are DETERMINISTIC (HLL++ and the quantile summary are
+  * hash/rank-based, seed-free), so their error against the in-query
+  * exact values is a reproducible constant. The graded query therefore
+  * emits the exact values (oracle-able directly) plus error-bound
+  * BOOLEANS the oracle asserts as TRUE constants: the estimator's
+  * contract is what's graded, the estimate itself stays approximate.
+  * SketchSpec additionally asserts the raw estimates.
   */
 object Sketches {
 
-  /** Per-orderstatus cardinality + quantile sketches next to their exact
-    * counterparts: one pass, partial aggregation on every map task. */
+  /** Relative standard deviation requested from approx_count_distinct —
+    * tighter than the 0.05 default because the graded bound below needs
+    * real headroom (at the default, observed error reached 5.7% on this
+    * corpus; at 0.02 it stays ~1%). */
+  val hllRsd = 0.02
+  /** Relative-error bound asserted for the HLL++ estimate — ~5× the
+    * observed maximum across SFs (headroom measured, not hoped). */
+  val hllRelErrBound = 0.10
+  /** Relative-error bound for approx_percentile at the default accuracy
+    * (rank error ≤ n/10000 — value-space slack for it). */
+  val pctRelErrBound = 0.02
+
+  /** Per-orderstatus cardinality + quantile sketches graded through
+    * their error contracts: one pass, partial aggregation on every map
+    * task; exact companions ride the same aggregate. The exact
+    * percentile is the verifier only — its state is O(distinct values
+    * per group) while the sketches stay fixed-size, which is the whole
+    * point at 100 TB. */
   def orderSketches(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(
         count("*").as("n_rows"),
         countDistinct("o_custkey").as("custkeys_exact"),
-        approx_count_distinct("o_custkey").as("custkeys_approx"),
-        // scalar columns, not one array(0.5,0.95) result: the driver's
-        // rows-only check still loads the parquet into pandas and sorts
-        // every column — an array column is unhashable there (r2 gate err)
-        expr("approx_percentile(o_totalprice, 0.5)").as("price_p50"),
-        expr("approx_percentile(o_totalprice, 0.95)").as("price_p95"),
+        approx_count_distinct(col("o_custkey"), hllRsd).as("ck_approx"),
+        expr("approx_percentile(o_totalprice, 0.5)").as("p50_est"),
+        expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+        expr("approx_percentile(o_totalprice, 0.95)").as("p95_est"),
+        expr("percentile(o_totalprice, 0.95)").as("p95_exact"),
         min("o_totalprice").as("price_min"),
         max("o_totalprice").as("price_max"))
+      .select(col("o_orderstatus"), col("n_rows"), col("custkeys_exact"),
+        (abs(col("ck_approx") - col("custkeys_exact")).cast("double") <=
+          lit(hllRelErrBound) * col("custkeys_exact").cast("double")).as("hll_ok"),
+        (abs(col("p50_est").cast("double") - col("p50_exact")) <=
+          lit(pctRelErrBound) * col("p50_exact")).as("p50_ok"),
+        (abs(col("p95_est").cast("double") - col("p95_exact")) <=
+          lit(pctRelErrBound) * col("p95_exact")).as("p95_ok"),
+        col("price_min"), col("price_max"))
+
+  val orderSketchesSql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkeys_exact,
+      |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok,
+      |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 }

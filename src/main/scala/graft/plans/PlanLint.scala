@@ -1,13 +1,14 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.expressions.{Attribute, ScalaUDF}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Static plan linter: walks a query's physical plan and flags the
   * shapes that are fine at test scale and fatal at 100 TB — the checks
@@ -35,6 +36,18 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *    bounded-input / per-bucket tools.
   *  - `scala-udf`: breaks whole-stage codegen and hides from the
   *    optimizer; a native expression or built-in exists for a reason.
+  *  - `low-cardinality-window`: a window partitioned ONLY by columns
+  *    whose domain is known-tiny (order status, return flag, …) with no
+  *    aggregate anywhere below it — each key value is one task holding
+  *    that key's ENTIRE fact volume, at any scale, yet the exchange is
+  *    many-partition so the single-partition rule can't see it (the
+  *    shape that hid the weighted-median/Spearman reference forms).
+  *    The fix is always the same: collapse the facts with a map-side
+  *    combinable aggregate FIRST, window the aggregate (see
+  *    `Analytics.weightedMedianPrice` vs its `...Windowed` reference
+  *    form). The domain list is schema knowledge the caller owns —
+  *    shape analysis cannot know a column has 3 values — with this
+  *    codebase's tiny columns as the default.
   *
   * Returns human-readable findings; empty = clean. Run in tests (see
   * PlanLintSpec) or ad hoc before promoting a query to a 1000-executor
@@ -53,7 +66,22 @@ object PlanLint {
       case agg: BaseAggregateExec if agg.groupingExpressions.isEmpty => agg
     }.isDefined
 
-  def lint(df: DataFrame): Seq[Finding] = {
+  /** Columns whose value domain is tiny by schema contract (flags,
+    * statuses, enumerations) — a window partitioned only by these over
+    * unaggregated facts degenerates to one task per value. Schema
+    * knowledge, not shape: callers with other schemas pass their own. */
+  val defaultTinyDomainColumns: Set[String] = Set(
+    "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+    "o_orderstatus", "o_orderpriority", "c_mktsegment", "r_name",
+    "p_mfgr", "p_brand", "p_container")
+
+  /** An aggregate below `p` means the window's input rows are already
+    * collapsed — the per-key volume is O(domain), not O(facts). */
+  private def aggregatedBelow(p: SparkPlan): Boolean =
+    p.collectFirst { case agg: BaseAggregateExec => agg }.isDefined
+
+  def lint(df: DataFrame,
+           tinyDomainColumns: Set[String] = defaultTinyDomainColumns): Seq[Finding] = {
     val executed = df.queryExecution.executedPlan
     val plan = executed match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
@@ -73,13 +101,27 @@ object PlanLint {
         if (!Seq(j.left, j.right).exists(provablyOneRow))
           findings += Finding("nested-loop-join",
             s"${j.nodeName} (${j.joinType}) with no provably-small side")
-      case p =>
-        p.expressions.foreach(_.foreach {
-          case u: ScalaUDF =>
-            findings += Finding("scala-udf",
-              s"${u.udfName.getOrElse("anonymous")} in ${p.nodeName}")
-          case _ =>
-        })
+      case w: WindowExec if w.partitionSpec.nonEmpty =>
+        // every partition key is a known tiny-domain attribute and the
+        // input is raw facts → one task per key value at any scale
+        val keyNames = w.partitionSpec.map {
+          case a: Attribute => a.name
+          case other => other.sql
+        }
+        if (keyNames.forall(tinyDomainColumns.contains) && !aggregatedBelow(w.child))
+          findings += Finding("low-cardinality-window",
+            s"Window partitioned by [${keyNames.mkString(", ")}] over unaggregated input")
+      case _ =>
+    }
+    // UDFs hide in ANY node's expressions (join conditions, exchange
+    // keys, filters) — walk them all, not just the fall-through arm
+    plan.foreach { p =>
+      p.expressions.foreach(_.foreach {
+        case u: ScalaUDF =>
+          findings += Finding("scala-udf",
+            s"${u.udfName.getOrElse("anonymous")} in ${p.nodeName}")
+        case _ =>
+      })
     }
     findings.distinct.toSeq
   }

@@ -222,6 +222,31 @@ class AnalyticsSpec extends GraftTestBase {
     }
   }
 
+  it should "match the windowed reference forms row-for-row (scale renderings)" in {
+    // the pre-aggregated forms are what SparkEntry registers; the
+    // rank-over-raw-facts windows are the semantic reference
+    Analytics.spearmanPriceQty(spark, sf)
+      .exceptAll(Analytics.spearmanPriceQtyWindowed(spark, sf)).count() shouldBe 0
+    Analytics.weightedMedianPrice(spark, sf)
+      .exceptAll(Analytics.weightedMedianPriceWindowed(spark, sf)).count() shouldBe 0
+  }
+
+  behavior of "heavyHitterParts"
+
+  it should "keep every planted guaranteed-heavy item with valid lower bounds" in {
+    val rows = Analytics.heavyHitterParts(spark, sf).collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      withClue(s"flag ${r.getAs[String]("l_returnflag")}: ") {
+        // three planted hot_* items each carry ~23% of the flag's rows —
+        // far above the N/16 SpaceSaving guarantee threshold
+        r.getAs[Long]("n_guaranteed") shouldBe 3L
+        r.getAs[Boolean]("all_guaranteed_present") shouldBe true
+        r.getAs[Boolean]("bounds_valid") shouldBe true
+      }
+    }
+  }
+
   behavior of "rfmSegments"
 
   it should "score 1-5 on every axis and conserve customers and spend" in {

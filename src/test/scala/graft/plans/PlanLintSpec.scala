@@ -34,6 +34,31 @@ class PlanLintSpec extends GraftTestBase {
     PlanLint.lint(withUdf).map(_.rule) should contain("scala-udf")
   }
 
+  it should "flag low-cardinality windows over raw facts and pass their pre-aggregated renderings" in {
+    // the windowed reference forms partition raw lineitem by a 3-value
+    // flag — exactly the shape that hid from the single-partition rule
+    PlanLint.lint(graft.ops.Analytics.weightedMedianPriceWindowed(spark, sf))
+      .map(_.rule) should contain("low-cardinality-window")
+    PlanLint.lint(graft.ops.Analytics.spearmanPriceQtyWindowed(spark, sf))
+      .map(_.rule) should contain("low-cardinality-window")
+    // the registered scale renderings window the aggregate — clean
+    PlanLint.lint(graft.ops.Analytics.weightedMedianPrice(spark, sf))
+      .map(_.rule) should not contain "low-cardinality-window"
+    PlanLint.lint(graft.ops.Analytics.spearmanPriceQty(spark, sf))
+      .map(_.rule) should not contain "low-cardinality-window"
+    // a window keyed by a high-cardinality column is not this smell
+    PlanLint.lint(graft.ops.Relational.windowLatestOrder(spark, sf))
+      .map(_.rule) should not contain "low-cardinality-window"
+  }
+
+  it should "catch a UDF hiding in a join condition, not just projections" in {
+    import spark.implicits._
+    val sameLen = org.apache.spark.sql.functions.udf((a: String, b: String) => a.length == b.length)
+    val t = graft.Tables.nation(spark, sf)
+    val joined = t.as("a").join(t.as("b"), sameLen(col("a.n_name"), col("b.n_name")))
+    PlanLint.lint(joined).map(_.rule) should contain("scala-udf")
+  }
+
   it should "pass the headline relational queries clean" in {
     Seq(
       graft.ops.Relational.q3ShippingPriority(spark, sf),
