@@ -153,6 +153,12 @@ object SparkEntry {
     "q_transitions"     -> (graft.ops.Behavior.transitionMatrix _),
     "q_copurchase"      -> (graft.ops.Behavior.coPurchasePairs _),
     "q_weighted_median" -> (graft.ops.Analytics.weightedMedianPrice _),
+    // _dist siblings: the range-partition prefix-sum renderings, proven
+    // row-equal by sharing their window forms' oracles (the q_deciles_dist
+    // precedent — window parallelism is by KEY, these are parallel by RANGE)
+    "q_weighted_median_dist" -> (graft.ops.Analytics.weightedMedianPriceDist _),
+    "q_spearman_dist"   -> (graft.ops.Analytics.spearmanPriceQtyDist _),
+    "q_pack_shards_dist" -> (graft.text.Curation.packShardsDist _),
     "q_rfm"             -> (graft.ops.Analytics.rfmSegments _),
     "q_dq_audit"        -> (graft.ops.Quality.dqAudit _),
     "q_benford"         -> (graft.ops.Quality.benfordAudit _),
@@ -497,6 +503,9 @@ object SparkEntry {
     "q_transitions"   -> graft.ops.Behavior.transitionMatrixSql,
     "q_copurchase"    -> graft.ops.Behavior.coPurchasePairsSql,
     "q_weighted_median" -> graft.ops.Analytics.weightedMedianPriceSql,
+    "q_weighted_median_dist" -> graft.ops.Analytics.weightedMedianPriceSql,
+    "q_spearman_dist" -> graft.ops.Analytics.spearmanPriceQtySql,
+    "q_pack_shards_dist" -> graft.text.Curation.packShardsSql,
     "q_rfm"           -> graft.ops.Analytics.rfmSegmentsSql,
     "q_dq_audit"      -> graft.ops.Quality.dqAuditSql,
     "q_benford"       -> graft.ops.Quality.benfordAuditSql,

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed exact order statistics — the building block that replaces
+  * the two window-operator scale antipatterns PlanLint flags:
+  *
+  *  - a window with NO partition key funnels every row through one task
+  *    (`single-partition-exchange`);
+  *  - a window partitioned by a tiny-domain key funnels every row of a
+  *    key through one task (`low-cardinality-window`).
+  *
+  * Both want the same primitive: an exact running total in a global
+  * order, computed at full cluster parallelism. The classic two-pass
+  * range-partition rendering (teradata-era "distributed prefix sum",
+  * the same machinery as [[Analytics.decileStatsDistributed]]):
+  *
+  *  1. range-repartition by (group, order) keys and sort within
+  *     partitions — Spark's RangePartitioner keeps equal keys in one
+  *     partition, so partition boundaries never split a key group;
+  *  2. one metadata pass collects each partition's per-group weight sum
+  *     (O(partitions × groups) to the driver — never O(rows));
+  *  3. each partition then knows its groups' starting offsets and folds
+  *     the running total in partition-local order.
+  *
+  * Weights are LONGs (callers carry decimals as scaled cents — exact,
+  * overflow-safe to ~9e18, and immune to partial-sum float drift).
+  * Group cardinality must be modest (offsets broadcast is
+  * O(partitions × groups)) — which is exactly the regime where the
+  * window form degenerates, so the two renderings cover each other:
+  * high-cardinality keys → ordinary window (parallel by key);
+  * low/no-cardinality keys → this operator (parallel by range).
+  *
+  * The localCheckpoint pins the shuffled/sorted output so passes 2 and 3
+  * read the SAME partitioning without recomputing (and a lost executor
+  * fails loudly rather than silently recomputing a resample — see the
+  * durability note at [[Analytics.decileStatsDistributed]]). */
+object Distributed {
+
+  /** Append `outCol` = exact running LONG total of `weightCol` within
+    * `groupCols`, ordered by `orderCols` (ROWS semantics: each row's
+    * total includes itself and every row before it in the partition-
+    * local sort order). Rows with fully-equal (group, order) keys are
+    * NOT collapsed — callers needing RANGE semantics aggregate to
+    * distinct keys first (see [[Analytics.weightedMedianPriceDist]]). */
+  def withRunningTotal(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      weightCol: String, outCol: String): DataFrame =
+    withRunningTotal(df, groupCols, orderCols, weightCol, outCol, None)
+
+  /** As above; when `grandTotalCol` is set, additionally append each
+    * group's grand total — it is already sitting in the pass-1 metadata
+    * (the per-partition sums), so exposing it is free, where computing
+    * it downstream would cost the consumer another scan + aggregate +
+    * join (the window form's `sum OVER (PARTITION BY group)` companion
+    * comes for free the same way). */
+  def withRunningTotal(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      weightCol: String, outCol: String, grandTotalCol: Option[String]): DataFrame = {
+    val s = df.sparkSession
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val keyCols = (groupCols ++ orderCols).map(col)
+    val ranged = df.repartitionByRange(nPart, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val schema = ranged.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val wIdx = schema.fieldIndex(weightCol)
+    val rdd = ranged.rdd
+    rdd.localCheckpoint()
+    // pass 1: per-partition per-group totals (metadata-sized)
+    val partSums: Array[Map[Seq[Any], Long]] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+        it.foreach { r =>
+          val g = gIdx.map(r.get).toSeq
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(wIdx))
+        }
+        Iterator((pid, m.toMap))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // offsets(pid) = per-group totals of all partitions BEFORE pid
+    val offsets: Array[Map[Seq[Any], Long]] = partSums
+      .scanLeft(Map.empty[Seq[Any], Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (g, w)) => a.updated(g, a.getOrElse(g, 0L) + w) }
+      }
+      .dropRight(1)
+    val bc = s.sparkContext.broadcast(offsets)
+    val bcTotals = grandTotalCol.map { _ =>
+      s.sparkContext.broadcast(partSums.foldLeft(Map.empty[Seq[Any], Long]) {
+        (acc, m) => m.foldLeft(acc) { case (a, (g, w)) => a.updated(g, a.getOrElse(g, 0L) + w) }
+      })
+    }
+    // pass 2: fold the running total from each group's offset
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+      bc.value(pid).foreach { case (g, w) => run.update(g, w) }
+      it.map { r =>
+        val g = gIdx.map(r.get).toSeq
+        val c = run.getOrElse(g, 0L) + r.getLong(wIdx)
+        run.update(g, c)
+        bcTotals match {
+          case Some(t) => Row.fromSeq(r.toSeq :+ c :+ t.value(g))
+          case None    => Row.fromSeq(r.toSeq :+ c)
+        }
+      }
+    }
+    val extra = StructField(outCol, LongType, nullable = false) +:
+      grandTotalCol.map(StructField(_, LongType, nullable = false)).toSeq
+    s.createDataFrame(out, StructType(schema.fields ++ extra))
+  }
+}

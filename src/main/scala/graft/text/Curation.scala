@@ -46,6 +46,23 @@ object Curation {
           .cast("long").as("shard_id"))
   }
 
+  /** The fully-distributed rendering of [[packShards]]: the global
+    * prefix sum runs through [[graft.ops.Distributed.withRunningTotal]]
+    * (range-partitioned by doc_id, cluster-wide parallelism) instead of
+    * a no-partition window (which funnels the whole corpus through one
+    * task — the accepted PlanLint finding on the window form). Same
+    * assignment rule, same append-stability, graded against the SAME
+    * oracle. */
+  def packShardsDist(s: SparkSession, d: String): DataFrame =
+    graft.ops.Distributed.withRunningTotal(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long")
+            .as("n_tokens")),
+      Seq.empty, Seq("doc_id"), "n_tokens", "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / shardBudget).cast("long").as("shard_id"))
+
   val packShardsSql: String =
     s"""SELECT doc_id, n_tokens,
        |  CAST(floor(coalesce(sum(n_tokens) OVER (
