@@ -15,7 +15,10 @@ package graft
   * 9 / ~366 / ~80 rows), q_pack_shards (bounded-input global prefix
   * sum; distributed rendering named at its definition),
   * q_dedup_embed / q_fuzzy_names (intentional bounded all-pairs
-  * verifiers), q_knn_brute / q_knn_ivf / q_knn_lsh (broadcast of the
+  * verifiers) and q_dedup_embed_blocked (embeds that verifier to grade
+  * its own recall — the blocked candidate path itself is hash-join
+  * only, asserted in DedupSpec), q_knn_brute / q_knn_ivf / q_knn_lsh
+  * (broadcast of the
   * small-by-construction query set — small by data contract, which
   * shape analysis cannot see; the lsh/ivf recall checks embed the
   * brute-force verifier), and low-cardinality-window on

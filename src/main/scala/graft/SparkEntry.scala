@@ -81,6 +81,7 @@ object SparkEntry {
     "q_sessionize"      -> (EventStreams.sessionizeBatch _),
     // -- embedding near-dup + approximate sketches
     "q_dedup_embed"     -> (Dedup.embeddingNearDup _),
+    "q_dedup_embed_blocked" -> (Dedup.embeddingNearDupBlocked _),
     "q_sketches"        -> (graft.ops.Sketches.orderSketches _),
     // -- time-series joins/windows + ranking battery
     "q_asof_join"       -> (graft.ops.TimeSeries.asofLatestClick _),
@@ -407,6 +408,7 @@ object SparkEntry {
     "q_media_meta"    -> Multimodal.mediaMetaSql,
     "q_sessionize"    -> EventStreams.sessionizeBatchSql,
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,
+    "q_dedup_embed_blocked" -> Dedup.embeddingNearDupBlockedSql,
     "q_train_split"   -> TextAnalysis.trainSplitSql,
     "q_top_bigrams"   -> TextAnalysis.topBigramsSql,
     "q_len_histogram" -> TextAnalysis.lengthHistogramSql,

