@@ -181,6 +181,7 @@ object SparkEntry {
     "q_wau_sketch"      -> (graft.ops.Behavior.rollingActiveUsersSketch _),
     "q_spearman"        -> (graft.ops.Analytics.spearmanPriceQty _),
     "q_mom_growth"      -> (graft.ops.Analytics.monthlyGrowth _),
+    "q_chi2"            -> (graft.ops.Analytics.chiSquareStatusPriority _),
     "q_trend"           -> (graft.ops.Analytics.revenueTrend _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
   )
@@ -530,6 +531,7 @@ object SparkEntry {
     "q_pack_shards"   -> graft.text.Curation.packShardsSql,
     "q_spearman"      -> graft.ops.Analytics.spearmanPriceQtySql,
     "q_mom_growth"    -> graft.ops.Analytics.monthlyGrowthSql,
+    "q_chi2"          -> graft.ops.Analytics.chiSquareStatusPrioritySql,
     "q_trend"         -> graft.ops.Analytics.revenueTrendSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,

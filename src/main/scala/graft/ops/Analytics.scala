@@ -1078,6 +1078,97 @@ object Analytics {
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
       |FROM s""".stripMargin
 
+  /** Chi-square test of independence between order status and priority,
+    * with Cramér's V — the categorical-association screen (are two
+    * labelings related, e.g. source × language in a corpus audit).
+    *
+    * Cross-engine determinism is the whole game here (this query was
+    * abandoned in an earlier round because a parallel SUM of per-cell
+    * double terms is partial-order-dependent):
+    *  - every cell term is (n·N − R·C)² / (N·R·C) with BOTH sides exact
+    *    integers (decimal(38,0) / HUGEINT) until ONE correctly-rounded
+    *    double division — deterministic on both engines;
+    *  - the 15 per-cell doubles are then summed in PINNED (status,
+    *    priority) order: Spark folds a sort_array'd struct list with
+    *    `aggregate`; DuckDB uses `sum(term ORDER BY st, pr)` — both
+    *    sequential left-to-right, so the float accumulation is
+    *    bit-identical, not merely close.
+    * Totals come from broadcast joins of tiny aggregates (the scalar N
+    * frame is provably-one-row — PlanLint-exempt), never windows.
+    *
+    * Scale contract: cell counts ride one map-side-combinable aggregate
+    * over the facts; everything after is O(cells). The exact integer
+    * numerator (n·N)² needs N ≲ 3·10⁹ to stay inside decimal(38) —
+    * beyond that, rescale counts (thousands) or accept the
+    * double-expected-frequency form. */
+  def chiSquareStatusPriority(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("o_orderstatus")).agg(sum(col("n")).as("r"))
+    val colT = cells.groupBy(col("o_orderpriority")).agg(sum(col("n")).as("c"))
+    val grand = cells.agg(sum(col("n")).as("nn"))
+    val diff = d0(col("n")) * d0(col("nn")) - d0(col("r")) * d0(col("c"))
+    val terms = cells
+      .join(broadcast(rowT), Seq("o_orderstatus"))
+      .join(broadcast(colT), Seq("o_orderpriority"))
+      .crossJoin(broadcast(grand))
+      .select(col("nn"),
+        struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+          ((diff * diff).cast("double") /
+            (d0(col("nn")) * d0(col("r")) * d0(col("c"))).cast("double")).as("term"))
+          .as("cell"))
+    terms
+      .groupBy(col("nn"))
+      .agg(sort_array(collect_list(col("cell"))).as("cells"))
+      .select(
+        col("nn").cast("long").as("n_rows"),
+        ((org.apache.spark.sql.functions.size(array_distinct(
+            transform(col("cells"), x => x.getField("st")))) - 1) *
+          (org.apache.spark.sql.functions.size(array_distinct(
+            transform(col("cells"), x => x.getField("pr")))) - 1)).as("dof"),
+        round(aggregate(col("cells"), lit(0.0d),
+          (acc, x) => acc + x.getField("term")), 6).as("chi2"),
+        least(
+          org.apache.spark.sql.functions.size(array_distinct(
+            transform(col("cells"), x => x.getField("st")))) - 1,
+          org.apache.spark.sql.functions.size(array_distinct(
+            transform(col("cells"), x => x.getField("pr")))) - 1).as("min_dim"))
+      .select(col("n_rows"), col("dof"),
+        col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n_rows").cast("double") * col("min_dim").cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  val chiSquareStatusPrioritySql: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT st, sum(n) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT pr, sum(n) AS c FROM cells GROUP BY 1),
+      |nt AS (SELECT sum(n) AS nn FROM cells),
+      |terms AS (
+      |  SELECT st, pr,
+      |    CAST((n * nn - r * c) * (n * nn - r * c) AS DOUBLE)
+      |      / CAST(nn * r * c AS DOUBLE) AS term
+      |  FROM cells JOIN rt USING (st) JOIN ct USING (pr) CROSS JOIN nt),
+      |agg AS (
+      |  SELECT CAST((SELECT nn FROM nt) AS BIGINT) AS n_rows,
+      |    CAST((count(DISTINCT st) - 1) * (count(DISTINCT pr) - 1) AS INTEGER) AS dof,
+      |    -- ORDER BY pins the float accumulation order to match the
+      |    -- engine's sorted-fold exactly, not merely approximately
+      |    round(sum(term ORDER BY st, pr), 6) AS chi2,
+      |    CAST(least(count(DISTINCT st) - 1, count(DISTINCT pr) - 1) AS INTEGER)
+      |      AS min_dim
+      |  FROM terms)
+      |SELECT n_rows, dof, chi2,
+      |  round(sqrt(chi2 / (CAST(n_rows AS DOUBLE) * CAST(min_dim AS DOUBLE))), 6)
+      |    AS cramers_v
+      |FROM agg""".stripMargin
+
   /** Deterministic MODE (most frequent value) per group: each nation's
     * most common market segment among its customers, with the count.
     * Plain `mode()` is tie-nondeterministic in every engine; here the

@@ -231,6 +231,29 @@ class AnalyticsSpec extends GraftTestBase {
       .exceptAll(Analytics.weightedMedianPriceWindowed(spark, sf)).count() shouldBe 0
   }
 
+  behavior of "chiSquareStatusPriority"
+
+  it should "agree with a driver-side chi-square and bound Cramér's V in [0, 1]" in {
+    val r = Analytics.chiSquareStatusPriority(spark, sf).collect()
+    r.length shouldBe 1
+    val row = r(0)
+    val cells = graft.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val n = cells.values.sum
+    val rT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val chi2 = cells.toSeq.sortBy(_._1).map { case ((st, pr), o) =>
+      val num = BigDecimal(o) * BigDecimal(n) - BigDecimal(rT(st)) * BigDecimal(cT(pr))
+      (num * num).toDouble / (BigDecimal(n) * BigDecimal(rT(st)) * BigDecimal(cT(pr))).toDouble
+    }.sum
+    row.getAs[Long]("n_rows") shouldBe n
+    row.getAs[Int]("dof") shouldBe (rT.size - 1) * (cT.size - 1)
+    row.getAs[Double]("chi2") shouldBe chi2 +- 1e-4
+    val v = row.getAs[Double]("cramers_v")
+    v should (be >= 0.0 and be <= 1.0)
+  }
+
   behavior of "heavyHitterParts"
 
   it should "keep every planted guaranteed-heavy item with valid lower bounds" in {
