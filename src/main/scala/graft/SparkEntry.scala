@@ -161,6 +161,7 @@ object SparkEntry {
     "q_spearman_dist"   -> (graft.ops.Analytics.spearmanPriceQtyDist _),
     "q_pack_shards_dist" -> (graft.text.Curation.packShardsDist _),
     "q_rfm"             -> (graft.ops.Analytics.rfmSegments _),
+    "q_rfm_dist"        -> (graft.ops.Analytics.rfmSegmentsDist _),
     "q_dq_audit"        -> (graft.ops.Quality.dqAudit _),
     "q_benford"         -> (graft.ops.Quality.benfordAudit _),
     "q_anomaly"         -> (graft.ops.Quality.revenueAnomalies _),
@@ -510,6 +511,7 @@ object SparkEntry {
     "q_spearman_dist" -> graft.ops.Analytics.spearmanPriceQtySql,
     "q_pack_shards_dist" -> graft.text.Curation.packShardsSql,
     "q_rfm"           -> graft.ops.Analytics.rfmSegmentsSql,
+    "q_rfm_dist"      -> graft.ops.Analytics.rfmSegmentsSql,
     "q_dq_audit"      -> graft.ops.Quality.dqAuditSql,
     "q_benford"       -> graft.ops.Quality.benfordAuditSql,
     "q_anomaly"       -> graft.ops.Quality.revenueAnomaliesSql,

@@ -1224,6 +1224,54 @@ object Analytics {
         sum(col("spend")).cast("double").as("cell_spend"))
   }
 
+  /** NTILE(k) from an exact 1-based unique global rank and the total
+    * count — Spark/DuckDB semantics: with q = n div k and r = n mod k,
+    * the first r tiles hold q+1 rows. All arithmetic is exact longs
+    * until the two integer-valued divisions (correctly-rounded doubles
+    * truncated back — exact while counts stay under 2⁵³). */
+  private def ntileOfRank(rk: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k).cast("long")
+    val r = (n % k).cast("long")
+    val cut = r * (q + 1)
+    when(rk <= cut, floor((rk - 1) / (q + 1)).cast("int") + 1)
+      .otherwise((r + floor((rk - 1 - cut) / q).cast("long")).cast("int") + 1)
+  }
+
+  /** The fully-distributed rendering of [[rfmSegments]]: each of the
+    * three global NTILE(5) scores comes from an exact unique global rank
+    * ([[Distributed.withRunningTotal]] with unit weights over the
+    * per-customer aggregate — descending measures ride as negated sort
+    * keys) plus [[ntileOfRank]], instead of three single-partition
+    * windows. Parallelism is the shuffle width at any customer count;
+    * output and oracle are IDENTICAL to the window form. */
+  def rfmSegmentsDist(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count("*").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .select(col("o_custkey"), col("spend"),
+        // negations render the window form's DESC orders as ascending
+        // range-partition keys; custkey stays the unique tiebreak
+        (-datediff(col("last_order"), lit("1990-01-01").cast("date"))).as("neg_last"),
+        (-col("n_orders")).as("neg_orders"),
+        (-col("spend")).as("neg_spend"),
+        lit(1L).as("one"))
+    def score(orderCol: String, name: String): DataFrame =
+      Distributed.withRunningTotal(
+        perCust.select(col("o_custkey"), col(orderCol), col("one")),
+        Seq.empty, Seq(orderCol, "o_custkey"), "one", "rk", Some("n_cust"))
+        .select(col("o_custkey").as(s"k_$name"),
+          ntileOfRank(col("rk"), col("n_cust"), 5).as(name))
+    perCust
+      .join(score("neg_last", "r"), col("o_custkey") === col("k_r"))
+      .join(score("neg_orders", "f"), col("o_custkey") === col("k_f"))
+      .join(score("neg_spend", "m"), col("o_custkey") === col("k_m"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count("*").as("n_customers"),
+        sum(col("spend")).cast("double").as("cell_spend"))
+  }
+
   val rfmSegmentsSql: String =
     """WITH per_cust AS (
       |  SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -64,6 +64,8 @@ class DistributedSpec extends GraftTestBase {
       .exceptAll(Analytics.spearmanPriceQty(spark, sf)).count() shouldBe 0
     graft.text.Curation.packShardsDist(spark, sf)
       .exceptAll(graft.text.Curation.packShards(spark, sf)).count() shouldBe 0
+    Analytics.rfmSegmentsDist(spark, sf)
+      .exceptAll(Analytics.rfmSegments(spark, sf)).count() shouldBe 0
   }
 
   it should "stay clean under PlanLint (the point of the rendering)" in {
