@@ -185,6 +185,12 @@ object SparkEntry {
     "q_chi2"            -> (graft.ops.Analytics.chiSquareStatusPriority _),
     "q_trend"           -> (graft.ops.Analytics.revenueTrend _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
+    // -- round 5: decontamination, mixture planning, quality cascade
+    "q_decontam"        -> (graft.text.Decontam.ngramOverlap _),
+    "q_decontam_fuzzy"  -> (graft.text.Decontam.minhashDecontam _),
+    "q_mixture"         -> (graft.text.Curation.mixturePlan _),
+    "q_quality_filter"  -> (TextAnalysis.qualityFilter _),
+    "q_quantize"        -> (Similarity.quantizeAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -535,6 +541,11 @@ object SparkEntry {
     "q_mom_growth"    -> graft.ops.Analytics.monthlyGrowthSql,
     "q_chi2"          -> graft.ops.Analytics.chiSquareStatusPrioritySql,
     "q_trend"         -> graft.ops.Analytics.revenueTrendSql,
+    "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
+    "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
+    "q_mixture"       -> graft.text.Curation.mixturePlanSql,
+    "q_quality_filter" -> TextAnalysis.qualityFilterSql,
+    "q_quantize"      -> Similarity.quantizeAuditSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

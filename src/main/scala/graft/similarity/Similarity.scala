@@ -251,6 +251,68 @@ object Similarity {
       |    / len(embedding), 4) AS mean_v
       |FROM embeddings""".stripMargin
 
+  /** Int8 scalar-quantization audit — the memory-4× step every
+    * billion-vector ANN index runs before sharding (float32 → int8 with
+    * one per-vector scale). Graded through the quantizer's CONTRACT, not
+    * an array dump (array columns are ungradeable by the harness
+    * compare): exact integer checksums of the quantized codes (sum and
+    * L1), the per-vector scale, and the worst normalized rounding
+    * distance, which the round-half-up rule bounds by 0.5.
+    *
+    * Portability: floats widen to double exactly; every derived value is
+    * the same IEEE double expression on both engines (`floor(x·127/s +
+    * 0.5)` — floor, not `round`, so no engine rounding-convention
+    * divergence); code sums are exact integer arithmetic. Scale shape: a
+    * pure projection — no shuffle at all, embarrassingly parallel at any
+    * corpus size. */
+  def quantizeAudit(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), e.as("emb"),
+        array_max(transform(e, x => abs(x.cast("double")))).as("scale"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        transform(col("emb"), x =>
+          when(col("scale") > 0d,
+            floor(x.cast("double") * 127.0d / col("scale") + 0.5d).cast("long"))
+            .otherwise(lit(0L))).as("q"),
+        col("emb"))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 4).as("scale_r"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+        when(col("scale") > 0d,
+          round(array_max(zip_with(col("emb"), col("q"), (x, qi) =>
+            abs(x.cast("double") * 127.0d / col("scale") - qi.cast("double")))), 6))
+          .otherwise(lit(0.0d)).as("max_round_dist"),
+        (when(col("scale") > 0d,
+          array_max(zip_with(col("emb"), col("q"), (x, qi) =>
+            abs(x.cast("double") * 127.0d / col("scale") - qi.cast("double")))))
+          .otherwise(lit(0.0d)) <= 0.5d).as("bound_ok"))
+  }
+
+  val quantizeAuditSql: String =
+    """WITH scaled AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |coded AS (
+      |  SELECT vec_id, label, embedding, scale,
+      |    list_transform(embedding, x -> CASE WHEN scale > 0
+      |      THEN CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS q,
+      |    CASE WHEN scale > 0 THEN list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE) * 127.0 / scale
+      |               - floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5))))
+      |    ELSE 0.0 END AS max_dist
+      |  FROM scaled)
+      |SELECT vec_id, label,
+      |  round(scale, 4) AS scale_r,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+      |  round(max_dist, 6) AS max_round_dist,
+      |  max_dist <= 0.5 AS bound_ok
+      |FROM coded""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   val bruteForceTopKSql: String =

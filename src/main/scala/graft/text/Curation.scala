@@ -72,6 +72,45 @@ object Curation {
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents)""".stripMargin
 
+  /** Data-mixture plan: per-language token census plus the
+    * downsample-only sampling weights that equalize the mixture — the
+    * "how much of each source/language goes into the training mix"
+    * decision, computed the way production pipelines do it (weights
+    * relative to the SMALLEST stratum, so no stratum is oversampled
+    * and every weight is a keep-probability <= 1).
+    *
+    * weight_bp = ⌊10⁴ · min_lang_tokens / lang_tokens⌋ and the expected
+    * post-sampling token count, both through integer `div` — the whole
+    * plan is exact, engine-portable arithmetic. Scale: one map-side
+    * combinable aggregate over the corpus to O(languages) rows; the
+    * global min rides a broadcast one-row frame (never a window over
+    * the facts). */
+  def mixturePlan(s: SparkSession, d: String): DataFrame = {
+    val perLang = Tables.documents(s, d)
+      .select(col("lang"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val minTok = perLang.agg(min("n_tokens").as("min_tokens"))
+    perLang.crossJoin(broadcast(minTok))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("min_tokens * 10000L div n_tokens").as("weight_bp"),
+        expr("(min_tokens * 10000L div n_tokens) * n_tokens div 10000L")
+          .as("sampled_tokens"))
+  }
+
+  val mixturePlanSql: String =
+    """WITH per_lang AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_tokens) AS min_tokens FROM per_lang)
+      |SELECT lang, n_docs, n_tokens,
+      |  min_tokens * 10000 // n_tokens AS weight_bp,
+      |  (min_tokens * 10000 // n_tokens) * n_tokens // 10000 AS sampled_tokens
+      |FROM per_lang, m""".stripMargin
+
   /** Materialize the curated corpus: exact-dedup winners (the
     * [[graft.dedup.Dedup.exactDedup]] keep-first rule) that also pass
     * the language filter, written to `outDir` partitioned by lang —

@@ -405,6 +405,59 @@ object TextAnalysis {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
 
+  /** Quality-filter cascade thresholds (named so the oracle interpolates
+    * the SAME constants): token-count band + repetition + diversity. */
+  val qfMinTokens = 15L
+  val qfMaxTokens = 70L
+
+  /** The C4/Gopher-style keep/drop cascade, with reason codes: every doc
+    * gets the FIRST failing rule (rules ordered cheapest-first, the way
+    * production filter stacks short-circuit) or 'keep'. Rules:
+    * too_short/too_long (token-count band), repetitive (top token >25%
+    * of occurrences), low_diversity (distinct/total < 0.3). All
+    * comparisons are cross-multiplied integers — no float thresholds.
+    *
+    * Scale: the per-doc stats (total/distinct/max term frequency) come
+    * from ONE wordcount-shaped pass — (doc, tok) partial counts combine
+    * map-side, then an O(docs) doc-keyed aggregate; text itself never
+    * shuffles. The cascade is a projection over the stats. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"), count(lit(1)).as("n_distinct"),
+        max("tf").as("max_tf"))
+    stats
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"), col("max_tf"),
+        when(col("n_tok") < qfMinTokens, "too_short")
+          .when(col("n_tok") > qfMaxTokens, "too_long")
+          .when(col("max_tf") * 4 > col("n_tok"), "repetitive")
+          .when(col("n_distinct") * 10 < col("n_tok") * 3, "low_diversity")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+       |    count(*) AS n_distinct, max(tf) AS max_tf
+       |  FROM tf GROUP BY 1),
+       |r AS (
+       |  SELECT doc_id, n_tok, n_distinct, max_tf,
+       |    CASE WHEN n_tok < $qfMinTokens THEN 'too_short'
+       |         WHEN n_tok > $qfMaxTokens THEN 'too_long'
+       |         WHEN max_tf * 4 > n_tok THEN 'repetitive'
+       |         WHEN n_distinct * 10 < n_tok * 3 THEN 'low_diversity'
+       |         ELSE 'keep' END AS reason
+       |  FROM s)
+       |SELECT doc_id, n_tok, n_distinct, max_tf, reason,
+       |  reason = 'keep' AS keep FROM r""".stripMargin
+
   val oovRateSql: String =
     s"""WITH counts AS (
        |  SELECT source, tok, count(*) AS c FROM (

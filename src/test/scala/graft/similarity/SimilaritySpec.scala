@@ -80,4 +80,36 @@ class SimilaritySpec extends GraftTestBase {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     counts shouldBe raw
   }
+
+  behavior of "quantizeAudit"
+
+  it should "bound every rounding distance by 0.5 and honor the L1/sum relation" in {
+    val out = Similarity.quantizeAudit(spark, sf).cache()
+    out.count() shouldBe graft.Tables.embeddings(spark, sf).count()
+    out.filter(!col("bound_ok")).count() shouldBe 0
+    out.filter(col("max_round_dist") < 0 || col("max_round_dist") > 0.5)
+      .count() shouldBe 0
+    // |sum| <= L1 always; codes live in [-127, 127] after half-up rounding
+    out.filter(org.apache.spark.sql.functions.abs(col("q_sum")) > col("q_l1"))
+      .count() shouldBe 0
+    val dims = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    out.filter(col("q_l1") > 127L * dims).count() shouldBe 0
+  }
+
+  it should "reconstruct within scale/254 of the original (quantizer contract)" in {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    emb.foreach { case (_, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max
+      if (scale > 0) {
+        v.foreach { x =>
+          val q = math.floor(x.toDouble * 127.0 / scale + 0.5)
+          math.abs(x.toDouble - q * scale / 127.0) should be <= scale / 254.0 * (1 + 1e-9)
+        }
+      }
+    }
+  }
 }

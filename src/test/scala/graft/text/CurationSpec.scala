@@ -34,6 +34,34 @@ class CurationSpec extends GraftTestBase {
     }
   }
 
+  behavior of "mixturePlan"
+
+  it should "give the smallest language weight 10000 and all weights <= it" in {
+    val rows = Curation.mixturePlan(spark, sf).collect()
+    rows.map(_.getAs[Long]("weight_bp")).max shouldBe 10000L
+    all(rows.map(_.getAs[Long]("weight_bp"))) should be <= 10000L
+    all(rows.map(_.getAs[Long]("weight_bp"))) should be > 0L
+    // downsample-only equalization: every expected post-sample count is
+    // within one stratum-token of the smallest stratum (floor rounding)
+    val minTok = rows.map(_.getAs[Long]("n_tokens")).min
+    rows.foreach { r =>
+      val sampled = r.getAs[Long]("sampled_tokens")
+      sampled should be <= minTok
+      // floor(floor(m*1e4/n)*n/1e4) >= m - n/1e4 - 1
+      sampled should be >= (minTok - r.getAs[Long]("n_tokens") / 10000L - 1L)
+    }
+  }
+
+  it should "conserve the token census against a direct count" in {
+    val planned = Curation.mixturePlan(spark, sf)
+      .agg(sum("n_tokens")).head().getLong(0)
+    val direct = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(split(col("text"), " "))
+        .cast("long").as("n")).agg(sum("n"))
+      .head().getLong(0)
+    planned shouldBe direct
+  }
+
   behavior of "materializeCorpus"
 
   it should "write only deduped in-language docs, partitioned by lang" in {

@@ -110,4 +110,45 @@ class TextAnalysisSpec extends GraftTestBase {
     r.getAs[Double]("dup_3gram_frac") shouldBe (1.0 - 1.0 / 48) +- 1e-4
     r.getAs[Boolean]("is_repetitive") shouldBe true
   }
+
+  behavior of "qualityFilter"
+
+  it should "assign the first failing rule in cascade order, covering every doc" in {
+    val out = TextAnalysis.qualityFilter(spark, sf).cache()
+    out.count() shouldBe graft.Tables.documents(spark, sf).count()
+    // reason is a pure function of the three stats, in declared order
+    val bad = out.filter(col("reason") =!=
+      when(col("n_tok") < TextAnalysis.qfMinTokens, "too_short")
+        .when(col("n_tok") > TextAnalysis.qfMaxTokens, "too_long")
+        .when(col("max_tf") * 4 > col("n_tok"), "repetitive")
+        .when(col("n_distinct") * 10 < col("n_tok") * 3, "low_diversity")
+        .otherwise("keep"))
+    bad.count() shouldBe 0
+    out.filter(col("keep") =!= (col("reason") === "keep")).count() shouldBe 0
+    // stats invariants
+    out.filter(col("max_tf") > col("n_tok") ||
+      col("n_distinct") > col("n_tok") || col("max_tf") < 1).count() shouldBe 0
+  }
+
+  it should "drop a planted degenerate doc as repetitive, keep a normal one" in {
+    import spark.implicits._
+    val planted = Seq(
+      (-1L, Seq.fill(50)("spam").mkString(" ")),
+      (-2L, (1 to 40).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val stats = planted
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id").agg(sum("tf").as("n_tok"),
+        count(lit(1)).as("n_distinct"), max("tf").as("max_tf"))
+      .select(col("doc_id"),
+        when(col("n_tok") < TextAnalysis.qfMinTokens, "too_short")
+          .when(col("n_tok") > TextAnalysis.qfMaxTokens, "too_long")
+          .when(col("max_tf") * 4 > col("n_tok"), "repetitive")
+          .when(col("n_distinct") * 10 < col("n_tok") * 3, "low_diversity")
+          .otherwise("keep").as("reason"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    stats(-1L) shouldBe "repetitive"
+    stats(-2L) shouldBe "keep"
+  }
 }
