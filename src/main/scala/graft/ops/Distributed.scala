@@ -60,7 +60,15 @@ object Distributed {
     val s = df.sparkSession
     val nPart = s.sessionState.conf.numShufflePartitions
     val keyCols = (groupCols ++ orderCols).map(col)
-    val ranged = df.repartitionByRange(nPart, keyCols: _*)
+    // Stage the input: repartitionByRange's range-boundary sampling job
+    // executes the full upstream plan once BEFORE the real shuffle reads
+    // it again — for the pre-aggregate inputs this operator takes, that
+    // doubles the dominant cost. A spill-safe persist lets the sample
+    // pass fill the cache and the shuffle pass reuse it; released as
+    // soon as pass 1 has pinned the shuffled output (the
+    // localCheckpoint), so the blocks never outlive the operator.
+    val staged = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = staged.repartitionByRange(nPart, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
     val schema = ranged.schema
     val gIdx = groupCols.map(schema.fieldIndex).toArray
@@ -78,6 +86,9 @@ object Distributed {
         Iterator((pid, m.toMap))
       }
       .collect().sortBy(_._1).map(_._2)
+    // pass 1 materialized the localCheckpoint; pass 2 reads those pinned
+    // blocks, never the input lineage — the staging cache is done.
+    staged.unpersist(false)
     // offsets(pid) = per-group totals of all partitions BEFORE pid
     val offsets: Array[Map[Seq[Any], Long]] = partSums
       .scanLeft(Map.empty[Seq[Any], Long]) { (acc, m) =>

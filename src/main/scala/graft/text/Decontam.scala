@@ -151,6 +151,38 @@ object Decontam {
         max(col("n_bands_shared")).as("max_bands"))
   }
 
+  /** Streaming rendering of [[ngramOverlap]]: audit documents AS THEY
+    * LAND against the eval-set snapshot — the "no benchmark leakage
+    * enters the corpus" gate moved inside the ingest stream. Stateless
+    * by construction: the eval gram set collapses to ONE static row
+    * that broadcast-joins every micro-batch (the static side is re-read
+    * per batch, so an eval-suite refresh is picked up without a
+    * restart), and the per-doc counts are row-local array arithmetic —
+    * `array_intersect` against the doc's own distinct grams gives
+    * exactly the batch form's distinct-collision count, with zero
+    * streaming state to evict. Same output schema and flag rule as
+    * [[ngramOverlap]]; per-prefix equality asserted in DecontamSpec. */
+  def decontamStream(docStream: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalSet = evalDocs
+      .select(explode(gramsFromWords(split(col("text"), " "))).as("g"))
+      .distinct()
+      .agg(collect_list(col("g")).as("eval_grams"))
+      .withColumn("jk", lit(1))
+    docStream
+      .select(col("doc_id"), gramsFromWords(split(col("text"), " ")).as("grams"))
+      .withColumn("jk", lit(1))
+      .join(broadcast(evalSet), Seq("jk"), "left")
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        coalesce(size(array_intersect(col("grams"), col("eval_grams"))), lit(0))
+          .cast("long").as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        when(col("n_grams") > 0, expr("n_overlap * 10000L div n_grams"))
+          .otherwise(lit(0L)).as("overlap_bp"),
+        (col("n_grams") > 0 &&
+          col("n_overlap") * contamPctX5 >= col("n_grams")).as("contaminated"))
+  }
+
   val minhashDecontamSql: String = {
     val sigExprs = (0 until Dedup.numHashes).map { j =>
       s"list_min(list_transform(fp, x -> (${Dedup.minhashA(j)} * x + ${Dedup.minhashB(j)}) % ${Dedup.minhashP}))"

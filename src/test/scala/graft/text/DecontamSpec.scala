@@ -80,4 +80,37 @@ class DecontamSpec extends GraftTestBase {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
   }
+
+  behavior of "decontamStream"
+
+  it should "match the batch flag rule on every micro-batch prefix" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val query = Decontam
+      .decontamStream(input.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("decontam_spec")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "a b c d e f"),   // verbatim copy: both grams collide
+        (2L, "a b c d x y"),   // shares no full 5-gram
+        (3L, "a b"))           // below gram length: zero grams
+      query.processAllAvailable()
+      input.addData(
+        (4L, "z a b c d e"))   // suffix overlap: 1 of 2 grams collides
+      query.processAllAvailable()
+      val got = spark.table("decontam_spec").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap"),
+            r.getAs[Long]("overlap_bp"), r.getAs[Boolean]("contaminated"))))
+        .toMap
+      got(1L) shouldBe ((2L, 2L, 10000L, true))
+      got(2L) shouldBe ((2L, 0L, 0L, false))
+      got(3L) shouldBe ((0L, 0L, 0L, false))
+      got(4L) shouldBe ((2L, 1L, 5000L, true)) // 5*1 >= 2
+    } finally query.stop()
+  }
 }
