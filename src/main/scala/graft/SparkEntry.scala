@@ -191,6 +191,14 @@ object SparkEntry {
     "q_mixture"         -> (graft.text.Curation.mixturePlan _),
     "q_quality_filter"  -> (TextAnalysis.qualityFilter _),
     "q_quantize"        -> (Similarity.quantizeAudit _),
+    // -- round 5 late: chunking, scrub, corpus diff, skyline, graph, layout
+    "q_chunk"           -> (graft.text.Curation.chunkDocuments _),
+    "q_pii_scrub"       -> (graft.ops.Privacy.piiScrub _),
+    "q_coverage_overlap" -> (TextAnalysis.sourceOverlap _),
+    "q_skyline"         -> (graft.ops.Pareto.skylineParts _),
+    "q_triangles"       -> (graft.ops.Graph.coPurchaseTriangles _),
+    "q_zorder"          -> (graft.ops.Layout.zorderAudit _),
+    "q_lag_features"    -> (graft.ops.Behavior.lagFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -546,6 +554,13 @@ object SparkEntry {
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,
     "q_quality_filter" -> TextAnalysis.qualityFilterSql,
     "q_quantize"      -> Similarity.quantizeAuditSql,
+    "q_chunk"         -> graft.text.Curation.chunkDocumentsSql,
+    "q_pii_scrub"     -> graft.ops.Privacy.piiScrubSql,
+    "q_coverage_overlap" -> TextAnalysis.sourceOverlapSql,
+    "q_skyline"       -> graft.ops.Pareto.skylinePartsSql,
+    "q_triangles"     -> graft.ops.Graph.coPurchaseTrianglesSql,
+    "q_zorder"        -> graft.ops.Layout.zorderAuditSql,
+    "q_lag_features"  -> graft.ops.Behavior.lagFeaturesSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

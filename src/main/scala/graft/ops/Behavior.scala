@@ -315,4 +315,37 @@ object Behavior {
       |days AS (SELECT DISTINCT day FROM grid)
       |SELECT d.day, w.wau AS wau_exact, TRUE AS wau_hll_ok
       |FROM days d JOIN wau w ON d.day = w.wday""".stripMargin
+
+  /** Per-user lag/rolling feature matrix — the feature-engineering pass
+    * an ML training pipeline runs over an event log: sequence position,
+    * previous value, rolling max over the prior 3 events, and inter-event
+    * gap in microseconds. One window spec, partitioned by user — the
+    * GOOD window shape (key cardinality = users, so parallelism scales
+    * with the data; contrast the low-cardinality window smell PlanLint
+    * flags). One shuffle on user_id serves all four features; every
+    * derived column is either exact-integer (seq, gap) or a value copied
+    * from an input row (lag, max) — no float accumulation anywhere, so
+    * the result is bit-stable across engines and partitionings. */
+  def lagFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).cast("int").as("seq"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        max(col("value")).over(w.rowsBetween(-3, -1)).as("rolling_max_3"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("us_since_prev"))
+  }
+
+  val lagFeaturesSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(row_number() OVER w AS INTEGER) AS seq,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS rolling_max_3,
+      |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS us_since_prev
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 }

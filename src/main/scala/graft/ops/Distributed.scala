@@ -56,7 +56,32 @@ object Distributed {
     * join (the window form's `sum OVER (PARTITION BY group)` companion
     * comes for free the same way). */
   def withRunningTotal(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-      weightCol: String, outCol: String, grandTotalCol: Option[String]): DataFrame = {
+      weightCol: String, outCol: String, grandTotalCol: Option[String]): DataFrame =
+    withRunningAgg(df, groupCols, orderCols, weightCol, outCol, grandTotalCol,
+      _ + _, 0L, inclusive = true)
+
+  /** Append `outCol` = running LONG maximum of `weightCol` over every row
+    * STRICTLY BEFORE this one in the (group, order) sort — the exclusive
+    * prefix-max, the primitive behind sweep-line algorithms (Pareto
+    * frontier: "best value among everything cheaper than me"). Rows with
+    * no predecessor get Long.MinValue (the max identity), never NULL, so
+    * callers compare with plain `>`. Same two-pass range-partition
+    * machinery and the same exactness/cost contract as
+    * [[withRunningTotal]]. */
+  def withRunningMaxExclusive(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], weightCol: String, outCol: String): DataFrame =
+    withRunningAgg(df, groupCols, orderCols, weightCol, outCol, None,
+      math.max, Long.MinValue, inclusive = false)
+
+  /** Shared two-pass rendering: any associative Long fold (`combine`
+    * with `identity`) runs as range-partition + per-partition partials +
+    * broadcast offsets. `inclusive` controls whether a row's own weight
+    * participates in its output (running total) or only its
+    * predecessors' do (exclusive sweep). */
+  private def withRunningAgg(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], weightCol: String, outCol: String,
+      grandTotalCol: Option[String], combine: (Long, Long) => Long,
+      identity: Long, inclusive: Boolean): DataFrame = {
     val s = df.sparkSession
     val nPart = s.sessionState.conf.numShufflePartitions
     val keyCols = (groupCols ++ orderCols).map(col)
@@ -81,7 +106,7 @@ object Distributed {
         val m = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
         it.foreach { r =>
           val g = gIdx.map(r.get).toSeq
-          m.update(g, m.getOrElse(g, 0L) + r.getLong(wIdx))
+          m.update(g, combine(m.getOrElse(g, identity), r.getLong(wIdx)))
         }
         Iterator((pid, m.toMap))
       }
@@ -92,13 +117,13 @@ object Distributed {
     // offsets(pid) = per-group totals of all partitions BEFORE pid
     val offsets: Array[Map[Seq[Any], Long]] = partSums
       .scanLeft(Map.empty[Seq[Any], Long]) { (acc, m) =>
-        m.foldLeft(acc) { case (a, (g, w)) => a.updated(g, a.getOrElse(g, 0L) + w) }
+        m.foldLeft(acc) { case (a, (g, w)) => a.updated(g, combine(a.getOrElse(g, identity), w)) }
       }
       .dropRight(1)
     val bc = s.sparkContext.broadcast(offsets)
     val bcTotals = grandTotalCol.map { _ =>
       s.sparkContext.broadcast(partSums.foldLeft(Map.empty[Seq[Any], Long]) {
-        (acc, m) => m.foldLeft(acc) { case (a, (g, w)) => a.updated(g, a.getOrElse(g, 0L) + w) }
+        (acc, m) => m.foldLeft(acc) { case (a, (g, w)) => a.updated(g, combine(a.getOrElse(g, identity), w)) }
       })
     }
     // pass 2: fold the running total from each group's offset
@@ -107,11 +132,13 @@ object Distributed {
       bc.value(pid).foreach { case (g, w) => run.update(g, w) }
       it.map { r =>
         val g = gIdx.map(r.get).toSeq
-        val c = run.getOrElse(g, 0L) + r.getLong(wIdx)
+        val before = run.getOrElse(g, identity)
+        val c = combine(before, r.getLong(wIdx))
         run.update(g, c)
+        val emitted = if (inclusive) c else before
         bcTotals match {
-          case Some(t) => Row.fromSeq(r.toSeq :+ c :+ t.value(g))
-          case None    => Row.fromSeq(r.toSeq :+ c)
+          case Some(t) => Row.fromSeq(r.toSeq :+ emitted :+ t.value(g))
+          case None    => Row.fromSeq(r.toSeq :+ emitted)
         }
       }
     }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the co-purchase graph (parts are vertices; an
+  * edge connects two parts that share an order). Triangle counting is
+  * the canonical "does this engine do graphs at scale?" kernel — the
+  * naive three-way self-join explodes on high-degree vertices, so the
+  * production rendering is DEGREE-ORIENTED wedge counting: orient every
+  * edge from its (degree, id)-smaller endpoint to the larger, generate
+  * wedges only from each vertex's out-edges, and close them against the
+  * oriented edge list. Out-degrees under this orientation are bounded by
+  * O(sqrt(m)), so total wedge volume is O(m^1.5) regardless of skew — a
+  * celebrity vertex with a million neighbors contributes wedges only
+  * through its (few) higher-degree peers, not its million fans.
+  *
+  * Everything is exact-integer DataFrame algebra: edge generation is the
+  * posting-list pattern (collect the basket per order, pair-expand
+  * locally — bounded by basket size, never a self-join re-scan),
+  * degrees/orientation/closure are key-partitioned shuffles, and the
+  * four global counts ride broadcast one-row frames. No driver-side
+  * graph state.
+  */
+object Graph {
+
+  /** Distinct canonical (u < v) co-purchase edges. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+          |    struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+
+  /** One row: vertex/edge/wedge/triangle census of the co-purchase
+    * graph. n_wedges is the path-of-length-2 count Σ C(deg, 2) (the
+    * clustering-coefficient denominator), computed from the degree
+    * relation — exact integers throughout. */
+  def coPurchaseTriangles(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+    // orient from (degree, id)-smaller endpoint to larger
+    val lt = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(lt, col("u")).otherwise(col("v")).as("src"),
+      when(lt, col("v")).otherwise(col("u")).as("dst"),
+      when(lt, col("dv")).otherwise(col("du")).as("ddst"))
+    // edge-iterator closure: a triangle a -> b -> c (orientation order)
+    // is counted once at edge (a, b) as c ∈ N+(a) ∩ N+(b). Never
+    // materializes wedges — on dense graphs (this one: 20k vertices,
+    // 1.2M edges, 148M wedges at sf0.1) wedge enumeration shuffles two
+    // orders of magnitude more rows than exist edges, while here the
+    // per-edge intersection does the same closure work as a LOCAL array
+    // op. Out-lists are bounded O(sqrt m) by the orientation, so the
+    // carried arrays stay small under any degree skew. Two key-shuffle
+    // joins (edge -> each endpoint's out-list) and one sum.
+    val adj = oriented.groupBy("src").agg(collect_list(col("dst")).as("nb"))
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nw = deg.agg(expr("sum(dg * (dg - 1) div 2)").cast("long").as("n_wedges"))
+    val nt = oriented.select("src", "dst")
+      .join(adj.select(col("src"), col("nb").as("nb_u")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nb").as("nb_v")), Seq("dst"))
+      .select(org.apache.spark.sql.functions.size(
+        array_intersect(col("nb_u"), col("nb_v"))).cast("long").as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
+    nv.crossJoin(broadcast(ne)).crossJoin(broadcast(nw)).crossJoin(broadcast(nt))
+  }
+
+  val coPurchaseTrianglesSql: String =
+    """WITH pr AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+      |deg AS (
+      |  SELECT x, count(*) AS dg FROM (
+      |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+      |  GROUP BY x)
+      |SELECT
+      |  (SELECT count(*) FROM deg) AS n_vertices,
+      |  (SELECT count(*) FROM e) AS n_edges,
+      |  (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |  (SELECT count(*)
+      |   FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
+}

@@ -51,6 +51,44 @@ object Privacy {
         col("k").as("group_size"))
   }
 
+  /** Identifier-run regex: any digit run long enough to be a record id /
+    * account number. Shared verbatim with the oracle (RE2 and java.util
+    * .regex agree on this subset — character class + bounded repeat). */
+  val idRunPattern = "[0-9]{6,}"
+
+  /** PII scrub audit: mask identifier-shaped digit runs in free-text name
+    * fields and report, per market segment, how many rows carried an
+    * identifier and how many distinct surface forms remain after masking
+    * (the k-anonymity-style collapse: every `Customer#NNNNNNNNN` falls
+    * into one bucket). The masking itself is the release transform; the
+    * aggregate is the audit a compliance reviewer reads.
+    *
+    * Scale: regexp_replace is a codegen'd per-row projection (scan
+    * speed, no shuffle); the audit is one map-side-combinable aggregate
+    * on a tiny segment domain. The distinct count shuffles (segment,
+    * masked) pairs — bounded by surviving surface forms, which masking
+    * has already collapsed (that collapse is the point of the metric). */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_name"),
+        regexp_replace(col("c_name"), idRunPattern, "<ID>").as("masked"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("masked") =!= col("c_name"), 1L).otherwise(0L)).as("n_masked"),
+        countDistinct(col("masked")).as("n_distinct_masked"))
+
+  val piiScrubSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN masked <> c_name THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_masked,
+       |  count(DISTINCT masked) AS n_distinct_masked
+       |FROM (
+       |  SELECT c_mktsegment, c_name,
+       |    regexp_replace(c_name, '$idRunPattern', '<ID>', 'g') AS masked
+       |  FROM customer)
+       |GROUP BY c_mktsegment""".stripMargin
+
   val kAnonymizeSql: String =
     s"""WITH g AS (
        |  SELECT md5('cust|' || CAST(c_custkey AS VARCHAR)) AS pseudonym,

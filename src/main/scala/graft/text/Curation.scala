@@ -111,6 +111,64 @@ object Curation {
       |  (min_tokens * 10000 // n_tokens) * n_tokens // 10000 AS sampled_tokens
       |FROM per_lang, m""".stripMargin
 
+  /** Context-window chunk width (whitespace tokens). */
+  val chunkWindow = 60
+  /** Chunk stride; `chunkWindow - chunkStride` tokens of overlap carry
+    * context across chunk boundaries. */
+  val chunkStride = 40
+
+  /** Sliding-window document chunking — the "fit documents into a model
+    * context window" transform every training pipeline runs between
+    * curation and tokenization. Chunk starts are 0, stride, 2·stride, …
+    * for every start < n_tokens, so each document yields
+    * ⌈n/stride⌉ chunks, consecutive chunks overlap by window−stride
+    * tokens, and every token lands in at least one chunk. The tail
+    * chunk is short rather than padded (padding is the tokenizer's
+    * job, not the engine's).
+    *
+    * Scale: a pure per-row generator projection — split once, explode a
+    * ⌈n/stride⌉-element start sequence, slice per start. No shuffle, no
+    * state; chunk rows inherit the scan's partitioning and the blow-up
+    * factor is bounded by window/stride. `chunk_id = start/stride` is
+    * derivable from the chunk alone, so downstream repartitioning never
+    * needs the parent row. */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame = {
+    val (w0, s0) = (chunkWindow, chunkStride)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        // max start = largest stride multiple <= n-1, via pmod (Column
+        // `/` is DOUBLE division — integer-only arithmetic here)
+        explode(sequence(lit(0),
+          greatest(size(col("w")) - 1 - pmod(size(col("w")) - 1, lit(s0)),
+            lit(0)),
+          lit(s0))).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"start div $s0").cast("int").as("chunk_id"),
+        col("start").cast("int").as("chunk_start"),
+        size(slice(col("w"), col("start") + 1, lit(w0))).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(w0))).as("chunk_text"))
+  }
+
+  val chunkDocumentsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |starts AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(0,
+       |      greatest(((len(w) - 1) // $chunkStride) * $chunkStride, 0),
+       |      $chunkStride)) AS start
+       |  FROM w)
+       |SELECT doc_id,
+       |  CAST(start // $chunkStride AS INTEGER) AS chunk_id,
+       |  CAST(start AS INTEGER) AS chunk_start,
+       |  CAST(len(w[start + 1 : start + $chunkWindow]) AS INTEGER)
+       |    AS n_chunk_tokens,
+       |  array_to_string(w[start + 1 : start + $chunkWindow], ' ')
+       |    AS chunk_text
+       |FROM starts""".stripMargin
+
   /** Materialize the curated corpus: exact-dedup winners (the
     * [[graft.dedup.Dedup.exactDedup]] keep-first rule) that also pass
     * the language filter, written to `outDir` partitioned by lang —

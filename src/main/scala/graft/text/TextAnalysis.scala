@@ -472,4 +472,59 @@ object TextAnalysis {
        |    AS oov_rate
        |FROM counts LEFT JOIN vocab v USING (tok)
        |GROUP BY source""".stripMargin
+
+  /** Pairwise source-vocabulary Jaccard — the corpus-diff audit ("how
+    * much does source A's vocabulary overlap source B's?") that drives
+    * source selection and contamination triage in mixture planning.
+    *
+    * Rendered join-free the same way [[graft.dedup.Dedup]]'s Jaccard
+    * is: one (source, token) distinct pass, then a per-token posting
+    * list of the sources containing it, pair-expanded locally. The
+    * expansion is bounded by C(|sources|, 2) per token — sources are a
+    * curated handful even at 100 TB, so the shuffle carries (src, src)
+    * pairs, never token text against token text. A self-join rendering
+    * would scan and shingle the corpus once per join leg; this scans
+    * once. Jaccard rounds to 4 decimals like every ratio in the suite
+    * (the counts themselves stay exact integers). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct()
+    val vocab = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = st.groupBy("tok")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1), y ->
+          |    struct(x AS src_a, y AS src_b))))""".stripMargin)).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(vocab).withColumnRenamed("source", "src_a")
+        .withColumnRenamed("v", "v_a"), Seq("src_a"))
+      .join(broadcast(vocab).withColumnRenamed("source", "src_b")
+        .withColumnRenamed("v", "v_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("v_a") + col("v_b") - col("n_shared")), 4).as("jaccard"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)),
+      |v AS (SELECT source, count(*) AS v FROM st GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, va.v AS v_a, vb.v AS v_b, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / (va.v + vb.v - n_shared), 4)
+      |    AS jaccard
+      |FROM inter
+      |JOIN v va ON va.source = src_a
+      |JOIN v vb ON vb.source = src_b""".stripMargin
 }

@@ -55,6 +55,24 @@ class DistributedSpec extends GraftTestBase {
     out.agg(max("cum")).collect()(0).getLong(0) shouldBe 10000L
   }
 
+  behavior of "Distributed.withRunningMaxExclusive"
+
+  it should "match the exclusive-frame window max, with MinValue for first rows" in {
+    import spark.implicits._
+    val rows = for {
+      g <- Seq("a", "b")
+      i <- 1 to 400
+    } yield (g, i, ((i * 7919) % 257).toLong)
+    val df = rows.toDF("g", "ord", "w") // unique (g, ord) keys
+    val got = Distributed.withRunningMaxExclusive(df, Seq("g"), Seq("ord"), "w", "pmax")
+    val want = df.select(col("g"), col("ord"),
+      max("w").over(Window.partitionBy("g").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)).as("wmax"))
+    got.join(want, Seq("g", "ord"))
+      .filter(coalesce(col("wmax"), lit(Long.MinValue)) =!= col("pmax"))
+      .count() shouldBe 0
+  }
+
   behavior of "the _dist consumer renderings"
 
   it should "equal their window forms row-for-row" in {

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.GraftTestBase
+
+class GraphSpec extends GraftTestBase {
+
+  behavior of "Graph.coPurchaseTriangles"
+
+  it should "census the sf0.001 co-purchase graph consistently" in {
+    val r = Graph.coPurchaseTriangles(spark, sf).collect()
+    r.length shouldBe 1
+    val row = r.head
+    val (nv, ne, nw, nt) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    nv should be > 0L
+    // a simple graph has at most C(nv, 2) edges
+    ne should be <= nv * (nv - 1) / 2
+    // every triangle closes a wedge, and each triangle contains 3 wedges
+    nt * 3 should be <= nw
+  }
+
+  it should "count triangles exactly on a hand-built graph" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (0 triangles)
+    // encoded as orders: each "order" is a clique over its parts only if
+    // the parts pairwise co-occur — so one order per edge gives exactly
+    // the edge set
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val li = edges.zipWithIndex.flatMap { case ((u, v), o) =>
+      Seq((o.toLong, u), (o.toLong, v))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graphspec").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val row = Graph.coPurchaseTriangles(spark, dir).collect().head
+    row.getLong(0) shouldBe 5L  // vertices
+    row.getLong(1) shouldBe 7L  // edges
+    row.getLong(3) shouldBe 4L  // triangles in K4
+  }
+}

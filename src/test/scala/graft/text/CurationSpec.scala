@@ -62,6 +62,45 @@ class CurationSpec extends GraftTestBase {
     planned shouldBe direct
   }
 
+  behavior of "chunkDocuments"
+
+  it should "cover every token and overlap consecutive chunks by window - stride" in {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).as("n"))
+    val chunks = Curation.chunkDocuments(spark, sf)
+    // per-doc: chunk count = ceil(n / stride), total coverage counts each
+    // token once per chunk containing it
+    val byDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max("chunk_start").as("last_start"),
+        sum("n_chunk_tokens").as("covered"))
+      .join(docs, Seq("doc_id"))
+    byDoc.filter(col("n_chunks") =!=
+      ceil(col("n").cast("double") / Curation.chunkStride)).count() shouldBe 0
+    // the last chunk starts before the end (no empty chunks)
+    byDoc.filter(col("last_start") >= col("n")).count() shouldBe 0
+    // coverage: sum of chunk sizes = n + overlap * (n_chunks - 1) when
+    // every non-final chunk is full-width... only guaranteed >= n in
+    // general; every token appears in at least one chunk
+    byDoc.filter(col("covered") < col("n")).count() shouldBe 0
+  }
+
+  it should "rebuild the document from stride-aligned prefixes of each chunk" in {
+    import spark.implicits._
+    val rebuilt = Curation.chunkDocuments(spark, sf)
+      .withColumn("piece",
+        // first `stride` tokens of each chunk, in chunk order, concatenated
+        concat_ws(" ", slice(split(col("chunk_text"), " "), 1, Curation.chunkStride)))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("chunk_id"), col("piece"))))
+          .getField("piece")).as("text2"))
+    val orig = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    rebuilt.join(orig, Seq("doc_id"))
+      .filter(col("text") =!= col("text2")).count() shouldBe 0
+  }
+
   behavior of "materializeCorpus"
 
   it should "write only deduped in-language docs, partitioned by lang" in {
