@@ -199,6 +199,9 @@ object SparkEntry {
     "q_triangles"       -> (graft.ops.Graph.coPurchaseTriangles _),
     "q_zorder"          -> (graft.ops.Layout.zorderAudit _),
     "q_lag_features"    -> (graft.ops.Behavior.lagFeatures _),
+    "q_pagerank"        -> (graft.ops.Graph.pageRank _),
+    "q_bpe_merges"      -> (TextAnalysis.bpePairCensus _),
+    "q_phrase_search"   -> (TextAnalysis.phraseSearch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -561,6 +564,9 @@ object SparkEntry {
     "q_triangles"     -> graft.ops.Graph.coPurchaseTrianglesSql,
     "q_zorder"        -> graft.ops.Layout.zorderAuditSql,
     "q_lag_features"  -> graft.ops.Behavior.lagFeaturesSql,
+    "q_pagerank"      -> graft.ops.Graph.pageRankSql,
+    "q_bpe_merges"    -> TextAnalysis.bpePairCensusSql,
+    "q_phrase_search" -> TextAnalysis.phraseSearchSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -80,6 +80,77 @@ object Graph {
     nv.crossJoin(broadcast(ne)).crossJoin(broadcast(nw)).crossJoin(broadcast(nt))
   }
 
+  /** PageRank iteration count — fixed and unrolled so the result is a
+    * deterministic value both engines compute exactly. */
+  val prIters = 5
+  /** Rank scale: ranks live as integers in units of 1e-6 (initial rank
+    * 1.0 → 1,000,000). With floor division at every step the whole
+    * recurrence is integer arithmetic — commutative, associative,
+    * overflow-safe (≤ ~2e11 intermediate) — so the result is bit-equal
+    * across engines AND partitionings, where a float PageRank would
+    * drift with summation order. */
+  val prScale = 1000000L
+
+  /** Fixed-point (integer) PageRank over the undirected co-purchase
+    * graph, damping 0.85, [[prIters]] iterations, top 20 by final rank:
+    * r'(v) = 0.15·scale + ⌊850 · Σ_{u~v} ⌊r(u)/deg(u)⌋ / 1000⌋.
+    *
+    * Scale: each iteration is one key-shuffle join (edge → source rank)
+    * plus a map-side-combinable sum by destination — the standard
+    * synchronous-gather rendering; 5 unrolled iterations = 5 shuffle
+    * rounds, no driver-side graph state. The bidirectional edge list is
+    * localCheckpoint'd once up front: six plan subtrees (degrees + five
+    * gathers) read the pinned blocks instead of re-running basket
+    * expansion six times (same durability contract as the dedup
+    * clustering loop — an executor loss fails loudly). Isolated parts
+    * (never co-purchased) have no edges and are out of scope of the
+    * graph by construction. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = bi.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
+    var r = deg.select(col("x"), col("dg"), lit(prScale).as("r"))
+    for (_ <- 1 to prIters) {
+      val contrib = bi
+        .join(r.select(col("x").as("u"), expr("r div dg").as("c")), Seq("u"))
+        .groupBy(col("v").as("x")).agg(sum("c").as("s"))
+      r = deg.join(contrib, Seq("x"))
+        .select(col("x"), col("dg"),
+          (lit(150L * prScale / 1000L) + expr("(850 * s) div 1000")).as("r"))
+    }
+    r.orderBy(col("r").desc, col("x"))
+      .limit(20)
+      .select(col("x").as("part"), col("dg").as("degree"),
+        col("r").as("rank_scaled"))
+  }
+
+  val pageRankSql: String = {
+    val base =
+      """WITH pr AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+        |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS x, count(*) AS dg FROM bi GROUP BY u),
+        |r0 AS (SELECT x, dg, CAST(1000000 AS BIGINT) AS r FROM deg)""".stripMargin
+    val iters = (1 to prIters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.x, d.dg,
+         |    150000 + CAST((850 * s.s) // 1000 AS BIGINT) AS r
+         |  FROM deg d JOIN (
+         |    SELECT bi.v AS x, CAST(sum(p.r // p.dg) AS BIGINT) AS s
+         |    FROM bi JOIN r${i - 1} p ON p.x = bi.u
+         |    GROUP BY bi.v) s ON s.x = d.x)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + iters +
+      s"""
+         |SELECT x AS part, dg AS degree, r AS rank_scaled
+         |FROM r$prIters ORDER BY r DESC, x LIMIT 20""".stripMargin
+  }
+
   val coPurchaseTrianglesSql: String =
     """WITH pr AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -473,6 +473,40 @@ object TextAnalysis {
        |FROM counts LEFT JOIN vocab v USING (tok)
        |GROUP BY source""".stripMargin
 
+  /** Adjacent-character-pair census over the corpus — the statistic the
+    * FIRST merge step of BPE tokenizer training reads (the most frequent
+    * pair becomes the first merge rule). Computed the way production BPE
+    * trainers do: aggregate the corpus to its token VOCABULARY first
+    * (token, occurrence count), then expand character pairs over
+    * distinct tokens only, weighting each pair by the token's count —
+    * pair stats cost O(vocabulary × token length), not O(corpus), which
+    * is the difference between re-scanning 100 TB per merge and reading
+    * a vocabulary table. Top 20 pairs, ties pinned by pair text. */
+  def bpePairCensus(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(length(col("tok")) >= 2)
+    vocab
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("n").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpePairCensusSql: String =
+    """WITH vocab AS (
+      |  SELECT tok, count(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok HAVING len(tok) >= 2)
+      |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
+      |  SELECT n, unnest(list_transform(generate_series(1, len(tok) - 1),
+      |    i -> substr(tok, i, 2))) AS pair
+      |  FROM vocab)
+      |GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
+
   /** Pairwise source-vocabulary Jaccard — the corpus-diff audit ("how
     * much does source A's vocabulary overlap source B's?") that drives
     * source selection and contamination triage in mixture planning.
@@ -510,6 +544,70 @@ object TextAnalysis {
         round(col("n_shared").cast("double") /
           (col("v_a") + col("v_b") - col("n_shared")), 4).as("jaccard"))
   }
+
+  /** Exact phrase search through a positional inverted index — the
+    * "find every occurrence of this 2-gram without re-scanning text"
+    * operation. The query phrase is the corpus's own most frequent
+    * bigram (deterministic, self-contained); matching intersects the
+    * two terms' posting lists on (doc, adjacent positions), which is
+    * the inverted-index algorithm every search engine runs: work is
+    * proportional to the two terms' posting sizes, never the corpus.
+    *
+    * Both posting branches filter by their term BEFORE the
+    * position-adjacency join, so only matching postings shuffle. In a
+    * real deployment the postings relation is materialized once,
+    * bucketed by term (see [[graft.plans.Bucketing]]) — each query then
+    * reads two bucket slices; this query inlines the index build to
+    * stay self-contained. Output: per-document occurrence counts of the
+    * phrase. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val postings = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val top = docs.select(split(col("text"), " ").as("w"))
+      .filter(org.apache.spark.sql.functions.size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1), i ->
+          |  concat(element_at(w, i), ' ', element_at(w, i + 1)))""".stripMargin))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(1)
+      .select(col("bigram"),
+        split(col("bigram"), " ").getItem(0).as("t1"),
+        split(col("bigram"), " ").getItem(1).as("t2"))
+    val q = broadcast(top)
+    val first = postings.crossJoin(q).filter(col("term") === col("t1"))
+      .select(col("doc_id"), col("pos"), col("bigram"))
+    val second = postings.crossJoin(q).filter(col("term") === col("t2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    first.join(second, Seq("doc_id", "pos"))
+      .groupBy(col("bigram").as("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+      |  FROM w WHERE len(w) >= 2),
+      |topq AS (
+      |  SELECT bigram FROM (
+      |    SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+      |  ORDER BY n DESC, bigram LIMIT 1),
+      |q AS (
+      |  SELECT bigram, string_split(bigram, ' ')[1] AS t1,
+      |    string_split(bigram, ' ')[2] AS t2
+      |  FROM topq),
+      |t AS (
+      |  SELECT doc_id, pt.pos AS pos, pt.term AS term FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+      |      i -> struct_pack(pos := i, term := w[i]))) AS pt
+      |    FROM w))
+      |SELECT q.bigram AS phrase, a.doc_id, count(*) AS n_matches
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1, q
+      |WHERE a.term = q.t1 AND b.term = q.t2
+      |GROUP BY q.bigram, a.doc_id""".stripMargin
 
   val sourceOverlapSql: String =
     """WITH st AS (

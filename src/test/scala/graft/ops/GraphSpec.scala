@@ -19,6 +19,32 @@ class GraphSpec extends GraftTestBase {
     nt * 3 should be <= nw
   }
 
+  behavior of "Graph.pageRank"
+
+  it should "match an independent plain-Scala integer PageRank on sf0.001" in {
+    // rebuild the graph driver-side and run the same recurrence in
+    // ordinary Scala collections — an implementation-independent oracle
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val bi = edges.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = bi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.view.mapValues(_ => 1000000L).toMap
+    (1 to Graph.prIters).foreach { _ =>
+      val contrib = bi.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = deg.map { case (x, _) => x -> (150000L + 850L * contrib(x) / 1000L) }
+    }
+    val want = r.toSeq.sortBy { case (x, rk) => (-rk, x) }.take(20)
+    val got = Graph.pageRank(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getLong(2))).toSeq
+    got shouldBe want
+  }
+
   it should "count triangles exactly on a hand-built graph" in {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -151,4 +151,43 @@ class TextAnalysisSpec extends GraftTestBase {
     stats(-1L) shouldBe "repetitive"
     stats(-2L) shouldBe "keep"
   }
+
+  behavior of "bpePairCensus"
+
+  it should "equal the unweighted census over raw (non-deduped) tokens" in {
+    // the vocabulary-weighted computation must be indistinguishable from
+    // counting pairs straight off the corpus — the weighting is a pure
+    // cost optimization, not a semantic change
+    val raw = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(org.apache.spark.sql.functions.length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(20)
+    val got = TextAnalysis.bpePairCensus(spark, sf).collect().toSeq
+    raw.collect().toSeq shouldBe got
+  }
+
+  behavior of "phraseSearch"
+
+  it should "conserve total matches against the bigram census" in {
+    // every corpus occurrence of the top bigram is found exactly once by
+    // the index intersection: Σ per-doc n_matches == the bigram's count
+    val results = TextAnalysis.phraseSearch(spark, sf)
+    val totalMatches = results.agg(sum("n_matches")).collect()(0).getLong(0)
+    val phrase = results.select("phrase").distinct().collect()
+    phrase.length shouldBe 1
+    val census = graft.Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("w"))
+      .filter(org.apache.spark.sql.functions.size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1), i ->
+          |  concat(element_at(w, i), ' ', element_at(w, i + 1)))""".stripMargin))
+        .as("bigram"))
+      .filter(col("bigram") === phrase.head.getString(0))
+      .count()
+    totalMatches shouldBe census
+  }
 }
