@@ -45,6 +45,7 @@ object SparkEntry {
     "q_star_join"       -> (Relational.starJoin _),
     "q_semi_join"       -> (Relational.semiJoin _),
     "q_anti_join"       -> (Relational.antiJoin _),
+    "q_notin_null"      -> (Relational.notInNullAware _),
     "q_outer_join_agg"  -> (Relational.outerJoinAgg _),
     // -- windows
     "q_window_latest"   -> (Relational.windowLatestOrder _),
@@ -71,11 +72,14 @@ object SparkEntry {
     "q_dedup_jaccard"   -> (Dedup.ngramJaccard _),
     "q_dedup_minhash"   -> (Dedup.minhashLsh _),
     "q_dedup_simhash"   -> (Dedup.simhashDedup _),
+    "q_span_dedup"      -> (Dedup.spanDedup _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
     "q_knn_ivf"         -> (Similarity.ivfRecallCheck _),
     "q_centroids"       -> (Similarity.labelCentroids _),
+    "q_cov_matrix"      -> (Similarity.covarianceMatrix _),
+    "q_pca_power"       -> (Similarity.pcaPowerCheck _),
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
     "q_sessionize"      -> (EventStreams.sessionizeBatch _),
@@ -116,6 +120,8 @@ object SparkEntry {
     "q_fuzzy_names"     -> (Dedup.fuzzyNames _),
     "q_tfidf"           -> (TextAnalysis.tfIdfTopTerms _),
     "q_scd2"            -> (graft.ops.TimeSeries.scd2StatusHistory _),
+    "q_scd2_pit"        -> (graft.ops.TimeSeries.pitStatusLookup _),
+    "q_canonical_docs"  -> (graft.text.Curation.canonicalDocs _),
     "q_pii_kanon"       -> (graft.ops.Privacy.kAnonymize _),
     "q_skew_agg"        -> (graft.ops.Skew.skewAggByFlag _),
     "q_sample_strat"    -> (Relational.stratifiedSample _),
@@ -164,6 +170,7 @@ object SparkEntry {
     "q_rfm_dist"        -> (graft.ops.Analytics.rfmSegmentsDist _),
     "q_dq_audit"        -> (graft.ops.Quality.dqAudit _),
     "q_benford"         -> (graft.ops.Quality.benfordAudit _),
+    "q_psi_drift"       -> (graft.ops.Quality.psiDrift _),
     "q_anomaly"         -> (graft.ops.Quality.revenueAnomalies _),
     "q6_forecast"       -> (Relational.q6Forecast _),
     "q8_market_share"   -> (Relational.q8MarketShare _),
@@ -190,6 +197,7 @@ object SparkEntry {
     "q_decontam_fuzzy"  -> (graft.text.Decontam.minhashDecontam _),
     "q_mixture"         -> (graft.text.Curation.mixturePlan _),
     "q_quality_filter"  -> (TextAnalysis.qualityFilter _),
+    "q_lm_score"        -> (TextAnalysis.lmScore _),
     "q_quantize"        -> (Similarity.quantizeAudit _),
     // -- round 5 late: chunking, scrub, corpus diff, skyline, graph, layout
     "q_chunk"           -> (graft.text.Curation.chunkDocuments _),
@@ -329,6 +337,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)""".stripMargin,
+    "q_notin_null"    -> Relational.notInNullAwareSql,
     "q_outer_join_agg" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
@@ -422,8 +431,11 @@ object SparkEntry {
     "q_dedup_jaccard" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashDedupSql,
+    "q_span_dedup"    -> Dedup.spanDedupSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
+    "q_cov_matrix"    -> Similarity.covarianceMatrixSql,
+    "q_pca_power"     -> Similarity.pcaPowerCheckSql,
     "q_media_meta"    -> Multimodal.mediaMetaSql,
     "q_sessionize"    -> EventStreams.sessionizeBatchSql,
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,
@@ -489,6 +501,8 @@ object SparkEntry {
     "q_fuzzy_names"   -> Dedup.fuzzyNamesSql,
     "q_tfidf"         -> TextAnalysis.tfIdfTopTermsSql,
     "q_scd2"          -> graft.ops.TimeSeries.scd2StatusHistorySql,
+    "q_scd2_pit"      -> graft.ops.TimeSeries.pitStatusLookupSql,
+    "q_canonical_docs" -> graft.text.Curation.canonicalDocsSql,
     "q_pii_kanon"     -> graft.ops.Privacy.kAnonymizeSql,
     "q_skew_agg"      -> graft.ops.Skew.skewAggByFlagSql,
     "q_sample_strat"  -> Relational.stratifiedSampleSql,
@@ -531,6 +545,7 @@ object SparkEntry {
     "q_rfm_dist"      -> graft.ops.Analytics.rfmSegmentsSql,
     "q_dq_audit"      -> graft.ops.Quality.dqAuditSql,
     "q_benford"       -> graft.ops.Quality.benfordAuditSql,
+    "q_psi_drift"     -> graft.ops.Quality.psiDriftSql,
     "q_anomaly"       -> graft.ops.Quality.revenueAnomaliesSql,
     "q6_forecast"     -> Relational.q6ForecastSql,
     "q8_market_share" -> Relational.q8MarketShareSql,
@@ -556,6 +571,7 @@ object SparkEntry {
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,
     "q_quality_filter" -> TextAnalysis.qualityFilterSql,
+    "q_lm_score"       -> TextAnalysis.lmScoreSql,
     "q_quantize"      -> Similarity.quantizeAuditSql,
     "q_chunk"         -> graft.text.Curation.chunkDocumentsSql,
     "q_pii_scrub"     -> graft.ops.Privacy.piiScrubSql,

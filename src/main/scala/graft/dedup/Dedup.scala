@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -401,6 +402,72 @@ object Dedup {
       |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
       |  >= 0.4""".stripMargin
 
+  /** Span length (tokens) for cross-document substring dedup. */
+  val spanLen = 8
+
+  /** Cross-document duplicated-SPAN audit — the substring-level dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), which removes repeated ~50-token spans the document-level
+    * passes above cannot see (boilerplate headers, license blocks,
+    * templated paragraphs shared across otherwise-distinct pages). Here
+    * the unit is the [[spanLen]]-token sliding window: a span is
+    * "duplicated" when the same window occurs in ≥ 2 documents; per doc
+    * we report how much of its distinct-span surface is shared.
+    *
+    * Scale shape: spans are hashed to md5 keys IN the per-row projection,
+    * so the one shuffle of the query (the span-partition window count)
+    * carries 32-byte keys, never the 8-word text — volume is
+    * O(tokens × 32 B) regardless of span length, the same short-key
+    * discipline as the MinHash band shuffle. Document frequency comes
+    * from a window over the SAME exploded relation (no join back through
+    * a second tokenize subtree — the lambda-CSE trap), and the per-doc
+    * rollup is a map-side-combinable aggregate. At 100 TB the one extra
+    * knob is a df cap on stop-spans (drop spans with df > K before the
+    * rollup), exactly the [[ngramJaccard]] posting-cap note.
+    *
+    * Flag threshold compares the ROUNDED fraction so the boolean is
+    * engine-portable. Docs shorter than [[spanLen]] tokens have no spans
+    * and drop out (mirrored in the oracle's WHERE). */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(w) >= spanLen)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(w) - (spanLen - 1)),
+          i => md5(concat_ws(" ",
+            (0 until spanLen).map(o => element_at(w, i + lit(o))): _*))))
+          .as("spans"))
+      .select(col("doc_id"), explode(col("spans")).as("span_key"))
+    spans
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("span_key")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_spans"), 4).as("shared_frac"))
+      .withColumn("is_span_dup", col("shared_frac") >= 0.2)
+  }
+
+  val spanDedupSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |spans AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 7),
+      |    i -> md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+      |             w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])))) AS span_key
+      |  FROM words WHERE len(w) >= 8),
+      |df AS (
+      |  SELECT doc_id, count(*) OVER (PARTITION BY span_key) AS df FROM spans),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_spans,
+      |    CAST(count(*) FILTER (df >= 2) AS BIGINT) AS n_shared
+      |  FROM df GROUP BY doc_id)
+      |SELECT doc_id, n_spans, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / n_spans, 4) AS shared_frac,
+      |  round(CAST(n_shared AS DOUBLE) / n_spans, 4) >= 0.2 AS is_span_dup
+      |FROM agg""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   /** Shared shingle CTE (DuckDB): distinct word 3-grams per doc. */
@@ -438,7 +505,7 @@ object Dedup {
   /** CTE body (no leading WITH) computing minhash LSH candidate `pairs` —
     * shared between [[minhashLshSql]] and the recursive-CTE clusters
     * oracle (WITH RECURSIVE must own the single WITH keyword). */
-  private val minhashPairsBody: String = {
+  private[graft] val minhashPairsBody: String = {
     val sigExprs = (0 until numHashes).map { j =>
       s"list_min(list_transform(fp, x -> (${minhashA(j)} * x + ${minhashB(j)}) % $minhashP))"
     }

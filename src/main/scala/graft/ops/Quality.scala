@@ -134,6 +134,72 @@ object Quality {
       |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_freq
       |FROM counts""".stripMargin
 
+  /** PSI bucket width and period cut, named so the oracle interpolates
+    * the SAME constants. */
+  val psiBucketWidth = 50000L
+  val psiCutDate = "1998-01-01"
+
+  /** Population Stability Index drift audit — the distribution-shift
+    * check every production scoring pipeline runs between a reference
+    * window and the current window (PSI = Σ (p−q)·ln(p/q); rule of
+    * thumb: < 0.1 stable, > 0.25 drifted). Here: the order-price
+    * distribution before vs since [[psiCutDate]], in fixed
+    * [[psiBucketWidth]]-wide buckets.
+    *
+    * Scale shape: ONE scan of orders — both periods' histograms come out
+    * of the same map-side-combinable conditional aggregate (no
+    * second-scan join, no per-period subqueries); the totals/bucket-count
+    * ride as windows over the O(buckets) aggregated frame (the accepted
+    * tiny-frame global-window pattern, cf. [[benfordAudit]]). Laplace
+    * add-one smoothing keeps empty buckets finite on BOTH sides, so the
+    * statistic is defined even when a bucket exists in only one period.
+    * Counts are exact integers; the two divisions and one ln round at
+    * the end (6dp terms, 4dp total). */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = lit(psiCutDate).cast("timestamp")
+    val buckets = Tables.orders(s, d)
+      .select(
+        (floor(col("o_totalprice") / psiBucketWidth) * psiBucketWidth)
+          .cast("long").as("price_bucket"),
+        (col("o_orderdate") < cut).as("in_ref"))
+      .groupBy("price_bucket")
+      .agg(sum(when(col("in_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("in_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val w = Window.partitionBy()
+    val p = (col("n_ref") + 1).cast("double") /
+      (sum("n_ref").over(w) + count(lit(1)).over(w)).cast("double")
+    val q = (col("n_cur") + 1).cast("double") /
+      (sum("n_cur").over(w) + count(lit(1)).over(w)).cast("double")
+    val term = (p - q) * log(p / q)
+    buckets
+      .select(col("price_bucket"), col("n_ref"), col("n_cur"),
+        round(term, 6).as("psi_term"),
+        round(sum(term).over(w), 4).as("psi_total"))
+  }
+
+  val psiDriftSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(floor(o_totalprice / $psiBucketWidth) * $psiBucketWidth AS BIGINT)
+       |      AS price_bucket,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$psiCutDate' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ref,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$psiCutDate' THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS n_cur
+       |  FROM orders GROUP BY 1),
+       |t AS (
+       |  SELECT price_bucket, n_ref, n_cur,
+       |    (CAST(n_ref + 1 AS DOUBLE) / (sum(n_ref) OVER () + count(*) OVER ())
+       |     - CAST(n_cur + 1 AS DOUBLE) / (sum(n_cur) OVER () + count(*) OVER ()))
+       |    * ln((CAST(n_ref + 1 AS DOUBLE) / (sum(n_ref) OVER () + count(*) OVER ()))
+       |       / (CAST(n_cur + 1 AS DOUBLE) / (sum(n_cur) OVER () + count(*) OVER ())))
+       |      AS term
+       |  FROM b)
+       |SELECT price_bucket, n_ref, n_cur,
+       |  round(term, 6) AS psi_term,
+       |  round(sum(term) OVER (), 4) AS psi_total
+       |FROM t""".stripMargin
+
   /** Schema-drift report between two table versions: every column that
     * was added, removed, or retyped — the check a snapshot loader runs
     * BEFORE data lands (the reference's fixed-DDL pipeline would simply

@@ -713,6 +713,56 @@ object Relational {
       .select("c_custkey", "c_name")
   }
 
+  /** NULL-aware anti join — the `NOT IN (subquery)` three-valued-logic
+    * battery, the semantic surface a plain left-anti join ([[antiJoin]])
+    * does NOT have: a NULL probe key makes membership UNKNOWN (row
+    * excluded, where an anti join would KEEP it), and one NULL in the
+    * subquery set empties the result entirely. Keys are made nullable
+    * deterministically (every 97th order key), and the with-NULL set
+    * plants its NULL by construction (UNION ALL NULL), so all three
+    * branches are exercised on any data.
+    *
+    * Expressed through the SQL surface so Catalyst plans its
+    * null-aware-anti-join rewrite (single-key broadcast NAAJ; the
+    * fallback is BroadcastNestedLoopJoin — which is WHY production
+    * schemas prefer NOT EXISTS, cf. the [[graft.ops.Quality.dqAudit]]
+    * oracle note; this query exists to pin the NOT IN semantics those
+    * rewrites must preserve). Build sides are the small filtered
+    * dimension; the probe scan is shared across the three conditional
+    * counts. */
+  def notInNullAware(s: SparkSession, d: String): DataFrame = {
+    graft.SqlSurface.registerTables(s, d)
+    s.sql(
+      """WITH probe AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders),
+        |nullfree AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+        |withnull AS (
+        |  SELECT k FROM nullfree UNION ALL SELECT CAST(NULL AS BIGINT))
+        |SELECT
+        |  (SELECT count(*) FROM probe WHERE k NOT IN (SELECT k FROM nullfree))
+        |    AS n_nullfree,
+        |  (SELECT count(*) FROM probe WHERE k NOT IN (SELECT k FROM withnull))
+        |    AS n_withnull,
+        |  (SELECT count(*) FROM probe WHERE k IS NULL) AS n_probe_null""".stripMargin)
+  }
+
+  val notInNullAwareSql: String =
+    """WITH probe AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      |  FROM orders),
+      |nullfree AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+      |withnull AS (
+      |  SELECT k FROM nullfree UNION ALL SELECT CAST(NULL AS BIGINT))
+      |SELECT
+      |  (SELECT count(*) FROM probe WHERE k NOT IN (SELECT k FROM nullfree))
+      |    AS n_nullfree,
+      |  (SELECT count(*) FROM probe WHERE k NOT IN (SELECT k FROM withnull))
+      |    AS n_withnull,
+      |  (SELECT count(*) FROM probe WHERE k IS NULL) AS n_probe_null""".stripMargin
+
   /** Left outer join + agg: order count per customer including zeros.
     * count(o_orderkey) skips the NULLs from non-matching rows. */
   def outerJoinAgg(s: SparkSession, d: String): DataFrame = {

@@ -191,6 +191,60 @@ object TimeSeries {
       |FROM chg
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Point-in-time (PIT) dimension lookup against the SCD2 history —
+    * the join that makes type-2 dimensions USEFUL: each fact row picks
+    * the dimension version whose validity interval [valid_from,
+    * valid_to) covers the fact's timestamp, never a later version (the
+    * leakage-free join feature stores call "as-of correctness"). Facts
+    * here are the orders themselves against [[scd2StatusHistory]]: each
+    * order resolves the status version in effect on its order date.
+    *
+    * Scale: the join key (o_custkey equality) drives a plain hash/SMJ
+    * shuffle; the interval predicate rides as a residual filter, and
+    * interval DISJOINTNESS guarantees ≤ 1 match per fact — no fan-out.
+    * Version history is typically dwarfed by the fact table, so Catalyst
+    * may broadcast it; either plan never shuffles more than the fact
+    * side once. Contrast the window rendering of as-of joins
+    * ([[asofLatestClick]]): against a materialized SCD2 dimension the
+    * PIT join needs NO sort of the fact side at all. */
+  def pitStatusLookup(s: SparkSession, d: String): DataFrame = {
+    val hist = scd2StatusHistory(s, d).as("h")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")).as("f")
+      .join(hist,
+        col("f.o_custkey") === col("h.o_custkey") &&
+          col("h.valid_from") <= col("f.o_orderdate") &&
+          (col("h.valid_to").isNull || col("f.o_orderdate") < col("h.valid_to")))
+      .select(col("f.o_orderkey").as("o_orderkey"),
+        col("f.o_custkey").as("o_custkey"),
+        col("f.o_orderdate").as("o_orderdate"),
+        col("h.status").as("status_at_order"),
+        col("h.version").as("version"))
+  }
+
+  val pitStatusLookupSql: String =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    lag(o_orderstatus) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+      |  FROM orders),
+      |chg AS (
+      |  SELECT * FROM seq
+      |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+      |hist AS (
+      |  SELECT o_custkey, o_orderstatus AS status,
+      |    row_number() OVER w AS version,
+      |    o_orderdate AS valid_from,
+      |    lead(o_orderdate) OVER w AS valid_to
+      |  FROM chg
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+      |  h.status AS status_at_order, h.version
+      |FROM orders f JOIN hist h
+      |  ON f.o_custkey = h.o_custkey
+      | AND h.valid_from <= f.o_orderdate
+      | AND (h.valid_to IS NULL OR f.o_orderdate < h.valid_to)""".stripMargin
+
   /** Gap-filled daily resample: orders rolled up to one row per
     * (priority, calendar day) over the FULL date spine — absent days
     * appear with n_orders = 0 and the day's average price carried forward

@@ -313,6 +313,105 @@ object Similarity {
       |  max_dist <= 0.5 AS bound_ok
       |FROM coded""".stripMargin
 
+  /** Embedding covariance matrix — the sufficient statistic for PCA /
+    * whitening, the standard preprocessing before IVF coarse quantization
+    * and dimensionality reduction in retrieval pipelines. Emits the upper
+    * triangle as (dim_i, dim_j, cov) rows: cov = E[x_i·x_j] − E[x_i]E[x_j]
+    * computed from ONE pass of sufficient sums (Σx_i·x_j, Σx_i, Σx_j, n) —
+    * never a centered second pass.
+    *
+    * Scale shape: the double posexplode expands d(d+1)/2 terms per vector,
+    * but hash aggregation combines them map-side, so each partition sends
+    * at most d(d+1)/2 partial rows regardless of row count — the shuffle
+    * is O(partitions × d²), independent of corpus size. The result is
+    * O(d²) rows (2,080 at d=64): driver-safe for the d×d eigensolve that
+    * follows (O(d³) at d=64 is microseconds — the distributed part, the
+    * data pass, is exactly this query). Float inputs cast to double
+    * BEFORE multiplication on both engines; the final covariances round
+    * 6dp (summation-order noise ~1e-15). */
+  def covarianceMatrix(s: SparkSession, d: String): DataFrame = {
+    val xi = col("xi")
+    val xj = col("xj").cast("double")
+    val n = col("n").cast("double")
+    Tables.embeddings(s, d)
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("dim_i", "xi_f")))
+      .select(col("dim_i"), col("xi_f").cast("double").as("xi"),
+        posexplode(col("embedding")).as(Seq("dim_j", "xj")))
+      .filter(col("dim_j") >= col("dim_i"))
+      .groupBy("dim_i", "dim_j")
+      .agg(sum(xi * xj).as("s_ij"), sum(xi).as("s_i"), sum(xj).as("s_j"),
+        count(lit(1)).as("n"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        round(col("s_ij") / n - col("s_i") * col("s_j") / (n * n), 6).as("cov"))
+  }
+
+  val covarianceMatrixSql: String =
+    """WITH idx AS (
+      |  SELECT unnest(generate_series(1,
+      |    (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i),
+      |sums AS (
+      |  SELECT i.i - 1 AS dim_i, j.i - 1 AS dim_j,
+      |    sum(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[j.i] AS DOUBLE)) AS s_ij,
+      |    sum(CAST(embedding[i.i] AS DOUBLE)) AS s_i,
+      |    sum(CAST(embedding[j.i] AS DOUBLE)) AS s_j,
+      |    count(*) AS n
+      |  FROM embeddings, idx i, idx j WHERE j.i >= i.i
+      |  GROUP BY 1, 2)
+      |SELECT dim_i, dim_j, n,
+      |  round(s_ij / n - s_i * s_j / (CAST(n AS DOUBLE) * n), 6) AS cov
+      |FROM sums""".stripMargin
+
+  /** Top-principal-component extraction, graded through its contract —
+    * the second half of the PCA/whitening story whose data pass is
+    * [[covarianceMatrix]]: collect the O(d²) ROUNDED covariance (the
+    * documented driver-side eigensolve — the 64×64 algebra is
+    * microseconds; the distributed work is the covariance pass and the
+    * projection below), run deterministic power iteration (fixed start
+    * 1/√d, fixed 1000 steps — enough for eigen-gap ratios up to ~0.99 —
+    * no RNG), then verify DISTRIBUTED-vs-LOCAL
+    * consistency: the population variance of the corpus projected onto
+    * v₁ — computed by the engine over the full table — must equal the
+    * eigenvalue v₁ᵀΣv₁ the driver derived from the collected matrix.
+    * That cross-check is the graded contract (constants-oracled like the
+    * ANN recall checks); the projection reuses the codegen'd DotProduct
+    * with the eigenvector as a broadcast literal. */
+  def pcaPowerCheck(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.dotProduct
+    val cov = covarianceMatrix(s, d).collect()
+    val dim = cov.map(_.getAs[Int]("dim_j")).max + 1
+    val a = Array.ofDim[Double](dim, dim)
+    cov.foreach { r =>
+      val (i, j) = (r.getAs[Int]("dim_i"), r.getAs[Int]("dim_j"))
+      a(i)(j) = r.getAs[Double]("cov"); a(j)(i) = r.getAs[Double]("cov")
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => a(i)(j) * v(j)).sum)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    for (_ <- 1 to 1000) {
+      val av = matvec(v)
+      val n = math.sqrt(av.map(x => x * x).sum)
+      v = av.map(_ / n)
+    }
+    val av = matvec(v)
+    val lambda = v.zip(av).map { case (x, y) => x * y }.sum
+    val resid = math.sqrt(av.zip(v).map { case (x, y) =>
+      val r = x - lambda * y; r * r
+    }.sum)
+    val converged = resid <= 1e-4 * math.max(lambda, 1e-12)
+    Tables.embeddings(s, d)
+      .select(dotProduct(col("embedding"), typedLit(v.map(_.toFloat))).as("score"))
+      .agg(var_pop(col("score")).as("pvar"))
+      .select(lit(dim).as("dim"),
+        lit(converged).as("power_converged"),
+        (abs(col("pvar") - lit(lambda)) <= lit(0.01) * lit(lambda))
+          .as("var_matches"))
+  }
+
+  val pcaPowerCheckSql: String =
+    """SELECT CAST((SELECT len(embedding) FROM embeddings LIMIT 1) AS INTEGER)
+      |    AS dim,
+      |  TRUE AS power_converged, TRUE AS var_matches""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   val bruteForceTopKSql: String =

@@ -134,6 +134,28 @@ object EventStreams {
       .agg(count("*").as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Drift-histogram bucket width (value units). */
+  val driftBucketWidth = 50L
+
+  /** Streaming drift histogram — the monitoring face of
+    * [[graft.ops.Quality.psiDrift]]: the value distribution per daily
+    * tumbling window in fixed [[driftBucketWidth]]-wide buckets. One
+    * stateful aggregation, state O(open windows × buckets); windows
+    * finalize at the watermark. PSI against a reference histogram is a
+    * stateless per-bucket projection over THIS output, composed in the
+    * sink or a downstream batch pass — chaining the totals-and-ln rollup
+    * as a second in-stream stateful aggregation is exactly the
+    * multiple-stateful-operator shape append mode rejects, and the
+    * split (stream maintains counts, cheap batch derives the statistic)
+    * is how production drift monitors are built anyway. */
+  def driftHistogramStream(events: DataFrame): DataFrame =
+    withEventWatermark(events)
+      .groupBy(window(col("ts"), "1 day"),
+        (floor(col("value") / driftBucketWidth) * driftBucketWidth).cast("long")
+          .as("value_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("value_bucket"), col("n"))
+
   /** Streaming exact deduplication on event_id with state bounded by the
     * watermark: an id reappearing within the 10-minute horizon is
     * dropped; state for ids older than the watermark is evicted (the

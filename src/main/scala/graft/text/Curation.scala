@@ -180,6 +180,77 @@ object Curation {
     * Scale: the winner set is a key-only semi join (broadcast-able at
     * any corpus size where winners ≈ docs × dedup rate); the write
     * shards by partition column, so downstream readers prune by lang. */
+  /** Quality-aware canonicalization of near-duplicate clusters: within
+    * each [[graft.dedup.Dedup.dedupClusters]] component, keep the member
+    * with the LOWEST unigram cross-entropy ([[TextAnalysis.lmScore]] —
+    * the most natural-language rendition of the duplicated content),
+    * ties broken by doc_id. This is the curation step between detection
+    * and materialization: near-dup groups collapse to their best
+    * representative instead of an arbitrary first-seen winner (contrast
+    * [[materializeCorpus]]'s min-id exact-dedup rule — fine for exact
+    * copies, wasteful for near-dups where members differ in quality).
+    *
+    * Scale: the ranking window partitions by cluster_id over the
+    * CLUSTERED docs only (O(dup docs), high-cardinality key — no
+    * low-cardinality funnel); the score join is key-keyed hash join.
+    * The winner rank compares the 4dp-ROUNDED score, so the choice is
+    * engine-portable. */
+  def canonicalDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = graft.dedup.Dedup.dedupClusters(s, d)
+    val scores = TextAnalysis.lmScore(s, d)
+      .select(col("doc_id"), col("cross_entropy"))
+    clusters
+      .join(scores, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("cross_entropy").asc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("cross_entropy").as("kept_xent"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dropped"))
+  }
+
+  val canonicalDocsSql: String = {
+    val lmMin = TextAnalysis.lmVocabMinCount
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.minhashPairsBody},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, re.r FROM edges e JOIN reach re ON re.doc_id = e.dst),
+       |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |clusters AS (
+       |  SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |  FROM labels l JOIN (
+       |    SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
+       |  USING (cluster_id)),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |wc AS (
+       |  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY tok) AS c FROM tf),
+       |lm AS (
+       |  SELECT doc_id,
+       |    round(ln(CAST((SELECT sum(len(string_split(text, ' ')))
+       |                   FROM documents) AS DOUBLE))
+       |      - sum(tf * ln(CASE WHEN c >= $lmMin
+       |                         THEN CAST(c AS DOUBLE) ELSE 0.5 END))
+       |        / sum(tf), 4) AS cross_entropy
+       |  FROM wc GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT cl.cluster_id, cl.doc_id, cl.cluster_size, lm.cross_entropy,
+       |    row_number() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY lm.cross_entropy, cl.doc_id) AS rn
+       |  FROM clusters cl JOIN lm USING (doc_id))
+       |SELECT cluster_id, doc_id AS kept_doc_id, cross_entropy AS kept_xent,
+       |  cluster_size, CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   def materializeCorpus(s: SparkSession, d: String, outDir: String,
       langs: Seq[String] = Seq("en", "de", "fr")): DataFrame = {
     val winners = graft.dedup.Dedup.exactDedup(s, d)

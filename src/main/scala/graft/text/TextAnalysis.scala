@@ -438,6 +438,71 @@ object TextAnalysis {
       .withColumn("keep", col("reason") === "keep")
   }
 
+  /** Unigram-LM vocabulary floor: tokens seen fewer times than this are
+    * scored as OOV (named so the oracle interpolates the SAME constant). */
+  val lmVocabMinCount = 5L
+
+  /** Model-based quality scoring, the unigram-LM rendering: per-document
+    * cross-entropy −(1/n)Σ ln p(tok) under the corpus's OWN unigram
+    * distribution (p = c/N; tokens under [[lmVocabMinCount]] occurrences
+    * smoothed to c=0.5). This is the perplexity-proxy filter of the
+    * CCNet/LLaMA pipelines — there a 5-gram KenLM scores each doc, here
+    * the n=1 case computes EXACTLY (no LM binary in the engine), with the
+    * same use: high cross-entropy = rare-token gibberish, low = natural
+    * running text; thresholding happens downstream.
+    *
+    * Identity used: −(1/n)Σ tf·ln(c/N) = ln N − (Σ tf·ln c)/n, so N only
+    * enters once at the end — no per-token division.
+    *
+    * Scale shapes: corpus token frequency c is a SUM WINDOW over the tok
+    * partition of the (doc, tok) tf relation — the [[tfIdfTopTerms]] df
+    * trick, one short-row shuffle instead of a second corpus scan + join;
+    * the rollup to O(docs) rows combines map-side; corpus size N rides in
+    * as a broadcast one-row frame off a narrow column scan. Document text
+    * never shuffles. Final score rounds 4dp (double summation order
+    * differs across engines, error ~1e-13). */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val total = docs.agg(
+      sum(size(split(col("text"), " ")).cast("long")).as("n_total"))
+    tf
+      .withColumn("c", sum("tf").over(Window.partitionBy("tok")))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"),
+        sum(when(col("c") < lmVocabMinCount, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"),
+        sum(col("tf").cast("double") *
+          log(when(col("c") >= lmVocabMinCount, col("c").cast("double"))
+            .otherwise(lit(0.5d)))).as("sln"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        round(log(col("n_total").cast("double")) - col("sln") / col("n_toks"), 4)
+          .as("cross_entropy"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |wc AS (
+       |  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY tok) AS c FROM tf),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+       |    CAST(sum(CASE WHEN c < $lmVocabMinCount THEN tf ELSE 0 END) AS BIGINT)
+       |      AS n_oov,
+       |    sum(tf * ln(CASE WHEN c >= $lmVocabMinCount
+       |                     THEN CAST(c AS DOUBLE) ELSE 0.5 END)) AS sln
+       |  FROM wc GROUP BY 1)
+       |SELECT doc_id, n_toks, n_oov,
+       |  round(ln(CAST((SELECT sum(len(string_split(text, ' ')))
+       |                 FROM documents) AS DOUBLE)) - sln / n_toks, 4)
+       |    AS cross_entropy
+       |FROM agg""".stripMargin
+
   val qualityFilterSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM (

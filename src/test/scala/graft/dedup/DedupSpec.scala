@@ -119,6 +119,46 @@ class DedupSpec extends GraftTestBase {
     plan should include("BroadcastHashJoin")
   }
 
+  behavior of "spanDedup"
+
+  it should "flag exactly the planted shared 8-token span and drop short docs" in {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val planted = Seq(
+      // A and B embed the same 8-token span inside otherwise-unique text:
+      // every window crossing the boundary mixes unique prefix/suffix
+      // tokens, so exactly ONE window (the span itself) is shared.
+      (1L, (1 to 6).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+        (7 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 6).map(i => s"b$i").mkString(" ") + " " + shared + " " +
+        (7 to 12).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")), // fully unique
+      (4L, "too short for a span"))                   // < 8 tokens: no rows
+      .toDF("doc_id", "text")
+    val dir = "/tmp/graft-span-dedup-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    planted.write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.spanDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    // 20 tokens -> 13 windows, all distinct
+    out(1L).getAs[Long]("n_spans") shouldBe 13L
+    out(1L).getAs[Long]("n_shared") shouldBe 1L
+    out(2L).getAs[Long]("n_shared") shouldBe 1L
+    out(3L).getAs[Long]("n_shared") shouldBe 0L
+    out(1L).getAs[Double]("shared_frac") shouldBe 1.0 / 13 +- 1e-4
+    out(3L).getAs[Boolean]("is_span_dup") shouldBe false
+  }
+
+  it should "keep n_shared within n_spans over the real corpus" in {
+    val out = Dedup.spanDedup(spark, sf).collect()
+    out should not be empty
+    out.foreach { r =>
+      r.getAs[Long]("n_shared") should be <= r.getAs[Long]("n_spans")
+      r.getAs[Double]("shared_frac") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   behavior of "fuzzyNames"
 
   it should "emit ordered within-threshold pairs with true per-name counts" in {

@@ -39,6 +39,30 @@ class PlanShapeSpec extends GraftTestBase {
     q.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  behavior of "null-aware anti join (NOT IN)"
+
+  it should "honor three-valued NOT IN semantics on all three branches" in {
+    val r = Relational.notInNullAware(spark, sf).head()
+    // one NULL in the subquery set empties the result — the semantic
+    // cliff that separates NOT IN from a left-anti join
+    r.getAs[Long]("n_withnull") shouldBe 0L
+    // NULL probe keys are excluded (UNKNOWN), never kept
+    val nOrders = Tables.orders(spark, sf).count()
+    val nNullProbes = r.getAs[Long]("n_probe_null")
+    nNullProbes should be > 0L
+    r.getAs[Long]("n_nullfree") should be <= nOrders - nNullProbes
+    r.getAs[Long]("n_nullfree") should be > 0L
+  }
+
+  behavior of "pcaPowerCheck"
+
+  it should "converge and match the distributed projection variance" in {
+    val r = graft.similarity.Similarity.pcaPowerCheck(spark, sf).head()
+    r.getAs[Int]("dim") shouldBe 64
+    r.getAs[Boolean]("power_converged") shouldBe true
+    r.getAs[Boolean]("var_matches") shouldBe true
+  }
+
   behavior of "aggregation"
 
   it should "partial-aggregate map-side before the exchange" in {

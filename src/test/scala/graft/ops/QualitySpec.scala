@@ -66,4 +66,21 @@ class QualitySpec extends GraftTestBase {
       graft.Tables.orders(spark, sf)
         .filter(org.apache.spark.sql.functions.col("o_totalprice") > 0).count()
   }
+
+  behavior of "psiDrift"
+
+  it should "emit nonnegative PSI terms that conserve row counts and sum to the total" in {
+    val rows = Quality.psiDrift(spark, sf).collect()
+    rows should not be empty
+    // every (p-q)·ln(p/q) term is >= 0 (both factors share sign); allow
+    // the -0.0 of 6-decimal rounding
+    rows.foreach(_.getAs[Double]("psi_term") should be >= -1e-6)
+    // psi_total is the same constant on every row and equals the term sum
+    rows.map(_.getAs[Double]("psi_total")).distinct.length shouldBe 1
+    rows.map(_.getAs[Double]("psi_term")).sum shouldBe
+      rows.head.getAs[Double]("psi_total") +- 1e-3
+    // the two periods partition the orders table exactly
+    rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum shouldBe
+      graft.Tables.orders(spark, sf).count()
+  }
 }

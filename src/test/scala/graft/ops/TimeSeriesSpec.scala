@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
+
 import graft.GraftTestBase
 
 class TimeSeriesSpec extends GraftTestBase {
@@ -31,6 +33,27 @@ class TimeSeriesSpec extends GraftTestBase {
       .select("o_custkey").distinct().count()
     TimeSeries.scd2StatusHistory(spark, sf)
       .select("o_custkey").distinct().count() shouldBe nCustomers
+  }
+
+  behavior of "pitStatusLookup"
+
+  it should "resolve exactly one in-effect version per order" in {
+    val out = TimeSeries.pitStatusLookup(spark, sf).cache()
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    // contiguous validity intervals cover [first order, inf): every fact
+    // matches, and interval disjointness forbids fan-out
+    out.count() shouldBe nOrders
+    out.select("o_orderkey").distinct().count() shouldBe nOrders
+    // the resolved version's validity must actually cover the order date
+    val hist = TimeSeries.scd2StatusHistory(spark, sf)
+      .select(col("o_custkey").as("h_custkey"), col("version").as("h_version"),
+        col("valid_from"), col("valid_to"))
+    val bad = out.join(hist,
+        col("o_custkey") === col("h_custkey") && col("version") === col("h_version"))
+      .filter(col("valid_from") > col("o_orderdate") ||
+        (col("valid_to").isNotNull && col("o_orderdate") >= col("valid_to")))
+    bad.count() shouldBe 0
+    out.unpersist()
   }
 
   behavior of "Privacy.kAnonymize"

@@ -112,4 +112,28 @@ class SimilaritySpec extends GraftTestBase {
       }
     }
   }
+
+  behavior of "covarianceMatrix"
+
+  it should "emit the full upper triangle with PSD-consistent entries" in {
+    import spark.implicits._
+    val dim = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(col("embedding"))).head().getInt(0)
+    val rows = Similarity.covarianceMatrix(spark, sf).collect()
+    rows.length shouldBe dim * (dim + 1) / 2
+    val cov = rows.map(r =>
+      (r.getAs[Int]("dim_i"), r.getAs[Int]("dim_j")) -> r.getAs[Double]("cov")).toMap
+    // diagonal entries are variances: nonnegative (up to 6-dp rounding)
+    (0 until dim).foreach(i => cov((i, i)) should be >= -1e-6)
+    // Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i · var_j) + rounding slack
+    cov.foreach { case ((i, j), c) =>
+      math.abs(c) should be <= math.sqrt(
+        math.max(cov((i, i)), 0) * math.max(cov((j, j)), 0)) + 1e-5
+    }
+    // spot-check dim 0 variance against the one-column aggregate
+    val v0 = graft.Tables.embeddings(spark, sf)
+      .select(var_pop(col("embedding").getItem(0).cast("double")).as("v"))
+      .head().getDouble(0)
+    cov((0, 0)) shouldBe v0 +- 1e-4
+  }
 }

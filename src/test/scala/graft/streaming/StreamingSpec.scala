@@ -157,6 +157,56 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "driftHistogramStream"
+
+  it should "match the batch histogram and compose to the batch PSI" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.driftHistogramStream(input.toDF())
+      .writeStream.format("memory").queryName("drift_spec")
+      .outputMode("complete").start()
+    try {
+      val events = Seq(
+        // day 1 (reference): values clustered low
+        Event(1, ts("2024-01-01 01:00:00"), 1, "click", 10.0),
+        Event(2, ts("2024-01-01 02:00:00"), 1, "click", 40.0),
+        Event(3, ts("2024-01-01 03:00:00"), 2, "click", 60.0),
+        // day 2 (current): distribution shifted high
+        Event(4, ts("2024-01-02 01:00:00"), 1, "click", 160.0),
+        Event(5, ts("2024-01-02 02:00:00"), 2, "click", 210.0),
+        Event(6, ts("2024-01-02 03:00:00"), 2, "click", 40.0))
+      input.addData(events: _*)
+      query.processAllAvailable()
+      val got = spark.table("drift_spec")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      // batch equality: same (day, bucket) -> count map
+      val batch = events.toDF()
+        .groupBy(to_date(col("ts")).as("day"),
+          (floor(col("value") / EventStreams.driftBucketWidth) *
+            EventStreams.driftBucketWidth).cast("long").as("value_bucket"))
+        .count()
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+        .toMap
+      got shouldBe batch
+      // PSI composes from the stream output exactly as from batch counts:
+      // smoothed per-bucket (p-q)·ln(p/q) over the union of buckets
+      val ref = got.collect { case ((d, b), n) if d == "2024-01-01" => b -> n }
+      val cur = got.collect { case ((d, b), n) if d == "2024-01-02" => b -> n }
+      val buckets = (ref.keySet ++ cur.keySet).toSeq
+      val (tr, tc) = (ref.values.sum.toDouble, cur.values.sum.toDouble)
+      val psi = buckets.map { b =>
+        val p = (ref.getOrElse(b, 0L) + 1.0) / (tr + buckets.size)
+        val q = (cur.getOrElse(b, 0L) + 1.0) / (tc + buckets.size)
+        (p - q) * math.log(p / q)
+      }.sum
+      psi should be > 0.0 // the planted shift is visible
+    } finally query.stop()
+  }
+
   behavior of "enrichEvents (stream-static join)"
 
   it should "broadcast-join each micro-batch against the static dims" in {

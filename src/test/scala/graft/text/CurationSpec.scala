@@ -101,6 +101,27 @@ class CurationSpec extends GraftTestBase {
       .filter(col("text") =!= col("text2")).count() shouldBe 0
   }
 
+  behavior of "canonicalDocs"
+
+  it should "keep the lowest-cross-entropy member of every cluster" in {
+    val clusters = graft.dedup.Dedup.dedupClusters(spark, sf)
+    val scores = TextAnalysis.lmScore(spark, sf)
+      .select(col("doc_id"), col("cross_entropy"))
+    // re-derive the argmin per cluster driver-side and compare
+    val members = clusters.join(scores, Seq("doc_id")).collect()
+      .map(r => (r.getAs[Long]("cluster_id"),
+        (r.getAs[Double]("cross_entropy"), r.getAs[Long]("doc_id"))))
+    val expected = members.groupBy(_._1).map { case (c, ms) => c -> ms.map(_._2).min }
+    val got = Curation.canonicalDocs(spark, sf).collect()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val (xent, id) = expected(r.getAs[Long]("cluster_id"))
+      r.getAs[Long]("kept_doc_id") shouldBe id
+      r.getAs[Double]("kept_xent") shouldBe xent
+      r.getAs[Long]("n_dropped") shouldBe r.getAs[Long]("cluster_size") - 1
+    }
+  }
+
   behavior of "materializeCorpus"
 
   it should "write only deduped in-language docs, partitioned by lang" in {

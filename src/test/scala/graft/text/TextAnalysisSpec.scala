@@ -152,6 +152,44 @@ class TextAnalysisSpec extends GraftTestBase {
     stats(-2L) shouldBe "keep"
   }
 
+  behavior of "lmScore"
+
+  it should "score in-vocab running text low and OOV gibberish high, exactly" in {
+    import spark.implicits._
+    // corpus: "common" occurs 30x (in vocab); r1..r10 occur once (OOV).
+    // N = 40. doc 1: xent = ln 40 - ln 30; doc 2: all OOV, c_eff = 0.5
+    // -> xent = ln 40 + ln 2. Closed-form checkable.
+    val planted = Seq(
+      (1L, Seq.fill(10)("common").mkString(" ")),
+      (2L, (1 to 10).map(i => s"r$i").mkString(" ")),
+      (3L, Seq.fill(20)("common").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = "/tmp/graft-lm-score-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    planted.write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.lmScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Long]("n_oov") shouldBe 0L
+    out(2L).getAs[Long]("n_oov") shouldBe 10L
+    out(1L).getAs[Double]("cross_entropy") shouldBe
+      (math.log(40) - math.log(30)) +- 1e-4
+    out(2L).getAs[Double]("cross_entropy") shouldBe
+      (math.log(40) + math.log(2)) +- 1e-4
+    out(3L).getAs[Double]("cross_entropy") shouldBe
+      out(1L).getAs[Double]("cross_entropy") +- 1e-9
+  }
+
+  it should "bound scores by the rarest-token extremes over the real corpus" in {
+    val out = TextAnalysis.lmScore(spark, sf).collect()
+    out.length shouldBe graft.Tables.documents(spark, sf).count().toInt
+    // -ln p is maximized by the OOV floor (c_eff = 0.5) and positive for
+    // any token rarer than the whole corpus
+    out.foreach { r =>
+      r.getAs[Long]("n_oov") should be <= r.getAs[Long]("n_toks")
+      r.getAs[Double]("cross_entropy") should be > 0.0
+    }
+  }
+
   behavior of "bpePairCensus"
 
   it should "equal the unweighted census over raw (non-deduped) tokens" in {
