@@ -210,6 +210,11 @@ object SparkEntry {
     "q_pagerank"        -> (graft.ops.Graph.pageRank _),
     "q_bpe_merges"      -> (TextAnalysis.bpePairCensus _),
     "q_phrase_search"   -> (TextAnalysis.phraseSearch _),
+    // -- round 5 continuation: incremental MV maintenance, interval
+    //    overlap join, l-diversity audit
+    "q_incr_agg"        -> (graft.ops.Merge.incrementalAgg _),
+    "q_interval_overlap" -> (graft.ops.TimeSeries.intervalOverlap _),
+    "q_ldiversity"      -> (graft.ops.Privacy.lDiversity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -583,6 +588,9 @@ object SparkEntry {
     "q_pagerank"      -> graft.ops.Graph.pageRankSql,
     "q_bpe_merges"    -> TextAnalysis.bpePairCensusSql,
     "q_phrase_search" -> TextAnalysis.phraseSearchSql,
+    "q_incr_agg"      -> graft.ops.Merge.incrementalAggSql,
+    "q_interval_overlap" -> graft.ops.TimeSeries.intervalOverlapSql,
+    "q_ldiversity"    -> graft.ops.Privacy.lDiversitySql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

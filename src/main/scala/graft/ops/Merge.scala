@@ -29,6 +29,9 @@ object Merge {
 
   private val cutoff = "1997-01-01 00:00:00"
 
+  /** Mid-month base/delta split for [[incrementalAgg]]. */
+  private[ops] val incrCutoff = "1996-07-16 00:00:00"
+
   /** Apply the synthetic delta onto the base snapshot: full-outer join on
     * the order key, coalesce-newest wins, action column classifies each
     * row. Price restatement is exact decimal arithmetic (+10.00), so the
@@ -113,6 +116,55 @@ object Merge {
         col("price_before"), col("price_after"))
       .filter(col("change_type") =!= "unchanged")
   }
+
+  /** Incremental aggregate maintenance — the partial-merge step behind
+    * every incrementally-maintained materialized view: a persisted base
+    * aggregate (here the pre-1997 month×status revenue rollup, standing
+    * in for yesterday's stored MV) is combined with the aggregate of the
+    * new delta alone, WITHOUT rescanning the base facts. The output is
+    * proven identical to a full recompute by oracling against the plain
+    * GROUP BY over all orders.
+    *
+    * Scale design: this is THE pattern that makes a 100 TB rollup
+    * refresh O(delta) instead of O(history). Both inputs are already
+    * aggregates — O(groups) rows, not O(facts) — so the merge join
+    * shuffles group keys only; sums are exact DECIMAL so base+delta
+    * reassociates bit-identically to the one-shot aggregation (double
+    * addition would not reassociate and the oracle hash would diverge).
+    * Counts and sums merge by `+`; avg/stddev-style measures would ship
+    * as (sum, count) / (sum, sum², count) partials the same way.
+    *
+    * The split point is deliberately MID-month so the boundary month's
+    * group receives contributions from BOTH partials — the merge case
+    * that distinguishes this from a disjoint union of aggregates. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev"),
+        count(lit(1)).as("n"))
+    val orders = Tables.orders(s, d)
+    val base = partial(orders.filter(col("o_orderdate") < Relational.ts(incrCutoff)))
+      .withColumnRenamed("rev", "rev_b").withColumnRenamed("n", "n_b")
+    val delta = partial(orders.filter(col("o_orderdate") >= Relational.ts(incrCutoff)))
+      .withColumnRenamed("rev", "rev_d").withColumnRenamed("n", "n_d")
+    val zero = lit(0).cast(dec)
+    base.join(delta, Seq("month", "o_orderstatus"), "full_outer")
+      .select(col("month"), col("o_orderstatus"),
+        (coalesce(col("rev_b"), zero) + coalesce(col("rev_d"), zero))
+          .cast("double").as("revenue"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_orders"))
+  }
+
+  /** Oracle = the FULL recompute the incremental path must equal. */
+  val incrementalAggSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY date_trunc('month', o_orderdate), o_orderstatus""".stripMargin
 
   val snapshotDiffSql: String =
     """WITH v1 AS (

@@ -89,6 +89,54 @@ object Privacy {
        |  FROM customer)
        |GROUP BY c_mktsegment""".stripMargin
 
+  /** Minimum distinct sensitive values per QI group for l-diversity. */
+  val lThreshold = 3
+
+  /** l-diversity audit — the companion check k-anonymity alone misses: a
+    * group can be large (k-anonymous) yet have every member share one
+    * sensitive value, so membership still leaks the secret. Here the
+    * quasi-identifier is the coarse (nationkey, 1000-unit balance band)
+    * pair and the sensitive attribute is the market segment; a group is
+    * l-diverse iff it contains at least [[lThreshold]] distinct segments.
+    * The per-group min/max segment frequencies ship as audit columns —
+    * the inputs a reviewer needs for the stricter entropy/recursive
+    * (c,l)-diversity variants.
+    *
+    * Scale: two stacked map-side-combinable aggregates — facts collapse
+    * to (QI, segment) counts first (one shuffle keyed by QI+segment,
+    * combiner does the heavy lifting), then to QI groups (second shuffle
+    * over the already-tiny distinct domain). No window over raw rows, no
+    * join, all-integer arithmetic — exact at any scale. */
+  def lDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("double").as("acctbal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cs"))
+      .groupBy("c_nationkey", "acctbal_band")
+      .agg(
+        sum(col("n_cs")).as("group_size"),
+        count(lit(1)).as("l_distinct"),
+        min(col("n_cs")).as("seg_n_min"),
+        max(col("n_cs")).as("seg_n_max"))
+      .select(col("c_nationkey"), col("acctbal_band"), col("group_size"),
+        col("l_distinct"), col("seg_n_min"), col("seg_n_max"),
+        (col("l_distinct") >= lThreshold).as("l_diverse"))
+
+  val lDiversitySql: String =
+    s"""WITH cs AS (
+       |  SELECT c_nationkey,
+       |    CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band,
+       |    c_mktsegment, count(*) AS n_cs
+       |  FROM customer
+       |  GROUP BY c_nationkey, floor(c_acctbal / 1000) * 1000, c_mktsegment)
+       |SELECT c_nationkey, acctbal_band,
+       |  CAST(sum(n_cs) AS BIGINT) AS group_size,
+       |  count(*) AS l_distinct,
+       |  min(n_cs) AS seg_n_min, max(n_cs) AS seg_n_max,
+       |  (count(*) >= $lThreshold) AS l_diverse
+       |FROM cs GROUP BY c_nationkey, acctbal_band""".stripMargin
+
   val kAnonymizeSql: String =
     s"""WITH g AS (
        |  SELECT md5('cust|' || CAST(c_custkey AS VARCHAR)) AS pseudonym,

@@ -434,4 +434,65 @@ object TimeSeries {
       |SELECT event_id, user_id, ts, event_type,
       |  m.ts AS tol_click_ts, m.v AS tol_click_value
       |FROM base""".stripMargin
+
+  /** Interval-interval OVERLAP join — the third member of the temporal
+    * join family after as-of (point→latest-point) and point-in-time
+    * (point→containing-interval): both sides are intervals and the match
+    * predicate is `a.start < b.end AND b.start < a.end`. Here the
+    * intervals are per-user daily activity spans (first→last event of
+    * the day) for a fixed analysis cohort (user_id % 10 = 0), and the
+    * output reports, per day, how many cohort pairs were concurrently
+    * active and for how long — the shape behind concurrency billing,
+    * contact tracing, and resource-contention audits.
+    *
+    * Scale design: the calendar DAY is the band key, so the join is an
+    * equi-join on `day` with the overlap condition as a residual filter —
+    * never a cross product. Work per band is quadratic in the band's
+    * interval count; that is intrinsic to overlap joins (every
+    * overlapping pair is output), and the production controls are the
+    * same as [[eventPairsWithin30MinBanded]]: split hot bands into
+    * sub-day buckets (an interval overlaps a pair's bucket iff it
+    * overlaps the bucket range, duplicating each interval into the
+    * buckets it spans — bounded by span/width, then dedup), or cap band
+    * width. The pair stream never materializes: it flows straight into
+    * the per-day aggregate (map-side combinable, 3 longs per day).
+    * Overlap arithmetic is whole-second (unix_timestamp floors, matching
+    * DuckDB date_diff) so sums are exact BIGINTs. */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min("ts").as("ivs"), max("ts").as("ive"))
+    val a = iv.select(col("day"), col("user_id").as("user_a"),
+      col("ivs").as("s_a"), col("ive").as("e_a"))
+    val b = iv.select(col("day"), col("user_id").as("user_b"),
+      col("ivs").as("s_b"), col("ive").as("e_b"))
+    val overlapSec = unix_timestamp(least(col("e_a"), col("e_b"))) -
+      unix_timestamp(greatest(col("s_a"), col("s_b")))
+    a.join(b, Seq("day"))
+      .filter(col("user_a") < col("user_b") &&
+        col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(overlapSec).as("overlap_sec_total"),
+        max(overlapSec).as("overlap_sec_max"))
+  }
+
+  val intervalOverlapSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    min(ts) AS ivs, max(ts) AS ive
+      |  FROM events WHERE user_id % 10 = 0
+      |  GROUP BY user_id, date_trunc('day', ts))
+      |SELECT a.day AS day, count(*) AS n_pairs,
+      |  CAST(sum(date_diff('second', greatest(a.ivs, b.ivs),
+      |                     least(a.ive, b.ive))) AS BIGINT)
+      |    AS overlap_sec_total,
+      |  CAST(max(date_diff('second', greatest(a.ivs, b.ivs),
+      |                     least(a.ive, b.ive))) AS BIGINT)
+      |    AS overlap_sec_max
+      |FROM iv a JOIN iv b
+      |  ON a.day = b.day AND a.user_id < b.user_id
+      | AND a.ivs < b.ive AND b.ivs < a.ive
+      |GROUP BY a.day""".stripMargin
 }

@@ -68,6 +68,31 @@ class BehaviorSpec extends GraftTestBase {
     } finally out.unpersist()
   }
 
+  behavior of "incrementalAgg"
+
+  it should "equal the full recompute, including the split-month merge" in {
+    import org.apache.spark.sql.functions.{date_trunc, lit, sum, count}
+    val out = Merge.incrementalAgg(spark, sf).cache()
+    try {
+      val full = graft.Tables.orders(spark, sf)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_orderstatus"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"), count(lit(1)).as("n_orders"))
+      out.exceptAll(full).count() shouldBe 0
+      full.exceptAll(out).count() shouldBe 0
+      // the split month itself must be present — it is the group whose
+      // value only comes out right if base and delta partials truly merge
+      out.filter(col("month") === to_timestamp(lit("1996-07-01 00:00:00")))
+        .count() should be > 0L
+      // and both sides of the split are non-trivial
+      val cut = to_timestamp(lit(Merge.incrCutoff))
+      val orders = graft.Tables.orders(spark, sf)
+      orders.filter(col("o_orderdate") < cut).count() should be > 0L
+      orders.filter(col("o_orderdate") >= cut).count() should be > 0L
+    } finally out.unpersist()
+  }
+
   behavior of "snapshotDiff"
 
   it should "classify exactly the planted removals and restatements" in {

@@ -76,6 +76,62 @@ class TimeSeriesSpec extends GraftTestBase {
       .values.foreach(_.length.toLong should be >= Privacy.kThreshold.toLong)
   }
 
+  behavior of "Privacy.lDiversity"
+
+  it should "report exact per-group diversity over the sensitive segment" in {
+    val custs = graft.Tables.customer(spark, sf)
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => ((r.getInt(0), math.floor(r.getDouble(1) / 1000) * 1000),
+        r.getString(2)))
+    val byGroup = custs.groupBy(_._1)
+    val rows = Privacy.lDiversity(spark, sf).collect()
+    rows.length shouldBe byGroup.size
+    rows.map(_.getAs[Long]("group_size")).sum shouldBe custs.length.toLong
+    rows.foreach { r =>
+      val g = byGroup((r.getAs[Int]("c_nationkey"), r.getAs[Double]("acctbal_band")))
+      val freqs = g.groupBy(_._2).values.map(_.length.toLong)
+      r.getAs[Long]("group_size") shouldBe g.length.toLong
+      r.getAs[Long]("l_distinct") shouldBe freqs.size.toLong
+      r.getAs[Long]("seg_n_min") shouldBe freqs.min
+      r.getAs[Long]("seg_n_max") shouldBe freqs.max
+      r.getAs[Boolean]("l_diverse") shouldBe (freqs.size >= Privacy.lThreshold)
+    }
+  }
+
+  behavior of "intervalOverlap"
+
+  it should "match a brute-force pairwise overlap scan of the cohort" in {
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("user_id") % 10 === 0)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1)))
+    val dayMs = 86400000L
+    val iv = ev.groupBy { case (u, t) =>
+      (u, math.floorDiv(t.getTime, dayMs)) }
+      .map { case ((u, day), g) =>
+        (day, u, g.map(_._2.getTime).min, g.map(_._2.getTime).max) }
+      .toSeq
+    val pairs = for {
+      a <- iv; b <- iv
+      if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+    } yield (a._1, math.min(a._4, b._4) / 1000 - math.max(a._3, b._3) / 1000)
+    val expected = pairs.groupBy(_._1).map { case (day, g) =>
+      day -> (g.length.toLong, g.map(_._2).sum, g.map(_._2).max) }
+    val rows = TimeSeries.intervalOverlap(spark, sf).collect()
+    rows.length shouldBe expected.size
+    rows.foreach { r =>
+      val day = math.floorDiv(r.getAs[java.sql.Timestamp]("day").getTime, dayMs)
+      val (n, tot, mx) = expected(day)
+      r.getAs[Long]("n_pairs") shouldBe n
+      r.getAs[Long]("overlap_sec_total") shouldBe tot
+      r.getAs[Long]("overlap_sec_max") shouldBe mx
+    }
+    // the data must actually exercise overlap (the sf0.001 cohort is 15
+    // users, so days mostly hold one overlapping pair — the sf0.01
+    // oracle run covers the dense case)
+    rows.map(_.getAs[Long]("n_pairs")).max should be >= 1L
+  }
+
   behavior of "gapFillDailyOrders"
 
   it should "cover the contiguous spine, conserve counts, and carry prices forward" in {
