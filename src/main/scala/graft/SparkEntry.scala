@@ -215,6 +215,9 @@ object SparkEntry {
     "q_incr_agg"        -> (graft.ops.Merge.incrementalAgg _),
     "q_interval_overlap" -> (graft.ops.TimeSeries.intervalOverlap _),
     "q_ldiversity"      -> (graft.ops.Privacy.lDiversity _),
+    "q_containment"     -> (Dedup.containment _),
+    "q_text_norm"       -> (TextAnalysis.textNormalize _),
+    "q_bootstrap"       -> (graft.ops.Resample.bootstrapOrderPrice _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -591,6 +594,9 @@ object SparkEntry {
     "q_incr_agg"      -> graft.ops.Merge.incrementalAggSql,
     "q_interval_overlap" -> graft.ops.TimeSeries.intervalOverlapSql,
     "q_ldiversity"    -> graft.ops.Privacy.lDiversitySql,
+    "q_containment"   -> Dedup.containmentSql,
+    "q_text_norm"     -> TextAnalysis.textNormalizeSql,
+    "q_bootstrap"     -> graft.ops.Resample.bootstrapOrderPriceSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

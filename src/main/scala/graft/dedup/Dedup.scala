@@ -97,6 +97,44 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
   }
 
+  /** Asymmetric shingle CONTAINMENT — the near-dup measure Jaccard
+    * misses: a short document wholly quoted inside a long one has tiny
+    * Jaccard (the union is dominated by the long doc) but containment
+    * n_inter/|short| ≈ 1. This is the right metric for sub-document
+    * duplication: boilerplate inclusion, quote-heavy posts, page-in-site
+    * collapses. Both directions ship per pair; the filter keeps pairs
+    * where either direction reaches [[containmentThreshold]].
+    *
+    * Same posting-list shape as [[ngramJaccard]] (explode shingles once,
+    * pair within each gram's posting list, one aggregate — no self-join,
+    * no second scan of the corpus), so the scale posture is identical:
+    * shuffles carry gram keys and integer pairs only, and the documented
+    * stop-shingle df-cap bounds degenerate posting lists. */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val exploded = docShingles(s, d)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    exploded
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x.doc_id AS doc_a, x.n AS n_a,
+          |           y.doc_id AS doc_b, y.n AS n_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.n_a").as("n_a"),
+        col("p.doc_b").as("doc_b"), col("p.n_b").as("n_b"))
+      .agg(count("*").as("n_inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("contain_a_in_b"),
+        (col("n_inter").cast("double") / col("n_b")).as("contain_b_in_a"))
+      .filter(greatest(col("contain_a_in_b"), col("contain_b_in_a")) >=
+        containmentThreshold)
+  }
+
+  /** Direction-max containment needed to report a pair. */
+  val containmentThreshold = 0.5
+
   /** Number of minhash functions and LSH band width (rows per band).
     * 16 hashes in 8 bands of 2: detection probability 1-(1-J^2)^8 —
     * ~0.99 at J=0.7, ~0.75 at J=0.4 — tuned to surface the planted
@@ -495,6 +533,23 @@ object Dedup {
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2""".stripMargin
+
+  val containmentSql: String =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / sa.n AS contain_a_in_b,
+       |  CAST(n_inter AS DOUBLE) / sb.n AS contain_b_in_a
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n,
+       |               CAST(n_inter AS DOUBLE) / sb.n) >= $containmentThreshold""".stripMargin
 
   val embeddingNearDupSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.wordNgramsDescriptor)
+    ext.injectFunction(GraftFunctions.nfcNormalizeDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
@@ -35,6 +36,15 @@ object GraftFunctions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "cosine_sim expects exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
+    })
+
+  private[functions] val nfcNormalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "nfc_normalize expects exactly 1 argument")
+      NfcNormalize(children.head)
     })
 
   private[functions] val wordNgramsDescriptor
@@ -52,7 +62,7 @@ object GraftFunctions {
     * registered here (and by GraftSession) rather than in
     * GraftExtensions. */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimDescriptor, wordNgramsDescriptor).foreach {
+    Seq(cosineSimDescriptor, wordNgramsDescriptor, nfcNormalizeDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -71,6 +81,10 @@ object GraftFunctions {
 
   /** L2 norm ([[L2Norm]]); null on zero-norm/null input. */
   def l2Norm(a: Column): Column = shims.column(L2Norm(shims.expression(a)))
+
+  /** Column-API form of [[NfcNormalize]] — Unicode NFC normalization. */
+  def nfcNormalize(c: Column): Column =
+    shims.column(NfcNormalize(shims.expression(c)))
 
   /** Column-API form of the [[XorChecksum]] aggregate — no registry. */
   def xorChecksum(c: Column): Column = XorChecksum.udaf(c)

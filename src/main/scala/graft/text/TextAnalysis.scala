@@ -690,4 +690,51 @@ object TextAnalysis {
       |FROM inter
       |JOIN v va ON va.source = src_a
       |JOIN v vb ON vb.source = src_b""".stripMargin
+
+  /** Text NORMALIZATION battery — the canonical-form pass that runs
+    * before any hashing/dedup stage: Unicode NFC (via the native
+    * [[graft.functions.NfcNormalize]] expression — Spark has no builtin),
+    * case folding, whitespace squeezing, and punctuation-stripped
+    * skeletons. The corpus is ASCII, so NFC's work is exercised on a
+    * planted decomposed suffix (`e` + combining acute, U+0301): its
+    * composed length must come out one character shorter, and the
+    * composed form must equal the same literal built composed — proving
+    * real composition happened, not an identity pass.
+    *
+    * Scale: pure per-row projection, no shuffle, fully codegen'd (the
+    * NFC expression inlines as one static call with an isNormalized
+    * fast path that skips allocation on already-composed text — the
+    * ~100% case in the wild, so the pass is scan-speed at 100 TB). */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val nfc = graft.functions.GraftFunctions.nfcNormalize _
+    val rawDecomposed = concat(substring(col("text"), 1, 40), lit(" cafe\u0301"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), rawDecomposed.as("raw"))
+      .select(
+        col("doc_id"),
+        lower(substring(col("text"), 1, 30)).as("folded"),
+        regexp_replace(trim(lower(substring(col("text"), 1, 30))),
+          "[^a-z0-9 ]", "").as("skeleton"),
+        regexp_replace(substring(col("text"), 1, 30), "\\s+", " ")
+          .as("squeezed"),
+        length(col("raw")).as("len_nfd"),
+        length(nfc(col("raw"))).as("len_nfc"),
+        (nfc(col("raw")) ===
+          // " caf" + LATIN SMALL LETTER E WITH ACUTE: the composed (NFC) spelling
+          concat(substring(col("text"), 1, 40), lit(" caf\u00e9")))
+          .as("composed_ok"))
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  lower(substr(text, 1, 30)) AS folded,
+      |  regexp_replace(trim(lower(substr(text, 1, 30))),
+      |    '[^a-z0-9 ]', '', 'g') AS skeleton,
+      |  regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g') AS squeezed,
+      |  length(substr(text, 1, 40) || ' cafe' || chr(769)) AS len_nfd,
+      |  length(nfc_normalize(substr(text, 1, 40) || ' cafe' || chr(769)))
+      |    AS len_nfc,
+      |  (nfc_normalize(substr(text, 1, 40) || ' cafe' || chr(769)) =
+      |    substr(text, 1, 40) || ' caf' || chr(233)) AS composed_ok
+      |FROM documents""".stripMargin
 }

@@ -33,6 +33,37 @@ class DedupSpec extends GraftTestBase {
     out.groupBy("prefix_key").count().filter(col("count") > 1).count() shouldBe 0
   }
 
+  behavior of "containment"
+
+  it should "match brute-force asymmetric containment over shingle sets" in {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").toSeq.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+      .toMap
+    val expected = (for {
+      (a, sa) <- docs.toSeq; (b, sb) <- docs.toSeq
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa intersect sb).size
+      if inter > 0
+      ca = inter.toDouble / sa.size; cb = inter.toDouble / sb.size
+      if math.max(ca, cb) >= Dedup.containmentThreshold
+    } yield (a, b) -> ((ca, cb))).toMap
+    val got = Dedup.containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Double]("contain_a_in_b"), r.getAs[Double]("contain_b_in_a"))))
+      .toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (k, (ca, cb)) =>
+      ca shouldBe expected(k)._1
+      cb shouldBe expected(k)._2
+    }
+    // containment must catch an asymmetric pair (short-in-long) in this
+    // corpus — the case symmetric Jaccard under-scores
+    got.nonEmpty shouldBe true
+  }
+
   behavior of "minhashLsh"
 
   it should "surface every very-near-duplicate pair found by exact Jaccard" in {

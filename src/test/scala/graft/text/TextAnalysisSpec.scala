@@ -228,4 +228,21 @@ class TextAnalysisSpec extends GraftTestBase {
       .count()
     totalMatches shouldBe census
   }
+
+  behavior of "textNormalize"
+
+  it should "fold, squeeze, skeletonize, and really compose the NFD suffix" in {
+    val rows = TextAnalysis.textNormalize(spark, sf).collect()
+    rows.length shouldBe graft.Tables.documents(spark, sf).count().toInt
+    rows.foreach { r =>
+      // NFC composes exactly the planted combining pair: one char shorter
+      r.getAs[Int]("len_nfc") shouldBe r.getAs[Int]("len_nfd") - 1
+      r.getAs[Boolean]("composed_ok") shouldBe true
+      val folded = r.getAs[String]("folded")
+      folded shouldBe folded.toLowerCase
+      r.getAs[String]("skeleton").forall(c =>
+        c.isLower || c.isDigit || c == ' ') shouldBe true
+      r.getAs[String]("squeezed") should not include "  "
+    }
+  }
 }
