@@ -218,6 +218,11 @@ object SparkEntry {
     "q_containment"     -> (Dedup.containment _),
     "q_text_norm"       -> (TextAnalysis.textNormalize _),
     "q_bootstrap"       -> (graft.ops.Resample.bootstrapOrderPrice _),
+    "q_quantile_sketch" -> (graft.ops.Sketches.quantileSketchCheck _),
+    "q_kmeans"          -> (Similarity.kmeansCheck _),
+    "q_salted_join"     -> (graft.ops.Skew.saltedJoinAudit _),
+    "q_hist2d"          -> (graft.ops.Analytics.hist2dPriceQty _),
+    "q_pq"              -> (Similarity.pqAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -597,6 +602,11 @@ object SparkEntry {
     "q_containment"   -> Dedup.containmentSql,
     "q_text_norm"     -> TextAnalysis.textNormalizeSql,
     "q_bootstrap"     -> graft.ops.Resample.bootstrapOrderPriceSql,
+    "q_quantile_sketch" -> graft.ops.Sketches.quantileSketchCheckSql,
+    "q_kmeans"        -> Similarity.kmeansCheckSql,
+    "q_salted_join"   -> graft.ops.Skew.saltedJoinAuditSql,
+    "q_hist2d"        -> graft.ops.Analytics.hist2dPriceQtySql,
+    "q_pq"            -> Similarity.pqAuditSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

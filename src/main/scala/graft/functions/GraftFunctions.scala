@@ -68,6 +68,7 @@ object GraftFunctions {
     }
     spark.udf.register("xor_checksum", XorChecksum.udaf)
     spark.udf.register("space_saving", SpaceSaving.udaf)
+    spark.udf.register("quantile_sketch", QuantileSketch.udaf)
   }
 
   /** Column-API form: `df.select(cosineSim($"a", $"b"))` — no registry. */

@@ -1272,6 +1272,32 @@ object Analytics {
         sum(col("spend")).cast("double").as("cell_spend"))
   }
 
+  /** 2-D histogram (heatmap): joint distribution of price band × quantity
+    * band with per-cell count and exact revenue mass — the binned density
+    * behind every scatter-replacement heatmap and the feature-pair audit
+    * a training pipeline runs before trusting a correlation. Bands are
+    * closed-form floor arithmetic (no quantile pass needed), so the whole
+    * histogram is ONE map-side-combinable aggregate over ≤ ~110 cells —
+    * scan speed at any scale, shuffle carries cells not rows. */
+  def hist2dPriceQty(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(
+        (floor(col("l_extendedprice") / 10000) * 10000).cast("double")
+          .as("price_band"),
+        (floor(col("l_quantity") / 10) * 10).cast("double").as("qty_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+
+  val hist2dPriceQtySql: String =
+    """SELECT
+      |  CAST(floor(l_extendedprice / 10000) * 10000 AS DOUBLE) AS price_band,
+      |  CAST(floor(l_quantity / 10) * 10 AS DOUBLE) AS qty_band,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY floor(l_extendedprice / 10000) * 10000,
+      |         floor(l_quantity / 10) * 10""".stripMargin
+
   val rfmSegmentsSql: String =
     """WITH per_cust AS (
       |  SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -72,4 +72,58 @@ object Sketches {
       |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok,
       |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max
       |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Absolute RANK-error bound asserted for the custom
+    * [[graft.functions.QuantileSketch]] estimates: the exact rank of the
+    * estimated quantile value must sit within ±5% · n of the target
+    * rank. Rank error (not value error) is what a quantile sketch
+    * actually bounds — value error is data-scale-dependent. */
+  val kllRankErrBound = 0.05
+
+  /** The CUSTOM mergeable quantile sketch ([[graft.functions
+    * .QuantileSketch]], KLL-shaped, O(k log n/k) state) graded through
+    * its rank contract — the bounded-memory scale path for the exact
+    * `percentile` aggregate (whose per-group state is O(distinct
+    * values); see Analytics scaladoc). Two passes: the sketch + exact
+    * quantiles per return flag, then a rank audit that joins the 3
+    * estimate rows back (broadcast) and counts rows at-or-below each
+    * estimate — turning the sketch's promise into in-query booleans the
+    * oracle asserts as constants, per the q_sketches policy. */
+  def quantileSketchCheck(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+    val est = li.groupBy("l_returnflag")
+      .agg(graft.functions.QuantileSketch.udaf(col("l_extendedprice")).as("est"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_exact"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_exact"))
+    li.join(broadcast(est), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        first(col("p25_exact")).as("p25_exact"),
+        first(col("p50_exact")).as("p50_exact"),
+        first(col("p75_exact")).as("p75_exact"),
+        sum(when(col("l_extendedprice") <= col("est").getItem(0), 1L)
+          .otherwise(0L)).as("rank25"),
+        sum(when(col("l_extendedprice") <= col("est").getItem(1), 1L)
+          .otherwise(0L)).as("rank50"),
+        sum(when(col("l_extendedprice") <= col("est").getItem(2), 1L)
+          .otherwise(0L)).as("rank75"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("p25_exact"), col("p50_exact"), col("p75_exact"),
+        (abs(col("rank25").cast("double") / col("n_rows") - 0.25) <=
+          kllRankErrBound).as("sk25_ok"),
+        (abs(col("rank50").cast("double") / col("n_rows") - 0.5) <=
+          kllRankErrBound).as("sk50_ok"),
+        (abs(col("rank75").cast("double") / col("n_rows") - 0.75) <=
+          kllRankErrBound).as("sk75_ok"))
+  }
+
+  val quantileSketchCheckSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_exact,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_exact,
+      |  TRUE AS sk25_ok, TRUE AS sk50_ok, TRUE AS sk75_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 }

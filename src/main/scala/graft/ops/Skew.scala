@@ -97,4 +97,43 @@ object Skew {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Driver-graded rendering of [[saltedJoinLarge]]: every lineitem row
+    * joins its return flag's stats row — a 3-value join key over 600k
+    * rows, i.e. one hot key per ~200k rows, the shape that melts a plain
+    * shuffle join's hottest reducer. The right side carries a
+    * shuffle-merge hint so the demo actually exercises the salted
+    * SHUFFLE path locally (Spark would otherwise broadcast a 3-row
+    * side and hide the skew entirely — broadcast IS the first-choice
+    * fix, per the module scaladoc; this query is for when both sides
+    * are too big for that). The oracle is the plain join: salting must
+    * be invisible in the result. Exact-decimal average so the
+    * above-average comparison is engine-portable. */
+  def saltedJoinAudit(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+    val stats = li.groupBy(col("l_returnflag").as("f"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")).as("avg_price"))
+    saltedJoinLarge(
+      li, "l_returnflag", "l_orderkey",
+      stats.hint("shuffle_merge"), "f", buckets = 16)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") > col("avg_price"), 1L).otherwise(0L))
+          .as("n_above_avg"))
+  }
+
+  val saltedJoinAuditSql: String =
+    """WITH stats AS (
+      |  SELECT l_returnflag AS f,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / count(*) AS avg_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN l_extendedprice > avg_price THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_above_avg
+      |FROM lineitem JOIN stats ON l_returnflag = f
+      |GROUP BY l_returnflag""".stripMargin
 }

@@ -412,6 +412,201 @@ object Similarity {
       |    AS dim,
       |  TRUE AS power_converged, TRUE AS var_matches""".stripMargin
 
+  /** k for [[kmeansCheck]]. */
+  val kmeansK = 8
+  /** Lloyd iterations for [[kmeansCheck]]. */
+  val kmeansIters = 3
+
+  /** Distributed Lloyd's k-means over the embedding corpus, graded
+    * through its convergence contract (the q_sketches policy: float-sum
+    * centroids aren't oracle-portable, the guarantee is).
+    *
+    * The canonical distributed k-means shape: centroids are O(k·dim) —
+    * they live on the driver and ship to executors INSIDE the assignment
+    * expression each iteration (k=8 × 64 floats as literals; at real k
+    * this is a broadcast variable — either way never a shuffle of the
+    * corpus). Per iteration: one codegen'd pass computes each vector's
+    * nearest centroid via an `array_min` over (distance, index) structs
+    * — lexicographic struct ordering gives the deterministic lowest-index
+    * tie-break — then one posexplode+groupBy aggregate re-averages
+    * centroids per (cluster, dim). Facts are scanned once per iteration
+    * and shuffle only as (cluster, dim, partial-sum) rows: O(k·dim)
+    * groups regardless of corpus size. An emptied cluster keeps its old
+    * centroid (the standard guard).
+    *
+    * Lloyd's invariant — assignment cost is non-increasing across
+    * iterations — is checked on the actual inertia sequence, plus strict
+    * improvement over the (data-point) initialization. */
+  def kmeansCheck(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    var centroids: Array[Array[Float]] = emb.orderBy("vec_id").limit(kmeansK)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (it <- 1 to kmeansIters) {
+      val dists = array(centroids.indices.map { j =>
+        struct(
+          aggregate(
+            zip_with(col("embedding"), lit(centroids(j)), (x, y) => {
+              val diff = x.cast("double") - y.cast("double"); diff * diff
+            }),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          lit(j).as("j"))
+      }: _*)
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        array_min(dists).as("m"))
+      inertias += assigned.agg(sum(col("m.d"))).head().getDouble(0)
+      if (it < kmeansIters) {
+        val next = assigned
+          .select(col("m.j").as("cl"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cl", "dim")
+          .agg(avg(col("v").cast("double")).as("cv"))
+          .collect()
+          .groupBy(_.getAs[Int]("cl"))
+          .map { case (cl, rows) =>
+            cl -> rows.sortBy(_.getAs[Int]("dim"))
+              .map(_.getAs[Double]("cv").toFloat)
+          }
+        centroids = centroids.indices
+          .map(j => next.getOrElse(j, centroids(j))).toArray
+      }
+    }
+    val monotone = inertias.toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a * (1 + 1e-12)
+      case _ => true
+    }
+    val improved = inertias.last < inertias.head
+    Tables.embeddings(s, d).agg(count(lit(1)).as("n_points"))
+      .select(col("n_points"),
+        lit(kmeansK).as("k"),
+        lit(kmeansIters).as("n_iterations"),
+        lit(monotone).as("inertia_monotone"),
+        lit(improved).as("inertia_improved"))
+  }
+
+  val kmeansCheckSql: String =
+    s"""SELECT count(*) AS n_points, $kmeansK AS k,
+       |  $kmeansIters AS n_iterations,
+       |  TRUE AS inertia_monotone, TRUE AS inertia_improved
+       |FROM embeddings""".stripMargin
+
+  /** PQ: number of subspaces the vector splits into. */
+  val pqSubspaces = 8
+  /** PQ: codewords per subspace (4-bit codes). */
+  val pqCodewords = 16
+  /** PQ: Lloyd iterations per subspace codebook. */
+  val pqIters = 2
+
+  /** PRODUCT QUANTIZATION audit — the embedding-compression step behind
+    * billion-vector ANN (IVF-PQ): each vector splits into
+    * [[pqSubspaces]] subvectors, each subvector quantizes to its
+    * subspace's nearest of [[pqCodewords]] codewords, so a
+    * 64-dim float vector (256 bytes) becomes 8 four-bit codes
+    * (4 bytes, 64×). Codebooks are trained with the same deterministic
+    * Lloyd loop as [[kmeansCheck]], but ALL subspaces train in one
+    * DataFrame pass per iteration: vectors explode to (vec, subspace,
+    * subvector) rows, assignment is a broadcast join against the
+    * (subspace, code, codeword) table — O(k·m·dim) driver state, facts
+    * shuffle only as (subspace, code, dim, partial-sum) rows.
+    *
+    * Graded contract (q_sketches policy — centroid floats aren't
+    * oracle-portable): per-subspace Lloyd inertia is non-increasing,
+    * training improved on the init, and the final reconstruction MSE
+    * beats the 1-codeword baseline (quantizing every subvector to the
+    * subspace mean) — the "did the codebook learn anything" bound. */
+  def pqAudit(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val subDim = dim / pqSubspaces
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val stacked = emb.select(col("vec_id"),
+      explode(array((0 until pqSubspaces).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("embedding"), m * subDim + 1, subDim).as("sub"))): _*))
+        .as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
+    // init: subvectors of the pqCodewords lowest vec_ids, per subspace
+    var codebooks: Map[Int, Array[Array[Float]]] = {
+      val init = emb.orderBy("vec_id").limit(pqCodewords).collect()
+        .map(_.getSeq[Float](1).toArray)
+      (0 until pqSubspaces).map(m =>
+        m -> init.map(v => v.slice(m * subDim, (m + 1) * subDim))).toMap
+    }
+    def centsDf = {
+      import scala.jdk.CollectionConverters._
+      val rows = codebooks.toSeq.flatMap { case (m, cb) =>
+        cb.zipWithIndex.map { case (c, j) =>
+          org.apache.spark.sql.Row(m, j, c.toSeq) }
+      }
+      s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cw",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    }
+    def assigned = {
+      val d2 = aggregate(
+        zip_with(col("sub"), col("cw"), (x, y) => {
+          val diff = x.cast("double") - y.cast("double"); diff * diff
+        }), lit(0.0), (acc, v) => acc + v)
+      stacked.join(broadcast(centsDf), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sub"),
+          struct(d2.as("d"), col("code").as("code")).as("dc"))
+        .groupBy("vec_id", "m")
+        .agg(min(col("dc")).as("best"), first(col("sub")).as("sub"))
+    }
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (it <- 1 to pqIters) {
+      val a = assigned
+      inertias += a.agg(sum(col("best.d"))).head().getDouble(0)
+      if (it < pqIters) {
+        val next = a
+          .select(col("m"), col("best.code").as("code"),
+            posexplode(col("sub")).as(Seq("sdim", "v")))
+          .groupBy("m", "code", "sdim")
+          .agg(avg(col("v").cast("double")).as("cv"))
+          .collect()
+          .groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("code")))
+          .map { case (k, rs) => k ->
+            rs.sortBy(_.getAs[Int]("sdim")).map(_.getAs[Double]("cv").toFloat) }
+        codebooks = codebooks.map { case (m, cb) =>
+          m -> cb.indices.map(j =>
+            next.getOrElse((m, j), cb(j))).toArray
+        }
+      }
+    }
+    // 1-codeword baseline: quantize every subvector to its subspace mean
+    val meanMse = stacked
+      .select(col("m"), posexplode(col("sub")).as(Seq("sdim", "v")))
+      .groupBy("m", "sdim")
+      .agg(var_pop(col("v").cast("double")).as("varv"))
+      .agg(sum(col("varv"))).head().getDouble(0)
+    val nPoints = emb.count()
+    val pqMse = inertias.last / nPoints
+    val monotone = inertias.toSeq.sliding(2).forall {
+      case Seq(x, y) => y <= x * (1 + 1e-12)
+      case _ => true
+    }
+    Tables.embeddings(s, d).agg(count(lit(1)).as("n_points"))
+      .select(col("n_points"),
+        lit(pqSubspaces).as("n_subspaces"),
+        lit(pqCodewords).as("n_codewords"),
+        lit(dim * 4).as("bytes_raw"),
+        lit(pqSubspaces / 2).as("bytes_coded"),
+        lit(monotone).as("inertia_monotone"),
+        lit(inertias.last < inertias.head).as("inertia_improved"),
+        lit(pqMse < meanMse).as("beats_mean_baseline"))
+  }
+
+  val pqAuditSql: String =
+    s"""SELECT count(*) AS n_points, $pqSubspaces AS n_subspaces,
+       |  $pqCodewords AS n_codewords, 256 AS bytes_raw, 4 AS bytes_coded,
+       |  TRUE AS inertia_monotone, TRUE AS inertia_improved,
+       |  TRUE AS beats_mean_baseline
+       |FROM embeddings""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   val bruteForceTopKSql: String =

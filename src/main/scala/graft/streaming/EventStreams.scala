@@ -227,6 +227,44 @@ object EventStreams {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+
+  final case class TopKState(counts: Map[Long, Long], snap: Long)
+  final case class TopKOut(event_type: String, snapshot: Long, rank: Int,
+      user_id: Long, n_events: Long)
+
+  /** Streaming TOP-K: after every micro-batch, each event type emits its
+    * current k most-active users (count desc, user_id asc — exact
+    * deterministic tie-break), tagged with a per-key snapshot sequence so
+    * Append mode (which can't revoke superseded leaderboards) still lets
+    * readers select the latest view per key. The live-leaderboard
+    * incremental rendering of `q_topk_per_group`.
+    *
+    * State per event type is the user→count map — exact, O(active users
+    * per type). At real scale the map swaps for the bounded
+    * [[graft.functions.SpaceSaving]] state (same emit shape, count
+    * becomes a lower bound): the point of the sketch UDAF is exactly
+    * this cap. Unlike the other stateful ops this one needs NO
+    * event-time order — counts are order-insensitive — so it has no
+    * in-order-input contract at all. */
+  def topkStream(events: Dataset[Event], k: Int = 3): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TopKState, TopKOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[TopKState]) =>
+          val st = state.getOption.getOrElse(TopKState(Map.empty, 0L))
+          var counts = st.counts
+          batch.foreach { e =>
+            counts = counts.updated(e.user_id, counts.getOrElse(e.user_id, 0L) + 1)
+          }
+          val snap = st.snap + 1
+          state.update(TopKState(counts, snap))
+          counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(k).zipWithIndex
+            .map { case ((u, n), i) => TopKOut(etype, snap, i + 1, u, n) }
+            .iterator
+      }
+  }
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       n_events: Long, duration_sec: Long)

@@ -49,6 +49,23 @@ class SkewSpec extends GraftTestBase {
     salted shouldBe plain
   }
 
+  it should "grade the salted-join audit equal to the unsalted form" in {
+    val rows = Skew.saltedJoinAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_above_avg")))).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val byFlag = li.groupBy(_._1)
+    rows.keySet shouldBe byFlag.keySet
+    byFlag.foreach { case (f, vs) =>
+      val avg = vs.map(v => BigDecimal(v._2)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vs.length
+      rows(f)._1 shouldBe vs.length.toLong
+      rows(f)._2 shouldBe vs.count(_._2 > avg).toLong
+    }
+  }
+
   it should "be deterministic across retries (salt from hash, not rand)" in {
     val li = graft.Tables.lineitem(spark, sf).limit(100)
     val a = li.select(Skew.salt(col("l_orderkey"), 8).as("s")).collect().map(_.getInt(0))

@@ -136,4 +136,64 @@ class SimilaritySpec extends GraftTestBase {
       .head().getDouble(0)
     cov((0, 0)) shouldBe v0 +- 1e-4
   }
+
+  behavior of "kmeansCheck"
+
+  it should "run Lloyd's to non-increasing inertia and match a driver-side replica" in {
+    val row = Similarity.kmeansCheck(spark, sf).head()
+    row.getAs[Long]("n_points") shouldBe
+      graft.Tables.embeddings(spark, sf).count()
+    row.getAs[Int]("k") shouldBe Similarity.kmeansK
+    row.getAs[Boolean]("inertia_monotone") shouldBe true
+    row.getAs[Boolean]("inertia_improved") shouldBe true
+
+    // driver-side replica of the same deterministic algorithm: identical
+    // init, assignment rule (min dist, lowest index tie), mean update,
+    // empty-cluster carry — its inertia sequence must behave identically
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var cents = vecs.take(Similarity.kmeansK).map(_.clone)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val inertias = (1 to Similarity.kmeansIters).map { it =>
+      val assign = vecs.map(v => cents.indices.minBy(j => (d2(v, cents(j)), j)))
+      val inertia = vecs.zip(assign).map { case (v, j) => d2(v, cents(j)) }.sum
+      if (it < Similarity.kmeansIters) {
+        cents = cents.indices.map { j =>
+          val members = vecs.zip(assign).collect { case (v, a) if a == j => v }
+          if (members.isEmpty) cents(j)
+          else Array.tabulate(cents(j).length)(dim =>
+            members.map(_(dim)).sum / members.length)
+        }.toArray
+      }
+      inertia
+    }
+    inertias.sliding(2).foreach {
+      case Seq(a, b) => b should be <= a * (1 + 1e-9)
+      case _ =>
+    }
+    inertias.last should be < inertias.head
+  }
+
+  behavior of "pqAudit"
+
+  it should "train per-subspace codebooks that beat the mean baseline" in {
+    val row = Similarity.pqAudit(spark, sf).head()
+    row.getAs[Long]("n_points") shouldBe
+      graft.Tables.embeddings(spark, sf).count()
+    row.getAs[Int]("n_subspaces") shouldBe Similarity.pqSubspaces
+    row.getAs[Int]("n_codewords") shouldBe Similarity.pqCodewords
+    // 64 floats -> 8 four-bit codes: the compression that makes
+    // billion-vector ANN fit in memory
+    row.getAs[Int]("bytes_raw") shouldBe 256
+    row.getAs[Int]("bytes_coded") shouldBe 4
+    row.getAs[Boolean]("inertia_monotone") shouldBe true
+    row.getAs[Boolean]("inertia_improved") shouldBe true
+    row.getAs[Boolean]("beats_mean_baseline") shouldBe true
+  }
 }

@@ -357,6 +357,48 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "topkStream"
+
+  it should "keep the latest per-type leaderboard equal to the batch top-k across splits" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].orderBy("ts", "event_id").collect()
+    val (a, rest) = all.splitAt(all.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.topkStream(input.toDS())
+      .writeStream.format("memory").queryName("topk_spec")
+      .outputMode("append").start()
+    try {
+      Seq(a, b, c).foreach { part =>
+        input.addData(part.toSeq)
+        query.processAllAvailable()
+      }
+      // latest snapshot per event type is the current leaderboard
+      val rows = spark.table("topk_spec").collect()
+      val latest = rows.groupBy(_.getAs[String]("event_type")).toSeq.flatMap {
+        case (_, rs) =>
+          val maxSnap = rs.map(_.getAs[Long]("snapshot")).max
+          rs.filter(_.getAs[Long]("snapshot") == maxSnap).toSeq
+      }
+      val got = latest.map(r => (r.getAs[String]("event_type"),
+        r.getAs[Int]("rank"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"))).toSet
+      // batch reference: exact per-(type,user) counts, top 3 per type
+      val batch = all.groupBy(e => (e.event_type, e.user_id))
+        .map { case ((t, u), es) => (t, u, es.length.toLong) }
+        .groupBy(_._1).flatMap { case (_, g) =>
+          g.toSeq.sortBy { case (_, u, n) => (-n, u) }.take(3).zipWithIndex
+            .map { case ((t, u, n), i) => (t, i + 1, u, n) }
+        }.toSet
+      got shouldBe batch
+      // every type emitted one snapshot per micro-batch that contained it
+      rows.map(_.getAs[Long]("snapshot")).max shouldBe 3L
+    } finally query.stop()
+  }
+
   behavior of "incrementalTotals (streaming materialized view)"
 
   it should "refresh only touched keys and retain untouched partitions" in {
