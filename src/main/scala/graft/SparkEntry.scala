@@ -223,6 +223,8 @@ object SparkEntry {
     "q_salted_join"     -> (graft.ops.Skew.saltedJoinAudit _),
     "q_hist2d"          -> (graft.ops.Analytics.hist2dPriceQty _),
     "q_pq"              -> (Similarity.pqAudit _),
+    "q_percentile_disc" -> (graft.ops.Analytics.percentileDiscByStatus _),
+    "q_corr_matrix"     -> (graft.ops.Analytics.corrMatrixLineitem _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -607,6 +609,8 @@ object SparkEntry {
     "q_salted_join"   -> graft.ops.Skew.saltedJoinAuditSql,
     "q_hist2d"        -> graft.ops.Analytics.hist2dPriceQtySql,
     "q_pq"            -> Similarity.pqAuditSql,
+    "q_percentile_disc" -> graft.ops.Analytics.percentileDiscByStatusSql,
+    "q_corr_matrix"   -> graft.ops.Analytics.corrMatrixLineitemSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

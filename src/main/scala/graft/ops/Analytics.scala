@@ -1298,6 +1298,92 @@ object Analytics {
       |GROUP BY floor(l_extendedprice / 10000) * 10000,
       |         floor(l_quantity / 10) * 10""".stripMargin
 
+  /** DISCRETE percentiles (inverse distribution without interpolation):
+    * the smallest actual data value whose cumulative share reaches q.
+    * Unlike the interpolated form, the result is a value the data
+    * CONTAINS, which makes it (a) meaningful for non-numeric-averageable
+    * domains and (b) exactly engine-portable — no float interpolation,
+    * no rounding guard needed: the oracle hash-matches raw doubles. */
+  def percentileDiscByStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p25_disc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p50_disc"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p75_disc"),
+        count(lit(1)).as("n_orders"))
+
+  val percentileDiscByStatusSql: String =
+    """SELECT o_orderstatus,
+      |  quantile_disc(o_totalprice, 0.25) AS p25_disc,
+      |  quantile_disc(o_totalprice, 0.5) AS p50_disc,
+      |  quantile_disc(o_totalprice, 0.75) AS p75_disc,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Pairwise CORRELATION MATRIX of the four lineitem measures from ONE
+    * aggregate of exact decimal power sums (n, Σx per column, Σx² per
+    * column, Σxy per pair) — the feature-collinearity audit a training
+    * pipeline runs before trusting any model on the features. Same
+    * discipline as [[momentsByReturnFlag]]: partial sums are exact
+    * DECIMAL (order-insensitive), the six correlations are pure double
+    * arithmetic on those exact sums at the end, so the matrix is
+    * bit-identical across engines AND partitionings. One scan,
+    * map-side combine, O(d²) output. */
+  def corrMatrixLineitem(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sums = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        sum(dec(col(c))).as(s"s_$c"),
+        sum((dec(col(c)) * dec(col(c))).cast(DecimalType(38, 6))).as(s"ss_$c"))) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum((dec(col(a)) * dec(col(b))).cast(DecimalType(38, 6)))
+          .as(s"sp_${a}_$b") }: _*)
+    val pairRows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        ((col(s"sp_${a}_$b").cast("double") * col("n") -
+          col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
+          (sqrt(col(s"ss_$a").cast("double") * col("n") -
+            col(s"s_$a").cast("double") * col(s"s_$a").cast("double")) *
+           sqrt(col(s"ss_$b").cast("double") * col("n") -
+            col(s"s_$b").cast("double") * col(s"s_$b").cast("double"))))
+          .as("corr"))
+    }
+    sums.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+        col("p.corr").as("corr"))
+  }
+
+  val corrMatrixLineitemSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairSelects = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS var_a, '$b' AS var_b,
+         |  (CAST(sp_${a}_$b AS DOUBLE) * n
+         |    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+         |  (sqrt(CAST(ss_$a AS DOUBLE) * n
+         |    - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+         |   sqrt(CAST(ss_$b AS DOUBLE) * n
+         |    - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) AS corr
+         |FROM sums""".stripMargin
+    }
+    val sumExprs = (
+      cols.flatMap(c => Seq(
+        s"sum(CAST($c AS DECIMAL(18,2))) AS s_$c",
+        s"sum(CAST(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS ss_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        s"sum(CAST(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sp_${a}_$b" }
+    ).mkString(",\n|    ")
+    s"""WITH sums AS (
+       |  SELECT count(*) AS n,
+       |    $sumExprs
+       |  FROM lineitem)
+       |${pairSelects.mkString("\n|UNION ALL\n|")}""".stripMargin
+  }
+
   val rfmSegmentsSql: String =
     """WITH per_cust AS (
       |  SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -228,6 +228,40 @@ object EventStreams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  final case class QuantState(buf: graft.functions.KllBuf, snap: Long, n: Long)
+  final case class QuantOut(event_type: String, snapshot: Long, n_seen: Long,
+      p25: Double, p50: Double, p75: Double)
+
+  /** Streaming QUANTILES: each event type maintains a
+    * [[graft.functions.QuantileSketch]] buffer as its group state and
+    * emits a quantile snapshot per micro-batch — the live latency/value
+    * dashboard aggregate. This is the UDAF's buffer doing double duty as
+    * flatMapGroupsWithState state: the same mergeable O(k log n/k)
+    * structure serves the batch aggregate, the streaming state, and any
+    * tier merge between them — one sketch implementation, three
+    * surfaces. State stays bounded forever (no watermark eviction
+    * needed) because the sketch compacts itself; the rank-error contract
+    * is the batch UDAF's, asserted against exact ranks in StreamingSpec. */
+  def quantileStream(events: Dataset[Event]): Dataset[QuantOut] = {
+    import events.sparkSession.implicits._
+    import graft.functions.QuantileSketch
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[QuantState, QuantOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[QuantState]) =>
+          val st = state.getOption
+            .getOrElse(QuantState(QuantileSketch.zero, 0L, 0L))
+          var buf = st.buf
+          var n = st.n
+          batch.foreach { e => buf = QuantileSketch.reduce(buf, e.value); n += 1 }
+          val snap = st.snap + 1
+          state.update(QuantState(buf, snap, n))
+          val qs = QuantileSketch.finish(buf)
+          Iterator(QuantOut(etype, snap, n, qs(0), qs(1), qs(2)))
+      }
+  }
+
   final case class TopKState(counts: Map[Long, Long], snap: Long)
   final case class TopKOut(event_type: String, snapshot: Long, rank: Int,
       user_id: Long, n_events: Long)

@@ -286,4 +286,37 @@ class AnalyticsSpec extends GraftTestBase {
       .head().getDouble(0)
     rows.map(_.getAs[Double]("cell_spend")).sum shouldBe spend +- 1e-4
   }
+
+  behavior of "corrMatrixLineitem"
+
+  it should "agree with Spark's native corr on every pair and bound all values" in {
+    val got = Analytics.corrMatrixLineitem(spark, sf).collect()
+      .map(r => (r.getAs[String]("var_a"), r.getAs[String]("var_b")) ->
+        r.getAs[Double]("corr")).toMap
+    got.size shouldBe 6
+    val li = graft.Tables.lineitem(spark, sf)
+    got.foreach { case ((a, b), c) =>
+      c should (be >= -1.0 and be <= 1.0)
+      val native = li.agg(corr(col(a), col(b))).head().getDouble(0)
+      c shouldBe native +- 1e-6
+    }
+  }
+
+  behavior of "percentileDiscByStatus"
+
+  it should "return values the data contains at the exact discrete rank" in {
+    val rows = Analytics.percentileDiscByStatus(spark, sf).collect()
+    val byStatus = graft.Tables.orders(spark, sf)
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    rows.foreach { r =>
+      val vs = byStatus(r.getAs[String]("o_orderstatus")).map(_._2).sorted
+      Seq(0.25 -> "p25_disc", 0.5 -> "p50_disc", 0.75 -> "p75_disc").foreach {
+        case (q, c) =>
+          // smallest value whose cumulative share reaches q
+          val expect = vs(math.max(0, math.ceil(q * vs.length).toInt - 1))
+          r.getAs[Double](c) shouldBe expect
+      }
+    }
+  }
 }

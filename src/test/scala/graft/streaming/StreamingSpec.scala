@@ -399,6 +399,44 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "quantileStream"
+
+  it should "hold the sketch rank contract at the final snapshot per type" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].orderBy("ts", "event_id").collect()
+    val (a, rest) = all.splitAt(all.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.quantileStream(input.toDS())
+      .writeStream.format("memory").queryName("quant_spec")
+      .outputMode("append").start()
+    try {
+      Seq(a, b, c).foreach { part =>
+        input.addData(part.toSeq)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("quant_spec").collect()
+      val byType = all.groupBy(_.event_type)
+      byType.foreach { case (t, es) =>
+        val latest = rows.filter(_.getAs[String]("event_type") == t)
+          .maxBy(_.getAs[Long]("snapshot"))
+        latest.getAs[Long]("n_seen") shouldBe es.length.toLong
+        val sorted = es.map(_.value).sorted
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75").foreach {
+          case (q, c) =>
+            val est = latest.getAs[Double](c)
+            val rank = sorted.count(_ <= est).toDouble / sorted.length
+            math.abs(rank - q) should be <= 0.05
+        }
+      }
+      // one snapshot per micro-batch per type that received data
+      rows.map(_.getAs[Long]("snapshot")).max shouldBe 3L
+    } finally query.stop()
+  }
+
   behavior of "incrementalTotals (streaming materialized view)"
 
   it should "refresh only touched keys and retain untouched partitions" in {
