@@ -7,12 +7,15 @@ package graft
   *
   * `--lint` runs [[graft.plans.PlanLint]] on each query and prints its
   * findings — the scale-antipattern audit over the full inventory.
-  * Known-accepted findings, 18 queries as of round 5 (each
+  * Known-accepted findings, 19 queries as of round 5 (each
   * documented at its definition): q_deciles (the single-reducer
   * reference form next to q_deciles_dist), q_share_of_total / q_rfm /
-  * q15_top_supplier / q_benford / q_psi_drift / q_anomaly /
+  * q_lorenz / q15_top_supplier / q_benford / q_psi_drift / q_anomaly /
   * q_mom_growth (global windows over already-aggregated tiny frames:
-  * 25 / 100 / suppliers / 9 / ~12 / ~366 / ~80 rows), q_pack_shards (bounded-input global prefix
+  * 25 / 100 / customers / suppliers / 9 / ~12 / ~366 / ~80 rows —
+  * q_lorenz's NTILE runs over the per-customer aggregate like q_rfm,
+  * with the withRunningTotal exact-rank rendering named at its
+  * definition for extreme cardinality), q_pack_shards (bounded-input global prefix
   * sum; distributed rendering named at its definition),
   * q_dedup_embed / q_fuzzy_names (intentional bounded all-pairs
   * verifiers) and q_dedup_embed_blocked (embeds that verifier to grade

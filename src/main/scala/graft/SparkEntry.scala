@@ -225,6 +225,9 @@ object SparkEntry {
     "q_pq"              -> (Similarity.pqAudit _),
     "q_percentile_disc" -> (graft.ops.Analytics.percentileDiscByStatus _),
     "q_corr_matrix"     -> (graft.ops.Analytics.corrMatrixLineitem _),
+    "q_lorenz"          -> (graft.ops.Analytics.lorenzCustomerRevenue _),
+    "q_attribution"     -> (graft.ops.Behavior.clickAttribution _),
+    "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -611,6 +614,9 @@ object SparkEntry {
     "q_pq"            -> Similarity.pqAuditSql,
     "q_percentile_disc" -> graft.ops.Analytics.percentileDiscByStatusSql,
     "q_corr_matrix"   -> graft.ops.Analytics.corrMatrixLineitemSql,
+    "q_lorenz"        -> graft.ops.Analytics.lorenzCustomerRevenueSql,
+    "q_attribution"   -> graft.ops.Behavior.clickAttributionSql,
+    "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

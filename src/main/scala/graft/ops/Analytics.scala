@@ -1298,6 +1298,63 @@ object Analytics {
       |GROUP BY floor(l_extendedprice / 10000) * 10000,
       |         floor(l_quantity / 10) * 10""".stripMargin
 
+  /** Revenue CONCENTRATION audit (Lorenz/Pareto): customers ranked by
+    * spend into deciles, each decile's revenue share and cumulative
+    * share in exact basis points — "what fraction of customers carries
+    * 80% of revenue". NTILE runs over the per-customer AGGREGATE
+    * (O(customers), the q_rfm precedent), never raw facts; shares are
+    * integer cents arithmetic (`cum_cents * 10000 / total_cents` floor
+    * division) so every row hash-matches the oracle with no float
+    * accumulation. The cumulative pass is a 10-row window. At extreme
+    * customer cardinality the NTILE swaps for the
+    * [[graft.ops.Distributed.withRunningTotal]] exact-global-rank
+    * rendering (the q_rfm_dist proof). */
+  def lorenzCustomerRevenue(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val byDecile = perCust
+      .select(col("cents"),
+        ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey")))
+          .as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dec_cents"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .select(col("decile"), col("n_customers"),
+        (col("dec_cents").cast("double") / 100).as("decile_revenue"),
+        sum(col("dec_cents")).over(w).as("cum_cents"),
+        sum(col("dec_cents")).over(
+          Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("total_cents"))
+      .select(col("decile"), col("n_customers"), col("decile_revenue"),
+        // DIV = integer floor division on both engines (Column./ would be
+        // double division and cast-rounding conventions differ)
+        expr("cum_cents * 10000 DIV total_cents").as("cum_share_bp"))
+  }
+
+  val lorenzCustomerRevenueSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT cents,
+      |    ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      |  FROM per_cust),
+      |by_decile AS (
+      |  SELECT decile, count(*) AS n_customers, sum(cents) AS dec_cents
+      |  FROM ranked GROUP BY decile)
+      |SELECT decile, n_customers,
+      |  CAST(dec_cents AS DOUBLE) / 100 AS decile_revenue,
+      |  CAST(sum(dec_cents) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+      |    // sum(dec_cents) OVER () AS BIGINT) AS cum_share_bp
+      |FROM by_decile""".stripMargin
+
   /** DISCRETE percentiles (inverse distribution without interpolation):
     * the smallest actual data value whose cumulative share reaches q.
     * Unlike the interpolated form, the result is a value the data

@@ -348,4 +348,94 @@ object Behavior {
       |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS us_since_prev
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** Marketing ATTRIBUTION: every purchase joined to the same user's
+    * latest click at-or-before it (last-touch) and earliest click
+    * at-or-before it (first-touch) — the two canonical attribution
+    * models, resolved in ONE user-partitioned window pass: last-touch is
+    * the as-of pattern (running max over a (ts, event_id) struct),
+    * first-touch the running min, both over the same unbounded-preceding
+    * frame on the same Window spec — one shuffle on user_id, key
+    * cardinality = users (the GOOD window shape). Gap arithmetic in
+    * exact whole seconds; purchases with no prior click surface with
+    * NULL touches (the unattributable bucket every real report needs). */
+  def clickAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickStruct = when(col("event_type") === "click",
+      struct(col("ts"), col("event_id")))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        max(clickStruct).over(w).as("lt"),
+        min(clickStruct).over(w).as("ft"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("lt.event_id").as("last_touch_id"),
+        col("ft.event_id").as("first_touch_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("lt.ts")))
+          .as("last_touch_gap_sec"))
+  }
+
+  val clickAttributionSql: String =
+    """WITH touched AS (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    max(CASE WHEN event_type = 'click'
+      |        THEN struct_pack(ts := ts, eid := event_id) END) OVER w AS lt,
+      |    min(CASE WHEN event_type = 'click'
+      |        THEN struct_pack(ts := ts, eid := event_id) END) OVER w AS ft
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ts, value,
+      |  lt.eid AS last_touch_id, ft.eid AS first_touch_id,
+      |  date_diff('second', lt.ts, ts) AS last_touch_gap_sec
+      |FROM touched WHERE event_type = 'purchase'""".stripMargin
+
+  /** TIME-TO-CONVERT distribution: per user, seconds from first 'view'
+    * to first 'purchase' (converters only — first purchase after first
+    * view), summarized with DISCRETE percentiles so every reported
+    * latency is one a real user exhibited and the result is exactly
+    * engine-portable. One conditional aggregate per user (map-side
+    * combinable), then one aggregate over the O(users) frame. */
+  def timeToConvert(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+        col("first_view") < col("first_purchase"))
+      .select((unix_timestamp(col("first_purchase")) -
+        unix_timestamp(col("first_view"))).as("sec_to_convert"))
+      .agg(
+        count(lit(1)).as("n_converters"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY sec_to_convert)")
+          .as("p25_sec"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY sec_to_convert)")
+          .as("p50_sec"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY sec_to_convert)")
+          .as("p75_sec"),
+        min(col("sec_to_convert")).as("min_sec"),
+        max(col("sec_to_convert")).as("max_sec"))
+
+  val timeToConvertSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |  FROM events GROUP BY user_id),
+      |conv AS (
+      |  SELECT date_diff('second', first_view, first_purchase) AS sec_to_convert
+      |  FROM per_user
+      |  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+      |    AND first_view < first_purchase)
+      |SELECT count(*) AS n_converters,
+      |  quantile_disc(sec_to_convert, 0.25) AS p25_sec,
+      |  quantile_disc(sec_to_convert, 0.5) AS p50_sec,
+      |  quantile_disc(sec_to_convert, 0.75) AS p75_sec,
+      |  min(sec_to_convert) AS min_sec,
+      |  max(sec_to_convert) AS max_sec
+      |FROM conv""".stripMargin
 }

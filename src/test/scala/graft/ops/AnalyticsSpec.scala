@@ -287,6 +287,25 @@ class AnalyticsSpec extends GraftTestBase {
     rows.map(_.getAs[Double]("cell_spend")).sum shouldBe spend +- 1e-4
   }
 
+  behavior of "lorenzCustomerRevenue"
+
+  it should "conserve customers and revenue with a monotone share ending at 100%" in {
+    val rows = Analytics.lorenzCustomerRevenue(spark, sf).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    rows.map(_.getAs[Int]("decile")) shouldBe (1 to 10)
+    val o = graft.Tables.orders(spark, sf)
+    rows.map(_.getAs[Long]("n_customers")).sum shouldBe
+      o.select("o_custkey").distinct().count()
+    val total = o.agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    rows.map(_.getAs[Double]("decile_revenue")).sum shouldBe total +- 1e-4
+    val shares = rows.map(_.getAs[Long]("cum_share_bp"))
+    shares.zip(shares.tail).foreach { case (a, b) => b should be >= a }
+    shares.last shouldBe 10000L
+    // top decile must carry MORE than its population share (skew exists)
+    shares.head should be > 1000L
+  }
+
   behavior of "corrMatrixLineitem"
 
   it should "agree with Spark's native corr on every pair and bound all values" in {

@@ -68,6 +68,64 @@ class BehaviorSpec extends GraftTestBase {
     } finally out.unpersist()
   }
 
+  behavior of "clickAttribution"
+
+  it should "match a brute-force per-user touch scan" in {
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Timestamp](2),
+        r.getString(3)))
+    // full-precision event-time ordering (ms-truncated getTime would
+    // mis-break same-millisecond ties the engine orders by µs)
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val purchases = ev.filter(_._4 == "purchase")
+    val got = graft.ops.Behavior.clickAttribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("last_touch_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("first_touch_id")).map(_.longValue))))
+      .toMap
+    got.keySet shouldBe purchases.map(_._1).toSet
+    purchases.foreach { case (pid, uid, pts, _) =>
+      val prior = clicksByUser.getOrElse(uid, Array.empty)
+        .filter(c => micros(c._3) < micros(pts) ||
+          (micros(c._3) == micros(pts) && c._1 <= pid))
+      val expect =
+        if (prior.isEmpty) (None, None)
+        else (Some(prior.maxBy(c => (micros(c._3), c._1))._1),
+          Some(prior.minBy(c => (micros(c._3), c._1))._1))
+      got(pid) shouldBe expect
+    }
+  }
+
+  behavior of "timeToConvert"
+
+  it should "summarize exactly the converters' first-view-to-first-purchase gaps" in {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1), r.getString(2)))
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val gaps = ev.groupBy(_._1).values.flatMap { es =>
+      val fv = es.filter(_._3 == "view").map(e => micros(e._2)).minOption
+      val fp = es.filter(_._3 == "purchase").map(e => micros(e._2)).minOption
+      (fv, fp) match {
+        case (Some(v), Some(p)) if v < p => Some(p / 1000000 - v / 1000000)
+        case _ => None
+      }
+    }.toSeq.sorted
+    val r = graft.ops.Behavior.timeToConvert(spark, sf).head()
+    r.getAs[Long]("n_converters") shouldBe gaps.length.toLong
+    r.getAs[Long]("min_sec") shouldBe gaps.head
+    r.getAs[Long]("max_sec") shouldBe gaps.last
+    Seq(0.25 -> "p25_sec", 0.5 -> "p50_sec", 0.75 -> "p75_sec").foreach {
+      case (q, c) =>
+        r.getAs[Long](c) shouldBe
+          gaps(math.max(0, math.ceil(q * gaps.length).toInt - 1))
+    }
+  }
+
   behavior of "incrementalAgg"
 
   it should "equal the full recompute, including the split-month merge" in {
