@@ -228,6 +228,7 @@ object SparkEntry {
     "q_lorenz"          -> (graft.ops.Analytics.lorenzCustomerRevenue _),
     "q_attribution"     -> (graft.ops.Behavior.clickAttribution _),
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
+    "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -617,6 +618,7 @@ object SparkEntry {
     "q_lorenz"        -> graft.ops.Analytics.lorenzCustomerRevenueSql,
     "q_attribution"   -> graft.ops.Behavior.clickAttributionSql,
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
+    "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

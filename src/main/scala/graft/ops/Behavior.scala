@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -17,6 +18,8 @@ import graft.Tables
   * groupBys share that partitioning.
   */
 object Behavior {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** Strict first-occurrence funnel view → click → purchase: a user
     * converts a step only if the step's first occurrence happens after the
@@ -348,6 +351,100 @@ object Behavior {
       |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS us_since_prev
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** A/B EXPERIMENT readout — Welch's z-test on revenue-per-user over a
+    * hash-assigned experiment: users split 50/50 by `md5(user_id)` parity
+    * (deterministic assignment — the real-world requirement that a user
+    * sees the same variant on every visit, every retry, every replica),
+    * metric = the user's total purchase value. Everything up to the final
+    * statistic is exact — per-user decimal sums, then per-variant
+    * (n, Σx, Σx²) decimal power sums (the q_moments discipline) — and
+    * the Welch z is ONE pinned double formula over those exact sums, so
+    * both engines compute the identical value. A/B readouts on a
+    * conversion PROPORTION are the same shape with integer counts; the
+    * continuous metric is the harder (variance-carrying) case. */
+  def abTestRevenue(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        dec(col("value"))).otherwise(dec(lit(0)))).as("revenue"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        col("revenue"))
+    val wide = perUser
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(col("revenue")).as("sx"),
+        sum((col("revenue") * col("revenue")).cast(DecimalType(38, 6)))
+          .as("sxx"))
+      .agg(
+        sum(when(col("variant") === 0, col("n"))).as("n_a"),
+        sum(when(col("variant") === 0, col("sx"))).as("sx_a"),
+        sum(when(col("variant") === 0, col("sxx"))).as("sxx_a"),
+        sum(when(col("variant") === 1, col("n"))).as("n_b"),
+        sum(when(col("variant") === 1, col("sx"))).as("sx_b"),
+        sum(when(col("variant") === 1, col("sxx"))).as("sxx_b"))
+    def mean(sx: String, n: String) =
+      col(sx).cast("double") / col(n).cast("double")
+    // sample variance of the per-user metric from exact power sums
+    def varS(sxx: String, sx: String, n: String) =
+      (col(sxx).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double") / col(n).cast("double")) /
+        (col(n).cast("double") - lit(1.0))
+    val z = (mean("sx_b", "n_b") - mean("sx_a", "n_a")) /
+      sqrt(varS("sxx_a", "sx_a", "n_a") / col("n_a").cast("double") +
+        varS("sxx_b", "sx_b", "n_b") / col("n_b").cast("double"))
+    wide.select(col("n_a"), col("n_b"),
+      mean("sx_a", "n_a").as("mean_a"),
+      mean("sx_b", "n_b").as("mean_b"),
+      z.as("z_stat"), (abs(z) > 1.959963984540054).as("significant_95"))
+  }
+
+  val abTestRevenueSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(value AS DECIMAL(18,2))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS revenue
+      |  FROM events GROUP BY user_id),
+      |assigned AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant, revenue
+      |  FROM per_user),
+      |by_variant AS (
+      |  SELECT variant, count(*) AS n, sum(revenue) AS sx,
+      |    sum(CAST(revenue * revenue AS DECIMAL(38,6))) AS sxx
+      |  FROM assigned GROUP BY variant),
+      |wide AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+      |    sum(CASE WHEN variant = 0 THEN sx END) AS sx_a,
+      |    sum(CASE WHEN variant = 0 THEN sxx END) AS sxx_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+      |    sum(CASE WHEN variant = 1 THEN sx END) AS sx_b,
+      |    sum(CASE WHEN variant = 1 THEN sxx END) AS sxx_b
+      |  FROM by_variant)
+      |SELECT n_a, n_b,
+      |  CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |  CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |  (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |    - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+      |  sqrt(((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+      |      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+      |      / CAST(n_a AS DOUBLE)
+      |    + ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+      |      / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+      |      / CAST(n_b AS DOUBLE)) AS z_stat,
+      |  abs((CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |    - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+      |  sqrt(((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+      |      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+      |      / CAST(n_a AS DOUBLE)
+      |    + ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+      |      / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+      |      / CAST(n_b AS DOUBLE))) > 1.959963984540054 AS significant_95
+      |FROM wide""".stripMargin
 
   /** Marketing ATTRIBUTION: every purchase joined to the same user's
     * latest click at-or-before it (last-touch) and earliest click

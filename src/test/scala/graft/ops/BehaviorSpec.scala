@@ -68,6 +68,48 @@ class BehaviorSpec extends GraftTestBase {
     } finally out.unpersist()
   }
 
+  behavior of "abTestRevenue"
+
+  it should "reproduce the Welch z from a driver-side replica of the hash split" in {
+    import java.security.MessageDigest
+    def variant(uid: Long): Int = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+    }
+    val perUser = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.map { case (uid, es) =>
+        variant(uid) -> es.filter(_._2 == "purchase")
+          .map(e => BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+      }
+    val byV = perUser.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def stats(xs: Seq[BigDecimal]): (Long, Double, Double) = {
+      val n = xs.length
+      val sx = xs.sum.toDouble
+      val sxx = xs.map(x => (x * x).setScale(6)).sum.toDouble
+      val mean = sx / n
+      val v = (sxx - sx * sx / n) / (n - 1.0)
+      (n.toLong, mean, v)
+    }
+    val (na, ma, va) = stats(byV(0)); val (nb, mb, vb) = stats(byV(1))
+    val z = (mb - ma) / math.sqrt(va / na + vb / nb)
+    val r = graft.ops.Behavior.abTestRevenue(spark, sf).head()
+    r.getAs[Long]("n_a") shouldBe na
+    r.getAs[Long]("n_b") shouldBe nb
+    r.getAs[Double]("mean_a") shouldBe ma +- 1e-9
+    r.getAs[Double]("mean_b") shouldBe mb +- 1e-9
+    r.getAs[Double]("z_stat") shouldBe z +- 1e-9
+    r.getAs[Boolean]("significant_95") shouldBe (math.abs(z) > 1.959963984540054)
+    // the assignment is genuinely split (neither arm empty; sf0.001 has
+    // only 15 users, so arms are single digits)
+    na should be > 2L
+    nb should be > 2L
+  }
+
   behavior of "clickAttribution"
 
   it should "match a brute-force per-user touch scan" in {
