@@ -229,6 +229,7 @@ object SparkEntry {
     "q_attribution"     -> (graft.ops.Behavior.clickAttribution _),
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
+    "q_concurrency"     -> (graft.ops.TimeSeries.intervalConcurrency _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -619,6 +620,7 @@ object SparkEntry {
     "q_attribution"   -> graft.ops.Behavior.clickAttributionSql,
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
+    "q_concurrency"   -> graft.ops.TimeSeries.intervalConcurrencySql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -478,6 +478,58 @@ object TimeSeries {
         max(overlapSec).as("overlap_sec_max"))
   }
 
+  /** Interval CONCURRENCY curve — the boundary-sweep rendering of "how
+    * many users were active at once": each per-user daily activity span
+    * becomes a +1 boundary at its start and a −1 at its end, and the
+    * running sum of boundaries ordered by (time, delta) IS the
+    * concurrency at every instant; per-day max + boundary count ship as
+    * the audit. This is the O(n log n) companion to
+    * [[intervalOverlap]]'s pairwise join: counting CONCURRENCY never
+    * needs pairs, so it scales past the band-quadratic form (the sweep
+    * is the right plan whenever the question is "how many", not
+    * "which pairs").
+    *
+    * Determinism under ties: ordering by (ts, delta) processes −1
+    * before +1 at the same instant — the half-open [s, e) semantic —
+    * and permutations WITHIN an equal (ts, delta) class cannot change
+    * the running max (equal deltas commute). Zero-length spans
+    * (single-event users) are empty intervals under [s, e) and are
+    * filtered out. The day partitions the window, so parallelism is by
+    * calendar day — O(boundaries per day) per task. */
+  def intervalConcurrency(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min("ts").as("ivs"), max("ts").as("ive"))
+      .filter(col("ivs") < col("ive"))
+    val boundaries = iv.select(col("day"), col("ivs").as("bts"), lit(1).as("delta"))
+      .unionAll(iv.select(col("day"), col("ive").as("bts"), lit(-1).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("bts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boundaries
+      .select(col("day"), sum(col("delta")).over(w).as("running"))
+      .groupBy("day")
+      .agg(max(col("running")).cast("long").as("max_concurrency"),
+        (count(lit(1)) / 2).cast("long").as("n_spans"))
+  }
+
+  val intervalConcurrencySql: String =
+    """WITH iv AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    min(ts) AS ivs, max(ts) AS ive
+      |  FROM events GROUP BY user_id, date_trunc('day', ts)),
+      |nonempty AS (SELECT * FROM iv WHERE ivs < ive),
+      |boundaries AS (
+      |  SELECT day, ivs AS bts, 1 AS delta FROM nonempty
+      |  UNION ALL
+      |  SELECT day, ive AS bts, -1 AS delta FROM nonempty),
+      |swept AS (
+      |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY bts, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM boundaries)
+      |SELECT day, CAST(max(running) AS BIGINT) AS max_concurrency,
+      |  CAST(count(*) / 2 AS BIGINT) AS n_spans
+      |FROM swept GROUP BY day""".stripMargin
+
   val intervalOverlapSql: String =
     """WITH iv AS (
       |  SELECT user_id, date_trunc('day', ts) AS day,
