@@ -230,6 +230,9 @@ object SparkEntry {
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
     "q_concurrency"     -> (graft.ops.TimeSeries.intervalConcurrency _),
+    "q_ewma"            -> (graft.ops.TimeSeries.ewmaDaily _),
+    "q_seasonal"        -> (graft.ops.TimeSeries.seasonalDow _),
+    "q_cusum"           -> (graft.ops.TimeSeries.cusumChangepoint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -621,6 +624,9 @@ object SparkEntry {
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_concurrency"   -> graft.ops.TimeSeries.intervalConcurrencySql,
+    "q_ewma"          -> graft.ops.TimeSeries.ewmaDailySql,
+    "q_seasonal"      -> graft.ops.TimeSeries.seasonalDowSql,
+    "q_cusum"         -> graft.ops.TimeSeries.cusumChangepointSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -547,4 +548,149 @@ object TimeSeries {
       |  ON a.day = b.day AND a.user_id < b.user_id
       | AND a.ivs < b.ive AND b.ivs < a.ive
       |GROUP BY a.day""".stripMargin
+
+  /** EWMA smoothing of the per-type daily revenue series — the
+    * monitoring/forecasting primitive. Rendered hash-portable by using
+    * INTEGER weights: with decay 1/2 over an 8-term window, the
+    * normalized EWMA equals `Σ x_{t-j}·2^(7-j) / Σ 2^(7-j)` (j over the
+    * terms that exist), so the numerator is an exact
+    * decimal·integer sum, the denominator an integer, and the smoothed
+    * value is ONE pinned double division — the q_moments discipline
+    * applied to a window. Series shorter than 8 days renormalize over
+    * the available terms (weights of missing lags are excluded), which
+    * is the standard "adjusted" EWMA initialization. Scale: the window
+    * runs over the per-(type, day) AGGREGATE (O(types × days) rows),
+    * never the raw facts — the daily groupBy is the only full shuffle,
+    * and it map-side combines. */
+  def ewmaDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val terms = (0 to 7).map { j =>
+      val x = if (j == 0) col("rev") else lag(col("rev"), j).over(w)
+      val wt = 1L << (7 - j)
+      (when(x.isNotNull, x * lit(wt)).otherwise(lit(null)),
+        when(x.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce((a, b) => coalesce(a + b, a, b))
+    val den = terms.map(_._2).reduce(_ + _)
+    daily.select(col("event_type"), col("day"),
+        col("rev").cast(DecimalType(18, 2)).as("revenue"),
+        num.as("n0"), den.as("d0"))
+      .select(col("event_type"), col("day"), col("revenue"),
+        (col("n0").cast("double") / col("d0").cast("double")).as("ewma"))
+  }
+
+  val ewmaDailySql: String = {
+    val lagTerm = (j: Int) =>
+      if (j == 0) "rev" else s"lag(rev, $j) OVER w"
+    val num = (0 to 7).map { j =>
+      s"coalesce(${lagTerm(j)} * ${1L << (7 - j)}, 0)"
+    }.mkString(" + ")
+    val den = (0 to 7).map { j =>
+      s"CASE WHEN ${lagTerm(j)} IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS rev
+       |  FROM events GROUP BY event_type, date_trunc('day', ts))
+       |SELECT event_type, day, CAST(rev AS DECIMAL(18,2)) AS revenue,
+       |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
+  }
+
+  /** Day-of-week SEASONAL INDICES per event type — the decomposition
+    * pass behind "is Monday always low, or is this week anomalous".
+    * index(dow) = avg daily revenue on that weekday ÷ avg daily revenue
+    * overall, computed as `(Σ_dow · n_total) / (Σ_total · n_dow)` over
+    * exact decimal daily sums so the only float op is the final pinned
+    * division. Two-level aggregate: facts → (type, day) → (type, dow),
+    * with the per-type totals read off the SECOND aggregate by a window
+    * over its 7 rows — no second scan, no join. Weekday numbering is
+    * pinned to ISO Monday=0 (Spark `weekday` = DuckDB `isodow - 1`) so
+    * the engines cannot disagree on the bucket. */
+  def seasonalDow(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+    val byDow = daily
+      .groupBy(col("event_type"), expr("weekday(day)").cast("int").as("dow"))
+      .agg(sum("rev").as("s_dow"), count(lit(1)).as("n_dow"))
+    val all = Window.partitionBy("event_type")
+    byDow.select(col("event_type"), col("dow"), col("n_dow"),
+        ((col("s_dow") * sum(col("n_dow")).over(all)).cast("double") /
+          (sum(col("s_dow")).over(all) * col("n_dow")).cast("double"))
+          .as("seasonal_index"))
+  }
+
+  val seasonalDowSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS rev
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |by_dow AS (
+      |  SELECT event_type, CAST(isodow(day) - 1 AS INTEGER) AS dow,
+      |    sum(rev) AS s_dow, count(*) AS n_dow
+      |  FROM daily GROUP BY event_type, isodow(day) - 1)
+      |SELECT event_type, dow, n_dow,
+      |  CAST(s_dow * sum(n_dow) OVER t AS DOUBLE) /
+      |  CAST(sum(s_dow) OVER t * n_dow AS DOUBLE) AS seasonal_index
+      |FROM by_dow
+      |WINDOW t AS (PARTITION BY event_type)""".stripMargin
+
+  /** CUSUM CHANGEPOINT detection over the per-type daily count series —
+    * "when did the level shift". The classic statistic
+    * `S_k = Σ_{i≤k}(x_i − x̄)` is rational (x̄ = total/n); multiplying
+    * through by n gives `n·prefix_k − total·k`, an EXACT INTEGER in
+    * which argmax|S_k| is unchanged — so the changepoint and its score
+    * are bit-portable with zero float ops anywhere. The windows run
+    * over the (type, day) aggregate (tiny frames), and the argmax
+    * tie-breaks on earliest day via rank ordering, keeping the one-row
+    * answer deterministic. Output score is |S_k|·n in raw units
+    * (`cusum_scaled`), plus the series length for normalizing
+    * downstream. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val all = Window.partitionBy("event_type")
+    val scored = daily.select(col("event_type"), col("day"),
+        (sum(col("x")).over(ord.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) * count(lit(1)).over(all) -
+          sum(col("x")).over(all) * row_number().over(ord))
+          .as("s_scaled"),
+        count(lit(1)).over(all).as("n_days"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("s_scaled")).desc, col("day"))
+    scored.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        abs(col("s_scaled")).as("cusum_scaled"), col("n_days"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |scored AS (
+      |  SELECT event_type, day,
+      |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      * count(*) OVER t
+      |      - sum(x) OVER t * row_number() OVER (PARTITION BY event_type
+      |          ORDER BY day) AS s_scaled,
+      |    count(*) OVER t AS n_days
+      |  FROM daily
+      |  WINDOW t AS (PARTITION BY event_type)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(s_scaled) DESC, day) AS rk
+      |  FROM scored)
+      |SELECT event_type, day AS cp_day,
+      |  CAST(abs(s_scaled) AS BIGINT) AS cusum_scaled,
+      |  CAST(n_days AS BIGINT) AS n_days
+      |FROM ranked WHERE rk = 1""".stripMargin
 }

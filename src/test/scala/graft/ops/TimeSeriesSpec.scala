@@ -154,6 +154,64 @@ class TimeSeriesSpec extends GraftTestBase {
     }
   }
 
+  behavior of "ewmaDaily"
+
+  it should "match a driver-side exact EWMA over each type's daily series" in {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp](1).getTime,
+        r.getAs[java.math.BigDecimal](2)))
+    val out = TimeSeries.ewmaDaily(spark, sf).collect()
+    out.length shouldBe daily.length
+    val series = daily.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.sortBy(_._2)
+    }
+    out.foreach { r =>
+      val t = r.getString(0)
+      val day = r.getAs[java.sql.Timestamp](1).getTime
+      val s = series(t)
+      val i = s.indexWhere(_._2 == day)
+      val terms = (0 to 7).flatMap { j =>
+        if (i - j >= 0) Some((s(i - j)._3, 1L << (7 - j))) else None
+      }
+      val num = terms.map { case (x, w) =>
+        x.multiply(java.math.BigDecimal.valueOf(w))
+      }.reduce(_.add(_)).doubleValue
+      val den = terms.map(_._2).sum.toDouble
+      r.getAs[Double]("ewma") shouldBe (num / den)
+    }
+    // the data must exercise both the warm-up (short) and full frames
+    series.values.map(_.length).max should be >= 8
+  }
+
+  behavior of "cusumChangepoint"
+
+  it should "pick the argmax-|CUSUM| day with exact integer scores" in {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp](1).getTime,
+        r.getLong(2)))
+    val out = TimeSeries.cusumChangepoint(spark, sf).collect()
+    out.length shouldBe daily.map(_._1).distinct.length
+    out.foreach { r =>
+      val t = r.getString(0)
+      val s = daily.filter(_._1 == t).sortBy(_._2)
+      val n = s.length.toLong
+      val total = s.map(_._3).sum
+      val scores = s.zipWithIndex.map { case ((_, day, _), k) =>
+        val prefix = s.take(k + 1).map(_._3).sum
+        (day, math.abs(n * prefix - total * (k + 1)))
+      }
+      val best = scores.maxBy { case (day, sc) => (sc, -day) }
+      r.getAs[java.sql.Timestamp]("cp_day").getTime shouldBe best._1
+      r.getAs[Long]("cusum_scaled") shouldBe best._2
+      r.getAs[Long]("n_days") shouldBe n
+    }
+  }
+
   behavior of "asofClickWithTolerance"
 
   it should "match a brute-force per-user scan of the 1-hour window" in {
