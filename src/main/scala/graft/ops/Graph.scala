@@ -151,6 +151,65 @@ object Graph {
          |FROM r$prIters ORDER BY r DESC, x LIMIT 20""".stripMargin
   }
 
+  /** Bounded BFS hop count. Fixed so both renderings terminate on the
+    * same frontier and the oracle's recursive depth is capped. */
+  val bfsMaxHops = 3
+
+  /** Multi-source BFS over the co-purchase graph: minimum hop distance
+    * from the seed set (parts divisible by 500 — a deterministic,
+    * scale-independent selection) to every reachable vertex within
+    * [[bfsMaxHops]] hops, reported as a per-level census
+    * (count + id-sum per distance). The frontier rendering is the
+    * 1000-executor shape: each round is ONE key-shuffle join (frontier →
+    * neighbors) plus a left-anti against the visited set, so per-round
+    * cost tracks the frontier, not the graph; `localCheckpoint` pins
+    * each round's visited set (the pageRank/clustering durability
+    * contract — executor loss fails loudly) so round k's plan does not
+    * re-expand rounds 1..k-1. The id-sum makes the census sensitive to
+    * WHICH vertices land at each level, not just how many.
+    *
+    * Oracle: DuckDB recursive CTE with UNION-dedup on (vertex, depth)
+    * and min(depth) per vertex — the textbook SQL BFS, exercising a
+    * whole oracle class (recursive queries) the rest of the catalog
+    * doesn't touch. */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var dist = bi.select(col("u").as("x")).distinct()
+      .filter(col("x") % 500 === 0)
+      .select(col("x"), lit(0).as("hop"))
+      .localCheckpoint()
+    for (h <- 1 to bfsMaxHops) {
+      val frontier = dist.filter(col("hop") === h - 1).select(col("x").as("u"))
+      val next = bi.join(frontier, Seq("u"))
+        .select(col("v").as("x")).distinct()
+        .join(dist, Seq("x"), "left_anti")
+        .select(col("x"), lit(h).as("hop"))
+      dist = dist.unionAll(next).localCheckpoint()
+    }
+    dist.groupBy("hop")
+      .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("sum_parts"))
+  }
+
+  val bfsHopsSql: String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+       |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |reach(x, d) AS (
+       |  SELECT DISTINCT u AS x, 0 AS d FROM bi WHERE u % 500 = 0
+       |  UNION
+       |  SELECT bi.v, r.d + 1 FROM reach r
+       |  JOIN bi ON bi.u = r.x WHERE r.d < $bfsMaxHops),
+       |hops AS (SELECT x, min(d) AS hop FROM reach GROUP BY x)
+       |SELECT CAST(hop AS INTEGER) AS hop, count(*) AS n_parts,
+       |  CAST(sum(x) AS BIGINT) AS sum_parts
+       |FROM hops GROUP BY hop""".stripMargin
+
   val coPurchaseTrianglesSql: String =
     """WITH pr AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

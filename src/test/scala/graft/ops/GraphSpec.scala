@@ -45,6 +45,39 @@ class GraphSpec extends GraftTestBase {
     got shouldBe want
   }
 
+  behavior of "bfsHops"
+
+  it should "match a driver-side multi-source BFS census" in {
+    val e = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = e.groupBy(_._1).values
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    byOrder.foreach { basket =>
+      val ps = basket.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) adj(a) = adj(a) + b
+    }
+    val seeds = adj.keySet.filter(_ % 500 == 0).toSet
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (h <- 1 to Graph.bfsMaxHops) {
+      val next = frontier.flatMap(adj).diff(dist.keySet)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    val want = dist.groupBy(_._2).map { case (h, m) =>
+      (h, m.size.toLong, m.keys.sum)
+    }.toSet
+    val got = Graph.bfsHops(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe want
+    // multi-level expansion must actually happen or the test is vacuous
+    // (the co-purchase graph is dense: sf0.001 saturates within 2 hops,
+    // so asserting the full bound is reached would overfit the corpus)
+    want.map(_._1).max should be >= 1
+  }
+
   it should "count triangles exactly on a hand-built graph" in {
     import spark.implicits._
     import org.apache.spark.sql.functions._
