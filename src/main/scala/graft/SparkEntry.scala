@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dedup_embed"     -> (Dedup.embeddingNearDup _),
     "q_dedup_embed_blocked" -> (Dedup.embeddingNearDupBlocked _),
     "q_sketches"        -> (graft.ops.Sketches.orderSketches _),
+    "q_cms"             -> (graft.ops.Sketches.cmsFrequencies _),
     // -- time-series joins/windows + ranking battery
     "q_asof_join"       -> (graft.ops.TimeSeries.asofLatestClick _),
     "q_range_join"      -> (graft.ops.TimeSeries.eventPairsWithin30Min _),
@@ -446,6 +447,7 @@ object SparkEntry {
     "q_knn_lsh"       -> Similarity.recallCheckSql,
     "q_knn_ivf"       -> Similarity.recallCheckSql,
     "q_sketches"      -> graft.ops.Sketches.orderSketchesSql,
+    "q_cms"           -> graft.ops.Sketches.cmsFrequenciesSql,
     "q_wau_sketch"    -> graft.ops.Behavior.rollingActiveUsersSketchSql,
     "q_heavy_hitters" -> graft.ops.Analytics.heavyHitterPartsSql,
     "q_text_stats"    -> TextAnalysis.textStatsSql,

@@ -126,4 +126,98 @@ object Sketches {
       |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_exact,
       |  TRUE AS sk25_ok, TRUE AS sk50_ok, TRUE AS sk75_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Count-Min frequency estimation over the skew-planted key domain
+    * (the q_heavy_hitters corpus: 3 hot keys ~70% of rows, a long cold
+    * tail). The [[graft.functions.CountMin]] UDAF builds one 4×256
+    * sketch per return flag; every distinct key's estimate is then read
+    * back RELATIONALLY — `least` over `element_at(sketch, row·W +
+    * h_j(x))` — so probing is pure column arithmetic on the broadcast
+    * one-row-per-flag sketch, no second UDF. Output: the three hot
+    * keys' exact vs estimated counts plus per-flag min/max slack
+    * (estimate − exact) over ALL keys — min ≥ 0 IS the overestimate-only
+    * guarantee, max bounds the additive error across the whole domain.
+    *
+    * Because CMS merge is cell-wise addition (commutative, associative,
+    * merge-order independent — unlike SpaceSaving/KLL), the oracle
+    * recomputes the SAME counters with a (flag, row, cell) GROUP BY and
+    * the whole query hash-grades exactly: the only sketch in the
+    * catalog graded cell-exact rather than via contract booleans. */
+  def cmsFrequencies(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.CountMin
+    val W = CountMin.width
+    val p = CountMin.prime
+    val keyed = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        when(col("l_partkey") % 10 < 7,
+          concat(lit("hot_"), (col("l_partkey") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), col("l_partkey").cast("string")))
+          .as("pk"))
+      .withColumn("x",
+        pmod(conv(substring(md5(col("pk")), 1, 15), 16, 10).cast("long"),
+          lit(p)))
+    val sketch = keyed.groupBy("l_returnflag")
+      .agg(CountMin.udaf(col("x")).as("sk"))
+    val exact = keyed.groupBy(col("l_returnflag"), col("pk"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val estCols = (0 until CountMin.depth).map { j =>
+      element_at(col("sk"),
+        (lit(j * W) +
+          ((lit(CountMin.rowA(j)) * col("x") + lit(CountMin.rowB(j))) % p) % W
+          + 1).cast("int"))
+    }
+    val slack = Window.partitionBy("l_returnflag")
+    exact.join(broadcast(sketch), Seq("l_returnflag"))
+      .withColumn("est", least(estCols: _*))
+      .withColumn("flag_min_slack", min(col("est") - col("c")).over(slack))
+      .withColumn("flag_max_slack", max(col("est") - col("c")).over(slack))
+      .filter(col("pk").startsWith("hot_"))
+      .select(col("l_returnflag"), col("pk").as("item"),
+        col("c").as("exact_count"), col("est").as("cms_estimate"),
+        col("flag_min_slack"), col("flag_max_slack"))
+  }
+
+  val cmsFrequenciesSql: String = {
+    import graft.functions.CountMin
+    val rows = (0 until CountMin.depth).map { j =>
+      s"(${j}, ${CountMin.rowA(j)}, ${CountMin.rowB(j)})"
+    }.mkString(", ")
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag,
+       |    CASE WHEN l_partkey % 10 < 7
+       |         THEN 'hot_' || CAST(l_partkey % 3 AS VARCHAR)
+       |         ELSE 'cold_' || CAST(l_partkey AS VARCHAR) END AS pk
+       |  FROM lineitem),
+       |hx AS (
+       |  SELECT l_returnflag, pk,
+       |    CAST(('0x' || substr(md5(pk), 1, 15)) AS BIGINT)
+       |      % ${CountMin.prime} AS x
+       |  FROM keyed),
+       |hrows(j, a, b) AS (VALUES $rows),
+       |exact AS (
+       |  SELECT l_returnflag, pk, x, count(*) AS c FROM hx GROUP BY 1, 2, 3),
+       |cells AS (
+       |  SELECT h.l_returnflag, r.j,
+       |    ((r.a * h.x + r.b) % ${CountMin.prime}) % ${CountMin.width} AS cell,
+       |    count(*) AS cc
+       |  FROM hx h CROSS JOIN hrows r
+       |  GROUP BY 1, 2, 3),
+       |est AS (
+       |  SELECT e.l_returnflag, e.pk, e.c, CAST(min(c2.cc) AS BIGINT) AS est
+       |  FROM exact e
+       |  JOIN hrows r ON true
+       |  JOIN cells c2 ON c2.l_returnflag = e.l_returnflag AND c2.j = r.j
+       |    AND c2.cell = ((r.a * e.x + r.b) % ${CountMin.prime})
+       |      % ${CountMin.width}
+       |  GROUP BY 1, 2, 3)
+       |SELECT * FROM (
+       |  SELECT l_returnflag, pk AS item, c AS exact_count,
+       |    est AS cms_estimate,
+       |    CAST(min(est - c) OVER f AS BIGINT) AS flag_min_slack,
+       |    CAST(max(est - c) OVER f AS BIGINT) AS flag_max_slack
+       |  FROM est
+       |  WINDOW f AS (PARTITION BY l_returnflag))
+       |WHERE item LIKE 'hot%'""".stripMargin
+  }
 }

@@ -39,4 +39,40 @@ class SketchesSpec extends GraftTestBase {
     "(?i)objecthashaggregate|hashaggregate".r
       .findAllIn(plan).size should be >= 2
   }
+
+  behavior of "cmsFrequencies"
+
+  it should "be overestimate-only with hot keys estimated tightly" in {
+    val rows = Sketches.cmsFrequencies(spark, sf).collect()
+    rows.length should be >= 3
+    rows.foreach { r =>
+      r.getAs[Long]("flag_min_slack") should be >= 0L
+      r.getAs[Long]("cms_estimate") should be >= r.getAs[Long]("exact_count")
+      // a hot key is ~23% of its flag's rows; CMS additive error is
+      // bounded by the flag's total over the 256-cell width, so the
+      // relative error on hot keys must stay small
+      val c = r.getAs[Long]("exact_count").toDouble
+      (r.getAs[Long]("cms_estimate") - c) / c should be <= 0.2
+    }
+  }
+
+  it should "produce split-invariant sketches (merge-order independence)" in {
+    import graft.functions.CountMin
+    val keys = (1 to 500).map(i => java.lang.Long.valueOf((i * 7919L) % 97))
+    def sketchOf(chunks: Seq[Seq[java.lang.Long]]): Seq[Long] = {
+      val parts = chunks.map(_.foldLeft(CountMin.zero)(CountMin.reduce))
+      CountMin.finish(parts.reduce(CountMin.merge))
+    }
+    val a = sketchOf(Seq(keys))
+    val b = sketchOf(keys.grouped(33).toSeq)
+    val c = sketchOf(keys.reverse.grouped(100).toSeq.reverse)
+    a shouldBe b
+    a shouldBe c
+    // point estimates dominate true counts on every key
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (k, n) =>
+      (0 until CountMin.depth).map(j =>
+        a(j * CountMin.width + CountMin.cell(j, k))).min should be >= n
+    }
+  }
 }
