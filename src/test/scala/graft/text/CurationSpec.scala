@@ -62,6 +62,27 @@ class CurationSpec extends GraftTestBase {
     planned shouldBe direct
   }
 
+  behavior of "sourceCap"
+
+  it should "match a driver-side top-K-per-source selection exactly" in {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val kept = ds.sortBy(d => (-d._3, d._2)).take(Curation.sourceCapDocs.toInt)
+      (src, ds.length.toLong, kept.length.toLong,
+        ds.map(_._4).sum, kept.map(_._4).sum)
+    }.toSet
+    val got = Curation.sourceCap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_total"),
+        r.getAs[Long]("tokens_kept"))).toSet
+    got shouldBe want
+  }
+
   behavior of "chunkDocuments"
 
   it should "cover every token and overlap consecutive chunks by window - stride" in {
