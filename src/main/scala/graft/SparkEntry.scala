@@ -232,6 +232,7 @@ object SparkEntry {
     "q_attribution"     -> (graft.ops.Behavior.clickAttribution _),
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
+    "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
     "q_concurrency"     -> (graft.ops.TimeSeries.intervalConcurrency _),
     "q_ewma"            -> (graft.ops.TimeSeries.ewmaDaily _),
     "q_seasonal"        -> (graft.ops.TimeSeries.seasonalDow _),
@@ -629,6 +630,7 @@ object SparkEntry {
     "q_attribution"   -> graft.ops.Behavior.clickAttributionSql,
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
+    "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,
     "q_concurrency"   -> graft.ops.TimeSeries.intervalConcurrencySql,
     "q_ewma"          -> graft.ops.TimeSeries.ewmaDailySql,
     "q_seasonal"      -> graft.ops.TimeSeries.seasonalDowSql,

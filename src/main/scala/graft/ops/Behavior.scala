@@ -535,4 +535,90 @@ object Behavior {
       |  min(sec_to_convert) AS min_sec,
       |  max(sec_to_convert) AS max_sec
       |FROM conv""".stripMargin
+
+  /** MANN-WHITNEY U — the nonparametric companion to [[abTestRevenue]]:
+    * rank-based two-sample test on purchase values under the same
+    * hash-assigned 50/50 split, for when the metric is heavy-tailed and
+    * the Welch-z normality story is suspect. Everything up to the final
+    * statistic is EXACT INTEGER: observations collapse to (value) →
+    * (count t, variant-1 count t1); midranks come off the cumulative
+    * count over the value aggregate via the doubling trick
+    * `2·midrank(v) = 2·cum_before + t + 1`; and the doubled rank sum /
+    * U statistic / tie term Σ(t³−t) are all integer sums over
+    * O(distinct values) rows. The normal approximation
+    * `z = (U − n₀n₁/2) / σ_ties` is ONE pinned double formula over
+    * those integers (the [[abTestRevenue]] sqrt discipline — both
+    * engines hit identical doubles).
+    *
+    * Scale: the cumulative count uses
+    * [[graft.ops.Distributed.withRunningTotal]] (range-partitioned
+    * prefix sum over the value DOMAIN), so no global-order window ever
+    * sees a fact row; the long arithmetic holds to ~3·10⁹ observations
+    * (2n² < 2⁶³), past which the doubled sums move to decimal. */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        dec(col("value")).as("v"))
+    val byValue = obs.groupBy("v").agg(count(lit(1)).as("t"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("t1"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byValue, Seq.empty, Seq("v"), "t", "cumt")
+    val wide = cum.agg(
+      sum(col("t")).as("n"), sum(col("t1")).as("n1"),
+      sum(col("t1") * (lit(2L) * (col("cumt") - col("t")) + col("t") + lit(1L)))
+        .as("r1_x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+      .select(col("n"), (col("n") - col("n1")).as("n0"), col("n1"),
+        (col("r1_x2") - col("n1") * (col("n1") + lit(1L))).as("u1_x2"),
+        col("tie_sum"))
+    val nd = col("n").cast("double")
+    val n0d = col("n0").cast("double")
+    val n1d = col("n1").cast("double")
+    val u1d = col("u1_x2").cast("double") / lit(2.0)
+    val mu = (col("n0") * col("n1")).cast("double") / lit(2.0)
+    val sig2 = n0d * n1d / lit(12.0) *
+      ((nd + lit(1.0)) -
+        col("tie_sum").cast("double") / (nd * (nd - lit(1.0))))
+    val z = (u1d - mu) / sqrt(sig2)
+    wide.select(col("n0"), col("n1"), col("u1_x2"), col("tie_sum"),
+      z.as("z_stat"), (abs(z) > 1.959963984540054).as("significant_95"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v, count(*) AS t,
+      |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS t1
+      |  FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT t, t1, sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+      |  FROM by_value),
+      |wide AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+      |    CAST(sum(t1 * (2 * (cumt - t) + t + 1)) AS BIGINT) AS r1_x2,
+      |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      |  FROM cum),
+      |stat AS (
+      |  SELECT n, n - n1 AS n0, n1,
+      |    r1_x2 - n1 * (n1 + 1) AS u1_x2, tie_sum
+      |  FROM wide),
+      |zed AS (
+      |  SELECT n0, n1, u1_x2, tie_sum,
+      |    (CAST(u1_x2 AS DOUBLE) / 2.0
+      |      - CAST(n0 * n1 AS DOUBLE) / 2.0) /
+      |    sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+      |      ((CAST(n AS DOUBLE) + 1.0) - CAST(tie_sum AS DOUBLE) /
+      |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS z_stat
+      |  FROM stat)
+      |SELECT n0, n1, u1_x2, tie_sum, z_stat,
+      |  abs(z_stat) > 1.959963984540054 AS significant_95
+      |FROM zed""".stripMargin
 }

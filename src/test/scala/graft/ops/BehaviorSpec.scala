@@ -110,6 +110,45 @@ class BehaviorSpec extends GraftTestBase {
     nb should be > 2L
   }
 
+  behavior of "mannWhitney"
+
+  it should "reproduce the midrank U statistic from a brute-force ranking" in {
+    import java.security.MessageDigest
+    def variant(uid: Long): Int = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+    }
+    val obs = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(_._2 == "purchase")
+      .map(e => (variant(e._1),
+        BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val sorted = obs.sortBy(_._2)
+    // brute midranks: average 1-based rank within each tied run, doubled
+    val withRank2 = sorted.zipWithIndex.groupBy(_._1._2).toSeq.flatMap {
+      case (_, grp) =>
+        val r2 = grp.map(_._2 + 1L).sum * 2 / grp.length // 2*midrank
+        grp.toSeq.map { case ((v, _), _) => (v, r2) }
+    }
+    val n1 = obs.count(_._1 == 1).toLong
+    val n0 = obs.length - n1
+    val r1x2 = withRank2.collect { case (1, r2) => r2 }.sum
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val tieSum = obs.groupBy(_._2).values
+      .map(g => g.length.toLong).map(t => t * t * t - t).sum
+    val r = graft.ops.Behavior.mannWhitney(spark, sf).head()
+    r.getAs[Long]("n0") shouldBe n0
+    r.getAs[Long]("n1") shouldBe n1
+    r.getAs[Long]("u1_x2") shouldBe u1x2
+    r.getAs[Long]("tie_sum") shouldBe tieSum
+    // U0 + U1 = n0*n1 (the complement identity) must hold exactly
+    u1x2 should be <= 2 * n0 * n1
+    u1x2 should be >= 0L
+  }
+
   behavior of "clickAttribution"
 
   it should "match a brute-force per-user touch scan" in {
