@@ -80,6 +80,7 @@ object SparkEntry {
     "q_centroids"       -> (Similarity.labelCentroids _),
     "q_cov_matrix"      -> (Similarity.covarianceMatrix _),
     "q_pca_power"       -> (Similarity.pcaPowerCheck _),
+    "q_dbscan"          -> (Similarity.dbscanEmbeddings _),
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
     "q_sessionize"      -> (EventStreams.sessionizeBatch _),
@@ -464,6 +465,7 @@ object SparkEntry {
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,
     "q_pca_power"     -> Similarity.pcaPowerCheckSql,
+    "q_dbscan"        -> Similarity.dbscanEmbeddingsSql,
     "q_media_meta"    -> Multimodal.mediaMetaSql,
     "q_sessionize"    -> EventStreams.sessionizeBatchSql,
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,

@@ -629,4 +629,115 @@ object Similarity {
       |FROM embeddings, (SELECT unnest(generate_series(1,
       |  (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i) u
       |GROUP BY 1, 2""".stripMargin
+
+  /** DBSCAN cosine threshold (eps-neighborhood = cosine ≥ this) —
+    * 0.35 on this corpus yields real structure (37 clusters at sf0.01);
+    * 0.3 merges everything into one giant component. */
+  val dbscanEps = 0.35
+  /** DBSCAN core threshold: a point is core when its eps-neighborhood
+    * (including itself) holds at least this many points. */
+  val dbscanMinPts = 3
+
+  /** DBSCAN density clustering over the embedding space — per-cluster
+    * (n_core, n_border) census. Semantics are the textbook ones made
+    * DETERMINISTIC: core points are eps-graph vertices with degree ≥
+    * minPts−1; clusters are connected components of the core-core
+    * subgraph labeled by MIN core id (propagated with the
+    * [[graft.dedup.Dedup.dedupClusters]] loop — localCheckpoint per
+    * round, loud non-convergence); border points attach to the MINIMUM
+    * neighboring core's cluster (classic DBSCAN leaves border
+    * assignment scan-order-dependent — min-attach removes the
+    * nondeterminism so the result is hash-gradeable); everything else
+    * is noise (derivable: corpus − core − border).
+    *
+    * The eps-graph here is the documented bounded all-pairs verifier
+    * (the [[graft.dedup.Dedup.embeddingNearDup]] class); at 100 TB the
+    * pair stage swaps for the LSH-blocked candidate path
+    * ([[graft.dedup.Dedup.embeddingNearDupBlocked]]) with identical
+    * downstream clustering. Oracle: exact pair join + recursive-CTE
+    * min-label reachability (the q_bfs oracle class). */
+  def dbscanEmbeddings(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{dotProduct, l2Norm}
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      l2Norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      l2Norm(col("embedding")).as("nb"))
+    // score each unordered pair ONCE (va < vb), mirror afterwards —
+    // halves the dominant all-pairs stage vs a <> join
+    val half = a.join(b, col("va") < col("vb"))
+      .filter(round(dotProduct(col("ea"), col("eb")) /
+        (col("na") * col("nb")), 4) >= dbscanEps)
+      .select(col("va"), col("vb"))
+    val sym = half.select(col("va").as("src"), col("vb").as("dst"))
+      .unionAll(half.select(col("vb").as("src"), col("va").as("dst")))
+      .localCheckpoint()
+    val core = sym.groupBy(col("src")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= dbscanMinPts - 1)
+      .select(col("src").as("x"))
+      .localCheckpoint()
+    val coreEdges = sym
+      .join(core.select(col("x").as("src")), Seq("src"))
+      .join(core.select(col("x").as("dst")), Seq("dst"))
+      .select(col("src"), col("dst"))
+    var labels = core.select(col("x"), col("x").as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 16) {
+      val nbrMin = coreEdges
+        .join(labels.select(col("x").as("dst"), col("label").as("dl")), Seq("dst"))
+        .groupBy(col("src").as("x"))
+        .agg(min(col("dl")).as("nl"))
+      val next = labels.join(nbrMin, Seq("x"), "left")
+        .select(col("x"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("x"), col("label"))
+      iter += 1
+    }
+    require(converged,
+      s"DBSCAN core-label propagation did not converge in $iter rounds")
+    val border = sym
+      .join(labels.select(col("x").as("dst"), col("label")), Seq("dst"))
+      .join(core.select(col("x").as("src")), Seq("src"), "left_anti")
+      .groupBy(col("src"))
+      .agg(min(col("label")).as("label"))
+    val coreCensus = labels.groupBy("label")
+      .agg(count(lit(1)).as("n_core"))
+    val borderCensus = border.groupBy("label")
+      .agg(count(lit(1)).as("n_border"))
+    coreCensus.join(borderCensus, Seq("label"), "left")
+      .select(col("label").as("cluster_id"), col("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"))
+  }
+
+  val dbscanEmbeddingsSql: String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT a.vec_id AS ua, b.vec_id AS ub
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+       |    AS DOUBLE), 4) >= $dbscanEps),
+       |core AS (
+       |  SELECT ua AS x FROM p GROUP BY ua
+       |  HAVING count(*) >= ${dbscanMinPts - 1}),
+       |ce AS (
+       |  SELECT ua, ub FROM p
+       |  WHERE ua IN (SELECT x FROM core) AND ub IN (SELECT x FROM core)),
+       |reach(x, lbl) AS (
+       |  SELECT x, x FROM core
+       |  UNION
+       |  SELECT ce.ub, r.lbl FROM reach r JOIN ce ON ce.ua = r.x),
+       |lab AS (SELECT x, min(lbl) AS cluster_id FROM reach GROUP BY x),
+       |bord AS (
+       |  SELECT p.ua AS x, min(l.cluster_id) AS cluster_id
+       |  FROM p JOIN lab l ON l.x = p.ub
+       |  WHERE p.ua NOT IN (SELECT x FROM core)
+       |  GROUP BY p.ua),
+       |cc AS (SELECT cluster_id, count(*) AS n_core FROM lab GROUP BY 1),
+       |bc AS (SELECT cluster_id, count(*) AS n_border FROM bord GROUP BY 1)
+       |SELECT cc.cluster_id, CAST(cc.n_core AS BIGINT) AS n_core,
+       |  CAST(coalesce(bc.n_border, 0) AS BIGINT) AS n_border
+       |FROM cc LEFT JOIN bc ON bc.cluster_id = cc.cluster_id""".stripMargin
 }

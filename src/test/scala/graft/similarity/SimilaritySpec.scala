@@ -196,4 +196,50 @@ class SimilaritySpec extends GraftTestBase {
     row.getAs[Boolean]("inertia_improved") shouldBe true
     row.getAs[Boolean]("beats_mean_baseline") shouldBe true
   }
+
+  behavior of "dbscanEmbeddings"
+
+  it should "match a driver-side reference DBSCAN census" in {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length
+         if cosR(vecs(i)._2, vecs(j)._2) >= Similarity.dbscanEps) {
+      val (u, v) = (vecs(i)._1, vecs(j)._1)
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val core = adj.filter(_._2.size >= Similarity.dbscanMinPts - 1).keySet.toSet
+    var label = core.map(x => x -> x).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      core.foreach { x =>
+        val m = (adj(x).intersect(core).map(label) + label(x)).min
+        if (m < label(x)) { label += x -> m; changed = true }
+      }
+    }
+    val border = adj.keySet.diff(core)
+      .flatMap { x =>
+        val coreNbrs = adj(x).intersect(core)
+        if (coreNbrs.isEmpty) None else Some(x -> coreNbrs.map(label).min)
+      }.toMap
+    val want = label.groupBy(_._2).map { case (c, m) =>
+      (c, m.size.toLong, border.count(_._2 == c).toLong)
+    }.toSet
+    val got = Similarity.dbscanEmbeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_core"),
+        r.getAs[Long]("n_border"))).toSet
+    got shouldBe want
+    want should not be empty
+  }
 }
