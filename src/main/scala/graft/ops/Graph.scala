@@ -210,6 +210,88 @@ object Graph {
        |  CAST(sum(x) AS BIGINT) AS sum_parts
        |FROM hops GROUP BY hop""".stripMargin
 
+  /** Peeling rounds — fixed and unrolled (like [[prIters]]) so both
+    * engines compute the identical census even when the cascade hasn't
+    * stabilized. */
+  val kcoreRounds = 4
+
+  /** k-CORE PEELING census over the co-purchase graph: repeatedly
+    * delete vertices of degree < k and report (n_vertices, n_edges)
+    * after each round — the standard dense-subgraph/decomposition
+    * kernel. k is the MEDIAN initial degree (exact `percentile_disc`,
+    * hash-portable across engines), which keeps the threshold
+    * meaningful at every scale factor where an absolute k would either
+    * empty the graph instantly or never bite. Degenerate-by-data note:
+    * this synthetic graph is degree-uniform, so the k-core at the
+    * median is EMPTY and the census's value is the cascade trajectory
+    * itself (2000 → ~1500 → ~750 → 0 at sf0.01) — on a real power-law
+    * graph the same query exposes the stable core.
+    *
+    * Scale: each round is one degree aggregate plus two semi-joins
+    * (edge endpoints ∈ survivors), checkpointed so round r's plan never
+    * re-peels rounds 1..r−1; k rides a broadcast one-row frame.
+    * `n_vertices` counts vertices with ≥1 surviving edge. The oracle
+    * unrolls the same rounds as chained CTEs (the [[pageRankSql]]
+    * discipline). */
+  def kCorePeeling(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    var bi = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val kRow = bi.groupBy("u").agg(count(lit(1)).as("dg"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dg)")
+        .cast("long").as("k"))
+      .localCheckpoint()
+    def census(round: Int, g: org.apache.spark.sql.DataFrame) =
+      g.agg(countDistinct(col("u")).as("n_vertices"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .crossJoin(broadcast(kRow))
+        .select(lit(round).as("round"), col("n_vertices"), col("n_edges"),
+          col("k"))
+    var out = Seq(census(0, bi))
+    for (r <- 1 to kcoreRounds) {
+      val keep = bi.groupBy("u").agg(count(lit(1)).as("dg"))
+        .crossJoin(broadcast(kRow))
+        .filter(col("dg") >= col("k"))
+        .select(col("u").as("x"))
+      bi = bi
+        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      out = out :+ census(r, bi)
+    }
+    out.reduce(_.unionAll(_))
+  }
+
+  val kCorePeelingSql: String = {
+    val base =
+      """WITH pr AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+        |bi0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |kv AS (SELECT CAST(quantile_disc(d, 0.5) AS BIGINT) AS k FROM (
+        |  SELECT count(*) AS d FROM bi0 GROUP BY u))""".stripMargin
+    val rounds = (1 to kcoreRounds).map { r =>
+      s"""v$r AS (
+         |  SELECT u FROM bi${r - 1} GROUP BY u
+         |  HAVING count(*) >= (SELECT k FROM kv)),
+         |bi$r AS (
+         |  SELECT u, v FROM bi${r - 1}
+         |  WHERE u IN (SELECT u FROM v$r) AND v IN (SELECT u FROM v$r))"""
+        .stripMargin
+    }.mkString(",\n", ",\n", "")
+    val census = (0 to kcoreRounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT count(DISTINCT u) FROM bi$r) AS n_vertices,
+         |  (SELECT CAST(count(*) // 2 AS BIGINT) FROM bi$r) AS n_edges,
+         |  (SELECT k FROM kv) AS k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    base + rounds + "\n" + census
+  }
+
   val coPurchaseTrianglesSql: String =
     """WITH pr AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

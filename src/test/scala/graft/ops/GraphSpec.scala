@@ -78,6 +78,38 @@ class GraphSpec extends GraftTestBase {
     want.map(_._1).max should be >= 1
   }
 
+  behavior of "kCorePeeling"
+
+  it should "match a driver-side peeling cascade at the median degree" in {
+    val e = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var es = e.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    def degrees(s: Set[(Long, Long)]): Map[Long, Int] =
+      (s.toSeq.map(_._1) ++ s.toSeq.map(_._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    // percentile_disc(0.5): smallest value with cumulative fraction >= .5
+    val d0 = degrees(es).values.toSeq.sorted
+    val k = d0((d0.length + 1) / 2 - 1)
+    var want = Seq((0, degrees(es).size.toLong, es.size.toLong))
+    for (r <- 1 to Graph.kcoreRounds) {
+      val keep = degrees(es).filter(_._2 >= k).keySet
+      es = es.filter(p => keep(p._1) && keep(p._2))
+      want = want :+ ((r, degrees(es).size.toLong, es.size.toLong))
+    }
+    val got = Graph.kCorePeeling(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_vertices"),
+        r.getAs[Long]("n_edges")))
+    got.map(_._1).sorted shouldBe (0 to Graph.kcoreRounds)
+    got.sortBy(_._1) shouldBe want
+    // peeling must actually remove something in round 1
+    want(1)._2 should be < want(0)._2
+  }
+
   it should "count triangles exactly on a hand-built graph" in {
     import spark.implicits._
     import org.apache.spark.sql.functions._
