@@ -483,4 +483,54 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class CmsState(cells: Seq[Long], snap: Long, n: Long)
+  final case class CmsOut(event_type: String, snapshot: Long, n_seen: Long,
+      user_id: Long, est: Long)
+
+  /** User ids probed by [[cmsStream]] — fixed low ids that exist at
+    * every scale factor. */
+  val cmsProbeUsers: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
+  /** Streaming COUNT-MIN: one bounded 4×256
+    * [[graft.functions.CountMin]] grid per event type as
+    * `flatMapGroupsWithState` state; after every micro-batch each type
+    * re-emits its per-probe-user event-count estimates (snapshot-tagged
+    * for Append mode, the [[topkStream]] discipline). The
+    * frequency-table stream whose state does NOT grow with distinct
+    * users — the live counterpart of the batch `q_cms` query.
+    *
+    * Because CMS updates commute, the final-snapshot state is EXACTLY
+    * the batch sketch over the same rows regardless of micro-batch
+    * boundaries (asserted in StreamingSpec) — a stronger equality than
+    * the rank-contract streams can claim. Keys are hashed with
+    * [[graft.functions.CountMin.keyHash]], the JVM mirror of the batch
+    * query's column hash, so stream, batch UDAF, and oracle share one
+    * hash family. Counts are order-insensitive, so this op has no
+    * in-order-input contract. */
+  def cmsStream(events: Dataset[Event]): Dataset[CmsOut] = {
+    import events.sparkSession.implicits._
+    import graft.functions.CountMin
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CmsState, CmsOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[CmsState]) =>
+          val st = state.getOption
+            .getOrElse(CmsState(CountMin.zero.toSeq, 0L, 0L))
+          val buf = st.cells.toArray
+          var n = st.n
+          batch.foreach { e =>
+            CountMin.reduce(buf, CountMin.keyHash(e.user_id.toString))
+            n += 1
+          }
+          val snap = st.snap + 1
+          state.update(CmsState(buf.toSeq, snap, n))
+          val sk = buf.toSeq
+          cmsProbeUsers.iterator.map { u =>
+            CmsOut(etype, snap, n, u,
+              CountMin.estimate(sk, CountMin.keyHash(u.toString)))
+          }
+      }
+  }
 }

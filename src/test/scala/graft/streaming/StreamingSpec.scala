@@ -437,6 +437,49 @@ class StreamingSpec extends GraftTestBase {
     } finally query.stop()
   }
 
+  behavior of "cmsStream"
+
+  it should "equal the batch sketch at the final snapshot and overestimate-only" in {
+    import spark.implicits._
+    import graft.functions.CountMin
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].orderBy("ts", "event_id").collect()
+    val (a, rest) = all.splitAt(all.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.cmsStream(input.toDS())
+      .writeStream.format("memory").queryName("cms_spec")
+      .outputMode("append").start()
+    try {
+      Seq(a, b, c).foreach { part =>
+        input.addData(part.toSeq)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("cms_spec").collect()
+      all.groupBy(_.event_type).foreach { case (t, es) =>
+        val latest = rows.filter(_.getAs[String]("event_type") == t)
+        val lastSnap = latest.map(_.getAs[Long]("snapshot")).max
+        val fin = latest.filter(_.getAs[Long]("snapshot") == lastSnap)
+        fin.head.getAs[Long]("n_seen") shouldBe es.length.toLong
+        // micro-batch boundaries must not change the sketch: the
+        // streamed estimates equal a single-pass batch sketch exactly
+        val batchSketch = CountMin.finish(
+          es.foldLeft(CountMin.zero)((bf, e) =>
+            CountMin.reduce(bf, CountMin.keyHash(e.user_id.toString))))
+        fin.foreach { r =>
+          val u = r.getAs[Long]("user_id")
+          val est = r.getAs[Long]("est")
+          est shouldBe CountMin.estimate(batchSketch, CountMin.keyHash(u.toString))
+          est should be >= es.count(_.user_id == u).toLong
+        }
+      }
+      // probes × types × batches rows, snapshots sequenced per type
+      rows.map(_.getAs[Long]("snapshot")).max shouldBe 3L
+    } finally query.stop()
+  }
+
   behavior of "incrementalTotals (streaming materialized view)"
 
   it should "refresh only touched keys and retain untouched partitions" in {
