@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dedup_embed_blocked" -> (Dedup.embeddingNearDupBlocked _),
     "q_sketches"        -> (graft.ops.Sketches.orderSketches _),
     "q_cms"             -> (graft.ops.Sketches.cmsFrequencies _),
+    "q_overlap_sketch"  -> (graft.ops.Sketches.audienceOverlap _),
     // -- time-series joins/windows + ranking battery
     "q_asof_join"       -> (graft.ops.TimeSeries.asofLatestClick _),
     "q_range_join"      -> (graft.ops.TimeSeries.eventPairsWithin30Min _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_skew_agg"        -> (graft.ops.Skew.skewAggByFlag _),
     "q_sample_strat"    -> (Relational.stratifiedSample _),
     "q_profile"         -> (graft.ops.Profile.profileCustomer _),
+    "q_join_size"       -> (graft.ops.Profile.joinSizeStats _),
     "q_map_funcs"       -> (graft.ops.Analytics.mapFuncsBattery _),
     "q_session_window"  -> (EventStreams.sessionWindowAgg _),
     // -- round 3: TPC-H subquery shapes, CDC merge, behavioral analytics,
@@ -235,6 +237,7 @@ object SparkEntry {
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
+    "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
     "q_concurrency"     -> (graft.ops.TimeSeries.intervalConcurrency _),
     "q_ewma"            -> (graft.ops.TimeSeries.ewmaDaily _),
     "q_seasonal"        -> (graft.ops.TimeSeries.seasonalDow _),
@@ -452,6 +455,7 @@ object SparkEntry {
     "q_knn_ivf"       -> Similarity.recallCheckSql,
     "q_sketches"      -> graft.ops.Sketches.orderSketchesSql,
     "q_cms"           -> graft.ops.Sketches.cmsFrequenciesSql,
+    "q_overlap_sketch" -> graft.ops.Sketches.audienceOverlapSql,
     "q_wau_sketch"    -> graft.ops.Behavior.rollingActiveUsersSketchSql,
     "q_heavy_hitters" -> graft.ops.Analytics.heavyHitterPartsSql,
     "q_text_stats"    -> TextAnalysis.textStatsSql,
@@ -539,6 +543,7 @@ object SparkEntry {
     "q_skew_agg"      -> graft.ops.Skew.skewAggByFlagSql,
     "q_sample_strat"  -> Relational.stratifiedSampleSql,
     "q_profile"       -> graft.ops.Profile.profileCustomerSql,
+    "q_join_size"     -> graft.ops.Profile.joinSizeStatsSql,
     "q_map_funcs"     -> graft.ops.Analytics.mapFuncsBatterySql,
     "q_session_window" -> EventStreams.sessionWindowAggSql,
     "q4_priority_exists" -> Relational.q4PriorityExistsSql,
@@ -635,6 +640,7 @@ object SparkEntry {
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,
+    "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,
     "q_concurrency"   -> graft.ops.TimeSeries.intervalConcurrencySql,
     "q_ewma"          -> graft.ops.TimeSeries.ewmaDailySql,
     "q_seasonal"      -> graft.ops.TimeSeries.seasonalDowSql,

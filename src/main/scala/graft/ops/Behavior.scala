@@ -536,6 +536,56 @@ object Behavior {
       |  max(sec_to_convert) AS max_sec
       |FROM conv""".stripMargin
 
+  /** EVENT-SEQUENCE PATTERN MATCH (MATCH_RECOGNIZE-lite): each user-day
+    * becomes one ordered string of event-type initials (all five types
+    * start with distinct letters), and the funnel pattern
+    * view→click→purchase is counted two ways — CONTIGUOUS occurrences
+    * (`vcp` as a regexp) and the gapped SUBSEQUENCE (`v.*c.*p`) — per
+    * day: the sequence-mining primitive behind "did the exact journey
+    * happen", which the set-based funnel (q_funnel) cannot see.
+    *
+    * Determinism: the per-user-day string is built by sorting
+    * (ts, event_id, initial) structs — event_id breaks timestamp ties —
+    * so both engines assemble identical strings; all outputs are
+    * integer counts. Scale: one user-day shuffle builds the sequences
+    * (state = events per user-day, the sessionizer's cost envelope);
+    * the rollup is map-side combinable. The oracle builds the same
+    * strings with ordered string_agg. */
+  def sequencePattern(s: SparkSession, d: String): DataFrame = {
+    val seqs = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy("user_id", "day")
+      .agg(expr(
+        """array_join(transform(
+          |  array_sort(collect_list(struct(ts, event_id, ini))),
+          |  x -> x.ini), '')""".stripMargin).as("seq"))
+    seqs.groupBy("day")
+      .agg(count(lit(1)).as("n_user_days"),
+        sum(when(regexp_count(col("seq"), lit("vcp")) > 0, 1L)
+          .otherwise(0L)).as("n_contig"),
+        sum(regexp_count(col("seq"), lit("vcp")).cast("long"))
+          .as("total_contig"),
+        sum(when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L))
+          .as("n_subseq"))
+  }
+
+  val sequencePatternSql: String =
+    """WITH seqs AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id, date_trunc('day', ts))
+      |SELECT day, count(*) AS n_user_days,
+      |  CAST(sum(CASE WHEN len(regexp_extract_all(seq, 'vcp')) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contig,
+      |  CAST(sum(len(regexp_extract_all(seq, 'vcp'))) AS BIGINT)
+      |    AS total_contig,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_subseq
+      |FROM seqs GROUP BY day""".stripMargin
+
   /** MANN-WHITNEY U — the nonparametric companion to [[abTestRevenue]]:
     * rank-based two-sample test on purchase values under the same
     * hash-assigned 50/50 split, for when the metric is heavy-tailed and

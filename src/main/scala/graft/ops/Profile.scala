@@ -82,4 +82,62 @@ object Profile {
     s"""WITH a AS (SELECT ${aggSelects.mkString(",\n  ")} FROM customer)
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** JOIN-SIZE STATISTICS — the optimizer-statistics pass, run as a
+    * query: the EXACT output cardinality of orders ⋈ lineitem on
+    * orderkey computed WITHOUT executing the join (Σ_k c_o(k)·c_l(k)
+    * over the two key-count aggregates — an O(keys) join of tiny
+    * relations, not an O(rows) join of facts), next to the classic
+    * uniform-NDV estimate `|O|·|L| / max(ndv_O, ndv_L)` every
+    * cost-based optimizer starts from, plus the worst single-key
+    * contribution (the skew diagnosis: how much of the output one hot
+    * key would own). All integer arithmetic — estimate included
+    * (integer div) — so the whole statistics row hash-grades exactly.
+    * This is the pre-flight a 100 TB pipeline runs before submitting a
+    * join it cannot afford to discover is quadratic. */
+  def joinSizeStats(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("co"))
+    val l = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cl"))
+    o.join(l, Seq("k"), "full_outer")
+      .select(coalesce(col("co"), lit(0L)).as("co"),
+        coalesce(col("cl"), lit(0L)).as("cl"))
+      .agg(sum(col("co")).as("n_orders"),
+        sum(col("cl")).as("n_lineitem"),
+        sum(when(col("co") > 0, 1L).otherwise(0L)).as("ndv_orders"),
+        sum(when(col("cl") > 0, 1L).otherwise(0L)).as("ndv_lineitem"),
+        sum(col("co") * col("cl")).as("actual_join_rows"),
+        max(col("co") * col("cl")).as("max_key_contrib"))
+      .select(col("n_orders"), col("n_lineitem"),
+        col("ndv_orders"), col("ndv_lineitem"), col("actual_join_rows"),
+        expr("n_orders * n_lineitem div greatest(ndv_orders, ndv_lineitem)")
+          .as("est_join_rows"),
+        col("max_key_contrib"))
+  }
+
+  val joinSizeStatsSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, count(*) AS co
+      |  FROM orders GROUP BY o_orderkey),
+      |l AS (SELECT l_orderkey AS k, count(*) AS cl
+      |  FROM lineitem GROUP BY l_orderkey),
+      |m AS (
+      |  SELECT coalesce(o.co, 0) AS co, coalesce(l.cl, 0) AS cl
+      |  FROM o FULL OUTER JOIN l ON o.k = l.k),
+      |agg AS (
+      |  SELECT CAST(sum(co) AS BIGINT) AS n_orders,
+      |    CAST(sum(cl) AS BIGINT) AS n_lineitem,
+      |    CAST(sum(CASE WHEN co > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ndv_orders,
+      |    CAST(sum(CASE WHEN cl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ndv_lineitem,
+      |    CAST(sum(co * cl) AS BIGINT) AS actual_join_rows,
+      |    CAST(max(co * cl) AS BIGINT) AS max_key_contrib
+      |  FROM m)
+      |SELECT n_orders, n_lineitem, ndv_orders, ndv_lineitem,
+      |  actual_join_rows,
+      |  CAST(n_orders * n_lineitem // greatest(ndv_orders, ndv_lineitem)
+      |    AS BIGINT) AS est_join_rows,
+      |  max_key_contrib
+      |FROM agg""".stripMargin
 }

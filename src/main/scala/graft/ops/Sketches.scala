@@ -127,6 +127,71 @@ object Sketches {
       |  TRUE AS sk25_ok, TRUE AS sk50_ok, TRUE AS sk75_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Relative-error bound asserted for the inclusion-exclusion overlap
+    * estimate: three HLL estimates compound, so the slack is 3× the
+    * single-sketch bound (each term's error ≤ [[hllRelErrBound]] of its
+    * own cardinality ≤ of the union). */
+  val overlapRelErrBound = 3 * hllRelErrBound
+
+  /** AUDIENCE OVERLAP — |view-days ∩ purchase-days| by
+    * inclusion-exclusion over HLL sketches (|A|+|B|−|A∪B|), the
+    * standard trick because HLL unions are lossless but intersections
+    * don't exist; next to the EXACT overlap computed in the same pass
+    * (conditional distinct counts, one Expand-planned aggregate, no
+    * self-join). Audience unit = USER-DAY (user_id composited with the
+    * epoch day into one long — every user here touches every type
+    * eventually, so user grain would be degenerate; at day grain the
+    * overlap is a real ~35%). The exact quad oracles directly; the
+    * estimate grades through its contract boolean (the q_sketches
+    * policy). At 100 TB the exact side is the one you can't afford
+    * (full distinct shuffle) and the sketch row is the product:
+    * per-segment overlap matrices from mergeable per-segment
+    * sketches. */
+  def audienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        (col("user_id") * lit(1048576L) +
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")))
+          .as("ud"))
+    def seg(t: String) = when(col("event_type") === t, col("ud"))
+    val segU = when(col("event_type") === "view" ||
+      col("event_type") === "purchase", col("ud"))
+    ev.agg(
+        countDistinct(seg("view")).as("viewers"),
+        countDistinct(seg("purchase")).as("buyers"),
+        countDistinct(segU).as("either"),
+        approx_count_distinct(seg("view"), hllRsd).as("e_v"),
+        approx_count_distinct(seg("purchase"), hllRsd).as("e_b"),
+        approx_count_distinct(segU, hllRsd).as("e_u"))
+      .select(col("viewers"), col("buyers"), col("either"),
+        (col("viewers") + col("buyers") - col("either")).as("overlap_exact"),
+        (abs((col("e_v") + col("e_b") - col("e_u")) -
+            (col("viewers") + col("buyers") - col("either"))).cast("double")
+          <= lit(overlapRelErrBound) *
+            (col("viewers") + col("buyers") - col("either")).cast("double"))
+          .as("overlap_est_ok"))
+  }
+
+  val audienceOverlapSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    user_id * 1048576 + date_diff('day', DATE '1970-01-01',
+      |      CAST(ts AS DATE)) AS ud
+      |  FROM events)
+      |SELECT
+      |  count(DISTINCT CASE WHEN event_type = 'view' THEN ud END)
+      |    AS viewers,
+      |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN ud END)
+      |    AS buyers,
+      |  count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+      |    THEN ud END) AS either,
+      |  count(DISTINCT CASE WHEN event_type = 'view' THEN ud END)
+      |    + count(DISTINCT CASE WHEN event_type = 'purchase' THEN ud END)
+      |    - count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+      |        THEN ud END) AS overlap_exact,
+      |  TRUE AS overlap_est_ok
+      |FROM ev""".stripMargin
+
   /** Count-Min frequency estimation over the skew-planted key domain
     * (the q_heavy_hitters corpus: 3 hot keys ~70% of rows, a long cold
     * tail). The [[graft.functions.CountMin]] UDAF builds one 4×256

@@ -110,6 +110,36 @@ class BehaviorSpec extends GraftTestBase {
     nb should be > 2L
   }
 
+  behavior of "sequencePattern"
+
+  it should "count contiguous and gapped funnel patterns like a driver replica" in {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1),
+        r.getLong(2), r.getString(3)))
+    val byUserDay = ev.groupBy(e =>
+      (e._1, e._2.toLocalDateTime.toLocalDate))
+    val seqs = byUserDay.view.mapValues { es =>
+      es.sortBy(e => (e._2.getTime, e._3)).map(_._4.head).mkString
+    }.toMap
+    val want = seqs.groupBy(_._1._2).map { case (day, m) =>
+      val ss = m.values.toSeq
+      (day.toString,
+        ss.length.toLong,
+        ss.count("vcp".r.findAllMatchIn(_).nonEmpty).toLong,
+        ss.map("vcp".r.findAllMatchIn(_).length.toLong).sum,
+        ss.count(_.matches(".*v.*c.*p.*")).toLong)
+    }.toSet
+    val got = graft.ops.Behavior.sequencePattern(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").toLocalDateTime
+          .toLocalDate.toString,
+        r.getAs[Long]("n_user_days"), r.getAs[Long]("n_contig"),
+        r.getAs[Long]("total_contig"), r.getAs[Long]("n_subseq"))).toSet
+    got shouldBe want
+    // the pattern must genuinely occur somewhere
+    want.map(_._4).sum should be >= 1L
+  }
+
   behavior of "mannWhitney"
 
   it should "reproduce the midrank U statistic from a brute-force ranking" in {

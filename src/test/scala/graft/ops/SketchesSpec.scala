@@ -40,6 +40,24 @@ class SketchesSpec extends GraftTestBase {
       .findAllIn(plan).size should be >= 2
   }
 
+  behavior of "audienceOverlap"
+
+  it should "match a driver-side exact user-day set intersection" in {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp](2).toLocalDateTime.toLocalDate.toEpochDay))
+    def seg(t: String): Set[(Long, Long)] =
+      ev.filter(_._2 == t).map(e => (e._1, e._3)).toSet
+    val v = seg("view"); val b = seg("purchase")
+    val r = Sketches.audienceOverlap(spark, sf).head()
+    r.getAs[Long]("viewers") shouldBe v.size.toLong
+    r.getAs[Long]("buyers") shouldBe b.size.toLong
+    r.getAs[Long]("either") shouldBe v.union(b).size.toLong
+    r.getAs[Long]("overlap_exact") shouldBe v.intersect(b).size.toLong
+    r.getAs[Boolean]("overlap_est_ok") shouldBe true
+  }
+
   behavior of "cmsFrequencies"
 
   it should "be overestimate-only with hot keys estimated tightly" in {
