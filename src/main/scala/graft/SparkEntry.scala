@@ -126,6 +126,7 @@ object SparkEntry {
     "q_scd2_pit"        -> (graft.ops.TimeSeries.pitStatusLookup _),
     "q_canonical_docs"  -> (graft.text.Curation.canonicalDocs _),
     "q_source_cap"      -> (graft.text.Curation.sourceCap _),
+    "q_greedy_cover"    -> (graft.text.Curation.greedyCoverage _),
     "q_pii_kanon"       -> (graft.ops.Privacy.kAnonymize _),
     "q_skew_agg"        -> (graft.ops.Skew.skewAggByFlag _),
     "q_sample_strat"    -> (Relational.stratifiedSample _),
@@ -539,6 +540,7 @@ object SparkEntry {
     "q_scd2_pit"      -> graft.ops.TimeSeries.pitStatusLookupSql,
     "q_canonical_docs" -> graft.text.Curation.canonicalDocsSql,
     "q_source_cap"    -> graft.text.Curation.sourceCapSql,
+    "q_greedy_cover"  -> graft.text.Curation.greedyCoverageSql,
     "q_pii_kanon"     -> graft.ops.Privacy.kAnonymizeSql,
     "q_skew_agg"      -> graft.ops.Skew.skewAggByFlagSql,
     "q_sample_strat"  -> Relational.stratifiedSampleSql,

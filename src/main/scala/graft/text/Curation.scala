@@ -134,6 +134,89 @@ object Curation {
        |    AS BIGINT) AS tokens_kept
        |FROM docs GROUP BY source""".stripMargin
 
+  /** Greedy coverage selection rounds — fixed and unrolled so the
+    * oracle can chain one CTE per round. */
+  val coverageRounds = 4
+
+  /** GREEDY MAX-COVERAGE data selection — the facility-location pass of
+    * LLM data curation ("pick the K documents that together cover the
+    * most distinct n-grams", the submodular-selection shape behind
+    * diversity-driven subset selection): [[coverageRounds]] rounds, each
+    * picking the document with the most NOT-YET-COVERED word 3-grams
+    * (tie → smallest doc_id), then retiring its grams. Output: one row
+    * per round with the winner and its marginal/cumulative coverage —
+    * the greedy gain curve, whose diminishing increments are the
+    * submodularity signature.
+    *
+    * Scale: the gram relation is built ONCE (UDTF + distinct, O(tokens))
+    * and checkpointed; each round is one anti-join against the covered
+    * set + a map-side-combinable count + a global top-1 (the driver
+    * collects exactly ONE row per round — bounded, like the
+    * decileStatsDistributed metadata pass). Greedy selection is
+    * inherently sequential in K; each round's work is fully
+    * distributed. The oracle replays the identical rounds as chained
+    * CTEs (the pageRank/kcore discipline). */
+  def greedyCoverage(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.wordNgrams(col("text"), 3)
+          .as(Seq("pos", "gram")))
+      .select("doc_id", "gram").distinct()
+      .localCheckpoint()
+    var covered = grams.select("gram").limit(0).localCheckpoint()
+    val rows = Seq.newBuilder[(Int, Long, Long, Long)]
+    var cum = 0L
+    for (r <- 1 to coverageRounds) {
+      val gains = grams.join(covered, Seq("gram"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+      val w = gains.orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .collect()(0)
+      val (wid, gain) = (w.getLong(0), w.getLong(1))
+      cum += gain
+      rows += ((r, wid, gain, cum))
+      covered = covered
+        .unionAll(grams.filter(col("doc_id") === wid).select("gram"))
+        .distinct()
+        .localCheckpoint()
+    }
+    import s.implicits._
+    rows.result().toDF("round", "doc_id", "new_grams", "cum_grams")
+  }
+
+  val greedyCoverageSql: String = {
+    val base =
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g1 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM words)""".stripMargin
+    val rounds = (1 to coverageRounds).map { r =>
+      val next =
+        if (r == coverageRounds) ""
+        else s""",
+                |g${r + 1} AS (
+                |  SELECT * FROM g$r WHERE gram NOT IN (
+                |    SELECT gram FROM g$r
+                |    WHERE doc_id = (SELECT doc_id FROM w$r)))""".stripMargin
+      s"""w$r AS (
+         |  SELECT doc_id, count(*) AS gain FROM g$r
+         |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)$next"""
+        .stripMargin
+    }.mkString(",\n", ",\n", "")
+    val cums = (1 to coverageRounds).map { r =>
+      (1 to r).map(i => s"(SELECT gain FROM w$i)").mkString(" + ")
+    }
+    val selects = (1 to coverageRounds).map { r =>
+      s"""SELECT $r AS round, (SELECT doc_id FROM w$r) AS doc_id,
+         |  CAST((SELECT gain FROM w$r) AS BIGINT) AS new_grams,
+         |  CAST(${cums(r - 1)} AS BIGINT) AS cum_grams""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    base + rounds + "\n" + selects
+  }
+
   /** Data-mixture plan: per-language token census plus the
     * downsample-only sampling weights that equalize the mixture — the
     * "how much of each source/language goes into the training mix"

@@ -83,6 +83,38 @@ class CurationSpec extends GraftTestBase {
     got shouldBe want
   }
 
+  behavior of "greedyCoverage"
+
+  it should "replay a driver-side greedy max-coverage selection exactly" in {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }.toMap
+    var covered = Set.empty[String]
+    var cum = 0L
+    val want = (1 to Curation.coverageRounds).map { r =>
+      val (wid, gain) = byDoc.view
+        .map { case (id, gs) => (id, gs.diff(covered).size.toLong) }
+        .toSeq.maxBy { case (id, g) => (g, -id) }
+      covered = covered ++ byDoc(wid)
+      cum += gain
+      (r, wid, gain, cum)
+    }
+    val got = Curation.greedyCoverage(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    got shouldBe want
+    // submodularity: marginal gains must be non-increasing
+    got.map(_._3).sliding(2).foreach {
+      case Seq(a, b) => b should be <= a
+      case _ =>
+    }
+  }
+
   behavior of "chunkDocuments"
 
   it should "cover every token and overlap consecutive chunks by window - stride" in {
