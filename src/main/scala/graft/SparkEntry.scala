@@ -239,6 +239,7 @@ object SparkEntry {
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
+    "q_ks_test"         -> (graft.ops.Behavior.ksTest _),
     "q_concurrency"     -> (graft.ops.TimeSeries.intervalConcurrency _),
     "q_ewma"            -> (graft.ops.TimeSeries.ewmaDaily _),
     "q_seasonal"        -> (graft.ops.TimeSeries.seasonalDow _),
@@ -643,6 +644,7 @@ object SparkEntry {
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,
+    "q_ks_test"       -> graft.ops.Behavior.ksTestSql,
     "q_concurrency"   -> graft.ops.TimeSeries.intervalConcurrencySql,
     "q_ewma"          -> graft.ops.TimeSeries.ewmaDailySql,
     "q_seasonal"      -> graft.ops.TimeSeries.seasonalDowSql,

@@ -586,6 +586,92 @@ object Behavior {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_subseq
       |FROM seqs GROUP BY day""".stripMargin
 
+  /** KOLMOGOROV-SMIRNOV two-sample test — completes the two-sample
+    * family ([[abTestRevenue]] Welch z on means, [[mannWhitney]] U on
+    * ranks): D = sup|F₀ − F₁| detects ANY distributional difference
+    * (shape, spread, tails), not just location. Exactness: with
+    * cumulative counts over the value aggregate,
+    * `D·n₀·n₁ = max|cum₁·n₀ − cum₀·n₁|` is a pure INTEGER maximum, and
+    * the step location (the value attaining it, earliest on ties) rides
+    * the same relation; the asymptotic p-value
+    * `2·exp(−2c²), c = D·√(n₀n₁/(n₀+n₁))` is one pinned double formula
+    * at the end. Both cumulative counts come from the range-partitioned
+    * prefix sum (chained — the second pass rides the first's
+    * partitioning), so no global window touches fact rows. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        dec(col("value")).as("v"))
+    val byValue = obs.groupBy("v").agg(count(lit(1)).as("t"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("t1"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      graft.ops.Distributed.withRunningTotal(
+        byValue, Seq.empty, Seq("v"), "t", "cumt"),
+      Seq.empty, Seq("v"), "t1", "cum1")
+    val scored = cum.select(col("v"), col("cumt"), col("cum1"))
+      .crossJoin(broadcast(byValue.agg(
+        sum(col("t")).as("n"), sum(col("t1")).as("n1"))))
+      .select(col("v"), col("n"), col("n1"),
+        abs(col("cum1") * (col("n") - col("n1")) -
+          (col("cumt") - col("cum1")) * col("n1")).as("d_term"))
+    // global argmax via TakeOrdered (parallel partial top-1 per
+    // partition), never a no-partition row_number window
+    val top = scored.orderBy(col("d_term").desc, col("v")).limit(1)
+    val n0d = (col("n") - col("n1")).cast("double")
+    val n1d = col("n1").cast("double")
+    val dStat = col("d_term").cast("double") / (n0d * n1d)
+    // c uses only mul/div/sqrt — IEEE-correctly-rounded ops, so both
+    // engines land on the identical double (exp/log would not)
+    val c = dStat * sqrt(n0d * n1d / (n0d + n1d))
+    top.select((col("n") - col("n1")).as("n0"), col("n1"),
+      col("d_term").as("d_scaled"), col("v").as("d_at_value"),
+      c.as("ks_stat"),
+      (c > ksCrit95).as("significant_95"))
+  }
+
+  /** Two-sided KS critical value at α = 0.05: √(−ln(0.025)/2). */
+  val ksCrit95 = 1.3581015157406195
+
+  val ksTestSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v, count(*) AS t,
+      |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS t1
+      |  FROM obs GROUP BY v),
+      |tot AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1
+      |  FROM by_value),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(t) OVER w AS BIGINT) AS cumt,
+      |    CAST(sum(t1) OVER w AS BIGINT) AS cum1
+      |  FROM by_value
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT v, n, n1,
+      |    abs(cum1 * (n - n1) - (cumt - cum1) * n1) AS d_term
+      |  FROM cum CROSS JOIN tot),
+      |top AS (
+      |  SELECT * FROM scored ORDER BY d_term DESC, v LIMIT 1),
+      |stat AS (
+      |  SELECT n - n1 AS n0, n1, d_term AS d_scaled, v AS d_at_value,
+      |    CAST(d_term AS DOUBLE)
+      |      / (CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+      |      * sqrt(CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |        / (CAST(n - n1 AS DOUBLE) + CAST(n1 AS DOUBLE))) AS ks_stat
+      |  FROM top)
+      |SELECT n0, n1, d_scaled, d_at_value, ks_stat,
+      |  ks_stat > 1.3581015157406195 AS significant_95
+      |FROM stat""".stripMargin
+
   /** MANN-WHITNEY U — the nonparametric companion to [[abTestRevenue]]:
     * rank-based two-sample test on purchase values under the same
     * hash-assigned 50/50 split, for when the metric is heavy-tailed and

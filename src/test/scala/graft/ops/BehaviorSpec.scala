@@ -110,6 +110,41 @@ class BehaviorSpec extends GraftTestBase {
     nb should be > 2L
   }
 
+  behavior of "ksTest"
+
+  it should "find the exact sup-distance step from a brute-force ECDF scan" in {
+    import java.security.MessageDigest
+    def variant(uid: Long): Int = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+    }
+    val obs = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(_._2 == "purchase")
+      .map(e => (variant(e._1),
+        BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val n1 = obs.count(_._1 == 1).toLong
+    val n0 = obs.length - n1
+    val values = obs.map(_._2).distinct.sorted
+    val terms = values.map { v =>
+      val c1 = obs.count(e => e._1 == 1 && e._2 <= v).toLong
+      val c0 = obs.count(e => e._1 == 0 && e._2 <= v).toLong
+      (v, math.abs(c1 * n0 - c0 * n1))
+    }
+    val (bestV, bestD) = terms.maxBy { case (v, t) => (t, -v) }
+    val r = graft.ops.Behavior.ksTest(spark, sf).head()
+    r.getAs[Long]("n0") shouldBe n0
+    r.getAs[Long]("n1") shouldBe n1
+    r.getAs[Long]("d_scaled") shouldBe bestD
+    BigDecimal(r.getAs[java.math.BigDecimal]("d_at_value")) shouldBe bestV
+    val c = bestD.toDouble / (n0 * n1).toDouble *
+      math.sqrt(n0.toDouble * n1 / (n0 + n1).toDouble)
+    r.getAs[Double]("ks_stat") shouldBe c +- 1e-12
+  }
+
   behavior of "sequencePattern"
 
   it should "count contiguous and gapped funnel patterns like a driver replica" in {
