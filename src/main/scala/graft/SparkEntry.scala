@@ -240,6 +240,7 @@ object SparkEntry {
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
     "q_ks_test"         -> (graft.ops.Behavior.ksTest _),
+    "q_assoc_rules"     -> (graft.ops.Behavior.associationRules _),
     "q_concurrency"     -> (graft.ops.TimeSeries.intervalConcurrency _),
     "q_ewma"            -> (graft.ops.TimeSeries.ewmaDaily _),
     "q_seasonal"        -> (graft.ops.TimeSeries.seasonalDow _),
@@ -645,6 +646,7 @@ object SparkEntry {
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,
     "q_ks_test"       -> graft.ops.Behavior.ksTestSql,
+    "q_assoc_rules"   -> graft.ops.Behavior.associationRulesSql,
     "q_concurrency"   -> graft.ops.TimeSeries.intervalConcurrencySql,
     "q_ewma"          -> graft.ops.TimeSeries.ewmaDailySql,
     "q_seasonal"      -> graft.ops.TimeSeries.seasonalDowSql,

@@ -586,6 +586,79 @@ object Behavior {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_subseq
       |FROM seqs GROUP BY day""".stripMargin
 
+  /** Support floor and rule count for [[associationRules]]. */
+  val arMinPairOrders = 3L
+  val arTopRules = 20
+
+  /** ASSOCIATION RULES — the step after pair counting
+    * ([[coPurchasePairs]] = support): for each frequent pair, the
+    * directed rule a→b with confidence = P(b|a) and lift =
+    * P(a,b)/(P(a)·P(b)), the market-basket triple that turns
+    * co-occurrence into recommendation strength. Both ratios ship in
+    * exact BASIS POINTS via integer `div` (lift additionally scaled by
+    * total baskets — `⌊10⁴·c_ab·N / (c_a·c_b)⌋` — so the whole rule
+    * table hash-grades with zero float ops). Top rules by (lift desc,
+    * antecedent, consequent) through distributed TakeOrdered.
+    *
+    * Scale: pair counts come from the per-basket posting-list expansion
+    * (never a fact self-join); item counts and the basket total ride a
+    * broadcast join / one-row frame. Both rule directions a→b and b→a
+    * emit (confidence is asymmetric; lift is shared). */
+  def associationRules(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = baskets.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = baskets.groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("c_item"))
+    val pairs = coPurchasePairs(s, d)
+      .filter(col("n_orders") >= arMinPairOrders)
+    val directed = pairs
+      .select(col("part_a").as("ante"), col("part_b").as("cons"),
+        col("n_orders").as("c_ab"))
+      .unionAll(pairs.select(col("part_b").as("ante"),
+        col("part_a").as("cons"), col("n_orders").as("c_ab")))
+    directed
+      .join(itemCounts.select(col("item").as("ante"),
+        col("c_item").as("c_a")), Seq("ante"))
+      .join(itemCounts.select(col("item").as("cons"),
+        col("c_item").as("c_b")), Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("c_ab * 10000 div c_a").as("confidence_bp"),
+        expr("c_ab * 10000 * n_baskets div (c_a * c_b)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("ante"), col("cons"))
+      .limit(arTopRules)
+  }
+
+  val associationRulesSql: String =
+    s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM d),
+       |ic AS (SELECT l_partkey AS item, count(*) AS c_item
+       |  FROM d GROUP BY l_partkey),
+       |pairs AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    count(*) AS c_ab
+       |  FROM d a JOIN d b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $arMinPairOrders),
+       |directed AS (
+       |  SELECT part_a AS ante, part_b AS cons, c_ab FROM pairs
+       |  UNION ALL
+       |  SELECT part_b AS ante, part_a AS cons, c_ab FROM pairs),
+       |rules AS (
+       |  SELECT r.ante, r.cons, CAST(r.c_ab AS BIGINT) AS c_ab,
+       |    CAST(a.c_item AS BIGINT) AS c_a, CAST(b.c_item AS BIGINT) AS c_b,
+       |    CAST(r.c_ab * 10000 // a.c_item AS BIGINT) AS confidence_bp,
+       |    CAST(r.c_ab * 10000 * n.n_baskets // (a.c_item * b.c_item)
+       |      AS BIGINT) AS lift_bp
+       |  FROM directed r
+       |  JOIN ic a ON a.item = r.ante
+       |  JOIN ic b ON b.item = r.cons
+       |  CROSS JOIN n)
+       |SELECT * FROM rules
+       |ORDER BY lift_bp DESC, ante, cons LIMIT $arTopRules""".stripMargin
+
   /** KOLMOGOROV-SMIRNOV two-sample test — completes the two-sample
     * family ([[abTestRevenue]] Welch z on means, [[mannWhitney]] U on
     * ranks): D = sup|F₀ − F₁| detects ANY distributional difference

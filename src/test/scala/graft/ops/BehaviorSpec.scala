@@ -110,6 +110,36 @@ class BehaviorSpec extends GraftTestBase {
     nb should be > 2L
   }
 
+  behavior of "associationRules"
+
+  it should "derive confidence and lift consistent with raw basket counts" in {
+    val baskets = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = baskets.map(_._1).distinct.length.toLong
+    val itemCount = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).values.toSeq
+    val rows = graft.ops.Behavior.associationRules(spark, sf).collect()
+    rows.length should be <= graft.ops.Behavior.arTopRules
+    rows.length should be >= 1
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("ante"), r.getAs[Long]("cons"))
+      val cab = byOrder.count(s => s(a) && s(b)).toLong
+      r.getAs[Long]("c_ab") shouldBe cab
+      cab should be >= graft.ops.Behavior.arMinPairOrders
+      r.getAs[Long]("c_a") shouldBe itemCount(a)
+      r.getAs[Long]("c_b") shouldBe itemCount(b)
+      r.getAs[Long]("confidence_bp") shouldBe cab * 10000 / itemCount(a)
+      r.getAs[Long]("lift_bp") shouldBe
+        cab * 10000 * nBaskets / (itemCount(a) * itemCount(b))
+    }
+    // lift-descending order with deterministic tie-break
+    val key = rows.map(r => (-r.getAs[Long]("lift_bp"),
+      r.getAs[Long]("ante"), r.getAs[Long]("cons"))).toSeq
+    key shouldBe key.sorted
+  }
+
   behavior of "ksTest"
 
   it should "find the exact sup-distance step from a brute-force ECDF scan" in {
