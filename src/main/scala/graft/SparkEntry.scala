@@ -245,6 +245,7 @@ object SparkEntry {
     "q_ewma"            -> (graft.ops.TimeSeries.ewmaDaily _),
     "q_seasonal"        -> (graft.ops.TimeSeries.seasonalDow _),
     "q_cusum"           -> (graft.ops.TimeSeries.cusumChangepoint _),
+    "q_clamped_balance" -> (graft.ops.TimeSeries.clampedBalance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -651,6 +652,7 @@ object SparkEntry {
     "q_ewma"          -> graft.ops.TimeSeries.ewmaDailySql,
     "q_seasonal"      -> graft.ops.TimeSeries.seasonalDowSql,
     "q_cusum"         -> graft.ops.TimeSeries.cusumChangepointSql,
+    "q_clamped_balance" -> graft.ops.TimeSeries.clampedBalanceSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -549,6 +549,68 @@ object TimeSeries {
       | AND a.ivs < b.ive AND b.ivs < a.ive
       |GROUP BY a.day""".stripMargin
 
+  /** CLAMPED RUNNING BALANCE (floor at zero) — the inventory/credit
+    * semantics `b_k = max(0, b_{k-1} + x_k)` that LOOKS inherently
+    * recursive (and is usually written as a per-row loop or recursive
+    * CTE) rendered as pure windows via the prefix identity
+    * `b_k = S_k − min(0, min_{j≤k} S_j)`: a running SUM and a running
+    * MIN over the same window spec, which Spark plans with ONE
+    * sort+exchange reused by both frames. The induction:
+    * max(0, S_{k−1} − m_{k−1} + x_k) = S_k − min(m_{k−1}, min(0, S_k))
+    * = S_k − m_k. Everything in exact integer cents.
+    *
+    * Flows: per (supplier, ship-day), returns ('R') restock +qty,
+    * shipments deplete −qty; the clamp models "can't ship stock you
+    * don't hold". Output: per-supplier final/peak balance and
+    * days-at-floor — the windows partition by supplier (cardinality
+    * grows with data), never a tiny-domain key. */
+  def clampedBalance(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val flows = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_shipdate").as("day"))
+      .agg(sum(when(col("l_returnflag") === "R", cents)
+        .otherwise(-cents)).as("net"))
+    val w = Window.partitionBy("l_suppkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bal = flows
+      .withColumn("s", sum(col("net")).over(w))
+      .withColumn("bal",
+        col("s") - least(lit(0L), min(col("s")).over(w)))
+    bal.groupBy(col("l_suppkey"))
+      .agg(max_by(col("bal"), col("day")).as("final_balance_cents"),
+        max(col("bal")).as("peak_balance_cents"),
+        sum(when(col("bal") === 0, 1L).otherwise(0L)).as("n_floor_days"),
+        count(lit(1)).as("n_days"))
+  }
+
+  val clampedBalanceSql: String =
+    """WITH flows AS (
+      |  SELECT l_suppkey, l_shipdate AS day,
+      |    sum(CASE WHEN l_returnflag = 'R'
+      |        THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        ELSE -CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        END) AS net
+      |  FROM lineitem GROUP BY l_suppkey, l_shipdate),
+      |sums AS (
+      |  SELECT l_suppkey, day,
+      |    CAST(sum(net) OVER (PARTITION BY l_suppkey ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS s
+      |  FROM flows),
+      |bal AS (
+      |  SELECT l_suppkey, day,
+      |    s - least(0, min(s) OVER (PARTITION BY l_suppkey ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bal
+      |  FROM sums)
+      |SELECT l_suppkey,
+      |  CAST(arg_max(bal, day) AS BIGINT) AS final_balance_cents,
+      |  CAST(max(bal) AS BIGINT) AS peak_balance_cents,
+      |  CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_floor_days,
+      |  count(*) AS n_days
+      |FROM bal GROUP BY l_suppkey""".stripMargin
+
   /** EWMA smoothing of the per-type daily revenue series — the
     * monitoring/forecasting primitive. Rendered hash-portable by using
     * INTEGER weights: with decay 1/2 over an 8-term window, the

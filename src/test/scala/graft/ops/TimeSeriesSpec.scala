@@ -186,6 +186,45 @@ class TimeSeriesSpec extends GraftTestBase {
     series.values.map(_.length).max should be >= 8
   }
 
+  behavior of "clampedBalance"
+
+  it should "equal the naive per-row max(0, prev + x) recursion" in {
+    val flows = graft.Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_shipdate", "l_quantity", "l_returnflag")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.get(1) match {
+          case d: java.sql.Date => d.toLocalDate
+          case t: java.time.LocalDateTime => t.toLocalDate
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+        },
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        r.getString(3)))
+    val net = flows.groupBy(f => (f._1, f._2)).view.mapValues { fs =>
+      fs.map(f => (if (f._4 == "R") f._3 else -f._3) * 100).sum.toLongExact
+    }.toMap
+    val want = net.keys.groupBy(_._1).map { case (supp, keys) =>
+      val days = keys.map(_._2).toSeq.sorted(
+        Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      var bal = 0L
+      var peak = 0L
+      var floor = 0L
+      days.foreach { day =>
+        bal = math.max(0L, bal + net((supp, day)))
+        peak = math.max(peak, bal)
+        if (bal == 0L) floor += 1
+      }
+      (supp, bal, peak, floor, days.length.toLong)
+    }.toSet
+    val got = TimeSeries.clampedBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("final_balance_cents"),
+        r.getAs[Long]("peak_balance_cents"), r.getAs[Long]("n_floor_days"),
+        r.getAs[Long]("n_days"))).toSet
+    got shouldBe want
+    // the clamp must actually engage somewhere or the identity is untested
+    want.map(_._4).sum should be >= 1L
+  }
+
   behavior of "cusumChangepoint"
 
   it should "pick the argmax-|CUSUM| day with exact integer scores" in {
