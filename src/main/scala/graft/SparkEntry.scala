@@ -246,6 +246,7 @@ object SparkEntry {
     "q_seasonal"        -> (graft.ops.TimeSeries.seasonalDow _),
     "q_cusum"           -> (graft.ops.TimeSeries.cusumChangepoint _),
     "q_clamped_balance" -> (graft.ops.TimeSeries.clampedBalance _),
+    "q_timed_funnel"    -> (graft.ops.TimeSeries.timedFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -653,6 +654,7 @@ object SparkEntry {
     "q_seasonal"      -> graft.ops.TimeSeries.seasonalDowSql,
     "q_cusum"         -> graft.ops.TimeSeries.cusumChangepointSql,
     "q_clamped_balance" -> graft.ops.TimeSeries.clampedBalanceSql,
+    "q_timed_funnel"  -> graft.ops.TimeSeries.timedFunnelSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -436,6 +436,71 @@ object TimeSeries {
       |  m.ts AS tol_click_ts, m.v AS tol_click_value
       |FROM base""".stripMargin
 
+  /** TIME-BOUNDED FUNNEL — conversion with DEADLINES, not just order:
+    * a click qualifies only if the same user viewed within the previous
+    * hour, and a purchase converts only if a QUALIFIED click happened
+    * within the previous 24h. The set-based funnel (q_funnel) and the
+    * sequence pattern (q_seqpattern) both ignore elapsed time; this is
+    * the attribution-window semantics real conversion reporting uses.
+    *
+    * Rendering: two chained trailing-RANGE struct-max windows over ONE
+    * user partitioning (the [[asofClickWithTolerance]] pattern) — pass 1
+    * marks each row's last-view-within-1h, pass 2 finds the last
+    * QUALIFIED click within 24h using pass 1's column; both windows
+    * share the (user, second) sort so the plan pays one exchange+sort.
+    * Timestamps compare at floor-second grain (the documented tolerance
+    * contract). Output: per-day click/purchase funnels in exact
+    * integers. */
+  def timedFunnel(s: SparkSession, d: String): DataFrame = {
+    val sec = col("ts").cast("long")
+    val byUser = Window.partitionBy("user_id").orderBy(sec)
+    val p1 = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        max(when(col("event_type") === "view", col("ts")))
+          .over(byUser.rangeBetween(-3600L, 0L)).as("v_ts"))
+    val p2 = p1.select(col("ts"), col("event_type"), col("v_ts"),
+      max(when(col("event_type") === "click" && col("v_ts").isNotNull,
+          col("ts")))
+        .over(byUser.rangeBetween(-86400L, 0L)).as("qc_ts"))
+    p2.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        sum(when(col("event_type") === "click" && col("v_ts").isNotNull, 1L)
+          .otherwise(0L)).as("n_qual_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase" && col("qc_ts").isNotNull,
+          1L).otherwise(0L)).as("n_converted"))
+  }
+
+  val timedFunnelSql: String =
+    """WITH p1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS v_ts
+      |  FROM events),
+      |p2 AS (
+      |  SELECT ts, event_type, v_ts,
+      |    max(CASE WHEN event_type = 'click' AND v_ts IS NOT NULL
+      |        THEN ts END) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS qc_ts
+      |  FROM p1)
+      |SELECT date_trunc('day', ts) AS day,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clicks,
+      |  CAST(sum(CASE WHEN event_type = 'click' AND v_ts IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_qual_clicks,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' AND qc_ts IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM p2 GROUP BY date_trunc('day', ts)""".stripMargin
+
   /** Interval-interval OVERLAP join — the third member of the temporal
     * join family after as-of (point→latest-point) and point-in-time
     * (point→containing-interval): both sides are intervals and the match

@@ -186,6 +186,41 @@ class TimeSeriesSpec extends GraftTestBase {
     series.values.map(_.length).max should be >= 8
   }
 
+  behavior of "timedFunnel"
+
+  it should "match a brute-force deadline scan per user" in {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    def sec(t: java.sql.Timestamp): Long = t.getTime / 1000
+    var (clicks, qual, purch, conv) = (0L, 0L, 0L, 0L)
+    ev.foreach { case (u, t, ty) =>
+      val mine = byUser(u)
+      def lastIn(kind: String, wsec: Long, pred: ((Long, java.sql.Timestamp, String)) => Boolean) =
+        mine.exists(e => pred(e) && e._3 == kind &&
+          sec(e._2) >= sec(t) - wsec && sec(e._2) <= sec(t))
+      if (ty == "click") {
+        clicks += 1
+        if (lastIn("view", 3600, _ => true)) qual += 1
+      }
+      if (ty == "purchase") {
+        purch += 1
+        val qualClick = mine.exists { c =>
+          c._3 == "click" && sec(c._2) >= sec(t) - 86400 && sec(c._2) <= sec(t) &&
+            mine.exists(v => v._3 == "view" &&
+              sec(v._2) >= sec(c._2) - 3600 && sec(v._2) <= sec(c._2))
+        }
+        if (qualClick) conv += 1
+      }
+    }
+    val out = TimeSeries.timedFunnel(spark, sf).collect()
+    out.map(_.getAs[Long]("n_clicks")).sum shouldBe clicks
+    out.map(_.getAs[Long]("n_qual_clicks")).sum shouldBe qual
+    out.map(_.getAs[Long]("n_purchases")).sum shouldBe purch
+    out.map(_.getAs[Long]("n_converted")).sum shouldBe conv
+  }
+
   behavior of "clampedBalance"
 
   it should "equal the naive per-row max(0, prev + x) recursion" in {
