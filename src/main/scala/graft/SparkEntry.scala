@@ -247,6 +247,7 @@ object SparkEntry {
     "q_cusum"           -> (graft.ops.TimeSeries.cusumChangepoint _),
     "q_clamped_balance" -> (graft.ops.TimeSeries.clampedBalance _),
     "q_timed_funnel"    -> (graft.ops.TimeSeries.timedFunnel _),
+    "q_cv_folds"        -> (graft.ops.TimeSeries.cvFolds _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -655,6 +656,7 @@ object SparkEntry {
     "q_cusum"         -> graft.ops.TimeSeries.cusumChangepointSql,
     "q_clamped_balance" -> graft.ops.TimeSeries.clampedBalanceSql,
     "q_timed_funnel"  -> graft.ops.TimeSeries.timedFunnelSql,
+    "q_cv_folds"      -> graft.ops.TimeSeries.cvFoldsSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -820,4 +820,72 @@ object TimeSeries {
       |  CAST(abs(s_scaled) AS BIGINT) AS cusum_scaled,
       |  CAST(n_days AS BIGINT) AS n_days
       |FROM ranked WHERE rk = 1""".stripMargin
+
+  /** ROLLING-ORIGIN CROSS-VALIDATION FOLDS — the expanding-window CV
+    * scheme for time-ordered data (train on everything before the
+    * origin, validate on the next horizon; the origin rolls forward per
+    * fold). Random k-fold leaks the future into training; this is the
+    * split a forecasting/training pipeline over timestamped corpora
+    * actually needs, complementing the hash-based i.i.d. split
+    * (q_train_split).
+    *
+    * Fold k of K over the order-date span [d0, d1]: train = days with
+    * offset ≤ floor(span·k/(K+1)), validate = the next chunk up to
+    * floor(span·(k+1)/(K+1)). Boundaries derive from the data's own
+    * min/max, so the assignment is fully deterministic and append-stable
+    * in the prefix sense (new later data extends the last fold's horizon
+    * but never reshuffles past membership the way random splits do).
+    *
+    * Scale rendering: ONE shuffle at O(distinct days) to build the daily
+    * aggregate, then a broadcast cross with the one-row bounds frame and
+    * the K-row fold frame — the K-way membership blowup happens on the
+    * day aggregate (O(days·K) rows), never on raw facts. Sums carried in
+    * exact integer cents. */
+  def cvFolds(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+    val bounds = Tables.orders(s, d)
+      .agg(min(col("o_orderdate")).as("d0"), max(col("o_orderdate")).as("d1"))
+    val folds = s.range(1, k + 1).select(col("id").cast("int").as("fold"))
+    daily
+      .crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(folds))
+      .select(col("fold"), col("n"), col("cents"),
+        datediff(col("day"), col("d0")).as("off"),
+        datediff(col("d1"), col("d0")).as("span"))
+      .filter(col("off") <= floor(col("span") * (col("fold") + 1) / (k + 1)))
+      .withColumn("role",
+        when(col("off") <= floor(col("span") * col("fold") / (k + 1)),
+          lit("train")).otherwise(lit("valid")))
+      .groupBy(col("fold"), col("role"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("cents")).as("sum_price_cents"))
+  }
+
+  val cvFoldsSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day, count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_orderdate),
+      |b AS (SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1
+      |      FROM orders),
+      |f AS (SELECT UNNEST(range(1, 6)) AS fold),
+      |x AS (
+      |  SELECT f.fold, d.n, d.cents,
+      |    date_diff('day', b.d0, d.day) AS off,
+      |    date_diff('day', b.d0, b.d1) AS span
+      |  FROM daily d, b, f)
+      |SELECT CAST(fold AS INT) AS fold,
+      |  CASE WHEN off <= floor(span * fold / 6) THEN 'train'
+      |       ELSE 'valid' END AS role,
+      |  CAST(sum(n) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_price_cents
+      |FROM x
+      |WHERE off <= floor(span * (fold + 1) / 6)
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -286,6 +286,37 @@ class TimeSeriesSpec extends GraftTestBase {
     }
   }
 
+  behavior of "cvFolds"
+
+  it should "assign expanding train/valid windows matching a driver-side replica" in {
+    val rows = graft.Tables.orders(spark, sf)
+      .select("o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate.toEpochDay,
+        java.math.BigDecimal.valueOf(r.getDouble(1))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()))
+    val d0 = rows.map(_._1).min
+    val span = rows.map(_._1).max - d0
+    val want = (for {
+      k <- 1 to 5
+      (day, cents) <- rows
+      off = day - d0
+      if off <= span * (k + 1) / 6  // integer floor: span,off,k all >= 0
+    } yield (k, if (off <= span * k / 6) "train" else "valid", cents))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((k, role), g) => (k, role, g.size.toLong, g.map(_._3).sum) }
+      .toSet
+    val got = TimeSeries.cvFolds(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("sum_price_cents"))).toSet
+    got shouldBe want
+    // every fold must have both roles or the scheme is degenerate
+    got.map(t => (t._1, t._2)).size shouldBe 10
+    // expanding property: train size strictly grows with the fold index
+    val trainN = got.filter(_._2 == "train").toArray.sortBy(_._1).map(_._3)
+    trainN.sliding(2).foreach { case Array(a, b) => a should be < b; case _ => }
+  }
+
   behavior of "asofClickWithTolerance"
 
   it should "match a brute-force per-user scan of the 1-hour window" in {
