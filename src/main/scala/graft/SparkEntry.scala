@@ -189,6 +189,7 @@ object SparkEntry {
     "q_mode"            -> (graft.ops.Analytics.modeSegmentByNation _),
     "q_wau"             -> (graft.ops.Behavior.rollingActiveUsers _),
     "q_bounce"          -> (graft.ops.Behavior.bounceRate _),
+    "q_streaks"         -> (graft.ops.Behavior.activityStreaks _),
     "q_range_banded"    -> (graft.ops.TimeSeries.eventPairsWithin30MinBanded _),
     "q_oov"             -> (TextAnalysis.oovRate _),
     "q_pack_shards"     -> (graft.text.Curation.packShards _),
@@ -602,6 +603,7 @@ object SparkEntry {
     "q_mode"          -> graft.ops.Analytics.modeSegmentByNationSql,
     "q_wau"           -> graft.ops.Behavior.rollingActiveUsersSql,
     "q_bounce"        -> graft.ops.Behavior.bounceRateSql,
+    "q_streaks"       -> graft.ops.Behavior.activityStreaksSql,
     // same oracle as q_range_join: the driver proves the banded
     // (user_id, time-bucket) join row-equal to the per-user form
     "q_range_banded"  -> graft.ops.TimeSeries.eventPairsWithin30MinSql,

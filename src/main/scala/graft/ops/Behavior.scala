@@ -830,4 +830,51 @@ object Behavior {
       |SELECT n0, n1, u1_x2, tie_sum, z_stat,
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
+
+  /** ACTIVITY STREAKS — per-user longest run of CONSECUTIVE active days,
+    * the gaps-and-islands shape (engagement/retention reporting's
+    * "current streak" metric). Sessionization (q_sessionize) islands by
+    * time GAP on raw events; this islands by calendar-day ADJACENCY on
+    * the deduplicated user-day grid — the two canonical islands
+    * renderings.
+    *
+    * Island key: epoch_day − row_number over the user's ordered distinct
+    * days — constant exactly while days are consecutive. Scale: the
+    * (user, day) dedup is the only O(events) shuffle; the window and both
+    * follow-up groupBys all cluster on user_id subsets, so Catalyst
+    * reuses the user partitioning (one wide stage after dedup, no
+    * re-exchange — HashPartitioning(user) satisfies the (user, grp)
+    * clustering). State per row is O(1); no per-user buffering. */
+  def activityStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |islands AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |lens AS (
+      |  SELECT user_id, grp, count(*) AS len
+      |  FROM islands GROUP BY user_id, grp)
+      |SELECT user_id,
+      |  CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS longest_streak
+      |FROM lens GROUP BY user_id""".stripMargin
 }

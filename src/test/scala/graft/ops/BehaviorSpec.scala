@@ -408,6 +408,33 @@ class BehaviorSpec extends GraftTestBase {
     }
   }
 
+  behavior of "activityStreaks"
+
+  it should "match a driver-side consecutive-day streak scan" in {
+    val byUser = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate.toEpochDay))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).sorted }
+    val want = byUser.map { case (u, days) =>
+      // split the sorted day list at any gap > 1
+      val streaks = scala.collection.mutable.ArrayBuffer(1L)
+      days.sliding(2).foreach {
+        case Array(a, b) => if (b - a == 1) streaks(streaks.length - 1) += 1
+                            else streaks += 1L
+        case _ =>
+      }
+      (u, days.length.toLong, streaks.length.toLong, streaks.max)
+    }.toSet
+    val got = Behavior.activityStreaks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_active_days"),
+        r.getAs[Long]("n_streaks"), r.getAs[Long]("longest_streak"))).toSet
+    got shouldBe want
+    // the data must actually contain a multi-day streak or the island
+    // arithmetic is untested
+    want.map(_._4).max should be >= 2L
+  }
+
   behavior of "coPurchasePairs"
 
   it should "match the brute-force distinct self-join rendering exactly" in {
