@@ -250,6 +250,7 @@ object SparkEntry {
     "q_clamped_balance" -> (graft.ops.TimeSeries.clampedBalance _),
     "q_timed_funnel"    -> (graft.ops.TimeSeries.timedFunnel _),
     "q_cv_folds"        -> (graft.ops.TimeSeries.cvFolds _),
+    "q_acf"             -> (graft.ops.TimeSeries.acfDailyRevenue _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -661,6 +662,7 @@ object SparkEntry {
     "q_clamped_balance" -> graft.ops.TimeSeries.clampedBalanceSql,
     "q_timed_funnel"  -> graft.ops.TimeSeries.timedFunnelSql,
     "q_cv_folds"      -> graft.ops.TimeSeries.cvFoldsSql,
+    "q_acf"           -> graft.ops.TimeSeries.acfDailyRevenueSql,
     "q_window_rank"   ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,

@@ -888,4 +888,72 @@ object TimeSeries {
       |FROM x
       |WHERE off <= floor(span * (fold + 1) / 6)
       |GROUP BY 1, 2""".stripMargin
+
+  /** AUTOCORRELATION FUNCTION — Pearson r between the daily-revenue
+    * series and its own k-day-shifted copy, k = 1..7 (the lag-k ACF in
+    * its overlapping-pairs variant: each lag's means are taken over that
+    * lag's own pairs, the form every SQL engine can compute exactly;
+    * the fixed-global-mean textbook variant differs only in the
+    * centering constant). The weekly-seasonality fingerprint in one
+    * relation — a spike at lag 7 is the seasonal signature q_seasonal
+    * models directly.
+    *
+    * Rendering: NO global-order window (that's the low-cardinality-
+    * window smell PlanLint flags) — the shift is an equi-JOIN of the
+    * day aggregate against itself on `day + k`, with the 7-row lag
+    * frame broadcast-crossed first. All moments (Σx, Σy, Σxy, Σx²,
+    * Σy²) accumulate in exact integer cents via decimal(19,0) products
+    * (HUGEINT on the oracle side); the only floating op is the final
+    * correlation division. Everything after the one O(distinct days)
+    * shuffle runs on O(days·7) rows. */
+  def acfDailyRevenue(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+    val left = daily.crossJoin(broadcast(lags))
+      .select(col("lag"), date_add(col("day"), col("lag")).as("day2"),
+        col("cents").as("x"))
+    val right = daily.select(col("day").as("day2"), col("cents").as("y"))
+    val dx = col("x").cast(DecimalType(19, 0))
+    val dy = col("y").cast(DecimalType(19, 0))
+    left.join(right, Seq("day2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dx).as("sx"), sum(dy).as("sy"),
+        sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"),
+        sum(dy * dy).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt(
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))).as("acf"))
+  }
+
+  val acfDailyRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+      |pairs AS (
+      |  SELECT l.lag, a.cents AS x, b.cents AS y
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |m AS (
+      |  SELECT lag, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pairs GROUP BY lag)
+      |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |       CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+      |FROM m""".stripMargin
 }

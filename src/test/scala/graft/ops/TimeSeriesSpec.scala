@@ -317,6 +317,37 @@ class TimeSeriesSpec extends GraftTestBase {
     trainN.sliding(2).foreach { case Array(a, b) => a should be < b; case _ => }
   }
 
+  behavior of "acfDailyRevenue"
+
+  it should "match a BigInt-exact Pearson replica at every lag" in {
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date](0).toLocalDate.toEpochDay ->
+        r.getAs[Long]("cents")).toMap
+    val out = TimeSeries.acfDailyRevenue(spark, sf).collect()
+    out.length shouldBe 7
+    out.foreach { r =>
+      val k = r.getInt(0)
+      val pairs = daily.toSeq.flatMap { case (d0, x) =>
+        daily.get(d0 + k).map(y => (BigInt(x), BigInt(y)))
+      }
+      r.getAs[Long]("n_pairs") shouldBe pairs.length.toLong
+      val n = BigInt(pairs.length)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val want = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      r.getAs[Double]("acf") shouldBe want +- 1e-12
+    }
+    // a real daily series decorrelates: not every lag may sit at r≈1
+    out.map(_.getAs[Double]("acf")).min should be < 0.99
+  }
+
   behavior of "asofClickWithTolerance"
 
   it should "match a brute-force per-user scan of the 1-hour window" in {
