@@ -225,6 +225,7 @@ object SparkEntry {
     "q_incr_agg"        -> (graft.ops.Merge.incrementalAgg _),
     "q_interval_overlap" -> (graft.ops.TimeSeries.intervalOverlap _),
     "q_ldiversity"      -> (graft.ops.Privacy.lDiversity _),
+    "q_tcloseness"      -> (graft.ops.Privacy.tClosenessAudit _),
     "q_containment"     -> (Dedup.containment _),
     "q_text_norm"       -> (TextAnalysis.textNormalize _),
     "q_bootstrap"       -> (graft.ops.Resample.bootstrapOrderPrice _),
@@ -637,6 +638,7 @@ object SparkEntry {
     "q_incr_agg"      -> graft.ops.Merge.incrementalAggSql,
     "q_interval_overlap" -> graft.ops.TimeSeries.intervalOverlapSql,
     "q_ldiversity"    -> graft.ops.Privacy.lDiversitySql,
+    "q_tcloseness"    -> graft.ops.Privacy.tClosenessAuditSql,
     "q_containment"   -> Dedup.containmentSql,
     "q_text_norm"     -> TextAnalysis.textNormalizeSql,
     "q_bootstrap"     -> graft.ops.Resample.bootstrapOrderPriceSql,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -136,6 +137,93 @@ object Privacy {
        |  min(n_cs) AS seg_n_min, max(n_cs) AS seg_n_max,
        |  (count(*) >= $lThreshold) AS l_diverse
        |FROM cs GROUP BY c_nationkey, acctbal_band""".stripMargin
+
+  /** T-CLOSENESS AUDIT — the third rung of the anonymization-audit
+    * ladder (k-anonymity bounds group size, l-diversity bounds
+    * within-group variety, t-closeness bounds how much a group's
+    * SENSITIVE-VALUE DISTRIBUTION leaks vs the global one). For the
+    * ordered sensitive attribute (account-balance decile bucket) the
+    * right distance is the Earth Mover's Distance, which for ordinal
+    * values is the mean absolute CUMULATIVE probability gap:
+    * EMD = Σᵢ |Σ_{j≤i}(p_j − q_j)| / (m−1).
+    *
+    * Exactness: with class counts c_j (total n_c) and global counts g_j
+    * (total N), p_j − q_j = (c_j·N − g_j·n_c)/(n_c·N), so the scaled
+    * cumulative sums are exact BIGINTs and the single final division by
+    * n_c·N·(m−1) is the only floating op — bit-equal across engines.
+    *
+    * Scale: facts collapse to (nation, bucket) counts in one map-side-
+    * combinable shuffle; the dense nation×10 grid, the global marginal,
+    * and the cumulative window all run over that ≤250-row aggregate
+    * (the PlanLint-accepted tiny-frame window class). */
+  def tClosenessAudit(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    // fixed-width deciles over the TPC-H balance domain [-999.99, 9999.99]
+    val bucket = least(lit(9), greatest(lit(0),
+      floor((cents + 100000L) / 110000L))).cast("int")
+    val cls = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), bucket.as("b"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cls.select("c_nationkey").distinct()
+      .crossJoin(broadcast(s.range(0, 10)
+        .select(col("id").cast("int").as("b"))))
+    val dense = grid.join(cls, Seq("c_nationkey", "b"), "left")
+      .select(col("c_nationkey"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val glob = dense.groupBy("b").agg(sum("c").as("g"))
+    val nTot = glob.agg(sum("g").as("n_total"))
+    val w = Window.partitionBy("c_nationkey").orderBy("b")
+    dense.join(broadcast(glob), Seq("b"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_class",
+        sum(col("c")).over(Window.partitionBy("c_nationkey")))
+      .withColumn("cum_scaled",
+        sum(col("c") * col("n_total") - col("g") * col("n_class")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("c_nationkey"), col("n_class"), col("n_total"))
+      .agg(sum(abs(col("cum_scaled"))).as("abs_cum_sum"))
+      .select(col("c_nationkey"), col("n_class"),
+        (col("abs_cum_sum").cast("double") /
+          (col("n_class") * col("n_total") * 9L).cast("double")).as("emd"),
+        ((col("abs_cum_sum").cast("double") /
+          (col("n_class") * col("n_total") * 9L).cast("double")) <= 0.2)
+          .as("t_close_02"))
+  }
+
+  val tClosenessAuditSql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey,
+      |    CAST(least(9, greatest(0,
+      |      floor((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |             + 100000) / 110000))) AS INT) AS b,
+      |    count(*) AS c
+      |  FROM customer GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT n.c_nationkey, CAST(r.b AS INT) AS b
+      |  FROM (SELECT DISTINCT c_nationkey FROM cls) n
+      |  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS b) r),
+      |dense AS (
+      |  SELECT g.c_nationkey, g.b, COALESCE(cls.c, 0) AS c
+      |  FROM grid g LEFT JOIN cls
+      |    ON cls.c_nationkey = g.c_nationkey AND cls.b = g.b),
+      |gmarg AS (SELECT b, sum(c) AS g FROM dense GROUP BY b),
+      |tot AS (SELECT sum(g) AS n_total FROM gmarg),
+      |cl AS (SELECT c_nationkey, sum(c) AS n_class
+      |       FROM dense GROUP BY c_nationkey),
+      |cum AS (
+      |  SELECT d.c_nationkey, cl.n_class, t.n_total,
+      |    sum(d.c * t.n_total - gl.g * cl.n_class) OVER (
+      |      PARTITION BY d.c_nationkey ORDER BY d.b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_scaled
+      |  FROM dense d JOIN gmarg gl ON gl.b = d.b
+      |  JOIN cl ON cl.c_nationkey = d.c_nationkey CROSS JOIN tot t)
+      |SELECT c_nationkey, CAST(n_class AS BIGINT) AS n_class,
+      |  CAST(sum(abs(cum_scaled)) AS DOUBLE) /
+      |    CAST(n_class * n_total * 9 AS DOUBLE) AS emd,
+      |  (CAST(sum(abs(cum_scaled)) AS DOUBLE) /
+      |    CAST(n_class * n_total * 9 AS DOUBLE)) <= 0.2 AS t_close_02
+      |FROM cum GROUP BY c_nationkey, n_class, n_total""".stripMargin
 
   val kAnonymizeSql: String =
     s"""WITH g AS (

@@ -98,6 +98,41 @@ class TimeSeriesSpec extends GraftTestBase {
     }
   }
 
+  behavior of "Privacy.tClosenessAudit"
+
+  it should "compute the exact ordinal EMD vs the global balance distribution" in {
+    val buckets = graft.Tables.customer(spark, sf)
+      .select("c_nationkey", "c_acctbal").collect()
+      .map { r =>
+        val cents = java.math.BigDecimal.valueOf(r.getDouble(1))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        (r.getInt(0), math.min(9L, math.max(0L,
+          math.floor((cents + 100000L).toDouble / 110000L).toLong)).toInt)
+      }
+    val nTotal = BigInt(buckets.length)
+    val globC = (0 until 10).map(b => BigInt(buckets.count(_._2 == b)))
+    val rows = Privacy.tClosenessAudit(spark, sf).collect()
+    rows.length shouldBe buckets.map(_._1).distinct.length
+    rows.foreach { r =>
+      val nat = r.getAs[Int]("c_nationkey")
+      val mine = buckets.filter(_._1 == nat)
+      val nc = BigInt(mine.length)
+      r.getAs[Long]("n_class") shouldBe mine.length.toLong
+      var cum = BigInt(0)
+      var acc = BigInt(0)
+      (0 until 10).foreach { b =>
+        cum += BigInt(mine.count(_._2 == b)) * nTotal - globC(b) * nc
+        acc += cum.abs
+      }
+      val want = acc.toDouble / (nc * nTotal * 9).toDouble
+      r.getAs[Double]("emd") shouldBe want +- 1e-15
+      r.getAs[Boolean]("t_close_02") shouldBe (want <= 0.2)
+    }
+    // distributions differ somewhere or the audit is vacuous
+    rows.map(_.getAs[Double]("emd")).max should be > 0.0
+  }
+
   behavior of "intervalOverlap"
 
   it should "match a brute-force pairwise overlap scan of the cohort" in {
