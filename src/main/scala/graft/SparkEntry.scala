@@ -199,6 +199,7 @@ object SparkEntry {
     "q_mom_growth"      -> (graft.ops.Analytics.monthlyGrowth _),
     "q_chi2"            -> (graft.ops.Analytics.chiSquareStatusPriority _),
     "q_trend"           -> (graft.ops.Analytics.revenueTrend _),
+    "q_theilsen"        -> (graft.ops.Analytics.theilSenTrend _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
     // -- round 5: decontamination, mixture planning, quality cascade
     "q_decontam"        -> (graft.text.Decontam.ngramOverlap _),
@@ -617,6 +618,7 @@ object SparkEntry {
     "q_mom_growth"    -> graft.ops.Analytics.monthlyGrowthSql,
     "q_chi2"          -> graft.ops.Analytics.chiSquareStatusPrioritySql,
     "q_trend"         -> graft.ops.Analytics.revenueTrendSql,
+    "q_theilsen"      -> graft.ops.Analytics.theilSenTrendSql,
     "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,

@@ -880,6 +880,87 @@ object Analytics {
       |   (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 AS intercept
       |FROM s""".stripMargin
 
+  /** THEIL–SEN ROBUST TREND — the median of all pairwise slopes
+    * (y_j−y_i)/(x_j−x_i) over the daily-revenue series, per order
+    * priority: the breakdown-resistant companion to [[revenueTrend]]'s
+    * OLS line (up to ~29% of the days can be arbitrarily corrupted
+    * before the estimate moves; one bad day can drag OLS anywhere).
+    *
+    * Scale: the O(days²) pair set is built on the per-(priority, day)
+    * AGGREGATE, whose cardinality is bounded by the calendar — it grows
+    * with time span, not fact volume, so at 100 TB the pair frame is the
+    * same size it is here. The exact median comes rank-from-aggregate
+    * style (the q_weighted_median_dist pattern): group pairs by slope
+    * value, one cumulative-count window over O(distinct slopes) rows,
+    * pick the value(s) covering positions ⌊(n−1)/2⌋ and ⌊n/2⌋. Slopes
+    * are quotients of exact integers (cents, days) — each engine derives
+    * the identical doubles, so grouping and ordering agree bit-for-bit. */
+  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val a = daily.select(col("o_orderpriority"), col("day").as("da"),
+      col("cents").as("ya"))
+    val b = daily.select(col("o_orderpriority"), col("day").as("db"),
+      col("cents").as("yb"))
+    val pairs = a.join(b, Seq("o_orderpriority"))
+      .filter(col("db") > col("da"))
+      .select(col("o_orderpriority"),
+        ((col("yb") - col("ya")).cast("double") /
+          datediff(col("db"), col("da")).cast("double")).as("slope"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("slope")
+    val tot = Window.partitionBy("o_orderpriority")
+    pairs.groupBy(col("o_orderpriority"), col("slope"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(tot))
+      .withColumn("lo", expr("(n - 1) div 2"))
+      .withColumn("hi", expr("n div 2"))
+      .filter((col("cum") - col("cnt") <= col("lo") && col("lo") < col("cum"))
+        || (col("cum") - col("cnt") <= col("hi") && col("hi") < col("cum")))
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(((max(when(col("cum") - col("cnt") <= col("lo") &&
+              col("lo") < col("cum"), col("slope"))) +
+            max(when(col("cum") - col("cnt") <= col("hi") &&
+              col("hi") < col("cum"), col("slope")))) / 2)
+        .as("theil_sen_slope"))
+      .select(col("o_orderpriority"), col("n").as("n_pairs"),
+        (col("theil_sen_slope") / 100.0).as("slope_per_day"))
+  }
+
+  val theilSenTrendSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.o_orderpriority,
+      |    CAST(b.cents - a.cents AS DOUBLE) /
+      |      CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON b.o_orderpriority = a.o_orderpriority AND b.day > a.day),
+      |grouped AS (
+      |  SELECT o_orderpriority, slope, count(*) AS cnt
+      |  FROM pairs GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT o_orderpriority, slope, cnt,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY slope
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM grouped),
+      |mid AS (
+      |  SELECT *, (n - 1) // 2 AS lo, n // 2 AS hi FROM ranked
+      |  WHERE (cum - cnt <= (n - 1) // 2 AND (n - 1) // 2 < cum)
+      |     OR (cum - cnt <= n // 2 AND n // 2 < cum))
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_pairs,
+      |  (max(CASE WHEN cum - cnt <= lo AND lo < cum THEN slope END) +
+      |   max(CASE WHEN cum - cnt <= hi AND hi < cum THEN slope END)) / 2
+      |    / 100.0 AS slope_per_day
+      |FROM mid GROUP BY o_orderpriority, n""".stripMargin
+
   /** Per-group heavy hitters via the [[graft.functions.SpaceSaving]]
     * sketch, graded through its GUARANTEES rather than its contents:
     * sketch contents are merge-order-dependent (like every mergeable

@@ -338,4 +338,30 @@ class AnalyticsSpec extends GraftTestBase {
       }
     }
   }
+
+  behavior of "theilSenTrend"
+
+  it should "match the brute-force median-of-pairwise-slopes per priority" in {
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.sql.Date](1).toLocalDate.toEpochDay, r.getLong(2)))
+      .groupBy(_._1)
+    val out = Analytics.theilSenTrend(spark, sf).collect()
+    out.length shouldBe daily.size
+    out.foreach { r =>
+      val series = daily(r.getString(0)).map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield (series(j)._2 - series(i)._2).toDouble /
+          (series(j)._1 - series(i)._1).toDouble).sorted
+      val n = slopes.length
+      r.getAs[Long]("n_pairs") shouldBe n.toLong
+      val want = (slopes((n - 1) / 2) + slopes(n / 2)) / 2 / 100.0
+      r.getAs[Double]("slope_per_day") shouldBe want +- 1e-12
+    }
+  }
 }
