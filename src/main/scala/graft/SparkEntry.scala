@@ -218,6 +218,7 @@ object SparkEntry {
     "q_lag_features"    -> (graft.ops.Behavior.lagFeatures _),
     "q_pagerank"        -> (graft.ops.Graph.pageRank _),
     "q_bfs"             -> (graft.ops.Graph.bfsHops _),
+    "q_sssp"            -> (graft.ops.Graph.ssspBounded _),
     "q_kcore"           -> (graft.ops.Graph.kCorePeeling _),
     "q_bpe_merges"      -> (TextAnalysis.bpePairCensus _),
     "q_phrase_search"   -> (TextAnalysis.phraseSearch _),
@@ -634,6 +635,7 @@ object SparkEntry {
     "q_lag_features"  -> graft.ops.Behavior.lagFeaturesSql,
     "q_pagerank"      -> graft.ops.Graph.pageRankSql,
     "q_bfs"           -> graft.ops.Graph.bfsHopsSql,
+    "q_sssp"          -> graft.ops.Graph.ssspBoundedSql,
     "q_kcore"         -> graft.ops.Graph.kCorePeelingSql,
     "q_bpe_merges"    -> TextAnalysis.bpePairCensusSql,
     "q_phrase_search" -> TextAnalysis.phraseSearchSql,

@@ -292,6 +292,77 @@ object Graph {
     base + rounds + "\n" + census
   }
 
+  /** Relaxation rounds for [[ssspBounded]] — the result is DEFINED as
+    * "cheapest path using at most this many edges", so determinism never
+    * depends on convergence (unlike an open-ended Bellman–Ford, whose
+    * stopping round is data-dependent). */
+  val ssspMaxHops = 6
+
+  /** BOUNDED-HOP WEIGHTED SHORTEST PATH — Bellman–Ford relaxation over
+    * the co-purchase graph with deterministic integer edge weights
+    * w(u,v) = 1 + (u+v) mod 9, multi-sourced at the same `% 500` vertex
+    * set as [[bfsHops]]. BFS answers "how many hops"; this answers "at
+    * what cost", the weighted generalization (routing, influence decay).
+    *
+    * Scale rendering: synchronous relaxation with a FRONTIER DELTA —
+    * each round joins edges against only the vertices whose distance
+    * improved last round (not the whole distance table), then min-merges
+    * into the running table; on converging graphs the frontier shrinks
+    * geometrically, so per-round cost tracks the wavefront exactly like
+    * BFS. Each round is one key-shuffle join + one map-side-combinable
+    * min; `localCheckpoint` pins round r so round r+1 never re-relaxes
+    * the prefix (the pageRank/bfs durability contract).
+    *
+    * Oracle: recursive CTE enumerating ≤[[ssspMaxHops]]-hop paths with
+    * UNION dedup, then min(cost) per vertex — exact same bounded-hop
+    * semantics, all integer. */
+  def ssspBounded(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .withColumn("w", (col("u") + col("v")) % 9 + 1)
+      .localCheckpoint()
+    var dist = bi.select(col("u").as("x")).distinct()
+      .filter(col("x") % 500 === 0)
+      .select(col("x"), lit(0L).as("c"))
+      .localCheckpoint()
+    var frontier = dist
+    for (_ <- 1 to ssspMaxHops) {
+      val cand = bi
+        .join(frontier.select(col("x").as("u"), col("c").as("cu")), Seq("u"))
+        .select(col("v").as("x"), (col("cu") + col("w")).as("c"))
+        .groupBy("x").agg(min(col("c")).as("c"))
+      frontier = cand
+        .join(dist.select(col("x"), col("c").as("old")), Seq("x"), "left")
+        .filter(col("old").isNull || col("c") < col("old"))
+        .select(col("x"), col("c"))
+        .localCheckpoint()
+      dist = dist.unionAll(frontier)
+        .groupBy("x").agg(min(col("c")).as("c"))
+        .localCheckpoint()
+    }
+    dist.select(col("x").as("part"), col("c").as("dist"))
+  }
+
+  val ssspBoundedSql: String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+       |bi AS (
+       |  SELECT u, v, 1 + (u + v) % 9 AS w FROM e
+       |  UNION ALL
+       |  SELECT v AS u, u AS v, 1 + (u + v) % 9 AS w FROM e),
+       |reach(x, c, h) AS (
+       |  SELECT DISTINCT u AS x, CAST(0 AS BIGINT) AS c, 0 AS h
+       |  FROM bi WHERE u % 500 = 0
+       |  UNION
+       |  SELECT bi.v, r.c + bi.w, r.h + 1 FROM reach r
+       |  JOIN bi ON bi.u = r.x WHERE r.h < $ssspMaxHops)
+       |SELECT x AS part, CAST(min(c) AS BIGINT) AS dist
+       |FROM reach GROUP BY x""".stripMargin
+
   val coPurchaseTrianglesSql: String =
     """WITH pr AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -78,6 +78,42 @@ class GraphSpec extends GraftTestBase {
     want.map(_._1).max should be >= 1
   }
 
+  behavior of "ssspBounded"
+
+  it should "match a driver-side bounded-hop Bellman-Ford" in {
+    val e = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+      .withDefaultValue(Set.empty)
+    e.groupBy(_._1).values.foreach { basket =>
+      val ps = basket.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b)
+        adj(a) = adj(a) + ((b, 1 + (a + b) % 9))
+    }
+    val seeds = adj.keySet.filter(_ % 500 == 0).toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to Graph.ssspMaxHops) {
+      val relaxed = dist.toSeq
+        .flatMap { case (u, c) => adj(u).map { case (v, w) => v -> (c + w) } }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, cs) => v -> cs.map(_._2).min }
+    }
+    val got = Graph.ssspBounded(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("dist")).toMap
+    got shouldBe dist
+    // weights must matter: some vertex's cheapest COST must exceed its
+    // unweighted hop distance (all-unit weights would make them equal)
+    var hops = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1 to Graph.ssspMaxHops) {
+      val next = frontier.flatMap(u => adj(u).map(_._1)).diff(hops.keySet)
+      hops = hops ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    got.count { case (v, c) => c > hops(v) } should be > 0
+  }
+
   behavior of "kCorePeeling"
 
   it should "match a driver-side peeling cascade at the median degree" in {
