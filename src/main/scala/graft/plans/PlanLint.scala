@@ -30,10 +30,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    windows over already-aggregated tiny frames (`revenueShareByNation`
   *    style) are advisory: acknowledge, don't suppress.
   *  - `cartesian-product`: shuffled cross join — row count multiplies.
-  *  - `nested-loop-join`: `BroadcastNestedLoopJoin` where no side is a
-  *    provably-one-row aggregate. The intentional all-pairs verifiers
-  *    (`embeddingNearDup`) trip this — correctly: they're documented as
-  *    bounded-input / per-bucket tools.
+  *  - `nested-loop-join`: `BroadcastNestedLoopJoin` where no side is
+  *    provably small — a scalar (no-grouping) aggregate, or a literal
+  *    Range/LocalTableScan of ≤128 rows whose bound survives to the
+  *    root through unary row-non-increasing nodes. The intentional
+  *    all-pairs verifiers (`embeddingNearDup`) trip this — correctly:
+  *    they're documented as bounded-input / per-bucket tools.
   *  - `scala-udf`: breaks whole-stage codegen and hides from the
   *    optimizer; a native expression or built-in exists for a reason.
   *  - `low-cardinality-window`: a window partitioned ONLY by columns
@@ -65,6 +67,29 @@ object PlanLint {
     p.collectFirst {
       case agg: BaseAggregateExec if agg.groupingExpressions.isEmpty => agg
     }.isDefined
+
+  /** Statically-bounded row count, independent of data: a literal Range
+    * or LocalTableScan of ≤ [[smallLeafRows]] rows whose smallness
+    * survives to the root because every node on the path is unary and
+    * row-non-increasing (Project/Filter/Exchange/Sort/Aggregate/...).
+    * Generate (explode) and Expand (rollup grids) multiply rows, so they
+    * break the proof — as does any join/union (binary). */
+  val smallLeafRows = 128
+  private def smallByConstruction(p: SparkPlan): Boolean = p match {
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      r.numElements <= smallLeafRows
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      l.rows.length <= smallLeafRows
+    case _: org.apache.spark.sql.execution.GenerateExec => false
+    case _: org.apache.spark.sql.execution.ExpandExec => false
+    case u if u.children.length == 1 => smallByConstruction(u.children.head)
+    case _ => false
+  }
+
+  /** Broadcast-safe at any scale: a scalar aggregate (exactly one row)
+    * or a literal-bounded frame ([[smallByConstruction]]). */
+  private def provablySmall(p: SparkPlan): Boolean =
+    provablyOneRow(p) || smallByConstruction(p)
 
   /** Columns whose value domain is tiny by schema contract (flags,
     * statuses, enumerations) — a window partitioned only by these over
@@ -98,7 +123,7 @@ object PlanLint {
       case j: CartesianProductExec =>
         findings += Finding("cartesian-product", j.nodeName)
       case j: BroadcastNestedLoopJoinExec =>
-        if (!Seq(j.left, j.right).exists(provablyOneRow))
+        if (!Seq(j.left, j.right).exists(provablySmall))
           findings += Finding("nested-loop-join",
             s"${j.nodeName} (${j.joinType}) with no provably-small side")
       case w: WindowExec if w.partitionSpec.nonEmpty =>

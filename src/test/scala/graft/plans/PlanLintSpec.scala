@@ -26,6 +26,23 @@ class PlanLintSpec extends GraftTestBase {
     PlanLint.lint(ws).map(_.rule) should not contain "cartesian-product"
   }
 
+  it should "prove literal-bounded frames small but not data-dependent ones" in {
+    val facts = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    // a 7-row Range crossed into facts: bounded by construction → clean
+    val lags = spark.range(1, 8).select(col("id").as("lag"))
+    PlanLint.lint(facts.crossJoin(broadcast(lags)))
+      .map(_.rule) should not contain "nested-loop-join"
+    // the proof must NOT survive an explode: a Generate over the Range
+    // makes its output data-dependent in size → still flagged
+    val blown = spark.range(1, 8)
+      .select(explode(array_repeat(col("id"), 1000)).as("k"))
+    PlanLint.lint(facts.crossJoin(broadcast(blown)))
+      .map(_.rule) should contain("nested-loop-join")
+    // the new-query shapes that motivated the proof stay clean
+    PlanLint.lint(graft.ops.TimeSeries.acfDailyRevenue(spark, sf)) shouldBe empty
+    PlanLint.lint(graft.ops.Privacy.tClosenessAudit(spark, sf)) shouldBe empty
+  }
+
   it should "flag the intentional all-pairs verifier and scala UDFs" in {
     PlanLint.lint(graft.dedup.Dedup.embeddingNearDup(spark, sf))
       .map(_.rule) should contain("nested-loop-join")
