@@ -157,6 +157,7 @@ object SparkEntry {
     "q_traffic_matrix"  -> (graft.ops.Behavior.trafficMatrix _),
     "q_sample_weighted" -> (Relational.weightedSample _),
     "q_mad"             -> (graft.ops.Analytics.madByStatus _),
+    "q_iqr_outliers"    -> (graft.ops.Analytics.iqrOutliers _),
     // -- round 4: time-series repair, tolerance as-of, path/transition
     //    analytics, basket pairs, weighted median, RFM, data-quality audits
     "q_gapfill"         -> (graft.ops.TimeSeries.gapFillDailyOrders _),
@@ -581,6 +582,7 @@ object SparkEntry {
     "q_traffic_matrix" -> graft.ops.Behavior.trafficMatrixSql,
     "q_sample_weighted" -> Relational.weightedSampleSql,
     "q_mad"           -> graft.ops.Analytics.madByStatusSql,
+    "q_iqr_outliers"  -> graft.ops.Analytics.iqrOutliersSql,
     "q_gapfill"       -> graft.ops.TimeSeries.gapFillDailyOrdersSql,
     "q_asof_tolerance" -> graft.ops.TimeSeries.asofClickWithToleranceSql,
     "q_interpolate"   -> graft.ops.TimeSeries.interpolateDailyPriceSql,

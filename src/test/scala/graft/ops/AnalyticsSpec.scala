@@ -339,6 +339,36 @@ class AnalyticsSpec extends GraftTestBase {
     }
   }
 
+  behavior of "iqrOutliers"
+
+  it should "fence with exact discrete quartiles and count outliers" in {
+    val rows = graft.Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0),
+        java.math.BigDecimal.valueOf(r.getDouble(1))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()))
+      .groupBy(_._1)
+    val out = Analytics.iqrOutliers(spark, sf).collect()
+    out.length shouldBe rows.size
+    out.foreach { r =>
+      val cents = rows(r.getString(0)).map(_._2).sorted
+      val n = cents.length
+      // percentile_disc(q): smallest value with cume_dist >= q
+      def disc(q: Double) = cents(math.ceil(q * n).toInt.max(1) - 1)
+      val (q1, q3) = (disc(0.25), disc(0.75))
+      r.getAs[Long]("q1") shouldBe q1
+      r.getAs[Long]("q3") shouldBe q3
+      r.getAs[Long]("n_orders") shouldBe n.toLong
+      r.getAs[Long]("n_low_outliers") shouldBe
+        cents.count(c => 2 * c < 2 * q1 - 3 * (q3 - q1)).toLong
+      r.getAs[Long]("n_high_outliers") shouldBe
+        cents.count(c => 2 * c > 2 * q3 + 3 * (q3 - q1)).toLong
+    }
+    // a degenerate (zero-width) IQR would make every fence trivial
+    out.foreach(r => r.getAs[Long]("q3") should be > r.getAs[Long]("q1"))
+  }
+
   behavior of "theilSenTrend"
 
   it should "match the brute-force median-of-pairwise-slopes per priority" in {
