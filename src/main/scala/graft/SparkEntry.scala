@@ -192,6 +192,7 @@ object SparkEntry {
     "q_bounce"          -> (graft.ops.Behavior.bounceRate _),
     "q_streaks"         -> (graft.ops.Behavior.activityStreaks _),
     "q_bitmap_activity" -> (graft.ops.Behavior.activityBitmap _),
+    "q_wilson"          -> (graft.ops.Behavior.wilsonDailyCtr _),
     "q_range_banded"    -> (graft.ops.TimeSeries.eventPairsWithin30MinBanded _),
     "q_oov"             -> (TextAnalysis.oovRate _),
     "q_pack_shards"     -> (graft.text.Curation.packShards _),
@@ -612,6 +613,7 @@ object SparkEntry {
     "q_bounce"        -> graft.ops.Behavior.bounceRateSql,
     "q_streaks"       -> graft.ops.Behavior.activityStreaksSql,
     "q_bitmap_activity" -> graft.ops.Behavior.activityBitmapSql,
+    "q_wilson"        -> graft.ops.Behavior.wilsonDailyCtrSql,
     // same oracle as q_range_join: the driver proves the banded
     // (user_id, time-bucket) join row-equal to the per-user form
     "q_range_banded"  -> graft.ops.TimeSeries.eventPairsWithin30MinSql,

@@ -928,4 +928,65 @@ object Behavior {
       |  CAST(bit_count(activity_mask & (activity_mask >> 1)) AS BIGINT)
       |    AS n_adjacent_days
       |FROM masks""".stripMargin
+
+  /** z for 95% two-sided — pinned to the same literal as the A/B and
+    * Mann-Whitney tests so every interval in the suite shares one
+    * constant. */
+  private val wilsonZ = 1.959963984540054
+
+  /** WILSON LOWER BOUND on the daily click share — the proportion of
+    * click events among view+click events (a true [0,1] proportion;
+    * raw clicks/views is a ratio that exceeds 1 whenever clicks are
+    * logged without a matching view, as in this stream). The Wilson
+    * interval stays honest at small n and extreme rates, where the
+    * naive ±z·√(p̂(1−p̂)/n) Wald interval collapses (p̂=0 ⇒ zero-width);
+    * ranking days (or items) by Wilson LB instead of raw rate is the
+    * standard fix for low-volume flukes topping the leaderboard.
+    *
+    * One conditional map-side-combinable aggregate per day; the bound is
+    * a single pinned double expression over the exact (clicks, views)
+    * integers, written with IDENTICAL association in engine and oracle
+    * so both compute the same IEEE value — the q_ab_test discipline. */
+  def wilsonDailyCtr(s: SparkSession, d: String): DataFrame = {
+    val z = wilsonZ
+    val z2 = z * z
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n_views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"))
+      .filter(col("n_views") + col("n_clicks") > 0)
+    val n = (col("n_views") + col("n_clicks")).cast("double")
+    val phat = col("n_clicks").cast("double") / n
+    daily.select(col("day"), col("n_views"), col("n_clicks"),
+      phat.as("click_share"),
+      ((phat + lit(z2) / (n * 2) -
+        lit(z) * sqrt(phat * (lit(1.0) - phat) / n + lit(z2) / (n * n * 4)))
+        / (lit(1.0) + lit(z2) / n)).as("wilson_lb"))
+  }
+
+  val wilsonDailyCtrSql: String = {
+    val z = wilsonZ
+    val z2 = z * z
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS day,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_views,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_clicks
+       |  FROM events GROUP BY 1),
+       |sel AS (
+       |  SELECT day, n_views, n_clicks,
+       |    CAST(n_clicks AS DOUBLE) / CAST(n_views + n_clicks AS DOUBLE)
+       |      AS phat,
+       |    CAST(n_views + n_clicks AS DOUBLE) AS n
+       |  FROM daily WHERE n_views + n_clicks > 0)
+       |SELECT day, n_views, n_clicks, phat AS click_share,
+       |  (phat + ${z2}e0 / (n * 2) -
+       |   ${z}e0 * sqrt(phat * (1.0 - phat) / n + ${z2}e0 / (n * n * 4)))
+       |  / (1.0 + ${z2}e0 / n) AS wilson_lb
+       |FROM sel""".stripMargin
+  }
 }

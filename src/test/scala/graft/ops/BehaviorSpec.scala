@@ -452,6 +452,30 @@ class BehaviorSpec extends GraftTestBase {
     }
   }
 
+  behavior of "wilsonDailyCtr"
+
+  it should "bound the click share from below with the exact Wilson formula" in {
+    val z = 1.959963984540054
+    val z2 = z * z
+    val out = Behavior.wilsonDailyCtr(spark, sf).collect()
+    out should not be empty
+    out.foreach { r =>
+      val v = r.getAs[Long]("n_views")
+      val k = r.getAs[Long]("n_clicks")
+      val n = (v + k).toDouble
+      val phat = k.toDouble / n
+      val want = (phat + z2 / (n * 2) -
+        z * math.sqrt(phat * (1.0 - phat) / n + z2 / (n * n * 4))) /
+        (1.0 + z2 / n)
+      r.getAs[Double]("click_share") shouldBe phat
+      r.getAs[Double]("wilson_lb") shouldBe want
+      // the bound is conservative: strictly below the point estimate
+      // whenever the day saw any traffic mix at all
+      r.getAs[Double]("wilson_lb") should be < phat
+      r.getAs[Double]("wilson_lb") should be >= 0.0
+    }
+  }
+
   behavior of "coPurchasePairs"
 
   it should "match the brute-force distinct self-join rendering exactly" in {
