@@ -202,6 +202,8 @@ object SparkEntry {
     "q_chi2"            -> (graft.ops.Analytics.chiSquareStatusPriority _),
     "q_trend"           -> (graft.ops.Analytics.revenueTrend _),
     "q_theilsen"        -> (graft.ops.Analytics.theilSenTrend _),
+    "q_kendall"         -> (graft.ops.Analytics.kendallTauQtyDiscount _),
+    "q_hodges_lehmann"  -> (graft.ops.Analytics.hodgesLehmannQty _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
     // -- round 5: decontamination, mixture planning, quality cascade
     "q_decontam"        -> (graft.text.Decontam.ngramOverlap _),
@@ -624,6 +626,8 @@ object SparkEntry {
     "q_chi2"          -> graft.ops.Analytics.chiSquareStatusPrioritySql,
     "q_trend"         -> graft.ops.Analytics.revenueTrendSql,
     "q_theilsen"      -> graft.ops.Analytics.theilSenTrendSql,
+    "q_kendall"       -> graft.ops.Analytics.kendallTauQtyDiscountSql,
+    "q_hodges_lehmann" -> graft.ops.Analytics.hodgesLehmannQtySql,
     "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,

@@ -1593,4 +1593,164 @@ object Analytics {
       |SELECT r, f, m, count(*) AS n_customers,
       |  CAST(sum(spend) AS DOUBLE) AS cell_spend
       |FROM scored GROUP BY 1, 2, 3""".stripMargin
+
+  /** Kendall's tau-b rank correlation between quantity and discount per
+    * return flag — the third rank-association measure beside Pearson
+    * ([[momentsByReturnFlag]]) and Spearman ([[spearmanPriceQty]]),
+    * preferred when the data is heavily tied (quantity has 50 values,
+    * discount 11 — virtually every pair is tied on something, which is
+    * exactly the case tau-b's tie correction exists for).
+    *
+    * Scale rendering — the pair census runs over the CONTINGENCY TABLE,
+    * never the facts: the naive definition compares all n(n−1)/2 row
+    * pairs (quadrillions at 100 TB); here the facts collapse to
+    * (flag, quantity, discount) → count in one map-side-combinable
+    * aggregate (≤ 550 cells per flag, bounded by the 50×11 value domain
+    * — a catalog property, independent of row count), and concordant /
+    * discordant totals come from a self-join of cell pairs with
+    * `a.q < b.q` (each unordered pair counted once): C = Σ c_a·c_b over
+    * cells with d also ascending, D over d descending, pairs tied on
+    * either axis excluded by the strict inequalities. Tie terms T_q, T_d
+    * fall out of the axis marginals as Σ m(m−1)/2. The self-join is
+    * O(cells²) ≈ 10⁶ rows per flag — constant in the fact count.
+    *
+    * Determinism: every pair/tie count is an exact decimal(38,0) sum of
+    * long products (cell counts can reach 10¹¹-pair products at scale;
+    * decimal keeps them exact to ~10³⁸); tau-b is ONE pinned double
+    * expression over those integers, so partial-aggregation order can
+    * perturb nothing. Outputs round to 6 places like [[chiSquareStatusPriority]]. */
+  def kendallTauQtyDiscount(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val cells = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val a = cells.select(col("l_returnflag"), col("l_quantity").as("qa"),
+      col("l_discount").as("da"), col("c").as("ca"))
+    val b = cells.select(col("l_returnflag"), col("l_quantity").as("qb"),
+      col("l_discount").as("db"), col("c").as("cb"))
+    val pairs = a.join(b, Seq("l_returnflag")).filter(col("qa") < col("qb"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("da") < col("db"), d0(col("ca")) * d0(col("cb")))
+          .otherwise(lit(0).cast(big))).as("concordant"),
+        sum(when(col("da") > col("db"), d0(col("ca")) * d0(col("cb")))
+          .otherwise(lit(0).cast(big))).as("discordant"))
+    def tieTerm(axis: String, name: String): DataFrame = cells
+      .groupBy(col("l_returnflag"), col(axis))
+      .agg(sum(col("c")).as("m"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(d0(col("m")) * d0(col("m") - 1) / 2).cast(big).as(name))
+    val totals = cells.groupBy(col("l_returnflag"))
+      .agg(sum(col("c")).cast("long").as("n"))
+      .withColumn("n0", (d0(col("n")) * d0(col("n") - 1) / 2).cast(big))
+    totals
+      .join(pairs, Seq("l_returnflag"))
+      .join(tieTerm("l_quantity", "tq"), Seq("l_returnflag"))
+      .join(tieTerm("l_discount", "td"), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"),
+        col("concordant").cast("double").as("concordant"),
+        col("discordant").cast("double").as("discordant"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          (sqrt((col("n0") - col("tq")).cast("double")) *
+            sqrt((col("n0") - col("td")).cast("double"))), 6).as("tau_b"))
+  }
+
+  val kendallTauQtyDiscountSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag, l_quantity AS q, l_discount AS dd,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT a.l_returnflag,
+      |    sum(CASE WHEN a.dd < b.dd
+      |        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS concordant,
+      |    sum(CASE WHEN a.dd > b.dd
+      |        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS discordant
+      |  FROM cells a JOIN cells b
+      |    ON a.l_returnflag = b.l_returnflag AND a.q < b.q
+      |  GROUP BY 1),
+      |tq AS (
+      |  SELECT l_returnflag, sum(CAST(m AS HUGEINT) * (m - 1) / 2) AS tq
+      |  FROM (SELECT l_returnflag, q, sum(c) AS m FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |td AS (
+      |  SELECT l_returnflag, sum(CAST(m AS HUGEINT) * (m - 1) / 2) AS td
+      |  FROM (SELECT l_returnflag, dd, sum(c) AS m FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(c) AS HUGEINT) * (sum(c) - 1) / 2 AS n0
+      |  FROM cells GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(concordant AS DOUBLE) AS concordant,
+      |  CAST(discordant AS DOUBLE) AS discordant,
+      |  round(CAST(concordant - discordant AS DOUBLE) /
+      |    (sqrt(CAST(n0 - tq AS DOUBLE)) * sqrt(CAST(n0 - td AS DOUBLE))), 6)
+      |    AS tau_b
+      |FROM tot JOIN pairs USING (l_returnflag)
+      |  JOIN tq USING (l_returnflag) JOIN td USING (l_returnflag)""".stripMargin
+
+  /** Hodges-Lehmann pseudo-median of quantity per return flag — the
+    * median of all Walsh averages (x_i + x_j)/2 over row pairs i ≤ j,
+    * the location estimator behind the Wilcoxon signed-rank test:
+    * ~30% breakdown like the median, but ~96% Gaussian efficiency
+    * (the plain median's is 64%).
+    *
+    * Scale rendering mirrors [[kendallTauQtyDiscount]]: the naive form
+    * is O(n²) row pairs; here rows collapse to the 50-value quantity
+    * domain first (one map-side-combinable aggregate), Walsh averages
+    * enumerate value pairs va ≤ vb (≤ 1,275 per flag — catalog-bounded,
+    * fact-count-free) with pair multiplicities mₐ·m_b (va < vb) and
+    * m(m+1)/2 (va = vb, Walsh pairs include i = j), and the median is
+    * the [[weightedMedianPrice]] crossing rule `2·cumw ≥ total` over
+    * the pair-sum domain (≤ 99 distinct sums) — lower-median
+    * convention, pinned in both engines.
+    *
+    * Determinism: multiplicities are exact decimal(38,0) (m² reaches
+    * 10²⁴ at 100 TB); pair means stay as INTEGER sums va + vb until one
+    * final /2.0 — nothing floats before the last operation. */
+  def hodgesLehmannQty(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val cells = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("m"))
+    val a = cells.select(col("l_returnflag"), col("v").as("va"), col("m").as("ma"))
+    val b = cells.select(col("l_returnflag"), col("v").as("vb"), col("m").as("mb"))
+    val walsh = a.join(b, Seq("l_returnflag")).filter(col("va") <= col("vb"))
+      .groupBy(col("l_returnflag"), (col("va") + col("vb")).as("s2"))
+      .agg(sum(when(col("va") < col("vb"), d0(col("ma")) * d0(col("mb")))
+        .otherwise(d0(col("ma")) * d0(col("ma") + 1) / 2)).cast(big).as("w"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy(col("s2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    walsh
+      .select(col("l_returnflag"), col("s2"),
+        sum(col("w")).over(wCum).as("cumw"),
+        sum(col("w")).over(wAll).as("totw"))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg((min(col("s2")).cast("double") / 2.0).as("hl_estimate"))
+  }
+
+  val hodgesLehmannQtySql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, count(*) AS m
+      |  FROM lineitem GROUP BY 1, 2),
+      |walsh AS (
+      |  SELECT a.l_returnflag, a.v + b.v AS s2,
+      |    sum(CASE WHEN a.v < b.v THEN CAST(a.m AS HUGEINT) * b.m
+      |        ELSE CAST(a.m AS HUGEINT) * (a.m + 1) / 2 END) AS w
+      |  FROM cells a JOIN cells b
+      |    ON a.l_returnflag = b.l_returnflag AND a.v <= b.v
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, s2,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY s2
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM walsh)
+      |SELECT l_returnflag, CAST(min(s2) AS DOUBLE) / 2.0 AS hl_estimate
+      |FROM cum WHERE cumw * 2 >= totw GROUP BY 1""".stripMargin
 }

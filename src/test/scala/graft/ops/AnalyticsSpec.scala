@@ -394,4 +394,61 @@ class AnalyticsSpec extends GraftTestBase {
       r.getAs[Double]("slope_per_day") shouldBe want +- 1e-12
     }
   }
+
+  behavior of "kendallTauQtyDiscount"
+
+  it should "match the naive all-row-pairs tau-b per flag" in {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val out = Analytics.kendallTauQtyDiscount(spark, sf).collect()
+    out.length shouldBe rows.size
+    out.foreach { r =>
+      val xs = rows(r.getString(0)).map(t => (t._2, t._3))
+      var conc = 0L; var disc = 0L; var tq = 0L; var td = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length) {
+        val (qi, di) = xs(i); val (qj, dj) = xs(j)
+        if (qi == qj) tq += 1
+        if (di == dj) td += 1
+        if (qi != qj && di != dj) {
+          if ((qi < qj) == (di < dj)) conc += 1 else disc += 1
+        }
+      }
+      val n = xs.length.toLong
+      val n0 = n * (n - 1) / 2
+      // naive tq counts pairs tied on q (including both-tied); the
+      // marginal formula in the engine counts the same set
+      r.getAs[Long]("n") shouldBe n
+      r.getAs[Double]("concordant") shouldBe conc.toDouble
+      r.getAs[Double]("discordant") shouldBe disc.toDouble
+      val want = (conc - disc).toDouble /
+        (math.sqrt((n0 - tq).toDouble) * math.sqrt((n0 - td).toDouble))
+      r.getAs[Double]("tau_b") shouldBe want +- 1e-6
+    }
+  }
+
+  behavior of "hodgesLehmannQty"
+
+  it should "match the naive median of all Walsh averages per flag" in {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    val out = Analytics.hodgesLehmannQty(spark, sf).collect()
+    out.length shouldBe rows.size
+    out.foreach { r =>
+      val xs = rows(r.getString(0)).map(_._2)
+      val sums = (for {
+        i <- xs.indices; j <- i until xs.length
+      } yield xs(i) + xs(j)).sorted
+      // lower weighted median: smallest s with 2·(#sums ≤ s) ≥ total,
+      // i.e. the sorted element at index ceil(total/2) − 1
+      val total = sums.length.toLong
+      val want = sums(((total + 1) / 2 - 1).toInt).toDouble / 2.0
+      r.getAs[Double]("hl_estimate") shouldBe want
+    }
+  }
 }
