@@ -203,6 +203,7 @@ object SparkEntry {
     "q_trend"           -> (graft.ops.Analytics.revenueTrend _),
     "q_theilsen"        -> (graft.ops.Analytics.theilSenTrend _),
     "q_kendall"         -> (graft.ops.Analytics.kendallTauQtyDiscount _),
+    "q_kaplan_meier"    -> (graft.ops.Behavior.kaplanMeier _),
     "q_hodges_lehmann"  -> (graft.ops.Analytics.hodgesLehmannQty _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
     // -- round 5: decontamination, mixture planning, quality cascade
@@ -627,6 +628,7 @@ object SparkEntry {
     "q_trend"         -> graft.ops.Analytics.revenueTrendSql,
     "q_theilsen"      -> graft.ops.Analytics.theilSenTrendSql,
     "q_kendall"       -> graft.ops.Analytics.kendallTauQtyDiscountSql,
+    "q_kaplan_meier"  -> graft.ops.Behavior.kaplanMeierSql,
     "q_hodges_lehmann" -> graft.ops.Analytics.hodgesLehmannQtySql,
     "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,

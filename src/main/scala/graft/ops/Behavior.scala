@@ -989,4 +989,97 @@ object Behavior {
        |  / (1.0 + ${z2}e0 / n) AS wilson_lb
        |FROM sel""".stripMargin
   }
+
+  /** Kaplan-Meier survival curve for signup → first-purchase conversion
+    * with right censoring — the product-limit estimator, the standard
+    * answer to "how long until users convert" when many never do (naive
+    * averages over converters only are biased; KM uses the censored
+    * users' observation time too).
+    *
+    * Cohort: users with a signup; time origin = first signup. Event =
+    * first purchase at-or-after signup; users without one are censored
+    * at the global end of observation (max event ts — the study close).
+    * Durations bucket to whole hours so the curve has one row per
+    * distinct event hour.
+    *
+    * Scale shape: one user_id-keyed aggregate reduces events to a row
+    * per user (map-side combinable — the only fact-sized stage), then
+    * per-duration (d_i, c_i) counts are O(distinct hours). The at-risk
+    * count n_i and the survival product both come from cumulative
+    * windows over that aggregate-sized frame (same accepted tiny-frame
+    * global window class as q_deciles); at-risk = n_total − cumulative
+    * (d+c) before t_i, all exact longs.
+    *
+    * Determinism: counts are exact; S(t) = exp(Σ ln(1 − d_j/n_j)) with
+    * the cumulative sum pinned to duration order in both engines and
+    * each term one correctly-rounded double op; output rounds to 6
+    * places (the [[graft.text.TextAnalysis]] log-function contract). */
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .filter(col("t0").isNotNull)
+    val studyEnd = ev.agg(max(col("ts")).as("t_end"))
+    val durations = perUser.crossJoin(broadcast(studyEnd))
+      .select(
+        when(col("tp").isNotNull && col("tp") >= col("t0"),
+          (unix_timestamp(col("tp")) - unix_timestamp(col("t0"))) / 3600L)
+          .otherwise(
+            (unix_timestamp(col("t_end")) - unix_timestamp(col("t0"))) / 3600L)
+          .cast("long").as("dur_h"),
+        (col("tp").isNotNull && col("tp") >= col("t0")).as("converted"))
+    val byHour = durations.groupBy(col("dur_h"))
+      .agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    val wCum = Window.orderBy(col("dur_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byHour
+      .select(col("dur_h"), col("d"), col("c"),
+        (sum(col("d") + col("c")).over(wAll) -
+          sum(col("d") + col("c")).over(wCum) + col("d") + col("c"))
+          .cast("long").as("n_risk"))
+      .withColumn("survival",
+        round(exp(sum(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .over(wCum)), 6))
+      .filter(col("d") > 0)
+      .select(col("dur_h"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("survival"))
+  }
+
+  val kaplanMeierSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      |  FROM events GROUP BY user_id),
+      |durs AS (
+      |  SELECT CASE WHEN tp IS NOT NULL AND tp >= t0
+      |      THEN date_diff('second', t0, tp) // 3600
+      |      ELSE date_diff('second', t0, (SELECT max(ts) FROM events)) // 3600
+      |    END AS dur_h,
+      |    (tp IS NOT NULL AND tp >= t0) AS converted
+      |  FROM per_user WHERE t0 IS NOT NULL),
+      |by_hour AS (
+      |  SELECT dur_h,
+      |    sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+      |    sum(CASE WHEN converted THEN 0 ELSE 1 END) AS c
+      |  FROM durs GROUP BY dur_h),
+      |risk AS (
+      |  SELECT dur_h, d, c,
+      |    CAST(sum(d + c) OVER () -
+      |      sum(d + c) OVER (ORDER BY dur_h
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      + d + c AS BIGINT) AS n_risk
+      |  FROM by_hour)
+      |SELECT dur_h, n_risk, d AS n_events, c AS n_censored,
+      |  round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+      |    OVER (ORDER BY dur_h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+      |FROM risk QUALIFY d > 0""".stripMargin
 }

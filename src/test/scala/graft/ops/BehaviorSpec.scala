@@ -490,4 +490,52 @@ class BehaviorSpec extends GraftTestBase {
     out.exceptAll(brute).count() shouldBe 0
     brute.exceptAll(out).count() shouldBe 0
   }
+
+  behavior of "kaplanMeier"
+
+  it should "match a driver-side product-limit computation" in {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tEnd = ev.map(_._3).max
+    val durs = ev.groupBy(_._1).values.flatMap { rows =>
+      val t0 = rows.filter(_._2 == "signup").map(_._3).minOption
+      val tp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      t0.map { s0 =>
+        tp.filter(_ >= s0) match {
+          case Some(p) => ((p - s0) / 3600L, true)
+          case None    => ((tEnd - s0) / 3600L, false)
+        }
+      }
+    }.toSeq
+    val byHour = durs.groupBy(_._1).map { case (h, xs) =>
+      (h, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    var atRisk = durs.size.toLong
+    var logS = 0.0
+    val want = byHour.flatMap { case (h, d, c) =>
+      logS += math.log(1.0 - d.toDouble / atRisk)
+      val row = if (d > 0) Some((h, atRisk, d, c,
+        BigDecimal(math.exp(logS)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)) else None
+      atRisk -= d + c
+      row
+    }
+    val out = Behavior.kaplanMeier(spark, sf).orderBy("dur_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    out.length shouldBe want.length
+    out.zip(want).foreach { case (got, exp) =>
+      got._1 shouldBe exp._1
+      got._2 shouldBe exp._2
+      got._3 shouldBe exp._3
+      got._4 shouldBe exp._4
+      got._5 shouldBe exp._5 +- 2e-6
+    }
+    // the curve is a survival function: nonincreasing from ≤ 1
+    out.map(_._5).sliding(2).foreach {
+      case Array(a, b) => b should be <= a + 1e-12
+      case _ =>
+    }
+  }
 }
