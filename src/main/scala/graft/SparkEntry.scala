@@ -205,6 +205,7 @@ object SparkEntry {
     "q_kendall"         -> (graft.ops.Analytics.kendallTauQtyDiscount _),
     "q_kaplan_meier"    -> (graft.ops.Behavior.kaplanMeier _),
     "q_hodges_lehmann"  -> (graft.ops.Analytics.hodgesLehmannQty _),
+    "q_collocations"    -> (graft.text.TextAnalysis.collocations _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
     // -- round 5: decontamination, mixture planning, quality cascade
     "q_decontam"        -> (graft.text.Decontam.ngramOverlap _),
@@ -630,6 +631,7 @@ object SparkEntry {
     "q_kendall"       -> graft.ops.Analytics.kendallTauQtyDiscountSql,
     "q_kaplan_meier"  -> graft.ops.Behavior.kaplanMeierSql,
     "q_hodges_lehmann" -> graft.ops.Analytics.hodgesLehmannQtySql,
+    "q_collocations"  -> graft.text.TextAnalysis.collocationsSql,
     "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,

@@ -338,6 +338,90 @@ object TextAnalysis {
       |  count(*) AS n_docs
       |FROM documents GROUP BY lang, len_bucket""".stripMargin
 
+  /** COLLOCATIONS: top-20 bigrams by Dunning's log-likelihood ratio G²
+    * — the statistically-grounded upgrade of raw bigram counts
+    * ([[topBigrams]]): G² asks "does w2 follow w1 more often than the
+    * two words' marginal rates predict", so glue pairs outscore merely
+    * frequent ones. The standard collocation extractor (Dunning 1993)
+    * and a corpus-quality staple.
+    *
+    * Plan shape extends the TF-IDF trick: both marginals (w1-as-first,
+    * w2-as-second) are WINDOW sums over the bigram-count relation
+    * itself, partitioned by vocab-sized keys — no second scan, no join
+    * back; the grand total N rides in as a provably-one-row broadcast.
+    * Everything after the explode runs at O(distinct bigrams).
+    *
+    * Determinism: the 2×2 contingency (k, c1−k, c2−k, N−c1−c2+k) is
+    * exact longs; each G² is a PINNED sequence of ≤4 ln/mul/div double
+    * ops (no variable-order float accumulation anywhere — cell terms
+    * are added in fixed textual order), rounded to 4 before the
+    * (score desc, bigram asc) tiebreak ordering. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val counts = Tables.documents(s, d)
+      .select(w.as("w"))
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("k"))
+    val c1w = Window.partitionBy("w1")
+    val c2w = Window.partitionBy("w2")
+    val tot = counts.agg(sum(col("k")).cast("long").as("nn"))
+    def term(k: Column, rs: Column, cs: Column, nn: Column): Column =
+      when(k > 0, k.cast("double") *
+        log(k.cast("double") * nn.cast("double") /
+          (rs.cast("double") * cs.cast("double")))).otherwise(lit(0.0))
+    counts
+      .select(col("w1"), col("w2"), col("k"),
+        sum(col("k")).over(c1w).cast("long").as("c1"),
+        sum(col("k")).over(c2w).cast("long").as("c2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("k") >= 5)
+      .select(col("w1"), col("w2"), col("k"), col("c1"), col("c2"),
+        round(lit(2.0) * (
+          term(col("k"), col("c1"), col("c2"), col("nn")) +
+          term(col("c1") - col("k"), col("c1"), col("nn") - col("c2"), col("nn")) +
+          term(col("c2") - col("k"), col("nn") - col("c1"), col("c2"), col("nn")) +
+          term(col("nn") - col("c1") - col("c2") + col("k"),
+            col("nn") - col("c1"), col("nn") - col("c2"), col("nn"))), 4)
+          .as("g2"))
+      .orderBy(col("g2").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
+  val collocationsSql: String =
+    """WITH counts AS (
+      |  SELECT b[1] AS w1, b[2] AS w2, count(*) AS k FROM (
+      |    SELECT unnest(list_transform(
+      |      generate_series(1, len(string_split(text,' ')) - 1),
+      |      i -> [string_split(text,' ')[i], string_split(text,' ')[i+1]])) AS b
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT w1, w2, k,
+      |    sum(k) OVER (PARTITION BY w1) AS c1,
+      |    sum(k) OVER (PARTITION BY w2) AS c2,
+      |    (SELECT sum(k) FROM counts) AS nn
+      |  FROM counts)
+      |SELECT w1, w2, k, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+      |  round(2.0 * (
+      |    CASE WHEN k > 0 THEN CAST(k AS DOUBLE) *
+      |      ln(CAST(k AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END +
+      |    CASE WHEN c1 - k > 0 THEN CAST(c1 - k AS DOUBLE) *
+      |      ln(CAST(c1 - k AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        / (CAST(c1 AS DOUBLE) * CAST(nn - c2 AS DOUBLE))) ELSE 0.0 END +
+      |    CASE WHEN c2 - k > 0 THEN CAST(c2 - k AS DOUBLE) *
+      |      ln(CAST(c2 - k AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        / (CAST(nn - c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END +
+      |    CASE WHEN nn - c1 - c2 + k > 0 THEN CAST(nn - c1 - c2 + k AS DOUBLE) *
+      |      ln(CAST(nn - c1 - c2 + k AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        / (CAST(nn - c1 AS DOUBLE) * CAST(nn - c2 AS DOUBLE))) ELSE 0.0 END
+      |  ), 4) AS g2
+      |FROM marg WHERE k >= 5
+      |ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")

@@ -245,4 +245,41 @@ class TextAnalysisSpec extends GraftTestBase {
       r.getAs[String]("squeezed") should not include "  "
     }
   }
+
+  behavior of "collocations"
+
+  it should "match a driver-side Dunning G2 over the bigram census" in {
+    val bigrams = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect().iterator
+      .flatMap(r => r.getString(0).split(" ", -1).sliding(2)
+        .filter(_.length == 2).map(a => (a(0), a(1))))
+      .toSeq
+    val k = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nn = bigrams.size.toLong
+    def term(kk: Long, rs: Long, cs: Long): Double =
+      if (kk > 0) kk.toDouble * math.log(kk.toDouble * nn / (rs.toDouble * cs)) else 0.0
+    def g2(w1: String, w2: String): Double = {
+      val kk = k((w1, w2)); val r = c1(w1); val c = c2(w2)
+      2.0 * (term(kk, r, c) + term(r - kk, r, nn - c) +
+        term(c - kk, nn - r, c) + term(nn - r - c + kk, nn - r, nn - c))
+    }
+    val out = TextAnalysis.collocations(spark, sf).collect()
+    out.length should be <= 20
+    out.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      r.getAs[Long]("k") shouldBe k((w1, w2))
+      r.getAs[Long]("c1") shouldBe c1(w1)
+      r.getAs[Long]("c2") shouldBe c2(w2)
+      r.getAs[Double]("g2") shouldBe g2(w1, w2) +- 1e-3
+    }
+    // the returned list is the global top-20: every candidate bigram with
+    // k >= 5 not in it must score no higher than the minimum returned
+    val returned = out.map(r => (r.getString(0), r.getString(1))).toSet
+    val minG2 = out.map(_.getAs[Double]("g2")).min
+    k.filter(_._2 >= 5).keys.filterNot(returned).foreach { case (w1, w2) =>
+      math.rint(g2(w1, w2) * 1e4) / 1e4 should be <= minG2
+    }
+  }
 }
