@@ -206,6 +206,8 @@ object SparkEntry {
     "q_kaplan_meier"    -> (graft.ops.Behavior.kaplanMeier _),
     "q_hodges_lehmann"  -> (graft.ops.Analytics.hodgesLehmannQty _),
     "q_collocations"    -> (graft.text.TextAnalysis.collocations _),
+    "q_rolling_ols"     -> (graft.ops.TimeSeries.rollingOlsDaily _),
+    "q_dispersion"      -> (graft.ops.TimeSeries.dispersionDaily _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
     // -- round 5: decontamination, mixture planning, quality cascade
     "q_decontam"        -> (graft.text.Decontam.ngramOverlap _),
@@ -632,6 +634,8 @@ object SparkEntry {
     "q_kaplan_meier"  -> graft.ops.Behavior.kaplanMeierSql,
     "q_hodges_lehmann" -> graft.ops.Analytics.hodgesLehmannQtySql,
     "q_collocations"  -> graft.text.TextAnalysis.collocationsSql,
+    "q_rolling_ols"   -> graft.ops.TimeSeries.rollingOlsDailySql,
+    "q_dispersion"    -> graft.ops.TimeSeries.dispersionDailySql,
     "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -956,4 +956,120 @@ object TimeSeries {
       |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
       |       CAST(n * syy - sy * sy AS DOUBLE)) AS acf
       |FROM m""".stripMargin
+
+  /** ROLLING OLS: per event type, the 7-day trailing least-squares slope
+    * of daily revenue (cents/day) — the local-trend detector that EWMA
+    * ([[ewmaDaily]]) smooths past: a level change shows in EWMA, a slope
+    * change shows here. Classic quant/BI window battery member.
+    *
+    * The slope is closed-form from four trailing sums — n, Σx, Σy, Σxy,
+    * Σxx with x = epoch day, y = exact cents — all EXACT decimal(38,0)
+    * window aggregates over the per-(type, day) frame (O(days) rows per
+    * type; the facts are touched by one map-side-combinable aggregate
+    * only). No per-row regression state, no UDAF: the same five window
+    * sums every engine can fuse into one pass, then ONE pinned double
+    * division, rounded to 6.
+    *
+    * Windows under 3 days of history emit NULL (a 1-2 point "slope" is
+    * noise, and the n≥3 guard keeps the denominator nonzero). */
+  def rollingOlsDaily(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+      .select(col("event_type"), col("day"),
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long").as("x"),
+        col("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .select(col("event_type"), col("day"), col("cents"),
+        count(lit(1)).over(w).cast("long").as("n"),
+        sum(d0(col("x"))).over(w).as("sx"),
+        sum(d0(col("cents"))).over(w).as("sy"),
+        sum(d0(col("x")) * d0(col("cents"))).over(w).as("sxy"),
+        sum(d0(col("x")) * d0(col("x"))).over(w).as("sxx"))
+      .select(col("event_type"), col("day"), col("cents"), col("n"),
+        when(col("n") >= 3,
+          round((d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("slope_cents_per_day"))
+  }
+
+  val rollingOlsDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |xy AS (
+      |  SELECT event_type, day, cents,
+      |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+      |  FROM daily),
+      |sums AS (
+      |  SELECT event_type, day, cents,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) OVER w AS sx,
+      |    sum(CAST(cents AS HUGEINT)) OVER w AS sy,
+      |    sum(CAST(x AS HUGEINT) * cents) OVER w AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) OVER w AS sxx
+      |  FROM xy
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, cents, n,
+      |  CASE WHEN n >= 3 THEN
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |          CAST(n * sxx - sx * sx AS DOUBLE), 6)
+      |  END AS slope_cents_per_day
+      |FROM sums""".stripMargin
+
+  /** OVERDISPERSION audit: the index of dispersion (Fano factor,
+    * variance-to-mean ratio) of DAILY event counts per event type — the
+    * one-number test of "is this arrival stream Poisson-like (≈1),
+    * bursty (≫1), or metronomic (≪1)" that decides whether rate alerts
+    * can assume Poisson error bars.
+    *
+    * Daily counts are exact longs from one map-side-combinable
+    * aggregate; mean and sample variance come from exact decimal(38,0)
+    * power sums over the O(days) frame — the
+    * [[graft.ops.Analytics.momentsByReturnFlag]] contract (native
+    * one-pass variance aggregates are float-merge-order-dependent;
+    * power sums are not) — and the ratio is one pinned double
+    * expression rounded to 6. */
+  def dispersionDaily(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast(big)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(d0(col("c"))).as("s1"),
+        sum(d0(col("c")) * d0(col("c"))).as("s2"))
+      .select(col("event_type"), col("n_days"),
+        round((col("s1").cast("double") / col("n_days").cast("double")), 6)
+          .as("mean_daily"),
+        round((d0(col("n_days")) * col("s2") - col("s1") * col("s1"))
+          .cast("double") /
+          (col("n_days") * (col("n_days") - 1)).cast("double") /
+          (col("s1").cast("double") / col("n_days").cast("double")), 6)
+          .as("fano"))
+  }
+
+  val dispersionDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    sum(CAST(c AS HUGEINT)) AS s1,
+      |    sum(CAST(c AS HUGEINT) * c) AS s2
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  round(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+      |  round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+      |    / CAST(n_days * (n_days - 1) AS DOUBLE)
+      |    / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS fano
+      |FROM sums""".stripMargin
 }

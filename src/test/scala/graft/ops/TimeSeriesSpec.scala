@@ -407,4 +407,54 @@ class TimeSeriesSpec extends GraftTestBase {
       }
     }
   }
+
+  behavior of "rollingOlsDaily"
+
+  it should "match a driver-side closed-form OLS over each trailing window" in {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp](1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    val out = TimeSeries.rollingOlsDaily(spark, sf).collect()
+    out.length shouldBe daily.values.map(_.size).sum
+    out.foreach { r =>
+      val series = daily(r.getString(0))
+      val idx = series.indexWhere(_._2 == r.getAs[java.sql.Timestamp]("day"))
+      val win = series.slice(math.max(0, idx - 6), idx + 1)
+        .map(t => (t._2.getTime / 86400000L, t._3))
+      r.getAs[Long]("n") shouldBe win.size.toLong
+      if (win.size < 3) r.isNullAt(r.fieldIndex("slope_cents_per_day")) shouldBe true
+      else {
+        val n = win.size.toDouble
+        val sx = win.map(_._1).sum.toDouble; val sy = win.map(_._2).sum.toDouble
+        val sxy = win.map(t => t._1.toDouble * t._2).sum
+        val sxx = win.map(t => t._1.toDouble * t._1).sum
+        val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r.getAs[Double]("slope_cents_per_day") shouldBe want +- 1e-4
+      }
+    }
+  }
+
+  behavior of "dispersionDaily"
+
+  it should "match a driver-side variance-to-mean ratio of daily counts" in {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    val out = TimeSeries.dispersionDaily(spark, sf).collect()
+    out.length shouldBe daily.size
+    out.foreach { r =>
+      val xs = daily(r.getString(0))
+      val n = xs.size.toDouble
+      val mean = xs.sum / n
+      val varS = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      r.getAs[Long]("n_days") shouldBe xs.size.toLong
+      r.getAs[Double]("mean_daily") shouldBe mean +- 1e-6
+      r.getAs[Double]("fano") shouldBe (varS / mean) +- 1e-4
+    }
+  }
 }
