@@ -208,6 +208,8 @@ object SparkEntry {
     "q_collocations"    -> (graft.text.TextAnalysis.collocations _),
     "q_rolling_ols"     -> (graft.ops.TimeSeries.rollingOlsDaily _),
     "q_dispersion"      -> (graft.ops.TimeSeries.dispersionDaily _),
+    "q_elasticity"      -> (graft.ops.Analytics.discountElasticity _),
+    "q_gumbel"          -> (graft.ops.Analytics.gumbelMonthlyMax _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
     // -- round 5: decontamination, mixture planning, quality cascade
     "q_decontam"        -> (graft.text.Decontam.ngramOverlap _),
@@ -636,6 +638,8 @@ object SparkEntry {
     "q_collocations"  -> graft.text.TextAnalysis.collocationsSql,
     "q_rolling_ols"   -> graft.ops.TimeSeries.rollingOlsDailySql,
     "q_dispersion"    -> graft.ops.TimeSeries.dispersionDailySql,
+    "q_elasticity"    -> graft.ops.Analytics.discountElasticitySql,
+    "q_gumbel"        -> graft.ops.Analytics.gumbelMonthlyMaxSql,
     "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,

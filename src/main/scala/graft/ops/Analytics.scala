@@ -1753,4 +1753,133 @@ object Analytics {
       |  FROM walsh)
       |SELECT l_returnflag, CAST(min(s2) AS DOUBLE) / 2.0 AS hl_estimate
       |FROM cum WHERE cumw * 2 >= totw GROUP BY 1""".stripMargin
+
+  /** DISCOUNT ELASTICITY of demand per return flag: the weighted OLS
+    * slope of ln(quantity) on ln(1 − discount) — "a 1% cut in effective
+    * price moves quantity by slope %", the log-log regression every
+    * pricing team runs.
+    *
+    * Scale + determinism combine two proven in-repo patterns:
+    *  - the regression runs over the (flag, quantity, discount) CELL
+    *    census ([[kendallTauQtyDiscount]]'s aggregate — ≤ 550 cells per
+    *    flag, catalog-bounded), never the facts;
+    *  - the five weighted log-moment sums are floats, so they do NOT go
+    *    through a parallel SUM: each flag's cells fold in PINNED
+    *    (quantity, discount) order via sort_array + `aggregate`
+    *    ([[chiSquareStatusPriority]]'s sorted-fold), making the
+    *    accumulation bit-identical to DuckDB's `sum(... ORDER BY ...)`
+    *    — sequential left-to-right in both engines.
+    * The closing slope/intercept/r² are one pinned double expression,
+    * rounded to 6. */
+  def discountElasticity(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .agg(count(lit(1)).cast("long").as("m"))
+      .select(col("l_returnflag"),
+        struct(col("l_quantity").as("q"), col("l_discount").as("dd"),
+          col("m").as("m")).as("cell"))
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("cell"))).as("cells"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("cells"), lit(0.0d), (acc, x) => acc + f(x))
+    val mm = (x: Column) => x.getField("m").cast("double")
+    val lx = (x: Column) => log(lit(1.0) - x.getField("dd"))
+    val ly = (x: Column) => log(x.getField("q"))
+    cells
+      .select(col("l_returnflag"),
+        fold(mm).as("n"),
+        fold(x => mm(x) * lx(x)).as("sx"),
+        fold(x => mm(x) * ly(x)).as("sy"),
+        fold(x => mm(x) * lx(x) * ly(x)).as("sxy"),
+        fold(x => mm(x) * lx(x) * lx(x)).as("sxx"),
+        fold(x => mm(x) * ly(x) * ly(x)).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("elasticity"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))), 6).as("r2"))
+  }
+
+  val discountElasticitySql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag, l_quantity AS q, l_discount AS dd,
+      |    CAST(count(*) AS DOUBLE) AS m
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |s AS (
+      |  SELECT l_returnflag,
+      |    sum(m ORDER BY q, dd) AS n,
+      |    sum(m * ln(1.0 - dd) ORDER BY q, dd) AS sx,
+      |    sum(m * ln(q) ORDER BY q, dd) AS sy,
+      |    sum(m * ln(1.0 - dd) * ln(q) ORDER BY q, dd) AS sxy,
+      |    sum(m * ln(1.0 - dd) * ln(1.0 - dd) ORDER BY q, dd) AS sxx,
+      |    sum(m * ln(q) * ln(q) ORDER BY q, dd) AS syy
+      |  FROM cells GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s""".stripMargin
+
+  /** GUMBEL extreme-value fit over monthly block maxima of order value —
+    * the classical EVT recipe (block maxima → Gumbel, the limit law for
+    * light-tailed maxima): method-of-moments β̂ = s·√6/π,
+    * μ̂ = x̄ − γ·β̂, plus the fitted 99th-percentile return level
+    * μ̂ − β̂·ln(−ln 0.99) ("the monthly max exceeded 1 month in 100").
+    *
+    * Block maxima are exact decimal MAXes per month (O(months) rows from
+    * one map-side-combinable aggregate); mean/std come from exact
+    * decimal(38,4) power sums over those maxima (partial-order-proof),
+    * and the three fitted numbers are one pinned double expression each,
+    * rounded to 6. Sample std (n−1) matches DuckDB stddev_samp — but
+    * both sides compute it from the SAME exact sums, not the engines'
+    * one-pass native aggregates. */
+  def gumbelMonthlyMax(s: SparkSession, d: String): DataFrame = {
+    val gamma = 0.5772156649015329 // Euler-Mascheroni
+    val sqrt6OverPi = 0.7796968012336793 // √6/π
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val maxima = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg((max(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("mc"))
+    maxima
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d0(col("mc"))).as("s1"),
+        sum(d0(col("mc")) * d0(col("mc"))).as("s2"))
+      .select(col("n"),
+        (col("s1").cast("double") / col("n").cast("double") / 100.0).as("mean"),
+        (sqrt((d0(col("n")) * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")) / 100.0).as("sd"))
+      .select(col("n").as("n_months"),
+        round(col("sd") * sqrt6OverPi, 6).as("beta"),
+        round(col("mean") - lit(gamma) * (col("sd") * sqrt6OverPi), 6).as("mu"),
+        round(col("mean") - lit(gamma) * (col("sd") * sqrt6OverPi) -
+          col("sd") * sqrt6OverPi * log(-log(lit(0.99))), 6)
+          .as("return_level_p99"))
+  }
+
+  val gumbelMonthlyMaxSql: String =
+    """WITH maxima AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mc
+      |  FROM orders GROUP BY 1),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(mc AS HUGEINT)) AS s1,
+      |    sum(CAST(mc AS HUGEINT) * mc) AS s2
+      |  FROM maxima),
+      |mo AS (
+      |  SELECT n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+      |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+      |      / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS sd
+      |  FROM sums)
+      |SELECT n AS n_months,
+      |  round(sd * 0.7796968012336793, 6) AS beta,
+      |  round(mean - 0.5772156649015329 * (sd * 0.7796968012336793), 6) AS mu,
+      |  round(mean - 0.5772156649015329 * (sd * 0.7796968012336793)
+      |    - sd * 0.7796968012336793 * ln(-ln(0.99)), 6) AS return_level_p99
+      |FROM mo""".stripMargin
 }

@@ -451,4 +451,52 @@ class AnalyticsSpec extends GraftTestBase {
       r.getAs[Double]("hl_estimate") shouldBe want
     }
   }
+
+  behavior of "discountElasticity"
+
+  it should "match a naive per-row log-log weighted OLS per flag" in {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val out = Analytics.discountElasticity(spark, sf).collect()
+    out.length shouldBe rows.size
+    out.foreach { r =>
+      val xs = rows(r.getString(0))
+      val n = xs.size.toDouble
+      val lx = xs.map(t => math.log(1.0 - t._3))
+      val ly = xs.map(t => math.log(t._2))
+      val sx = lx.sum; val sy = ly.sum
+      val sxy = lx.zip(ly).map(t => t._1 * t._2).sum
+      val sxx = lx.map(x => x * x).sum; val syy = ly.map(y => y * y).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      r.getAs[Long]("n_rows") shouldBe xs.size.toLong
+      r.getAs[Double]("elasticity") shouldBe slope +- 1e-4
+      r.getAs[Double]("r2") shouldBe r2 +- 1e-4
+    }
+  }
+
+  behavior of "gumbelMonthlyMax"
+
+  it should "match a driver-side method-of-moments Gumbel fit" in {
+    val maxima = graft.Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(max(col("o_totalprice").cast("decimal(18,2)")).as("mx"))
+      .collect().map(_.getDecimal(1).doubleValue())
+    val n = maxima.length.toDouble
+    val mean = maxima.sum / n
+    val sd = math.sqrt(maxima.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    val p99 = mu - beta * math.log(-math.log(0.99))
+    val r = Analytics.gumbelMonthlyMax(spark, sf).collect().head
+    r.getAs[Long]("n_months") shouldBe maxima.length.toLong
+    r.getAs[Double]("beta") shouldBe beta +- 1e-4
+    r.getAs[Double]("mu") shouldBe mu +- 1e-4
+    r.getAs[Double]("return_level_p99") shouldBe p99 +- 1e-4
+    // sanity: the fitted 1-in-100 level sits above the fitted location
+    r.getAs[Double]("return_level_p99") should be > r.getAs[Double]("mu")
+  }
 }
