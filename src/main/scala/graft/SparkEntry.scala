@@ -210,6 +210,8 @@ object SparkEntry {
     "q_dispersion"      -> (graft.ops.TimeSeries.dispersionDaily _),
     "q_elasticity"      -> (graft.ops.Analytics.discountElasticity _),
     "q_gumbel"          -> (graft.ops.Analytics.gumbelMonthlyMax _),
+    "q_runs_test"       -> (graft.ops.TimeSeries.runsTestDaily _),
+    "q_dp_histogram"    -> (graft.ops.Privacy.dpNoisyHistogram _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
     // -- round 5: decontamination, mixture planning, quality cascade
     "q_decontam"        -> (graft.text.Decontam.ngramOverlap _),
@@ -640,6 +642,8 @@ object SparkEntry {
     "q_dispersion"    -> graft.ops.TimeSeries.dispersionDailySql,
     "q_elasticity"    -> graft.ops.Analytics.discountElasticitySql,
     "q_gumbel"        -> graft.ops.Analytics.gumbelMonthlyMaxSql,
+    "q_runs_test"     -> graft.ops.TimeSeries.runsTestDailySql,
+    "q_dp_histogram"  -> graft.ops.Privacy.dpNoisyHistogramSql,
     "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,

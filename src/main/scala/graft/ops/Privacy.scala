@@ -242,4 +242,55 @@ object Privacy {
        |  CASE WHEN k >= $kThreshold THEN c_mktsegment END AS mktsegment,
        |  k AS group_size
        |FROM w""".stripMargin
+
+  /** DIFFERENTIAL-PRIVACY style noisy histogram: order counts per
+    * (priority, status) cell with Laplace(1/ε) noise, ε = 1 — the
+    * release mechanism for publishable aggregate statistics, rounding
+    * out the privacy suite (pseudonymize → generalize → k-suppress →
+    * DP-noise the marginals).
+    *
+    * The noise is SEEDED, not random — RNG would break both the driver
+    * oracle and re-run reproducibility (the module contract: "no salts,
+    * no RNG"). Each cell's uniform draw is its md5-derived 32-bit
+    * fraction u ∈ (−½, ½) (the [[graft.text.TextAnalysis.trainSplit]]
+    * hash-bucket device), pushed through the exact Laplace inverse CDF
+    * −b·sgn(u)·ln(1 − 2|u|). Identical bytes → identical noise in any
+    * engine; within one release the draws across cells are independent
+    * as md5 is. A production deployment would swap the md5 seed input
+    * for a per-release secret salt — one column swap, documented here —
+    * but the MECHANISM (sensitivity-1 count, inverse-CDF transform,
+    * ε accounting column) is what this operator carries.
+    *
+    * Per-cell arithmetic is one pinned double expression (ln/abs/sign of
+    * one hash-derived double), rounded to 4; counts stay exact alongside
+    * so the spec can bound |noisy − exact|. One map-side-combinable
+    * aggregate; the noise projection is O(cells). */
+  def dpNoisyHistogram(s: SparkSession, d: String): DataFrame = {
+    val eps = 1.0
+    val cellKey = concat_ws("|", col("o_orderpriority"), col("o_orderstatus"))
+    val u = (conv(substring(md5(cellKey), 1, 8), 16, 10).cast("long")
+      .cast("double") + 0.5) / 4294967296.0 - 0.5
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        round(col("n") +
+          (-lit(1.0) / eps) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u)), 4)
+          .as("noisy_n"),
+        lit(eps).as("epsilon"))
+  }
+
+  val dpNoisyHistogramSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |seeded AS (
+      |  SELECT o_orderpriority, o_orderstatus, n,
+      |    (CAST(CAST(('0x' || substr(md5(o_orderpriority || '|' || o_orderstatus), 1, 8))
+      |        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS u
+      |  FROM cells)
+      |SELECT o_orderpriority, o_orderstatus, n,
+      |  round(n + (-1.0 / 1.0) * sign(u) * ln(1.0 - 2.0 * abs(u)), 4) AS noisy_n,
+      |  CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM seeded""".stripMargin
 }

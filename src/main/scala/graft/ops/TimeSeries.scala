@@ -1072,4 +1072,80 @@ object TimeSeries {
       |    / CAST(n_days * (n_days - 1) AS DOUBLE)
       |    / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS fano
       |FROM sums""".stripMargin
+
+  /** WALD-WOLFOWITZ RUNS TEST on daily revenue vs its median — the
+    * nonparametric randomness check ("is the above/below-median pattern
+    * serially dependent, or coin-flip-like"): too few runs = trending,
+    * too many = oscillating. Complements [[acfDailyRevenue]] (which
+    * measures linear dependence; runs sees any sign-pattern).
+    *
+    * Day revenues are exact cents; the median is the exact
+    * percentile_disc element over the O(days) aggregate (a real data
+    * value, not an interpolation — both engines pick the same cent);
+    * median-equal days drop per the standard two-category reduction.
+    * Runs count via one lag over the day-ordered aggregate frame, n₁/n₂
+    * by exact count, and the closing z-statistic
+    * (R − μ)/σ, μ = 2n₁n₂/n + 1, σ² = (μ−1)(μ−2)/(n−1), is one pinned
+    * double expression rounded to 6. Every stage after the daily
+    * aggregate is O(days). */
+  def runsTestDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val med = daily.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("cents") =!= col("med"))
+      .select(col("day"), (col("cents") > col("med")).as("up"))
+    val w = Window.orderBy("day")
+    signed
+      .select(col("up"),
+        when(lag(col("up"), 1).over(w).isNull ||
+          lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L)
+          .as("run_start"))
+      .agg(
+        sum(when(col("up"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("up"), 0L).otherwise(1L)).as("n_below"),
+        sum(col("run_start")).as("runs"))
+      .select(col("n_above"), col("n_below"), col("runs"),
+        round((col("runs").cast("double") -
+          (lit(2.0) * col("n_above") * col("n_below") /
+            (col("n_above") + col("n_below")) + 1.0)) /
+          sqrt((lit(2.0) * col("n_above") * col("n_below") /
+            (col("n_above") + col("n_below"))) *
+            (lit(2.0) * col("n_above") * col("n_below") /
+              (col("n_above") + col("n_below")) - 1.0) /
+            (col("n_above") + col("n_below") - 1.0)), 6).as("z"))
+  }
+
+  val runsTestDailySql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |med AS (
+      |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+      |  FROM daily),
+      |signed AS (
+      |  SELECT day, cents > med AS up FROM daily CROSS JOIN med
+      |  WHERE cents <> med),
+      |runs AS (
+      |  SELECT up,
+      |    CASE WHEN lag(up, 1) OVER (ORDER BY day) IS NULL
+      |           OR lag(up, 1) OVER (ORDER BY day) <> up
+      |         THEN 1 ELSE 0 END AS run_start
+      |  FROM signed),
+      |agg AS (
+      |  SELECT CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |    CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+      |    CAST(sum(run_start) AS BIGINT) AS runs
+      |  FROM runs)
+      |SELECT n_above, n_below, runs,
+      |  round((CAST(runs AS DOUBLE) -
+      |    (2.0 * n_above * n_below / (n_above + n_below) + 1.0)) /
+      |    sqrt((2.0 * n_above * n_below / (n_above + n_below)) *
+      |      (2.0 * n_above * n_below / (n_above + n_below) - 1.0) /
+      |      (n_above + n_below - 1.0)), 6) AS z
+      |FROM agg""".stripMargin
 }

@@ -457,4 +457,55 @@ class TimeSeriesSpec extends GraftTestBase {
       r.getAs[Double]("fano") shouldBe (varS / mean) +- 1e-4
     }
   }
+
+  behavior of "runsTestDaily"
+
+  it should "match a driver-side runs count and z statistic" in {
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1)
+    val sorted = daily.map(_._2).sorted
+    val med = sorted(((sorted.length + 1) / 2 - 1)) // percentile_disc(0.5)
+    val signs = daily.map(_._2).filter(_ != med).map(_ > med)
+    val runs = 1 + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.size - n1
+    val r = TimeSeries.runsTestDaily(spark, sf).collect().head
+    r.getAs[Long]("n_above") shouldBe n1
+    r.getAs[Long]("n_below") shouldBe n2
+    r.getAs[Long]("runs") shouldBe runs.toLong
+    val n = (n1 + n2).toDouble
+    val mu = 2.0 * n1 * n2 / n + 1.0
+    val sigma = math.sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0))
+    r.getAs[Double]("z") shouldBe ((runs - mu) / sigma) +- 1e-4
+  }
+
+  behavior of "Privacy.dpNoisyHistogram"
+
+  it should "add the exact seeded Laplace noise to every cell" in {
+    val out = Privacy.dpNoisyHistogram(spark, sf).collect()
+    out.length should be > 1
+    out.foreach { r =>
+      val key = r.getString(0) + "|" + r.getString(1)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4294967296.0 - 0.5
+      val noise = -math.signum(u) * math.log(1.0 - 2.0 * math.abs(u))
+      val want = BigDecimal(r.getAs[Long]("n") + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getAs[Double]("noisy_n") shouldBe want +- 2e-4
+      // sensitivity-1 Laplace at eps=1 from a 32-bit uniform is bounded
+      math.abs(r.getAs[Double]("noisy_n") - r.getAs[Long]("n")) should be < 23.0
+      r.getAs[Double]("epsilon") shouldBe 1.0
+    }
+    // determinism across runs (no RNG anywhere)
+    val again = Privacy.dpNoisyHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSet
+    out.map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSet shouldBe again
+  }
 }
