@@ -211,7 +211,9 @@ object SparkEntry {
     "q_elasticity"      -> (graft.ops.Analytics.discountElasticity _),
     "q_gumbel"          -> (graft.ops.Analytics.gumbelMonthlyMax _),
     "q_runs_test"       -> (graft.ops.TimeSeries.runsTestDaily _),
+    "q_octile_shape"    -> (graft.ops.Analytics.octileShapeByFlag _),
     "q_dp_histogram"    -> (graft.ops.Privacy.dpNoisyHistogram _),
+    "q_lexicon_audit"   -> (graft.text.TextAnalysis.lexiconAudit _),
     "q_heavy_hitters"   -> (graft.ops.Analytics.heavyHitterParts _),
     // -- round 5: decontamination, mixture planning, quality cascade
     "q_decontam"        -> (graft.text.Decontam.ngramOverlap _),
@@ -643,7 +645,9 @@ object SparkEntry {
     "q_elasticity"    -> graft.ops.Analytics.discountElasticitySql,
     "q_gumbel"        -> graft.ops.Analytics.gumbelMonthlyMaxSql,
     "q_runs_test"     -> graft.ops.TimeSeries.runsTestDailySql,
+    "q_octile_shape"  -> graft.ops.Analytics.octileShapeByFlagSql,
     "q_dp_histogram"  -> graft.ops.Privacy.dpNoisyHistogramSql,
+    "q_lexicon_audit" -> graft.text.TextAnalysis.lexiconAuditSql,
     "q_decontam"      -> graft.text.Decontam.ngramOverlapSql,
     "q_decontam_fuzzy" -> graft.text.Decontam.minhashDecontamSql,
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,

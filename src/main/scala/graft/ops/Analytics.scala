@@ -1882,4 +1882,48 @@ object Analytics {
       |  round(mean - 0.5772156649015329 * (sd * 0.7796968012336793)
       |    - sd * 0.7796968012336793 * ln(-ln(0.99)), 6) AS return_level_p99
       |FROM mo""".stripMargin
+
+  /** ROBUST SHAPE statistics per return flag: Bowley (quartile) skewness
+    * and Moors (octile) kurtosis of extended price — the
+    * outlier-immune complements of the moment-based skew/kurtosis in
+    * [[momentsByReturnFlag]] (a single corrupt price can move moment
+    * kurtosis arbitrarily; octiles move only if an eighth of the data
+    * does).
+    *
+    *   bowley = (E6 + E2 − 2·E4) / (E6 − E2)
+    *   moors  = ((E7 − E5) + (E3 − E1)) / (E6 − E2)
+    *
+    * All eight octiles are DISCRETE percentiles — actual data values
+    * both engines select identically (the exact-percentile contract of
+    * [[percentilesByStatus]]); the two ratios are one pinned double
+    * expression each, rounded to 6. One aggregate over the facts, one
+    * O(flags) projection — nothing else. */
+  def octileShapeByFlag(s: SparkSession, d: String): DataFrame = {
+    val es = (1 to 7).map(i =>
+      expr(s"percentile_disc(0.${i * 125}) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .as(s"e$i"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(es.head, es.tail: _*)
+      .select(col("l_returnflag"),
+        col("e2").as("q1"), col("e4").as("median"), col("e6").as("q3"),
+        round((col("e6") + col("e2") - lit(2.0) * col("e4")) /
+          (col("e6") - col("e2")), 6).as("bowley_skew"),
+        round(((col("e7") - col("e5")) + (col("e3") - col("e1"))) /
+          (col("e6") - col("e2")), 6).as("moors_kurtosis"))
+  }
+
+  val octileShapeByFlagSql: String = {
+    val es = (1 to 7).map(i =>
+      s"percentile_disc(0.${i * 125}) WITHIN GROUP (ORDER BY l_extendedprice) AS e$i")
+      .mkString(",\n      |    ")
+    s"""WITH oct AS (
+       |  SELECT l_returnflag,
+       |    $es
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, e2 AS q1, e4 AS median, e6 AS q3,
+       |  round((e6 + e2 - 2.0 * e4) / (e6 - e2), 6) AS bowley_skew,
+       |  round(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6) AS moors_kurtosis
+       |FROM oct""".stripMargin
+  }
 }

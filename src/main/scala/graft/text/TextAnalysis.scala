@@ -338,6 +338,51 @@ object TextAnalysis {
       |  count(*) AS n_docs
       |FROM documents GROUP BY lang, len_bucket""".stripMargin
 
+  /** The policy lexicon [[lexiconAudit]] screens against — configurable
+    * in a real deployment (toxicity/PII/contamination terms); pinned
+    * here so the oracle is deterministic. */
+  val policyLexicon: Seq[String] = Seq("slow", "leak", "stale", "fast")
+
+  /** POLICY-LEXICON audit: per language, how many documents contain a
+    * blocklisted term, and the total hit mass — the screening stage of
+    * every corpus pipeline (toxicity lists, PII markers, eval-set
+    * canaries) rendered as one scan: token-level membership against a
+    * broadcast-literal lexicon via an array higher-order `filter` (all
+    * codegen'd — no UDF, no join; a lexicon too big for a literal array
+    * becomes a broadcast semi-join on the exploded tokens, same
+    * semantics). Counts are exact ints; the flag rate is one pinned
+    * double division rounded to 6. */
+  def lexiconAudit(s: SparkSession, d: String): DataFrame = {
+    val lex = array(policyLexicon.map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("lang"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(split(col("text"), " "),
+            t => array_contains(lex, t))).as("hits"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).cast("long").as("total_hits"))
+      .select(col("lang"), col("n_docs"), col("n_flagged"), col("total_hits"),
+        round(col("n_flagged").cast("double") / col("n_docs").cast("double"), 6)
+          .as("flag_rate"))
+  }
+
+  val lexiconAuditSql: String = {
+    val lex = policyLexicon.map(w => s"'$w'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    len(list_filter(string_split(text, ' '),
+       |      t -> list_contains([$lex], t))) AS hits
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(hits) AS BIGINT) AS total_hits,
+       |  round(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS flag_rate
+       |FROM scored GROUP BY lang""".stripMargin
+  }
+
   /** COLLOCATIONS: top-20 bigrams by Dunning's log-likelihood ratio G²
     * — the statistically-grounded upgrade of raw bigram counts
     * ([[topBigrams]]): G² asks "does w2 follow w1 more often than the

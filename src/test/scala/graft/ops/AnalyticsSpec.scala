@@ -499,4 +499,27 @@ class AnalyticsSpec extends GraftTestBase {
     // sanity: the fitted 1-in-100 level sits above the fitted location
     r.getAs[Double]("return_level_p99") should be > r.getAs[Double]("mu")
   }
+
+  behavior of "octileShapeByFlag"
+
+  it should "match driver-side discrete octiles and the two ratios" in {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val out = Analytics.octileShapeByFlag(spark, sf).collect()
+    out.length shouldBe rows.size
+    out.foreach { r =>
+      val xs = rows(r.getString(0))
+      def disc(p: Double): Double = xs(math.ceil(p * xs.length).toInt - 1)
+      val e = (1 to 7).map(i => disc(i * 0.125))
+      r.getAs[Double]("q1") shouldBe e(1)
+      r.getAs[Double]("median") shouldBe e(3)
+      r.getAs[Double]("q3") shouldBe e(5)
+      r.getAs[Double]("bowley_skew") shouldBe
+        ((e(5) + e(1) - 2.0 * e(3)) / (e(5) - e(1))) +- 1e-6
+      r.getAs[Double]("moors_kurtosis") shouldBe
+        (((e(6) - e(4)) + (e(2) - e(0))) / (e(5) - e(1))) +- 1e-6
+    }
+  }
 }

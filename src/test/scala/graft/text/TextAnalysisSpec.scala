@@ -282,4 +282,24 @@ class TextAnalysisSpec extends GraftTestBase {
       math.rint(g2(w1, w2) * 1e4) / 1e4 should be <= minG2
     }
   }
+
+  behavior of "lexiconAudit"
+
+  it should "match a driver-side blocklist scan per language" in {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ", -1).count(TextAnalysis.policyLexicon.contains)))
+      .groupBy(_._1)
+    val out = TextAnalysis.lexiconAudit(spark, sf).collect()
+    out.length shouldBe docs.size
+    out.foreach { r =>
+      val xs = docs(r.getString(0)).map(_._2)
+      r.getAs[Long]("n_docs") shouldBe xs.size.toLong
+      r.getAs[Long]("n_flagged") shouldBe xs.count(_ > 0).toLong
+      r.getAs[Long]("total_hits") shouldBe xs.sum.toLong
+      r.getAs[Double]("flag_rate") shouldBe
+        (xs.count(_ > 0).toDouble / xs.size) +- 1e-6
+    }
+  }
 }
