@@ -211,6 +211,11 @@ object SparkEntry {
     "q_elasticity"      -> (graft.ops.Analytics.discountElasticity _),
     "q_gumbel"          -> (graft.ops.Analytics.gumbelMonthlyMax _),
     "q_runs_test"       -> (graft.ops.TimeSeries.runsTestDaily _),
+    "q_label_prop"      -> (graft.ops.Graph.labelPropagation _),
+    "q_neg_sample"      -> (graft.ops.Training.negativeSampling _),
+    "q_harmonic"        -> (graft.ops.Graph.harmonicCentrality _),
+    "q_assortativity"   -> (graft.ops.Graph.degreeAssortativity _),
+    "q_srm"             -> (graft.ops.Behavior.sampleRatioCheck _),
     "q_octile_shape"    -> (graft.ops.Analytics.octileShapeByFlag _),
     "q_dp_histogram"    -> (graft.ops.Privacy.dpNoisyHistogram _),
     "q_lexicon_audit"   -> (graft.text.TextAnalysis.lexiconAudit _),
@@ -645,6 +650,11 @@ object SparkEntry {
     "q_elasticity"    -> graft.ops.Analytics.discountElasticitySql,
     "q_gumbel"        -> graft.ops.Analytics.gumbelMonthlyMaxSql,
     "q_runs_test"     -> graft.ops.TimeSeries.runsTestDailySql,
+    "q_label_prop"    -> graft.ops.Graph.labelPropagationSql,
+    "q_neg_sample"    -> graft.ops.Training.negativeSamplingSql,
+    "q_harmonic"      -> graft.ops.Graph.harmonicCentralitySql,
+    "q_assortativity" -> graft.ops.Graph.degreeAssortativitySql,
+    "q_srm"           -> graft.ops.Behavior.sampleRatioCheckSql,
     "q_octile_shape"  -> graft.ops.Analytics.octileShapeByFlagSql,
     "q_dp_histogram"  -> graft.ops.Privacy.dpNoisyHistogramSql,
     "q_lexicon_audit" -> graft.text.TextAnalysis.lexiconAuditSql,

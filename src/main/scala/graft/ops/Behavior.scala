@@ -990,6 +990,51 @@ object Behavior {
        |FROM sel""".stripMargin
   }
 
+  /** SAMPLE-RATIO-MISMATCH check for the hash-split experiment — the
+    * health gate every experimentation platform runs BEFORE reading a
+    * test ([[abTestRevenue]]'s sibling): under a 50/50 split the
+    * variant counts follow Binomial(n, ½), so a large 1-dof chi-square
+    * χ² = (n_a − n_b)²/n flags broken assignment (bot filtering,
+    * logging loss, redirect bias) — an SRM invalidates the readout no
+    * matter how significant the metric looks.
+    *
+    * Same md5-parity assignment expression as the readout query (the
+    * whole point: this audits THAT split), one user-keyed aggregate,
+    * exact integer counts, χ² and its z = (n_a − n_b)/√n as pinned
+    * double expressions rounded to 6; the boolean verdict compares the
+    * exact integer (n_a − n_b)² against 3.841·n (the 95% 1-dof
+    * critical value) in scaled-integer space — cross-engine-exact. */
+  def sampleRatioCheck(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .select((conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 2).cast("int").as("variant"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 1000 >
+          (col("n_a") + col("n_b")) * 3841).as("srm_detected"))
+
+  val sampleRatioCheckSql: String =
+    """WITH assigned AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |    AS BIGINT) % 2 AS INTEGER) AS variant
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |counts AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM assigned)
+      |SELECT n_a, n_b,
+      |  round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+      |  (n_a - n_b) * (n_a - n_b) * 1000 > (n_a + n_b) * 3841 AS srm_detected
+      |FROM counts""".stripMargin
+
   /** Kaplan-Meier survival curve for signup → first-purchase conversion
     * with right censoring — the product-limit estimator, the standard
     * answer to "how long until users convert" when many never do (naive

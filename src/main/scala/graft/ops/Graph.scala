@@ -380,4 +380,258 @@ object Graph {
       |  (SELECT count(*)
       |   FROM e e1 JOIN e e2 ON e2.u = e1.v
       |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
+
+  /** Synchronous rounds for [[labelPropagation]]. Fixed and unrolled —
+    * open-ended LPA oscillates on bipartite-ish structures, so the
+    * result is DEFINED as "labels after exactly this many synchronous
+    * rounds" (the bfs/k-core bounded-semantics contract). */
+  val lpaRounds = 3
+
+  /** COMMUNITY DETECTION by synchronous label propagation, with exact
+    * Newman modularity of the resulting partition — "which parts form
+    * a merchandising cluster", the unsupervised complement of k-core
+    * (density) and components (connectivity).
+    *
+    * Classic LPA is scan-order-nondeterministic; this rendering pins
+    * every choice: all vertices update simultaneously from their
+    * neighbors' round-(r−1) labels (no in-round propagation), and the
+    * adopted label is argmax by (count, then SMALLEST label) via one
+    * `max(struct(count, −label))` aggregate — no row_number, no window,
+    * one shuffle per round on the vertex key. Rounds are unrolled with
+    * `localCheckpoint` pinning (the pageRank durability contract).
+    *
+    * Modularity avoids floats until the last op: with m undirected
+    * edges, e_c internal edges and d_c degree mass per community,
+    * Q = Σ_c (e_c/m − (d_c/2m)²) = [Σ_c (4·m·e_c − d_c²)] / (4m²) —
+    * the bracket is an exact decimal(38,0) integer in any engine, and
+    * Q is ONE double division, rounded to 6.
+    *
+    * Oracle: rounds unrolled as chained CTEs with row_number argmax
+    * (count DESC, label ASC) — the same pinned tie rule. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = DecimalType(38, 0)
+    def d0(c: org.apache.spark.sql.Column) = c.cast(big)
+    val e = edges(s, d)
+    val bi = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var lab = bi.select(col("u").as("x")).distinct()
+      .select(col("x"), col("x").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to lpaRounds) {
+      lab = bi
+        .join(lab.select(col("x").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u").as("x"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("x"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val mRow = bi.agg((count(lit(1)) / 2).cast("long").as("m"))
+    val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    val degsum = bi
+      .join(lab.select(col("x").as("u"), col("lbl")), Seq("u"))
+      .groupBy(col("lbl")).agg(count(lit(1)).cast("long").as("degree_sum"))
+    val internal = bi
+      .join(lab.select(col("x").as("u"), col("lbl").as("cu")), Seq("u"))
+      .join(lab.select(col("x").as("v"), col("lbl").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("lbl"))
+      .agg((count(lit(1)) / 2).cast("long").as("internal_edges"))
+    val comm = sizes
+      .join(degsum, Seq("lbl"))
+      .join(internal, Seq("lbl"), "left")
+      .na.fill(0L, Seq("internal_edges"))
+    val qRow = comm.crossJoin(broadcast(mRow))
+      .agg(sum(lit(4) * d0(col("m")) * d0(col("internal_edges")) -
+        d0(col("degree_sum")) * d0(col("degree_sum"))).as("qnum"),
+        max(col("m")).as("m"))
+      .select(round(col("qnum").cast("double") /
+        (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+        .as("modularity"))
+    comm.crossJoin(broadcast(qRow))
+      .orderBy(col("n_members").desc, col("lbl").asc)
+      .limit(20)
+      .select(col("lbl").as("community"), col("n_members"),
+        col("internal_edges"), col("degree_sum"), col("modularity"))
+  }
+
+  val labelPropagationSql: String = {
+    val base =
+      """WITH pr AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+        |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |l0 AS (SELECT DISTINCT u AS x, u AS lbl FROM bi)""".stripMargin
+    val rounds = (1 to lpaRounds).map { r =>
+      s"""c$r AS (
+         |  SELECT bi.u, p.lbl, count(*) AS c
+         |  FROM bi JOIN l${r - 1} p ON p.x = bi.v
+         |  GROUP BY 1, 2),
+         |l$r AS (
+         |  SELECT u AS x, lbl FROM (
+         |    SELECT u, lbl,
+         |      row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val fin = lpaRounds
+    base + rounds +
+      s""",
+         |mrow AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM bi),
+         |sizes AS (SELECT lbl, count(*) AS n_members FROM l$fin GROUP BY 1),
+         |degsum AS (
+         |  SELECT a.lbl, CAST(count(*) AS BIGINT) AS degree_sum
+         |  FROM bi JOIN l$fin a ON a.x = bi.u GROUP BY 1),
+         |internal AS (
+         |  SELECT a.lbl, CAST(count(*) // 2 AS BIGINT) AS internal_edges
+         |  FROM bi JOIN l$fin a ON a.x = bi.u JOIN l$fin b ON b.x = bi.v
+         |  WHERE a.lbl = b.lbl GROUP BY 1),
+         |comm AS (
+         |  SELECT s.lbl, s.n_members, d.degree_sum,
+         |    coalesce(i.internal_edges, 0) AS internal_edges
+         |  FROM sizes s JOIN degsum d USING (lbl)
+         |  LEFT JOIN internal i USING (lbl)),
+         |q AS (
+         |  SELECT round(CAST(sum(4 * CAST(m AS HUGEINT) * internal_edges
+         |      - CAST(degree_sum AS HUGEINT) * degree_sum) AS DOUBLE)
+         |    / (4.0 * CAST(max(m) AS DOUBLE) * CAST(max(m) AS DOUBLE)), 6)
+         |    AS modularity
+         |  FROM comm CROSS JOIN mrow)
+         |SELECT lbl AS community, n_members, internal_edges, degree_sum,
+         |  (SELECT modularity FROM q) AS modularity
+         |FROM comm ORDER BY n_members DESC, lbl ASC LIMIT 20""".stripMargin
+  }
+
+  /** HARMONIC CENTRALITY of the seed vertices (same `% 500` seed set as
+    * [[bfsHops]]) within [[bfsMaxHops]] hops: c(s) = Σ_v 1/d(s,v) — the
+    * "how close is this hub to everything" ranking that, unlike
+    * closeness, handles disconnected graphs gracefully (unreachable
+    * vertices contribute 0, no ∞).
+    *
+    * The trick that keeps it EXACT: with the hop bound at 3, distances
+    * are in {1,2,3}, so 6·c(s) = 6·n₁ + 3·n₂ + 2·n₃ is an integer —
+    * the sixths-scaled centrality hash-grades with no float tolerance,
+    * and the double rendering is one pinned division. Per-(seed, vertex)
+    * BFS state is the [[ssspBounded]] frontier-delta shape keyed by
+    * (src, x): per-round cost tracks the wavefront × seeds, and the
+    * seed set is size-bounded by construction (|parts|/500).
+    *
+    * Oracle: recursive CTE on (src, x, d) with min-distance dedup —
+    * [[bfsHopsSql]] generalized by one key. */
+  def harmonicCentrality(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var dist = bi.select(col("u").as("x")).distinct()
+      .filter(col("x") % 500 === 0)
+      .select(col("x").as("src"), col("x"), lit(0).as("hop"))
+      .localCheckpoint()
+    for (h <- 1 to bfsMaxHops) {
+      val frontier = dist.filter(col("hop") === h - 1)
+        .select(col("src"), col("x").as("u"))
+      val next = bi.join(frontier, Seq("u"))
+        .select(col("src"), col("v").as("x")).distinct()
+        .join(dist, Seq("src", "x"), "left_anti")
+        .select(col("src"), col("x"), lit(h).as("hop"))
+      dist = dist.unionAll(next).localCheckpoint()
+    }
+    dist.filter(col("hop") > 0)
+      .groupBy(col("src"))
+      .agg(
+        sum(when(col("hop") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("hop") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("hop") === 3, 1L).otherwise(0L)).as("n3"))
+      .select(col("src").as("seed"), col("n1"), col("n2"), col("n3"),
+        (col("n1") * 6 + col("n2") * 3 + col("n3") * 2).as("harmonic6"),
+        round((col("n1") * 6 + col("n2") * 3 + col("n3") * 2)
+          .cast("double") / 6.0, 6).as("harmonic"))
+  }
+
+  val harmonicCentralitySql: String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+       |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |reach(src, x, d) AS (
+       |  SELECT DISTINCT u AS src, u AS x, 0 AS d FROM bi WHERE u % 500 = 0
+       |  UNION
+       |  SELECT r.src, bi.v, r.d + 1 FROM reach r
+       |  JOIN bi ON bi.u = r.x WHERE r.d < $bfsMaxHops),
+       |hops AS (SELECT src, x, min(d) AS hop FROM reach GROUP BY 1, 2),
+       |cens AS (
+       |  SELECT src,
+       |    CAST(sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+       |  FROM hops WHERE hop > 0 GROUP BY 1)
+       |SELECT src AS seed, n1, n2, n3,
+       |  CAST(n1 * 6 + n2 * 3 + n3 * 2 AS BIGINT) AS harmonic6,
+       |  round(CAST(n1 * 6 + n2 * 3 + n3 * 2 AS DOUBLE) / 6.0, 6) AS harmonic
+       |FROM cens""".stripMargin
+
+  /** DEGREE ASSORTATIVITY of the co-purchase graph: the Pearson
+    * correlation of (deg(u), deg(v)) over the directed edge list — one
+    * number for "do hubs link to hubs" (r > 0, social-network-like) vs
+    * "hubs link to leaves" (r < 0, infrastructure-like). Newman's
+    * standard network statistic.
+    *
+    * Rendering: degrees from one aggregate, joined onto both edge
+    * endpoints (two key-shuffle joins), then the five power sums in
+    * exact decimal(38,0) over the bidirectional list (each undirected
+    * edge contributes both orientations — exactly Newman's definition)
+    * and ONE pinned double correlation, rounded to 6. The
+    * [[graft.ops.Analytics.momentsByReturnFlag]] discipline on a graph. */
+  def degreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = DecimalType(38, 0)
+    def d0(c: org.apache.spark.sql.Column) = c.cast(big)
+    val e = edges(s, d)
+    val bi = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = bi.groupBy(col("u").as("x")).agg(count(lit(1)).cast("long").as("dg"))
+    bi
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d0(col("du"))).as("sx"), sum(d0(col("dv"))).as("sy"),
+        sum(d0(col("du")) * d0(col("dv"))).as("sxy"),
+        sum(d0(col("du")) * d0(col("du"))).as("sxx"),
+        sum(d0(col("dv")) * d0(col("dv"))).as("syy"))
+      .select(col("n").as("n_directed_edges"),
+        round((d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((d0(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("assortativity"))
+  }
+
+  val degreeAssortativitySql: String =
+    """WITH pr AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+      |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |deg AS (SELECT u AS x, count(*) AS dg FROM bi GROUP BY 1),
+      |j AS (
+      |  SELECT du.dg AS du, dv.dg AS dv
+      |  FROM bi JOIN deg du ON du.x = bi.u JOIN deg dv ON dv.x = bi.v),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(du AS HUGEINT)) AS sx, sum(CAST(dv AS HUGEINT)) AS sy,
+      |    sum(CAST(du AS HUGEINT) * dv) AS sxy,
+      |    sum(CAST(du AS HUGEINT) * du) AS sxx,
+      |    sum(CAST(dv AS HUGEINT) * dv) AS syy
+      |  FROM j)
+      |SELECT n AS n_directed_edges,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+      |FROM sums""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.GraftTestBase
+import org.apache.spark.sql.functions.col
 
 class GraphSpec extends GraftTestBase {
 
@@ -164,5 +165,56 @@ class GraphSpec extends GraftTestBase {
     row.getLong(0) shouldBe 5L  // vertices
     row.getLong(1) shouldBe 7L  // edges
     row.getLong(3) shouldBe 4L  // triangles in K4
+  }
+
+  behavior of "labelPropagation"
+
+  it should "match a driver-side synchronous LPA with the same tie rule" in {
+    val pairs = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+    val undirected = pairs.flatMap { ps =>
+      val xs = ps.map(_._2).distinct.sorted
+      for (i <- xs.indices; j <- (i + 1) until xs.length) yield (xs(i), xs(j))
+    }.toSet
+    val adj = (undirected.toSeq ++ undirected.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(x => x -> x).toMap
+    for (_ <- 1 to Graph.lpaRounds) {
+      lbl = adj.map { case (x, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size).toSeq
+        // argmax by (count, then smallest label)
+        x -> counts.maxBy { case (l, c) => (c.toLong, -l) }._1
+      }
+    }
+    val m = undirected.size.toLong
+    val comm = lbl.groupBy(_._2).map { case (c, vs) =>
+      val members = vs.keySet
+      val eIn = undirected.count(e => members(e._1) && members(e._2)).toLong
+      val dSum = members.toSeq.map(adj(_).size.toLong).sum
+      (c, (vs.size.toLong, eIn, dSum))
+    }
+    val qNum = comm.values.foldLeft(BigInt(0)) { case (acc, (_, eIn, dSum)) =>
+      acc + BigInt(4) * BigInt(m) * BigInt(eIn) - BigInt(dSum) * BigInt(dSum)
+    }
+    val modularity = (BigDecimal(qNum) / (BigDecimal(4) * BigDecimal(m) * BigDecimal(m)))
+      .toDouble
+    val out = Graph.labelPropagation(spark, sf).collect()
+    out.length shouldBe math.min(20, comm.size)
+    out.foreach { r =>
+      val (n, eIn, dSum) = comm(r.getLong(0))
+      r.getAs[Long]("n_members") shouldBe n
+      r.getAs[Long]("internal_edges") shouldBe eIn
+      r.getAs[Long]("degree_sum") shouldBe dSum
+      r.getAs[Double]("modularity") shouldBe modularity +- 2e-6
+    }
+    // top-20 ordering by (size desc, label asc)
+    val sizes = out.map(r => (r.getAs[Long]("n_members"), r.getLong(0)))
+    sizes.sliding(2).foreach {
+      case Array((na, la), (nb, lb)) =>
+        assert(na > nb || (na == nb && la < lb))
+      case _ =>
+    }
   }
 }
