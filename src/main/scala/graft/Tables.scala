@@ -29,7 +29,16 @@ object Tables {
     * µs/ms timestamps in every other table). Set once up front — per-read
     * conf mutation would race under concurrent queries (ADVICE r1). */
   val requiredConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    Map(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // Testdata timestamps are parquet timestamp[us] WITHOUT a timezone
+      // (isAdjustedToUTC=false). Spark 4 would infer TIMESTAMP_NTZ for
+      // those; DuckDB reads them as naive TIMESTAMP. Reading them as
+      // session-local TIMESTAMP under the UTC session timezone keeps the
+      // wall-clock values identical on both sides AND keeps the columns
+      // usable where NTZ is not (RANGE window cast to bigint, the as-of
+      // operator's time ordinal).
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 
   /** events.ts nanos → Spark-native µs truncation — the same truncation
     * DuckDB applies, so oracles agree. The nanosAsLong flag must already be

@@ -326,7 +326,8 @@ class TimeSeriesSpec extends GraftTestBase {
   it should "assign expanding train/valid windows matching a driver-side replica" in {
     val rows = graft.Tables.orders(spark, sf)
       .select("o_orderdate", "o_totalprice").collect()
-      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate.toEpochDay,
+      .map(r => (r.getAs[java.sql.Timestamp](0).toInstant
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay,
         java.math.BigDecimal.valueOf(r.getDouble(1))
           .setScale(2, java.math.RoundingMode.HALF_UP)
           .movePointRight(2).longValueExact()))
