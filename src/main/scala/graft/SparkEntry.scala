@@ -73,6 +73,9 @@ object SparkEntry {
     "q_dedup_minhash"   -> (Dedup.minhashLsh _),
     "q_dedup_simhash"   -> (Dedup.simhashDedup _),
     "q_span_dedup"      -> (Dedup.spanDedup _),
+    "q_block_dedup"     -> (Dedup.blockDedup _),
+    "q_winnow"          -> (graft.text.Winnowing.winnowFingerprints _),
+    "q_seq_pack"        -> (graft.text.Curation.seqPackCensus _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -497,6 +500,9 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashDedupSql,
     "q_span_dedup"    -> Dedup.spanDedupSql,
+    "q_block_dedup"   -> Dedup.blockDedupSql,
+    "q_winnow"        -> graft.text.Winnowing.winnowFingerprintsSql,
+    "q_seq_pack"      -> graft.text.Curation.seqPackCensusSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,

@@ -506,6 +506,79 @@ object Dedup {
       |  round(CAST(n_shared AS DOUBLE) / n_spans, 4) >= 0.2 AS is_span_dup
       |FROM agg""".stripMargin
 
+  /** Non-overlapping block width (tokens) for [[blockDedup]]. */
+  val blockLen = 10
+
+  /** BLOCK-LEVEL survivorship dedup — the exact-substring-dedup
+    * approximation at fixed granularity: each document is cut into
+    * consecutive non-overlapping [[blockLen]]-token blocks, and a block
+    * OCCURRENCE survives iff it is the corpus-wide FIRST occurrence of
+    * its content (smallest (doc_id, block_no) among equal-content
+    * blocks). Unlike [[spanDedup]] (an overlapping-window SHARING census
+    * that scores documents), this op produces the retention PLAN: which
+    * token ranges of which documents a dedup pass would actually keep —
+    * deterministic, idempotent, and append-stable in the same sense as
+    * [[graft.text.Curation.packShards]] (a new document never steals
+    * first-occurrence from an old one, since new doc_ids sort after).
+    *
+    * Scale: block construction is a pure per-row array expression (no
+    * explode of raw tokens — `transform` over a `sequence` slices the
+    * token array locally); the survivorship census groups by block HASH
+    * (md5 — shuffle keys are 32 bytes regardless of document length) at
+    * O(block occurrences / blockLen) volume; first-occurrence is one
+    * min(struct) aggregate, map-side combinable. Per-doc rollup keys by
+    * doc_id — cardinality grows with data. */
+  def blockDedup(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    val blocks = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(w) - 1) div $blockLen")),
+          b => struct(
+            md5(concat_ws(" ",
+              slice(w, b * blockLen + 1, lit(blockLen)))).as("h"),
+            least(size(w) - b * blockLen, lit(blockLen)).as("n_tok"))))
+          .as(Seq("block_no", "blk")))
+      .select(col("doc_id"), col("block_no"),
+        col("blk.h").as("h"), col("blk.n_tok").as("n_tok"))
+    // first-occurrence key: (doc_id, block_no) packed into one long —
+    // block_no < 2^20 (a million-token document at blockLen 10), doc_id
+    // far below 2^43; a single min() is map-side combinable and avoids
+    // any cross-engine struct-ordering subtlety
+    val occ = (col("doc_id") * 1048576L + col("block_no")).as("occ")
+    val firstOwner = blocks.select(col("h"), occ)
+      .groupBy("h").agg(min(col("occ")).as("f_occ"))
+    blocks.select(col("doc_id"), col("h"), col("n_tok"), occ)
+      .join(firstOwner, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("occ") === col("f_occ"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("occ") === col("f_occ"), col("n_tok"))
+          .otherwise(0L)).cast("long").as("tokens_kept"),
+        sum(col("n_tok")).cast("long").as("tokens_total"))
+  }
+
+  val blockDedupSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |blocks AS (
+       |  SELECT doc_id, b AS block_no,
+       |    md5(array_to_string(w[b * $blockLen + 1 : b * $blockLen + $blockLen], ' ')) AS h,
+       |    least(len(w) - b * $blockLen, $blockLen) AS n_tok
+       |  FROM words, UNNEST(range(0, CAST(floor((len(w) - 1) / $blockLen) AS BIGINT) + 1)) AS u(b)),
+       |first_owner AS (
+       |  SELECT h, min(doc_id * 1048576 + block_no) AS f_occ
+       |  FROM blocks GROUP BY h)
+       |SELECT b.doc_id,
+       |  count(*) AS n_blocks,
+       |  CAST(sum(CASE WHEN b.doc_id * 1048576 + b.block_no = f.f_occ
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN b.doc_id * 1048576 + b.block_no = f.f_occ
+       |    THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens_total
+       |FROM blocks b JOIN first_owner f USING (h)
+       |GROUP BY b.doc_id""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   /** Shared shingle CTE (DuckDB): distinct word 3-grams per doc. */

@@ -72,6 +72,73 @@ object Curation {
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents)""".stripMargin
 
+  /** Training-sequence length (tokens) for [[seqPackCensus]] —
+    * deliberately small so documents really do span sequence boundaries
+    * at every graded scale. */
+  val seqLen = 128L
+
+  /** SEQUENCE PACKING census — the "concat-and-split" layout every LLM
+    * training run performs: documents concatenated in doc_id order, the
+    * token stream cut into fixed [[seqLen]]-token sequences, each
+    * document occupying the half-open token interval
+    * [cum − n_tokens, cum). The census reports, per SEQUENCE, how many
+    * documents contribute tokens to it, how many are fully contained,
+    * and how many straddle its right boundary (truncation/attention-mask
+    * pressure — the number packing schemes like best-fit try to drive
+    * down; this is the measurement that grades them).
+    *
+    * Scale: the global prefix sum is [[graft.ops.Distributed
+    * .withRunningTotal]] (range-partitioned, cluster-parallel — not a
+    * no-partition window); the interval→sequence expansion is a local
+    * `sequence()` explode bounded by each doc's own span (≤ n_tokens/
+    * seqLen + 1 rows per doc — output is O(total tokens / seqLen), a
+    * fixed fraction of the input); the census is one map-side-combinable
+    * aggregate keyed by seq_id, whose cardinality GROWS with data (no
+    * funnel). Append-stability inherits from prefix-sum assignment: new
+    * documents never move existing tokens. */
+  def seqPackCensus(s: SparkSession, d: String): DataFrame = {
+    val packed = graft.ops.Distributed.withRunningTotal(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long")
+            .as("n_tokens")),
+      Seq.empty, Seq("doc_id"), "n_tokens", "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / seqLen).cast("long").as("first_seq"),
+        ((col("cum") - 1L) / seqLen).cast("long").as("last_seq"))
+    packed
+      .select(col("doc_id"), col("first_seq"), col("last_seq"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_seq") === col("seq_id") &&
+                 col("last_seq") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_contained"),
+        sum(when(col("last_seq") > col("seq_id"), 1L).otherwise(0L))
+          .as("n_straddling"))
+  }
+
+  val seqPackCensusSql: String =
+    s"""WITH packed AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(floor(coalesce(sum(n_tokens) OVER (
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      / $seqLen) AS BIGINT) AS first_seq,
+       |    CAST(floor((coalesce(sum(n_tokens) OVER (
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + n_tokens - 1) / $seqLen) AS BIGINT) AS last_seq
+       |  FROM (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |SELECT u.seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN first_seq = u.seq_id AND last_seq = u.seq_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+       |  CAST(sum(CASE WHEN last_seq > u.seq_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_straddling
+       |FROM packed, UNNEST(range(first_seq, last_seq + 1)) AS u(seq_id)
+       |GROUP BY u.seq_id""".stripMargin
+
   /** Per-source document budget — the domain-cap constant. Sized so the
     * cap BITES at every oracle-graded scale (25 docs/source at sf0.01,
     * 250 at sf0.1) while staying scale-independent in meaning. */
