@@ -23,6 +23,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver keeps only the TAIL of long output, and the per-query
+    // map above can exceed that window (r5's total was truncated away) —
+    // repeat the headline numbers in a compact trailing line
+    println(s"""{"metric":"total_compact","total":$total,"n":${results.size},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -543,10 +543,18 @@ object Dedup {
       .select(col("doc_id"), col("block_no"),
         col("blk.h").as("h"), col("blk.n_tok").as("n_tok"))
     // first-occurrence key: (doc_id, block_no) packed into one long —
-    // block_no < 2^20 (a million-token document at blockLen 10), doc_id
-    // far below 2^43; a single min() is map-side combinable and avoids
-    // any cross-engine struct-ordering subtlety
-    val occ = (col("doc_id") * 1048576L + col("block_no")).as("occ")
+    // a single min() is map-side combinable and avoids any cross-engine
+    // struct-ordering subtlety. Shift is 2^32: block_no < 2^32 admits
+    // ~43-billion-token documents at blockLen 10 (the previous 2^20
+    // shift silently corrupted ordering past ~10.5M tokens, and both
+    // engines shared the bug so the oracle could not see it); doc_id
+    // must stay < 2^31 for the product to fit a signed 64-bit — guarded
+    // loudly here (raise_error), which covers the oracle too since both
+    // engines pack identically
+    val occ = when(col("doc_id") >= 2147483648L,
+        raise_error(concat(lit("blockDedup: doc_id >= 2^31 breaks (doc_id, block_no) packing: "),
+          col("doc_id").cast("string"))).cast("long"))
+      .otherwise(col("doc_id") * 4294967296L + col("block_no")).as("occ")
     val firstOwner = blocks.select(col("h"), occ)
       .groupBy("h").agg(min(col("occ")).as("f_occ"))
     blocks.select(col("doc_id"), col("h"), col("n_tok"), occ)
@@ -567,13 +575,13 @@ object Dedup {
        |    least(len(w) - b * $blockLen, $blockLen) AS n_tok
        |  FROM words, UNNEST(range(0, CAST(floor((len(w) - 1) / $blockLen) AS BIGINT) + 1)) AS u(b)),
        |first_owner AS (
-       |  SELECT h, min(doc_id * 1048576 + block_no) AS f_occ
+       |  SELECT h, min(doc_id * 4294967296 + block_no) AS f_occ
        |  FROM blocks GROUP BY h)
        |SELECT b.doc_id,
        |  count(*) AS n_blocks,
-       |  CAST(sum(CASE WHEN b.doc_id * 1048576 + b.block_no = f.f_occ
+       |  CAST(sum(CASE WHEN b.doc_id * 4294967296 + b.block_no = f.f_occ
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  CAST(sum(CASE WHEN b.doc_id * 1048576 + b.block_no = f.f_occ
+       |  CAST(sum(CASE WHEN b.doc_id * 4294967296 + b.block_no = f.f_occ
        |    THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
        |  CAST(sum(n_tok) AS BIGINT) AS tokens_total
        |FROM blocks b JOIN first_owner f USING (h)

@@ -756,7 +756,11 @@ object Analytics {
     * table partitioned by a 3-value flag: at 100 TB each flag's entire
     * billions of rows sort and cumulate through ONE task. Here the
     * per-task window input is bounded by the price DOMAIN (which grows
-    * with the catalog, not the fact count). Equivalence: the reference's
+    * with the catalog, not the fact count) — a real bound, but NOT one
+    * shape analysis can prove, so PlanLint still flags this middle form
+    * (its exemption demands all-tiny-domain aggregate keys); the
+    * lint-clean production rendering is [[weightedMedianPriceDist]],
+    * graded against the same oracle. Equivalence: the reference's
     * RANGE frame already treats equal prices as one cumulative group, so
     * collapsing them before the window cannot move the crossing point —
     * proven row-equal in AnalyticsSpec and graded against the SAME
@@ -950,8 +954,24 @@ object Analytics {
     * value, one cumulative-count window over O(distinct slopes) rows,
     * pick the value(s) covering positions ⌊(n−1)/2⌋ and ⌊n/2⌋. Slopes
     * are quotients of exact integers (cents, days) — each engine derives
-    * the identical doubles, so grouping and ordering agree bit-for-bit. */
-  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    * the identical doubles, so grouping and ordering agree bit-for-bit.
+    *
+    * The cumulative count runs through [[Distributed.withRunningTotal]]
+    * (range-partition prefix sum), NOT a `Window.partitionBy(priority)`:
+    * with only 5 priorities, the window form funnels the ~14.5M-row
+    * pair frame through 5 sort tasks at any cluster size — the exact
+    * low-cardinality-window antipattern PlanLint flags. The distributed
+    * rendering keeps all 32 (or 1000) partitions busy and its offsets
+    * pass is O(partitions × 5) metadata. Same oracle as the window form
+    * (the q_weighted_median_dist shared-oracle proof). */
+  def theilSenTrend(s: SparkSession, d: String): DataFrame =
+    theilSenPickMedian(Distributed.withRunningTotal(theilSenSlopeCounts(s, d),
+      Seq("o_orderpriority"), Seq("slope"), "cnt", "cum", Some("n")))
+
+  /** Per-(priority, slope) pair counts — the shared front half of both
+    * theil-sen renderings. Near-unique keys (~14M groups at sf0.1): the
+    * groupBy is a full-width hash shuffle, NOT a provably-small frame. */
+  private def theilSenSlopeCounts(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
@@ -960,18 +980,20 @@ object Analytics {
       col("cents").as("ya"))
     val b = daily.select(col("o_orderpriority"), col("day").as("db"),
       col("cents").as("yb"))
-    val pairs = a.join(b, Seq("o_orderpriority"))
+    a.join(b, Seq("o_orderpriority"))
       .filter(col("db") > col("da"))
       .select(col("o_orderpriority"),
         ((col("yb") - col("ya")).cast("double") /
           datediff(col("db"), col("da")).cast("double")).as("slope"))
-    val w = Window.partitionBy("o_orderpriority").orderBy("slope")
-    val tot = Window.partitionBy("o_orderpriority")
-    pairs.groupBy(col("o_orderpriority"), col("slope"))
+      .groupBy(col("o_orderpriority"), col("slope"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum(col("cnt")).over(tot))
+  }
+
+  /** Median pick from (slope, cnt, cum, n) — the shared back half:
+    * the value(s) whose cumulative span covers positions ⌊(n−1)/2⌋ and
+    * ⌊n/2⌋, averaged. O(1) rows survive the filter per priority. */
+  private def theilSenPickMedian(counted: DataFrame): DataFrame =
+    counted
       .withColumn("lo", expr("(n - 1) div 2"))
       .withColumn("hi", expr("n div 2"))
       .filter((col("cum") - col("cnt") <= col("lo") && col("lo") < col("cum"))
@@ -984,6 +1006,21 @@ object Analytics {
         .as("theil_sen_slope"))
       .select(col("o_orderpriority"), col("n").as("n_pairs"),
         (col("theil_sen_slope") / 100.0).as("slope_per_day"))
+
+  /** The window reference rendering of [[theilSenTrend]]: cumulative
+    * count via `Window.partitionBy(o_orderpriority)` — semantically
+    * identical (AnalyticsSpec proves row-equality), but the window
+    * funnels the whole slope-count frame through 5 sort tasks at any
+    * cluster size: the r5 bench regression (43 s, 16% of the suite) and
+    * PlanLint's low-cardinality-window positive case — the aggregate
+    * below it is keyed by near-unique `slope`, so it proves nothing. */
+  private[graft] def theilSenTrendWindowed(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("slope")
+    val tot = Window.partitionBy("o_orderpriority")
+    theilSenPickMedian(theilSenSlopeCounts(s, d)
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(tot)))
   }
 
   val theilSenTrendSql: String =

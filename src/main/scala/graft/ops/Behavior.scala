@@ -509,11 +509,11 @@ object Behavior {
       .agg(
         count(lit(1)).as("n_converters"),
         expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY sec_to_convert)")
-          .as("p25_sec"),
+          .cast("long").as("p25_sec"),
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY sec_to_convert)")
-          .as("p50_sec"),
+          .cast("long").as("p50_sec"),
         expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY sec_to_convert)")
-          .as("p75_sec"),
+          .cast("long").as("p75_sec"),
         min(col("sec_to_convert")).as("min_sec"),
         max(col("sec_to_convert")).as("max_sec"))
 
@@ -699,8 +699,12 @@ object Behavior {
     // c uses only mul/div/sqrt — IEEE-correctly-rounded ops, so both
     // engines land on the identical double (exp/log would not)
     val c = dStat * sqrt(n0d * n1d / (n0d + n1d))
+    // d_at_value ships as DOUBLE: a raw DECIMAL column renders with its
+    // full scale ("12.50" vs the oracle float's "12.5") — value-equal
+    // text that hashes differently (the q_ewma r5 lesson); 2-dp values
+    // are exact in double
     top.select((col("n") - col("n1")).as("n0"), col("n1"),
-      col("d_term").as("d_scaled"), col("v").as("d_at_value"),
+      col("d_term").as("d_scaled"), col("v").cast("double").as("d_at_value"),
       c.as("ks_stat"),
       (c > ksCrit95).as("significant_95"))
   }
@@ -735,7 +739,8 @@ object Behavior {
       |top AS (
       |  SELECT * FROM scored ORDER BY d_term DESC, v LIMIT 1),
       |stat AS (
-      |  SELECT n - n1 AS n0, n1, d_term AS d_scaled, v AS d_at_value,
+      |  SELECT n - n1 AS n0, n1, d_term AS d_scaled,
+      |    CAST(v AS DOUBLE) AS d_at_value,
       |    CAST(d_term AS DOUBLE)
       |      / (CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
       |      * sqrt(CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
@@ -1122,7 +1127,8 @@ object Behavior {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |      + d + c AS BIGINT) AS n_risk
       |  FROM by_hour)
-      |SELECT dur_h, n_risk, d AS n_events, c AS n_censored,
+      |SELECT dur_h, n_risk,
+      |  CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
       |  round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
       |    OVER (ORDER BY dur_h
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival

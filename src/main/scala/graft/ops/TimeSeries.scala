@@ -702,11 +702,17 @@ object TimeSeries {
     }
     val num = terms.map(_._1).reduce((a, b) => coalesce(a + b, a, b))
     val den = terms.map(_._2).reduce(_ + _)
+    // revenue ships as DOUBLE, not the decimal it is internally: a raw
+    // DECIMAL output column renders with its full scale ("2895.00")
+    // where the oracle's float renders "2895.0" — value-equal text that
+    // hashes differently (the actual q_ewma r5 red, NOT row order;
+    // 2-dp cents are exact in double, so the cast loses nothing)
     daily.select(col("event_type"), col("day"),
-        col("rev").cast(DecimalType(18, 2)).as("revenue"),
+        col("rev").cast("double").as("revenue"),
         num.as("n0"), den.as("d0"))
       .select(col("event_type"), col("day"), col("revenue"),
         (col("n0").cast("double") / col("d0").cast("double")).as("ewma"))
+      .orderBy("event_type", "day")
   }
 
   val ewmaDailySql: String = {
@@ -722,10 +728,11 @@ object TimeSeries {
        |  SELECT event_type, date_trunc('day', ts) AS day,
        |    sum(CAST(value AS DECIMAL(18,2))) AS rev
        |  FROM events GROUP BY event_type, date_trunc('day', ts))
-       |SELECT event_type, day, CAST(rev AS DECIMAL(18,2)) AS revenue,
+       |SELECT event_type, day, CAST(rev AS DOUBLE) AS revenue,
        |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
        |FROM daily
-       |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |ORDER BY event_type, day""".stripMargin
   }
 
   /** Day-of-week SEASONAL INDICES per event type — the decomposition

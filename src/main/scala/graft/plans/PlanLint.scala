@@ -39,17 +39,22 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - `scala-udf`: breaks whole-stage codegen and hides from the
   *    optimizer; a native expression or built-in exists for a reason.
   *  - `low-cardinality-window`: a window partitioned ONLY by columns
-  *    whose domain is known-tiny (order status, return flag, …) with no
-  *    aggregate anywhere below it — each key value is one task holding
-  *    that key's ENTIRE fact volume, at any scale, yet the exchange is
-  *    many-partition so the single-partition rule can't see it (the
-  *    shape that hid the weighted-median/Spearman reference forms).
-  *    The fix is always the same: collapse the facts with a map-side
-  *    combinable aggregate FIRST, window the aggregate (see
-  *    `Analytics.weightedMedianPrice` vs its `...Windowed` reference
-  *    form). The domain list is schema knowledge the caller owns —
-  *    shape analysis cannot know a column has 3 values — with this
-  *    codebase's tiny columns as the default.
+  *    whose domain is known-tiny (order status, return flag, …) whose
+  *    input is not provably collapsed — each key value is one task
+  *    holding that key's ENTIRE input volume, at any scale, yet the
+  *    exchange is many-partition so the single-partition rule can't see
+  *    it (the shape that hid the weighted-median/Spearman reference
+  *    forms). The only exemption is an aggregate below the window whose
+  *    own grouping keys are ALL tiny-domain (output provably O(domain
+  *    product)); an aggregate keyed by anything wider proves nothing —
+  *    groupBy(priority, slope) emits near-fact cardinality (the
+  *    q_theilsen 43 s regression that hid behind a blanket
+  *    aggregated-below exemption). The fix is
+  *    `Distributed.withRunningTotal` — range-partitioned prefix
+  *    aggregation at full cluster width (see `Analytics.theilSenTrend`,
+  *    `weightedMedianPriceDist`). The domain list is schema knowledge
+  *    the caller owns — shape analysis cannot know a column has 3
+  *    values — with this codebase's tiny columns as the default.
   *
   * Returns human-readable findings; empty = clean. Run in tests (see
   * PlanLintSpec) or ad hoc before promoting a query to a 1000-executor
@@ -100,10 +105,20 @@ object PlanLint {
     "o_orderstatus", "o_orderpriority", "c_mktsegment", "r_name",
     "p_mfgr", "p_brand", "p_container")
 
-  /** An aggregate below `p` means the window's input rows are already
-    * collapsed — the per-key volume is O(domain), not O(facts). */
-  private def aggregatedBelow(p: SparkPlan): Boolean =
-    p.collectFirst { case agg: BaseAggregateExec => agg }.isDefined
+  /** An aggregate below `p` only bounds the window's per-key volume if
+    * the aggregate's OWN grouping keys are all tiny-domain (its output
+    * is then O(domain product), provably small). An aggregate keyed by
+    * anything else can emit near-fact-cardinality output — groupBy
+    * (priority, slope) over a pair frame produces ~14M groups (the
+    * q_theilsen shape that hid behind the blanket exemption in r5 and
+    * cost 43 s as a 5-task sort funnel) — so it proves nothing. Scalar
+    * aggregates (no grouping) emit one row: trivially exempt. */
+  private def tinyKeyedAggregateBelow(p: SparkPlan, tiny: Set[String]): Boolean =
+    p.collectFirst {
+      case agg: BaseAggregateExec if agg.groupingExpressions.forall(
+        _.collectFirst { case a: Attribute if !tiny.contains(a.name) => a }.isEmpty
+      ) => agg
+    }.isDefined
 
   def lint(df: DataFrame,
            tinyDomainColumns: Set[String] = defaultTinyDomainColumns): Seq[Finding] = {
@@ -133,7 +148,8 @@ object PlanLint {
           case a: Attribute => a.name
           case other => other.sql
         }
-        if (keyNames.forall(tinyDomainColumns.contains) && !aggregatedBelow(w.child))
+        if (keyNames.forall(tinyDomainColumns.contains) &&
+            !tinyKeyedAggregateBelow(w.child, tinyDomainColumns))
           findings += Finding("low-cardinality-window",
             s"Window partitioned by [${keyNames.mkString(", ")}] over unaggregated input")
       case _ =>

@@ -341,8 +341,15 @@ object Similarity {
       .groupBy("dim_i", "dim_j")
       .agg(sum(xi * xj).as("s_ij"), sum(xi).as("s_i"), sum(xj).as("s_j"),
         count(lit(1)).as("n"))
+      .select(col("dim_i").cast("long").as("dim_i"),
+        col("dim_j").cast("long").as("dim_j"), col("n"),
+        round(col("s_ij") / n - col("s_i") * col("s_j") / (n * n), 6).as("cov0"))
+      // rounding a tiny negative covariance yields IEEE -0.0, which is
+      // value-equal to 0.0 but renders (and hashes) as "-0.0" — pin the
+      // signed zero on BOTH engines so the gate compares bit-stable text
       .select(col("dim_i"), col("dim_j"), col("n"),
-        round(col("s_ij") / n - col("s_i") * col("s_j") / (n * n), 6).as("cov"))
+        when(col("cov0") === 0d, lit(0d)).otherwise(col("cov0")).as("cov"))
+      .orderBy("dim_i", "dim_j")
   }
 
   val covarianceMatrixSql: String =
@@ -357,9 +364,13 @@ object Similarity {
       |    count(*) AS n
       |  FROM embeddings, idx i, idx j WHERE j.i >= i.i
       |  GROUP BY 1, 2)
+      |,rounded AS (
+      |  SELECT dim_i, dim_j, n,
+      |    round(s_ij / n - s_i * s_j / (CAST(n AS DOUBLE) * n), 6) AS cov0
+      |  FROM sums)
       |SELECT dim_i, dim_j, n,
-      |  round(s_ij / n - s_i * s_j / (CAST(n AS DOUBLE) * n), 6) AS cov
-      |FROM sums""".stripMargin
+      |  CASE WHEN cov0 = 0 THEN 0.0 ELSE cov0 END AS cov
+      |FROM rounded ORDER BY dim_i, dim_j""".stripMargin
 
   /** Top-principal-component extraction, graded through its contract —
     * the second half of the PCA/whitening story whose data pass is
@@ -378,10 +389,10 @@ object Similarity {
   def pcaPowerCheck(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.dotProduct
     val cov = covarianceMatrix(s, d).collect()
-    val dim = cov.map(_.getAs[Int]("dim_j")).max + 1
+    val dim = cov.map(_.getAs[Long]("dim_j")).max.toInt + 1
     val a = Array.ofDim[Double](dim, dim)
     cov.foreach { r =>
-      val (i, j) = (r.getAs[Int]("dim_i"), r.getAs[Int]("dim_j"))
+      val (i, j) = (r.getAs[Long]("dim_i").toInt, r.getAs[Long]("dim_j").toInt)
       a(i)(j) = r.getAs[Double]("cov"); a(j)(i) = r.getAs[Double]("cov")
     }
     def matvec(v: Array[Double]): Array[Double] =

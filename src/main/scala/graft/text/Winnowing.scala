@@ -15,25 +15,39 @@ import graft.Tables
   *
   * Rendering (the local-minimum variant): hash every k-gram (k = [[k]])
   * to a 48-bit integer, then select position i iff its hash is the
-  * minimum of the centered window of `2·w − 1` grams (w = [[w]]). The
-  * guarantee winnowing is used for survives: two documents sharing a run
-  * of ≥ k + 2(w − 1) identical tokens share at least one SELECTED
-  * fingerprint (the run's interior gram whose hash is minimal over its
-  * centered window in BOTH documents is selected in both). Selection by
-  * `==` on the window min is deterministic even under hash ties (tied
-  * positions are simply both selected), so the result is engine- and
-  * partitioning-independent.
+  * minimum of the centered window of `2·w − 1` grams (w = [[w]]).
+  * Match property — stated precisely, because the centered-min variant
+  * is WEAKER than classic rightmost-min winnowing: if two documents
+  * share a run of ≥ k + 2(w − 1) identical tokens AND the run's
+  * minimal-hash gram lies at least w − 1 grams from both run edges
+  * (probability ≈ (m − 2w + 2)/m for a run of m grams under uniform
+  * hashing), that gram's centered window falls entirely inside the
+  * shared run, so it is selected in BOTH documents. When the minimum
+  * hugs a run edge, its centered window sees doc-specific context and
+  * the docs can share zero fingerprints — classic winnowing
+  * (rightmost-min per trailing window) carries the unconditional
+  * guarantee at the cost of an order-dependent tie rule; this variant
+  * trades those tail cases for a tie rule (`==` on the window min,
+  * tied positions all selected) that is deterministic and engine- and
+  * partitioning-independent, which is what the oracle gate needs.
   *
-  * Scale: gram expansion is O(total tokens) with no shuffle (grams come
-  * from a lead() window partitioned by doc_id — millions of partitions'
-  * worth of parallelism, never a funnel); the sharing census shuffles
-  * only DISTINCT SELECTED hashes (a ~2/w fraction of grams — the whole
-  * point of winnowing is that the selected set is small), map-side
-  * combinable. Nothing touches the driver.
+  * Scale: gram expansion costs ONE hash-partition shuffle of the
+  * exploded token rows (the lead() window keys on doc_id — O(total
+  * tokens) shuffle volume, with per-doc parallelism and no
+  * single-partition funnel; "zero shuffle" it is not); the sharing
+  * census shuffles only DISTINCT SELECTED hashes (a ~2/w fraction of
+  * grams — the whole point of winnowing is that the selected set is
+  * small), map-side combinable. Nothing touches the driver.
   *
   * Output, per document: gram/selected/distinct-fingerprint counts plus
   * `n_shared_fp` = how many of its distinct selected fingerprints are
   * also selected in some OTHER document — the MOSS match signal.
+  * Contract: documents with fewer than k tokens produce NO complete
+  * gram and therefore NO output row (identical in both engines — the
+  * test corpus has no doc that short, so all 500 appear at sf0.01 —
+  * but consumers computing corpus-wide coverage from this output must
+  * left-join [[graft.Tables.documents]] themselves; blockDedup /
+  * seqPackCensus cover every doc if that is the contract needed).
   */
 object Winnowing {
 

@@ -169,7 +169,8 @@ class BehaviorSpec extends GraftTestBase {
     r.getAs[Long]("n0") shouldBe n0
     r.getAs[Long]("n1") shouldBe n1
     r.getAs[Long]("d_scaled") shouldBe bestD
-    BigDecimal(r.getAs[java.math.BigDecimal]("d_at_value")) shouldBe bestV
+    // d_at_value now ships as DOUBLE (2-dp decimals are double-exact)
+    r.getAs[Double]("d_at_value") shouldBe bestV.toDouble
     val c = bestD.toDouble / (n0 * n1).toDouble *
       math.sqrt(n0.toDouble * n1 / (n0 + n1).toDouble)
     r.getAs[Double]("ks_stat") shouldBe c +- 1e-12

@@ -51,18 +51,40 @@ class PlanLintSpec extends GraftTestBase {
     PlanLint.lint(withUdf).map(_.rule) should contain("scala-udf")
   }
 
-  it should "flag low-cardinality windows over raw facts and pass their pre-aggregated renderings" in {
+  it should "flag low-cardinality windows unless the input is provably collapsed" in {
     // the windowed reference forms partition raw lineitem by a 3-value
     // flag — exactly the shape that hid from the single-partition rule
     PlanLint.lint(graft.ops.Analytics.weightedMedianPriceWindowed(spark, sf))
       .map(_.rule) should contain("low-cardinality-window")
     PlanLint.lint(graft.ops.Analytics.spearmanPriceQtyWindowed(spark, sf))
       .map(_.rule) should contain("low-cardinality-window")
-    // the registered scale renderings window the aggregate — clean
+    // an aggregate below the window does NOT exempt it when the
+    // aggregate's own keys include a near-unique value column — its
+    // output is fact-sized, so the window still funnels per flag
+    // (the q_theilsen r5 regression: groupBy(priority, slope) → 14M
+    // rows through 5 sort tasks)
+    PlanLint.lint(graft.ops.Analytics.theilSenTrendWindowed(spark, sf))
+      .map(_.rule) should contain("low-cardinality-window")
     PlanLint.lint(graft.ops.Analytics.weightedMedianPrice(spark, sf))
-      .map(_.rule) should not contain "low-cardinality-window"
+      .map(_.rule) should contain("low-cardinality-window")
     PlanLint.lint(graft.ops.Analytics.spearmanPriceQty(spark, sf))
+      .map(_.rule) should contain("low-cardinality-window")
+    // the withRunningTotal renderings have no window at all — clean
+    PlanLint.lint(graft.ops.Analytics.theilSenTrend(spark, sf))
       .map(_.rule) should not contain "low-cardinality-window"
+    PlanLint.lint(graft.ops.Analytics.weightedMedianPriceDist(spark, sf))
+      .map(_.rule) should not contain "low-cardinality-window"
+    PlanLint.lint(graft.ops.Analytics.spearmanPriceQtyDist(spark, sf))
+      .map(_.rule) should not contain "low-cardinality-window"
+    // a tiny-keyed aggregate below the window IS a valid exemption:
+    // groupBy(flag, status) emits O(domain²) rows, window safely tiny
+    val tinyAgg = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("q"))
+      .withColumn("cum", sum("q").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("l_linestatus")))
+    PlanLint.lint(tinyAgg).map(_.rule) should not contain "low-cardinality-window"
     // a window keyed by a high-cardinality column is not this smell
     PlanLint.lint(graft.ops.Relational.windowLatestOrder(spark, sf))
       .map(_.rule) should not contain "low-cardinality-window"

@@ -122,7 +122,7 @@ class SimilaritySpec extends GraftTestBase {
     val rows = Similarity.covarianceMatrix(spark, sf).collect()
     rows.length shouldBe dim * (dim + 1) / 2
     val cov = rows.map(r =>
-      (r.getAs[Int]("dim_i"), r.getAs[Int]("dim_j")) -> r.getAs[Double]("cov")).toMap
+      (r.getAs[Long]("dim_i").toInt, r.getAs[Long]("dim_j").toInt) -> r.getAs[Double]("cov")).toMap
     // diagonal entries are variances: nonnegative (up to 6-dp rounding)
     (0 until dim).foreach(i => cov((i, i)) should be >= -1e-6)
     // Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i · var_j) + rounding slack

@@ -51,10 +51,30 @@ class WinnowingSpec extends GraftTestBase {
     got shouldBe replica
   }
 
-  it should "guarantee shared fingerprints for docs sharing a long run" in {
+  it should "share fingerprints for docs sharing a long run with interior minimum" in {
     import spark.implicits._
-    // two docs sharing a 20-token passage (≥ k + 2(w-1) = 12) amid noise
+    // two docs sharing a 20-token passage (≥ k + 2(w-1) = 12) amid
+    // noise. The centered-min variant's match property is CONDITIONAL:
+    // it requires the run's minimal-hash gram to sit ≥ w-1 grams from
+    // both run edges (see the scaladoc) — assert that precondition
+    // explicitly so the test states its assumption instead of passing
+    // by luck of where this passage's hash minimum lands
     val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    locally {
+      import java.security.MessageDigest
+      def h(gram: String): Long = {
+        val hex = MessageDigest.getInstance("MD5").digest(gram.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val hs = passage.split(" ").sliding(Winnowing.k)
+        .filter(_.length == Winnowing.k).map(g => h(g.mkString(" "))).toArray
+      val argmin = hs.indexOf(hs.min)
+      withClue("test passage must keep its min-hash gram interior: ") {
+        argmin should be >= (Winnowing.w - 1)
+        argmin should be <= (hs.length - Winnowing.w)
+      }
+    }
     val df = Seq(
       (1L, s"a1 a2 a3 a4 a5 $passage z1 z2 z3"),
       (2L, s"b1 b2 $passage y1 y2 y3 y4 y5 y6"),
