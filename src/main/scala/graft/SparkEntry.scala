@@ -76,6 +76,10 @@ object SparkEntry {
     "q_block_dedup"     -> (Dedup.blockDedup _),
     "q_winnow"          -> (graft.text.Winnowing.winnowFingerprints _),
     "q_seq_pack"        -> (graft.text.Curation.seqPackCensus _),
+    "q_pad_waste"       -> (graft.text.Curation.padWaste _),
+    "q_boilerplate"     -> (Dedup.boilerplateRatio _),
+    "q_script_profile"  -> (graft.text.TextAnalysis.scriptProfile _),
+    "q_neighborhood"    -> (graft.ops.Graph.neighborhoodFunction _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -503,6 +507,10 @@ object SparkEntry {
     "q_block_dedup"   -> Dedup.blockDedupSql,
     "q_winnow"        -> graft.text.Winnowing.winnowFingerprintsSql,
     "q_seq_pack"      -> graft.text.Curation.seqPackCensusSql,
+    "q_pad_waste"     -> graft.text.Curation.padWasteSql,
+    "q_boilerplate"   -> Dedup.boilerplateRatioSql,
+    "q_script_profile" -> graft.text.TextAnalysis.scriptProfileSql,
+    "q_neighborhood"  -> graft.ops.Graph.neighborhoodFunctionSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,

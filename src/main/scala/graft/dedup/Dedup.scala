@@ -587,6 +587,53 @@ object Dedup {
        |FROM blocks b JOIN first_owner f USING (h)
        |GROUP BY b.doc_id""".stripMargin
 
+  /** Document frequency at which a shingle counts as boilerplate. */
+  val dfBoiler = 4L
+
+  /** BOILERPLATE RATIO — the C4-recipe signal at shingle grain: per
+    * document, what fraction of its distinct 3-gram shingles occur in
+    * ≥ [[dfBoiler]] documents corpus-wide? High-ratio docs are
+    * navigation chrome, license banners, templated listings — content
+    * the dedup passes above keep exactly once but quality filtering
+    * wants DOWN-WEIGHTED even in its first occurrence (the
+    * boilerplate-removal step of C4/RefinedWeb-style pipelines, reduced
+    * to a measurable per-doc score).
+    *
+    * Scale: one shingle explode (O(tokens)), one map-side-combinable
+    * df aggregate keyed by gram (cardinality grows with the corpus — no
+    * funnel), one hash join back on the gram key, one per-doc rollup.
+    * Counts are exact longs; the ratio is one pinned double division
+    * rounded 6. Contract: docs with < 3 words have no shingles and no
+    * output row (the [[graft.text.Winnowing]] short-doc contract). */
+  def boilerplateRatio(s: SparkSession, d: String): DataFrame = {
+    val ex = docShingles(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    ex.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= dfBoiler, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateRatioSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+       |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM words),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |df AS (SELECT g, count(*) AS df FROM ex GROUP BY g)
+       |SELECT e.doc_id,
+       |  count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df.df >= $dfBoiler THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boiler,
+       |  round(CAST(sum(CASE WHEN df.df >= $dfBoiler THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+       |FROM ex e JOIN df USING (g)
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
   // ---- DuckDB oracle SQL ----------------------------------------------
 
   /** Shared shingle CTE (DuckDB): distinct word 3-grams per doc. */

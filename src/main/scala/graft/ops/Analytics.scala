@@ -964,14 +964,63 @@ object Analytics {
     * rendering keeps all 32 (or 1000) partitions busy and its offsets
     * pass is O(partitions × 5) metadata. Same oracle as the window form
     * (the q_weighted_median_dist shared-oracle proof). */
-  def theilSenTrend(s: SparkSession, d: String): DataFrame =
-    theilSenPickMedian(Distributed.withRunningTotal(theilSenSlopeCounts(s, d),
-      Seq("o_orderpriority"), Seq("slope"), "cnt", "cum", Some("n")))
+  /** Coarse histogram width for [[theilSenTrend]]'s two-pass selection
+    * (slope units, i.e. cents/day before the final /100 rendering). */
+  val theilSenBucketWidth = 4096.0
 
-  /** Per-(priority, slope) pair counts — the shared front half of both
-    * theil-sen renderings. Near-unique keys (~14M groups at sf0.1): the
-    * groupBy is a full-width hash shuffle, NOT a provably-small frame. */
-  private def theilSenSlopeCounts(s: SparkSession, d: String): DataFrame = {
+  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    // TWO-PASS DISTRIBUTED EXACT MEDIAN — the selection algorithm, not a
+    // sort. The pair stream is ~14.4M rows at sf0.1 and every
+    // whole-frame rendering pays to materialize it in order (the r5
+    // window form: 43 s; a full-frame withRunningTotal: 25 s — the
+    // prefix sum itself is parallel, but pinning 14M rows through the
+    // RDD bridge dominates). The median needs only TWO order statistics
+    // per priority, so:
+    //  pass 1: map-side-combinable histogram of slopes into
+    //          [[theilSenBucketWidth]]-wide buckets — the 14.4M-row
+    //          stream collapses to O(occupied buckets) BEFORE any
+    //          shuffle; a (tiny) prefix sum over the histogram locates
+    //          the bucket(s) holding global positions ⌊(n−1)/2⌋, ⌊n/2⌋
+    //          and their starting offsets;
+    //  pass 2: re-stream the pairs, keep ONLY target-bucket rows
+    //          (broadcast semi-filter, ~1/buckets of the mass), rank
+    //          exactly within the bucket and add the bucket offset —
+    //          global positions from bucket-local ranks.
+    // Both passes stream the broadcast-join pair generator with
+    // map-side combine into small frames; nothing large shuffles,
+    // sorts, or persists. Worst case (every slope in one bucket)
+    // degrades to the full-frame prefix sum — bounded, never wrong.
+    val pw = theilSenBucketWidth
+    val bucket = floor(col("slope") / pw).cast("long")
+    val hist = theilSenPairs(s, d)
+      .groupBy(col("o_orderpriority"), bucket.as("b"))
+      .agg(count(lit(1)).as("bc"))
+    val targets = Distributed.withRunningTotal(hist,
+        Seq("o_orderpriority"), Seq("b"), "bc", "bcum", Some("n"))
+      .withColumn("tlo", expr("(n - 1) div 2"))
+      .withColumn("thi", expr("n div 2"))
+      .filter((col("bcum") - col("bc") <= col("tlo") && col("tlo") < col("bcum"))
+        || (col("bcum") - col("bc") <= col("thi") && col("thi") < col("bcum")))
+      .select(col("o_orderpriority").as("tp"), col("b").as("tb"),
+        (col("bcum") - col("bc")).as("offset"), col("n"))
+    val inTarget = theilSenPairs(s, d)
+      .join(broadcast(targets),
+        col("o_orderpriority") === col("tp") && bucket === col("tb"))
+      .groupBy(col("o_orderpriority"), col("tb"), col("offset"), col("n"),
+        col("slope"))
+      .agg(count(lit(1)).as("cnt"))
+    val counted = Distributed.withRunningTotal(inTarget,
+        Seq("o_orderpriority", "tb"), Seq("slope"), "cnt", "cumin")
+      .select(col("o_orderpriority"), col("slope"), col("cnt"),
+        (col("offset") + col("cumin")).as("cum"), col("n"))
+    theilSenPickMedian(counted)
+  }
+
+  /** The O(days²)-bounded (priority, slope) pair stream: a broadcast
+    * join of the per-(priority, day) daily-revenue aggregate against
+    * itself — generation is cheap (no shuffle beyond the 12k-row daily
+    * aggregate); consumers aggregate it map-side. */
+  private def theilSenPairs(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
@@ -980,14 +1029,30 @@ object Analytics {
       col("cents").as("ya"))
     val b = daily.select(col("o_orderpriority"), col("day").as("db"),
       col("cents").as("yb"))
+    // the divisor is guarded with greatest(·, 1) even though the filter
+    // already excludes datediff = 0: the two-pass selection JOINS on an
+    // expression of `slope`, and Catalyst's constraint inference pushes
+    // `isnotnull(floor(slope / w))` BELOW this filter to the join input,
+    // evaluating the division on the da = db diagonal — an ANSI
+    // divide-by-zero on rows the query never keeps. greatest() makes the
+    // expression total without changing any surviving row (datediff ≥ 1
+    // there by the filter).
     a.join(b, Seq("o_orderpriority"))
       .filter(col("db") > col("da"))
       .select(col("o_orderpriority"),
         ((col("yb") - col("ya")).cast("double") /
-          datediff(col("db"), col("da")).cast("double")).as("slope"))
+          greatest(datediff(col("db"), col("da")), lit(1)).cast("double"))
+          .as("slope"))
+  }
+
+  /** Per-(priority, slope) pair counts — the whole-frame aggregate the
+    * windowed reference form consumes. Near-unique keys (~14M groups at
+    * sf0.1): the groupBy is a full-width hash shuffle, NOT a
+    * provably-small frame. */
+  private def theilSenSlopeCounts(s: SparkSession, d: String): DataFrame =
+    theilSenPairs(s, d)
       .groupBy(col("o_orderpriority"), col("slope"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Median pick from (slope, cnt, cum, n) — the shared back half:
     * the value(s) whose cumulative span covers positions ⌊(n−1)/2⌋ and

@@ -206,25 +206,36 @@ object Graph {
     * and min(depth) per vertex — the textbook SQL BFS, exercising a
     * whole oracle class (recursive queries) the rest of the catalog
     * doesn't touch. */
-  def bfsHops(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    var dist = seeds(bi)
-      .select(col("x"), lit(0).as("hop"))
-      .localCheckpoint()
-    for (h <- 1 to bfsMaxHops) {
-      val frontier = dist.filter(col("hop") === h - 1).select(col("x").as("u"))
-      val next = bi.join(frontier, Seq("u"))
-        .select(col("v").as("x")).distinct()
-        .join(dist, Seq("x"), "left_anti")
-        .select(col("x"), lit(h).as("hop"))
-      dist = dist.unionAll(next).localCheckpoint()
-    }
-    dist.groupBy("hop")
+  /** The multi-source (x, min-hop) distance frame from the capped
+    * [[seeds]] set — cached per (session, dataset) like [[edges]],
+    * because [[bfsHops]] and [[neighborhoodFunction]] consume the
+    * IDENTICAL BFS and each round's localCheckpoint already pins its
+    * blocks; sharing saves the whole second traversal. */
+  private val distCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def seedDistances(s: SparkSession, d: String): DataFrame =
+    distCache.getOrElseUpdate((s, d), {
+      val e = edges(s, d)
+      val bi = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var dist = seeds(bi)
+        .select(col("x"), lit(0).as("hop"))
+        .localCheckpoint()
+      for (h <- 1 to bfsMaxHops) {
+        val frontier = dist.filter(col("hop") === h - 1).select(col("x").as("u"))
+        val next = bi.join(frontier, Seq("u"))
+          .select(col("v").as("x")).distinct()
+          .join(dist, Seq("x"), "left_anti")
+          .select(col("x"), lit(h).as("hop"))
+        dist = dist.unionAll(next).localCheckpoint()
+      }
+      dist
+    })
+
+  def bfsHops(s: SparkSession, d: String): DataFrame =
+    seedDistances(s, d).groupBy("hop")
       .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("sum_parts"))
-  }
 
   val bfsHopsSql: String =
     s"""WITH RECURSIVE pr AS (
@@ -245,6 +256,77 @@ object Graph {
        |SELECT CAST(hop AS INTEGER) AS hop, count(*) AS n_parts,
        |  CAST(sum(x) AS BIGINT) AS sum_parts
        |FROM hops GROUP BY hop""".stripMargin
+
+  /** HLL relative-error budget for [[neighborhoodFunction]]'s sketch
+    * column (generous 3σ at rsd 0.02 plus small-count slack). */
+  val nfErrBound = 0.15
+
+  /** NEIGHBORHOOD FUNCTION N(h) — |{v : d(seeds, v) ≤ h}| for
+    * h = 0..[[bfsMaxHops]], computed BOTH ways side by side:
+    *  - exact: the [[bfsHops]] frontier BFS, then cumulative counts
+    *    over the (≤ 4-row) per-level census — the verifiable answer;
+    *  - sketched: `approx_count_distinct` (HLL) over the same reach
+    *    sets — the HyperBall estimator. HyperBall (Boldi/Vigna) IS
+    *    this: replace each vertex's exact visited set with a mergeable
+    *    HLL register so the per-round state is O(vertices × registers)
+    *    instead of O(vertices²), which is how ALL-vertex centrality
+    *    (the thing the capped [[seeds]] set deliberately avoids) runs
+    *    at 100 TB. This query grades the estimator against the exact
+    *    count (|est − exact| ≤ [[nfErrBound]]·exact, the q_sketches
+    *    contract-boolean policy), so the production path named in the
+    *    [[seeds]] scaladoc is itself under test, not just cited.
+    *
+    * Scale: the BFS is the bfsHops frontier shape; the census is O(4)
+    * rows; the cumulative sum is a broadcast self-join over those 4
+    * rows (no window, no funnel). */
+  def neighborhoodFunction(s: SparkSession, d: String): DataFrame = {
+    val dist = seedDistances(s, d)
+    // one pass serves both estimators: exact per-level counts and the
+    // HLL of each prefix (conditional sketch columns, like the
+    // audienceOverlap segment trick)
+    val ests = (0 to bfsMaxHops).map(h =>
+      approx_count_distinct(when(col("hop") <= h, col("x")), 0.02)
+        .as(s"est_$h"))
+    val sketched = dist.agg(ests.head, ests.tail: _*)
+    val perLevel = dist.groupBy("hop").agg(count(lit(1)).as("n_level"))
+    val cum = perLevel.as("a")
+      .join(perLevel.as("b"), col("b.hop") <= col("a.hop"))
+      .groupBy(col("a.hop").as("hop"))
+      .agg(sum(col("b.n_level")).as("n_reach"))
+    cum.crossJoin(broadcast(sketched))
+      .select(col("hop").cast("long").as("hop"), col("n_reach"),
+        (abs(
+          when(col("hop") === 0, col("est_0"))
+            .when(col("hop") === 1, col("est_1"))
+            .when(col("hop") === 2, col("est_2"))
+            .otherwise(col("est_3"))
+          - col("n_reach")).cast("double")
+          <= lit(nfErrBound) * col("n_reach").cast("double")).as("hll_ok"))
+      .orderBy("hop")
+  }
+
+  val neighborhoodFunctionSql: String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+       |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |seeds AS (
+       |  SELECT DISTINCT u AS x FROM bi WHERE u % 500 = 0
+       |  ORDER BY x LIMIT $seedCap),
+       |reach(x, d) AS (
+       |  SELECT x, 0 AS d FROM seeds
+       |  UNION
+       |  SELECT bi.v, r.d + 1 FROM reach r
+       |  JOIN bi ON bi.u = r.x WHERE r.d < $bfsMaxHops),
+       |hops AS (SELECT x, min(d) AS hop FROM reach GROUP BY x),
+       |lvl AS (SELECT hop, count(*) AS n_level FROM hops GROUP BY hop)
+       |SELECT CAST(a.hop AS BIGINT) AS hop,
+       |  CAST(sum(b.n_level) AS BIGINT) AS n_reach,
+       |  TRUE AS hll_ok
+       |FROM lvl a JOIN lvl b ON b.hop <= a.hop
+       |GROUP BY a.hop ORDER BY a.hop""".stripMargin
 
   /** Peeling rounds — fixed and unrolled (like [[prIters]]) so both
     * engines compute the identical census even when the cascade hasn't

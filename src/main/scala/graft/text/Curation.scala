@@ -463,6 +463,65 @@ object Curation {
        |FROM ranked WHERE rn = 1""".stripMargin
   }
 
+  /** Length-bucket granularity for [[padWaste]] (tokens). */
+  val padBucket = 32L
+  /** Hard sequence cap for [[padWaste]]: longer docs truncate. */
+  val padMaxLen = 256L
+
+  /** PADDING-WASTE audit — the other half of the packing story
+    * ([[seqPackCensus]] measures concat-and-split truncation pressure;
+    * this measures the PADDED-BATCH alternative): if each document is
+    * padded up to the next [[padBucket]] multiple (capped at
+    * [[padMaxLen]], longer docs truncating), how many pad tokens does
+    * each bucket burn? Per bucket: doc count, real tokens, padded
+    * tokens, and the waste ratio — the numbers that decide between
+    * padding, packing, and bucketing batch layouts, and that grade a
+    * proposed bucket ladder before a training run commits to it.
+    *
+    * Exactness: everything through the ratio is integer (token counts,
+    * bucket arithmetic in longs); the ratio is ONE pinned double
+    * division rounded to 6. Scale: one map-side-combinable aggregate
+    * keyed by bucket (O(padMaxLen / padBucket) groups); no window, no
+    * join, the whole plan is scan → project → hash-agg. */
+  def padWaste(s: SparkSession, d: String): DataFrame = {
+    val n = least(
+      org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long"),
+      lit(padMaxLen))
+    Tables.documents(s, d)
+      .select(n.as("n_tok"))
+      .select(col("n_tok"),
+        least(((col("n_tok") + padBucket - 1L) / padBucket).cast("long")
+            * padBucket,
+          lit(padMaxLen)).as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("real_tokens"),
+        sum(col("bucket_len")).as("padded_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("real_tokens"),
+        col("padded_tokens"),
+        round((col("padded_tokens") - col("real_tokens")).cast("double") /
+          col("padded_tokens").cast("double"), 6).as("waste_ratio"))
+      .orderBy("bucket_len")
+  }
+
+  val padWasteSql: String =
+    s"""WITH toks AS (
+       |  SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT), $padMaxLen)
+       |    AS n_tok
+       |  FROM documents),
+       |bucketed AS (
+       |  SELECT n_tok,
+       |    least(((n_tok + $padBucket - 1) // $padBucket) * $padBucket,
+       |      $padMaxLen) AS bucket_len
+       |  FROM toks)
+       |SELECT bucket_len,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       |  CAST(sum(bucket_len) AS BIGINT) AS padded_tokens,
+       |  round(CAST(sum(bucket_len) - sum(n_tok) AS DOUBLE)
+       |    / CAST(sum(bucket_len) AS DOUBLE), 6) AS waste_ratio
+       |FROM bucketed GROUP BY bucket_len ORDER BY bucket_len""".stripMargin
+
   def materializeCorpus(s: SparkSession, d: String, outDir: String,
       langs: Seq[String] = Seq("en", "de", "fr")): DataFrame = {
     val winners = graft.dedup.Dedup.exactDedup(s, d)

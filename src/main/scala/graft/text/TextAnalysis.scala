@@ -866,4 +866,73 @@ object TextAnalysis {
       |  (nfc_normalize(substr(text, 1, 40) || ' cafe' || chr(769)) =
       |    substr(text, 1, 40) || ' caf' || chr(233)) AS composed_ok
       |FROM documents""".stripMargin
+
+  /** CHARACTER-CLASS (script) PROFILE per language — the writing-system
+    * audit that complements stopword [[langId]]: per lang, the corpus
+    * share of ASCII letters, digits, whitespace, and everything else.
+    * The production use is contamination triage ("why does the 'en'
+    * bucket have 30% non-Latin bytes?") and tokenizer sizing (digit- and
+    * symbol-heavy corpora fragment differently) — a one-pass,
+    * shuffle-light signal computed BEFORE any expensive model-based
+    * language ID.
+    *
+    * Class counts come from `length(x) − length(regexp_replace(x, cls,
+    * ''))` — pure per-row string ops (codegen'd, no explode of
+    * characters); the rollup is one map-side-combinable aggregate keyed
+    * by lang (tiny domain, but the inputs are already per-doc COUNTS —
+    * O(docs) rows of four longs, not text). All counts are exact longs;
+    * each ratio is one pinned double division rounded to 6. DuckDB's
+    * regexp_replace needs the 'g' flag to match Spark's replace-all. */
+  def scriptProfile(s: SparkSession, d: String): DataFrame = {
+    def clsCount(cls: String) =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), cls, ""))).cast("long")
+    val perDoc = Tables.documents(s, d)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        clsCount("[A-Za-z]").as("n_letter"),
+        clsCount("[0-9]").as("n_digit"),
+        clsCount("\\s").as("n_space"))
+    perDoc
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars_total"),
+        sum("n_letter").as("letters"),
+        sum("n_digit").as("digits"),
+        sum("n_space").as("spaces"))
+      .select(col("lang"), col("n_docs"), col("chars_total"),
+        round(col("letters").cast("double") / col("chars_total").cast("double"), 6)
+          .as("letter_ratio"),
+        round(col("digits").cast("double") / col("chars_total").cast("double"), 6)
+          .as("digit_ratio"),
+        round(col("spaces").cast("double") / col("chars_total").cast("double"), 6)
+          .as("space_ratio"),
+        round((col("chars_total") - col("letters") - col("digits") - col("spaces"))
+          .cast("double") / col("chars_total").cast("double"), 6)
+          .as("other_ratio"))
+      .orderBy("lang")
+  }
+
+  val scriptProfileSql: String =
+    """WITH per_doc AS (
+      |  SELECT lang,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |      AS BIGINT) AS n_letter,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS BIGINT) AS n_digit,
+      |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+      |      AS BIGINT) AS n_space
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+      |  round(CAST(sum(n_letter) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6)
+      |    AS letter_ratio,
+      |  round(CAST(sum(n_digit) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6)
+      |    AS digit_ratio,
+      |  round(CAST(sum(n_space) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6)
+      |    AS space_ratio,
+      |  round(CAST(sum(n_chars) - sum(n_letter) - sum(n_digit) - sum(n_space)
+      |    AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6) AS other_ratio
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 }
