@@ -383,20 +383,27 @@ object Graph {
   }
 
   val kCorePeelingSql: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, so without
+    // it each census row re-expands the whole bi4→…→bi0→e→pr chain —
+    // measured multi-GB temp spill and >5 min at sf0.1, vs seconds
+    // materialized. (Semantics identical; the Spark side checkpoints the
+    // same frames for the same reason.)
     val base =
-      """WITH pr AS (
+      """WITH pr AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
-        |bi0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-        |kv AS (SELECT CAST(quantile_disc(d, 0.5) AS BIGINT) AS k FROM (
+        |bi0 AS MATERIALIZED (
+        |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |kv AS MATERIALIZED (
+        |  SELECT CAST(quantile_disc(d, 0.5) AS BIGINT) AS k FROM (
         |  SELECT count(*) AS d FROM bi0 GROUP BY u))""".stripMargin
     val rounds = (1 to kcoreRounds).map { r =>
-      s"""v$r AS (
+      s"""v$r AS MATERIALIZED (
          |  SELECT u FROM bi${r - 1} GROUP BY u
          |  HAVING count(*) >= (SELECT k FROM kv)),
-         |bi$r AS (
+         |bi$r AS MATERIALIZED (
          |  SELECT u, v FROM bi${r - 1}
          |  WHERE u IN (SELECT u FROM v$r) AND v IN (SELECT u FROM v$r))"""
         .stripMargin

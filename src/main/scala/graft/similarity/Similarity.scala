@@ -127,8 +127,12 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
-      .agg(round(avg(col("v").cast("double")), 4).as("centroid_v"),
+      .agg(round(avg(col("v").cast("double")), 4).as("c0"),
         count("*").as("n_vectors"))
+      // signed-zero pin (the q_cov_matrix lesson): a tiny negative mean
+      // rounds to -0.0 on one engine and 0.0 on the other
+      .select(col("label"), col("dim"), zeroSafe(col("c0")).as("centroid_v"),
+        col("n_vectors"))
 
   /** IVF-style approximate top-k: assign each query to its `nProbe`
     * nearest label centroids (the coarse quantizer from
@@ -236,9 +240,17 @@ object Similarity {
         round(sqrt(aggregate(e, lit(0.0d),
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"),
         round(array_max(transform(e, x => abs(x.cast("double")))), 4).as("max_abs"),
-        round(aggregate(e, lit(0.0d), (acc, x) => acc + x.cast("double")) /
-          size(e), 4).as("mean_v"))
+        // the mean of a near-zero vector rounds to ±0.0 and the two
+        // engines disagree on the SIGN of that zero (the q_cov_matrix
+        // signed-zero lesson) — pin it on both sides
+        zeroSafe(round(aggregate(e, lit(0.0d), (acc, x) => acc + x.cast("double")) /
+          size(e), 4)).as("mean_v"))
   }
+
+  /** Pin IEEE -0.0 to +0.0: rounded near-zero floats otherwise render
+    * (and hash) differently across engines. */
+  private def zeroSafe(c: org.apache.spark.sql.Column) =
+    when(c === 0d, lit(0d)).otherwise(c)
 
   val vectorNormsSql: String =
     """SELECT vec_id, label,
@@ -247,8 +259,10 @@ object Similarity {
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
       |  round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4)
       |    AS max_abs,
-      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-      |    / len(embedding), 4) AS mean_v
+      |  CASE WHEN round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |    / len(embedding), 4) = 0 THEN 0.0
+      |  ELSE round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |    / len(embedding), 4) END AS mean_v
       |FROM embeddings""".stripMargin
 
   /** Int8 scalar-quantization audit — the memory-4× step every
@@ -634,12 +648,17 @@ object Similarity {
        |SELECT query_id, rank, cand_id, cosine FROM ranked WHERE rank <= $topK""".stripMargin
 
   val labelCentroidsSql: String =
-    """SELECT label, u.i - 1 AS dim,
-      |  round(avg(CAST(embedding[u.i] AS DOUBLE)), 4) AS centroid_v,
-      |  count(*) AS n_vectors
-      |FROM embeddings, (SELECT unnest(generate_series(1,
-      |  (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i) u
-      |GROUP BY 1, 2""".stripMargin
+    """WITH cent AS (
+      |  SELECT label, u.i - 1 AS dim,
+      |    round(avg(CAST(embedding[u.i] AS DOUBLE)), 4) AS c0,
+      |    count(*) AS n_vectors
+      |  FROM embeddings, (SELECT unnest(generate_series(1,
+      |    (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i) u
+      |  GROUP BY 1, 2)
+      |SELECT label, dim,
+      |  CASE WHEN c0 = 0 THEN 0.0 ELSE c0 END AS centroid_v,
+      |  n_vectors
+      |FROM cent""".stripMargin
 
   /** DBSCAN cosine threshold (eps-neighborhood = cosine ≥ this) —
     * 0.35 on this corpus yields real structure (37 clusters at sf0.01);
