@@ -77,6 +77,9 @@ object SparkEntry {
     "q_winnow"          -> (graft.text.Winnowing.winnowFingerprints _),
     "q_seq_pack"        -> (graft.text.Curation.seqPackCensus _),
     "q_pad_waste"       -> (graft.text.Curation.padWaste _),
+    "q_bm25"            -> (graft.text.Retrieval.bm25 _),
+    "q_rrf"             -> (graft.text.Retrieval.rrfFusion _),
+    "q_ndcg"            -> (graft.text.Retrieval.ndcgAtK _),
     "q_boilerplate"     -> (Dedup.boilerplateRatio _),
     "q_script_profile"  -> (graft.text.TextAnalysis.scriptProfile _),
     "q_neighborhood"    -> (graft.ops.Graph.neighborhoodFunction _),
@@ -508,6 +511,9 @@ object SparkEntry {
     "q_winnow"        -> graft.text.Winnowing.winnowFingerprintsSql,
     "q_seq_pack"      -> graft.text.Curation.seqPackCensusSql,
     "q_pad_waste"     -> graft.text.Curation.padWasteSql,
+    "q_bm25"          -> graft.text.Retrieval.bm25Sql,
+    "q_rrf"           -> graft.text.Retrieval.rrfFusionSql,
+    "q_ndcg"          -> graft.text.Retrieval.ndcgAtKSql,
     "q_boilerplate"   -> Dedup.boilerplateRatioSql,
     "q_script_profile" -> graft.text.TextAnalysis.scriptProfileSql,
     "q_neighborhood"  -> graft.ops.Graph.neighborhoodFunctionSql,

@@ -85,6 +85,12 @@ object PlanLint {
       r.numElements <= smallLeafRows
     case l: org.apache.spark.sql.execution.LocalTableScanExec =>
       l.rows.length <= smallLeafRows
+    // a literal LIMIT bounds its output regardless of the child — the
+    // top-k frames (nDCG@10, fused top-20) are small by construction
+    case g: org.apache.spark.sql.execution.GlobalLimitExec =>
+      g.limit <= smallLeafRows
+    case g: org.apache.spark.sql.execution.LocalLimitExec =>
+      g.limit <= smallLeafRows
     case _: org.apache.spark.sql.execution.GenerateExec => false
     case _: org.apache.spark.sql.execution.ExpandExec => false
     case u if u.children.length == 1 => smallByConstruction(u.children.head)

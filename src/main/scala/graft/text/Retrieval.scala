@@ -1,0 +1,243 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retrieval scoring + ranking-evaluation over `documents` — the search
+  * side of a RAG/LLM data platform (SURVEY §7.4 north star): classic
+  * lexical BM25, hybrid-ranking fusion (RRF), and offline ranking
+  * quality (nDCG@k). The reference has no search surface; these are the
+  * §2.7 extension category rendered Spark-first.
+  *
+  * Determinism rules shared by all three:
+  *  - term-frequency and document-length statistics are exact integers
+  *    from one scan (`size(filter(tokens, …))` — per-row array ops, no
+  *    explode, no shuffle of text);
+  *  - corpus statistics (N, df_t, avg doc length) ride ONE broadcast
+  *    one-row aggregate;
+  *  - float math happens once per (doc, term) in a FIXED formula, the
+  *    per-doc score is an explicitly ORDERED sum over the (constant)
+  *    query-term list — never a float SUM() whose accumulation order
+  *    the engine picks — and every shipped float rounds;
+  *  - ranks order by (rounded score, doc_id): ties break on the integer
+  *    key, so ordering never depends on sub-rounding noise.
+  */
+object Retrieval {
+
+  /** The fixed query-term list (constant, broadcast by literal). */
+  val queryTerms: Seq[String] = Seq("spark", "join", "window", "stream")
+  /** BM25 shape parameters (the standard Robertson defaults). */
+  val k1 = 1.2
+  val b = 0.75
+  /** RRF dampening constant (the standard 60). */
+  val rrfK = 60L
+  /** Ranking-quality cutoff. */
+  val ndcgAt = 10
+  /** Graded-relevance cap (labels in 0..relCap). */
+  val relCap = 3
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-doc exact term frequencies + length, one scan, no shuffle. */
+  private def docTermStats(s: SparkSession, d: String): DataFrame = {
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf_$i")
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +: tfCols: _*)
+  }
+
+  /** BM25 score per document for [[queryTerms]]:
+    * Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    *     tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl)),
+    * summed in the FIXED term order. One scan builds (tf, dl); one
+    * broadcast row carries (N, df_t, avgdl); the score is a pure
+    * projection — scan-speed at any corpus size. avgdl is exact:
+    * Σdl (long) / N (long), one pinned double division. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val stats = docTermStats(s, d)
+    val corpusAggs =
+      count(lit(1)).cast("long").as("n_docs") +:
+        sum(col("dl")).cast("long").as("sum_dl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val corpus = stats.agg(corpusAggs.head, corpusAggs.tail: _*)
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val termScore = (i: Int) => {
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (nD - df + 0.5) / (df + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    // explicitly ordered left fold — never an engine-ordered float sum
+    val score = queryTerms.indices.map(termScore).reduceLeft(_ + _)
+    val outCols = col("doc_id") +: col("dl") +:
+      (queryTerms.indices.map(i => col(s"tf_$i")) :+ round(score, 4).as("bm25"))
+    stats.crossJoin(broadcast(corpus))
+      .select(outCols: _*)
+      .orderBy("doc_id")
+  }
+
+  private def tfSql(t: String) =
+    s"len(list_filter(string_split(text, ' '), x -> x = '$t'))"
+
+  val bm25Sql: String = {
+    val tfs = queryTerms.zipWithIndex
+      .map { case (t, i) => s"CAST(${tfSql(t)} AS BIGINT) AS tf_$i" }
+      .mkString(",\n    ")
+    val dfs = queryTerms.indices
+      .map(i => s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n    ")
+    val score = queryTerms.indices.map { i =>
+      s"""(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+         |      / (CAST(df_$i AS DOUBLE) + 0.5))
+         |  * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0})
+         |  / (CAST(tf_$i AS DOUBLE) + $k1 * (1.0 - $b
+         |      + $b * CAST(dl AS DOUBLE)
+         |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+        .stripMargin
+    }.mkString("\n + ")
+    val tfOut = queryTerms.indices.map(i => s"tf_$i").mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfs
+       |  FROM stats)
+       |SELECT doc_id, dl, $tfOut,
+       |  round($score, 4) AS bm25
+       |FROM stats CROSS JOIN corpus ORDER BY doc_id""".stripMargin
+  }
+
+  /** RECIPROCAL RANK FUSION of two retrieval rankings — the standard
+    * hybrid-search combiner (lexical + semantic): each system
+    * contributes 1/(k + rank); docs strong in EITHER ranking surface.
+    * Ranking 1 is [[bm25]]; ranking 2 is exact query-term COVERAGE
+    * (distinct query terms present, then doc length as the dampener) —
+    * a stand-in for the semantic leg that stays integer-exact.
+    *
+    * Scale rendering: global ranks come from
+    * [[graft.ops.Distributed.withRunningTotal]] (rank = running count
+    * in the (score desc, doc_id) range partition), NOT a no-partition
+    * `row_number()` window — the decileStats lesson applied to ranking.
+    * Output: the fused top-20 with both ranks. The RRF sum is two
+    * pinned divisions added in fixed order, rounded 6. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Distributed
+    val scored = bm25(s, d)
+    val coverage = queryTerms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    val base = scored.select(col("doc_id"), col("dl"), col("bm25"),
+      coverage.as("n_terms"))
+    // rank keys: negatives make ascending range order = descending score
+    val r1 = Distributed.withRunningTotal(
+      base.select(col("doc_id"), col("dl"), col("bm25"), col("n_terms"),
+        (-col("bm25")).as("neg_s"), lit(1L).as("one")),
+      Seq.empty, Seq("neg_s", "doc_id"), "one", "rank1")
+    val r2 = Distributed.withRunningTotal(
+      r1.select(col("doc_id"), col("dl"), col("bm25"), col("n_terms"),
+        col("rank1"), (-col("n_terms")).as("neg_c"), col("dl").as("dl2"),
+        lit(1L).as("one2")),
+      Seq.empty, Seq("neg_c", "dl2", "doc_id"), "one2", "rank2")
+    r2.select(col("doc_id"), col("rank1"), col("rank2"),
+        round(lit(1.0) / (lit(rrfK).cast("double") + col("rank1").cast("double"))
+          + lit(1.0) / (lit(rrfK).cast("double") + col("rank2").cast("double")), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val rrfFusionSql: String = {
+    val coverage = queryTerms.indices
+      .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val tfs = queryTerms.zipWithIndex
+      .map { case (t, i) => s"CAST(${tfSql(t)} AS BIGINT) AS tf_$i" }
+      .mkString(",\n    ")
+    s"""WITH bm AS (${bm25Sql.replace("ORDER BY doc_id", "")}),
+       |cov AS (
+       |  SELECT doc_id, CAST($coverage AS BIGINT) AS n_terms
+       |  FROM (SELECT doc_id, $tfs FROM documents)),
+       |ranked AS (
+       |  SELECT bm.doc_id,
+       |    CAST(row_number() OVER (ORDER BY bm.bm25 DESC, bm.doc_id)
+       |      AS BIGINT) AS rank1,
+       |    CAST(row_number() OVER (ORDER BY cov.n_terms DESC, bm.dl, bm.doc_id)
+       |      AS BIGINT) AS rank2
+       |  FROM bm JOIN cov ON cov.doc_id = bm.doc_id)
+       |SELECT doc_id, rank1, rank2,
+       |  round(1.0 / ($rrfK + CAST(rank1 AS DOUBLE))
+       |      + 1.0 / ($rrfK + CAST(rank2 AS DOUBLE)), 6) AS rrf
+       |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** nDCG@[[ndcgAt]] of the BM25 ranking against a deterministic graded
+    * relevance label (occurrences of the held-out term "data", capped
+    * at 3 — a label BOTH engines derive identically from the corpus).
+    * The offline ranking-quality metric every retrieval change gates
+    * on, computed without any human labels so it's oracle-gradeable.
+    *
+    * DCG = Σ_{r≤k} (2^rel − 1)/log2(r + 1) over the BM25 top-k (rounded
+    * score then doc_id order — rank never depends on sub-rounding
+    * noise); IDCG over the ideal (rel-sorted) top-k. Both are k-row
+    * sums assembled via TakeOrdered (global top-k, parallel partial
+    * sort — no full-corpus sort); the quotient rounds 6. */
+  def ndcgAtK(s: SparkSession, d: String): DataFrame = {
+    val rel = least(size(filter(toks, x => x === lit("data"))), lit(relCap))
+      .cast("long")
+    val labeled = bm25(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), rel.as("rel")),
+        Seq("doc_id"))
+    // log2(r+1) spelled as ln(r+1)/ln(2) so the float expression is
+    // identical to the oracle's
+    val gain = (pow(lit(2.0), col("rel").cast("double")) - 1.0) /
+      (log(col("rank").cast("double") + 1.0) / log(lit(2.0)))
+    def dcgOf(ordered: DataFrame): DataFrame = ordered
+      .limit(ndcgAt)
+      .select(col("rel"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ord1"), col("ord2"))).cast("long").as("rank"))
+      .select(sum(gain).as("dcg"))
+    val byScore = labeled.select(col("rel"), (-col("bm25")).as("ord1"),
+      col("doc_id").as("ord2")).orderBy("ord1", "ord2")
+    val ideal = labeled.select(col("rel"), (-col("rel")).as("ord1"),
+      col("doc_id").as("ord2")).orderBy("ord1", "ord2")
+    dcgOf(byScore).as("a").crossJoin(dcgOf(ideal).select(col("dcg").as("idcg")))
+      .select(round(col("dcg"), 6).as("dcg_at_k"),
+        round(col("idcg"), 6).as("idcg_at_k"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg_at_k"))
+  }
+
+  val ndcgAtKSql: String = {
+    val relExpr = s"least(len(list_filter(string_split(text, ' '), " +
+      s"x -> x = 'data')), $relCap)"
+    s"""WITH bm AS (${bm25Sql.replace("ORDER BY doc_id", "")}),
+       |lab AS (
+       |  SELECT bm.doc_id, bm.bm25, CAST($relExpr AS BIGINT) AS rel
+       |  FROM bm JOIN documents d ON d.doc_id = bm.doc_id),
+       |by_score AS (
+       |  SELECT rel, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |    AS BIGINT) AS rank
+       |  FROM lab ORDER BY bm25 DESC, doc_id LIMIT $ndcgAt),
+       |ideal AS (
+       |  SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+       |    AS BIGINT) AS rank
+       |  FROM lab ORDER BY rel DESC, doc_id LIMIT $ndcgAt),
+       |a AS (SELECT sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+       |  / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))) AS dcg FROM by_score),
+       |b AS (SELECT sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+       |  / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))) AS idcg FROM ideal)
+       |SELECT round(a.dcg, 6) AS dcg_at_k, round(b.idcg, 6) AS idcg_at_k,
+       |  round(a.dcg / b.idcg, 6) AS ndcg_at_k
+       |FROM a CROSS JOIN b""".stripMargin
+  }
+}
