@@ -78,6 +78,8 @@ object SparkEntry {
     "q_seq_pack"        -> (graft.text.Curation.seqPackCensus _),
     "q_pad_waste"       -> (graft.text.Curation.padWaste _),
     "q_bm25"            -> (graft.text.Retrieval.bm25 _),
+    "q_temperature"     -> (graft.text.Curation.temperatureMixture _),
+    "q_mmr"             -> (Similarity.mmrSelect _),
     "q_rrf"             -> (graft.text.Retrieval.rrfFusion _),
     "q_ndcg"            -> (graft.text.Retrieval.ndcgAtK _),
     "q_boilerplate"     -> (Dedup.boilerplateRatio _),
@@ -512,6 +514,8 @@ object SparkEntry {
     "q_seq_pack"      -> graft.text.Curation.seqPackCensusSql,
     "q_pad_waste"     -> graft.text.Curation.padWasteSql,
     "q_bm25"          -> graft.text.Retrieval.bm25Sql,
+    "q_temperature"   -> graft.text.Curation.temperatureMixtureSql,
+    "q_mmr"           -> Similarity.mmrSelectSql,
     "q_rrf"           -> graft.text.Retrieval.rrfFusionSql,
     "q_ndcg"          -> graft.text.Retrieval.ndcgAtKSql,
     "q_boilerplate"   -> Dedup.boilerplateRatioSql,

@@ -252,6 +252,96 @@ object Similarity {
   private def zeroSafe(c: org.apache.spark.sql.Column) =
     when(c === 0d, lit(0d)).otherwise(c)
 
+  /** MMR relevance weight λ and its complement — BOTH pinned literals
+    * (1 − 0.7 is 0.30000000000000004 in IEEE double; computing the
+    * complement at runtime would diverge from the oracle's literal). */
+  val mmrLambda = 0.7
+  val mmrMu = 0.3
+  /** Number of MMR selections. */
+  val mmrK = 5
+
+  /** MAXIMAL MARGINAL RELEVANCE selection — the diversity-aware top-k
+    * used to pack a RAG context window: greedily pick
+    * argmax_d [λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)], so each new
+    * pick is relevant to the query (vec_id 0) but NOT redundant with
+    * what's already selected. Plain top-k returns near-duplicates;
+    * MMR's penalty term is what spends the context budget on coverage.
+    *
+    * Rendering: k tiny rounds. Each round is ONE corpus scan — the
+    * query vector and the ≤ k−1 selected vectors are INLINED as array
+    * literals into codegen'd [[graft.functions.CosineSimilarity]]
+    * calls (O(k·dim) driver state, the pcaPowerCheck contract), the
+    * penalty is a `greatest` over those ≤ k−1 rounded sims, and the
+    * argmax is TakeOrdered(1) — no joins, no shuffles, no window.
+    * Determinism: every cosine rounds to 4 (the knn_brute float32-
+    * accumulation margin), the score formula uses pinned λ/μ literals,
+    * ties break on vec_id. The oracle unrolls the same k rounds as
+    * chained CTEs (the pageRankSql discipline). */
+  def mmrSelect(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.cosineSim
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qVec = emb.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val cand = emb.filter(col("vec_id") =!= 0)
+    var picked = Vector.empty[(Long, Array[Float], Double)]
+    for (_ <- 1 to mmrK) {
+      val simq = round(cosineSim(col("embedding"), typedLit(qVec)), 4)
+      val penalty: org.apache.spark.sql.Column = picked match {
+        case Vector() => lit(0.0)
+        case Vector((_, e, _)) => round(cosineSim(col("embedding"), typedLit(e)), 4)
+        case many => greatest(many.map { case (_, e, _) =>
+          round(cosineSim(col("embedding"), typedLit(e)), 4) }: _*)
+      }
+      val already = picked.map(_._1)
+      val row = cand
+        .filter(if (already.isEmpty) lit(true) else !col("vec_id").isin(already: _*))
+        .select(col("vec_id"), col("embedding"),
+          round(lit(mmrLambda) * simq - lit(mmrMu) * penalty, 4).as("sc"))
+        .orderBy(col("sc").desc, col("vec_id").asc)
+        .limit(1).head()
+      picked = picked :+ ((row.getAs[Long]("vec_id"),
+        row.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        row.getAs[Double]("sc")))
+    }
+    val s2 = s
+    import s2.implicits._
+    picked.zipWithIndex
+      .map { case ((id, _, sc), i) => ((i + 1).toLong, id, sc) }
+      .toDF("sel_round", "vec_id", "mmr_score")
+  }
+
+  val mmrSelectSql: String = {
+    val rounds = (1 to mmrK).map { r =>
+      val notIn =
+        if (r == 1) ""
+        else "WHERE vec_id NOT IN (" +
+          (1 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ") + ")"
+      val penalty =
+        if (r == 1) "0"
+        else "greatest(" + (1 until r).map(i =>
+          s"round(CAST(list_cosine_similarity(embedding, (SELECT e FROM e$i)) AS DOUBLE), 4)")
+          .mkString(", ") + ")"
+      s"""s$r AS (
+         |  SELECT vec_id, round($mmrLambda * simq - $mmrMu * ($penalty), 4) AS sc
+         |  FROM cand $notIn
+         |  ORDER BY sc DESC, vec_id LIMIT 1),
+         |e$r AS (
+         |  SELECT embedding AS e FROM embeddings
+         |  WHERE vec_id = (SELECT vec_id FROM s$r))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val out = (1 to mmrK).map(r =>
+      s"SELECT $r AS sel_round, vec_id, sc AS mmr_score FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, embedding,
+       |    round(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 4)
+       |      AS simq
+       |  FROM embeddings WHERE vec_id <> 0)$rounds
+       |SELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id, mmr_score
+       |FROM ($out) ORDER BY sel_round""".stripMargin
+  }
+
   val vectorNormsSql: String =
     """SELECT vec_id, label,
       |  CAST(len(embedding) AS INTEGER) AS n_dims,

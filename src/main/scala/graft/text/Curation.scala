@@ -323,6 +323,63 @@ object Curation {
       |  (min_tokens * 10000 // n_tokens) * n_tokens // 10000 AS sampled_tokens
       |FROM per_lang, m""".stripMargin
 
+  /** Sampling temperature for [[temperatureMixture]] (the multilingual
+    * pretraining recipe's α — 0.3 boosts low-resource strata). */
+  val mixAlpha = 0.3
+
+  /** TEMPERATURE-BASED MIXTURE reweighting — the other standard
+    * multilingual sampling recipe next to [[mixturePlan]]'s
+    * equalize-downsample: sample language l with probability
+    * p_l ∝ n_l^α (α = [[mixAlpha]]), which UP-weights low-resource
+    * strata smoothly instead of capping the big ones. Reports, per
+    * language: the raw token share, the temperature share, and the
+    * boost factor p_temp/p_raw — the numbers a pretraining mixture
+    * config is written from.
+    *
+    * Scale: one map-side-combinable aggregate to O(languages) rows;
+    * the two normalizers ride a broadcast one-row frame. Floats: n^α
+    * via pow on exact long counts, shares are pinned divisions, all
+    * rounded 6 (the denominator is a float sum over O(langs) values —
+    * ulp-level order sensitivity sits ~9 orders of magnitude below the
+    * rounding grain). */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val perLang = Tables.documents(s, d)
+      .select(col("lang"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(sum("n_tok").as("n_tokens"))
+    val tot = perLang.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), mixAlpha)).as("tot_pow"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6)
+          .as("p_raw"),
+        round(pow(col("n_tokens").cast("double"), mixAlpha) / col("tot_pow"), 6)
+          .as("p_temp"),
+        round(pow(col("n_tokens").cast("double"), mixAlpha) / col("tot_pow") /
+          (col("n_tokens").cast("double") / col("tot_tokens").cast("double")), 6)
+          .as("boost"))
+      .orderBy("lang")
+  }
+
+  val temperatureMixtureSql: String =
+    s"""WITH per_lang AS (
+       |  SELECT lang,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |    sum(pow(CAST(n_tokens AS DOUBLE), $mixAlpha)) AS tot_pow
+       |  FROM per_lang)
+       |SELECT lang, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) AS p_raw,
+       |  round(pow(CAST(n_tokens AS DOUBLE), $mixAlpha) / tot_pow, 6) AS p_temp,
+       |  round(pow(CAST(n_tokens AS DOUBLE), $mixAlpha) / tot_pow /
+       |    (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS boost
+       |FROM per_lang CROSS JOIN tot ORDER BY lang""".stripMargin
+
   /** Context-window chunk width (whitespace tokens). */
   val chunkWindow = 60
   /** Chunk stride; `chunkWindow - chunkStride` tokens of overlap carry

@@ -54,6 +54,38 @@ class NewOpsR6Spec extends GraftTestBase {
     }
   }
 
+  behavior of "Similarity.mmrSelect"
+
+  it should "pick k distinct candidates, starting from the pure-relevance argmax" in {
+    import graft.functions.GraftFunctions.cosineSim
+    val rows = graft.similarity.Similarity.mmrSelect(spark, sf).collect()
+      .sortBy(_.getAs[Long]("sel_round"))
+    rows should have size graft.similarity.Similarity.mmrK.toLong.toInt
+    rows.map(_.getAs[Long]("vec_id")).distinct should have size rows.length
+    // round 1 has no diversity penalty: it must be the plain top-1 by
+    // rounded query similarity
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val top1 = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(cosineSim(col("embedding"),
+        org.apache.spark.sql.functions.typedLit(q)), 4).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(1).head().getAs[Long]("vec_id")
+    rows.head.getAs[Long]("vec_id") shouldBe top1
+  }
+
+  behavior of "Curation.temperatureMixture"
+
+  it should "boost low-resource strata and keep both share columns normalized" in {
+    val rows = graft.text.Curation.temperatureMixture(spark, sf).collect()
+    rows should not be empty
+    rows.map(_.getAs[Double]("p_raw")).sum shouldBe 1.0 +- 1e-4
+    rows.map(_.getAs[Double]("p_temp")).sum shouldBe 1.0 +- 1e-4
+    // temperature flattens: the smallest stratum boosts, the largest shrinks
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTok.head.getAs[Double]("boost") should be >= byTok.last.getAs[Double]("boost")
+  }
+
   behavior of "Graph.neighborhoodFunction"
 
   it should "grow monotonically and keep the HLL estimate inside its bound" in {
