@@ -95,6 +95,8 @@ object SparkEntry {
     "q_dbscan"          -> (Similarity.dbscanEmbeddings _),
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
+    "q_frame_census"    -> (Multimodal.frameCensus _),
+    "q_matryoshka"      -> (Similarity.matryoshkaRecall _),
     "q_sessionize"      -> (EventStreams.sessionizeBatch _),
     // -- embedding near-dup + approximate sketches
     "q_dedup_embed"     -> (Dedup.embeddingNearDup _),
@@ -527,6 +529,8 @@ object SparkEntry {
     "q_pca_power"     -> Similarity.pcaPowerCheckSql,
     "q_dbscan"        -> Similarity.dbscanEmbeddingsSql,
     "q_media_meta"    -> Multimodal.mediaMetaSql,
+    "q_frame_census"  -> Multimodal.frameCensusSql,
+    "q_matryoshka"    -> Similarity.matryoshkaRecallSql,
     "q_sessionize"    -> EventStreams.sessionizeBatchSql,
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,
     "q_dedup_embed_blocked" -> Dedup.embeddingNearDupBlockedSql,

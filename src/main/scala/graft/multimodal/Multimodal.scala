@@ -134,6 +134,47 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame-sampling CENSUS — lifts the [[sampleFrames]] plumbing from
+    * spec-only to DRIVER-GRADED: per media, how many frames the sampler
+    * emitted, their total and first-frame byte lengths. The Spark side
+    * aggregates the REAL mapPartitions output (binary frames and all);
+    * the oracle re-derives the same numbers from the stub's integer
+    * arithmetic (frameLen = max(1, len/frameCount), frames 0,2,4,6,
+    * slice lengths clamped at payload end) — so the iterator-to-iterator
+    * pipeline's observable shape is hash-checked, not just spec'd.
+    * Scale: the aggregate keys by media_id (cardinality grows with
+    * data); frames never shuffle — lengths are computed in the same
+    * task that produced them. */
+  def frameCensus(s: SparkSession, d: String): DataFrame =
+    sampleFrames(s, d)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("flen"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("flen")).as("frame_bytes"),
+        min(when(col("frame_idx") === 0, col("flen"))).as("first_frame_bytes"))
+      .orderBy("media_id")
+
+  val frameCensusSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, u.f,
+      |    greatest(1, len // 8) AS fl, len
+      |  FROM m, UNNEST([0, 2, 4, 6]) AS u(f)),
+      |fr AS (
+      |  SELECT media_id, f,
+      |    least((f + 1) * fl, len) - f * fl AS flen
+      |  FROM f WHERE least((f + 1) * fl, len) - f * fl > 0)
+      |SELECT media_id,
+      |  count(*) AS n_frames,
+      |  CAST(sum(flen) AS BIGINT) AS frame_bytes,
+      |  CAST(min(CASE WHEN f = 0 THEN flen END) AS BIGINT)
+      |    AS first_frame_bytes
+      |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin
+
   /** Oracle-checkable metadata projection: byte length, payload hash and
     * a header sample, computed SQL-side (no decode). The md5 is over the
     * text (DuckDB 1.0 cannot md5 blobs); identical bytes by construction. */

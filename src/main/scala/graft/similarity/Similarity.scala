@@ -252,6 +252,75 @@ object Similarity {
   private def zeroSafe(c: org.apache.spark.sql.Column) =
     when(c === 0d, lit(0d)).otherwise(c)
 
+  /** Matryoshka truncation width (leading dims kept). */
+  val mrlDim = 16
+  /** Recall cutoff for the truncation audit. */
+  val mrlTopK = 10
+
+  /** MATRYOSHKA TRUNCATION AUDIT — "can we serve the 16-dim prefix?":
+    * for each query vector, the top-[[mrlTopK]] neighbor sets under the
+    * FULL embedding and under its [[mrlDim]]-dim PREFIX, and the
+    * overlap recall. This is the go/no-go measurement for
+    * MRL-style tiered serving (prefix index in RAM, full vectors on
+    * disk): recall@k near 1 means the cheap prefix index can do
+    * candidate generation. Same scan shape as [[bruteForceTopK]] (tiny
+    * broadcast query set, one corpus pass scoring BOTH widths at once,
+    * ranking shuffles only (query, cand, score) triples); ranks order
+    * by (rounded cosine, cand_id) so the set comparison is
+    * engine-portable (the knn_brute rounding discipline). */
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.cosineSim
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineSim(col("q_emb"), col("c_emb")), 4).as("cos_full"),
+        round(cosineSim(slice(col("q_emb"), 1, mrlDim),
+          slice(col("c_emb"), 1, mrlDim)), 4).as("cos_pre"))
+    def topK(scoreCol: String) = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col(scoreCol).desc, col("cand_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= mrlTopK)
+        .select(col("query_id"), col("cand_id"))
+    }
+    topK("cos_full").join(topK("cos_pre"), Seq("query_id", "cand_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / mrlTopK.toDouble, 4)
+          .as("recall_at_10"))
+      .orderBy("query_id")
+  }
+
+  val matryoshkaRecallSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    round(CAST(list_cosine_similarity(q.q_emb, c.embedding) AS DOUBLE), 4)
+       |      AS cos_full,
+       |    round(CAST(list_cosine_similarity(q.q_emb[1:$mrlDim],
+       |      c.embedding[1:$mrlDim]) AS DOUBLE), 4) AS cos_pre
+       |  FROM embeddings c, q WHERE q.query_id != c.vec_id),
+       |tf AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_full DESC, cand_id) AS rk
+       |    FROM scored) WHERE rk <= $mrlTopK),
+       |tp AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_pre DESC, cand_id) AS rk
+       |    FROM scored) WHERE rk <= $mrlTopK)
+       |SELECT tf.query_id, count(*) AS n_overlap,
+       |  round(CAST(count(*) AS DOUBLE) / $mrlTopK.0, 4) AS recall_at_10
+       |FROM tf JOIN tp USING (query_id, cand_id)
+       |GROUP BY tf.query_id ORDER BY tf.query_id""".stripMargin
+
   /** MMR relevance weight λ and its complement — BOTH pinned literals
     * (1 − 0.7 is 0.30000000000000004 in IEEE double; computing the
     * complement at runtime would diverge from the oracle's literal). */
