@@ -96,6 +96,8 @@ object SparkEntry {
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
     "q_frame_census"    -> (Multimodal.frameCensus _),
+    "q_silhouette"      -> (Similarity.silhouette _),
+    "q_cuped"           -> (graft.ops.Behavior.cupedReadout _),
     "q_matryoshka"      -> (Similarity.matryoshkaRecall _),
     "q_sessionize"      -> (EventStreams.sessionizeBatch _),
     // -- embedding near-dup + approximate sketches
@@ -530,6 +532,8 @@ object SparkEntry {
     "q_dbscan"        -> Similarity.dbscanEmbeddingsSql,
     "q_media_meta"    -> Multimodal.mediaMetaSql,
     "q_frame_census"  -> Multimodal.frameCensusSql,
+    "q_silhouette"    -> Similarity.silhouetteSql,
+    "q_cuped"         -> graft.ops.Behavior.cupedReadoutSql,
     "q_matryoshka"    -> Similarity.matryoshkaRecallSql,
     "q_sessionize"    -> EventStreams.sessionizeBatchSql,
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,

@@ -352,6 +352,127 @@ object Behavior {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** Pre-period boundary for [[cupedReadout]]: activity strictly before
+    * this date is covariate, the rest is the experiment metric. */
+  val cupedSplitDate = "2024-01-16"
+
+  /** CUPED variance reduction — the experimentation-platform workhorse
+    * on top of [[abTestRevenue]]'s assignment: adjust each user's
+    * in-experiment revenue y by their PRE-period revenue x,
+    * y* = y − θ(x − x̄) with θ = cov(x, y)/var(x), which strips the
+    * between-user variance the covariate explains and shrinks
+    * confidence intervals by exactly 1 − ρ² without touching the
+    * treatment effect (x predates assignment, so E[x|variant] is
+    * equal). The readout ships per-variant raw vs adjusted means plus
+    * the global θ and realized variance-reduction ρ².
+    *
+    * Exactness: per-user x/y are exact decimal sums → scaled-cent
+    * LONGs; all five global power sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * decimal(38,0)-exact; θ, ρ², and both adjusted means are pinned
+    * double FORMULAS over those sums — the variance of y* is derived
+    * algebraically (var(y) − cov²/var(x)), so no float value is ever
+    * accumulated. One user-keyed aggregate + two tiny rollups. */
+  def cupedReadout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = DecimalType(38, 0)
+    def d0(c: Column) = c.cast(big)
+    val split = lit(cupedSplitDate).cast("timestamp")
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("event_type") === "purchase" && col("ts") < split,
+          dec(col("value"))).otherwise(dec(lit(0)))) * 100).cast("long").as("x"),
+        (sum(when(col("event_type") === "purchase" && col("ts") >= split,
+          dec(col("value"))).otherwise(dec(lit(0)))) * 100).cast("long").as("y"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        col("x"), col("y"))
+    val byVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(d0(col("x"))).as("sx"), sum(d0(col("y"))).as("sy"))
+    val glob = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(d0(col("x"))).as("gsx"), sum(d0(col("y"))).as("gsy"),
+      sum(d0(col("x")) * d0(col("y"))).as("gsxy"),
+      sum(d0(col("x")) * d0(col("x"))).as("gsxx"),
+      sum(d0(col("y")) * d0(col("y"))).as("gsyy"))
+    val n = col("n").cast("double")
+    val covXY = (col("gsxy").cast("double") -
+      col("gsx").cast("double") * col("gsy").cast("double") / n) / n
+    val varX = (col("gsxx").cast("double") -
+      col("gsx").cast("double") * col("gsx").cast("double") / n) / n
+    val varY = (col("gsyy").cast("double") -
+      col("gsy").cast("double") * col("gsy").cast("double") / n) / n
+    val gRow = glob.select(
+      (covXY / varX).as("theta"),
+      (col("gsx").cast("double") / n).as("xbar"),
+      round(covXY * covXY / (varX * varY), 6).as("var_reduction"))
+    byVariant.crossJoin(broadcast(gRow))
+      .select(col("variant"), col("n").as("n_users"),
+        round(col("sy").cast("double") / col("n").cast("double") / 100.0, 6)
+          .as("mean_y"),
+        round((col("sy").cast("double") / col("n").cast("double") -
+          col("theta") * (col("sx").cast("double") / col("n").cast("double") -
+            col("xbar"))) / 100.0, 6).as("mean_y_cuped"),
+        round(col("theta"), 6).as("theta"),
+        col("var_reduction"))
+      .orderBy("variant")
+  }
+
+  val cupedReadoutSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |        AND ts < TIMESTAMP '$cupedSplitDate'
+       |        THEN CAST(value AS DECIMAL(18,2))
+       |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |        AND ts >= TIMESTAMP '$cupedSplitDate'
+       |        THEN CAST(value AS DECIMAL(18,2))
+       |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS y
+       |  FROM events GROUP BY user_id),
+       |assigned AS (
+       |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS variant, x, y
+       |  FROM per_user),
+       |by_variant AS (
+       |  SELECT variant, count(*) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy
+       |  FROM assigned GROUP BY variant),
+       |gsums AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS gsx, sum(CAST(y AS HUGEINT)) AS gsy,
+       |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS gsxy,
+       |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS gsxx,
+       |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS gsyy
+       |  FROM assigned),
+       |g AS (
+       |  SELECT
+       |    ((CAST(gsxy AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+       |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |      / ((CAST(gsxx AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+       |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS theta,
+       |    CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+       |    round(
+       |      ((CAST(gsxy AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+       |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |      * ((CAST(gsxy AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+       |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |      / (((CAST(gsxx AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+       |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |       * ((CAST(gsyy AS DOUBLE) - CAST(gsy AS DOUBLE) * CAST(gsy AS DOUBLE)
+       |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))), 6) AS var_reduction
+       |  FROM gsums)
+       |SELECT variant, n AS n_users,
+       |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_y,
+       |  round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xbar)) / 100.0, 6)
+       |    AS mean_y_cuped,
+       |  round(theta, 6) AS theta,
+       |  var_reduction
+       |FROM by_variant CROSS JOIN g ORDER BY variant""".stripMargin
+
   /** A/B EXPERIMENT readout — Welch's z-test on revenue-per-user over a
     * hash-assigned experiment: users split 50/50 by `md5(user_id)` parity
     * (deterministic assignment — the real-world requirement that a user

@@ -252,6 +252,90 @@ object Similarity {
   private def zeroSafe(c: org.apache.spark.sql.Column) =
     when(c === 0d, lit(0d)).otherwise(c)
 
+  /** SIMPLIFIED SILHOUETTE per label — the clustering-quality audit run
+    * before trusting semantic-dedup/cluster assignments: for each
+    * vector, a = distance to its OWN label centroid, b = distance to
+    * the NEAREST other centroid, s = (b − a)/max(a, b); report the mean
+    * s and the fraction with s > 0 ("correctly placed") per label.
+    * Simplified (centroid-based) rather than full silhouette because
+    * full silhouette is all-pairs O(n²) — the centroid form is the
+    * production variant at any scale: centroids are O(labels × dim)
+    * and BROADCAST; the audit is one scan of the vectors.
+    *
+    * Portability: centroids are the ROUNDED [[labelCentroids]] values
+    * (4 dp) assembled dim-ordered, distances accumulate in double over
+    * explicit element indexing, each distance rounds 4 before the
+    * comparison/ratio, s rounds 4, the per-label mean rounds 4 — every
+    * comparison sees identical doubles in both engines (the knn_brute
+    * discipline, applied to L2). */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(round(avg(col("v").cast("double")), 4).as("cv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("dcv"))
+      .select(col("label").as("c_label"),
+        expr("transform(dcv, x -> x.cv)").as("centroid"))
+    val dist = round(sqrt(aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0d), (acc, v) => acc + v)), 4)
+    val scored = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"), dist.as("dist"))
+    val a = scored.filter(col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("dist").as("a"))
+    val b = scored.filter(col("label") =!= col("c_label"))
+      .groupBy("vec_id").agg(min(col("dist")).as("b"))
+    a.join(b, Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        // a = b = 0 (vector equals both centroids) would divide by zero
+        // under ANSI; the silhouette of such a point is 0 by definition
+        when(greatest(col("a"), col("b")) === 0d, lit(0.0))
+          .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 4))
+          .as("sil"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("sil")), 4).as("mean_silhouette"),
+        sum(when(col("sil") > 0, 1L).otherwise(0L)).as("n_well_placed"))
+      .orderBy("label")
+  }
+
+  val silhouetteSql: String =
+    """WITH cent AS (
+      |  SELECT label AS c_label, u.i AS dim,
+      |    round(avg(CAST(embedding[u.i] AS DOUBLE)), 4) AS cv
+      |  FROM embeddings, (SELECT unnest(generate_series(1,
+      |    (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i) u
+      |  GROUP BY 1, 2),
+      |cvec AS (
+      |  SELECT c_label, list(cv ORDER BY dim) AS centroid
+      |  FROM cent GROUP BY c_label),
+      |scored AS (
+      |  SELECT e.vec_id, e.label, c.c_label,
+      |    round(sqrt(list_sum(list_transform(
+      |      generate_series(1, len(e.embedding)),
+      |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+      |         * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])))), 4)
+      |      AS dist
+      |  FROM embeddings e CROSS JOIN cvec c),
+      |ab AS (
+      |  SELECT s.vec_id, s.label, s.dist AS a,
+      |    (SELECT min(o.dist) FROM scored o
+      |     WHERE o.vec_id = s.vec_id AND o.c_label <> s.label) AS b
+      |  FROM scored s WHERE s.c_label = s.label),
+      |sil AS (
+      |  SELECT vec_id, label,
+      |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+      |    ELSE round((b - a) / greatest(a, b), 4) END AS sil
+      |  FROM ab)
+      |SELECT label, count(*) AS n_vectors,
+      |  round(avg(sil), 4) AS mean_silhouette,
+      |  CAST(sum(CASE WHEN sil > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_well_placed
+      |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
   /** Matryoshka truncation width (leading dims kept). */
   val mrlDim = 16
   /** Recall cutoff for the truncation audit. */
