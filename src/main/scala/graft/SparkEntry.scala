@@ -98,6 +98,8 @@ object SparkEntry {
     "q_frame_census"    -> (Multimodal.frameCensus _),
     "q_silhouette"      -> (Similarity.silhouette _),
     "q_cuped"           -> (graft.ops.Behavior.cupedReadout _),
+    "q_power"           -> (graft.ops.Behavior.powerAnalysis _),
+    "q_markov"          -> (graft.ops.Behavior.markovStationary _),
     "q_matryoshka"      -> (Similarity.matryoshkaRecall _),
     "q_sessionize"      -> (EventStreams.sessionizeBatch _),
     // -- embedding near-dup + approximate sketches
@@ -534,6 +536,8 @@ object SparkEntry {
     "q_frame_census"  -> Multimodal.frameCensusSql,
     "q_silhouette"    -> Similarity.silhouetteSql,
     "q_cuped"         -> graft.ops.Behavior.cupedReadoutSql,
+    "q_power"         -> graft.ops.Behavior.powerAnalysisSql,
+    "q_markov"        -> graft.ops.Behavior.markovStationarySql,
     "q_matryoshka"    -> Similarity.matryoshkaRecallSql,
     "q_sessionize"    -> EventStreams.sessionizeBatchSql,
     "q_dedup_embed"   -> Dedup.embeddingNearDupSql,

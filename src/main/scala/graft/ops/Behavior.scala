@@ -177,6 +177,118 @@ object Behavior {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
       |FROM pairs""".stripMargin
 
+  /** The (closed, known) event alphabet in pinned order — the fixed
+    * fold order every [[markovStationary]] float sum uses. */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  /** Power-iteration count for [[markovStationary]] — fixed and
+    * unrolled (the pageRank bounded-semantics contract). */
+  val markovIters = 8
+
+  /** STATIONARY DISTRIBUTION of the [[transitionMatrix]] chain — where
+    * does a user's session settle in the long run: π P = π, computed as
+    * [[markovIters]] unrolled power-iteration steps from the uniform
+    * start. The long-run-behavior readout on top of the transition
+    * counts (queue-mix forecasting, "error absorption" checks).
+    *
+    * Determinism: the 5×5 matrix collapses to ONE wide row (25
+    * conditional-count cells over the pair aggregate — O(alphabet²)
+    * state); every iteration's 5 dot products are EXPLICIT left-folded
+    * expressions over the pinned [[eventTypes]] order, so no engine
+    * ever chooses a float summation order; probabilities are long/long
+    * divisions and the final π rounds 6. The oracle unrolls the same
+    * iterations as chained CTEs with the identical expression text. */
+  def markovStationary(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count("*").as("n"))
+    // one wide row: transition counts + per-source row sums
+    val cells = eventTypes.flatMap { i =>
+      eventTypes.map { j =>
+        coalesce(sum(when(col("prev_type") === i && col("next_type") === j,
+          col("n"))), lit(0L)).as(s"n_${i}_$j")
+      }
+    }
+    val wide = pairs.agg(cells.head, cells.tail: _*)
+    // a source type with zero outgoing pairs would divide by zero under
+    // ANSI — escape to the uniform row (never taken on this corpus; the
+    // guard keeps the operator total)
+    val withP = wide.select(col("*") +: (for { i <- eventTypes; j <- eventTypes }
+      yield {
+        val rs = eventTypes.map(k => col(s"n_${i}_$k").cast("double"))
+          .reduceLeft(_ + _)
+        when(rs === 0d, lit(0.2))
+          .otherwise(col(s"n_${i}_$j").cast("double") / rs)
+          .as(s"p_${i}_$j")
+      }): _*)
+    var cur = withP.select(col("*") +:
+      eventTypes.map(t => lit(0.2).as(s"pi0_$t")): _*)
+    for (it <- 1 to markovIters) {
+      cur = cur.select(col("*") +: eventTypes.map { j =>
+        eventTypes.map(i => col(s"pi${it - 1}_$i") * col(s"p_${i}_$j"))
+          .reduceLeft(_ + _).as(s"pi${it}_$j")
+      }: _*)
+    }
+    val fin = s"pi$markovIters"
+    cur.select(expr(
+      s"stack(${eventTypes.size}, " +
+        eventTypes.map(t => s"'$t', round(${fin}_$t, 6)").mkString(", ") +
+        ") AS (event_type, stationary_p)"))
+      .orderBy("event_type")
+  }
+
+  val markovStationarySql: String = {
+    val cells = eventTypes.flatMap { i =>
+      eventTypes.map { j =>
+        s"coalesce(sum(CASE WHEN prev_type = '$i' AND next_type = '$j' " +
+          s"THEN n END), 0) AS n_${i}_$j"
+      }
+    }.mkString(",\n    ")
+    val ps = (for { i <- eventTypes; j <- eventTypes } yield {
+      val rs = "(" +
+        eventTypes.map(k => s"CAST(n_${i}_$k AS DOUBLE)").mkString(" + ") + ")"
+      s"CASE WHEN $rs = 0 THEN 0.2 " +
+        s"ELSE CAST(n_${i}_$j AS DOUBLE) / $rs END AS p_${i}_$j"
+    }).mkString(",\n    ")
+    val iters = (1 to markovIters).map { it =>
+      val exprs = eventTypes.map { j =>
+        eventTypes.map(i => s"pi${it - 1}_$i * p_${i}_$j")
+          .reduceLeft((a, b) => s"($a + $b)") + s" AS pi${it}_$j"
+      }.mkString(",\n    ")
+      s"""it$it AS (
+         |  SELECT *, $exprs FROM it${it - 1})""".stripMargin
+    }.mkString(",\n")
+    val fin = s"pi$markovIters"
+    val out = eventTypes.map(t =>
+      s"SELECT '$t' AS event_type, round(${fin}_$t, 6) AS stationary_p FROM it$markovIters")
+      .mkString("\nUNION ALL\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT prev_type, event_type AS next_type, count(*) AS n
+       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT
+       |    $cells
+       |  FROM pairs),
+       |withp AS (
+       |  SELECT *,
+       |    $ps
+       |  FROM wide),
+       |it0 AS (
+       |  SELECT *, ${eventTypes.map(t => s"0.2 AS pi0_$t").mkString(", ")}
+       |  FROM withp),
+       |$iters
+       |SELECT event_type, stationary_p FROM (
+       |$out) ORDER BY event_type""".stripMargin
+  }
+
   /** Market-basket co-occurrence: pairs of parts appearing in the same
     * order, counted across orders, kept where support >= 2 — the
     * co-purchase affinity primitive behind "frequently bought together".
@@ -472,6 +584,125 @@ object Behavior {
        |  round(theta, 6) AS theta,
        |  var_reduction
        |FROM by_variant CROSS JOIN g ORDER BY variant""".stripMargin
+
+  /** Two-sided α=.05 and power .8 normal quantiles for [[powerAnalysis]]
+    * — pinned literals (erf⁻¹ is not engine-portable arithmetic). */
+  val zAlpha2 = 1.959963984540054
+  val zBeta = 0.8416212335729143
+
+  /** EXPERIMENT POWER ANALYSIS — "how many users per arm would we need
+    * to detect the effect we just observed?": the planning readout next
+    * to [[abTestRevenue]]'s significance test and [[cupedReadout]]'s
+    * variance reduction. n/arm = 2·(z_{α/2} + z_β)²·σ²/δ² with σ² the
+    * pooled per-user revenue variance and δ the observed |mean_b −
+    * mean_a| — plus the same figure under CUPED's variance (σ²·(1−ρ²)),
+    * which is WHY platforms run CUPED: the sample-size line item drops
+    * by exactly the variance reduction.
+    *
+    * All inputs are the exact decimal power sums of the per-user
+    * aggregate (the [[abTestRevenue]] discipline); the outputs are two
+    * pinned double formulas ceil'd to LONGs and the two doubles rounded
+    * 6 — nothing accumulates in float. */
+  def powerAnalysis(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = DecimalType(38, 0)
+    def d0(c: Column) = c.cast(big)
+    val split = lit(cupedSplitDate).cast("timestamp")
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("event_type") === "purchase" && col("ts") < split,
+          dec(col("value"))).otherwise(dec(lit(0)))) * 100).cast("long").as("x"),
+        (sum(when(col("event_type") === "purchase" && col("ts") >= split,
+          dec(col("value"))).otherwise(dec(lit(0)))) * 100).cast("long").as("y"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        col("x"), col("y"))
+    val sums = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, d0(col("y"))).otherwise(d0(lit(0)))).as("sy_a"),
+      sum(when(col("variant") === 1, d0(col("y"))).otherwise(d0(lit(0)))).as("sy_b"),
+      sum(d0(col("x"))).as("gsx"), sum(d0(col("y"))).as("gsy"),
+      sum(d0(col("x")) * d0(col("y"))).as("gsxy"),
+      sum(d0(col("x")) * d0(col("x"))).as("gsxx"),
+      sum(d0(col("y")) * d0(col("y"))).as("gsyy"))
+    val n = col("n").cast("double")
+    val nA = col("n_a").cast("double")
+    val nB = n - nA
+    val varY = (col("gsyy").cast("double") -
+      col("gsy").cast("double") * col("gsy").cast("double") / n) / n
+    val covXY = (col("gsxy").cast("double") -
+      col("gsx").cast("double") * col("gsy").cast("double") / n) / n
+    val varX = (col("gsxx").cast("double") -
+      col("gsx").cast("double") * col("gsx").cast("double") / n) / n
+    val rho2 = covXY * covXY / (varX * varY)
+    val delta = abs(col("sy_b").cast("double") / nB -
+      col("sy_a").cast("double") / nA)
+    val zsum2 = lit((zAlpha2 + zBeta) * (zAlpha2 + zBeta))
+    sums.select(
+      round(delta / 100.0, 6).as("observed_delta"),
+      round(sqrt(varY) / 100.0, 6).as("sd_y"),
+      ceil(lit(2.0) * zsum2 * varY / (delta * delta)).cast("long")
+        .as("n_per_arm"),
+      ceil(lit(2.0) * zsum2 * varY * (lit(1.0) - rho2) / (delta * delta))
+        .cast("long").as("n_per_arm_cuped"))
+  }
+
+  val powerAnalysisSql: String = {
+    val zsum2 = (zAlpha2 + zBeta) * (zAlpha2 + zBeta)
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |        AND ts < TIMESTAMP '$cupedSplitDate'
+       |        THEN CAST(value AS DECIMAL(18,2))
+       |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |        AND ts >= TIMESTAMP '$cupedSplitDate'
+       |        THEN CAST(value AS DECIMAL(18,2))
+       |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS y
+       |  FROM events GROUP BY user_id),
+       |assigned AS (
+       |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS variant, x, y
+       |  FROM per_user),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+       |    sum(CASE WHEN variant = 0 THEN CAST(y AS HUGEINT)
+       |        ELSE CAST(0 AS HUGEINT) END) AS sy_a,
+       |    sum(CASE WHEN variant = 1 THEN CAST(y AS HUGEINT)
+       |        ELSE CAST(0 AS HUGEINT) END) AS sy_b,
+       |    sum(CAST(x AS HUGEINT)) AS gsx, sum(CAST(y AS HUGEINT)) AS gsy,
+       |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS gsxy,
+       |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS gsxx,
+       |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS gsyy
+       |  FROM assigned),
+       |f AS (
+       |  SELECT
+       |    abs(CAST(sy_b AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(n_a AS DOUBLE))
+       |      - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS delta,
+       |    (CAST(gsyy AS DOUBLE) - CAST(gsy AS DOUBLE) * CAST(gsy AS DOUBLE)
+       |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_y,
+       |    ((CAST(gsxy AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+       |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |    * ((CAST(gsxy AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+       |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |    / (((CAST(gsxx AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+       |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |     * ((CAST(gsyy AS DOUBLE) - CAST(gsy AS DOUBLE) * CAST(gsy AS DOUBLE)
+       |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) AS rho2
+       |  FROM s)
+       |SELECT
+       |  round(delta / 100.0, 6) AS observed_delta,
+       |  round(sqrt(var_y) / 100.0, 6) AS sd_y,
+       |  CAST(ceil(2.0 * $zsum2 * var_y / (delta * delta)) AS BIGINT)
+       |    AS n_per_arm,
+       |  CAST(ceil(2.0 * $zsum2 * var_y * (1.0 - rho2) / (delta * delta))
+       |    AS BIGINT) AS n_per_arm_cuped
+       |FROM f""".stripMargin
+  }
 
   /** A/B EXPERIMENT readout — Welch's z-test on revenue-per-user over a
     * hash-assigned experiment: users split 50/50 by `md5(user_id)` parity
