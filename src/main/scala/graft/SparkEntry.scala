@@ -85,6 +85,7 @@ object SparkEntry {
     "q_boilerplate"     -> (Dedup.boilerplateRatio _),
     "q_script_profile"  -> (graft.text.TextAnalysis.scriptProfile _),
     "q_neighborhood"    -> (graft.ops.Graph.neighborhoodFunction _),
+    "q_gnn_sample"      -> (graft.ops.Graph.neighborSample _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -527,6 +528,7 @@ object SparkEntry {
     "q_boilerplate"   -> Dedup.boilerplateRatioSql,
     "q_script_profile" -> graft.text.TextAnalysis.scriptProfileSql,
     "q_neighborhood"  -> graft.ops.Graph.neighborhoodFunctionSql,
+    "q_gnn_sample"    -> graft.ops.Graph.neighborSampleSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,

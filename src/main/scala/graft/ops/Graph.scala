@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -256,6 +257,94 @@ object Graph {
        |SELECT CAST(hop AS INTEGER) AS hop, count(*) AS n_parts,
        |  CAST(sum(x) AS BIGINT) AS sum_parts
        |FROM hops GROUP BY hop""".stripMargin
+
+  /** Fan-outs for [[neighborSample]] (1-hop, then per-1-hop 2-hop). */
+  val fanout1 = 8
+  val fanout2 = 4
+
+  /** GNN MINI-BATCH NEIGHBOR SAMPLING (GraphSAGE-style) — for each seed
+    * vertex, a DETERMINISTIC sample of ≤ [[fanout1]] neighbors, then
+    * ≤ [[fanout2]] of each sampled neighbor's neighbors: the subgraph a
+    * GNN training step gathers features over. Random fan-out sampling
+    * is the thing that makes GNN training tractable on dense graphs
+    * (full 2-hop state is the q_harmonic cost); hash-ranked selection
+    * (md5 of the edge context, not rand()) makes every epoch, retry,
+    * and engine draw the SAME sample — the reproducibility contract
+    * training pipelines need.
+    *
+    * Per seed: sampled 1-hop/2-hop counts and the 2-hop id-sum (the
+    * census is sensitive to WHICH vertices were drawn, so the oracle
+    * grades selection, not just counts). Scale: two windows keyed by
+    * (seed) and (seed, hop1) — cardinalities grow with seeds × fanout,
+    * never a tiny-domain funnel; the edge list is the shared pinned
+    * [[edges]] build. */
+  def neighborSample(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val seedSet = seeds(bi).select(col("x").as("seed"))
+    val w1 = Window.partitionBy("seed")
+      .orderBy(col("h1"), col("n1"))
+    val hop1 = bi.join(seedSet, bi("u") === seedSet("seed"))
+      .select(col("seed"), col("v").as("n1"),
+        md5(concat_ws(":", col("seed"), col("v"))).as("h1"))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= fanout1)
+      .select(col("seed"), col("n1"))
+    val w2 = Window.partitionBy("seed", "n1")
+      .orderBy(col("h2"), col("n2"))
+    val hop2 = bi.join(hop1, bi("u") === hop1("n1"))
+      .select(col("seed"), col("n1"), col("v").as("n2"),
+        md5(concat_ws(":", col("seed"), col("n1"), col("v"))).as("h2"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= fanout2)
+    hop1.groupBy("seed").agg(count(lit(1)).as("n_hop1"))
+      .join(hop2.groupBy("seed")
+        .agg(count(lit(1)).as("n_hop2"), sum(col("n2")).as("sum_hop2")),
+        Seq("seed"), "left")
+      .select(col("seed"), col("n_hop1"),
+        coalesce(col("n_hop2"), lit(0L)).as("n_hop2"),
+        coalesce(col("sum_hop2"), lit(0L)).as("sum_hop2"))
+      .orderBy("seed")
+  }
+
+  val neighborSampleSql: String =
+    s"""WITH pr AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+       |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |seeds AS (
+       |  SELECT DISTINCT u AS x FROM bi WHERE u % 500 = 0
+       |  ORDER BY x LIMIT $seedCap),
+       |h1 AS (
+       |  SELECT seed, n1 FROM (
+       |    SELECT s.x AS seed, bi.v AS n1,
+       |      row_number() OVER (PARTITION BY s.x
+       |        ORDER BY md5(CAST(s.x AS VARCHAR) || ':' || CAST(bi.v AS VARCHAR)),
+       |          bi.v) AS rk
+       |    FROM bi JOIN seeds s ON bi.u = s.x)
+       |  WHERE rk <= $fanout1),
+       |h2 AS (
+       |  SELECT seed, n1, n2 FROM (
+       |    SELECT h1.seed, h1.n1, bi.v AS n2,
+       |      row_number() OVER (PARTITION BY h1.seed, h1.n1
+       |        ORDER BY md5(CAST(h1.seed AS VARCHAR) || ':' ||
+       |          CAST(h1.n1 AS VARCHAR) || ':' || CAST(bi.v AS VARCHAR)),
+       |          bi.v) AS rk
+       |    FROM bi JOIN h1 ON bi.u = h1.n1)
+       |  WHERE rk <= $fanout2)
+       |SELECT a.seed,
+       |  a.n_hop1,
+       |  coalesce(b.n_hop2, 0) AS n_hop2,
+       |  coalesce(b.sum_hop2, 0) AS sum_hop2
+       |FROM (SELECT seed, count(*) AS n_hop1 FROM h1 GROUP BY seed) a
+       |LEFT JOIN (SELECT seed, count(*) AS n_hop2,
+       |    CAST(sum(n2) AS BIGINT) AS sum_hop2
+       |  FROM h2 GROUP BY seed) b ON b.seed = a.seed
+       |ORDER BY a.seed""".stripMargin
 
   /** HLL relative-error budget for [[neighborhoodFunction]]'s sketch
     * column (generous 3σ at rsd 0.02 plus small-count slack). */
