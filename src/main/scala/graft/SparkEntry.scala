@@ -66,6 +66,9 @@ object SparkEntry {
     // -- LLM-pipeline: text analysis (north star §7.4)
     "q_text_stats"      -> (TextAnalysis.textStats _),
     "q_lang_id"         -> (TextAnalysis.langId _),
+    "q_lang_confusion"  -> (TextAnalysis.langConfusion _),
+    "q_lsh_plan"        -> (Dedup.lshPlanningTable _),
+    "q_decayed"         -> (graft.ops.TimeSeries.decayedPopularity _),
     "q_fingerprint"     -> (TextAnalysis.fingerprint _),
     // -- LLM-pipeline: deduplication
     "q_dedup_exact"     -> (Dedup.exactDedup _),
@@ -510,6 +513,9 @@ object SparkEntry {
     "q_heavy_hitters" -> graft.ops.Analytics.heavyHitterPartsSql,
     "q_text_stats"    -> TextAnalysis.textStatsSql,
     "q_lang_id"       -> TextAnalysis.langIdSql,
+    "q_lang_confusion" -> TextAnalysis.langConfusionSql,
+    "q_lsh_plan"      -> Dedup.lshPlanningTableSql,
+    "q_decayed"       -> graft.ops.TimeSeries.decayedPopularitySql,
     "q_fingerprint"   -> TextAnalysis.fingerprintSql,
     "q_dedup_exact"   -> Dedup.exactDedupSql,
     "q_dedup_jaccard" -> Dedup.ngramJaccardSql,

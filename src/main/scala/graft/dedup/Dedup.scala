@@ -587,6 +587,44 @@ object Dedup {
        |FROM blocks b JOIN first_owner f USING (h)
        |GROUP BY b.doc_id""".stripMargin
 
+  /** (bands, rows-per-band) configurations for [[lshPlanningTable]] —
+    * all factorizations of the [[numHashes]] budget. */
+  val lshConfigs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** LSH BAND-PLANNING TABLE — the tuning sheet behind [[minhashLsh]]'s
+    * (bands, rows) choice: for every factorization of the hash budget
+    * and a Jaccard grid, the candidate-detection probability
+    * 1 − (1 − J^r)^b. This is how the b/r knob is actually chosen
+    * (find the S-curve whose threshold sits at the dedup cutoff), and
+    * shipping it as a query makes the tuning reproducible instead of a
+    * notebook artifact. Pure generated compute — a literal config
+    * frame × an integer J grid, every probability one pinned pow
+    * formula rounded 6; no table scan at all. */
+  def lshPlanningTable(s: SparkSession, d: String): DataFrame = {
+    val configs = lshConfigs.map { case (b, r) => s"struct($b AS b, $r AS r)" }
+      .mkString("array(", ", ", ")")
+    s.range(1, 10).toDF("j10")
+      .select((col("j10").cast("double") / 10.0).as("jaccard"),
+        explode(expr(configs)).as("cfg"))
+      .select(col("cfg.b").as("bands"), col("cfg.r").as("rows_per_band"),
+        col("jaccard"),
+        round(lit(1.0) - pow(lit(1.0) -
+          pow(col("jaccard"), col("cfg.r").cast("double")),
+          col("cfg.b").cast("double")), 6).as("p_detect"))
+      .orderBy("bands", "jaccard")
+  }
+
+  val lshPlanningTableSql: String = {
+    val cfgRows = lshConfigs.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""WITH cfg(b, r) AS (VALUES $cfgRows),
+       |grid AS (SELECT unnest(generate_series(1, 9)) AS j10)
+       |SELECT CAST(b AS INTEGER) AS bands, CAST(r AS INTEGER) AS rows_per_band,
+       |  CAST(j10 AS DOUBLE) / 10.0 AS jaccard,
+       |  round(1.0 - pow(1.0 - pow(CAST(j10 AS DOUBLE) / 10.0,
+       |    CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6) AS p_detect
+       |FROM cfg CROSS JOIN grid ORDER BY bands, jaccard""".stripMargin
+  }
+
   /** Document frequency at which a shingle counts as boilerplate. */
   val dfBoiler = 4L
 

@@ -1155,4 +1155,56 @@ object TimeSeries {
       |      (2.0 * n_above * n_below / (n_above + n_below) - 1.0) /
       |      (n_above + n_below - 1.0)), 6) AS z
       |FROM agg""".stripMargin
+
+  /** Half-life (days) for [[decayedPopularity]]. */
+  val decayHalfLifeDays = 7.0
+
+  /** TIME-DECAYED POPULARITY — exponentially decayed revenue score per
+    * event type as of the corpus's last day: score = Σ_d rev(d) ·
+    * 0.5^(age_d / halfLife). The freshness-weighted ranking signal
+    * (trending content, recency-biased retrieval boosts) that a plain
+    * SUM can't express and a float SUM can't compute portably.
+    *
+    * Determinism rendering: the daily aggregate collapses to ONE sorted
+    * array per type (O(days) elements, calendar-bounded), and the decay
+    * fold runs INSIDE the array in day order — `aggregate` on the Spark
+    * side, `list_sum(list_transform(...))` on the oracle, both strictly
+    * sequential left-to-right (the vectorNorms parity precedent) — so
+    * the float accumulation order is pinned without any windowed float
+    * sum. Facts shuffle once into the daily aggregate; the fold is a
+    * per-row array op. */
+  def decayedPopularity(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    daily.crossJoin(broadcast(maxDay))
+      .groupBy(col("event_type"), col("max_day"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("dc"))
+      .select(col("event_type"),
+        round(aggregate(col("dc"), lit(0.0d), (acc, x) =>
+          acc + x.getField("cents").cast("double") / 100.0 *
+            pow(lit(0.5), datediff(col("max_day"), x.getField("day"))
+              .cast("double") / decayHalfLifeDays)), 6)
+          .as("decayed_revenue"))
+      .orderBy("event_type")
+  }
+
+  val decayedPopularitySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT max(day) AS max_day FROM daily),
+       |arr AS (
+       |  SELECT event_type, max_day,
+       |    list(struct_pack(day := day, cents := cents) ORDER BY day) AS dc
+       |  FROM daily CROSS JOIN m GROUP BY event_type, max_day)
+       |SELECT event_type,
+       |  round(list_sum(list_transform(dc, x ->
+       |    CAST(x.cents AS DOUBLE) / 100.0 *
+       |      pow(0.5, CAST(date_diff('day', x.day, max_day) AS DOUBLE)
+       |        / $decayHalfLifeDays))), 6) AS decayed_revenue
+       |FROM arr ORDER BY event_type""".stripMargin
 }

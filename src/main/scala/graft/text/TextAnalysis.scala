@@ -867,6 +867,50 @@ object TextAnalysis {
       |    substr(text, 1, 40) || ' caf' || chr(233)) AS composed_ok
       |FROM documents""".stripMargin
 
+  /** LANGUAGE-ID CONFUSION MATRIX — the quality audit for [[langId]]:
+    * labeled language × predicted bucket counts plus per-cell share of
+    * the labeled row. The eval loop every classifier-in-the-pipeline
+    * needs (precision/recall per language fall straight out of the
+    * cells); same one-pass shape as langId itself with a final
+    * O(langs × buckets) map-side-combinable rollup. */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val hits = col("ts").getField("n_stopwords")
+    Tables.documents(s, d)
+      .select(col("lang"),
+        graft.functions.GraftFunctions.tokenStats(col("text"), stopwords).as("ts"))
+      .select(col("lang").as("labeled_lang"),
+        when(hits >= 2, lit("en"))
+          .when(hits === 1, lit("maybe_en"))
+          .otherwise(lit("unknown")).as("predicted_lang"))
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total",
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("labeled_lang")))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("row_total").cast("double"), 6)
+          .as("row_share"))
+      .orderBy("labeled_lang", "predicted_lang")
+  }
+
+  val langConfusionSql: String = {
+    val hitExpr = s"len(list_filter(string_split(text,' '), t -> t IN ($stopList)))"
+    s"""WITH pred AS (
+       |  SELECT lang AS labeled_lang,
+       |    CASE WHEN $hitExpr >= 2 THEN 'en'
+       |    WHEN $hitExpr = 1 THEN 'maybe_en'
+       |    ELSE 'unknown' END AS predicted_lang
+       |  FROM documents),
+       |cells AS (
+       |  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+       |  FROM pred GROUP BY 1, 2)
+       |SELECT labeled_lang, predicted_lang, n_docs,
+       |  round(CAST(n_docs AS DOUBLE) /
+       |    CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6)
+       |    AS row_share
+       |FROM cells ORDER BY labeled_lang, predicted_lang""".stripMargin
+  }
+
   /** CHARACTER-CLASS (script) PROFILE per language — the writing-system
     * audit that complements stopword [[langId]]: per lang, the corpus
     * share of ASCII letters, digits, whitespace, and everything else.
