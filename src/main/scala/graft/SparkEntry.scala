@@ -69,6 +69,7 @@ object SparkEntry {
     "q_lang_confusion"  -> (TextAnalysis.langConfusion _),
     "q_lsh_plan"        -> (Dedup.lshPlanningTable _),
     "q_decayed"         -> (graft.ops.TimeSeries.decayedPopularity _),
+    "q_forecast_bt"     -> (graft.ops.TimeSeries.forecastBacktest _),
     "q_fingerprint"     -> (TextAnalysis.fingerprint _),
     // -- LLM-pipeline: deduplication
     "q_dedup_exact"     -> (Dedup.exactDedup _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_script_profile"  -> (graft.text.TextAnalysis.scriptProfile _),
     "q_neighborhood"    -> (graft.ops.Graph.neighborhoodFunction _),
     "q_gnn_sample"      -> (graft.ops.Graph.neighborSample _),
+    "q_degree_dist"     -> (graft.ops.Graph.degreeDistribution _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -516,6 +518,7 @@ object SparkEntry {
     "q_lang_confusion" -> TextAnalysis.langConfusionSql,
     "q_lsh_plan"      -> Dedup.lshPlanningTableSql,
     "q_decayed"       -> graft.ops.TimeSeries.decayedPopularitySql,
+    "q_forecast_bt"   -> graft.ops.TimeSeries.forecastBacktestSql,
     "q_fingerprint"   -> TextAnalysis.fingerprintSql,
     "q_dedup_exact"   -> Dedup.exactDedupSql,
     "q_dedup_jaccard" -> Dedup.ngramJaccardSql,
@@ -535,6 +538,7 @@ object SparkEntry {
     "q_script_profile" -> graft.text.TextAnalysis.scriptProfileSql,
     "q_neighborhood"  -> graft.ops.Graph.neighborhoodFunctionSql,
     "q_gnn_sample"    -> graft.ops.Graph.neighborSampleSql,
+    "q_degree_dist"   -> graft.ops.Graph.degreeDistributionSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,

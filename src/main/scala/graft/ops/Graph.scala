@@ -258,6 +258,74 @@ object Graph {
        |  CAST(sum(x) AS BIGINT) AS sum_parts
        |FROM hops GROUP BY hop""".stripMargin
 
+  /** Top-order-statistics count for the Hill tail estimate. */
+  val hillK = 50
+
+  /** DEGREE DISTRIBUTION + HILL TAIL INDEX — is the co-purchase graph
+    * power-law, and how heavy is its tail? Ships the log2-bucketed
+    * degree histogram (the visual check) and the Hill estimator over
+    * the top [[hillK]] degrees, α = k / Σ_{i<k} ln(d_i / d_k) — the
+    * standard tail-exponent readout that decides whether degree-skew
+    * mitigations (salting, the oriented triangle counting above) are
+    * load-bearing or paranoia for this graph.
+    *
+    * Determinism: the histogram is exact integers; the Hill sum runs
+    * INSIDE a sorted top-k array (ln ratios folded in rank order — the
+    * decayedPopularity array-fold discipline), so the only floats are
+    * ln of exact integer ratios accumulated in a pinned order, rounded
+    * 6. The top-k degrees ride one TakeOrdered; the histogram is one
+    * map-side-combinable aggregate over the degree relation. */
+  def degreeDistribution(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val hist = deg
+      .groupBy(floor(log(col("dg").cast("double")) / log(lit(2.0))).cast("long")
+        .as("log2_bucket"))
+      .agg(count(lit(1)).as("n_vertices"), min(col("dg")).as("min_degree"),
+        max(col("dg")).as("max_degree"))
+    val topk = deg.orderBy(col("dg").desc, col("x")).limit(hillK)
+      .agg(sort_array(collect_list(col("dg")), asc = false).as("ds"))
+      .select(col("ds"), element_at(col("ds"), hillK).as("dk"))
+      .select(round(lit(hillK.toDouble) /
+        aggregate(slice(col("ds"), 1, hillK - 1), lit(0.0d), (acc, v) =>
+          acc + log(v.cast("double") / col("dk").cast("double"))), 6)
+        .as("hill_alpha"))
+    hist.crossJoin(broadcast(topk))
+      .select(col("log2_bucket"), col("n_vertices"), col("min_degree"),
+        col("max_degree"), col("hill_alpha"))
+      .orderBy("log2_bucket")
+  }
+
+  val degreeDistributionSql: String =
+    s"""WITH pr AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+       |deg AS (
+       |  SELECT x, count(*) AS dg FROM (
+       |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+       |  GROUP BY x),
+       |hist AS (
+       |  SELECT CAST(floor(ln(CAST(dg AS DOUBLE)) / ln(2.0)) AS BIGINT)
+       |      AS log2_bucket,
+       |    count(*) AS n_vertices,
+       |    CAST(min(dg) AS BIGINT) AS min_degree,
+       |    CAST(max(dg) AS BIGINT) AS max_degree
+       |  FROM deg GROUP BY 1),
+       |topk AS (
+       |  SELECT list(dg ORDER BY dg DESC, x) AS ds FROM (
+       |    SELECT dg, x FROM deg ORDER BY dg DESC, x LIMIT $hillK)),
+       |hill AS (
+       |  SELECT round($hillK.0 / list_sum(list_transform(ds[1:${hillK - 1}],
+       |    v -> ln(CAST(v AS DOUBLE) / CAST(ds[$hillK] AS DOUBLE)))), 6)
+       |    AS hill_alpha
+       |  FROM topk)
+       |SELECT log2_bucket, n_vertices, min_degree, max_degree, hill_alpha
+       |FROM hist CROSS JOIN hill ORDER BY log2_bucket""".stripMargin
+
   /** Fan-outs for [[neighborSample]] (1-hop, then per-1-hop 2-hop). */
   val fanout1 = 8
   val fanout2 = 4

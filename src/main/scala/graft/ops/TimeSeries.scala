@@ -1156,6 +1156,86 @@ object TimeSeries {
       |      (n_above + n_below - 1.0)), 6) AS z
       |FROM agg""".stripMargin
 
+  /** Seasonal-naive lag (days) and evaluation window for
+    * [[forecastBacktest]]. */
+  val fcLagDays = 7
+  val fcEvalDays = 14
+
+  /** FORECAST BACKTEST — the evaluation harness a forecasting pipeline
+    * gates on, applied to the cheapest defensible baselines: for the
+    * last [[fcEvalDays]] days of per-type daily revenue, one-step
+    * NAIVE (yesterday's value) and SEASONAL-NAIVE (same weekday last
+    * week, lag [[fcLagDays]]) forecasts, scored with MAE and MAPE.
+    * Any model a team proposes must beat this table — which makes the
+    * table itself the first artifact of the forecasting workflow.
+    *
+    * Exactness: forecasts are COPIED values (lag over the daily
+    * aggregate — no arithmetic), absolute errors are exact decimal
+    * cents summed as decimals, and each reported metric is one pinned
+    * double division rounded 6. The lag window runs over the
+    * per-(type, day) aggregate (O(types × days) rows — the ewmaDaily
+    * scale posture). */
+  def forecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    daily
+      .withColumn("f_naive", lag(col("cents"), 1).over(w))
+      .withColumn("f_snaive", lag(col("cents"), fcLagDays).over(w))
+      .crossJoin(broadcast(maxDay))
+      .filter(datediff(col("max_day"), col("day")) < fcEvalDays &&
+        col("f_naive").isNotNull && col("f_snaive").isNotNull &&
+        col("cents") > 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("f_naive"))).as("ae_naive"),
+        sum(abs(col("cents") - col("f_snaive"))).as("ae_snaive"),
+        sum((abs(col("cents") - col("f_naive")).cast("double") /
+          col("cents").cast("double"))).as("pe_naive"),
+        sum((abs(col("cents") - col("f_snaive")).cast("double") /
+          col("cents").cast("double"))).as("pe_snaive"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ae_naive").cast("double") / col("n_days").cast("double")
+          / 100.0, 6).as("mae_naive"),
+        round(col("ae_snaive").cast("double") / col("n_days").cast("double")
+          / 100.0, 6).as("mae_snaive"),
+        round(col("pe_naive") / col("n_days").cast("double"), 6)
+          .as("mape_naive"),
+        round(col("pe_snaive") / col("n_days").cast("double"), 6)
+          .as("mape_snaive"))
+      .orderBy("event_type")
+  }
+
+  val forecastBacktestSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT max(day) AS max_day FROM daily),
+       |fc AS (
+       |  SELECT event_type, day, cents,
+       |    lag(cents, 1) OVER w AS f_naive,
+       |    lag(cents, $fcLagDays) OVER w AS f_snaive
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |ev AS (
+       |  SELECT fc.* FROM fc CROSS JOIN m
+       |  WHERE date_diff('day', day, max_day) < $fcEvalDays
+       |    AND f_naive IS NOT NULL AND f_snaive IS NOT NULL AND cents > 0)
+       |SELECT event_type, count(*) AS n_days,
+       |  round(CAST(sum(abs(cents - f_naive)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) / 100.0, 6) AS mae_naive,
+       |  round(CAST(sum(abs(cents - f_snaive)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) / 100.0, 6) AS mae_snaive,
+       |  round(sum(CAST(abs(cents - f_naive) AS DOUBLE) / CAST(cents AS DOUBLE))
+       |    / CAST(count(*) AS DOUBLE), 6) AS mape_naive,
+       |  round(sum(CAST(abs(cents - f_snaive) AS DOUBLE) / CAST(cents AS DOUBLE))
+       |    / CAST(count(*) AS DOUBLE), 6) AS mape_snaive
+       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Half-life (days) for [[decayedPopularity]]. */
   val decayHalfLifeDays = 7.0
 
