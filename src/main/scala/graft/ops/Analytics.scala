@@ -1233,7 +1233,10 @@ object Analytics {
     * (range-partitioned, cluster-wide parallelism) and closes with the
     * identical exact power sums. Graded against the SAME oracle. */
   def spearmanPriceQtyDist(s: SparkSession, d: String): DataFrame = {
-    val pairs = spearmanPairs(s, d)
+    // pin the (flag, price, qty) aggregate once: three plan subtrees
+    // consume it (two rank legs + the closing join), and without the
+    // checkpoint each re-runs the full lineitem scan + groupBy
+    val pairs = spearmanPairs(s, d).localCheckpoint()
     def minRanks(valueCol: String, rankName: String): DataFrame =
       Distributed.withRunningTotal(
         pairs.groupBy(col("l_returnflag"), col(valueCol)).agg(sum(col("c")).as("nv")),
@@ -1496,6 +1499,10 @@ object Analytics {
         (-col("n_orders")).as("neg_orders"),
         (-col("spend")).as("neg_spend"),
         lit(1L).as("one"))
+      // pinned once: FOUR plan subtrees consume this aggregate (three
+      // rank legs + the closing join) — without the checkpoint each
+      // re-runs the orders scan + per-customer groupBy
+      .localCheckpoint()
     def score(orderCol: String, name: String): DataFrame =
       Distributed.withRunningTotal(
         perCust.select(col("o_custkey"), col(orderCol), col("one")),
