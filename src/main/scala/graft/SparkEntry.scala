@@ -91,6 +91,7 @@ object SparkEntry {
     "q_neighborhood"    -> (graft.ops.Graph.neighborhoodFunction _),
     "q_gnn_sample"      -> (graft.ops.Graph.neighborSample _),
     "q_degree_dist"     -> (graft.ops.Graph.degreeDistribution _),
+    "q_fd_histogram"    -> (graft.ops.Analytics.fdHistogram _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -539,6 +540,7 @@ object SparkEntry {
     "q_neighborhood"  -> graft.ops.Graph.neighborhoodFunctionSql,
     "q_gnn_sample"    -> graft.ops.Graph.neighborSampleSql,
     "q_degree_dist"   -> graft.ops.Graph.degreeDistributionSql,
+    "q_fd_histogram"  -> graft.ops.Analytics.fdHistogramSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,

@@ -964,6 +964,61 @@ object Analytics {
     * rendering keeps all 32 (or 1000) partitions busy and its offsets
     * pass is O(partitions × 5) metadata. Same oracle as the window form
     * (the q_weighted_median_dist shared-oracle proof). */
+  /** FREEDMAN–DIACONIS AUTO-BINNED HISTOGRAM of order totals — the
+    * histogram whose bin width the DATA chooses: w = 2·IQR/n^(1/3),
+    * the robust default every plotting library implements and ad-hoc
+    * dashboards hard-code wrongly. Two passes: exact discrete quartiles
+    * (percentile_disc — engine-portable, no interpolation) + count in
+    * one scalar aggregate, then one map-side-combinable groupBy on
+    * floor(price/w). The width is ONE pinned double formula over exact
+    * inputs, so both engines bin identically; bin ids are longs and the
+    * bin edges ship as rounded doubles. */
+  def fdHistogram(s: SparkSession, d: String): DataFrame = {
+    val prices = Tables.orders(s, d)
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val stats = prices.agg(
+      count(lit(1)).as("n"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("q1"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("q3"))
+    val w = lit(2.0) * (col("q3") - col("q1")).cast("double") /
+      pow(col("n").cast("double"), lit(1.0 / 3.0))
+    prices.crossJoin(broadcast(stats))
+      .select(floor(col("cents").cast("double") / w).cast("long").as("bin"),
+        w.as("w"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"), min(col("w")).as("w0"))
+      .select(col("bin"), col("n_orders"),
+        round(col("bin").cast("double") * col("w0") / 100.0, 2).as("bin_lo"),
+        round((col("bin") + 1).cast("double") * col("w0") / 100.0, 2).as("bin_hi"))
+      .orderBy("bin")
+  }
+
+  val fdHistogramSql: String =
+    """WITH prices AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents
+      |  FROM orders),
+      |s AS (
+      |  SELECT count(*) AS n,
+      |    CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+      |    CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
+      |  FROM prices),
+      |binned AS (
+      |  SELECT
+      |    CAST(floor(CAST(cents AS DOUBLE) /
+      |      (2.0 * CAST(q3 - q1 AS DOUBLE)
+      |        / pow(CAST(n AS DOUBLE), 1.0 / 3.0))) AS BIGINT) AS bin,
+      |    2.0 * CAST(q3 - q1 AS DOUBLE)
+      |      / pow(CAST(n AS DOUBLE), 1.0 / 3.0) AS w
+      |  FROM prices CROSS JOIN s)
+      |SELECT bin, count(*) AS n_orders,
+      |  round(CAST(bin AS DOUBLE) * min(w) / 100.0, 2) AS bin_lo,
+      |  round(CAST(bin + 1 AS DOUBLE) * min(w) / 100.0, 2) AS bin_hi
+      |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Coarse histogram width for [[theilSenTrend]]'s two-pass selection
     * (slope units, i.e. cents/day before the final /100 rendering). */
   val theilSenBucketWidth = 4096.0
