@@ -92,6 +92,7 @@ object SparkEntry {
     "q_gnn_sample"      -> (graft.ops.Graph.neighborSample _),
     "q_degree_dist"     -> (graft.ops.Graph.degreeDistribution _),
     "q_fd_histogram"    -> (graft.ops.Analytics.fdHistogram _),
+    "q_topk_merge"      -> (graft.ops.Analytics.topkMergeCheck _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -541,6 +542,7 @@ object SparkEntry {
     "q_gnn_sample"    -> graft.ops.Graph.neighborSampleSql,
     "q_degree_dist"   -> graft.ops.Graph.degreeDistributionSql,
     "q_fd_histogram"  -> graft.ops.Analytics.fdHistogramSql,
+    "q_topk_merge"    -> graft.ops.Analytics.topkMergeCheckSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,

@@ -964,6 +964,56 @@ object Analytics {
     * rendering keeps all 32 (or 1000) partitions busy and its offsets
     * pass is O(partitions × 5) metadata. Same oracle as the window form
     * (the q_weighted_median_dist shared-oracle proof). */
+  /** Cutoff for [[topkMergeCheck]]. */
+  val tkMerge = 10
+
+  /** DISTRIBUTED TOP-K MERGE CHECK — the lemma every scatter-gather
+    * leaderboard relies on, stated as a self-checking query: the global
+    * top-k (orders by price, key tiebreak) is CONTAINED in the union of
+    * per-group top-ks for ANY grouping, so re-ranking the k×groups
+    * union reproduces the global answer exactly. Ships both id-sums and
+    * the equality boolean — the contract a tiered serving layer
+    * (per-shard top-k, merge at the coordinator) gates its correctness
+    * on. Scale story: the per-group leg is the production path
+    * (TakeOrdered per group over WindowGroupLimit-pruned partitions;
+    * the merge input is k × groups rows, never the facts). */
+  def topkMergeCheck(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val globalTop = orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(tkMerge)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val perGroup = orders.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= tkMerge)
+    val merged = perGroup
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(tkMerge)
+    val a = globalTop.agg(sum(col("o_orderkey")).as("global_keysum"))
+    val b = merged.agg(sum(col("o_orderkey")).as("merged_keysum"))
+    a.crossJoin(broadcast(b))
+      .select(col("global_keysum"), col("merged_keysum"),
+        (col("global_keysum") === col("merged_keysum")).as("merge_exact"))
+  }
+
+  val topkMergeCheckSql: String =
+    s"""WITH g AS (
+       |  SELECT CAST(sum(o_orderkey) AS BIGINT) AS global_keysum FROM (
+       |    SELECT o_orderkey FROM orders
+       |    ORDER BY o_totalprice DESC, o_orderkey LIMIT $tkMerge)),
+       |pg AS (
+       |  SELECT o_orderkey, o_totalprice FROM (
+       |    SELECT o_orderkey, o_totalprice,
+       |      row_number() OVER (PARTITION BY o_orderpriority
+       |        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+       |    FROM orders) WHERE rk <= $tkMerge),
+       |m AS (
+       |  SELECT CAST(sum(o_orderkey) AS BIGINT) AS merged_keysum FROM (
+       |    SELECT o_orderkey FROM pg
+       |    ORDER BY o_totalprice DESC, o_orderkey LIMIT $tkMerge))
+       |SELECT global_keysum, merged_keysum,
+       |  global_keysum = merged_keysum AS merge_exact
+       |FROM g CROSS JOIN m""".stripMargin
+
   /** FREEDMAN–DIACONIS AUTO-BINNED HISTOGRAM of order totals — the
     * histogram whose bin width the DATA chooses: w = 2·IQR/n^(1/3),
     * the robust default every plotting library implements and ad-hoc
