@@ -41,8 +41,50 @@ object Graph {
     * fails loudly rather than silently recomputing. */
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Sessions that already carry the evict-on-end listener. */
+  private val hookedSessions =
+    scala.collection.mutable.Set.empty[SparkSession]
+
+  /** One lock for all cache builds: `TrieMap.getOrElseUpdate` alone can
+    * run the eager localCheckpoint build twice under contention (ADVICE
+    * r6), and a second build would pin a second, orphaned copy of the
+    * blocks. The harness is sequential, so a single coarse lock costs
+    * nothing; a concurrent caller of a DIFFERENT key briefly queues —
+    * acceptable for an in-session memo whose builds are seconds apart. */
+  private val cacheLock = new Object
+
+  private def memo(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+    cacheLock.synchronized {
+      if (!hookedSessions.contains(s)) {
+        hookedSessions += s
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              clearCaches(s)
+          })
+      }
+      cache.getOrElseUpdate((s, d), build)
+    }
+
+  /** Drop every pinned frame this module holds for `s` (the strong
+    * references keeping the localCheckpoint blocks alive). The blocks
+    * themselves are released by the ContextCleaner once a GC notices the
+    * now-unreferenced RDDs — callers that need the storage back promptly
+    * (the bench harness between query families) follow with
+    * `System.gc()`. Wired to `onApplicationEnd` so a stopped session
+    * can't leak its entries for the process lifetime (ADVICE r6). */
+  def clearCaches(s: SparkSession): Unit = cacheLock.synchronized {
+    edgeCache.keys.filter(_._1 eq s).foreach(edgeCache.remove)
+    distCache.keys.filter(_._1 eq s).foreach(distCache.remove)
+    hookedSessions -= s
+  }
+
   private def edges(s: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, d),
+    memo(edgeCache, s, d)(
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
@@ -215,7 +257,7 @@ object Graph {
   private val distCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def seedDistances(s: SparkSession, d: String): DataFrame =
-    distCache.getOrElseUpdate((s, d), {
+    memo(distCache, s, d) {
       val e = edges(s, d)
       val bi = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -232,7 +274,7 @@ object Graph {
         dist = dist.unionAll(next).localCheckpoint()
       }
       dist
-    })
+    }
 
   def bfsHops(s: SparkSession, d: String): DataFrame =
     seedDistances(s, d).groupBy("hop")
