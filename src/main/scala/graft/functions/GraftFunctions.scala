@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.wordNgramsDescriptor)
     ext.injectFunction(GraftFunctions.nfcNormalizeDescriptor)
+    ext.injectFunction(GraftFunctions.bitmapPositionsDescriptor)
+    ext.injectFunction(GraftFunctions.bitmapAndNotDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
@@ -47,6 +49,24 @@ object GraftFunctions {
       NfcNormalize(children.head)
     })
 
+  private[functions] val bitmapPositionsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bitmap_positions"),
+    new ExpressionInfo(classOf[BitmapPositions].getName, "bitmap_positions"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "bitmap_positions expects exactly 1 argument")
+      BitmapPositions(children.head)
+    })
+
+  private[functions] val bitmapAndNotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bitmap_and_not"),
+    new ExpressionInfo(classOf[BitmapAndNot].getName, "bitmap_and_not"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "bitmap_and_not expects exactly 2 arguments")
+      BitmapAndNot(children.head, children(1))
+    })
+
   private[functions] val wordNgramsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("word_ngrams"),
@@ -62,7 +82,8 @@ object GraftFunctions {
     * registered here (and by GraftSession) rather than in
     * GraftExtensions. */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimDescriptor, wordNgramsDescriptor, nfcNormalizeDescriptor).foreach {
+    Seq(cosineSimDescriptor, wordNgramsDescriptor, nfcNormalizeDescriptor,
+        bitmapPositionsDescriptor, bitmapAndNotDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -86,6 +107,15 @@ object GraftFunctions {
   /** Column-API form of [[NfcNormalize]] — Unicode NFC normalization. */
   def nfcNormalize(c: Column): Column =
     shims.column(NfcNormalize(shims.expression(c)))
+
+  /** Column-API form of [[BitmapPositions]]: the set bit positions of a
+    * `bitmap_construct_agg`/`bitmap_or_agg` bitmap, sorted ascending. */
+  def bitmapPositions(c: Column): Column =
+    shims.column(BitmapPositions(shims.expression(c)))
+
+  /** Column-API form of [[BitmapAndNot]]: bitmap set difference. */
+  def bitmapAndNot(a: Column, b: Column): Column =
+    shims.column(BitmapAndNot(shims.expression(a), shims.expression(b)))
 
   /** Column-API form of the [[XorChecksum]] aggregate — no registry. */
   def xorChecksum(c: Column): Column = XorChecksum.udaf(c)

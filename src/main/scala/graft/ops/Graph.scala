@@ -840,11 +840,13 @@ object Graph {
     * are in {1,2,3}, so 6·c(s) = 6·n₁ + 3·n₂ + 2·n₃ is an integer —
     * the sixths-scaled centrality hash-grades with no float tolerance,
     * and the double rendering is one pinned division. Per-(seed, vertex)
-    * BFS state is the [[ssspBounded]] frontier-delta shape keyed by
-    * (src, x): per-round cost tracks the wavefront × seeds, and the
-    * seed set is bounded at [[seedCap]] regardless of catalog size
-    * (all-vertex centrality at scale is HyperBall/HLL sketching, per
-    * the [[seeds]] note).
+    * BFS state lives entirely in BITMAP space (see the in-body comment:
+    * bitmap adjacency + map-side-combined `bitmap_or_agg` rounds + the
+    * native [[graft.functions.BitmapAndNot]]/[[graft.functions.BitmapPositions]]
+    * frontier step — the row-space rendering's 60M-row round-3 distinct
+    * was 80% of the query's cost). The seed set is bounded at
+    * [[seedCap]] regardless of catalog size (all-vertex centrality at
+    * scale is HyperBall/HLL sketching, per the [[seeds]] note).
     *
     * Oracle: recursive CTE on (src, x, d) with min-distance dedup —
     * [[bfsHopsSql]] generalized by one key. */
@@ -852,25 +854,87 @@ object Graph {
     val e = edges(s, d)
     val bi = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    // Per-(seed, vertex) BFS with ALL round state in BITMAP space. The
+    // naive rendering (expand frontier rows through the edge list, then
+    // DISTINCT, then LEFT ANTI against visited) shuffles every
+    // pre-distinct expansion row — at sf0.1 round 3 expands ~500k
+    // (seed, vertex) frontier rows through avg-degree ~120 into ~60M
+    // rows feeding the distinct, which was 80% of this query's cost
+    // (BENCH_r06: 12 s). Here instead:
+    //  1. each vertex's neighborhood is pre-encoded ONCE as a 4 KB
+    //     bitmap (builtin `bitmap_construct_agg`, bucketed 32768 bits so
+    //     the scheme scales to any part-catalog size). (Measured
+    //     alternative: int-array adjacency + explode + per-position
+    //     bitmap_construct_agg avoids the fixed 4 KB per vertex but pays
+    //     a per-expansion-row imperative aggregate update — 60M hash
+    //     probes — and benched 40% SLOWER than OR-merging 500k
+    //     pre-built bitmaps, which is pure vectorizable memory work);
+    //  2. a round joins the frontier's ROW form against those bitmaps by
+    //     key and unions them per (seed, bucket) with `bitmap_or_agg` —
+    //     MAP-SIDE COMBINED, so the shuffle carries one 4 KB buffer per
+    //     (seed, bucket, partition) (~6 MB) instead of 60M rows;
+    //  3. the visited-set subtraction is the native
+    //     [[graft.functions.BitmapAndNot]] on the (seed, bucket) keyed
+    //     accumulator — no row-level left-anti shuffle at all;
+    //  4. per-hop counts come straight from `bitmap_count`, and only the
+    //     next round's frontier is decoded back to rows via the native
+    //     [[graft.functions.BitmapPositions]].
+    // Total per-round state: O(seedCap × buckets) 4 KB buffers. Oracle
+    // unchanged: the recursive-CTE min-distance BFS.
+    val bits = 32768
+    val gf = graft.functions.GraftFunctions
+    // vertex ids are part keys ≥ 0, so the encoding is plain (div, mod) —
+    // NOT Spark's 1-based bitmap_bit_position convention, which would wrap
+    // vertex 0 to position 32767 of bucket -1/32768 = 0 (a phantom vertex
+    // 32768 — caught by the sf0.01 oracle diff on seed 0)
+    val adj = bi
+      .select(col("u"), (col("v") / bits).cast("long").as("bkt"),
+        pmod(col("v"), lit(bits)).cast("long").as("pos"))
+      .groupBy("u", "bkt").agg(expr("bitmap_construct_agg(pos)").as("nbm"))
       .localCheckpoint()
-    var dist = seeds(bi)
-      .select(col("x").as("src"), col("x"), lit(0).as("hop"))
+    var frontier = seeds(bi).select(col("x").as("src"), col("x").as("u"))
+    var visited = frontier
+      .select(col("src"), (col("u") / bits).cast("long").as("bkt"),
+        pmod(col("u"), lit(bits)).cast("long").as("pos"))
+      .groupBy("src", "bkt").agg(expr("bitmap_construct_agg(pos)").as("vbm"))
       .localCheckpoint()
+    val hopCounts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (h <- 1 to bfsMaxHops) {
-      val frontier = dist.filter(col("hop") === h - 1)
-        .select(col("src"), col("x").as("u"))
-      val next = bi.join(frontier, Seq("u"))
-        .select(col("src"), col("v").as("x")).distinct()
-        .join(dist, Seq("src", "x"), "left_anti")
-        .select(col("src"), col("x"), lit(h).as("hop"))
-      dist = dist.unionAll(next).localCheckpoint()
+      // BROADCAST the frontier: the fat side of this join is adj (one
+      // 4 KB bitmap per vertex); a shuffle join would move all of it
+      // every round. The frontier is O(seedCap × component) skinny rows
+      // — bounded by the seed cap at any catalog size — so shipping it
+      // to the adjacency keeps the bitmaps in place, and the following
+      // bitmap_or_agg partial-aggregates map-side before its tiny
+      // O(seeds × buckets) shuffle.
+      val newly = adj.join(broadcast(frontier), Seq("u"))
+        .groupBy("src", "bkt").agg(expr("bitmap_or_agg(nbm)").as("bm"))
+        .join(visited, Seq("src", "bkt"), "left_outer")
+        .select(col("src"), col("bkt"),
+          when(col("vbm").isNull, col("bm"))
+            .otherwise(gf.bitmapAndNot(col("bm"), col("vbm"))).as("fbm"))
+        .filter(expr("bitmap_count(fbm)") > 0)
+        .localCheckpoint()
+      hopCounts += newly.groupBy("src")
+        .agg(sum(expr("bitmap_count(fbm)")).as(s"n$h"))
+      if (h < bfsMaxHops) {
+        frontier = newly.select(col("src"), col("bkt"),
+            explode(gf.bitmapPositions(col("fbm"))).as("p"))
+          .select(col("src"), (col("bkt") * bits + col("p")).as("u"))
+        // visited ∪= newly (re-aggregate the tiny keyed bitmap frames)
+        visited = visited.select(col("src"), col("bkt"), col("vbm"))
+          .unionAll(newly.select(col("src"), col("bkt"), col("fbm").as("vbm")))
+          .groupBy("src", "bkt").agg(expr("bitmap_or_agg(vbm)").as("vbm"))
+          .localCheckpoint()
+      }
     }
-    dist.filter(col("hop") > 0)
-      .groupBy(col("src"))
-      .agg(
-        sum(when(col("hop") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("hop") === 2, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("hop") === 3, 1L).otherwise(0L)).as("n3"))
+    seeds(bi).select(col("x").as("src"))
+      .join(hopCounts(0), Seq("src"), "left_outer")
+      .join(hopCounts(1), Seq("src"), "left_outer")
+      .join(hopCounts(2), Seq("src"), "left_outer")
+      .select(col("src"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
       .select(col("src").as("seed"), col("n1"), col("n2"), col("n3"),
         (col("n1") * 6 + col("n2") * 3 + col("n3") * 2).as("harmonic6"),
         round((col("n1") * 6 + col("n2") * 3 + col("n3") * 2)
