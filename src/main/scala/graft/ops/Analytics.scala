@@ -1020,9 +1020,19 @@ object Analytics {
     * dashboards hard-code wrongly. Two passes: exact discrete quartiles
     * (percentile_disc — engine-portable, no interpolation) + count in
     * one scalar aggregate, then one map-side-combinable groupBy on
-    * floor(price/w). The width is ONE pinned double formula over exact
-    * inputs, so both engines bin identically; bin ids are longs and the
-    * bin edges ship as rounded doubles. */
+    * integer floor-division of cents by the width.
+    *
+    * Determinism: the naive w = 2·IQR/pow(n, 1/3) feeds a TRANSCENDENTAL
+    * into floor — JVM Math.pow and DuckDB's C pow may differ by 1 ulp,
+    * and floor is discontinuous, so cents values near a bucket boundary
+    * could bin differently per engine. Instead the width is an INTEGER
+    * number of cents derived by exact integer arithmetic: r = ⌊n^(1/3)⌋
+    * computed as a pow seed CORRECTED by integer comparison (r³ ≤ n <
+    * (r+1)³ — exact in both engines regardless of pow's ulp error, the
+    * classic integer-nthroot trick), then w_cents = max(1, (2·IQR) div
+    * r). Bin ids are pure integer division; bin edges multiply exact
+    * integers before one identical double division — every float both
+    * engines see is bit-identical. */
   def fdHistogram(s: SparkSession, d: String): DataFrame = {
     val prices = Tables.orders(s, d)
       .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
@@ -1033,16 +1043,23 @@ object Analytics {
         .cast("long").as("q1"),
       expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
         .cast("long").as("q3"))
-    val w = lit(2.0) * (col("q3") - col("q1")).cast("double") /
-      pow(col("n").cast("double"), lit(1.0 / 3.0))
-    prices.crossJoin(broadcast(stats))
-      .select(floor(col("cents").cast("double") / w).cast("long").as("bin"),
-        w.as("w"))
+    // exact ⌊n^(1/3)⌋: double-pow seed, then ±1 integer correction
+    val widths = stats.select(col("n"), col("q1"), col("q3"),
+        floor(pow(col("n").cast("double"), lit(1.0 / 3.0))).cast("long").as("r0"))
+      .select(col("n"), col("q1"), col("q3"),
+        when((col("r0") + 1) * (col("r0") + 1) * (col("r0") + 1) <= col("n"),
+          col("r0") + 1)
+          .when(col("r0") * col("r0") * col("r0") > col("n"), col("r0") - 1)
+          .otherwise(col("r0")).as("r"))
+      .select(greatest(lit(1L),
+        expr("(2 * (q3 - q1)) div r")).as("w_cents"))
+    prices.crossJoin(broadcast(widths))
+      .select(expr("cents div w_cents").as("bin"), col("w_cents"))
       .groupBy("bin")
-      .agg(count(lit(1)).as("n_orders"), min(col("w")).as("w0"))
+      .agg(count(lit(1)).as("n_orders"), min(col("w_cents")).as("w0"))
       .select(col("bin"), col("n_orders"),
-        round(col("bin").cast("double") * col("w0") / 100.0, 2).as("bin_lo"),
-        round((col("bin") + 1).cast("double") * col("w0") / 100.0, 2).as("bin_hi"))
+        round((col("bin") * col("w0")).cast("double") / 100.0, 2).as("bin_lo"),
+        round(((col("bin") + 1) * col("w0")).cast("double") / 100.0, 2).as("bin_hi"))
       .orderBy("bin")
   }
 
@@ -1056,17 +1073,24 @@ object Analytics {
       |    CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
       |    CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
       |  FROM prices),
+      |seed AS (
+      |  SELECT n, q1, q3,
+      |    CAST(floor(pow(CAST(n AS DOUBLE), 1.0 / 3.0)) AS BIGINT) AS r0
+      |  FROM s),
+      |root AS (
+      |  SELECT n, q1, q3,
+      |    CASE WHEN (r0 + 1) * (r0 + 1) * (r0 + 1) <= n THEN r0 + 1
+      |         WHEN r0 * r0 * r0 > n THEN r0 - 1
+      |         ELSE r0 END AS r
+      |  FROM seed),
+      |wdt AS (
+      |  SELECT greatest(1, (2 * (q3 - q1)) // r) AS w_cents FROM root),
       |binned AS (
-      |  SELECT
-      |    CAST(floor(CAST(cents AS DOUBLE) /
-      |      (2.0 * CAST(q3 - q1 AS DOUBLE)
-      |        / pow(CAST(n AS DOUBLE), 1.0 / 3.0))) AS BIGINT) AS bin,
-      |    2.0 * CAST(q3 - q1 AS DOUBLE)
-      |      / pow(CAST(n AS DOUBLE), 1.0 / 3.0) AS w
-      |  FROM prices CROSS JOIN s)
+      |  SELECT cents // w_cents AS bin, w_cents
+      |  FROM prices CROSS JOIN wdt)
       |SELECT bin, count(*) AS n_orders,
-      |  round(CAST(bin AS DOUBLE) * min(w) / 100.0, 2) AS bin_lo,
-      |  round(CAST(bin + 1 AS DOUBLE) * min(w) / 100.0, 2) AS bin_hi
+      |  round(CAST(bin * min(w_cents) AS DOUBLE) / 100.0, 2) AS bin_lo,
+      |  round(CAST((bin + 1) * min(w_cents) AS DOUBLE) / 100.0, 2) AS bin_hi
       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Coarse histogram width for [[theilSenTrend]]'s two-pass selection

@@ -327,12 +327,22 @@ object Graph {
         .as("log2_bucket"))
       .agg(count(lit(1)).as("n_vertices"), min(col("dg")).as("min_degree"),
         max(col("dg")).as("max_degree"))
+    // Guards (engine-portability, not paranoia): under ANSI Spark an
+    // out-of-bounds element_at THROWS while DuckDB ds[k] yields NULL, so
+    // a corpus with < hillK distinct vertices must short-circuit to a
+    // NULL alpha BEFORE indexing; and an all-equal top-k makes the Hill
+    // denominator 0, where Infinity/NaN render differently between
+    // engines — pinned to NULL explicitly, mirrored in the oracle CASE.
     val topk = deg.orderBy(col("dg").desc, col("x")).limit(hillK)
       .agg(sort_array(collect_list(col("dg")), asc = false).as("ds"))
-      .select(col("ds"), element_at(col("ds"), hillK).as("dk"))
-      .select(round(lit(hillK.toDouble) /
+      .select(col("ds"),
+        when(size(col("ds")) >= hillK, element_at(col("ds"), hillK)).as("dk"))
+      .select(when(col("dk").isNotNull,
         aggregate(slice(col("ds"), 1, hillK - 1), lit(0.0d), (acc, v) =>
-          acc + log(v.cast("double") / col("dk").cast("double"))), 6)
+          acc + log(v.cast("double") / col("dk").cast("double")))).as("den"))
+      .select(when(col("den").isNull || col("den") === 0.0d,
+          lit(null).cast("double"))
+        .otherwise(round(lit(hillK.toDouble) / col("den"), 6))
         .as("hill_alpha"))
     hist.crossJoin(broadcast(topk))
       .select(col("log2_bucket"), col("n_vertices"), col("min_degree"),
@@ -361,9 +371,14 @@ object Graph {
        |  SELECT list(dg ORDER BY dg DESC, x) AS ds FROM (
        |    SELECT dg, x FROM deg ORDER BY dg DESC, x LIMIT $hillK)),
        |hill AS (
-       |  SELECT round($hillK.0 / list_sum(list_transform(ds[1:${hillK - 1}],
-       |    v -> ln(CAST(v AS DOUBLE) / CAST(ds[$hillK] AS DOUBLE)))), 6)
-       |    AS hill_alpha
+       |  SELECT CASE
+       |    WHEN len(ds) < $hillK THEN NULL
+       |    WHEN list_sum(list_transform(ds[1:${hillK - 1}],
+       |      v -> ln(CAST(v AS DOUBLE) / CAST(ds[$hillK] AS DOUBLE)))) = 0
+       |      THEN NULL
+       |    ELSE round($hillK.0 / list_sum(list_transform(ds[1:${hillK - 1}],
+       |      v -> ln(CAST(v AS DOUBLE) / CAST(ds[$hillK] AS DOUBLE)))), 6)
+       |    END AS hill_alpha
        |  FROM topk)
        |SELECT log2_bucket, n_vertices, min_degree, max_degree, hill_alpha
        |FROM hist CROSS JOIN hill ORDER BY log2_bucket""".stripMargin

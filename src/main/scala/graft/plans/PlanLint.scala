@@ -118,13 +118,61 @@ object PlanLint {
     * (priority, slope) over a pair frame produces ~14M groups (the
     * q_theilsen shape that hid behind the blanket exemption in r5 and
     * cost 43 s as a 5-task sort funnel) — so it proves nothing. Scalar
-    * aggregates (no grouping) emit one row: trivially exempt. */
-  private def tinyKeyedAggregateBelow(p: SparkPlan, tiny: Set[String]): Boolean =
-    p.collectFirst {
-      case agg: BaseAggregateExec if agg.groupingExpressions.forall(
-        _.collectFirst { case a: Attribute if !tiny.contains(a.name) => a }.isEmpty
-      ) => agg
-    }.isDefined
+    * aggregates (no grouping) emit one row: trivially exempt.
+    *
+    * The aggregate must DOMINATE the window's row-bearing input, not
+    * merely appear somewhere in the subtree: a `collectFirst` over the
+    * whole child would let a one-row broadcast stats frame on the far
+    * side of a `crossJoin(broadcast(agg))` exempt a window whose
+    * streamed side is raw facts — reintroducing exactly the funnel
+    * class this rule exists to catch. So the search follows only the
+    * path(s) that determine output cardinality: through unary nodes;
+    * through the STREAMED side of broadcast joins (the broadcast side
+    * is size-capped by Spark itself); through the LEFT side of
+    * semi/anti joins (output ≤ left); and through BOTH sides of
+    * shuffled equi-joins and ALL branches of a union, each of which
+    * must independently be dominated (a join of two O(domain)-bounded
+    * frames is O(domain²)-bounded — still tiny; a join with one raw
+    * side is fact-sized). */
+  private def tinyKeyedAggregateDominates(p: SparkPlan, tiny: Set[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.UnionExec
+    def allTinyKeyed(agg: BaseAggregateExec): Boolean =
+      agg.groupingExpressions.forall(
+        _.collectFirst { case a: Attribute if !tiny.contains(a.name) => a }.isEmpty)
+    p match {
+      case agg: BaseAggregateExec if allTinyKeyed(agg) => true
+      case j: BroadcastHashJoinExec =>
+        val streamed = j.buildSide match {
+          case BuildLeft => j.right
+          case BuildRight => j.left
+        }
+        tinyKeyedAggregateDominates(streamed, tiny)
+      case j: BroadcastNestedLoopJoinExec =>
+        val streamed = j.buildSide match {
+          case BuildLeft => j.right
+          case BuildRight => j.left
+        }
+        tinyKeyedAggregateDominates(streamed, tiny)
+      case j: SortMergeJoinExec if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        tinyKeyedAggregateDominates(j.left, tiny)
+      case j: SortMergeJoinExec =>
+        tinyKeyedAggregateDominates(j.left, tiny) &&
+          tinyKeyedAggregateDominates(j.right, tiny)
+      case j: ShuffledHashJoinExec if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        tinyKeyedAggregateDominates(j.left, tiny)
+      case j: ShuffledHashJoinExec =>
+        tinyKeyedAggregateDominates(j.left, tiny) &&
+          tinyKeyedAggregateDominates(j.right, tiny)
+      case u: UnionExec =>
+        u.children.forall(tinyKeyedAggregateDominates(_, tiny))
+      case u if u.children.length == 1 =>
+        tinyKeyedAggregateDominates(u.children.head, tiny)
+      case _ => false
+    }
+  }
 
   def lint(df: DataFrame,
            tinyDomainColumns: Set[String] = defaultTinyDomainColumns): Seq[Finding] = {
@@ -155,7 +203,7 @@ object PlanLint {
           case other => other.sql
         }
         if (keyNames.forall(tinyDomainColumns.contains) &&
-            !tinyKeyedAggregateBelow(w.child, tinyDomainColumns))
+            !tinyKeyedAggregateDominates(w.child, tinyDomainColumns))
           findings += Finding("low-cardinality-window",
             s"Window partitioned by [${keyNames.mkString(", ")}] over unaggregated input")
       case _ =>

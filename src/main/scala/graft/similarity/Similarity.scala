@@ -371,12 +371,19 @@ object Similarity {
         .filter(col("rk") <= mrlTopK)
         .select(col("query_id"), col("cand_id"))
     }
-    topK("cos_full").join(topK("cos_pre"), Seq("query_id", "cand_id"))
+    // LEFT-join from the query set: a query whose full/prefix top-k
+    // sets are DISJOINT (recall 0) must still produce a row — dropping
+    // it would silently hide exactly the worst-case queries this audit
+    // exists to surface
+    val overlap = topK("cos_full").join(topK("cos_pre"), Seq("query_id", "cand_id"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_overlap"))
-      .select(col("query_id"), col("n_overlap"),
-        round(col("n_overlap").cast("double") / mrlTopK.toDouble, 4)
-          .as("recall_at_10"))
+    queries.select(col("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / mrlTopK.toDouble, 4).as("recall_at_10"))
       .orderBy("query_id")
   }
 
@@ -399,11 +406,17 @@ object Similarity {
        |  SELECT query_id, cand_id FROM (
        |    SELECT query_id, cand_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY cos_pre DESC, cand_id) AS rk
-       |    FROM scored) WHERE rk <= $mrlTopK)
-       |SELECT tf.query_id, count(*) AS n_overlap,
-       |  round(CAST(count(*) AS DOUBLE) / $mrlTopK.0, 4) AS recall_at_10
-       |FROM tf JOIN tp USING (query_id, cand_id)
-       |GROUP BY tf.query_id ORDER BY tf.query_id""".stripMargin
+       |    FROM scored) WHERE rk <= $mrlTopK),
+       |ov AS (
+       |  SELECT tf.query_id, count(*) AS n_overlap
+       |  FROM tf JOIN tp USING (query_id, cand_id)
+       |  GROUP BY tf.query_id)
+       |SELECT q.query_id,
+       |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / $mrlTopK.0, 4)
+       |    AS recall_at_10
+       |FROM q LEFT JOIN ov USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
 
   /** MMR relevance weight λ and its complement — BOTH pinned literals
     * (1 − 0.7 is 0.30000000000000004 in IEEE double; computing the

@@ -85,6 +85,17 @@ class PlanLintSpec extends GraftTestBase {
         org.apache.spark.sql.expressions.Window
           .partitionBy("l_returnflag").orderBy("l_linestatus")))
     PlanLint.lint(tinyAgg).map(_.rule) should not contain "low-cardinality-window"
+    // ...but ONLY when that aggregate dominates the window's row-bearing
+    // input: a one-row broadcast stats frame on the far side of a cross
+    // join proves nothing about the streamed raw-facts side (the
+    // crossJoin(broadcast(agg)) pattern must not launder the exemption)
+    val stats = Tables.lineitem(spark, sf).agg(avg("l_quantity").as("m"))
+    val laundered = Tables.lineitem(spark, sf)
+      .crossJoin(broadcast(stats))
+      .withColumn("cum", sum("l_quantity").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("l_orderkey")))
+    PlanLint.lint(laundered).map(_.rule) should contain("low-cardinality-window")
     // a window keyed by a high-cardinality column is not this smell
     PlanLint.lint(graft.ops.Relational.windowLatestOrder(spark, sf))
       .map(_.rule) should not contain "low-cardinality-window"
