@@ -20,11 +20,28 @@ import graft.ingest.JdbcSource.Conn
   *    the literal reference contract (dag:86-89), for targets without
   *    partition overwrite.
   *
-  * Not exercised by the harness (zero-egress, no live DB); parquet
-  * partition-overwrite ([[graft.ingest.BatchLoad]]) is the verified
+  * Executed for real against an in-JVM Apache Derby database in
+  * JdbcRoundTripSpec (bulk append + delete-then-reload idempotency);
+  * parquet partition-overwrite ([[graft.ingest.BatchLoad]]) is the
   * lake-side rendering of the same contract.
   */
 object JdbcSink {
+
+  /** Delete the current batch before re-loading it — the reference's
+    * idempotency contract (DELETE WHERE import_date = ds before COPY,
+    * airbnb_postgres_to_s3.py:86-89), executed as ONE set-based DELETE
+    * on the database side. This is driver-side by design: the work is
+    * the DB's, only the statement travels. Returns the deleted count
+    * (the reference logs it for reconciliation, O-5). */
+  def deleteBatch(conn: Conn, table: String, predicate: String): Int = {
+    Class.forName(conn.driver)
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table WHERE $predicate")
+      finally st.close()
+    } finally c.close()
+  }
 
   /** Append a batch to a table over numPartitions parallel connections. */
   def appendBatch(df: DataFrame, conn: Conn, table: String,

@@ -17,9 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    one connection;
   *  - `fetchsize` keeps per-round-trip memory bounded.
   *
-  * Not exercised by the harness (zero-egress container, no live
-  * Postgres — SURVEY.md §7.5); the parquet-backed [[graft.Tables]] path
-  * stands in for verification, exactly as planned there.
+  * Executed for real against an in-JVM Apache Derby database in
+  * JdbcRoundTripSpec (whole-query pushdown, sharded partitioned read,
+  * filter pushdown into the generated WHERE, delete-then-reload
+  * idempotency); the parquet-backed [[graft.Tables]] path remains the
+  * oracle-graded verification surface (no live Postgres in the
+  * zero-egress harness, SURVEY.md §7.5).
   */
 object JdbcSource {
 
