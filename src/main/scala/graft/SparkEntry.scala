@@ -104,6 +104,9 @@ object SparkEntry {
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
     "q_frame_census"    -> (Multimodal.frameCensus _),
+    "q_media_decode"    -> (Multimodal.decodeCensus _),
+    "q_media_resize"    -> (Multimodal.resizeCensus _),
+    "q_frame_checksum"  -> (Multimodal.frameChecksum _),
     "q_silhouette"      -> (Similarity.silhouette _),
     "q_cuped"           -> (graft.ops.Behavior.cupedReadout _),
     "q_power"           -> (graft.ops.Behavior.powerAnalysis _),
@@ -550,6 +553,9 @@ object SparkEntry {
     "q_dbscan"        -> Similarity.dbscanEmbeddingsSql,
     "q_media_meta"    -> Multimodal.mediaMetaSql,
     "q_frame_census"  -> Multimodal.frameCensusSql,
+    "q_media_decode"  -> Multimodal.decodeCensusSql,
+    "q_media_resize"  -> Multimodal.resizeCensusSql,
+    "q_frame_checksum" -> Multimodal.frameChecksumSql,
     "q_silhouette"    -> Similarity.silhouetteSql,
     "q_cuped"         -> graft.ops.Behavior.cupedReadoutSql,
     "q_power"         -> graft.ops.Behavior.powerAnalysisSql,

@@ -9,16 +9,22 @@ import graft.Tables
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.4): media as
   * opaque `BINARY` columns with typed metadata, batch feature extraction
-  * via `mapPartitions`.
+  * via `mapPartitions`, and a REAL dependency-free codec ([[Ppm]]) doing
+  * genuine header parsing and pixel math on valid P6 image/video
+  * payloads.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic FAKE decoder; everything AROUND it —
-  * schema, batch shape, partitioning, null behavior — is the real
-  * production plumbing a codec would drop into.
+  * The harness has no image corpus, so payloads are SYNTHESIZED — each
+  * document becomes a valid P6 raster whose dimensions derive from the
+  * text's byte length and whose pixels follow a seeded modular pattern
+  * ([[Ppm.renderPattern]]). That makes every decode step REAL (a corrupt
+  * payload fails the parser loudly) while staying oracle-checkable: the
+  * DuckDB side recomputes pixel checksums in closed form without ever
+  * decoding a byte.
   *
   * Scale notes: media bytes never shuffle (all ops are per-row/map-only);
-  * metadata extraction streams partition iterators (constant memory per
-  * task, no partition-sized materialization); a real decoder would bound
+  * decode streams partition iterators (constant memory per task, no
+  * partition-sized materialization); frames of one video are parsed
+  * lazily ([[Ppm.decodeFrames]]); a production deployment would bound
   * `spark.sql.files.maxPartitionBytes` so one task's batch of decoded
   * frames fits executor memory.
   */
@@ -33,37 +39,63 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true)))
 
   /** Documents lifted to a media table: text bytes standing in for an
-    * encoded image payload. In production this column arrives from the
-    * source (parquet BINARY / object-store blobs); deriving it from
-    * `text` here keeps the harness deterministic. */
+    * opaque payload (provenance plumbing; see [[imageTable]] for the
+    * codec-backed variant). */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"),
       col("source").as("origin"))
 
-  /** FAKE DECODER — deterministic stand-in for an image decode.
-    * A real implementation would parse the container header (PNG/JPEG)
-    * and hand pixel buffers to the feature step; this derives "width" /
-    * "height" / "format" from the payload bytes so tests have stable
-    * expectations. The seam (bytes in → meta + features out) is the
-    * production contract. */
-  def decodeStub(payload: Array[Byte]): (Row, Array[Float]) = {
-    val len = payload.length.toLong
-    // fake dimensions: spread bytes into a plausible aspect ratio
-    val w = (len % 640 + 32).toInt
-    val h = (len % 480 + 24).toInt
-    val meta = Row(len, "fake/raw", w, h)
-    // fake feature vector: 4 moments of the byte distribution
-    var sum = 0L; var min = 255; var max = 0
-    var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      sum += b; if (b < min) min = b; if (b > max) max = b
-      i += 1
-    }
-    val mean = if (len == 0) 0f else sum.toFloat / len
-    (meta, Array(len.toFloat, mean, min.toFloat, max.toFloat))
+  /** Image dimensions derive from the document's UTF-8 byte length
+    * (prime moduli so widths/heights vary) and the pixel-pattern seed
+    * from the id — the ONLY contract the oracle needs to mirror. */
+  private def dims(textLen: Int): (Int, Int) = (textLen % 61 + 16, textLen % 37 + 12)
+  private def seed(mediaId: Long): Int = ((mediaId * 31) % 256).toInt
+  /** Frames per synthesized video and the sampling stride. */
+  val videoFrames = 6
+  val frameStride = 2
+
+  private val payloadSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType)))
+
+  /** One REAL P6 image per document: `Ppm.encode(renderPattern(...))`
+    * produces a spec-valid Netpbm file any external tool could open. */
+  def imageTable(s: SparkSession, d: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        length(encode(col("text"), "UTF-8")).cast("int").as("len"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = dims(r.getInt(1))
+          Row(id, Ppm.encode(Ppm.renderPattern(seed(id), w, h)))
+        }
+      }(enc)
+  }
+
+  /** One REAL multi-frame payload per document: [[videoFrames]]
+    * concatenated P6 streams (frame f's pattern is seeded seed+13f), the
+    * de-facto animated-PPM convention — frame boundaries are only
+    * discoverable by parsing each header. */
+  def videoTable(s: SparkSession, d: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        length(encode(col("text"), "UTF-8")).cast("int").as("len"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = dims(r.getInt(1))
+          val frames = (0 until videoFrames).map(f =>
+            Ppm.encode(Ppm.renderPattern(seed(id), w, h, f)))
+          val out = new java.io.ByteArrayOutputStream()
+          frames.foreach(out.write)
+          Row(id, out.toByteArray)
+        }
+      }(enc)
   }
 
   private val decodedSchema = StructType(Seq(
@@ -73,107 +105,253 @@ object Multimodal {
 
   /** Batch decode: one `mapPartitions` pass, iterator-to-iterator (no
     * partition materialization), binary payloads consumed and dropped —
-    * only metadata + features flow downstream. This is where a Pandas-UDF
-    * / codec batch call would sit on a real cluster. */
+    * only metadata + features flow downstream. The decode is REAL: the
+    * P6 header is parsed for width/height and the features are moments
+    * of the actual pixel buffer. */
   def decodeFeatures(s: SparkSession, d: String): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
-    mediaTable(s, d)
+    imageTable(s, d)
       .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val (meta, feats) = decodeStub(r.getAs[Array[Byte]]("payload"))
-          Row(r.getLong(0), meta, feats.toSeq)
+          val payload = r.getAs[Array[Byte]](1)
+          val img = Ppm.decode(payload)
+          val n = img.pixels.length
+          var sum = 0L; var min = 255; var max = 0
+          var i = 0
+          while (i < n) {
+            val b = img.pixels(i) & 0xff
+            sum += b; if (b < min) min = b; if (b > max) max = b
+            i += 1
+          }
+          val mean = if (n == 0) 0f else sum.toFloat / n
+          val meta = Row(payload.length.toLong, "image/x-portable-pixmap",
+            img.width, img.height)
+          Row(r.getLong(0), meta, Seq(n.toFloat, mean, min.toFloat, max.toFloat))
         }
       }(enc)
   }
 
-  /** FAKE RESIZE — the transform step of an image pipeline. A real
-    * implementation rescales pixel buffers; this deterministic stand-in
-    * keeps the contract (bytes in → bytes out, target dims in metadata)
-    * by sampling every k-th byte so output size tracks the scale factor. */
-  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    if (payload.isEmpty) return payload
-    val ratio = math.max(1, payload.length / math.max(1, targetW * targetH / 64))
-    payload.indices.collect { case i if i % ratio == 0 => payload(i) }.toArray
+  /** DECODE CENSUS (driver-graded): parsed dimensions, pixel-byte count,
+    * pixel-byte checksum, and mean byte per image — the Spark side
+    * decodes REAL P6 payloads; the oracle reproduces the same integers
+    * from the generation contract in CLOSED FORM (the pattern
+    * (seed + i) mod 256 sums to 32640 per full 256-cycle plus an exact
+    * triangular-number remainder — no decoding, no transcendentals).
+    * Scale: map-only decode, one map-side-combinable aggregate never
+    * sees pixel bytes. */
+  def decodeCensus(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_pixel_bytes", LongType),
+      StructField("pixel_sum", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    imageTable(s, d)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Ppm.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), img.width, img.height,
+            img.pixels.length.toLong, Ppm.pixelSum(img))
+        }
+      }(enc)
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_pixel_bytes"), col("pixel_sum"),
+        round(col("pixel_sum").cast("double") / col("n_pixel_bytes"), 4)
+          .as("mean_byte"))
+      .orderBy("media_id")
   }
 
-  /** FAKE FRAME SAMPLER — the video-decode step. Splits the payload into
-    * `frameCount` equal "frames" and returns every `stride`-th one; a real
-    * codec would seek keyframes. Deterministic: same payload, same frames. */
-  def frameSampleStub(payload: Array[Byte], frameCount: Int, stride: Int): Seq[Array[Byte]] = {
-    if (payload.isEmpty || frameCount <= 0) return Seq.empty
-    val frameLen = math.max(1, payload.length / frameCount)
-    (0 until frameCount by math.max(1, stride)).map { f =>
-      payload.slice(f * frameLen, math.min((f + 1) * frameLen, payload.length))
-    }.filter(_.nonEmpty)
+  /** The closed-form oracle for a pattern frame's pixel-byte sum:
+    * q·32640 + triangular remainder, with the one possible mod-256
+    * wraparound split into two triangles. `af` = frame seed in [0,256),
+    * `n` = pixel byte count. Pure integer SQL — both engines would
+    * compute identical values even if they disagreed on every
+    * transcendental. */
+  private def patternSumSql(af: String, n: String): String =
+    s"""(($n) // 256) * 32640 +
+       |    CASE WHEN ($af) + (($n) % 256) <= 256
+       |    THEN (($n) % 256) * ($af) + ((($n) % 256) * ((($n) % 256) - 1)) // 2
+       |    ELSE (256 - ($af)) * ($af) + ((256 - ($af)) * (255 - ($af))) // 2
+       |      + ((($n) % 256) - (256 - ($af)))
+       |        * ((($n) % 256) - (256 - ($af)) - 1) // 2
+       |    END""".stripMargin
+
+  val decodeCensusSql: String = {
+    val sum = patternSumSql("a", "n")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) % 61 + 16 AS INTEGER) AS w,
+       |    CAST(octet_length(encode(text)) % 37 + 12 AS INTEGER) AS h,
+       |    CAST((doc_id * 31) % 256 AS BIGINT) AS a
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id, w, h, CAST(w AS BIGINT) * h * 3 AS n, a FROM m)
+       |SELECT media_id, w AS width, h AS height,
+       |  n AS n_pixel_bytes,
+       |  CAST($sum AS BIGINT) AS pixel_sum,
+       |  round(CAST($sum AS DOUBLE) / n, 4) AS mean_byte
+       |FROM px ORDER BY media_id""".stripMargin
   }
 
-  /** Frame-sampling over the media table: one mapPartitions pass explodes
-    * each payload into sampled frame rows (media_id, frame_idx, frame
-    * bytes, per-frame feature) — the shape a video pretraining pipeline
-    * feeds downstream. Iterator-to-iterator; frames of one payload are
-    * produced lazily so a long video never materializes whole. */
+  /** Resize target (fixed thumbnail dims). */
+  val thumbW = 16
+  val thumbH = 12
+
+  /** RESIZE CENSUS (driver-graded): decode → REAL nearest-neighbor
+    * resample to [[thumbW]]×[[thumbH]] → checksum of the resampled
+    * bytes. The oracle replays the nearest-neighbor index mapping
+    * src=(dst·srcDim)/dstDim symbolically over a 16×12×3 grid — so the
+    * actual pixel-indexing arithmetic of [[Ppm.resizeNearest]] is
+    * hash-checked cell by cell. Map-only; pixel buffers never shuffle. */
+  def resizeCensus(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("resized_sum", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    imageTable(s, d)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Ppm.decode(r.getAs[Array[Byte]](1))
+          val small = Ppm.resizeNearest(img, thumbW, thumbH)
+          Row(r.getLong(0), small.width, small.height, Ppm.pixelSum(small))
+        }
+      }(enc)
+      .orderBy("media_id")
+  }
+
+  val resizeCensusSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) % 61 + 16 AS BIGINT) AS w,
+       |    CAST(octet_length(encode(text)) % 37 + 12 AS BIGINT) AS h,
+       |    CAST((doc_id * 31) % 256 AS BIGINT) AS a
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id,
+       |    (a + (((y.r * h) // $thumbH) * w + ((x.r * w) // $thumbW)) * 3
+       |      + c.r) % 256 AS v
+       |  FROM m
+       |  CROSS JOIN range($thumbH) y(r)
+       |  CROSS JOIN range($thumbW) x(r)
+       |  CROSS JOIN range(3) c(r))
+       |SELECT media_id, $thumbW AS out_w, $thumbH AS out_h,
+       |  CAST(sum(v) AS BIGINT) AS resized_sum
+       |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** Frame-sampling over the video table: one mapPartitions pass
+    * explodes each multi-frame payload into every [[frameStride]]-th
+    * frame (REAL header-parse seeking via [[Ppm.decodeFrames]]) with
+    * per-frame byte stats. Iterator-to-iterator; frames of one payload
+    * are parsed lazily so a long video never materializes whole. The
+    * emitted frame is re-encoded as a standalone P6 file. */
   def sampleFrames(s: SparkSession, d: String,
-      frameCount: Int = 8, stride: Int = 2): DataFrame = {
+      stride: Int = frameStride): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("frame_idx", IntegerType),
       StructField("frame", BinaryType),
       StructField("frame_mean", FloatType)))
     val enc = RowEncoder.encoderFor(schema)
-    mediaTable(s, d)
+    videoTable(s, d)
       .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val frames = frameSampleStub(r.getAs[Array[Byte]]("payload"), frameCount, stride)
-          frames.iterator.zipWithIndex.map { case (f, i) =>
-            val mean = if (f.isEmpty) 0f else f.map(b => (b & 0xff).toFloat).sum / f.length
-            Row(r.getLong(0), i, f, mean)
-          }
+          val id = r.getLong(0)
+          Ppm.decodeFrames(r.getAs[Array[Byte]](1)).zipWithIndex
+            .collect { case (img, idx) if idx % stride == 0 =>
+              val n = img.pixels.length
+              val mean = if (n == 0) 0f else Ppm.pixelSum(img).toFloat / n
+              Row(id, idx, Ppm.encode(img), mean)
+            }
         }
       }(enc)
   }
 
-  /** Frame-sampling CENSUS — lifts the [[sampleFrames]] plumbing from
-    * spec-only to DRIVER-GRADED: per media, how many frames the sampler
-    * emitted, their total and first-frame byte lengths. The Spark side
-    * aggregates the REAL mapPartitions output (binary frames and all);
-    * the oracle re-derives the same numbers from the stub's integer
-    * arithmetic (frameLen = max(1, len/frameCount), frames 0,2,4,6,
-    * slice lengths clamped at payload end) — so the iterator-to-iterator
-    * pipeline's observable shape is hash-checked, not just spec'd.
-    * Scale: the aggregate keys by media_id (cardinality grows with
-    * data); frames never shuffle — lengths are computed in the same
-    * task that produced them. */
+  /** Frame-sampling CENSUS (driver-graded): per media, how many frames
+    * the stride-sampler kept, their total/first-frame pixel-byte counts,
+    * and the pixel checksum across sampled frames. The Spark side parses
+    * REAL concatenated P6 streams; the oracle sums the closed-form
+    * pattern checksum over the sampled frame indices — the
+    * iterator-to-iterator demux pipeline's observable output is
+    * hash-checked, not just spec'd. Scale: the aggregate keys by
+    * media_id (cardinality grows with data); frame bytes never shuffle —
+    * stats are computed in the task that parsed them. */
   def frameCensus(s: SparkSession, d: String): DataFrame =
     sampleFrames(s, d)
       .select(col("media_id"), col("frame_idx"),
-        length(col("frame")).cast("long").as("flen"))
+        length(col("frame")).cast("long").as("encoded_len"))
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_frames"),
-        sum(col("flen")).as("frame_bytes"),
-        min(when(col("frame_idx") === 0, col("flen"))).as("first_frame_bytes"))
+        sum(col("encoded_len")).as("encoded_bytes"),
+        min(when(col("frame_idx") === 0, col("encoded_len")))
+          .as("first_frame_bytes"))
       .orderBy("media_id")
 
-  val frameCensusSql: String =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id,
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS len
-      |  FROM documents),
-      |f AS (
-      |  SELECT media_id, u.f,
-      |    greatest(1, len // 8) AS fl, len
-      |  FROM m, UNNEST([0, 2, 4, 6]) AS u(f)),
-      |fr AS (
-      |  SELECT media_id, f,
-      |    least((f + 1) * fl, len) - f * fl AS flen
-      |  FROM f WHERE least((f + 1) * fl, len) - f * fl > 0)
-      |SELECT media_id,
-      |  count(*) AS n_frames,
-      |  CAST(sum(flen) AS BIGINT) AS frame_bytes,
-      |  CAST(min(CASE WHEN f = 0 THEN flen END) AS BIGINT)
-      |    AS first_frame_bytes
-      |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin
+  val frameCensusSql: String = {
+    // canonical P6 header: "P6\n" + w + " " + h + "\n255\n"
+    val headerLen = "3 + length(CAST(w AS VARCHAR)) + 1 + " +
+      "length(CAST(h AS VARCHAR)) + 1 + 3 + 1"
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) % 61 + 16 AS BIGINT) AS w,
+       |    CAST(octet_length(encode(text)) % 37 + 12 AS BIGINT) AS h
+       |  FROM documents),
+       |f AS (
+       |  SELECT media_id, ($headerLen) + w * h * 3 AS enc_len
+       |  FROM m, UNNEST([${(0 until videoFrames by frameStride).mkString(", ")}])
+       |    AS u(fi))
+       |SELECT media_id,
+       |  count(*) AS n_frames,
+       |  CAST(sum(enc_len) AS BIGINT) AS encoded_bytes,
+       |  CAST(min(enc_len) AS BIGINT) AS first_frame_bytes
+       |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin
+  }
+
+  /** FRAME CHECKSUM (driver-graded): the pixel-byte sum across the
+    * SAMPLED frames of each video — sensitive to WHICH frames the
+    * demuxer kept and to every pixel byte in them. Oracle: closed-form
+    * pattern sums over the sampled frame seeds. */
+  def frameChecksum(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sampled_pixel_sum", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    videoTable(s, d)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          var sum = 0L
+          Ppm.decodeFrames(r.getAs[Array[Byte]](1)).zipWithIndex
+            .foreach { case (img, idx) =>
+              if (idx % frameStride == 0) sum += Ppm.pixelSum(img)
+            }
+          Row(r.getLong(0), sum)
+        }
+      }(enc)
+      .orderBy("media_id")
+  }
+
+  val frameChecksumSql: String = {
+    val sum = patternSumSql("af", "n")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) % 61 + 16 AS BIGINT) AS w,
+       |    CAST(octet_length(encode(text)) % 37 + 12 AS BIGINT) AS h,
+       |    CAST((doc_id * 31) % 256 AS BIGINT) AS a
+       |  FROM documents),
+       |f AS (
+       |  SELECT media_id, w * h * 3 AS n, (a + 13 * u.fi) % 256 AS af
+       |  FROM m, UNNEST([${(0 until videoFrames by frameStride).mkString(", ")}])
+       |    AS u(fi))
+       |SELECT media_id, CAST(sum($sum) AS BIGINT) AS sampled_pixel_sum
+       |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin
+  }
 
   /** Oracle-checkable metadata projection: byte length, payload hash and
     * a header sample, computed SQL-side (no decode). The md5 is over the
@@ -184,15 +362,15 @@ object Multimodal {
       length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
       md5(col("text")).as("payload_md5"),
       substring(col("text"), 1, 12).as("header_sample"),
-      ((length(encode(col("text"), "UTF-8")) % 640) + 32).cast("int").as("fake_width"),
-      ((length(encode(col("text"), "UTF-8")) % 480) + 24).cast("int").as("fake_height"))
+      ((length(encode(col("text"), "UTF-8")) % 61) + 16).cast("int").as("img_width"),
+      ((length(encode(col("text"), "UTF-8")) % 37) + 12).cast("int").as("img_height"))
 
   val mediaMetaSql: String =
     """SELECT doc_id AS media_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
       |  md5(text) AS payload_md5,
       |  substr(text, 1, 12) AS header_sample,
-      |  CAST(octet_length(encode(text)) % 640 + 32 AS INTEGER) AS fake_width,
-      |  CAST(octet_length(encode(text)) % 480 + 24 AS INTEGER) AS fake_height
+      |  CAST(octet_length(encode(text)) % 61 + 16 AS INTEGER) AS img_width,
+      |  CAST(octet_length(encode(text)) % 37 + 12 AS INTEGER) AS img_height
       |FROM documents""".stripMargin
 }

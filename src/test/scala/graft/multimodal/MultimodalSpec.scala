@@ -7,37 +7,79 @@ import graft.GraftTestBase
 
 class MultimodalSpec extends GraftTestBase {
 
-  behavior of "mediaTable"
+  behavior of "the Ppm codec"
 
-  it should "carry payloads as opaque binary with provenance" in {
-    val mt = Multimodal.mediaTable(spark, sf)
-    mt.schema("payload").dataType shouldBe BinaryType
-    mt.count() shouldBe graft.Tables.documents(spark, sf).count()
+  it should "round-trip encode/decode byte-for-byte" in {
+    val img = Ppm.renderPattern(seed = 41, w = 19, h = 7)
+    val decoded = Ppm.decode(Ppm.encode(img))
+    decoded.width shouldBe 19
+    decoded.height shouldBe 7
+    decoded.maxVal shouldBe 255
+    decoded.pixels shouldBe img.pixels
   }
 
-  behavior of "decodeFeatures"
+  it should "parse headers with comments and arbitrary whitespace" in {
+    val img = Ppm.renderPattern(3, 2, 2)
+    val hand = ("P6 # a comment\n  2\t2 # dims\n 255\n".getBytes("US-ASCII")
+      ++ img.pixels)
+    val decoded = Ppm.decode(hand)
+    decoded.width shouldBe 2
+    decoded.pixels shouldBe img.pixels
+  }
 
-  it should "emit the typed metadata contract and 4 features per row" in {
+  it should "fail loudly on corrupt payloads instead of decoding garbage" in {
+    an[IllegalArgumentException] should be thrownBy Ppm.decode("JFIF".getBytes)
+    val truncated = Ppm.encode(Ppm.renderPattern(1, 4, 4)).dropRight(5)
+    an[IllegalArgumentException] should be thrownBy Ppm.decode(truncated)
+  }
+
+  it should "resample with exact nearest-neighbor indexing" in {
+    // 4x2 -> 2x1: dst(0,0) maps to src(0,0), dst(0,1) to src(0,2)
+    val img = Ppm.Image(4, 2, 255, Array.tabulate(24)(_.toByte))
+    val small = Ppm.resizeNearest(img, 2, 1)
+    small.pixels shouldBe Array[Byte](0, 1, 2, 6, 7, 8)
+  }
+
+  it should "seek frames lazily through a concatenated stream" in {
+    val frames = (0 until 3).map(f => Ppm.renderPattern(9, 5, 3, f))
+    val video = frames.flatMap(f => Ppm.encode(f)).toArray
+    val out = Ppm.decodeFrames(video).toSeq
+    out should have length 3
+    out.zip(frames).foreach { case (a, b) => a.pixels shouldBe b.pixels }
+  }
+
+  behavior of "imageTable / decodeFeatures"
+
+  it should "carry payloads as opaque binary, one valid P6 file per document" in {
+    val mt = Multimodal.imageTable(spark, sf)
+    mt.schema("payload").dataType shouldBe BinaryType
+    mt.count() shouldBe graft.Tables.documents(spark, sf).count()
+    // every payload is a spec-valid P6 file
+    mt.collect().foreach { r =>
+      noException should be thrownBy Ppm.decode(r.getAs[Array[Byte]]("payload"))
+    }
+  }
+
+  it should "emit the typed metadata contract with REAL parsed dimensions" in {
     val out = Multimodal.decodeFeatures(spark, sf)
     out.schema("meta").dataType shouldBe Multimodal.mediaMetaType
     val rows = out.collect()
     rows should have length graft.Tables.documents(spark, sf).count().toInt
     all(rows.map(_.getSeq[Float](2).length)) shouldBe 4
-  }
-
-  it should "agree with the SQL-side metadata projection" in {
-    // the mapPartitions decode and the pure-SQL q_media_meta must see the
-    // same bytes: byte_len computed by each path matches per id
+    // parsed dims agree with the SQL-side projection of the generation
+    // contract (the decode really read the header it was handed)
     val decoded = Multimodal.decodeFeatures(spark, sf)
-      .select(col("media_id"), col("meta.byte_len").as("len_decoded"))
+      .select(col("media_id"), col("meta.width").as("w_dec"),
+        col("meta.height").as("h_dec"))
     val meta = Multimodal.mediaMeta(spark, sf)
-      .select(col("media_id"), col("byte_len").as("len_sql"))
+      .select(col("media_id"), col("img_width"), col("img_height"))
     decoded.join(meta, "media_id")
-      .filter(col("len_decoded") =!= col("len_sql"))
+      .filter(col("w_dec") =!= col("img_width") ||
+        col("h_dec") =!= col("img_height"))
       .count() shouldBe 0
   }
 
-  it should "be deterministic (same fake decode on re-run)" in {
+  it should "be deterministic on re-run" in {
     val a = Multimodal.decodeFeatures(spark, sf).orderBy("media_id")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](2)))
     val b = Multimodal.decodeFeatures(spark, sf).orderBy("media_id")
@@ -47,37 +89,26 @@ class MultimodalSpec extends GraftTestBase {
 
   behavior of "sampleFrames"
 
-  it should "explode payloads into deterministic frame rows with features" in {
-    val out = Multimodal.sampleFrames(spark, sf, frameCount = 8, stride = 2)
-    val rows = out.collect()
-    rows.length should be > 0
-    // stride 2 over 8 frames -> at most 4 frames per payload
-    rows.groupBy(_.getLong(0)).values.foreach(_.length should be <= 4)
-    val again = Multimodal.sampleFrames(spark, sf, frameCount = 8, stride = 2).collect()
-    rows.map(r => (r.getLong(0), r.getInt(1), r.getFloat(3))).sorted shouldBe
-      again.map(r => (r.getLong(0), r.getInt(1), r.getFloat(3))).sorted
+  it should "demux every stride-th frame as a standalone decodable P6 file" in {
+    val out = Multimodal.sampleFrames(spark, sf).collect()
+    out.length should be > 0
+    val perMedia = out.groupBy(_.getLong(0))
+    val expect = (0 until Multimodal.videoFrames by Multimodal.frameStride)
+    perMedia.values.foreach { frames =>
+      frames.map(_.getInt(1)).sorted shouldBe expect
+      frames.foreach { f =>
+        noException should be thrownBy Ppm.decode(f.getAs[Array[Byte]]("frame"))
+      }
+    }
   }
 
-  behavior of "resizeStub and frameSampleStub"
+  behavior of "resizeCensus"
 
-  it should "shrink payloads and partition frames deterministically" in {
-    val payload = Array.tabulate(1000)(_.toByte)
-    Multimodal.resizeStub(payload, 8, 8).length should be < payload.length
-    Multimodal.resizeStub(Array.emptyByteArray, 8, 8) shouldBe empty
-    val frames = Multimodal.frameSampleStub(payload, 10, 1)
-    frames should have length 10
-    frames.map(_.length).sum should be <= payload.length
-    Multimodal.frameSampleStub(payload, 0, 1) shouldBe empty
-  }
-
-  behavior of "decodeStub"
-
-  it should "compute byte statistics exactly" in {
-    val (meta, feats) = Multimodal.decodeStub("abc".getBytes("UTF-8"))
-    meta.getLong(0) shouldBe 3L
-    feats(0) shouldBe 3f
-    feats(1) shouldBe ((97 + 98 + 99) / 3.0f)
-    feats(2) shouldBe 97f
-    feats(3) shouldBe 99f
+  it should "produce fixed thumbnail dims for every image" in {
+    val rows = Multimodal.resizeCensus(spark, sf).collect()
+    all(rows.map(_.getInt(1))) shouldBe Multimodal.thumbW
+    all(rows.map(_.getInt(2))) shouldBe Multimodal.thumbH
+    // checksums vary across images (the resample read real pixels)
+    rows.map(_.getLong(3)).distinct.length should be > 1
   }
 }
