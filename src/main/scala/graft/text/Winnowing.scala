@@ -13,30 +13,38 @@ import graft.Tables
   * hashes so two documents sharing any sufficiently long passage share
   * selected fingerprints, wherever the passage sits.
   *
-  * Rendering (the local-minimum variant): hash every k-gram (k = [[k]])
-  * to a 48-bit integer, then select position i iff its hash is the
-  * minimum of the centered window of `2·w − 1` grams (w = [[w]]).
-  * Match property — stated precisely, because the centered-min variant
-  * is WEAKER than classic rightmost-min winnowing: if two documents
-  * share a run of ≥ k + 2(w − 1) identical tokens AND the run's
-  * minimal-hash gram lies at least w − 1 grams from both run edges
-  * (probability ≈ (m − 2w + 2)/m for a run of m grams under uniform
-  * hashing), that gram's centered window falls entirely inside the
-  * shared run, so it is selected in BOTH documents. When the minimum
-  * hugs a run edge, its centered window sees doc-specific context and
-  * the docs can share zero fingerprints — classic winnowing
-  * (rightmost-min per trailing window) carries the unconditional
-  * guarantee at the cost of an order-dependent tie rule; this variant
-  * trades those tail cases for a tie rule (`==` on the window min,
-  * tied positions all selected) that is deterministic and engine- and
-  * partitioning-independent, which is what the oracle gate needs.
+  * Rendering — CLASSIC rightmost-min winnowing: hash every k-gram
+  * (k = [[k]]) to a 40-bit integer; over each trailing window of
+  * [[w]] consecutive grams, select the position of the minimal hash,
+  * ties broken by the RIGHTMOST position (the paper's rule). This
+  * carries the UNCONDITIONAL match guarantee: any two documents sharing
+  * a run of ≥ w + k − 1 identical tokens (= w consecutive shared grams)
+  * share at least one selected fingerprint, because some trailing
+  * window then lies entirely inside the shared region and its
+  * rightmost-min depends only on shared grams. (The previous
+  * centered-min variant was weaker: a minimum hugging the run edge
+  * could see doc-specific context — the round-5/6 advice thread.)
+  *
+  * The per-window rightmost-min is ONE window aggregate, not a
+  * per-window explode: each (h, pos) packs into a single long key
+  * `h·2^20 + (2^20 − 1 − pos)` whose MIN is exactly (min h, rightmost
+  * pos) — no cross-engine struct-ordering subtlety, map-side friendly,
+  * and the winner's hash AND position unpack from the same value. The
+  * winner position of a sliding min window is non-decreasing, so the
+  * distinct window winners ARE the selected set. Window boundaries: the
+  * first w − 1 (partial) trailing windows also select — the "robust
+  * winnowing" boundary convention — so every doc with ≥ 1 complete gram
+  * fingerprints its head; deterministic in both engines. Positions must
+  * stay below 2^20 (million-token docs) for the packing — guarded
+  * loudly (raise_error), which covers the oracle too since both engines
+  * pack identically.
   *
   * Scale: gram expansion costs ONE hash-partition shuffle of the
   * exploded token rows (the lead() window keys on doc_id — O(total
   * tokens) shuffle volume, with per-doc parallelism and no
   * single-partition funnel; "zero shuffle" it is not); the sharing
-  * census shuffles only DISTINCT SELECTED hashes (a ~2/w fraction of
-  * grams — the whole point of winnowing is that the selected set is
+  * census shuffles only DISTINCT SELECTED hashes (a ~2/(w+1) fraction
+  * of grams — the whole point of winnowing is that the selected set is
   * small), map-side combinable. Nothing touches the driver.
   *
   * Output, per document: gram/selected/distinct-fingerprint counts plus
@@ -54,9 +62,10 @@ object Winnowing {
   /** Gram width (tokens per k-gram). */
   val k = 4
   /** Winnowing window: one fingerprint guaranteed per `w` consecutive
-    * grams in the classic formulation; the centered-min variant keeps
-    * the same expected density 2/(w + 1). */
+    * grams; expected density 2/(w + 1). */
   val w = 5
+  /** Position bound for the (h, pos) long packing. */
+  val posCap: Long = 1L << 20
 
   def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
@@ -70,24 +79,42 @@ object Winnowing {
         lead(col("tok"), k - 1).over(byPos).isNotNull.as("complete"))
       .filter(col("complete"))
       .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long").as("h"))
-    val centered = byPos.rowsBetween(-(w - 1), w - 1)
-    val selected = grams
-      .withColumn("selected", col("h") === min(col("h")).over(centered))
+        conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long").as("h"))
+    // pack (h asc, pos desc) into one orderable long; min over the
+    // trailing window IS the rightmost-min selection rule
+    val key = when(col("pos") >= posCap,
+        raise_error(concat(
+          lit(s"winnowing: pos >= 2^20 breaks (h, pos) packing: "),
+          col("pos").cast("string"))).cast("long"))
+      .otherwise(col("h") * posCap + (lit(posCap - 1) - col("pos")))
+    val trailing = byPos.rowsBetween(-(w - 1), 0)
+    val windows = grams
+      .withColumn("win_key", min(key).over(trailing))
+    // distinct winners per doc = the selected positions (winner position
+    // of a sliding trailing min is non-decreasing, so no window's winner
+    // is lost by the distinct); hash unpacks from the same key
+    val winners = windows.select(col("doc_id"), col("win_key")).distinct()
+      .select(col("doc_id"),
+        // integer division — `/` would round-trip a 60-bit key through
+        // a 53-bit double mantissa
+        expr(s"win_key div $posCap").as("h"))
+    val counts = grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val selCounts = winners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_selected"))
     // distinct selected fingerprints per doc, then the cross-doc census:
     // shuffle volume is O(distinct selected hashes), never O(grams)
-    val docFp = selected.filter(col("selected"))
-      .select(col("doc_id"), col("h")).distinct()
+    val docFp = winners.distinct()
     val fpDocs = docFp.groupBy("h").agg(count(lit(1)).as("n_docs"))
     val shared = docFp.join(fpDocs, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
-    selected.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"))
+    counts
+      .join(selCounts, Seq("doc_id"), "left")
       .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
         coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
   }
@@ -102,26 +129,34 @@ object Winnowing {
        |    CAST(CAST(('0x' || substr(md5(
        |      tok || ' ' || lead(tok, 1) OVER bp
        |          || ' ' || lead(tok, 2) OVER bp
-       |          || ' ' || lead(tok, 3) OVER bp), 1, 12)) AS BIGINT) AS BIGINT) AS h,
+       |          || ' ' || lead(tok, 3) OVER bp), 1, 10)) AS BIGINT) AS BIGINT) AS h,
        |    lead(tok, ${k - 1}) OVER bp IS NOT NULL AS complete
        |  FROM toks
        |  WINDOW bp AS (PARTITION BY doc_id ORDER BY pos)),
-       |sel AS (
-       |  SELECT doc_id, pos, h,
-       |    h = min(h) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN ${w - 1} PRECEDING AND ${w - 1} FOLLOWING) AS selected
+       |wins AS (
+       |  SELECT doc_id,
+       |    min(h * $posCap + (${posCap - 1} - pos)) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS win_key
        |  FROM grams WHERE complete),
-       |doc_fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE selected),
+       |winners AS (
+       |  SELECT DISTINCT doc_id, win_key FROM wins),
+       |counts AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM grams
+       |  WHERE complete GROUP BY doc_id),
+       |sel AS (SELECT doc_id, count(*) AS n_selected FROM winners GROUP BY doc_id),
+       |doc_fp AS (
+       |  SELECT DISTINCT doc_id, win_key // $posCap AS h FROM winners),
        |fp_docs AS (SELECT h, count(*) AS n_docs FROM doc_fp GROUP BY h),
        |shared AS (
        |  SELECT doc_id, count(*) AS n_fp,
        |    sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_fp
        |  FROM doc_fp JOIN fp_docs USING (h) GROUP BY doc_id)
-       |SELECT s.doc_id,
-       |  count(*) AS n_grams,
-       |  CAST(sum(CASE WHEN s.selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-       |  CAST(coalesce(any_value(sh.n_fp), 0) AS BIGINT) AS n_fp,
-       |  CAST(coalesce(any_value(sh.n_shared_fp), 0) AS BIGINT) AS n_shared_fp
-       |FROM sel s LEFT JOIN shared sh ON s.doc_id = sh.doc_id
-       |GROUP BY s.doc_id""".stripMargin
+       |SELECT c.doc_id, c.n_grams,
+       |  CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected,
+       |  CAST(coalesce(sh.n_fp, 0) AS BIGINT) AS n_fp,
+       |  CAST(coalesce(sh.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+       |FROM counts c
+       |LEFT JOIN sel s ON c.doc_id = s.doc_id
+       |LEFT JOIN shared sh ON c.doc_id = sh.doc_id""".stripMargin
 }

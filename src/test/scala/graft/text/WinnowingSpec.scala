@@ -6,6 +6,24 @@ import graft.GraftTestBase
 
 class WinnowingSpec extends GraftTestBase {
 
+  import java.security.MessageDigest
+  private def h(gram: String): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(gram.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(10)
+    java.lang.Long.parseLong(hex, 16)
+  }
+  private def gramHashes(text: String): Array[Long] =
+    text.split(" ").sliding(Winnowing.k).filter(_.length == Winnowing.k)
+      .map(g => h(g.mkString(" "))).toArray
+  /** Driver-side replica of classic rightmost-min winnowing over
+    * trailing windows (partial head windows included). */
+  private def rightmostMinSelected(hs: Array[Long]): Set[Int] =
+    hs.indices.map { i =>
+      val lo = math.max(0, i - (Winnowing.w - 1))
+      // rightmost argmin of the trailing window
+      (lo to i).minBy(j => (hs(j), -j))
+    }.toSet
+
   behavior of "Winnowing.winnowFingerprints"
 
   it should "select a nonempty, strictly-sub-gram-count fingerprint set per doc" in {
@@ -15,7 +33,7 @@ class WinnowingSpec extends GraftTestBase {
       val (grams, sel, fp, shared) = (r.getAs[Long]("n_grams"),
         r.getAs[Long]("n_selected"), r.getAs[Long]("n_fp"),
         r.getAs[Long]("n_shared_fp"))
-      sel should be > 0L               // a min exists in every doc
+      sel should be > 0L               // every trailing window has a min
       sel should be < grams            // winnowing COMPRESSES
       fp should be <= sel              // distinct ≤ occurrences
       shared should be <= fp
@@ -24,26 +42,13 @@ class WinnowingSpec extends GraftTestBase {
     }
   }
 
-  it should "match a driver-side replica of the centered-min selection" in {
-    import java.security.MessageDigest
-    def h(gram: String): Long = {
-      val hex = MessageDigest.getInstance("MD5").digest(gram.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      java.lang.Long.parseLong(hex, 16)
-    }
+  it should "match a driver-side replica of rightmost-min selection" in {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val replica = docs.map { case (id, text) =>
-      val toks = text.split(" ")
-      val hs = toks.sliding(Winnowing.k).filter(_.length == Winnowing.k)
-        .map(g => h(g.mkString(" "))).toArray
-      val sel = hs.indices.count { i =>
-        val lo = math.max(0, i - (Winnowing.w - 1))
-        val hi = math.min(hs.length - 1, i + (Winnowing.w - 1))
-        hs(i) == (lo to hi).map(hs).min
-      }
-      id -> (hs.length.toLong, sel.toLong)
+      val hs = gramHashes(text)
+      id -> (hs.length.toLong, rightmostMinSelected(hs).size.toLong)
     }
     val got = Winnowing.winnowFingerprints(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -51,30 +56,16 @@ class WinnowingSpec extends GraftTestBase {
     got shouldBe replica
   }
 
-  it should "share fingerprints for docs sharing a long run with interior minimum" in {
+  it should "share fingerprints for ANY shared run of >= w+k-1 tokens, even edge-hugging minima" in {
     import spark.implicits._
-    // two docs sharing a 20-token passage (≥ k + 2(w-1) = 12) amid
-    // noise. The centered-min variant's match property is CONDITIONAL:
-    // it requires the run's minimal-hash gram to sit ≥ w-1 grams from
-    // both run edges (see the scaladoc) — assert that precondition
-    // explicitly so the test states its assumption instead of passing
-    // by luck of where this passage's hash minimum lands
-    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
-    locally {
-      import java.security.MessageDigest
-      def h(gram: String): Long = {
-        val hex = MessageDigest.getInstance("MD5").digest(gram.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        java.lang.Long.parseLong(hex, 16)
-      }
-      val hs = passage.split(" ").sliding(Winnowing.k)
-        .filter(_.length == Winnowing.k).map(g => h(g.mkString(" "))).toArray
-      val argmin = hs.indexOf(hs.min)
-      withClue("test passage must keep its min-hash gram interior: ") {
-        argmin should be >= (Winnowing.w - 1)
-        argmin should be <= (hs.length - Winnowing.w)
-      }
-    }
+    // The UNCONDITIONAL guarantee the centered-min variant lacked: find
+    // a passage whose minimal-hash gram HUGS the run edge (argmin = 0)
+    // — the exact case where centered windows leak doc-specific context
+    // — and assert sharing still happens under rightmost-min.
+    val passage = (1 to 1000).iterator
+      .map(s => (1 to 20).map(i => s"e${s}x$i").mkString(" "))
+      .find { p => val hs = gramHashes(p); hs.indexOf(hs.min) == 0 }
+      .getOrElse(fail("no edge-hugging passage found in 1000 seeds"))
     val df = Seq(
       (1L, s"a1 a2 a3 a4 a5 $passage z1 z2 z3"),
       (2L, s"b1 b2 $passage y1 y2 y3 y4 y5 y6"),
