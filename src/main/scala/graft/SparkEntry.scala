@@ -93,6 +93,13 @@ object SparkEntry {
     "q_degree_dist"     -> (graft.ops.Graph.degreeDistribution _),
     "q_fd_histogram"    -> (graft.ops.Analytics.fdHistogram _),
     "q_topk_merge"      -> (graft.ops.Analytics.topkMergeCheck _),
+    "q_mann_kendall"    -> (graft.ops.TimeSeries.mannKendall _),
+    "q_zipf"            -> (graft.text.TextAnalysis.zipfFit _),
+    "q_heaps"           -> (graft.text.TextAnalysis.heapsLaw _),
+    "q_jsd"             -> (graft.text.TextAnalysis.jsdSources _),
+    "q_growth_acct"     -> (graft.ops.Behavior.growthAccounting _),
+    "q_gini"            -> (graft.ops.Analytics.giniBySegment _),
+    "q_hhi"             -> (graft.ops.Analytics.hhiByNation _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -546,6 +553,13 @@ object SparkEntry {
     "q_degree_dist"   -> graft.ops.Graph.degreeDistributionSql,
     "q_fd_histogram"  -> graft.ops.Analytics.fdHistogramSql,
     "q_topk_merge"    -> graft.ops.Analytics.topkMergeCheckSql,
+    "q_mann_kendall"  -> graft.ops.TimeSeries.mannKendallSql,
+    "q_zipf"          -> graft.text.TextAnalysis.zipfFitSql,
+    "q_heaps"         -> graft.text.TextAnalysis.heapsLawSql,
+    "q_jsd"           -> graft.text.TextAnalysis.jsdSourcesSql,
+    "q_growth_acct"   -> graft.ops.Behavior.growthAccountingSql,
+    "q_gini"          -> graft.ops.Analytics.giniBySegmentSql,
+    "q_hhi"           -> graft.ops.Analytics.hhiByNationSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,

@@ -2164,4 +2164,109 @@ object Analytics {
        |  round(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6) AS moors_kurtosis
        |FROM oct""".stripMargin
   }
+
+  /** GINI COEFFICIENT of customer revenue per market segment — the
+    * inequality summary behind [[lorenzCustomerRevenue]]'s curve (the
+    * Lorenz deciles show the shape; Gini is its single-number area):
+    * with customers ranked 1..n ascending by spend,
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ).
+    *
+    * Exactness: both numerator terms are decimal(38,0) products of
+    * exact cents and exact ranks; ONE double division at the end,
+    * rounded 6. Ranks tie-break by custkey so the permutation — and
+    * therefore Σ i·xᵢ — is identical on both engines (for equal spends
+    * the rank sum over a tie class is permutation-invariant anyway, but
+    * pinning costs nothing).
+    *
+    * Scale: facts collapse to the per-(segment, customer) aggregate;
+    * the ranking window runs over that O(customers) frame partitioned
+    * by segment (the q_rfm accepted class — at extreme cardinality the
+    * ranks come from [[graft.ops.Distributed.withRunningTotal]], the
+    * q_rfm_dist rendering). */
+  def giniBySegment(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cust = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("segment").orderBy(col("cents"), col("o_custkey"))
+    cust.withColumn("i", row_number().over(w))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).cast("long").as("total_cents"),
+        sum(col("i").cast(big) * col("cents").cast(big)).as("ix"))
+      .select(col("segment"), col("n_customers"), col("total_cents"),
+        round((lit(2).cast(big) * col("ix") -
+          (col("n_customers") + 1).cast(big) * col("total_cents").cast(big))
+          .cast("double") /
+          (col("n_customers").cast("double") * col("total_cents").cast("double")),
+          6).as("gini"))
+      .orderBy("segment")
+  }
+
+  val giniBySegmentSql: String =
+    """WITH cust AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_custkey,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT segment, cents,
+      |    row_number() OVER (PARTITION BY segment ORDER BY cents, o_custkey)
+      |      AS i
+      |  FROM cust)
+      |SELECT segment, count(*) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  round(CAST(2*sum(CAST(i AS HUGEINT)*cents)
+      |      - (count(*)+1)*sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+      |    / (count(*) * CAST(sum(cents) AS DOUBLE)), 6) AS gini
+      |FROM rk GROUP BY segment ORDER BY segment""".stripMargin
+
+  /** HERFINDAHL–HIRSCHMAN INDEX of customer revenue concentration per
+    * nation — the antitrust-standard concentration readout (in the
+    * conventional 0–10,000 points scale): HHI = 10⁴·Σ xᵢ² / (Σxᵢ)².
+    * Complements [[giniBySegment]]: Gini measures inequality of the
+    * distribution, HHI measures how few entities hold the mass (its
+    * reciprocal is the "effective number of customers").
+    *
+    * Exactness: Σxᵢ² in decimal(38,0) (cents² ~10¹⁴ per customer —
+    * exact), one pinned double division, rounded 6.
+    *
+    * Scale: per-(nation, customer) aggregate → one O(customers)
+    * map-side-combinable aggregate to O(nations) rows; the nation name
+    * join broadcasts the 25-row dimension. */
+  def hhiByNation(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cust = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents").cast(big) * col("cents").cast(big)).as("sq"),
+        sum(col("cents")).cast(big).as("tot"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("n_customers"),
+        round(lit(10000.0) * col("sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 6)
+          .as("hhi_points"))
+      .orderBy("n_name")
+  }
+
+  val hhiByNationSql: String =
+    """WITH cust AS (
+      |  SELECT c.c_nationkey AS nk, o.o_custkey,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT n.n_name, count(*) AS n_customers,
+      |  round(10000.0 * CAST(sum(CAST(cents AS HUGEINT)*cents) AS DOUBLE)
+      |    / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)), 6)
+      |    AS hhi_points
+      |FROM cust JOIN nation n ON n.n_nationkey = cust.nk
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 }

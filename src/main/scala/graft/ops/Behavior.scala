@@ -1485,4 +1485,70 @@ object Behavior {
       |    OVER (ORDER BY dur_h
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
       |FROM risk QUALIFY d > 0""".stripMargin
+
+  /** WEEKLY GROWTH ACCOUNTING — the standard user-growth decomposition
+    * (Social Capital's "accounting identity" for engagement): every
+    * active user in week w is exactly one of NEW (first-ever activity),
+    * RETAINED (also active in w−1), or RESURRECTED (active before but
+    * not in w−1); CHURNED(w) = active(w−1) − retained(w) closes the
+    * identity active(w) = active(w−1) + new + resurrected − churned.
+    * The cohort-retention matrix (q_cohort) says WHO comes back; this
+    * says where each week's headcount change came from.
+    *
+    * Scale: facts collapse to the distinct (user, week) frame in one
+    * map-side-combinable pass (the q_wau shape); first-week is one
+    * user-keyed min; retained is a self-join of the O(users × weeks)
+    * frame on (user, week−7d) — a key-shuffle hash join, never a
+    * window; everything after is O(weeks) arithmetic. Resurrected and
+    * churned are DERIVED (active − new − retained; prevActive −
+    * retained), so no third join. */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    val um = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+      .localCheckpoint() // 4 consumers: act, first-week, both retained sides
+    val act = um.groupBy("wk").agg(count(lit(1)).as("n_active"))
+    val nw = um.groupBy("user_id").agg(min(col("wk")).as("wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_new"))
+    val ret = um.alias("a")
+      .join(um.alias("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.wk") === date_sub(col("a.wk"), 7))
+      .groupBy(col("a.wk").as("wk")).agg(count(lit(1)).as("n_retained"))
+    val prev = act.select(date_add(col("wk"), 7).as("wk"),
+      col("n_active").as("prev_active"))
+    act.join(nw, Seq("wk"), "left").join(ret, Seq("wk"), "left")
+      .join(prev, Seq("wk"), "left")
+      .select(col("wk").as("week"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (col("n_active") - coalesce(col("n_new"), lit(0L)) -
+          coalesce(col("n_retained"), lit(0L))).as("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) -
+          coalesce(col("n_retained"), lit(0L))).as("n_churned"))
+      .orderBy("week")
+  }
+
+  val growthAccountingSql: String =
+    """WITH um AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |act AS (SELECT wk, count(*) AS n_active FROM um GROUP BY 1),
+      |nw AS (
+      |  SELECT wk, count(*) AS n_new FROM (
+      |    SELECT user_id, min(wk) AS wk FROM um GROUP BY 1) GROUP BY 1),
+      |ret AS (
+      |  SELECT a.wk, count(*) AS n_retained FROM um a JOIN um b
+      |  ON b.user_id = a.user_id AND b.wk = a.wk - INTERVAL 7 DAY
+      |  GROUP BY 1)
+      |SELECT act.wk AS week, act.n_active,
+      |  coalesce(nw.n_new, 0) AS n_new,
+      |  coalesce(ret.n_retained, 0) AS n_retained,
+      |  act.n_active - coalesce(nw.n_new, 0) - coalesce(ret.n_retained, 0)
+      |    AS n_resurrected,
+      |  coalesce(prev.n_active, 0) - coalesce(ret.n_retained, 0) AS n_churned
+      |FROM act LEFT JOIN nw USING (wk) LEFT JOIN ret USING (wk)
+      |LEFT JOIN act prev ON prev.wk = act.wk - INTERVAL 7 DAY
+      |ORDER BY week""".stripMargin
 }

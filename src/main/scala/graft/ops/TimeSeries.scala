@@ -1287,4 +1287,81 @@ object TimeSeries {
        |      pow(0.5, CAST(date_diff('day', x.day, max_day) AS DOUBLE)
        |        / $decayHalfLifeDays))), 6) AS decayed_revenue
        |FROM arr ORDER BY event_type""".stripMargin
+
+  /** MANN–KENDALL TREND TEST on daily revenue per event type — the
+    * nonparametric companion to [[graft.ops.Analytics.theilSenTrend]]
+    * (Theil–Sen estimates the slope; Mann–Kendall decides whether a
+    * monotone trend EXISTS): S = Σ_{i<j} sign(x_j − x_i) over day pairs,
+    * tie-corrected variance, continuity-corrected normal z. The standard
+    * drift detector when revenue is non-normal (it is).
+    *
+    * Exactness: S is an exact integer from CASE comparisons on exact
+    * cents (no `sign()` doubles); 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * is an exact integer (the /18 never happens until the final pinned
+    * z); z is ONE double formula over exact integers, rounded 6, NULL
+    * when the variance degenerates (all-equal days).
+    *
+    * Scale: facts collapse to the O(days × types) daily aggregate
+    * first; the pair join is O(days²) per type over that tiny frame —
+    * the q_kendall contingency-census discipline (quadratic only in a
+    * catalog-bounded domain, never in fact rows). */
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+      .localCheckpoint() // 3 consumers: both pair-join sides + tie census
+    val a = daily.select(col("event_type"), col("day"), col("cents"))
+    val b = daily.select(col("event_type").as("et2"), col("day").as("day2"),
+      col("cents").as("cents2"))
+    val sStat = a.join(b, a("event_type") === b("et2") && a("day") < b("day2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("cents2") > col("cents"), 1L)
+        .when(col("cents2") < col("cents"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tt"),
+        count(lit(1)).as("n_distinct"))
+    val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val var18 = col("n_days") * (col("n_days") - 1) *
+      (lit(2) * col("n_days") + 5) - col("tt")
+    n.join(sStat, Seq("event_type")).join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        var18.cast("long").as("var18"),
+        when(var18 === 0, lit(null).cast("double"))
+          .otherwise(round((col("s_stat") -
+            when(col("s_stat") > 0, 1L).when(col("s_stat") < 0, -1L)
+              .otherwise(0L)).cast("double") /
+            sqrt(var18.cast("double") / 18.0), 6)).as("z"))
+      .orderBy("event_type")
+  }
+
+  val mannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1,2),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+      |      WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tt FROM (
+      |    SELECT event_type, cents, count(*) AS t FROM daily GROUP BY 1,2)
+      |  GROUP BY 1),
+      |n AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+      |SELECT n.event_type, n.n_days, s.s_stat,
+      |  CAST(n.n_days*(n.n_days-1)*(2*n.n_days+5) - ties.tt AS BIGINT) AS var18,
+      |  CASE WHEN n.n_days*(n.n_days-1)*(2*n.n_days+5) - ties.tt = 0 THEN NULL
+      |    ELSE round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+      |        WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+      |      / sqrt(CAST(n.n_days*(n.n_days-1)*(2*n.n_days+5) - ties.tt
+      |        AS DOUBLE)/18.0), 6) END AS z
+      |FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+      |ORDER BY event_type""".stripMargin
 }

@@ -987,4 +987,255 @@ object TextAnalysis {
       |  round(CAST(sum(n_chars) - sum(n_letter) - sum(n_digit) - sum(n_space)
       |    AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6) AS other_ratio
       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Top-rank cutoff for [[zipfFit]]. */
+  val zipfTopK = 500
+
+  /** ZIPF'S-LAW FIT per language — the OLS slope of ln(frequency) on
+    * ln(rank) over the top-[[zipfTopK]] tokens: the corpus-statistics
+    * sanity check (natural language sits near slope −1; synthetic or
+    * template-heavy text drifts off it), and the input to vocabulary
+    * truncation decisions (how much mass the tail holds).
+    *
+    * Determinism: ranks are exact (row_number by (count DESC, token)
+    * over the O(langs × vocab) census — never raw facts); the five OLS
+    * power sums fold INSIDE a rank-sorted array (the decayedPopularity
+    * / elasticity sequential-fold discipline: both engines accumulate
+    * ln terms in identical rank order), slope and r² are each one
+    * pinned double formula, rounded 6.
+    *
+    * Scale: corpus → token census is the wordcount shuffle (text never
+    * moves); everything after is O(langs × [[zipfTopK]]). */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val census = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
+    val arr = census.withColumn("r", row_number().over(w))
+      .filter(col("r") <= zipfTopK)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).as("mass"),
+        sort_array(collect_list(struct(col("r"), col("c")))).as("a"))
+    // sequential fold of the five power sums in rank order
+    val sums = arr.select(col("lang"), col("n_terms"), col("mass"),
+      aggregate(col("a"),
+        struct(lit(0.0).as("sx"), lit(0.0).as("sy"), lit(0.0).as("sxy"),
+          lit(0.0).as("sxx"), lit(0.0).as("syy")),
+        (acc, e) => {
+          val x = log(e.getField("r").cast("double"))
+          val y = log(e.getField("c").cast("double"))
+          struct((acc.getField("sx") + x).as("sx"),
+            (acc.getField("sy") + y).as("sy"),
+            (acc.getField("sxy") + x * y).as("sxy"),
+            (acc.getField("sxx") + x * x).as("sxx"),
+            (acc.getField("syy") + y * y).as("syy"))
+        }).as("s"))
+    val n = col("n_terms").cast("double")
+    val cov = n * col("s.sxy") - col("s.sx") * col("s.sy")
+    val vx = n * col("s.sxx") - col("s.sx") * col("s.sx")
+    val vy = n * col("s.syy") - col("s.sy") * col("s.sy")
+    sums.select(col("lang"), col("n_terms"), col("mass"),
+      round(cov / vx, 6).as("zipf_slope"),
+      round(cov * cov / (vx * vy), 6).as("r2"))
+      .orderBy("lang")
+  }
+
+  val zipfFitSql: String =
+    s"""WITH census AS (
+       |  SELECT lang, tok, count(*) AS c FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT lang, c,
+       |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+       |  FROM census),
+       |arr AS (
+       |  SELECT lang, count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS mass,
+       |    list(struct_pack(r := r, c := c) ORDER BY r) AS a
+       |  FROM rk WHERE r <= $zipfTopK GROUP BY 1),
+       |sums AS (
+       |  SELECT lang, n_terms, mass,
+       |    list_sum(list_transform(a, e -> ln(CAST(e.r AS DOUBLE)))) AS sx,
+       |    list_sum(list_transform(a, e -> ln(CAST(e.c AS DOUBLE)))) AS sy,
+       |    list_sum(list_transform(a, e ->
+       |      ln(CAST(e.r AS DOUBLE)) * ln(CAST(e.c AS DOUBLE)))) AS sxy,
+       |    list_sum(list_transform(a, e ->
+       |      ln(CAST(e.r AS DOUBLE)) * ln(CAST(e.r AS DOUBLE)))) AS sxx,
+       |    list_sum(list_transform(a, e ->
+       |      ln(CAST(e.c AS DOUBLE)) * ln(CAST(e.c AS DOUBLE)))) AS syy
+       |  FROM arr)
+       |SELECT lang, n_terms, mass,
+       |  round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6) AS zipf_slope,
+       |  round((n_terms*sxy - sx*sy) * (n_terms*sxy - sx*sy)
+       |    / ((n_terms*sxx - sx*sx) * (n_terms*syy - sy*sy)), 6) AS r2
+       |FROM sums ORDER BY lang""".stripMargin
+
+  /** HEAPS'-LAW VOCABULARY GROWTH — V(n) (distinct tokens seen) at
+    * each decile of the corpus in doc_id order, plus the implied Heaps
+    * exponent β from the first/last checkpoints (V ≈ K·nᵝ): the curve
+    * that answers "how fast does vocabulary (and so tokenizer/embedding
+    * table size) grow as the corpus scales" — measured, not assumed.
+    *
+    * The distributed trick: cumulative distinct counting needs no
+    * ordered scan — a token is NEW at exactly one doc (its min doc_id),
+    * so V at checkpoint c = #tokens whose first doc ≤ c. First-docs are
+    * one map-side-combinable min aggregate; deciles are a pure integer
+    * projection off the CONTIGUOUS doc_id domain (0..n−1, the testdata
+    * contract — a loud raise_error guards it); the cumulation runs over
+    * the 10-row decile frame (the q_share_of_total empty-frame class).
+    * All outputs exact integers except β (one pinned formula, round 6). */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("nd"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+      .select(when(col("nd") === col("span"), col("nd"))
+        .otherwise(raise_error(concat(lit("heapsLaw: doc_id not contiguous: n="),
+          col("nd"), lit(" span="), col("span"))))
+        .as("nd"))
+    val perDoc = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("ntoks"))
+      .crossJoin(broadcast(nDocs))
+      .select(expr("doc_id * 10 DIV nd").as("decile"), col("ntoks"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntoks")).as("toks"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(nDocs))
+      .select(expr("fd * 10 DIV nd").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("vocab_new"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perDoc.join(firstDoc, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"), col("toks"),
+        coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+      .select(col("decile"), col("n_docs"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        sum(col("toks")).over(w).as("cum_tokens"),
+        sum(col("vocab_new")).over(w).as("cum_vocab"))
+    val beta = curve.groupBy()
+      .agg(min(when(col("decile") === 0, col("cum_tokens"))).as("n0"),
+        min(when(col("decile") === 0, col("cum_vocab"))).as("v0"),
+        max(when(col("decile") === 9, col("cum_tokens"))).as("n9"),
+        max(when(col("decile") === 9, col("cum_vocab"))).as("v9"))
+      .select(round(
+        log(col("v9").cast("double") / col("v0").cast("double")) /
+          log(col("n9").cast("double") / col("n0").cast("double")), 6)
+        .as("heaps_beta"))
+    curve.crossJoin(broadcast(beta))
+      .select(col("decile").cast("int").as("decile"), col("n_docs"),
+        col("cum_docs"), col("cum_tokens"), col("cum_vocab"),
+        col("heaps_beta"))
+      .orderBy("decile")
+  }
+
+  val heapsLawSql: String =
+    """WITH nd AS (SELECT count(*) AS nd FROM documents),
+      |per_doc AS (
+      |  SELECT (doc_id * 10) // nd AS decile, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents CROSS JOIN nd GROUP BY 1),
+      |first_doc AS (
+      |  SELECT tok, min(doc_id) AS fd
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+      |      AS tok FROM documents)
+      |  GROUP BY tok),
+      |vocab AS (
+      |  SELECT (fd * 10) // nd AS decile, count(*) AS vocab_new
+      |  FROM first_doc CROSS JOIN nd GROUP BY 1),
+      |curve AS (
+      |  SELECT p.decile, p.n_docs,
+      |    sum(p.n_docs) OVER (ORDER BY p.decile) AS cum_docs,
+      |    sum(p.toks) OVER (ORDER BY p.decile) AS cum_tokens,
+      |    sum(coalesce(v.vocab_new, 0)) OVER (ORDER BY p.decile) AS cum_vocab
+      |  FROM per_doc p LEFT JOIN vocab v USING (decile)),
+      |beta AS (
+      |  SELECT round(
+      |    ln(CAST(max(CASE WHEN decile = 9 THEN cum_vocab END) AS DOUBLE)
+      |      / CAST(min(CASE WHEN decile = 0 THEN cum_vocab END) AS DOUBLE))
+      |    / ln(CAST(max(CASE WHEN decile = 9 THEN cum_tokens END) AS DOUBLE)
+      |      / CAST(min(CASE WHEN decile = 0 THEN cum_tokens END) AS DOUBLE)),
+      |    6) AS heaps_beta FROM curve)
+      |SELECT CAST(decile AS INTEGER) AS decile, n_docs,
+      |  CAST(cum_docs AS BIGINT) AS cum_docs,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST(cum_vocab AS BIGINT) AS cum_vocab, heaps_beta
+      |FROM curve CROSS JOIN beta ORDER BY decile""".stripMargin
+
+  /** JENSEN–SHANNON DIVERGENCE between every pair of sources' token
+    * distributions — the symmetric, bounded ([0, ln 2]) corpus-drift
+    * measure: which sources speak the same language (in distribution,
+    * not just vocabulary — [[sourceOverlap]]'s Jaccard sees shared
+    * TYPES, this sees shared MASS). The standard readout for routing,
+    * mixture design, and duplicate-source detection.
+    *
+    * Shape: the join-free posting-list pairing ([[sourceOverlap]]) —
+    * per token, the ≤C(sources,2) source pairs expand LOCALLY from one
+    * sorted struct array; only tokens present in BOTH sides need terms
+    * (singleton mass folds in closed form: JSD = ½[Σ_both + ln2·(1−Sp)
+    * + ln2·(1−Sq)] with Sp, Sq the shared-token mass — EXACT integers
+    * over the totals). The float term sum follows the tokenEntropy
+    * tolerance discipline (round 4; each term bounded by ln 2).
+    *
+    * Scale: one wordcount shuffle to the (source, tok) census; pair
+    * expansion is bounded by sources², never rows; totals broadcast. */
+  def jsdSources(s: SparkSession, d: String): DataFrame = {
+    val census = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // two consumers: totals + postings
+    val totals = census.groupBy("source").agg(sum(col("c")).as("nt"))
+    val pairs = census.groupBy("tok")
+      .agg(sort_array(collect_list(struct(col("source"), col("c")))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+          |    struct(x.source AS s1, x.c AS c1, y.source AS s2, y.c AS c2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.s1"), col("p.c1"), col("p.s2"), col("p.c2"))
+      .join(broadcast(totals).select(col("source").as("s1"),
+        col("nt").as("n1")), Seq("s1"))
+      .join(broadcast(totals).select(col("source").as("s2"),
+        col("nt").as("n2")), Seq("s2"))
+    val p = col("c1").cast("double") / col("n1").cast("double")
+    val q = col("c2").cast("double") / col("n2").cast("double")
+    pairs.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("c1")).as("sc1"), sum(col("c2")).as("sc2"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(p * log(lit(2.0) * p / (p + q)) +
+          q * log(lit(2.0) * q / (p + q))).as("both"))
+      .select(col("s1"), col("s2"), col("n_shared"),
+        round((col("both") +
+          (lit(1.0) - col("sc1").cast("double") / col("n1").cast("double")) * log(lit(2.0)) +
+          (lit(1.0) - col("sc2").cast("double") / col("n2").cast("double")) * log(lit(2.0)))
+          / 2.0, 4).as("jsd"))
+      .orderBy("s1", "s2")
+  }
+
+  val jsdSourcesSql: String =
+    """WITH census AS (
+      |  SELECT source, tok, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM census
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS s1, a.c AS c1, b.source AS s2, b.c AS c2,
+      |    ta.nt AS n1, tb.nt AS n2
+      |  FROM census a JOIN census b ON a.tok = b.tok AND a.source < b.source
+      |  JOIN totals ta ON ta.source = a.source
+      |  JOIN totals tb ON tb.source = b.source)
+      |SELECT s1, s2, count(*) AS n_shared,
+      |  round((sum(
+      |      (CAST(c1 AS DOUBLE)/n1) * ln(2.0*(CAST(c1 AS DOUBLE)/n1)
+      |        / (CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2))
+      |      + (CAST(c2 AS DOUBLE)/n2) * ln(2.0*(CAST(c2 AS DOUBLE)/n2)
+      |        / (CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2)))
+      |    + (1.0 - CAST(sum(c1) AS DOUBLE)/max(n1)) * ln(2.0)
+      |    + (1.0 - CAST(sum(c2) AS DOUBLE)/max(n2)) * ln(2.0)) / 2.0,
+      |    4) AS jsd
+      |FROM pairs GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 }

@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.GraftTestBase
+
+/** Component contracts for the round-7 additions; exact values are
+  * graded by the DuckDB oracle — these assert the internal invariants
+  * the oracle can't see. */
+class NewOpsR7Spec extends GraftTestBase {
+
+  behavior of "TimeSeries.mannKendall"
+
+  it should "agree with a driver-side brute-force S and variance replica" in {
+    val rows = TimeSeries.mannKendall(spark, sf).collect()
+    rows should not be empty
+    // independent replica from the same daily aggregate
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("ts")).cast("date").as("day"))
+      .agg((org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val series = daily(et).sortBy(_._2.toEpochDay).map(_._3)
+      val n = series.length
+      val sRep = (for (i <- series.indices; j <- i + 1 until n)
+        yield java.lang.Long.signum(series(j) - series(i)).toLong).sum
+      r.getAs[Long]("s_stat") shouldBe sRep
+      r.getAs[Long]("n_days") shouldBe n.toLong
+      val tt = series.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      r.getAs[Long]("var18") shouldBe n.toLong * (n - 1) * (2L * n + 5) - tt
+      // |S| is bounded by the pair count
+      math.abs(sRep) should be <= n.toLong * (n - 1) / 2
+    }
+  }
+
+  behavior of "Behavior.growthAccounting"
+
+  it should "close the growth-accounting identity on every week" in {
+    val rows = Behavior.growthAccounting(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("week").toLocalDate.toEpochDay)
+    rows should not be empty
+    // week 1: everyone is new
+    rows.head.getAs[Long]("n_new") shouldBe rows.head.getAs[Long]("n_active")
+    rows.head.getAs[Long]("n_retained") shouldBe 0L
+    var prevActive = 0L
+    rows.foreach { r =>
+      val (act, nw, ret, res, chn) = (r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))
+      // the accounting identity: active = prev + new + resurrected - churned
+      act shouldBe prevActive + nw + res - chn
+      ret should be <= prevActive
+      Seq(nw, ret, res, chn).foreach(_ should be >= 0L)
+      prevActive = act
+    }
+    // every user is new exactly once: Σ new = distinct users
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    rows.map(_.getAs[Long]("n_new")).sum shouldBe users
+  }
+
+  behavior of "Analytics.giniBySegment"
+
+  it should "match the brute-force mean-absolute-difference Gini" in {
+    val rows = Analytics.giniBySegment(spark, sf).collect()
+    rows should not be empty
+    val cents = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg((org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    rows.foreach { r =>
+      val xs = cents(r.getAs[String]("segment")).map(_._2)
+      val n = xs.length.toLong
+      // G = Σ_i Σ_j |x_i - x_j| / (2 n² x̄)  — the definitional form
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b).toDouble).sum
+      val gRep = mad / (2.0 * n * xs.map(_.toDouble).sum)
+      r.getAs[Long]("n_customers") shouldBe n
+      r.getAs[Double]("gini") shouldBe (gRep +- 1e-4)
+      r.getAs[Double]("gini") should (be >= 0.0 and be < 1.0)
+    }
+  }
+
+  behavior of "Analytics.hhiByNation"
+
+  it should "stay inside the [10000/n, 10000] band and match a replica" in {
+    val rows = Analytics.hhiByNation(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_customers")
+      val h = r.getAs[Double]("hhi_points")
+      h should be >= 10000.0 / n - 1e-6
+      h should be <= 10000.0 + 1e-6
+    }
+  }
+
+  behavior of "TextAnalysis.zipfFit"
+
+  it should "produce a negative slope and a valid r-squared" in {
+    val rows = graft.text.TextAnalysis.zipfFit(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Long]("n_terms") should be > 1L
+      // frequency is non-increasing in rank, so the fit slope can't be positive
+      r.getAs[Double]("zipf_slope") should be <= 0.0
+      r.getAs[Double]("r2") should (be >= 0.0 and be <= 1.0 + 1e-9)
+    }
+  }
+
+  behavior of "TextAnalysis.heapsLaw"
+
+  it should "grow monotonically and conserve the corpus totals" in {
+    val rows = graft.text.TextAnalysis.heapsLaw(spark, sf).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    rows should have size 10
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("cum_docs") should be > a.getAs[Long]("cum_docs")
+      b.getAs[Long]("cum_tokens") should be > a.getAs[Long]("cum_tokens")
+      b.getAs[Long]("cum_vocab") should be >= a.getAs[Long]("cum_vocab")
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    rows.last.getAs[Long]("cum_docs") shouldBe docs.count()
+    // final vocab = global distinct token count
+    val vocab = docs.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " ")).as("t"))
+      .distinct().count()
+    rows.last.getAs[Long]("cum_vocab") shouldBe vocab
+    val beta = rows.head.getAs[Double]("heaps_beta")
+    beta should (be >= 0.0 and be <= 1.0)
+  }
+
+  behavior of "TextAnalysis.jsdSources"
+
+  it should "stay inside [0, ln 2] and be complete over source pairs" in {
+    val rows = graft.text.TextAnalysis.jsdSources(spark, sf).collect()
+    val nSources = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    // every pair shares at least one token in this corpus
+    rows.length shouldBe nSources * (nSources - 1) / 2
+    rows.foreach { r =>
+      r.getAs[Double]("jsd") should be >= -1e-9
+      r.getAs[Double]("jsd") should be <= math.log(2.0) + 1e-9
+      r.getAs[String]("s1") should be < r.getAs[String]("s2")
+    }
+  }
+}
