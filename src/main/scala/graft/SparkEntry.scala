@@ -100,6 +100,9 @@ object SparkEntry {
     "q_growth_acct"     -> (graft.ops.Behavior.growthAccounting _),
     "q_gini"            -> (graft.ops.Analytics.giniBySegment _),
     "q_hhi"             -> (graft.ops.Analytics.hhiByNation _),
+    "q_ohlc"            -> (graft.ops.TimeSeries.ohlcDaily _),
+    "q_stratified"      -> (graft.ops.Analytics.neymanAllocation _),
+    "q_isotonic"        -> (graft.ops.Analytics.isotonicQtyByDiscount _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -560,6 +563,9 @@ object SparkEntry {
     "q_growth_acct"   -> graft.ops.Behavior.growthAccountingSql,
     "q_gini"          -> graft.ops.Analytics.giniBySegmentSql,
     "q_hhi"           -> graft.ops.Analytics.hhiByNationSql,
+    "q_ohlc"          -> graft.ops.TimeSeries.ohlcDailySql,
+    "q_stratified"    -> graft.ops.Analytics.neymanAllocationSql,
+    "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,

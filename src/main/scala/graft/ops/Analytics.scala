@@ -2269,4 +2269,166 @@ object Analytics {
       |    AS hhi_points
       |FROM cust JOIN nation n ON n.n_nationkey = cust.nk
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** Survey budget for [[neymanAllocation]]. */
+  val surveyBudget = 1000L
+
+  /** NEYMAN OPTIMAL ALLOCATION for stratified sampling — per-stratum
+    * sample sizes n_h ∝ N_h·s_h that minimize estimator variance at a
+    * fixed budget (the sampling-design step before any audit/quality
+    * sample is drawn; uniform allocation overspends on homogeneous
+    * strata). Strata = market segments, variable = customer account
+    * balance.
+    *
+    * Determinism: per-stratum (N, Σx, Σx²) are exact decimal(38,0)
+    * cents sums; s_h = sqrt of the one-division sample variance (IEEE
+    * sqrt is correctly rounded — engine-portable, the q_gumbel note);
+    * the cross-stratum normalizer Σ N_h·s_h folds INSIDE a
+    * segment-sorted array so both engines add the five doubles in the
+    * same order; share and the floor allocation are then identical
+    * doubles on both sides.
+    *
+    * Scale: one map-side-combinable aggregate to O(strata) rows; the
+    * array fold is over those strata only. */
+  def neymanAllocation(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+    val strata = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("segment"), cents.as("x"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("x").cast(big)).as("sx"),
+        sum(col("x").cast(big) * col("x").cast(big)).as("sxx"))
+      .select(col("segment"), col("n_h"),
+        (col("sx").cast("double") / col("n_h").cast("double"))
+          .as("mean_cents"),
+        sqrt((col("n_h").cast(big) * col("sxx") - col("sx") * col("sx"))
+          .cast("double") /
+          (col("n_h").cast(big) * (col("n_h") - 1).cast(big)).cast("double"))
+          .as("s_h"))
+    // pinned cross-stratum normalizer: fold N_h·s_h in segment order
+    val tot = strata
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("segment"),
+        (col("n_h").cast("double") * col("s_h")).as("w")))).as("a"))
+      .select(aggregate(col("a"), lit(0.0),
+        (acc, e) => acc + e.getField("w")).as("tot_w"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_h"),
+        round(col("mean_cents") / 100.0, 6).as("mean_bal"),
+        round(col("s_h") / 100.0, 6).as("stddev_bal"),
+        round(col("n_h").cast("double") * col("s_h") / col("tot_w"), 6)
+          .as("share"),
+        floor(lit(surveyBudget.toDouble) * col("n_h").cast("double") *
+          col("s_h") / col("tot_w")).cast("long").as("alloc"))
+      .orderBy("segment")
+  }
+
+  val neymanAllocationSql: String =
+    s"""WITH strata AS (
+       |  SELECT c_mktsegment AS segment, count(*) AS n_h,
+       |    sum(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS HUGEINT)) AS sx,
+       |    sum(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS HUGEINT) * CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+       |      AS BIGINT) AS HUGEINT)) AS sxx
+       |  FROM customer GROUP BY 1),
+       |sd AS (
+       |  SELECT segment, n_h,
+       |    CAST(sx AS DOUBLE) / n_h AS mean_cents,
+       |    sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
+       |      / CAST(CAST(n_h AS HUGEINT) * (n_h - 1) AS DOUBLE)) AS s_h
+       |  FROM strata),
+       |tot AS (
+       |  SELECT list_sum(list_transform(
+       |    list(struct_pack(segment := segment, w := n_h * s_h)
+       |      ORDER BY segment), e -> e.w)) AS tot_w
+       |  FROM sd)
+       |SELECT segment, n_h,
+       |  round(mean_cents / 100.0, 6) AS mean_bal,
+       |  round(s_h / 100.0, 6) AS stddev_bal,
+       |  round(n_h * s_h / tot_w, 6) AS share,
+       |  CAST(floor($surveyBudget.0 * n_h * s_h / tot_w) AS BIGINT) AS alloc
+       |FROM sd CROSS JOIN tot ORDER BY segment""".stripMargin
+
+  /** ISOTONIC REGRESSION of quantity on discount (the PAVA fit) — the
+    * monotone calibration curve: "does quantity really rise with
+    * discount, and what's the best monotone fit" (the same operator
+    * calibrates model scores to probabilities — sklearn's
+    * IsotonicRegression, Zadrozny–Elkan). Rendered DISTRIBUTIVELY via
+    * the minimax identity instead of the sequential pool-adjacent-
+    * violators stack: ŷ_i = max_{j≤i} min_{k≥i} wmean(y_j..y_k), which
+    * is PAVA's exact solution (Barlow et al. 1972) — no ordered scan,
+    * no driver loop.
+    *
+    * Scale/determinism: facts collapse to the O(levels) discount
+    * domain (11 values — the q_kendall catalog-bounded discipline);
+    * the O(m³) minimax evaluates INSIDE one sorted array over exact
+    * integer prefix sums (m=11 → 1.3k terms); every candidate mean is
+    * one double division of exact integers, max/min over doubles are
+    * order-free, rounded 6 at the end. */
+  def isotonicQtyByDiscount(s: SparkSession, d: String): DataFrame = {
+    val lvl = Tables.lineitem(s, d)
+      .select(round(col("l_discount") * 100).cast("int").as("pct"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("qc"))
+      .groupBy("pct")
+      .agg(count(lit(1)).as("n"), sum(col("qc")).cast("long").as("sy"))
+    lvl.groupBy()
+      .agg(sort_array(collect_list(struct(col("pct"), col("n"), col("sy"))))
+        .as("a"))
+      .select(col("a"),
+        expr("""transform(sequence(0, size(a)), t ->
+          | aggregate(slice(a, 1, t), CAST(0 AS BIGINT), (acc, e) -> acc + e.sy))""".stripMargin)
+          .as("py"),
+        expr("""transform(sequence(0, size(a)), t ->
+          | aggregate(slice(a, 1, t), CAST(0 AS BIGINT), (acc, e) -> acc + e.n))""".stripMargin)
+          .as("pn"))
+      .select(col("a"), expr(
+        """transform(sequence(1, size(a)), i ->
+          |  array_max(transform(sequence(1, i), j ->
+          |    array_min(transform(sequence(i, size(a)), k ->
+          |      cast(element_at(py, k + 1) - element_at(py, j) as double) /
+          |      cast(element_at(pn, k + 1) - element_at(pn, j) as double))))))"""
+          .stripMargin).as("iso"))
+      .select(posexplode(col("a")).as(Seq("i", "e")), col("iso"))
+      .select(col("e.pct").as("discount_pct"), col("e.n").as("n_rows"),
+        round(col("e.sy").cast("double") / col("e.n").cast("double") / 100.0, 6)
+          .as("raw_mean_qty"),
+        round(element_at(col("iso"), col("i") + 1) / 100.0, 6)
+          .as("iso_mean_qty"))
+      .orderBy("discount_pct")
+  }
+
+  val isotonicQtyByDiscountSql: String =
+    """WITH lvl AS (
+      |  SELECT CAST(round(l_discount * 100) AS INTEGER) AS pct,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS sy
+      |  FROM lineitem GROUP BY 1),
+      |arr AS (
+      |  SELECT list(struct_pack(pct := pct, n := n, sy := sy) ORDER BY pct)
+      |    AS a FROM lvl),
+      |pre AS (
+      |  SELECT a,
+      |    list_transform(generate_series(0, len(a)), t ->
+      |      CAST(coalesce(list_sum(list_transform(a[1:t], e -> e.sy)), 0)
+      |        AS BIGINT)) AS py,
+      |    list_transform(generate_series(0, len(a)), t ->
+      |      CAST(coalesce(list_sum(list_transform(a[1:t], e -> e.n)), 0)
+      |        AS BIGINT)) AS pn
+      |  FROM arr),
+      |iso AS (
+      |  SELECT a, list_transform(generate_series(1, len(a)), i ->
+      |    list_max(list_transform(generate_series(1, i), j ->
+      |      list_min(list_transform(generate_series(i, len(a)), k ->
+      |        CAST(py[k + 1] - py[j] AS DOUBLE)
+      |          / CAST(pn[k + 1] - pn[j] AS DOUBLE)))))) AS iso
+      |  FROM pre)
+      |SELECT a[i].pct AS discount_pct, a[i].n AS n_rows,
+      |  round(CAST(a[i].sy AS DOUBLE) / a[i].n / 100.0, 6) AS raw_mean_qty,
+      |  round(iso[i] / 100.0, 6) AS iso_mean_qty
+      |FROM iso, unnest(generate_series(1, len(a))) AS t(i)
+      |ORDER BY discount_pct""".stripMargin
 }

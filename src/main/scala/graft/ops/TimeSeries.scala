@@ -1364,4 +1364,46 @@ object TimeSeries {
       |        AS DOUBLE)/18.0), 6) END AS z
       |FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
       |ORDER BY event_type""".stripMargin
+
+  /** DAILY OHLC BARS of event value — the candlestick aggregation
+    * (open/high/low/close + volume + turnover) every monitoring and
+    * financial surface draws: the whole day's activity compressed to
+    * one deterministic row.
+    *
+    * Determinism: open/close tie-break on (ts, event_id) — min_by /
+    * max_by over a struct key, so simultaneous events pick the same
+    * winner on both engines; all values exact cents.
+    *
+    * Scale: ONE map-side-combinable aggregate over the day key (min_by
+    * and max_by partials merge associatively — no window, no sort). */
+  def ohlcDaily(s: SparkSession, d: String): DataFrame = {
+    val cents = col("value").cast(DecimalType(18, 2)) * 100
+    Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("ts"), col("event_id"), cents.cast("long").as("cents"))
+      .groupBy("day")
+      .agg(min_by(col("cents"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        max_by(col("cents"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("cents")).cast("long").as("turnover"))
+      .orderBy("day")
+  }
+
+  val ohlcDailySql: String =
+    """WITH ev AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE)
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT day,
+      |  min_by(cents, rn) AS open,
+      |  max(cents) AS high,
+      |  min(cents) AS low,
+      |  max_by(cents, rn) AS close,
+      |  count(*) AS volume,
+      |  CAST(sum(cents) AS BIGINT) AS turnover
+      |FROM ev GROUP BY day ORDER BY day""".stripMargin
 }

@@ -142,6 +142,54 @@ class NewOpsR7Spec extends GraftTestBase {
     beta should (be >= 0.0 and be <= 1.0)
   }
 
+  behavior of "TimeSeries.ohlcDaily"
+
+  it should "order the bar bounds and conserve volume" in {
+    val rows = TimeSeries.ohlcDaily(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Long]("open"), r.getAs[Long]("high"),
+        r.getAs[Long]("low"), r.getAs[Long]("close"))
+      h should be >= math.max(o, c)
+      l should be <= math.min(o, c)
+      r.getAs[Long]("volume") should be > 0L
+    }
+    rows.map(_.getAs[Long]("volume")).sum shouldBe
+      graft.Tables.events(spark, sf).count()
+  }
+
+  behavior of "Analytics.neymanAllocation"
+
+  it should "normalize shares and respect the budget" in {
+    val rows = Analytics.neymanAllocation(spark, sf).collect()
+    rows should not be empty
+    rows.map(_.getAs[Double]("share")).sum shouldBe (1.0 +- 1e-4)
+    val total = rows.map(_.getAs[Long]("alloc")).sum
+    total should be <= Analytics.surveyBudget
+    // floor loses at most one unit per stratum
+    total should be > Analytics.surveyBudget - rows.length
+    rows.foreach(_.getAs[Double]("stddev_bal") should be > 0.0)
+  }
+
+  behavior of "Analytics.isotonicQtyByDiscount"
+
+  it should "produce a monotone fit that conserves weighted mass" in {
+    val rows = Analytics.isotonicQtyByDiscount(spark, sf).collect()
+      .sortBy(_.getAs[Int]("discount_pct"))
+    rows should not be empty
+    // the fit is non-decreasing in discount
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Double]("iso_mean_qty") should be >=
+        a.getAs[Double]("iso_mean_qty") - 1e-9
+    }
+    // PAVA conserves the weighted mean: Σ n·iso = Σ n·raw
+    val wIso = rows.map(r =>
+      r.getAs[Long]("n_rows") * r.getAs[Double]("iso_mean_qty")).sum
+    val wRaw = rows.map(r =>
+      r.getAs[Long]("n_rows") * r.getAs[Double]("raw_mean_qty")).sum
+    wIso shouldBe (wRaw +- math.max(1e-6 * wRaw, 1e-2))
+  }
+
   behavior of "TextAnalysis.jsdSources"
 
   it should "stay inside [0, ln 2] and be complete over source pairs" in {
