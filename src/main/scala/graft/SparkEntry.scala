@@ -254,6 +254,7 @@ object SparkEntry {
     "q_neg_sample"      -> (graft.ops.Training.negativeSampling _),
     "q_harmonic"        -> (graft.ops.Graph.harmonicCentrality _),
     "q_assortativity"   -> (graft.ops.Graph.degreeAssortativity _),
+    "q_clustering_coef" -> (graft.ops.Graph.clusteringCoefficient _),
     "q_srm"             -> (graft.ops.Behavior.sampleRatioCheck _),
     "q_octile_shape"    -> (graft.ops.Analytics.octileShapeByFlag _),
     "q_dp_histogram"    -> (graft.ops.Privacy.dpNoisyHistogram _),
@@ -732,6 +733,7 @@ object SparkEntry {
     "q_neg_sample"    -> graft.ops.Training.negativeSamplingSql,
     "q_harmonic"      -> graft.ops.Graph.harmonicCentralitySql,
     "q_assortativity" -> graft.ops.Graph.degreeAssortativitySql,
+    "q_clustering_coef" -> graft.ops.Graph.clusteringCoefficientSql,
     "q_srm"           -> graft.ops.Behavior.sampleRatioCheckSql,
     "q_octile_shape"  -> graft.ops.Analytics.octileShapeByFlagSql,
     "q_dp_histogram"  -> graft.ops.Privacy.dpNoisyHistogramSql,

@@ -190,6 +190,28 @@ class NewOpsR7Spec extends GraftTestBase {
     wIso shouldBe (wRaw +- math.max(1e-6 * wRaw, 1e-2))
   }
 
+  behavior of "Graph.clusteringCoefficient"
+
+  it should "bound coefficients and agree with the triangle census" in {
+    val rows = Graph.clusteringCoefficient(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Double]("local_cc") should (be >= 0.0 and be <= 1.0 + 1e-9)
+      r.getAs[Double]("transitivity") should (be >= 0.0 and be <= 1.0 + 1e-9)
+      // a vertex in t triangles needs degree ≥ 2 and t ≤ C(deg, 2)
+      val dg = r.getAs[Long]("degree")
+      r.getAs[Long]("n_triangles") should be <= dg * (dg - 1) / 2
+    }
+    // Σ_v t(v) = 3 · T (every triangle credits its three corners)
+    val census = Graph.coPurchaseTriangles(spark, sf).collect().head
+    val globalT = census.getAs[Long]("n_triangles")
+    // the top-20 can't exceed the global bound
+    rows.map(_.getAs[Long]("n_triangles")).max should be <= globalT
+    // transitivity replica from the census row
+    val trans = 3.0 * globalT / census.getAs[Long]("n_wedges")
+    rows.head.getAs[Double]("transitivity") shouldBe (trans +- 1e-6)
+  }
+
   behavior of "TextAnalysis.jsdSources"
 
   it should "stay inside [0, ln 2] and be complete over source pairs" in {
