@@ -103,6 +103,9 @@ object SparkEntry {
     "q_ohlc"            -> (graft.ops.TimeSeries.ohlcDaily _),
     "q_stratified"      -> (graft.ops.Analytics.neymanAllocation _),
     "q_isotonic"        -> (graft.ops.Analytics.isotonicQtyByDiscount _),
+    "q_drawdown"        -> (graft.ops.TimeSeries.maxDrawdown _),
+    "q_bollinger"       -> (graft.ops.TimeSeries.bollingerBreakouts _),
+    "q_rsi"             -> (graft.ops.TimeSeries.rsiDaily _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -566,6 +569,9 @@ object SparkEntry {
     "q_hhi"           -> graft.ops.Analytics.hhiByNationSql,
     "q_ohlc"          -> graft.ops.TimeSeries.ohlcDailySql,
     "q_stratified"    -> graft.ops.Analytics.neymanAllocationSql,
+    "q_drawdown"      -> graft.ops.TimeSeries.maxDrawdownSql,
+    "q_bollinger"     -> graft.ops.TimeSeries.bollingerBreakoutsSql,
+    "q_rsi"           -> graft.ops.TimeSeries.rsiDailySql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

@@ -1406,4 +1406,184 @@ object TimeSeries {
       |  count(*) AS volume,
       |  CAST(sum(cents) AS BIGINT) AS turnover
       |FROM ev GROUP BY day ORDER BY day""".stripMargin
+
+  /** Shared per-(event_type, day) exact-cents daily revenue frame for
+    * the finance-window battery below. One map-side-combinable
+    * aggregate over the facts; everything downstream runs on
+    * O(types × days) rows. */
+  private def dailyCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+
+  /** MAX DRAWDOWN per event type: the deepest peak-to-trough fall of
+    * the cumulative daily revenue series — the risk statistic every
+    * financial/monitoring dashboard pins next to the equity curve.
+    *
+    * Exact integers end to end: running sum and running max of cents
+    * over the day-ordered per-type frame, drawdown = peak − equity,
+    * trough picked by (drawdown DESC, day) row_number — ties break to
+    * the EARLIEST day on both engines.
+    *
+    * Scale: windows run over the O(types × days) aggregate, partitioned
+    * by event_type (the [[cusumChangepoint]] class) — the facts are
+    * touched once by the combinable day aggregate. */
+  def maxDrawdown(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = dailyCents(s, d)
+      .withColumn("equity", sum(col("cents")).over(ord))
+      .withColumn("peak", max(col("equity")).over(ord))
+      .withColumn("dd", col("peak") - col("equity"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("dd").desc, col("day"))
+    scored.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("trough_day"),
+        col("peak").cast("long").as("peak_cents"),
+        col("equity").cast("long").as("equity_cents"),
+        col("dd").cast("long").as("max_drawdown"))
+      .orderBy("event_type")
+  }
+
+  val maxDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1,2),
+      |eq0 AS (
+      |  SELECT event_type, day,
+      |    sum(cents) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+      |  FROM daily),
+      |eq AS (
+      |  SELECT event_type, day, equity,
+      |    max(equity) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM eq0),
+      |ranked AS (
+      |  SELECT *, peak - equity AS dd,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY peak - equity DESC, day) AS rk
+      |  FROM eq)
+      |SELECT event_type, day AS trough_day,
+      |  CAST(peak AS BIGINT) AS peak_cents,
+      |  CAST(equity AS BIGINT) AS equity_cents,
+      |  CAST(dd AS BIGINT) AS max_drawdown
+      |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** BOLLINGER BAND BREAKOUTS, integer-exact: days whose revenue falls
+    * outside mean ± 2σ of the trailing 7-day window. The band test is
+    * algebraically cleared of ALL floating point — |x−S/n| > 2σ with
+    * population σ² = (nQ−S²)/n² is exactly (nx−S)² > 4(nQ−S²) in
+    * integers — so the breakout flag can never flip on a ulp, the
+    * failure mode that makes naive float band comparisons
+    * engine-divergent (the repo-wide floor/compare discipline).
+    *
+    * Only full 7-day windows emit (a 3-day "band" is noise). Squares
+    * ride in decimal(38,0): at 100× volume the deviation square passes
+    * int64 range long before the data does.
+    *
+    * Scale: one combinable day aggregate over facts, then ROWS-framed
+    * window sums over O(types × days). */
+  def bollingerBreakouts(s: SparkSession, d: String): DataFrame = {
+    val n = 7
+    val big = DecimalType(38, 0)
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val x = col("cents").cast(big)
+    val scored = dailyCents(s, d)
+      .withColumn("s", sum(x).over(w))
+      .withColumn("q", sum(x * x).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+    val dev = lit(n) * col("cents").cast(big) - col("s")
+    val varN2 = lit(n) * col("q") - col("s") * col("s") // n² · σ²
+    scored.filter(col("m") === n && dev * dev > lit(4) * varN2)
+      .select(col("event_type"), col("day"), col("cents"),
+        col("s").cast("long").as("win_sum"),
+        when(lit(n) * col("cents").cast(big) > col("s"), lit("above"))
+          .otherwise(lit("below")).as("side"))
+      .orderBy("event_type", "day")
+  }
+
+  val bollingerBreakoutsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1,2),
+      |win AS (
+      |  SELECT event_type, day, cents,
+      |    sum(CAST(cents AS HUGEINT)) OVER w AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) OVER w AS q,
+      |    count(*) OVER w AS m
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, cents,
+      |  CAST(s AS BIGINT) AS win_sum,
+      |  CASE WHEN 7 * CAST(cents AS HUGEINT) > s THEN 'above'
+      |    ELSE 'below' END AS side
+      |FROM win
+      |WHERE m = 7
+      |  AND (7 * CAST(cents AS HUGEINT) - s)
+      |    * (7 * CAST(cents AS HUGEINT) - s) > 4 * (7 * q - s * s)
+      |ORDER BY event_type, day""".stripMargin
+
+  /** RSI-14 (cutoff form): per event type, the relative-strength index
+    * of daily revenue over the trailing 14 day-over-day moves —
+    * RSI = 100·G/(G+L) with G/L the exact-cents gain/loss sums, so the
+    * only floating op is ONE division, rounded to 6 (the simple
+    * equal-weight RSI; Wilder's recursive smoothing is an EWMA of the
+    * same series — [[ewmaDaily]]'s class). G+L = 0 (14 flat days) pins
+    * to NULL explicitly on both engines.
+    *
+    * Scale: combinable day aggregate over facts; lag + trailing sums
+    * over O(types × days) rows. */
+  def rsiDaily(s: SparkSession, d: String): DataFrame = {
+    val n = 14
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val trail = ord.rowsBetween(-(n - 1), Window.currentRow)
+    val withDelta = dailyCents(s, d)
+      .withColumn("delta", col("cents") - lag(col("cents"), 1).over(ord))
+      .filter(col("delta").isNotNull)
+    val scored = withDelta
+      .withColumn("g", sum(greatest(col("delta"), lit(0L))).over(trail))
+      .withColumn("l", sum(greatest(-col("delta"), lit(0L))).over(trail))
+      .withColumn("m", count(lit(1)).over(trail))
+    scored.filter(col("m") === n)
+      .select(col("event_type"), col("day"),
+        col("g").cast("long").as("gain_sum"),
+        col("l").cast("long").as("loss_sum"),
+        when(col("g") + col("l") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(100.0) * col("g").cast("double") /
+            (col("g") + col("l")).cast("double"), 6)).as("rsi"))
+      .orderBy("event_type", "day")
+  }
+
+  val rsiDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1,2),
+      |delta AS (
+      |  SELECT event_type, day,
+      |    cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS delta
+      |  FROM daily),
+      |win AS (
+      |  SELECT event_type, day,
+      |    sum(greatest(delta, 0)) OVER w AS g,
+      |    sum(greatest(-delta, 0)) OVER w AS l,
+      |    count(*) OVER w AS m
+      |  FROM delta WHERE delta IS NOT NULL
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day,
+      |  CAST(g AS BIGINT) AS gain_sum, CAST(l AS BIGINT) AS loss_sum,
+      |  CASE WHEN g + l = 0 THEN NULL
+      |    ELSE round(100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE), 6)
+      |  END AS rsi
+      |FROM win WHERE m = 14 ORDER BY event_type, day""".stripMargin
 }

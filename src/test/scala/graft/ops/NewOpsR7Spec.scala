@@ -226,4 +226,74 @@ class NewOpsR7Spec extends GraftTestBase {
       r.getAs[String]("s1") should be < r.getAs[String]("s2")
     }
   }
+
+  /** Shared brute-force daily-cents replica for the finance battery. */
+  private def dailyCentsLocal(): Map[String, Seq[Long]] = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rs) => t -> rs.sortBy(_._2).map(_._3).toSeq }
+  }
+
+  behavior of "TimeSeries.maxDrawdown"
+
+  it should "match a driver-side running peak-to-trough replica" in {
+    val rows = TimeSeries.maxDrawdown(spark, sf).collect()
+    val series = dailyCentsLocal()
+    rows.length shouldBe series.size
+    rows.foreach { r =>
+      val xs = series(r.getAs[String]("event_type"))
+      val equity = xs.scanLeft(0L)(_ + _).tail
+      val dd = equity.zip(equity.scanLeft(Long.MinValue)(math.max).tail)
+        .map { case (e, p) => p - e }
+      r.getAs[Long]("max_drawdown") shouldBe dd.max
+      r.getAs[Long]("peak_cents") - r.getAs[Long]("equity_cents") shouldBe dd.max
+    }
+  }
+
+  behavior of "TimeSeries.bollingerBreakouts"
+
+  it should "flag exactly the days outside the integer-exact 2-sigma band" in {
+    val rows = TimeSeries.bollingerBreakouts(spark, sf).collect()
+    val series = dailyCentsLocal()
+    val expected = series.toSeq.flatMap { case (t, xs) =>
+      xs.sliding(7).zipWithIndex.collect {
+        case (w, _) if {
+          val x = BigInt(w.last); val sS = w.map(BigInt(_)).sum
+          val q = w.map(v => BigInt(v) * v).sum
+          val dev = 7 * x - sS
+          dev * dev > 4 * (7 * q - sS * sS)
+        } => t
+      }
+    }
+    rows.length shouldBe expected.length
+    rows.foreach { r =>
+      val above = r.getAs[String]("side") == "above"
+      val dev = 7L * r.getAs[Long]("cents") - r.getAs[Long]("win_sum")
+      (dev > 0) shouldBe above
+    }
+  }
+
+  behavior of "TimeSeries.rsiDaily"
+
+  it should "emit one full-window row per qualifying day with RSI in [0,100]" in {
+    val rows = TimeSeries.rsiDaily(spark, sf).collect()
+    val series = dailyCentsLocal()
+    val expected = series.values.map(xs => math.max(0, xs.length - 14)).sum
+    rows.length shouldBe expected
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gain_sum"); val l = r.getAs[Long]("loss_sum")
+      g should be >= 0L; l should be >= 0L
+      if (g + l > 0) {
+        val rsi = r.getAs[Double]("rsi")
+        rsi should (be >= 0.0 and be <= 100.0)
+        rsi shouldBe (100.0 * g / (g + l) +- 1e-6)
+      }
+    }
+  }
 }
