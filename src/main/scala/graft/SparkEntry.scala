@@ -106,6 +106,10 @@ object SparkEntry {
     "q_drawdown"        -> (graft.ops.TimeSeries.maxDrawdown _),
     "q_bollinger"       -> (graft.ops.TimeSeries.bollingerBreakouts _),
     "q_rsi"             -> (graft.ops.TimeSeries.rsiDaily _),
+    "q_anova"           -> (graft.ops.Analytics.anovaValueByType _),
+    "q_levene"          -> (graft.ops.Analytics.leveneQtyByFlag _),
+    "q_burstiness"      -> (graft.ops.Behavior.burstinessPerUser _),
+    "q_ljung_box"       -> (graft.ops.TimeSeries.ljungBox _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -572,6 +576,10 @@ object SparkEntry {
     "q_drawdown"      -> graft.ops.TimeSeries.maxDrawdownSql,
     "q_bollinger"     -> graft.ops.TimeSeries.bollingerBreakoutsSql,
     "q_rsi"           -> graft.ops.TimeSeries.rsiDailySql,
+    "q_anova"         -> graft.ops.Analytics.anovaValueByTypeSql,
+    "q_levene"        -> graft.ops.Analytics.leveneQtyByFlagSql,
+    "q_burstiness"    -> graft.ops.Behavior.burstinessPerUserSql,
+    "q_ljung_box"     -> graft.ops.TimeSeries.ljungBoxSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

@@ -2431,4 +2431,162 @@ object Analytics {
       |  round(iso[i] / 100.0, 6) AS iso_mean_qty
       |FROM iso, unnest(generate_series(1, len(a))) AS t(i)
       |ORDER BY discount_pct""".stripMargin
+
+  /** ONE-WAY ANOVA: does mean event value differ across event types?
+    * F = (SSB/(k−1)) / (SSW/(N−k)) over exact-cents power sums.
+    *
+    * Determinism: per-group n/Σx/Σx² are exact decimal(38,0); the
+    * group-term sums Σ S_g²/n_g and SSW fold over the event_type-SORTED
+    * group array (k = 5), so both engines accumulate the only float
+    * terms in identical order — the [[theilSenTrend]]/markov left-fold
+    * discipline. eta² (variance explained) ships alongside.
+    *
+    * Scale: ONE map-side-combinable aggregate over facts → k rows →
+    * one-row fold. No window, no join, no shuffle beyond the k-group
+    * aggregate. */
+  def anovaValueByType(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val groups = Tables.events(s, d)
+      .select(col("event_type"), cents.as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(big)).cast(big).as("sx"),
+        sum(col("x").cast(big) * col("x").cast(big)).cast(big).as("sq"))
+    groups
+      .agg(sort_array(collect_list(struct(
+        col("event_type"), col("n"), col("sx"), col("sq")))).as("a"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("n")).cast("long").as("n_total"),
+        sum(col("sx")).cast(big).as("gs"),
+        sum(col("sq")).cast(big).as("gq"))
+      .select(col("k"), col("n_total"),
+        // Σ S_g²/n_g folded in event_type order (the only float terms)
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE),
+                 (acc, e) -> acc + CAST(e.sx * e.sx AS DOUBLE) / e.n)""")
+          .as("sg"),
+        col("gs"), col("gq"))
+      .select(col("k"), col("n_total"),
+        round(col("sg") - (col("gs") * col("gs")).cast("double")
+          / col("n_total"), 6).as("ssb"),
+        round(col("gq").cast("double") - col("sg"), 6).as("ssw"),
+        round(((col("sg") - (col("gs") * col("gs")).cast("double")
+            / col("n_total")) / (col("k") - 1)) /
+          ((col("gq").cast("double") - col("sg"))
+            / (col("n_total") - col("k"))), 6).as("f_stat"),
+        round((col("sg") - (col("gs") * col("gs")).cast("double")
+            / col("n_total")) /
+          (col("gq").cast("double") - (col("gs") * col("gs")).cast("double")
+            / col("n_total")), 6).as("eta_sq"))
+  }
+
+  val anovaValueByTypeSql: String =
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)) AS sx,
+      |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT) * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS sq
+      |  FROM events GROUP BY 1),
+      |folded AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+      |    list_sum(list_transform(
+      |      list(struct_pack(sx := sx, n := n) ORDER BY event_type),
+      |      e -> CAST(e.sx * e.sx AS DOUBLE) / e.n)) AS sg,
+      |    sum(sx) AS gs, sum(sq) AS gq
+      |  FROM g)
+      |SELECT CAST(k AS BIGINT) AS k, n_total,
+      |  round(sg - CAST(gs * gs AS DOUBLE) / n_total, 6) AS ssb,
+      |  round(CAST(gq AS DOUBLE) - sg, 6) AS ssw,
+      |  round(((sg - CAST(gs * gs AS DOUBLE) / n_total) / (k - 1)) /
+      |    ((CAST(gq AS DOUBLE) - sg) / (n_total - k)), 6) AS f_stat,
+      |  round((sg - CAST(gs * gs AS DOUBLE) / n_total) /
+      |    (CAST(gq AS DOUBLE) - CAST(gs * gs AS DOUBLE) / n_total), 6)
+      |    AS eta_sq
+      |FROM folded""".stripMargin
+
+  /** BROWN-FORSYTHE LEVENE TEST: are quantity spreads equal across
+    * return flags? ANOVA-F on |x − median_g| — the robust (median-
+    * centered) variance-homogeneity test that gates pooled-variance
+    * assumptions (the classic companion check to [[anovaValueByType]]).
+    *
+    * Exactness: l_quantity's 50-value domain makes the group median a
+    * CENSUS selection (cumulative counts over O(domain) rows — the
+    * [[hodgesLehmannQty]] class), the lower median at rank ⌈n/2⌉ pinned
+    * identically in both engines; deviations are then exact integers
+    * and all power sums exact decimals. The k = 3 group terms fold in
+    * flag order as in [[anovaValueByType]].
+    *
+    * Scale: one domain census over facts; everything downstream runs on
+    * O(domain × k) rows. */
+  def leveneQtyByFlag(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cells = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("m"))
+      .localCheckpoint() // two consumers: median selection + dev sums
+    val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    val med = cells
+      .select(col("l_returnflag"), col("v"),
+        sum(col("m")).over(wCum).as("cum"),
+        sum(col("m")).over(wAll).as("tot"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag").agg(min(col("v")).as("med"))
+    val dev = cells.join(med, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("m"),
+        abs(col("v") - col("med")).cast(big).as("dv"))
+    val groups = dev.groupBy("l_returnflag")
+      .agg(sum(col("m")).cast("long").as("n"),
+        sum(col("dv") * col("m")).cast(big).as("sx"),
+        sum(col("dv") * col("dv") * col("m")).cast(big).as("sq"))
+    groups
+      .agg(sort_array(collect_list(struct(
+        col("l_returnflag"), col("n"), col("sx"), col("sq")))).as("a"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("n")).cast("long").as("n_total"),
+        sum(col("sx")).cast(big).as("gs"),
+        sum(col("sq")).cast(big).as("gq"))
+      .select(col("k"), col("n_total"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE),
+                 (acc, e) -> acc + CAST(e.sx * e.sx AS DOUBLE) / e.n)""")
+          .as("sg"),
+        col("gs"), col("gq"))
+      .select(col("k"), col("n_total"),
+        round(((col("sg") - (col("gs") * col("gs")).cast("double")
+            / col("n_total")) / (col("k") - 1)) /
+          ((col("gq").cast("double") - col("sg"))
+            / (col("n_total") - col("k"))), 6).as("f_stat"))
+  }
+
+  val leveneQtyByFlagSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, count(*) AS m
+      |  FROM lineitem GROUP BY 1, 2),
+      |med AS (
+      |  SELECT l_returnflag, min(v) AS med FROM (
+      |    SELECT l_returnflag, v,
+      |      sum(m) OVER (PARTITION BY l_returnflag ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(m) OVER (PARTITION BY l_returnflag) AS tot
+      |    FROM cells)
+      |  WHERE cum * 2 >= tot GROUP BY 1),
+      |g AS (
+      |  SELECT c.l_returnflag, CAST(sum(m) AS BIGINT) AS n,
+      |    sum(CAST(abs(v - med) AS HUGEINT) * m) AS sx,
+      |    sum(CAST(abs(v - med) AS HUGEINT) * abs(v - med) * m) AS sq
+      |  FROM cells c JOIN med USING (l_returnflag) GROUP BY 1),
+      |folded AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+      |    list_sum(list_transform(
+      |      list(struct_pack(sx := sx, n := n) ORDER BY l_returnflag),
+      |      e -> CAST(e.sx * e.sx AS DOUBLE) / e.n)) AS sg,
+      |    sum(sx) AS gs, sum(sq) AS gq
+      |  FROM g)
+      |SELECT CAST(k AS BIGINT) AS k, n_total,
+      |  round(((sg - CAST(gs * gs AS DOUBLE) / n_total) / (k - 1)) /
+      |    ((CAST(gq AS DOUBLE) - sg) / (n_total - k)), 6) AS f_stat
+      |FROM folded""".stripMargin
 }

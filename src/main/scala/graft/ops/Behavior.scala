@@ -1551,4 +1551,67 @@ object Behavior {
       |FROM act LEFT JOIN nw USING (wk) LEFT JOIN ret USING (wk)
       |LEFT JOIN act prev ON prev.wk = act.wk - INTERVAL 7 DAY
       |ORDER BY week""".stripMargin
+
+  /** INTER-ARRIVAL BURSTINESS per user — B = (σ−μ)/(σ+μ) of the gaps
+    * between a user's consecutive events (Goh & Barabási): −1 = clockwork
+    * regular, 0 = Poisson, →1 = extreme bursts. The behavioral statistic
+    * that separates bots (B≈−1) from humans (B>0) — a first-class
+    * training-data / abuse screen.
+    *
+    * Determinism: gaps are exact integer SECONDS (epoch truncation on
+    * both engines); n/Σg/Σg² exact decimals; σ = sqrt(nQ−S²)/n uses
+    * IEEE sqrt — correctly rounded, bit-identical across engines (unlike
+    * pow/ln, sqrt is exact-ulp) — then ONE division, rounded to 6.
+    * All-zero gaps (σ+μ = 0) pin to NULL. Ships the 20 most active
+    * users, (n DESC, user_id) tie-break.
+    *
+    * Scale: ONE user_id shuffle for the lag window over raw events (the
+    * sessionize class), then per-user power sums — state is O(1) per
+    * user; top-20 via the scatter-gather top-k lemma ([[q_topk_merge]]). */
+  def burstinessPerUser(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(ord))
+      .filter(col("gap").isNotNull)
+    val stats = gaps.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("gap").cast(big)).cast(big).as("sg"),
+        sum(col("gap").cast(big) * col("gap").cast(big)).cast(big).as("qg"))
+    val sig = sqrt((col("n_gaps") * col("qg") - col("sg") * col("sg"))
+      .cast("double"))
+    stats
+      .select(col("user_id"), col("n_gaps"),
+        round(col("sg").cast("double") / col("n_gaps"), 6).as("mean_gap_s"),
+        when(sig + col("sg").cast("double") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((sig - col("sg").cast("double")) /
+            (sig + col("sg").cast("double")), 6)).as("burstiness"))
+      .orderBy(col("n_gaps").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val burstinessPerUserSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) // 1000000
+      |      - lag(epoch_us(ts) // 1000000)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |    sum(CAST(gap AS HUGEINT)) AS sg,
+      |    sum(CAST(gap AS HUGEINT) * gap) AS qg
+      |  FROM gaps WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+      |  round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+      |  CASE WHEN sqrt(CAST(n_gaps * qg - sg * sg AS DOUBLE))
+      |      + CAST(sg AS DOUBLE) = 0 THEN NULL
+      |    ELSE round((sqrt(CAST(n_gaps * qg - sg * sg AS DOUBLE))
+      |        - CAST(sg AS DOUBLE))
+      |      / (sqrt(CAST(n_gaps * qg - sg * sg AS DOUBLE))
+      |        + CAST(sg AS DOUBLE)), 6) END AS burstiness
+      |FROM st ORDER BY n_gaps DESC, user_id LIMIT 20""".stripMargin
 }

@@ -1586,4 +1586,70 @@ object TimeSeries {
       |    ELSE round(100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE), 6)
       |  END AS rsi
       |FROM win WHERE m = 14 ORDER BY event_type, day""".stripMargin
+
+  /** LJUNG-BOX PORTMANTEAU TEST on daily order revenue: is the series
+    * white noise, or is there autocorrelation at ANY lag ≤ 7?
+    * Q = n(n+2) Σ_k ρ_k²/(n−k) over [[acfDailyRevenue]]'s lag-k
+    * correlations — the standard residual-whiteness gate run after any
+    * forecast fit ([[rollingOlsDaily]], [[ewmaDaily]], q_seasonal).
+    *
+    * Determinism: ρ_k comes from exact decimal power sums with sqrt as
+    * the only transcendental (correctly rounded per IEEE, so
+    * bit-identical) — and the 7 Q-terms fold over the lag-SORTED array,
+    * both engines accumulating in identical order. n (day count) is
+    * taken from the same daily frame the ACF pairs join over.
+    *
+    * Scale: the day aggregate is the only pass over facts; everything
+    * else is O(days·7) then one 7-element fold. */
+  def ljungBox(s: SparkSession, d: String): DataFrame = {
+    val acf = acfDailyRevenue(s, d)
+    val n = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    acf.crossJoin(broadcast(n))
+      .agg(max(col("n_days")).as("n_days"),
+        count(lit(1)).cast("long").as("h"),
+        sort_array(collect_list(struct(col("lag"), col("acf"),
+          col("n_days").as("nd")))).as("a"))
+      .select(col("n_days"), col("h"),
+        round(expr("""aggregate(a, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + e.acf * e.acf / (e.nd - e.lag))""")
+          * col("n_days") * (col("n_days") + 2), 6).as("q_stat"))
+  }
+
+  val ljungBoxSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+      |pairs AS (
+      |  SELECT l.lag, a.cents AS x, b.cents AS y
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |m AS (
+      |  SELECT lag, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pairs GROUP BY lag),
+      |rho AS (
+      |  SELECT CAST(lag AS INT) AS lag,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+      |  FROM m),
+      |nd AS (SELECT count(*) AS n_days FROM daily),
+      |folded AS (
+      |  SELECT max(n_days) AS n_days, count(*) AS h,
+      |    list_sum(list_transform(
+      |      list(struct_pack(lag := lag, acf := acf, nd := n_days)
+      |        ORDER BY lag),
+      |      e -> e.acf * e.acf / (e.nd - e.lag))) AS ssum
+      |  FROM rho CROSS JOIN nd)
+      |SELECT CAST(n_days AS BIGINT) AS n_days, CAST(h AS BIGINT) AS h,
+      |  round(ssum * n_days * (n_days + 2), 6) AS q_stat
+      |FROM folded""".stripMargin
 }

@@ -296,4 +296,86 @@ class NewOpsR7Spec extends GraftTestBase {
       }
     }
   }
+
+  behavior of "Analytics.anovaValueByType"
+
+  it should "match a driver-side one-way ANOVA replica" in {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.anovaValueByType(spark, sf).collect().head
+    val xs = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    val n = xs.values.map(_.length).sum
+    val grand = xs.values.flatten.sum / n
+    val ssb = xs.values.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = xs.values.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val f = (ssb / (xs.size - 1)) / (ssw / (n - xs.size))
+    r.getAs[Long]("k") shouldBe xs.size.toLong
+    r.getAs[Long]("n_total") shouldBe n.toLong
+    r.getAs[Double]("f_stat") shouldBe (f +- (math.abs(f) * 1e-6 + 1e-6))
+    r.getAs[Double]("eta_sq") should (be >= 0.0 and be <= 1.0)
+  }
+
+  behavior of "Analytics.leveneQtyByFlag"
+
+  it should "match a Brown-Forsythe replica with lower-median centering" in {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.leveneQtyByFlag(spark, sf).collect().head
+    val xs = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val devs = xs.map { case (k, vs) =>
+      val sorted = vs.sorted
+      // lower median: smallest v with 2·rank ≥ n (the census pick)
+      val med = sorted((vs.length + 1) / 2 - 1)
+      k -> vs.map(v => math.abs(v - med).toDouble)
+    }
+    val n = devs.values.map(_.length).sum
+    val grand = devs.values.flatten.sum / n
+    val ssb = devs.values.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = devs.values.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val f = (ssb / (devs.size - 1)) / (ssw / (n - devs.size))
+    r.getAs[Double]("f_stat") shouldBe (f +- (math.abs(f) * 1e-6 + 1e-6))
+  }
+
+  behavior of "Behavior.burstinessPerUser"
+
+  it should "keep B in [-1, 1) and match a replica for the top user" in {
+    val rows = Behavior.burstinessPerUser(spark, sf).collect()
+    rows.length should be <= 20
+    rows.foreach { r =>
+      Option(r.getAs[Any]("burstiness")).foreach { b =>
+        b.asInstanceOf[Double] should (be >= -1.0 and be < 1.0)
+      }
+    }
+    // replica for the most active user
+    import org.apache.spark.sql.functions._
+    val top = rows.head.getAs[Long]("user_id")
+    val secs = graft.Tables.events(spark, sf)
+      .filter(col("user_id") === top)
+      .select(col("ts").cast("long"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.map(_._1)
+    val gaps = secs.sliding(2).map(p => (p(1) - p(0)).toDouble).toSeq
+    val mu = gaps.sum / gaps.length
+    val sg = math.sqrt(gaps.map(g => (g - mu) * (g - mu)).sum / gaps.length)
+    val b = (sg - mu) / (sg + mu)
+    rows.head.getAs[Long]("n_gaps") shouldBe gaps.length.toLong
+    rows.head.getAs[Double]("burstiness") shouldBe (b +- 1e-5)
+  }
+
+  behavior of "TimeSeries.ljungBox"
+
+  it should "produce a nonnegative Q over 7 lags" in {
+    val r = TimeSeries.ljungBox(spark, sf).collect().head
+    r.getAs[Long]("h") shouldBe 7L
+    r.getAs[Double]("q_stat") should be >= 0.0
+    // Q consistency: bounded above by n(n+2)·Σ 1/(n−k) with |ρ|≤1
+    val n = r.getAs[Long]("n_days").toDouble
+    val bound = n * (n + 2) * (1 to 7).map(k => 1.0 / (n - k)).sum
+    r.getAs[Double]("q_stat") should be <= bound
+  }
 }
