@@ -110,6 +110,8 @@ object SparkEntry {
     "q_levene"          -> (graft.ops.Analytics.leveneQtyByFlag _),
     "q_burstiness"      -> (graft.ops.Behavior.burstinessPerUser _),
     "q_ljung_box"       -> (graft.ops.TimeSeries.ljungBox _),
+    "q_link_pred"       -> (graft.ops.Graph.linkPrediction _),
+    "q_eigencentrality" -> (graft.ops.Graph.eigenCentrality _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -580,6 +582,8 @@ object SparkEntry {
     "q_levene"        -> graft.ops.Analytics.leveneQtyByFlagSql,
     "q_burstiness"    -> graft.ops.Behavior.burstinessPerUserSql,
     "q_ljung_box"     -> graft.ops.TimeSeries.ljungBoxSql,
+    "q_link_pred"     -> graft.ops.Graph.linkPredictionSql,
+    "q_eigencentrality" -> graft.ops.Graph.eigenCentralitySql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

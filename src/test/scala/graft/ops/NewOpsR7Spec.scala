@@ -378,4 +378,39 @@ class NewOpsR7Spec extends GraftTestBase {
     val bound = n * (n + 2) * (1 to 7).map(k => 1.0 / (n - k)).sum
     r.getAs[Double]("q_stat") should be <= bound
   }
+
+  behavior of "Graph.linkPrediction"
+
+  it should "score only non-adjacent distance-2 pairs with consistent CN/Jaccard/RA" in {
+    val rows = Graph.linkPrediction(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (cn, ds, dv) = (r.getAs[Long]("cn"), r.getAs[Long]("ds"),
+        r.getAs[Long]("dv"))
+      cn should be >= 1L
+      cn should be <= math.min(ds, dv)
+      r.getAs[Double]("jaccard") shouldBe
+        (cn.toDouble / (ds + dv - cn) +- 1e-6)
+      val ra = r.getAs[Double]("ra")
+      ra should be > 0.0
+      ra should be <= cn.toDouble // each 1/deg term is ≤ 1
+    }
+  }
+
+  behavior of "Graph.eigenCentrality"
+
+  it should "normalize the top score to 1 and keep all scores in (0,1]" in {
+    val rows = Graph.eigenCentrality(spark, sf).collect()
+    rows should not be empty
+    rows.head.getAs[Double]("score") shouldBe 1.0
+    rows.foreach { r =>
+      r.getAs[Double]("score") should (be > 0.0 and be <= 1.0)
+    }
+    // descending with (score, vertex) tie-break
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+      assert(sa > sb || (sa == sb &&
+        a.getAs[Long]("vertex") < b.getAs[Long]("vertex")))
+    }
+  }
 }
