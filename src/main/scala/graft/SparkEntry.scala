@@ -112,6 +112,8 @@ object SparkEntry {
     "q_ljung_box"       -> (graft.ops.TimeSeries.ljungBox _),
     "q_link_pred"       -> (graft.ops.Graph.linkPrediction _),
     "q_eigencentrality" -> (graft.ops.Graph.eigenCentrality _),
+    "q_semdedup"        -> (graft.dedup.Dedup.semDedup _),
+    "q_ngram_novelty"   -> (graft.text.TextAnalysis.ngramNovelty _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -584,6 +586,8 @@ object SparkEntry {
     "q_ljung_box"     -> graft.ops.TimeSeries.ljungBoxSql,
     "q_link_pred"     -> graft.ops.Graph.linkPredictionSql,
     "q_eigencentrality" -> graft.ops.Graph.eigenCentralitySql,
+    "q_semdedup"      -> graft.dedup.Dedup.semDedupSql,
+    "q_ngram_novelty" -> graft.text.TextAnalysis.ngramNoveltySql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

@@ -807,4 +807,69 @@ object Dedup {
        |  coalesce(c.n_near_dups, 0) AS n_near_dups
        |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id""".stripMargin
   }
+
+  /** SEMDEDUP (Abbas et al. 2023): semantic deduplication blocked by
+    * CLUSTER — pairwise cosine runs only WITHIN a cluster, and each
+    * near-dup group keeps its smallest id. Here the `label` column is
+    * the cluster assignment (the paper's k-means step — any clustering
+    * plugs in, see [[graft.similarity.Similarity.kmeansCheck]]); τ=0.3
+    * picks the discriminative tail on this corpus (max pairwise cosine
+    * ~0.51). Reports per-cluster members / candidate pairs / drops and
+    * the keep rate — the curation dashboard for "how much does semantic
+    * dedup shrink my corpus".
+    *
+    * Determinism: cosine is the [[embeddingNearDup]] hoisted-norm form,
+    * bit-identical to the native expression, rounded to 4 before the τ
+    * compare (engine-portable); drop rule "v is dropped iff some u < v
+    * in its cluster has cos(u,v) ≥ τ" needs no tie-breaking at all.
+    *
+    * Scale: the pair space is per-cluster (Σ_c n_c² — the SemDeDup
+    * design point: clusters bound the quadratic), reached by an
+    * EQUI-join on the cluster key, so it shuffle-partitions across the
+    * cluster domain; norms ride the O(n) row side. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{dotProduct, l2Norm}
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+    val a = e.select(col("label"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .select(col("label"), col("va"), col("vb"),
+        round(dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.3)
+    val perCluster = pairs.groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("vb")).as("n_dropped"))
+    e.groupBy("label").agg(count(lit(1)).as("n_members"))
+      .join(perCluster, Seq("label"), "left")
+      .select(col("label"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        round((col("n_members") - coalesce(col("n_dropped"), lit(0L)))
+          .cast("double") / col("n_members"), 6).as("keep_rate"))
+      .orderBy("label")
+  }
+
+  val semDedupSql: String =
+    """WITH pairs AS (
+      |  SELECT a.label, a.vec_id AS va, b.vec_id AS vb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+      |    AS DOUBLE), 4) >= 0.3),
+      |pc AS (
+      |  SELECT label, count(*) AS n_pairs,
+      |    count(DISTINCT vb) AS n_dropped
+      |  FROM pairs GROUP BY 1),
+      |m AS (SELECT label, count(*) AS n_members FROM embeddings GROUP BY 1)
+      |SELECT m.label, CAST(m.n_members AS BIGINT) AS n_members,
+      |  CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(pc.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  round(CAST(m.n_members - coalesce(pc.n_dropped, 0) AS DOUBLE)
+      |    / m.n_members, 6) AS keep_rate
+      |FROM m LEFT JOIN pc USING (label) ORDER BY m.label""".stripMargin
 }

@@ -1238,4 +1238,87 @@ object TextAnalysis {
       |    + (1.0 - CAST(sum(c2) AS DOUBLE)/max(n2)) * ln(2.0)) / 2.0,
       |    4) AS jsd
       |FROM pairs GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+
+  /** N-GRAM NOVELTY CURVE: per doc_id decile, what fraction of each
+    * document's distinct 3-grams were ALREADY seen in an earlier doc —
+    * the corpus-freshness statistic behind "is the tail of my crawl
+    * just recombinations" (and the doc-level face of [[heapsLaw]]'s
+    * vocabulary curve; the Lee et al. dedup papers report exactly this
+    * overlap ratio before/after dedup).
+    *
+    * Distributed form: NO ordered scan — a gram's first appearance is
+    * its min doc_id (one combinable aggregate), and "seen before" for a
+    * (doc, gram) pair is just fd < doc_id after an equi-join on the
+    * gram key. Deciles are a pure projection off the contiguous doc_id
+    * domain ([[heapsLaw]]'s guard: raise_error if not contiguous).
+    *
+    * Scale: two gram-keyed shuffles (first-doc aggregate + the join
+    * back), both map-side-combinable; the 32-byte gram strings could
+    * ride as xxhash64 keys at 100 TB (the [[graft.dedup.Dedup]]
+    * span-dedup discipline) — kept as strings here for oracle parity. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("nd"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+      .select(when(col("nd") === col("span"), col("nd"))
+        .otherwise(raise_error(concat(
+          lit("ngramNovelty: doc_id not contiguous: n="),
+          col("nd"), lit(" span="), col("span"))))
+        .as("nd"))
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.shinglesFromWords(col("w"))).as("g"))
+    val fd = pairs.groupBy("g").agg(min(col("doc_id")).as("fd"))
+    val perDoc = pairs.join(fd, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(expr("doc_id * 10 DIV nd").as("decile"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).cast("long").as("grams"),
+        sum(col("n_seen")).cast("long").as("grams_seen"))
+      .select(col("decile").cast("int").as("decile"), col("n_docs"),
+        col("grams"), col("grams_seen"),
+        when(col("grams") === 0, lit(0.0))
+          .otherwise(round(col("grams_seen").cast("double")
+            / col("grams"), 6)).as("dup_frac"))
+      .orderBy("decile")
+  }
+
+  val ngramNoveltySql: String =
+    """WITH nd AS (
+      |  SELECT count(*) AS nd,
+      |    max(doc_id) - min(doc_id) + 1 AS span FROM documents),
+      |words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      |  FROM words WHERE len(w) >= 3),
+      |fd AS (SELECT g, min(doc_id) AS fd FROM pairs GROUP BY 1),
+      |per_doc AS (
+      |  SELECT p.doc_id, count(*) AS n_grams,
+      |    sum(CASE WHEN f.fd < p.doc_id THEN 1 ELSE 0 END) AS n_seen
+      |  FROM pairs p JOIN fd f USING (g) GROUP BY 1),
+      |dec AS (
+      |  SELECT (d.doc_id * 10) // nd.nd AS decile,
+      |    coalesce(pd.n_grams, 0) AS n_grams,
+      |    coalesce(pd.n_seen, 0) AS n_seen
+      |  FROM documents d CROSS JOIN nd LEFT JOIN per_doc pd
+      |    ON pd.doc_id = d.doc_id)
+      |SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
+      |  CAST(sum(n_grams) AS BIGINT) AS grams,
+      |  CAST(sum(n_seen) AS BIGINT) AS grams_seen,
+      |  CASE WHEN sum(n_grams) = 0 THEN 0.0
+      |    ELSE round(CAST(sum(n_seen) AS DOUBLE) / sum(n_grams), 6)
+      |  END AS dup_frac
+      |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
 }

@@ -413,4 +413,48 @@ class NewOpsR7Spec extends GraftTestBase {
         a.getAs[Long]("vertex") < b.getAs[Long]("vertex")))
     }
   }
+
+  behavior of "Dedup.semDedup"
+
+  it should "conserve members per cluster and bound drops by pairs" in {
+    val rows = graft.dedup.Dedup.semDedup(spark, sf).collect()
+    rows should not be empty
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    total shouldBe graft.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      val (m, p, dr) = (r.getAs[Long]("n_members"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_dropped"))
+      dr should be <= p // each drop needs at least one pair
+      dr should be < m // the smallest id always survives
+      r.getAs[Double]("keep_rate") shouldBe ((m - dr).toDouble / m +- 1e-6)
+    }
+  }
+
+  behavior of "TextAnalysis.ngramNovelty"
+
+  it should "start novel and conserve the gram census" in {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextAnalysis.ngramNovelty(spark, sf).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    rows should have size 10
+    // decile 0 contains doc 0, whose grams can't all be seen before;
+    // globally seen ≤ grams, and every gram is counted exactly once
+    rows.foreach { r =>
+      r.getAs[Long]("grams_seen") should be <= r.getAs[Long]("grams")
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    val totalGrams = docs
+      .select(explode(graft.dedup.Dedup.shinglesFromWords(
+        split(col("text"), " "))).as("g"))
+      .count()
+    rows.map(_.getAs[Long]("grams")).sum shouldBe totalGrams
+    // corpus-wide novelty identity: total − seen = distinct grams
+    val distinctGrams = docs
+      .select(explode(graft.dedup.Dedup.shinglesFromWords(
+        split(col("text"), " "))).as("g"))
+      .distinct().count()
+    (rows.map(_.getAs[Long]("grams")).sum -
+      rows.map(_.getAs[Long]("grams_seen")).sum) shouldBe distinctGrams
+  }
 }
