@@ -114,6 +114,11 @@ object SparkEntry {
     "q_eigencentrality" -> (graft.ops.Graph.eigenCentrality _),
     "q_semdedup"        -> (graft.dedup.Dedup.semDedup _),
     "q_ngram_novelty"   -> (graft.text.TextAnalysis.ngramNovelty _),
+    "q_perm_entropy"    -> (graft.ops.TimeSeries.permutationEntropy _),
+    "q_abc"             -> (graft.ops.Analytics.abcAnalysis _),
+    "q_new_vs_repeat"   -> (graft.ops.Analytics.newVsRepeat _),
+    "q_nelson_aalen"    -> (graft.ops.Behavior.nelsonAalen _),
+    "q_cohort_ltv"      -> (graft.ops.Behavior.cohortLtv _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -588,6 +593,11 @@ object SparkEntry {
     "q_eigencentrality" -> graft.ops.Graph.eigenCentralitySql,
     "q_semdedup"      -> graft.dedup.Dedup.semDedupSql,
     "q_ngram_novelty" -> graft.text.TextAnalysis.ngramNoveltySql,
+    "q_perm_entropy"  -> graft.ops.TimeSeries.permutationEntropySql,
+    "q_abc"           -> graft.ops.Analytics.abcAnalysisSql,
+    "q_new_vs_repeat" -> graft.ops.Analytics.newVsRepeatSql,
+    "q_nelson_aalen"  -> graft.ops.Behavior.nelsonAalenSql,
+    "q_cohort_ltv"    -> graft.ops.Behavior.cohortLtvSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

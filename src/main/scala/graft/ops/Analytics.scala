@@ -2589,4 +2589,125 @@ object Analytics {
       |  round(((sg - CAST(gs * gs AS DOUBLE) / n_total) / (k - 1)) /
       |    ((CAST(gq AS DOUBLE) - sg) / (n_total - k)), 6) AS f_stat
       |FROM folded""".stripMargin
+
+  /** ABC INVENTORY ANALYSIS: parts classified by cumulative revenue
+    * share — A carries the first 80%, B to 95%, C the tail (the Pareto
+    * cut every supply-chain and catalog-curation surface starts from).
+    *
+    * Classification is EXACT integers end to end: a part is A iff its
+    * EXCLUSIVE running revenue (everything ranked strictly above it)
+    * satisfies 5·prev < 4·total, B iff 20·prev < 19·total — no float
+    * share ever feeds a boundary compare. The running total itself is
+    * [[graft.ops.Distributed.withRunningTotal]] — range-partitioned
+    * prefix aggregation at full cluster width over the O(parts)
+    * aggregate, NOT a no-partition window funnel (the q_theilsen
+    * lesson); descending rank is the ascending range order of
+    * (−revenue, part key).
+    *
+    * Scale: one combinable part aggregate over facts; the prefix pass
+    * is the `_dist` class (range shuffle + two metadata-light passes). */
+  def abcAnalysis(s: SparkSession, d: String): DataFrame = {
+    val partRev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      // exact decimal product (the q1_agg discipline), carried in
+      // scale-4 units so no truncation ever happens on either engine
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2)))) * 10000)
+        .cast("long").as("cents"))
+      .withColumn("neg", -col("cents"))
+    val ranked = graft.ops.Distributed.withRunningTotal(partRev,
+      Seq.empty, Seq("neg", "l_partkey"), "cents", "cum", Some("tot"))
+    val prev = col("cum") - col("cents")
+    ranked
+      .select(col("l_partkey"), col("cents"),
+        when(prev * 5 < col("tot") * 4, lit("A"))
+          .when(prev * 20 < col("tot") * 19, lit("B"))
+          .otherwise(lit("C")).as("abc_class"),
+        col("tot"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).cast("long").as("revenue_e4"),
+        round(sum(col("cents")).cast("double") / max(col("tot")), 6)
+          .as("share"))
+      .orderBy("abc_class")
+  }
+
+  val abcAnalysisSql: String =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |      * 10000 AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT l_partkey, cents,
+      |    sum(cents) OVER (ORDER BY -cents, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cents) OVER () AS tot
+      |  FROM pr)
+      |SELECT CASE WHEN (cum - cents) * 5 < tot * 4 THEN 'A'
+      |    WHEN (cum - cents) * 20 < tot * 19 THEN 'B'
+      |    ELSE 'C' END AS abc_class,
+      |  count(*) AS n_parts,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_e4,
+      |  round(CAST(sum(cents) AS DOUBLE) / max(tot), 6) AS share
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** NEW-vs-REPEAT REVENUE SPLIT per month: the growth-quality readout
+    * ("is revenue new demand or the installed base?") every commerce
+    * dashboard ships. An order is NEW iff its date equals the
+    * customer's first-ever order DATE (same-day multiple first orders
+    * all count new — a deterministic, engine-identical convention; the
+    * day precision matches the testdata's date-granular orders).
+    *
+    * Scale: first-order date is one combinable min aggregate per
+    * customer; the classification join is key-shuffle on o_custkey;
+    * the month rollup is O(months). All exact cents. */
+  def newVsRepeat(s: SparkSession, d: String): DataFrame = {
+    val first = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_day"))
+    Tables.orders(s, d)
+      .join(first, col("o_custkey") === col("ck"))
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        (to_date(col("o_orderdate")) === col("first_day")).as("is_new"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .groupBy("month")
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("is_new"), 0L).otherwise(1L)).as("n_repeat"),
+        sum(when(col("is_new"), col("cents")).otherwise(0L)).cast("long")
+          .as("rev_new_cents"),
+        sum(when(col("is_new"), 0L).otherwise(col("cents"))).cast("long")
+          .as("rev_repeat_cents"))
+      .select(col("month"), col("n_new"), col("n_repeat"),
+        col("rev_new_cents"), col("rev_repeat_cents"),
+        round(col("rev_repeat_cents").cast("double") /
+          greatest(col("rev_new_cents") + col("rev_repeat_cents"), lit(1L)),
+          6).as("repeat_share"))
+      .orderBy("month")
+  }
+
+  val newVsRepeatSql: String =
+    """WITH first AS (
+      |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_day
+      |  FROM orders GROUP BY 1),
+      |classed AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(o.o_orderdate AS DATE) = f.first_day AS is_new,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN first f USING (o_custkey))
+      |SELECT month,
+      |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_repeat,
+      |  CAST(sum(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+      |    AS rev_new_cents,
+      |  CAST(sum(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT)
+      |    AS rev_repeat_cents,
+      |  round(CAST(sum(CASE WHEN is_new THEN 0 ELSE cents END) AS DOUBLE)
+      |    / greatest(sum(cents), 1), 6) AS repeat_share
+      |FROM classed GROUP BY month ORDER BY month""".stripMargin
 }

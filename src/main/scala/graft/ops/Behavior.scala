@@ -1614,4 +1614,165 @@ object Behavior {
       |      / (sqrt(CAST(n_gaps * qg - sg * sg AS DOUBLE))
       |        + CAST(sg AS DOUBLE)), 6) END AS burstiness
       |FROM st ORDER BY n_gaps DESC, user_id LIMIT 20""".stripMargin
+
+  /** NELSON–AALEN CUMULATIVE HAZARD over the same signup→purchase
+    * duration frame as [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with the
+    * Poisson-form variance Σ dᵢ/nᵢ² — the estimator of choice when
+    * hazard RATE (not survival probability) is the readout, and the
+    * standard companion to the KM curve.
+    *
+    * Determinism: unlike KM's exp(Σ log(1−d/n)) product (two
+    * transcendentals), the NA sums are plain rational-double cumulative
+    * sums in dur_h window order — both engines add the identical
+    * doubles in the identical order, no transcendental anywhere.
+    *
+    * Scale: one user-keyed aggregate over facts, then O(distinct
+    * hours) windows — the [[kaplanMeier]] class. */
+  def nelsonAalen(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .filter(col("t0").isNotNull)
+    val studyEnd = ev.agg(max(col("ts")).as("t_end"))
+    val durations = perUser.crossJoin(broadcast(studyEnd))
+      .select(
+        when(col("tp").isNotNull && col("tp") >= col("t0"),
+          (unix_timestamp(col("tp")) - unix_timestamp(col("t0"))) / 3600L)
+          .otherwise(
+            (unix_timestamp(col("t_end")) - unix_timestamp(col("t0"))) / 3600L)
+          .cast("long").as("dur_h"),
+        (col("tp").isNotNull && col("tp") >= col("t0")).as("converted"))
+    val byHour = durations.groupBy(col("dur_h"))
+      .agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    val wCum = Window.orderBy(col("dur_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byHour
+      .select(col("dur_h"), col("d"), col("c"),
+        (sum(col("d") + col("c")).over(wAll) -
+          sum(col("d") + col("c")).over(wCum) + col("d") + col("c"))
+          .cast("long").as("n_risk"))
+      .withColumn("cum_hazard",
+        round(sum(col("d").cast("double") / col("n_risk").cast("double"))
+          .over(wCum), 6))
+      .withColumn("var_hazard",
+        round(sum(col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double")))
+          .over(wCum), 6))
+      .filter(col("d") > 0)
+      .select(col("dur_h"), col("n_risk"), col("d").as("n_events"),
+        col("cum_hazard"), col("var_hazard"))
+  }
+
+  val nelsonAalenSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      |  FROM events GROUP BY user_id),
+      |durs AS (
+      |  SELECT CASE WHEN tp IS NOT NULL AND tp >= t0
+      |      THEN date_diff('second', t0, tp) // 3600
+      |      ELSE date_diff('second', t0, (SELECT max(ts) FROM events)) // 3600
+      |    END AS dur_h,
+      |    (tp IS NOT NULL AND tp >= t0) AS converted
+      |  FROM per_user WHERE t0 IS NOT NULL),
+      |by_hour AS (
+      |  SELECT dur_h,
+      |    sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+      |    sum(CASE WHEN converted THEN 0 ELSE 1 END) AS c
+      |  FROM durs GROUP BY dur_h),
+      |risk AS (
+      |  SELECT dur_h, d, c,
+      |    CAST(sum(d + c) OVER ()
+      |      - sum(d + c) OVER (ORDER BY dur_h
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      + d + c AS BIGINT) AS n_risk
+      |  FROM by_hour),
+      |hz AS (
+      |  SELECT dur_h, n_risk, d,
+      |    round(sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY dur_h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+      |      AS cum_hazard,
+      |    round(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+      |      OVER (ORDER BY dur_h
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+      |      AS var_hazard
+      |  FROM risk)
+      |SELECT dur_h, n_risk, CAST(d AS BIGINT) AS n_events,
+      |  cum_hazard, var_hazard
+      |FROM hz WHERE d > 0 ORDER BY dur_h""".stripMargin
+
+  /** COHORT LTV CURVE: cumulative purchase revenue per user by signup-
+    * week cohort and age-in-weeks — the "does a week-3 user catch up to
+    * a week-1 user" readout that prices acquisition. The cumulative
+    * face of [[cohortRetention]]'s activity matrix.
+    *
+    * Determinism: everything is exact cents until ONE division by the
+    * cohort size; weeks truncate identically (date_trunc('week') is
+    * ISO-Monday on both engines); cumulative sums run in age order
+    * within a cohort window.
+    *
+    * Scale: purchases collapse to O(cohorts × ages) by one combinable
+    * aggregate; cohort sizes are one user-level aggregate; windows run
+    * on the tiny matrix. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .select(col("cohort_wk"),
+        ((datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_wk"))) / 7).cast("int").as("age_wk"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .groupBy("cohort_wk", "age_wk")
+      .agg(sum(col("cents")).cast("long").as("wk_cents"))
+    val wCum = Window.partitionBy("cohort_wk").orderBy("age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+        col("wk_cents"),
+        sum(col("wk_cents")).over(wCum).cast("long").as("cum_cents"))
+      .withColumn("ltv_cents_per_user",
+        round(col("cum_cents").cast("double") / col("n_users"), 6))
+      .orderBy("cohort_wk", "age_wk")
+  }
+
+  val cohortLtvSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_wk
+      |  FROM events GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_wk, count(*) AS n_users FROM cohort GROUP BY 1),
+      |rev AS (
+      |  SELECT c.cohort_wk,
+      |    CAST(date_diff('day', c.cohort_wk,
+      |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS age_wk,
+      |    CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS wk_cents
+      |  FROM events e JOIN cohort c USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT r.cohort_wk, r.age_wk, CAST(s.n_users AS BIGINT) AS n_users,
+      |  r.wk_cents,
+      |  CAST(sum(r.wk_cents) OVER (PARTITION BY r.cohort_wk
+      |    ORDER BY r.age_wk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_cents,
+      |  round(CAST(sum(r.wk_cents) OVER (PARTITION BY r.cohort_wk
+      |    ORDER BY r.age_wk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / s.n_users, 6) AS ltv_cents_per_user
+      |FROM rev r JOIN sizes s USING (cohort_wk)
+      |ORDER BY r.cohort_wk, r.age_wk""".stripMargin
 }

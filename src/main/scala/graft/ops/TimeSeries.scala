@@ -1617,6 +1617,81 @@ object TimeSeries {
           * col("n_days") * (col("n_days") + 2), 6).as("q_stat"))
   }
 
+  /** PERMUTATION ENTROPY (Bandt–Pompe, m = 3): the complexity of each
+    * daily-revenue series measured on ORDINAL patterns of 3 consecutive
+    * days — regular/seasonal series concentrate on few patterns (low H),
+    * noise spreads over all 6 (H → ln 6). The standard model-free
+    * complexity screen next to [[acfDailyRevenue]]/[[ljungBox]].
+    *
+    * Determinism: the pattern id is pure integer comparisons
+    * (4·[x₁>x₀] + 2·[x₂>x₀] + [x₂>x₁] — ties collapse to "not greater",
+    * the earlier-day-smaller convention, identically on both engines);
+    * the ≤6 −p·ln p terms fold over the pattern-id-sorted array (the
+    * zipf ln-fold discipline).
+    *
+    * Scale: one combinable day aggregate over facts; lead windows and
+    * the pattern census run on O(types × days). */
+  def permutationEntropy(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val pats = dailyCents(s, d)
+      .withColumn("x1", lead(col("cents"), 1).over(ord))
+      .withColumn("x2", lead(col("cents"), 2).over(ord))
+      .filter(col("x2").isNotNull)
+      .select(col("event_type"),
+        (when(col("x1") > col("cents"), 4).otherwise(0) +
+          when(col("x2") > col("cents"), 2).otherwise(0) +
+          when(col("x2") > col("x1"), 1).otherwise(0)).as("pid"))
+    val census = pats.groupBy("event_type", "pid")
+      .agg(count(lit(1)).cast("long").as("c"))
+    census.groupBy("event_type")
+      .agg(sum(col("c")).cast("long").as("n_windows"),
+        count(lit(1)).cast("long").as("n_patterns"),
+        sort_array(collect_list(struct(col("pid"), col("c")))).as("a"))
+      .select(col("event_type"), col("n_windows"), col("n_patterns"),
+        round(expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+            acc - (CAST(e.c AS DOUBLE) / n_windows)
+              * ln(CAST(e.c AS DOUBLE) / n_windows))"""), 6).as("entropy"))
+      .select(col("event_type"), col("n_windows"), col("n_patterns"),
+        col("entropy"),
+        round(col("entropy") / math.log(6.0), 6).as("norm_entropy"))
+      .orderBy("event_type")
+  }
+
+  val permutationEntropySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1,2),
+      |pats AS (
+      |  SELECT event_type,
+      |    (CASE WHEN x1 > cents THEN 4 ELSE 0 END +
+      |     CASE WHEN x2 > cents THEN 2 ELSE 0 END +
+      |     CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS pid
+      |  FROM (
+      |    SELECT event_type, cents,
+      |      lead(cents, 1) OVER w AS x1, lead(cents, 2) OVER w AS x2
+      |    FROM daily
+      |    WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      |  WHERE x2 IS NOT NULL),
+      |census AS (
+      |  SELECT event_type, pid, count(*) AS c
+      |  FROM pats GROUP BY 1, 2),
+      |folded AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_windows,
+      |    count(*) AS n_patterns,
+      |    list(struct_pack(pid := pid, c := c) ORDER BY pid) AS a
+      |  FROM census GROUP BY 1)
+      |SELECT event_type, n_windows, CAST(n_patterns AS BIGINT)
+      |    AS n_patterns,
+      |  round(list_sum(list_transform(a, e ->
+      |    -(CAST(e.c AS DOUBLE) / n_windows)
+      |      * ln(CAST(e.c AS DOUBLE) / n_windows))), 6) AS entropy,
+      |  round(list_sum(list_transform(a, e ->
+      |    -(CAST(e.c AS DOUBLE) / n_windows)
+      |      * ln(CAST(e.c AS DOUBLE) / n_windows))) / ln(6.0), 6)
+      |    AS norm_entropy
+      |FROM folded ORDER BY event_type""".stripMargin
+
   val ljungBoxSql: String =
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -457,4 +457,99 @@ class NewOpsR7Spec extends GraftTestBase {
     (rows.map(_.getAs[Long]("grams")).sum -
       rows.map(_.getAs[Long]("grams_seen")).sum) shouldBe distinctGrams
   }
+
+  behavior of "TimeSeries.permutationEntropy"
+
+  it should "use only the 6 feasible ordinal patterns with H in [0, ln 6]" in {
+    val rows = TimeSeries.permutationEntropy(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Long]("n_patterns") should be <= 6L
+      r.getAs[Double]("entropy") should
+        (be >= 0.0 and be <= math.log(6.0) + 1e-9)
+      r.getAs[Double]("norm_entropy") should (be >= 0.0 and be <= 1.0 + 1e-9)
+      r.getAs[Long]("n_windows") should be >= r.getAs[Long]("n_patterns")
+    }
+  }
+
+  behavior of "Analytics.abcAnalysis"
+
+  it should "partition parts into A/B/C conserving revenue with A ≥ 80% − one part" in {
+    val rows = Analytics.abcAnalysis(spark, sf).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("revenue_e4"),
+          r.getAs[Double]("share"))).toMap
+    rows.keySet shouldBe Set("A", "B", "C")
+    val total = rows.values.map(_._2).sum
+    rows.values.map(_._3).sum shouldBe (1.0 +- 1e-4)
+    // A's exclusive prefix stops before 80%, so A ≥ 80% − its last part
+    rows("A")._2.toDouble / total should be > 0.75
+    rows("A")._2.toDouble / total should be < 0.90
+    val nParts = graft.Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    rows.values.map(_._1).sum shouldBe nParts
+  }
+
+  behavior of "Analytics.newVsRepeat"
+
+  it should "count every customer new exactly once and bound shares" in {
+    val rows = Analytics.newVsRepeat(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Double]("repeat_share") should (be >= 0.0 and be <= 1.0)
+    }
+    // Σ new orders ≥ distinct customers (same-day multi-orders all new),
+    // and every customer's first month contributes at least one
+    val customers = graft.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    rows.map(_.getAs[Long]("n_new")).sum should be >= customers
+    val totalOrders = graft.Tables.orders(spark, sf).count()
+    (rows.map(_.getAs[Long]("n_new")).sum +
+      rows.map(_.getAs[Long]("n_repeat")).sum) shouldBe totalOrders
+  }
+
+  behavior of "Behavior.nelsonAalen"
+
+  it should "grow the cumulative hazard monotonically with KM consistency" in {
+    val rows = Behavior.nelsonAalen(spark, sf).collect()
+      .sortBy(_.getAs[Long]("dur_h"))
+    rows should not be empty
+    var prev = 0.0
+    rows.foreach { r =>
+      val h = r.getAs[Double]("cum_hazard")
+      h should be >= prev
+      r.getAs[Double]("var_hazard") should be >= 0.0
+      r.getAs[Long]("n_events") should be > 0L
+      prev = h
+    }
+    // H(t) ≥ −ln S(t) is the classic inequality (since −ln(1−x) ≥ x);
+    // check against the KM curve at the last event time
+    val km = Behavior.kaplanMeier(spark, sf).collect()
+      .sortBy(_.getAs[Long]("dur_h"))
+    val lastS = km.last.getAs[Double]("survival")
+    rows.last.getAs[Double]("cum_hazard") should be <=
+      (-math.log(lastS) + 1e-6)
+  }
+
+  behavior of "Behavior.cohortLtv"
+
+  it should "accumulate LTV monotonically and conserve purchase revenue" in {
+    val rows = Behavior.cohortLtv(spark, sf).collect()
+    rows should not be empty
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_wk")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("age_wk"))
+      var prev = 0L
+      sorted.foreach { r =>
+        r.getAs[Long]("cum_cents") should be >= prev
+        prev = r.getAs[Long]("cum_cents")
+      }
+    }
+    val F = org.apache.spark.sql.functions
+    val totalPurchase = graft.Tables.events(spark, sf)
+      .filter(F.col("event_type") === "purchase")
+      .agg((F.sum(F.col("value").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))) * 100).cast("long"))
+      .collect().head.getLong(0)
+    rows.map(_.getAs[Long]("wk_cents")).sum shouldBe totalPurchase
+  }
 }
