@@ -119,6 +119,8 @@ object SparkEntry {
     "q_new_vs_repeat"   -> (graft.ops.Analytics.newVsRepeat _),
     "q_nelson_aalen"    -> (graft.ops.Behavior.nelsonAalen _),
     "q_cohort_ltv"      -> (graft.ops.Behavior.cohortLtv _),
+    "q_tukey_hsd"       -> (graft.ops.Analytics.tukeyHsdPairs _),
+    "q_hurst"           -> (graft.ops.TimeSeries.hurstExponent _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -598,6 +600,8 @@ object SparkEntry {
     "q_new_vs_repeat" -> graft.ops.Analytics.newVsRepeatSql,
     "q_nelson_aalen"  -> graft.ops.Behavior.nelsonAalenSql,
     "q_cohort_ltv"    -> graft.ops.Behavior.cohortLtvSql,
+    "q_tukey_hsd"     -> graft.ops.Analytics.tukeyHsdPairsSql,
+    "q_hurst"         -> graft.ops.TimeSeries.hurstExponentSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

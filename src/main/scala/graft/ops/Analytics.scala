@@ -2590,6 +2590,78 @@ object Analytics {
       |    ((CAST(gq AS DOUBLE) - sg) / (n_total - k)), 6) AS f_stat
       |FROM folded""".stripMargin
 
+  /** TUKEY-HSD POST-HOC PAIRS: after [[anovaValueByType]] rejects "all
+    * means equal", WHICH pairs differ? The studentized-range statistic
+    * q = |x̄ᵢ−x̄ⱼ| / √(MSW/2·(1/nᵢ+1/nⱼ)) for every type pair — the
+    * standard follow-up that controls family-wise error.
+    *
+    * Determinism: means are exact-decimal ratios; MSW comes from the
+    * same event_type-ordered fold as the ANOVA (identical float
+    * accumulation order); sqrt is IEEE-exact; one division per pair,
+    * rounded to 6. Pair identity (ta < tb) needs no tie-breaking.
+    *
+    * Scale: the k-group census is the only pass over facts; the k(k−1)/2
+    * pair frame is O(k²) with the one-row MSW broadcast. */
+  def tukeyHsdPairs(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val groups = Tables.events(s, d)
+      .select(col("event_type"), cents.as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(big)).cast(big).as("sx"),
+        sum(col("x").cast(big) * col("x").cast(big)).cast(big).as("sq"))
+      .localCheckpoint() // consumers: MSW fold + both pair sides
+    val msw = groups
+      .agg(sort_array(collect_list(struct(
+        col("event_type"), col("n"), col("sx"), col("sq")))).as("a"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("n")).cast("long").as("n_total"),
+        sum(col("sq")).cast(big).as("gq"))
+      .select(((col("gq").cast("double") -
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE),
+                 (acc, e) -> acc + CAST(e.sx * e.sx AS DOUBLE) / e.n)"""))
+        / (col("n_total") - col("k"))).as("msw"))
+    val a = groups.select(col("event_type").as("ta"), col("n").as("na"),
+      col("sx").as("sxa"))
+    val b = groups.select(col("event_type").as("tb"), col("n").as("nb"),
+      col("sx").as("sxb"))
+    a.join(b, col("ta") < col("tb"))
+      .crossJoin(broadcast(msw))
+      .select(col("ta"), col("tb"),
+        round(col("sxa").cast("double") / col("na") -
+          col("sxb").cast("double") / col("nb"), 6).as("mean_diff"),
+        round((abs(col("sxa").cast("double") / col("na") -
+            col("sxb").cast("double") / col("nb"))) /
+          sqrt(col("msw") / 2.0 *
+            (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6).as("q_stat"))
+      .orderBy("ta", "tb")
+  }
+
+  val tukeyHsdPairsSql: String =
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)) AS sx,
+      |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT) * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS sq
+      |  FROM events GROUP BY 1),
+      |msw AS (
+      |  SELECT (CAST(sum(sq) AS DOUBLE) -
+      |    list_sum(list_transform(
+      |      list(struct_pack(sx := sx, n := n) ORDER BY event_type),
+      |      e -> CAST(e.sx * e.sx AS DOUBLE) / e.n)))
+      |    / (sum(n) - count(*)) AS msw
+      |  FROM g)
+      |SELECT a.event_type AS ta, b.event_type AS tb,
+      |  round(CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n, 6)
+      |    AS mean_diff,
+      |  round(abs(CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+      |    / sqrt(msw.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+      |FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN msw
+      |ORDER BY ta, tb""".stripMargin
+
   /** ABC INVENTORY ANALYSIS: parts classified by cumulative revenue
     * share — A carries the first 80%, B to 95%, C the tail (the Pareto
     * cut every supply-chain and catalog-curation surface starts from).

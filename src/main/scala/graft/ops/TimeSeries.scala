@@ -1617,6 +1617,146 @@ object TimeSeries {
           * col("n_days") * (col("n_days") + 2), 6).as("q_stat"))
   }
 
+  /** HURST EXPONENT by rescaled-range (R/S) analysis of daily order
+    * revenue: H > ½ = long-memory persistence, H ≈ ½ = random walk,
+    * H < ½ = mean reversion — the classic long-range-dependence readout
+    * (Mandelbrot's R/S), fit over block sizes w ∈ {7, 14, 28}.
+    *
+    * Exactness: the centered running sum is cleared of floats —
+    * w·Y_t = w·cumsum(x) − (t+1)·Σx is an exact integer, so the range
+    * R·w is exact; S·w = √(w·Q − S²) is one IEEE sqrt of an exact
+    * integer; R/S = (R·w)/(S·w) is one division. Per-w averages fold
+    * over the block-sorted array, the 3-point ln-ln slope folds over
+    * the w-sorted array (the zipf discipline). Constant blocks (S = 0)
+    * are excluded on both engines.
+    *
+    * Scale: one combinable day aggregate over facts; block windows are
+    * keyed by (w, block) — thousands of independent partitions, not a
+    * funnel. The day-index row_number is the only O(days)
+    * single-partition step (advisory class, O(days) rows). */
+  def hurstExponent(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val nd = daily.agg(count(lit(1)).cast("long").as("nd"))
+    val idx = daily
+      .withColumn("rn", row_number().over(Window.orderBy("day")) - 1)
+    val ws = idx.crossJoin(broadcast(nd))
+      .select(col("rn"), col("cents"), col("nd"),
+        explode(array(lit(7L), lit(14L), lit(28L))).as("w"))
+      .filter(col("rn") < (col("nd") - col("nd") % col("w")))
+      .select(col("w"), (col("rn") / col("w")).cast("long").as("blk"),
+        (col("rn") % col("w")).as("pos"), col("cents"))
+    val wRun = Window.partitionBy("w", "blk").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("w", "blk")
+    val cum = ws
+      .withColumn("sx", sum(col("cents").cast(big)).over(wAll))
+      .withColumn("sq",
+        sum(col("cents").cast(big) * col("cents").cast(big)).over(wAll))
+      .withColumn("yw", col("w") * sum(col("cents").cast(big)).over(wRun)
+        - (col("pos") + 1) * col("sx"))
+    val perBlock = cum
+      .withColumn("rw", max(col("yw")).over(wAll) - min(col("yw")).over(wAll))
+      .filter(col("pos") === 0)
+      .select(col("w"), col("blk"), col("rw"),
+        (col("w") * col("sq") - col("sx") * col("sx")).as("s2w2"))
+      .filter(col("s2w2") > 0)
+      .select(col("w"), col("blk"),
+        (col("rw").cast("double") / sqrt(col("s2w2").cast("double")))
+          .as("rs"))
+    val perW = perBlock.groupBy("w")
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sort_array(collect_list(struct(col("blk"), col("rs")))).as("a"))
+      .select(col("w"), col("n_blocks"),
+        (expr("""aggregate(a, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + e.rs)""") / col("n_blocks")).as("avg_rs"))
+    val fit = perW
+      .agg(sort_array(collect_list(struct(col("w"), col("avg_rs"))))
+        .as("pts"), count(lit(1)).cast("long").as("m"))
+      .select((
+        (col("m") * expr("""aggregate(pts, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + ln(CAST(e.w AS DOUBLE)) * ln(e.avg_rs))""")
+          - expr("""aggregate(pts, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + ln(CAST(e.w AS DOUBLE)))""")
+          * expr("""aggregate(pts, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + ln(e.avg_rs))""")) /
+        (col("m") * expr("""aggregate(pts, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + ln(CAST(e.w AS DOUBLE)) * ln(CAST(e.w AS DOUBLE)))""")
+          - expr("""aggregate(pts, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + ln(CAST(e.w AS DOUBLE)))""")
+          * expr("""aggregate(pts, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + ln(CAST(e.w AS DOUBLE)))""")))
+        .as("hurst"))
+    perW.crossJoin(broadcast(fit))
+      .select(col("w"), col("n_blocks"), round(col("avg_rs"), 6).as("avg_rs"),
+        round(col("hurst"), 6).as("hurst"))
+      .orderBy("w")
+  }
+
+  val hurstExponentSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |nd AS (SELECT count(*) AS nd FROM daily),
+      |idx AS (
+      |  SELECT row_number() OVER (ORDER BY day) - 1 AS rn, cents
+      |  FROM daily),
+      |blocks AS (
+      |  SELECT w, rn // w AS blk, rn % w AS pos, cents
+      |  FROM idx CROSS JOIN nd
+      |  CROSS JOIN (SELECT UNNEST([7, 14, 28]) AS w) ws
+      |  WHERE rn < nd - nd % w),
+      |cum AS (
+      |  SELECT w, blk, pos,
+      |    sum(CAST(cents AS HUGEINT)) OVER wa AS sx,
+      |    sum(CAST(cents AS HUGEINT) * cents) OVER wa AS sq,
+      |    w * sum(CAST(cents AS HUGEINT)) OVER wr - (pos + 1)
+      |      * sum(CAST(cents AS HUGEINT)) OVER wa AS yw
+      |  FROM blocks
+      |  WINDOW wa AS (PARTITION BY w, blk),
+      |    wr AS (PARTITION BY w, blk ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |per_block AS (
+      |  SELECT w, blk,
+      |    CAST(max(yw) OVER wa - min(yw) OVER wa AS HUGEINT) AS rw,
+      |    w * sq - sx * sx AS s2w2, pos
+      |  FROM cum
+      |  WINDOW wa AS (PARTITION BY w, blk)),
+      |rs AS (
+      |  SELECT w, blk,
+      |    CAST(rw AS DOUBLE) / sqrt(CAST(s2w2 AS DOUBLE)) AS rs
+      |  FROM per_block WHERE pos = 0 AND s2w2 > 0),
+      |per_w AS (
+      |  SELECT w, count(*) AS n_blocks,
+      |    list_sum(list_transform(
+      |      list(struct_pack(blk := blk, rs := rs) ORDER BY blk),
+      |      e -> e.rs)) / count(*) AS avg_rs
+      |  FROM rs GROUP BY 1),
+      |fitbase AS (
+      |  SELECT count(*) AS m,
+      |    list(struct_pack(w := w, avg_rs := avg_rs) ORDER BY w) AS pts
+      |  FROM per_w),
+      |fit AS (
+      |  SELECT (m * list_sum(list_transform(pts,
+      |      e -> ln(CAST(e.w AS DOUBLE)) * ln(e.avg_rs)))
+      |    - list_sum(list_transform(pts, e -> ln(CAST(e.w AS DOUBLE))))
+      |      * list_sum(list_transform(pts, e -> ln(e.avg_rs)))) /
+      |    (m * list_sum(list_transform(pts,
+      |      e -> ln(CAST(e.w AS DOUBLE)) * ln(CAST(e.w AS DOUBLE))))
+      |    - list_sum(list_transform(pts, e -> ln(CAST(e.w AS DOUBLE))))
+      |      * list_sum(list_transform(pts, e -> ln(CAST(e.w AS DOUBLE)))))
+      |    AS hurst
+      |  FROM fitbase)
+      |SELECT CAST(p.w AS BIGINT) AS w, CAST(p.n_blocks AS BIGINT)
+      |    AS n_blocks,
+      |  round(p.avg_rs, 6) AS avg_rs, round(f.hurst, 6) AS hurst
+      |FROM per_w p CROSS JOIN fit f ORDER BY p.w""".stripMargin
+
   /** PERMUTATION ENTROPY (Bandt–Pompe, m = 3): the complexity of each
     * daily-revenue series measured on ORDINAL patterns of 3 consecutive
     * days — regular/seasonal series concentrate on few patterns (low H),

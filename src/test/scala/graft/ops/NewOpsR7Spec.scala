@@ -552,4 +552,42 @@ class NewOpsR7Spec extends GraftTestBase {
       .collect().head.getLong(0)
     rows.map(_.getAs[Long]("wk_cents")).sum shouldBe totalPurchase
   }
+
+  behavior of "Analytics.tukeyHsdPairs"
+
+  it should "emit k(k-1)/2 symmetric-consistent pairs" in {
+    val rows = Analytics.tukeyHsdPairs(spark, sf).collect()
+    val k = graft.Tables.events(spark, sf)
+      .select("event_type").distinct().count().toInt
+    rows.length shouldBe k * (k - 1) / 2
+    rows.foreach { r =>
+      r.getAs[String]("ta") should be < r.getAs[String]("tb")
+      r.getAs[Double]("q_stat") should be >= 0.0
+      // q = |diff|/se so sign(diff) carries the direction
+      if (r.getAs[Double]("mean_diff") != 0.0)
+        r.getAs[Double]("q_stat") should be > 0.0
+    }
+  }
+
+  behavior of "TimeSeries.hurstExponent"
+
+  it should "estimate H in (0,1) from positive rescaled ranges" in {
+    val rows = TimeSeries.hurstExponent(spark, sf).collect()
+      .sortBy(_.getAs[Long]("w"))
+    rows.map(_.getAs[Long]("w")) shouldBe Array(7L, 14L, 28L)
+    rows.foreach { r =>
+      r.getAs[Double]("avg_rs") should be > 0.0
+      r.getAs[Long]("n_blocks") should be > 0L
+      // R/S of a w-block is at most w·√w-ish; loose sanity bound
+      r.getAs[Double]("avg_rs") should be < r.getAs[Long]("w").toDouble * 10
+    }
+    // all rows carry the same fitted H, and it is a plausible exponent
+    rows.map(_.getAs[Double]("hurst")).distinct.length shouldBe 1
+    val h = rows.head.getAs[Double]("hurst")
+    h should (be > 0.0 and be < 1.5)
+    // avg R/S grows with w (the monotonicity H is fit from)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Double]("avg_rs") should be > a.getAs[Double]("avg_rs")
+    }
+  }
 }
