@@ -121,6 +121,8 @@ object SparkEntry {
     "q_cohort_ltv"      -> (graft.ops.Behavior.cohortLtv _),
     "q_tukey_hsd"       -> (graft.ops.Analytics.tukeyHsdPairs _),
     "q_hurst"           -> (graft.ops.TimeSeries.hurstExponent _),
+    "q_adf"             -> (graft.ops.TimeSeries.dickeyFuller _),
+    "q_var_ratio"       -> (graft.ops.TimeSeries.varianceRatio _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -602,6 +604,8 @@ object SparkEntry {
     "q_cohort_ltv"    -> graft.ops.Behavior.cohortLtvSql,
     "q_tukey_hsd"     -> graft.ops.Analytics.tukeyHsdPairsSql,
     "q_hurst"         -> graft.ops.TimeSeries.hurstExponentSql,
+    "q_adf"           -> graft.ops.TimeSeries.dickeyFullerSql,
+    "q_var_ratio"     -> graft.ops.TimeSeries.varianceRatioSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

@@ -80,6 +80,7 @@ object Graph {
     * can't leak its entries for the process lifetime (ADVICE r6). */
   def clearCaches(s: SparkSession): Unit = cacheLock.synchronized {
     edgeCache.keys.filter(_._1 eq s).foreach(edgeCache.remove)
+    biCache.keys.filter(_._1 eq s).foreach(biCache.remove)
     distCache.keys.filter(_._1 eq s).foreach(distCache.remove)
     hookedSessions -= s
   }
@@ -97,6 +98,22 @@ object Graph {
         .select(col("e.u"), col("e.v"))
         .distinct()
         .localCheckpoint())
+
+  /** Shared BIDIRECTIONAL edge frame (u→v and v→u), memoized like
+    * [[edges]]: eight graph queries were each re-unioning and
+    * re-pinning their own 2×|E| copy per run — one cached build now
+    * serves the whole suite (round-7 bench: the bi construction was
+    * ~1–2 s per consumer). Same eviction/locking contract as
+    * [[edgeCache]]. */
+  private val biCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def biEdges(s: SparkSession, d: String): DataFrame =
+    memo(biCache, s, d) {
+      val e = edges(s, d)
+      e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+    }
 
   /** Fixed-size deterministic multi-source seed set: the [[seedCap]]
     * SMALLEST part keys ≡ 0 (mod 500) present in the graph. The cap is
@@ -184,10 +201,7 @@ object Graph {
     * (never co-purchased) have no edges and are out of scope of the
     * graph by construction. */
   def pageRank(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    val bi = biEdges(s, d)
     val deg = bi.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
     var r = deg.select(col("x"), col("dg"), lit(prScale).as("r"))
     for (_ <- 1 to prIters) {
@@ -259,10 +273,7 @@ object Graph {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def seedDistances(s: SparkSession, d: String): DataFrame =
     memo(distCache, s, d) {
-      val e = edges(s, d)
-      val bi = e.select(col("u"), col("v"))
-        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
+      val bi = biEdges(s, d)
       var dist = seeds(bi)
         .select(col("x"), lit(0).as("hop"))
         .localCheckpoint()
@@ -405,10 +416,7 @@ object Graph {
     * never a tiny-domain funnel; the edge list is the shared pinned
     * [[edges]] build. */
   def neighborSample(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    val bi = biEdges(s, d)
     val seedSet = seeds(bi).select(col("x").as("seed"))
     val w1 = Window.partitionBy("seed")
       .orderBy(col("h1"), col("n1"))
@@ -657,9 +665,7 @@ object Graph {
     * UNION dedup, then min(cost) per vertex — exact same bounded-hop
     * semantics, all integer. */
   def ssspBounded(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val bi = biEdges(s, d)
       .withColumn("w", (col("u") + col("v")) % 9 + 1)
       .localCheckpoint()
     var dist = seeds(bi)
@@ -753,10 +759,7 @@ object Graph {
     import org.apache.spark.sql.types.DecimalType
     val big = DecimalType(38, 0)
     def d0(c: org.apache.spark.sql.Column) = c.cast(big)
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    val bi = biEdges(s, d)
     var lab = bi.select(col("u").as("x")).distinct()
       .select(col("x"), col("x").as("lbl"))
       .localCheckpoint()
@@ -867,9 +870,7 @@ object Graph {
     * Oracle: recursive CTE on (src, x, d) with min-distance dedup —
     * [[bfsHopsSql]] generalized by one key. */
   def harmonicCentrality(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val bi = biEdges(s, d)
     // Per-(seed, vertex) BFS with ALL round state in BITMAP space. The
     // naive rendering (expand frontier rows through the edge list, then
     // DISTINCT, then LEFT ANTI against visited) shuffles every
@@ -1000,10 +1001,7 @@ object Graph {
     import org.apache.spark.sql.types.DecimalType
     val big = DecimalType(38, 0)
     def d0(c: org.apache.spark.sql.Column) = c.cast(big)
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    val bi = biEdges(s, d)
     val deg = bi.groupBy(col("u").as("x")).agg(count(lit(1)).cast("long").as("dg"))
     bi
       .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
@@ -1158,10 +1156,7 @@ object Graph {
     * to 50 seeds it is ~50·d̄² rows at any catalog size). All joins are
     * key-shuffle hash joins on vertex ids. */
   def linkPrediction(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint() // consumers: seeds, deg, hop1, hop2
+    val bi = biEdges(s, d) // consumers: seeds, deg, hop1, hop2
     val sd = seeds(bi).select(col("x").as("seed"))
     val deg = bi.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
     // w ∈ N(seed)
@@ -1248,10 +1243,12 @@ object Graph {
     * (the q_pagerank class); per-round state is O(V). */
   def eigenCentrality(s: SparkSession, d: String): DataFrame = {
     val big = DecimalType(38, 0)
-    val e = edges(s, d)
-    val bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint() // 4 power-iteration rounds read it
+    val bi = biEdges(s, d) // 4 power-iteration rounds read it
+    // NO per-round checkpoint: each round feeds the next exactly once
+    // (a linear chain, not the shared-frontier shape of sssp/label_prop),
+    // so one final action executes the whole 4-join pipeline with
+    // nothing recomputed — per-round eager pinning would only add 4
+    // actions and dead storage.
     var score = bi.select(col("u").as("x")).distinct()
       .select(col("x"), lit(1).cast(big).as("w"))
     for (_ <- 1 to 4) {
@@ -1259,7 +1256,6 @@ object Graph {
         .groupBy(col("v").as("y"))
         .agg(sum(col("w")).cast(big).as("w"))
         .select(col("y").as("x"), col("w"))
-        .localCheckpoint() // bound lineage across rounds
     }
     val mx = score.agg(max(col("w")).cast(big).as("mx"))
     score.crossJoin(broadcast(mx))

@@ -1617,6 +1617,192 @@ object TimeSeries {
           * col("n_days") * (col("n_days") + 2), 6).as("q_stat"))
   }
 
+  /** DICKEY–FULLER UNIT-ROOT TEST (no-lag, with constant) on daily
+    * order revenue: Δyₜ = α + β·yₜ₋₁ + ε; β near 0 = random walk
+    * (unit root), strongly negative t = stationary/mean-reverting —
+    * the stationarity gate run before any ARMA-class fit (and the
+    * formal face of [[hurstExponent]]'s H < ½ readout).
+    *
+    * Exactness: x = yₜ₋₁ and y = Δyₜ are exact integer cents via lag;
+    * all six power sums (n, Σx, Σy, Σxy, Σxx, Σyy) are exact
+    * decimal(38,0); β̂, SSE, se and the t-statistic are ONE pinned
+    * double formula each, evaluated in identical operation order on
+    * both engines.
+    *
+    * Scale: one combinable day aggregate over facts, one lag window
+    * over O(days), one scalar aggregate. */
+  def dickeyFuller(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val ord = Window.orderBy("day")
+    val frame = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .select(col("day"), col("cents"),
+        lag(col("cents"), 1).over(ord).as("prev"))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").cast(big).as("x"),
+        (col("cents") - col("prev")).cast(big).as("y"))
+    val sums = frame.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast(big).as("sx"), sum(col("y")).cast(big).as("sy"),
+      sum(col("x") * col("y")).cast(big).as("sxy"),
+      sum(col("x") * col("x")).cast(big).as("sxx"),
+      sum(col("y") * col("y")).cast(big).as("syy"))
+    val beta = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val cSxx = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / col("n")
+    val cSyy = col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / col("n")
+    val cSxy = col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / col("n")
+    sums.select(col("n"),
+      round(beta, 6).as("beta"),
+      round(beta / sqrt(((cSyy - beta * cSxy) / (col("n") - 2)) / cSxx), 6)
+        .as("t_stat"))
+  }
+
+  val dickeyFullerSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |fr AS (
+      |  SELECT CAST(prev AS HUGEINT) AS x,
+      |    CAST(cents - prev AS HUGEINT) AS y
+      |  FROM (SELECT cents, lag(cents) OVER (ORDER BY day) AS prev
+      |    FROM daily)
+      |  WHERE prev IS NOT NULL),
+      |s AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM fr)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+      |  round((CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE))
+      |    / sqrt((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+      |          * CAST(sy AS DOUBLE) / n)
+      |        - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |          / CAST(n * sxx - sx * sx AS DOUBLE))
+      |          * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+      |            * CAST(sy AS DOUBLE) / n)) / (n - 2))
+      |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      |        * CAST(sx AS DOUBLE) / n)), 6) AS t_stat
+      |FROM s""".stripMargin
+
+  /** LO–MACKINLAY VARIANCE-RATIO TEST at horizons q ∈ {2, 4, 8}:
+    * VR(q) = Var(yₜ − yₜ₋q) / (q · Var(yₜ − yₜ₋₁)) over daily revenue.
+    * A random walk gives VR ≈ 1; VR < 1 = mean reversion, VR > 1 =
+    * trending — the horizon-resolved companion to [[dickeyFuller]]
+    * (which tests only the 1-step root) and [[hurstExponent]].
+    *
+    * Exactness: both differences are exact integers via lag windows;
+    * each variance is one pinned double from exact decimal power sums
+    * (population form, the overlapping-observations estimator without
+    * small-sample bias correction — pinned identically on both
+    * engines); one division per q.
+    *
+    * Scale: one day aggregate over facts; 4 lag columns in ONE window
+    * pass over O(days); per-q scalar sums. */
+  def varianceRatio(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val ord = Window.orderBy("day")
+    val lagged = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .select(col("cents"),
+        lag(col("cents"), 1).over(ord).as("p1"),
+        lag(col("cents"), 2).over(ord).as("p2"),
+        lag(col("cents"), 4).over(ord).as("p4"),
+        lag(col("cents"), 8).over(ord).as("p8"))
+    def popVar(diff: Column): Seq[Column] = Seq(
+      count(diff).cast("long"),
+      sum(diff.cast(big)).cast(big),
+      sum(diff.cast(big) * diff.cast(big)).cast(big))
+    val sums = lagged.agg(
+      popVar(col("cents") - col("p1"))(0).as("n1"),
+      (popVar(col("cents") - col("p1"))(1)).as("s1"),
+      (popVar(col("cents") - col("p1"))(2)).as("q1"),
+      popVar(col("cents") - col("p2"))(0).as("n2"),
+      (popVar(col("cents") - col("p2"))(1)).as("s2"),
+      (popVar(col("cents") - col("p2"))(2)).as("q2"),
+      popVar(col("cents") - col("p4"))(0).as("n4"),
+      (popVar(col("cents") - col("p4"))(1)).as("s4"),
+      (popVar(col("cents") - col("p4"))(2)).as("q4"),
+      popVar(col("cents") - col("p8"))(0).as("n8"),
+      (popVar(col("cents") - col("p8"))(1)).as("s8"),
+      (popVar(col("cents") - col("p8"))(2)).as("q8"))
+    def v(n: Column, sx: Column, q: Column): Column =
+      q.cast("double") / n -
+        (sx.cast("double") / n) * (sx.cast("double") / n)
+    val base = v(col("n1"), col("s1"), col("q1"))
+    sums.select(
+      explode(array(
+        struct(lit(2L).as("q"), col("n2").as("nq"),
+          round(v(col("n2"), col("s2"), col("q2")) / (lit(2) * base), 6)
+            .as("vr")),
+        struct(lit(4L).as("q"), col("n4").as("nq"),
+          round(v(col("n4"), col("s4"), col("q4")) / (lit(4) * base), 6)
+            .as("vr")),
+        struct(lit(8L).as("q"), col("n8").as("nq"),
+          round(v(col("n8"), col("s8"), col("q8")) / (lit(8) * base), 6)
+            .as("vr")))).as("r"))
+      .select(col("r.q").as("q"), col("r.nq").as("n_obs"),
+        col("r.vr").as("vr"))
+      .orderBy("q")
+  }
+
+  val varianceRatioSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT cents,
+      |    lag(cents, 1) OVER w AS p1, lag(cents, 2) OVER w AS p2,
+      |    lag(cents, 4) OVER w AS p4, lag(cents, 8) OVER w AS p8
+      |  FROM daily WINDOW w AS (ORDER BY day)),
+      |s AS (
+      |  SELECT
+      |    count(cents - p1) AS n1, sum(CAST(cents - p1 AS HUGEINT)) AS s1,
+      |    sum(CAST(cents - p1 AS HUGEINT) * (cents - p1)) AS q1,
+      |    count(cents - p2) AS n2, sum(CAST(cents - p2 AS HUGEINT)) AS s2,
+      |    sum(CAST(cents - p2 AS HUGEINT) * (cents - p2)) AS q2,
+      |    count(cents - p4) AS n4, sum(CAST(cents - p4 AS HUGEINT)) AS s4,
+      |    sum(CAST(cents - p4 AS HUGEINT) * (cents - p4)) AS q4,
+      |    count(cents - p8) AS n8, sum(CAST(cents - p8 AS HUGEINT)) AS s8,
+      |    sum(CAST(cents - p8 AS HUGEINT) * (cents - p8)) AS q8
+      |  FROM lagged),
+      |rows_out AS (
+      |  SELECT 2 AS q, n2 AS n_obs,
+      |    round((CAST(q2 AS DOUBLE) / n2
+      |      - (CAST(s2 AS DOUBLE) / n2) * (CAST(s2 AS DOUBLE) / n2))
+      |      / (2 * (CAST(q1 AS DOUBLE) / n1
+      |        - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1))), 6)
+      |      AS vr
+      |  FROM s
+      |  UNION ALL
+      |  SELECT 4, n4,
+      |    round((CAST(q4 AS DOUBLE) / n4
+      |      - (CAST(s4 AS DOUBLE) / n4) * (CAST(s4 AS DOUBLE) / n4))
+      |      / (4 * (CAST(q1 AS DOUBLE) / n1
+      |        - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1))), 6)
+      |  FROM s
+      |  UNION ALL
+      |  SELECT 8, n8,
+      |    round((CAST(q8 AS DOUBLE) / n8
+      |      - (CAST(s8 AS DOUBLE) / n8) * (CAST(s8 AS DOUBLE) / n8))
+      |      / (8 * (CAST(q1 AS DOUBLE) / n1
+      |        - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1))), 6)
+      |  FROM s)
+      |SELECT CAST(q AS BIGINT) AS q, CAST(n_obs AS BIGINT) AS n_obs, vr
+      |FROM rows_out ORDER BY q""".stripMargin
+
   /** HURST EXPONENT by rescaled-range (R/S) analysis of daily order
     * revenue: H > ½ = long-memory persistence, H ≈ ½ = random walk,
     * H < ½ = mean reversion — the classic long-range-dependence readout

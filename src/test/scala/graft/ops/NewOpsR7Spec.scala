@@ -590,4 +590,46 @@ class NewOpsR7Spec extends GraftTestBase {
       b.getAs[Double]("avg_rs") should be > a.getAs[Double]("avg_rs")
     }
   }
+
+  behavior of "TimeSeries.dickeyFuller"
+
+  it should "match a driver-side OLS replica of beta and t" in {
+    val r = TimeSeries.dickeyFuller(spark, sf).collect().head
+    val F = org.apache.spark.sql.functions
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(F.to_date(F.col("o_orderdate")).as("day"))
+      .agg((F.sum(F.col("o_totalprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .collect().map(x => (x.getDate(0).toLocalDate.toEpochDay, x.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val xs = daily.dropRight(1).map(_.toDouble)
+    val ys = daily.sliding(2).map(p => (p(1) - p(0)).toDouble).toArray
+    val n = xs.length
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val beta = sxy / sxx
+    val sse = ys.map(y => (y - my) * (y - my)).sum - beta * sxy
+    val t = beta / math.sqrt((sse / (n - 2)) / sxx)
+    r.getAs[Long]("n") shouldBe n.toLong
+    r.getAs[Double]("beta") shouldBe (beta +- (math.abs(beta) * 1e-5 + 1e-9))
+    r.getAs[Double]("t_stat") shouldBe (t +- (math.abs(t) * 1e-5 + 1e-6))
+  }
+
+  behavior of "TimeSeries.varianceRatio"
+
+  it should "produce positive ratios near the random-walk band" in {
+    val rows = TimeSeries.varianceRatio(spark, sf).collect()
+      .sortBy(_.getAs[Long]("q"))
+    rows.map(_.getAs[Long]("q")) shouldBe Array(2L, 4L, 8L)
+    rows.foreach { r =>
+      r.getAs[Double]("vr") should be > 0.0
+      r.getAs[Long]("n_obs") should be > 0L
+    }
+    // longer horizons have fewer observations
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("n_obs") should be <= a.getAs[Long]("n_obs")
+    }
+  }
 }
