@@ -511,4 +511,47 @@ class StreamingSpec extends GraftTestBase {
       mv2 shouldBe Map("click" -> (3L, 15.0), "view" -> (1L, 5.0))
     } finally query.stop()
   }
+
+  behavior of "ohlcStream"
+
+  it should "equal the batch OHLC bar at every micro-batch prefix" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.ohlcStream(
+        input.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.format("memory").queryName("ohlc_spec")
+      .outputMode("complete").start()
+    def batchOhlc(rows: Seq[Event]): Map[String, (Long, Long, Long, Long, Long, Long)] =
+      rows.groupBy(_.ts.toLocalDateTime.toLocalDate.toString).map {
+        case (day, evs) =>
+          val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+          def cents(e: Event): Long =
+            BigDecimal(e.value).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+          day -> (cents(sorted.head), evs.map(cents).max, evs.map(cents).min,
+            cents(sorted.last), evs.size.toLong, evs.map(cents).sum)
+      }
+    val b1 = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.5),
+      Event(2, ts("2024-01-01 11:55:00"), 2, "click", 9.0),
+      Event(3, ts("2024-01-02 09:00:00"), 1, "view", 4.0))
+    val b2 = Seq(
+      Event(4, ts("2024-01-01 08:00:00"), 3, "view", 1.0), // new open day 1
+      Event(5, ts("2024-01-02 23:00:00"), 2, "click", 0.5)) // new close day 2
+    var seen = Seq.empty[Event]
+    for (batch <- Seq(b1, b2)) {
+      input.addData(batch: _*)
+      query.processAllAvailable()
+      seen ++= batch
+      val got = spark.table("ohlc_spec").collect().map { r =>
+        r.getAs[java.sql.Date]("day").toString ->
+          (r.getAs[Long]("open"), r.getAs[Long]("high"), r.getAs[Long]("low"),
+            r.getAs[Long]("close"), r.getAs[Long]("volume"),
+            r.getAs[Long]("turnover"))
+      }.toMap
+      got shouldBe batchOhlc(seen)
+    }
+    query.stop()
+  }
 }
