@@ -123,6 +123,7 @@ object SparkEntry {
     "q_hurst"           -> (graft.ops.TimeSeries.hurstExponent _),
     "q_adf"             -> (graft.ops.TimeSeries.dickeyFuller _),
     "q_var_ratio"       -> (graft.ops.TimeSeries.varianceRatio _),
+    "q_ktruss"          -> (graft.ops.Graph.kTruss _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -606,6 +607,7 @@ object SparkEntry {
     "q_hurst"         -> graft.ops.TimeSeries.hurstExponentSql,
     "q_adf"           -> graft.ops.TimeSeries.dickeyFullerSql,
     "q_var_ratio"     -> graft.ops.TimeSeries.varianceRatioSql,
+    "q_ktruss"        -> graft.ops.Graph.kTrussSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

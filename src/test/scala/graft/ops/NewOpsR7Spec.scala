@@ -632,4 +632,23 @@ class NewOpsR7Spec extends GraftTestBase {
       b.getAs[Long]("n_obs") should be <= a.getAs[Long]("n_obs")
     }
   }
+
+  behavior of "Graph.kTruss"
+
+  it should "peel monotonically and agree with the triangle census at round 1" in {
+    val rows = Graph.kTruss(spark, sf).collect().sortBy(_.getAs[Int]("round"))
+    rows should have size Graph.ktrussRounds.toLong.toInt
+    // round 1 prices the FULL graph: its triangle count must equal the
+    // independent edge-iterator census
+    val census = Graph.coPurchaseTriangles(spark, sf).collect().head
+    rows.head.getAs[Long]("n_triangles_before") shouldBe
+      census.getAs[Long]("n_triangles")
+    // peeling never grows the graph
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("n_edges") should be <= a.getAs[Long]("n_edges")
+      b.getAs[Long]("n_triangles_before") should be <=
+        a.getAs[Long]("n_triangles_before")
+    }
+    rows.foreach(_.getAs[Long]("n_edges") should be >= 0L)
+  }
 }
