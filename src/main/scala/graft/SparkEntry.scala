@@ -124,6 +124,8 @@ object SparkEntry {
     "q_adf"             -> (graft.ops.TimeSeries.dickeyFuller _),
     "q_var_ratio"       -> (graft.ops.TimeSeries.varianceRatio _),
     "q_ktruss"          -> (graft.ops.Graph.kTruss _),
+    "q_span_corruption" -> (graft.text.Curation.spanCorruption _),
+    "q_dataset_card"    -> (graft.text.Curation.datasetCard _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -608,6 +610,8 @@ object SparkEntry {
     "q_adf"           -> graft.ops.TimeSeries.dickeyFullerSql,
     "q_var_ratio"     -> graft.ops.TimeSeries.varianceRatioSql,
     "q_ktruss"        -> graft.ops.Graph.kTrussSql,
+    "q_span_corruption" -> graft.text.Curation.spanCorruptionSql,
+    "q_dataset_card"  -> graft.text.Curation.datasetCardSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

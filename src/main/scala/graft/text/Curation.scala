@@ -589,4 +589,176 @@ object Curation {
     curated.write.mode("overwrite").partitionBy("lang").parquet(outDir)
     curated
   }
+
+  /** T5-STYLE SPAN-CORRUPTION CENSUS: the deterministic masking plan a
+    * denoising-objective training run would apply — ~5% of token
+    * positions start a 3-token masked span (≈15% noise density, mean
+    * span 3, the T5 defaults), selected by md5(doc_id:i) so every
+    * re-run, retry, and cluster size masks identically (the
+    * [[graft.text.TextAnalysis.trainSplit]] hash discipline, never
+    * rand()). Reports per-source tokens/masked/spans/sentinels — the
+    * objective's data-budget accounting.
+    *
+    * Masked-token counting handles OVERLAPPING spans exactly: token j
+    * is masked iff a starter exists in {j−2, j−1, j}; sentinel count =
+    * number of maximal masked runs = starters with no starter in the
+    * two positions before them.
+    *
+    * Scale: pure per-row array lambdas inside codegen (starter list is
+    * ~n/20 elements, membership checks O(|starters|)); one source
+    * aggregate. */
+  def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val starters = expr(
+      """filter(sequence(0, size(w) - 1), i ->
+        |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+        |    CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 20 = 0)"""
+        .stripMargin)
+    val perDoc = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), w.as("w"))
+      .select(col("source"), size(col("w")).cast("long").as("n_tokens"),
+        starters.as("st"))
+      .select(col("source"), col("n_tokens"),
+        size(col("st")).cast("long").as("n_starters"),
+        expr("""size(filter(sequence(0, CAST(n_tokens AS INT) - 1), j ->
+            array_contains(st, j) OR array_contains(st, j - 1)
+            OR array_contains(st, j - 2)))""")
+          .cast("long").as("n_masked"),
+        expr("""size(filter(st, x ->
+            NOT array_contains(st, x - 1)
+            AND NOT array_contains(st, x - 2)))""")
+          .cast("long").as("n_sentinels"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"),
+        sum(col("n_masked")).cast("long").as("masked"),
+        sum(col("n_starters")).cast("long").as("spans"),
+        sum(col("n_sentinels")).cast("long").as("sentinels"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("masked"),
+        col("spans"), col("sentinels"),
+        when(col("tokens") === 0, lit(0.0))
+          .otherwise(round(col("masked").cast("double") / col("tokens"), 6))
+          .as("mask_ratio"))
+      .orderBy("source")
+  }
+
+  val spanCorruptionSql: String =
+    """WITH per_doc AS (
+      |  SELECT source,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    list_filter(generate_series(0, len(string_split(text, ' ')) - 1),
+      |      i -> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |        CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0) AS st
+      |  FROM documents),
+      |counted AS (
+      |  SELECT source, n_tokens,
+      |    len(st) AS n_starters,
+      |    len(list_filter(generate_series(0, n_tokens - 1), j ->
+      |      list_contains(st, j) OR list_contains(st, j - 1)
+      |      OR list_contains(st, j - 2))) AS n_masked,
+      |    len(list_filter(st, x ->
+      |      NOT list_contains(st, x - 1)
+      |      AND NOT list_contains(st, x - 2))) AS n_sentinels
+      |  FROM per_doc)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(sum(n_masked) AS BIGINT) AS masked,
+      |  CAST(sum(n_starters) AS BIGINT) AS spans,
+      |  CAST(sum(n_sentinels) AS BIGINT) AS sentinels,
+      |  CASE WHEN sum(n_tokens) = 0 THEN 0.0
+      |    ELSE round(CAST(sum(n_masked) AS DOUBLE) / sum(n_tokens), 6)
+      |  END AS mask_ratio
+      |FROM counted GROUP BY source ORDER BY source""".stripMargin
+
+  /** DATASET CARD: the per-source summary table a corpus release ships
+    * (HuggingFace dataset-card statistics section) — volume, token
+    * counts, vocabulary size, exact-duplicate rate, language
+    * composition, and stopword density, each from primitives already
+    * proven elsewhere in the engine, rolled into one artifact.
+    *
+    * Determinism: every statistic is exact-integer until one final
+    * division; top language ties break lexicographically via min_by on
+    * the (−count, lang) struct key.
+    *
+    * Scale: one scan for the per-source sums, one token-keyed shuffle
+    * for vocabulary, one tiny lang census — all combinable aggregates. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = split(col("text"), " ")
+    val base = docs
+      .select(col("source"), col("text"), col("lang"), col("n_chars"),
+        size(w).cast("long").as("nt"),
+        size(filter(w, t => t.isin(TextAnalysis.stopwords: _*)))
+          .cast("long").as("nsw"),
+        md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("tokens"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(col("nsw")).cast("long").as("stopwords"),
+        countDistinct(col("h")).as("distinct_texts"))
+    val vocab = docs
+      .select(col("source"), explode(array_distinct(w)).as("tok"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("vocab"))
+    val langs = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(min_by(col("lang"), struct((-col("c")).as("nc"), col("lang")))
+        .as("top_lang"),
+        max(col("c")).cast("long").as("top_lang_n"))
+    base.join(vocab, Seq("source")).join(langs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("chars"),
+        col("vocab"),
+        round(col("tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_doc_tokens"),
+        round(lit(1.0) - col("distinct_texts").cast("double")
+          / col("n_docs"), 6).as("dup_rate"),
+        col("top_lang"),
+        round(col("top_lang_n").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"),
+        when(col("tokens") === 0, lit(0.0))
+          .otherwise(round(col("stopwords").cast("double") / col("tokens"),
+            6)).as("stopword_ratio"))
+      .orderBy("source")
+  }
+
+  val datasetCardSql: String = {
+    val stopList = TextAnalysis.stopwords.map(sw => s"'$sw'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars,
+       |    CAST(sum(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($stopList)))) AS BIGINT) AS stopwords,
+       |    count(DISTINCT md5(text)) AS distinct_texts
+       |  FROM documents GROUP BY 1),
+       |vocab AS (
+       |  SELECT source, count(*) AS vocab FROM (
+       |    SELECT DISTINCT source, unnest(list_distinct(
+       |      string_split(text, ' '))) AS tok FROM documents)
+       |  GROUP BY 1),
+       |lang_census AS (
+       |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+       |langs AS (
+       |  SELECT source, lang AS top_lang, CAST(c AS BIGINT) AS top_lang_n
+       |  FROM (SELECT source, lang, c, row_number() OVER (
+       |      PARTITION BY source ORDER BY c DESC, lang) AS rk
+       |    FROM lang_census)
+       |  WHERE rk = 1)
+       |SELECT b.source, b.n_docs, b.tokens, b.chars,
+       |  CAST(v.vocab AS BIGINT) AS vocab,
+       |  round(CAST(b.tokens AS DOUBLE) / b.n_docs, 6) AS mean_doc_tokens,
+       |  round(1.0 - CAST(b.distinct_texts AS DOUBLE) / b.n_docs, 6)
+       |    AS dup_rate,
+       |  l.top_lang,
+       |  round(CAST(l.top_lang_n AS DOUBLE) / b.n_docs, 6)
+       |    AS top_lang_share,
+       |  CASE WHEN b.tokens = 0 THEN 0.0
+       |    ELSE round(CAST(b.stopwords AS DOUBLE) / b.tokens, 6)
+       |  END AS stopword_ratio
+       |FROM base b JOIN vocab v ON v.source = b.source
+       |JOIN langs l ON l.source = b.source
+       |ORDER BY b.source""".stripMargin
+  }
 }

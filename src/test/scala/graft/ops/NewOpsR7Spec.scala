@@ -651,4 +651,40 @@ class NewOpsR7Spec extends GraftTestBase {
     }
     rows.foreach(_.getAs[Long]("n_edges") should be >= 0L)
   }
+
+  behavior of "Curation.spanCorruption"
+
+  it should "bound masked tokens by 3 per span and land near 15% density" in {
+    val rows = graft.text.Curation.spanCorruption(spark, sf).collect()
+    rows should not be empty
+    var (tok, msk, spn, snt) = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      val (t, m, sp, se) = (r.getAs[Long]("tokens"), r.getAs[Long]("masked"),
+        r.getAs[Long]("spans"), r.getAs[Long]("sentinels"))
+      m should be <= sp * 3 // overlap only shrinks coverage
+      m should be >= sp     // every span masks at least its starter
+      se should be <= sp    // sentinels are maximal runs
+      m should be <= t
+      tok += t; msk += m; spn += sp; snt += se
+    }
+    // corpus-level density near the 3/20 = 15% design point
+    msk.toDouble / tok shouldBe (0.15 +- 0.05)
+  }
+
+  behavior of "Curation.datasetCard"
+
+  it should "roll up consistent per-source statistics" in {
+    val rows = graft.text.Curation.datasetCard(spark, sf).collect()
+    rows should not be empty
+    val docs = graft.Tables.documents(spark, sf)
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    rows.foreach { r =>
+      r.getAs[Double]("dup_rate") should (be >= 0.0 and be <= 1.0)
+      r.getAs[Double]("top_lang_share") should (be > 0.0 and be <= 1.0)
+      r.getAs[Double]("stopword_ratio") should (be >= 0.0 and be < 1.0)
+      r.getAs[Long]("vocab") should be <= r.getAs[Long]("tokens")
+      r.getAs[Double]("mean_doc_tokens") shouldBe
+        (r.getAs[Long]("tokens").toDouble / r.getAs[Long]("n_docs") +- 1e-5)
+    }
+  }
 }
