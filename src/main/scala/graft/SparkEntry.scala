@@ -126,6 +126,8 @@ object SparkEntry {
     "q_ktruss"          -> (graft.ops.Graph.kTruss _),
     "q_span_corruption" -> (graft.text.Curation.spanCorruption _),
     "q_dataset_card"    -> (graft.text.Curation.datasetCard _),
+    "q_sax"             -> (graft.ops.TimeSeries.saxSymbols _),
+    "q_peaks"           -> (graft.ops.TimeSeries.peakDetection _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -612,6 +614,8 @@ object SparkEntry {
     "q_ktruss"        -> graft.ops.Graph.kTrussSql,
     "q_span_corruption" -> graft.text.Curation.spanCorruptionSql,
     "q_dataset_card"  -> graft.text.Curation.datasetCardSql,
+    "q_sax"           -> graft.ops.TimeSeries.saxSymbolsSql,
+    "q_peaks"         -> graft.ops.TimeSeries.peakDetectionSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

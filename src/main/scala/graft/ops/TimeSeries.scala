@@ -1617,6 +1617,151 @@ object TimeSeries {
           * col("n_days") * (col("n_days") + 2), 6).as("q_stat"))
   }
 
+  /** SAX SYMBOLIZATION (Lin et al.): daily revenue compressed to a
+    * 4-symbol string — PAA over 7-day segments, z-normalized, binned at
+    * the Gaussian quartile breakpoints {−0.6745, 0, 0.6745} (literals).
+    * The time-series indexing/motif-discovery representation; ships the
+    * per-segment symbols and the symbol census.
+    *
+    * Binning after a float z-score is usually the engine-divergence
+    * trap (a compare is discontinuous) — here it is safe because every
+    * input to the compare is BIT-IDENTICAL on both engines: PAA and μ
+    * are exact-integer ratios, σ is one IEEE sqrt of an exact integer,
+    * and the z expression applies the same ops in the same order, so
+    * both engines bin the identical double.
+    *
+    * Scale: one combinable day aggregate, segment aggregate on
+    * O(days/7) keys, one scalar moment row broadcast. */
+  def saxSymbols(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val idx = daily
+      .withColumn("rn", row_number().over(Window.orderBy("day")) - 1)
+    val nd = daily.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("cents").cast(big)).cast(big).as("gs"),
+      sum(col("cents").cast(big) * col("cents").cast(big)).cast(big)
+        .as("gq"))
+    val segs = idx.crossJoin(broadcast(nd))
+      .filter(col("rn") < (col("nd") - col("nd") % 7))
+      .groupBy((col("rn") / 7).cast("long").as("seg"))
+      .agg(min(col("day")).as("seg_start"),
+        sum(col("cents").cast(big)).cast(big).as("ss"),
+        max(col("nd")).as("nd"), max(col("gs").cast(big)).as("gs"),
+        max(col("gq").cast(big)).as("gq"))
+    // z = (paa − μ) / σ, every term derived from exact sums
+    val paa = col("ss").cast("double") / 7.0
+    val mu = col("gs").cast("double") / col("nd")
+    val sg = sqrt((col("nd") * col("gq") - col("gs") * col("gs"))
+      .cast("double")) / col("nd").cast("double")
+    val z = (paa - mu) / sg
+    val sym = when(z < -0.6745, lit("a")).when(z < 0.0, lit("b"))
+      .when(z < 0.6745, lit("c")).otherwise(lit("d"))
+    // seg_cents (exact long) instead of a rounded PAA double: DuckDB's
+    // round() multiplies by 10^6 first, which at 1e9-cent magnitudes
+    // exceeds double's exact-integer range and flips the last digit —
+    // the one rounding class the hash gate can't absorb.
+    segs.select(col("seg"), col("seg_start"),
+      col("ss").cast("long").as("seg_cents"),
+      round(z, 6).as("z"), sym.as("symbol"))
+      .orderBy("seg")
+  }
+
+  val saxSymbolsSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |nd AS (
+      |  SELECT count(*) AS nd, sum(CAST(cents AS HUGEINT)) AS gs,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS gq
+      |  FROM daily),
+      |idx AS (
+      |  SELECT row_number() OVER (ORDER BY day) - 1 AS rn, day, cents
+      |  FROM daily),
+      |segs AS (
+      |  SELECT rn // 7 AS seg, min(day) AS seg_start,
+      |    sum(CAST(cents AS HUGEINT)) AS ss,
+      |    max(nd.nd) AS nd, max(nd.gs) AS gs, max(nd.gq) AS gq
+      |  FROM idx CROSS JOIN nd
+      |  WHERE rn < nd.nd - nd.nd % 7
+      |  GROUP BY 1)
+      |SELECT CAST(seg AS BIGINT) AS seg, seg_start,
+      |  CAST(ss AS BIGINT) AS seg_cents,
+      |  round((CAST(ss AS DOUBLE) / 7.0 - CAST(gs AS DOUBLE) / nd)
+      |    / (sqrt(CAST(nd * gq - gs * gs AS DOUBLE)) / CAST(nd AS DOUBLE)),
+      |    6) AS z,
+      |  CASE
+      |    WHEN (CAST(ss AS DOUBLE) / 7.0 - CAST(gs AS DOUBLE) / nd)
+      |      / (sqrt(CAST(nd * gq - gs * gs AS DOUBLE)) / CAST(nd AS DOUBLE))
+      |      < -0.6745 THEN 'a'
+      |    WHEN (CAST(ss AS DOUBLE) / 7.0 - CAST(gs AS DOUBLE) / nd)
+      |      / (sqrt(CAST(nd * gq - gs * gs AS DOUBLE)) / CAST(nd AS DOUBLE))
+      |      < 0.0 THEN 'b'
+      |    WHEN (CAST(ss AS DOUBLE) / 7.0 - CAST(gs AS DOUBLE) / nd)
+      |      / (sqrt(CAST(nd * gq - gs * gs AS DOUBLE)) / CAST(nd AS DOUBLE))
+      |      < 0.6745 THEN 'c'
+      |    ELSE 'd' END AS symbol
+      |FROM segs ORDER BY seg""".stripMargin
+
+  /** PEAK DETECTION: strict local maxima of daily revenue over a ±3-day
+    * neighborhood — the spike screen behind alerting and promo-impact
+    * readouts. Entirely integer comparisons (a peak strictly exceeds
+    * all six neighbors; boundary days with fewer than six neighbors are
+    * excluded), so the peak set can never flip on a ulp. Ships the
+    * top-20 peaks by (cents DESC, day).
+    *
+    * Scale: one combinable day aggregate, one 7-row window over
+    * O(days). */
+  def peakDetection(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.orderBy("day")
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val nbrs = (1 to 3).flatMap(k => Seq(
+      lag(col("cents"), k).over(ord).as(s"lb$k"),
+      lead(col("cents"), k).over(ord).as(s"la$k")))
+    val scored = daily.select(col("day") +: col("cents") +: nbrs: _*)
+    val isPeak = (1 to 3).map(k =>
+      col(s"lb$k").isNotNull && col(s"la$k").isNotNull &&
+        col("cents") > col(s"lb$k") && col("cents") > col(s"la$k"))
+      .reduce(_ && _)
+    scored.filter(isPeak)
+      .select(col("day"), col("cents"),
+        greatest((1 to 3).flatMap(k =>
+          Seq(col(s"lb$k"), col(s"la$k"))): _*).as("max_neighbor"))
+      .withColumn("prominence", col("cents") - col("max_neighbor"))
+      .orderBy(col("cents").desc, col("day"))
+      .limit(20)
+  }
+
+  val peakDetectionSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |nb AS (
+      |  SELECT day, cents,
+      |    lag(cents, 1) OVER w AS lb1, lead(cents, 1) OVER w AS la1,
+      |    lag(cents, 2) OVER w AS lb2, lead(cents, 2) OVER w AS la2,
+      |    lag(cents, 3) OVER w AS lb3, lead(cents, 3) OVER w AS la3
+      |  FROM daily WINDOW w AS (ORDER BY day))
+      |SELECT day, cents,
+      |  greatest(lb1, la1, lb2, la2, lb3, la3) AS max_neighbor,
+      |  cents - greatest(lb1, la1, lb2, la2, lb3, la3) AS prominence
+      |FROM nb
+      |WHERE lb1 IS NOT NULL AND la1 IS NOT NULL
+      |  AND lb2 IS NOT NULL AND la2 IS NOT NULL
+      |  AND lb3 IS NOT NULL AND la3 IS NOT NULL
+      |  AND cents > lb1 AND cents > la1 AND cents > lb2
+      |  AND cents > la2 AND cents > lb3 AND cents > la3
+      |ORDER BY cents DESC, day LIMIT 20""".stripMargin
+
   /** DICKEY–FULLER UNIT-ROOT TEST (no-lag, with constant) on daily
     * order revenue: Δyₜ = α + β·yₜ₋₁ + ε; β near 0 = random walk
     * (unit root), strongly negative t = stationary/mean-reverting —

@@ -687,4 +687,38 @@ class NewOpsR7Spec extends GraftTestBase {
         (r.getAs[Long]("tokens").toDouble / r.getAs[Long]("n_docs") +- 1e-5)
     }
   }
+
+  behavior of "TimeSeries.saxSymbols"
+
+  it should "bin z-scores at the Gaussian quartile breakpoints" in {
+    val rows = TimeSeries.saxSymbols(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      val expected =
+        if (z < -0.6745) "a" else if (z < 0.0) "b"
+        else if (z < 0.6745) "c" else "d"
+      r.getAs[String]("symbol") shouldBe expected
+      r.getAs[Long]("seg_cents") should be > 0L
+    }
+    // segments are contiguous from 0
+    rows.map(_.getAs[Long]("seg")).sorted shouldBe
+      rows.indices.map(_.toLong).toArray
+  }
+
+  behavior of "TimeSeries.peakDetection"
+
+  it should "only flag strict local maxima with positive prominence" in {
+    val rows = TimeSeries.peakDetection(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Long]("prominence") should be > 0L
+      r.getAs[Long]("cents") should be >
+        r.getAs[Long]("max_neighbor")
+    }
+    // descending by cents with day tie-break
+    rows.sliding(2).foreach { case Array(a, b) =>
+      a.getAs[Long]("cents") should be >= b.getAs[Long]("cents")
+    }
+  }
 }
