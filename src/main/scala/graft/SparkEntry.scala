@@ -128,6 +128,8 @@ object SparkEntry {
     "q_dataset_card"    -> (graft.text.Curation.datasetCard _),
     "q_sax"             -> (graft.ops.TimeSeries.saxSymbols _),
     "q_peaks"           -> (graft.ops.TimeSeries.peakDetection _),
+    "q_friedman"        -> (graft.ops.Analytics.friedmanTest _),
+    "q_mutual_info"     -> (graft.ops.Analytics.mutualInfoTypeHour _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -616,6 +618,8 @@ object SparkEntry {
     "q_dataset_card"  -> graft.text.Curation.datasetCardSql,
     "q_sax"           -> graft.ops.TimeSeries.saxSymbolsSql,
     "q_peaks"         -> graft.ops.TimeSeries.peakDetectionSql,
+    "q_friedman"      -> graft.ops.Analytics.friedmanTestSql,
+    "q_mutual_info"   -> graft.ops.Analytics.mutualInfoTypeHourSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

@@ -2662,6 +2662,129 @@ object Analytics {
       |FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN msw
       |ORDER BY ta, tb""".stripMargin
 
+  /** FRIEDMAN TEST: do the event types rank consistently across days?
+    * The nonparametric repeated-measures companion to
+    * [[anovaValueByType]] — each day is a block, types are ranked by
+    * daily revenue WITHIN the day, and χ²_F asks whether the rank sums
+    * diverge. Robust to any monotone day-level scaling (a heavy traffic
+    * day inflates every type together; ranks don't move).
+    *
+    * Exactness: within-day midranks are half-integers, carried ×2 as
+    * exact integers (the Mann-Whitney midrank discipline); rank sums
+    * and the χ² numerator stay exact integers; ONE pinned double
+    * division at the end. Complete blocks only (days where all k types
+    * traded) keep the statistic well-defined.
+    *
+    * Scale: one combinable (type, day) aggregate over facts; ranking
+    * windows run per-day over k rows each — O(days) tiny partitions. */
+  def friedmanTest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    val k = daily.select("event_type").distinct()
+      .agg(count(lit(1)).cast("long").as("k"))
+    val complete = daily
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy("day")))
+      .crossJoin(broadcast(k))
+      .filter(col("nt") === col("k"))
+    // midrank×2 = rank_first + rank_last (ties share the average rank)
+    val w = Window.partitionBy("day").orderBy("cents")
+    val ranked = complete
+      .withColumn("r2",
+        rank().over(w) + (count(lit(1)).over(
+          Window.partitionBy("day", "cents")) - 1) + rank().over(w))
+    val sums = ranked.groupBy("event_type")
+      .agg(sum(col("r2")).cast("long").as("rs2"),
+        count(lit(1)).cast("long").as("n_days"), max(col("k")).as("k"))
+    sums
+      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+        sum(col("rs2") * col("rs2")).cast("long").as("ssq4"))
+      .select(col("k"), col("n"),
+        // χ² = 12/(n·k·(k+1)) · Σ R_j² − 3n(k+1); R_j = rs2/2 so
+        // Σ R_j² = ssq4/4
+        round(lit(12.0) * col("ssq4").cast("double") / 4.0 /
+          (col("n") * col("k") * (col("k") + 1)) -
+          lit(3.0) * col("n") * (col("k") + 1), 6).as("chi2_f"))
+  }
+
+  val friedmanTestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1,2),
+      |kk AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+      |complete AS (
+      |  SELECT d.* FROM daily d CROSS JOIN kk
+      |  QUALIFY count(*) OVER (PARTITION BY day) = kk.k),
+      |ranked AS (
+      |  SELECT event_type,
+      |    rank() OVER (PARTITION BY day ORDER BY cents)
+      |      + (count(*) OVER (PARTITION BY day, cents) - 1)
+      |      + rank() OVER (PARTITION BY day ORDER BY cents) AS r2
+      |  FROM complete),
+      |sums AS (
+      |  SELECT event_type, CAST(sum(r2) AS BIGINT) AS rs2,
+      |    count(*) AS n_days
+      |  FROM ranked GROUP BY 1)
+      |SELECT CAST((SELECT k FROM kk) AS BIGINT) AS k,
+      |  CAST(max(n_days) AS BIGINT) AS n,
+      |  round(12.0 * CAST(sum(CAST(rs2 AS HUGEINT) * rs2) AS DOUBLE) / 4.0
+      |    / (max(n_days) * (SELECT k FROM kk) * ((SELECT k FROM kk) + 1))
+      |    - 3.0 * max(n_days) * ((SELECT k FROM kk) + 1), 6) AS chi2_f
+      |FROM sums""".stripMargin
+
+  /** MUTUAL INFORMATION between event type and hour-of-day: how many
+    * bits does WHEN an event happens carry about WHAT it is? The
+    * information-theoretic dependence readout next to [[q: chi2]]'s
+    * significance test — MI = Σ p·ln(p·N²/(r·c)) over the k×24
+    * contingency census, all from exact counts.
+    *
+    * Determinism: the ≤ k·24 ln terms fold over the (type, hour)-sorted
+    * cell array (the zipf discipline); marginals are exact integers.
+    *
+    * Scale: one combinable census aggregate over facts; the fold runs
+    * on O(k·24) cells. */
+  def mutualInfoTypeHour(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint() // consumers: both marginals + the cell fold
+    val rowM = cells.groupBy("event_type").agg(sum(col("c")).cast("long").as("r"))
+    val colM = cells.groupBy("hr").agg(sum(col("c")).cast("long").as("cc"))
+    cells.join(rowM, Seq("event_type")).join(colM, Seq("hr"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_cells"),
+        sort_array(collect_list(struct(col("event_type"), col("hr"),
+          col("c"), col("r"), col("cc")))).as("a"))
+      .select(col("n"), col("n_cells"),
+        round(expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+            acc + (CAST(e.c AS DOUBLE) / n) *
+              ln(CAST(e.c AS DOUBLE) * n /
+                (CAST(e.r AS DOUBLE) * e.cc)))"""), 6).as("mi_nats"))
+  }
+
+  val mutualInfoTypeHourSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |rm AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS r
+      |  FROM cells GROUP BY 1),
+      |cm AS (SELECT hr, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1),
+      |folded AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_cells,
+      |    list(struct_pack(event_type := cells.event_type, hr := cells.hr,
+      |      c := c, r := r, cc := cc)
+      |      ORDER BY cells.event_type, cells.hr) AS a
+      |  FROM cells JOIN rm USING (event_type) JOIN cm USING (hr))
+      |SELECT n, CAST(n_cells AS BIGINT) AS n_cells,
+      |  round(list_sum(list_transform(a, e ->
+      |    (CAST(e.c AS DOUBLE) / n) *
+      |    ln(CAST(e.c AS DOUBLE) * n / (CAST(e.r AS DOUBLE) * e.cc)))), 6)
+      |    AS mi_nats
+      |FROM folded""".stripMargin
+
   /** ABC INVENTORY ANALYSIS: parts classified by cumulative revenue
     * share — A carries the first 80%, B to 95%, C the tail (the Pareto
     * cut every supply-chain and catalog-curation surface starts from).

@@ -721,4 +721,29 @@ class NewOpsR7Spec extends GraftTestBase {
       a.getAs[Long]("cents") should be >= b.getAs[Long]("cents")
     }
   }
+
+  behavior of "Analytics.friedmanTest"
+
+  it should "stay inside the chi-square range implied by rank extremes" in {
+    val r = Analytics.friedmanTest(spark, sf).collect().head
+    val (k, n) = (r.getAs[Long]("k"), r.getAs[Long]("n"))
+    k should be > 1L
+    n should be > 0L
+    val chi2 = r.getAs[Double]("chi2_f")
+    chi2 should be >= -1e-6 // zero iff all rank sums equal
+    // upper bound: perfectly consistent ranking gives n(k-1) ... times 12/...
+    // Σ R_j² max = n²·Σ j² ; χ² max = n(k-1)·... bounded by n*(k-1)*k
+    chi2 should be <= n.toDouble * (k - 1) * k
+  }
+
+  behavior of "Analytics.mutualInfoTypeHour"
+
+  it should "bound MI by the smaller marginal entropy" in {
+    val r = Analytics.mutualInfoTypeHour(spark, sf).collect().head
+    val mi = r.getAs[Double]("mi_nats")
+    mi should be >= -1e-9 // MI is nonnegative
+    // MI ≤ min(H(type), H(hour)) ≤ ln(min(k, 24)) ≤ ln 5 for 5 types
+    mi should be <= math.log(5.0) + 1e-9
+    r.getAs[Long]("n_cells") should be <= 5L * 24
+  }
 }
