@@ -130,6 +130,7 @@ object SparkEntry {
     "q_peaks"           -> (graft.ops.TimeSeries.peakDetection _),
     "q_friedman"        -> (graft.ops.Analytics.friedmanTest _),
     "q_mutual_info"     -> (graft.ops.Analytics.mutualInfoTypeHour _),
+    "q_kruskal"         -> (graft.ops.Behavior.kruskalWallis _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -620,6 +621,7 @@ object SparkEntry {
     "q_peaks"         -> graft.ops.TimeSeries.peakDetectionSql,
     "q_friedman"      -> graft.ops.Analytics.friedmanTestSql,
     "q_mutual_info"   -> graft.ops.Analytics.mutualInfoTypeHourSql,
+    "q_kruskal"       -> graft.ops.Behavior.kruskalWallisSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

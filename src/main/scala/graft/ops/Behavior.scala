@@ -1615,6 +1615,88 @@ object Behavior {
       |        + CAST(sg AS DOUBLE)), 6) END AS burstiness
       |FROM st ORDER BY n_gaps DESC, user_id LIMIT 20""".stripMargin
 
+  /** KRUSKAL–WALLIS H: do event values rank differently across the k
+    * event types? The k-group generalization of [[mannWhitney]] — ANOVA
+    * on global midranks, tie-corrected, distribution-free. Shares the
+    * Mann-Whitney machinery exactly: value-domain census + the
+    * range-partitioned running total ([[graft.ops.Distributed]]), so
+    * midranks are exact half-integers carried ×2 and NOTHING row-sized
+    * ever funnels through one task.
+    *
+    * Exactness: per-group rank sums ×2 and the tie sum are exact
+    * integers; the k group terms Σ (R_g²/n_g) fold over the
+    * event_type-sorted array (the [[graft.ops.Analytics]] ANOVA
+    * discipline); one pinned H formula with the tie-correction
+    * denominator.
+    *
+    * Scale: one census aggregate over facts (O(distinct values × k)
+    * cells), one `_dist` prefix pass over the value domain. */
+  def kruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val obs = Tables.events(s, d)
+      .select(col("event_type"), dec(col("value")).as("v"))
+    val byValue = obs.groupBy("v").agg(count(lit(1)).as("t"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byValue, Seq.empty, Seq("v"), "t", "cumt")
+    val cells = obs.groupBy("v", "event_type")
+      .agg(count(lit(1)).as("tg"))
+    // midrank×2 at value v = 2·(cumt − t) + t + 1
+    val perGroup = cells.join(cum, Seq("v"))
+      .groupBy("event_type")
+      .agg(sum(col("tg")).cast("long").as("ng"),
+        sum(col("tg").cast(big) *
+          (lit(2) * (col("cumt") - col("t")) + col("t") + 1)).cast(big)
+          .as("rg2"))
+    val ties = cum.agg(sum(col("t")).cast("long").as("n"),
+      sum(col("t") * col("t") * col("t") - col("t")).cast("long")
+        .as("tie_sum"))
+    perGroup
+      .agg(count(lit(1)).cast("long").as("k"),
+        sort_array(collect_list(struct(col("event_type"), col("ng"),
+          col("rg2")))).as("a"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("tie_sum"),
+        round((lit(12.0) / (col("n") * (col("n") + 1)) *
+          expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+              acc + CAST(e.rg2 * e.rg2 AS DOUBLE) / 4.0 / e.ng)""") -
+          lit(3.0) * (col("n") + 1)) /
+          (lit(1.0) - col("tie_sum").cast("double") /
+            (col("n").cast("double") * col("n") * col("n") - col("n"))),
+          6).as("h_stat"))
+  }
+
+  val kruskalWallisSql: String =
+    """WITH obs AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |by_value AS (SELECT v, count(*) AS t FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT v, t, sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+      |  FROM by_value),
+      |cells AS (
+      |  SELECT v, event_type, count(*) AS tg FROM obs GROUP BY 1, 2),
+      |per_group AS (
+      |  SELECT event_type, CAST(sum(tg) AS BIGINT) AS ng,
+      |    sum(CAST(tg AS HUGEINT) * (2 * (cumt - t) + t + 1)) AS rg2
+      |  FROM cells JOIN cum USING (v) GROUP BY 1),
+      |ties AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n,
+      |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      |  FROM cum),
+      |folded AS (
+      |  SELECT count(*) AS k,
+      |    list(struct_pack(event_type := event_type, ng := ng, rg2 := rg2)
+      |      ORDER BY event_type) AS a
+      |  FROM per_group)
+      |SELECT CAST(k AS BIGINT) AS k, n, tie_sum,
+      |  round((12.0 / (n * (n + 1)) *
+      |    list_sum(list_transform(a, e ->
+      |      CAST(e.rg2 * e.rg2 AS DOUBLE) / 4.0 / e.ng))
+      |    - 3.0 * (n + 1)) /
+      |    (1.0 - CAST(tie_sum AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat
+      |FROM folded CROSS JOIN ties""".stripMargin
+
   /** NELSON–AALEN CUMULATIVE HAZARD over the same signup→purchase
     * duration frame as [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with the
     * Poisson-form variance Σ dᵢ/nᵢ² — the estimator of choice when

@@ -746,4 +746,30 @@ class NewOpsR7Spec extends GraftTestBase {
     mi should be <= math.log(5.0) + 1e-9
     r.getAs[Long]("n_cells") should be <= 5L * 24
   }
+
+  behavior of "Behavior.kruskalWallis"
+
+  it should "match a driver-side midrank replica of H" in {
+    val r = Behavior.kruskalWallis(spark, sf).collect().head
+    val F = org.apache.spark.sql.functions
+    val obs = graft.Tables.events(spark, sf)
+      .select(F.col("event_type"),
+        (F.col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = obs.length
+    val rankOf = obs.map(_._2).sorted.zipWithIndex
+      .groupBy(_._1).map { case (v, g) =>
+        v -> g.map(_._2 + 1).sum.toDouble / g.length // midrank
+      }
+    val groups = obs.groupBy(_._1)
+    val sumR2OverN = groups.values
+      .map(g => math.pow(g.map(x => rankOf(x._2)).sum, 2) / g.size).sum
+    val tie = obs.groupBy(_._2).values
+      .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+    val h = (12.0 / (n.toLong * (n + 1L)) * sumR2OverN - 3.0 * (n + 1)) /
+      (1.0 - tie.toDouble / (n.toDouble * n * n - n))
+    r.getAs[Long]("n") shouldBe n.toLong
+    r.getAs[Double]("h_stat") shouldBe (h +- (math.abs(h) * 1e-5 + 1e-5))
+  }
 }
