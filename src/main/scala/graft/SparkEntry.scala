@@ -131,6 +131,7 @@ object SparkEntry {
     "q_friedman"        -> (graft.ops.Analytics.friedmanTest _),
     "q_mutual_info"     -> (graft.ops.Analytics.mutualInfoTypeHour _),
     "q_kruskal"         -> (graft.ops.Behavior.kruskalWallis _),
+    "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -622,6 +623,7 @@ object SparkEntry {
     "q_friedman"      -> graft.ops.Analytics.friedmanTestSql,
     "q_mutual_info"   -> graft.ops.Analytics.mutualInfoTypeHourSql,
     "q_kruskal"       -> graft.ops.Behavior.kruskalWallisSql,
+    "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

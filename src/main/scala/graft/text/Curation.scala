@@ -761,4 +761,142 @@ object Curation {
        |JOIN langs l ON l.source = b.source
        |ORDER BY b.source""".stripMargin
   }
+
+  /** CURATION FUNNEL: the end-to-end attrition table — how many
+    * documents survive each stage of the cleaning cascade the rest of
+    * this module implements piecewise: exact dedup (keep min doc_id per
+    * md5), Gopher-style quality screens ([[TextAnalysis.qualityFilter]]'s
+    * exact conditions), and eval-set decontamination
+    * ([[graft.text.Decontam]]'s 5-gram overlap — eval-slice docs
+    * themselves also leave at this stage: they are held out, not
+    * trained on). The one-table answer to "where does my corpus go?".
+    *
+    * Stages are CUMULATIVE (a doc must survive every earlier stage),
+    * all flags exact-integer conditions — nothing here can flip on a
+    * ulp.
+    *
+    * Scale: one md5 aggregate, one (doc, tok) tf aggregate, one
+    * gram-keyed broadcast join — each stage's own documented plan,
+    * composed by doc_id equi-joins; the funnel rollup is 4 rows. */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{TextAnalysis => TA, Decontam => DC}
+    val docs = Tables.documents(s, d)
+    val exact = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id").as("doc_id"),
+        org.apache.spark.sql.functions.lit(true).as("exact_keep"))
+    val quality = TA.qualityFilter(s, d)
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val decontam = DC.ngramOverlap(s, d)
+      .select(col("doc_id"),
+        (!col("contaminated")).as("decontam_keep")) // train docs only
+    val flags = docs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(decontam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_keep"), org.apache.spark.sql.functions.lit(false))
+          .as("s1"),
+        coalesce(col("quality_keep"),
+          org.apache.spark.sql.functions.lit(false)).as("s2"),
+        coalesce(col("decontam_keep"),
+          org.apache.spark.sql.functions.lit(false)).as("s3"))
+    flags.agg(
+      count(org.apache.spark.sql.functions.lit(1)).as("n0"),
+      sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s1") && col("s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s1") && col("s2") && col("s3"), 1L).otherwise(0L))
+        .as("n3"))
+      .select(explode(org.apache.spark.sql.functions.array(
+        struct(org.apache.spark.sql.functions.lit(0).as("stage"),
+          org.apache.spark.sql.functions.lit("total").as("name"),
+          col("n0").cast("long").as("n_docs"),
+          org.apache.spark.sql.functions.lit(0L).as("n_dropped")),
+        struct(org.apache.spark.sql.functions.lit(1).as("stage"),
+          org.apache.spark.sql.functions.lit("exact_dedup").as("name"),
+          col("n1").cast("long").as("n_docs"),
+          (col("n0") - col("n1")).cast("long").as("n_dropped")),
+        struct(org.apache.spark.sql.functions.lit(2).as("stage"),
+          org.apache.spark.sql.functions.lit("quality").as("name"),
+          col("n2").cast("long").as("n_docs"),
+          (col("n1") - col("n2")).cast("long").as("n_dropped")),
+        struct(org.apache.spark.sql.functions.lit(3).as("stage"),
+          org.apache.spark.sql.functions.lit("decontam_holdout").as("name"),
+          col("n3").cast("long").as("n_docs"),
+          (col("n2") - col("n3")).cast("long").as("n_dropped")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.name").as("name"),
+        col("r.n_docs").as("n_docs"), col("r.n_dropped").as("n_dropped"))
+      .orderBy("stage")
+  }
+
+  val curationFunnelSql: String = {
+    import graft.text.{TextAnalysis => TA, Decontam => DC}
+    s"""WITH exact AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |qstats AS (
+       |  SELECT doc_id, sum(tf) AS n_tok, count(*) AS n_distinct,
+       |    max(tf) AS max_tf
+       |  FROM tf GROUP BY 1),
+       |quality AS (
+       |  SELECT doc_id FROM qstats
+       |  WHERE n_tok >= ${TA.qfMinTokens} AND n_tok <= ${TA.qfMaxTokens}
+       |    AND max_tf * 4 <= n_tok AND n_distinct * 10 >= n_tok * 3),
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= ${DC.gramLen} THEN list_distinct(
+       |      list_transform(generate_series(1, len(w) - ${DC.gramLen - 1}),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+       |          w[i+3] || ' ' || w[i+4]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS g
+       |  FROM words),
+       |eval_grams AS (
+       |  SELECT DISTINCT unnest(g) AS gram FROM grams
+       |  WHERE doc_id % ${DC.evalMod} = 0),
+       |tp AS (
+       |  SELECT doc_id, unnest(g) AS gram FROM grams
+       |  WHERE doc_id % ${DC.evalMod} <> 0),
+       |hit AS (
+       |  SELECT tp.doc_id, count(*) AS n_grams,
+       |    sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+       |  FROM tp LEFT JOIN eval_grams e USING (gram) GROUP BY 1),
+       |train AS (
+       |  SELECT g.doc_id, coalesce(h.n_grams, 0) AS n_grams,
+       |    coalesce(h.n_overlap, 0) AS n_overlap
+       |  FROM grams g LEFT JOIN hit h ON h.doc_id = g.doc_id
+       |  WHERE g.doc_id % ${DC.evalMod} <> 0),
+       |decontam AS (
+       |  SELECT doc_id FROM train
+       |  WHERE NOT (n_grams > 0 AND n_overlap * ${DC.contamPctX5} >= n_grams)),
+       |flags AS (
+       |  SELECT d.doc_id,
+       |    (e.doc_id IS NOT NULL) AS s1,
+       |    (q.doc_id IS NOT NULL) AS s2,
+       |    (c.doc_id IS NOT NULL) AS s3
+       |  FROM documents d
+       |  LEFT JOIN exact e ON e.doc_id = d.doc_id
+       |  LEFT JOIN quality q ON q.doc_id = d.doc_id
+       |  LEFT JOIN decontam c ON c.doc_id = d.doc_id),
+       |agg AS (
+       |  SELECT count(*) AS n0,
+       |    sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+       |    sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS n2,
+       |    sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS n3
+       |  FROM flags)
+       |SELECT 0 AS stage, 'total' AS name, CAST(n0 AS BIGINT) AS n_docs,
+       |  CAST(0 AS BIGINT) AS n_dropped FROM agg
+       |UNION ALL SELECT 1, 'exact_dedup', CAST(n1 AS BIGINT),
+       |  CAST(n0 - n1 AS BIGINT) FROM agg
+       |UNION ALL SELECT 2, 'quality', CAST(n2 AS BIGINT),
+       |  CAST(n1 - n2 AS BIGINT) FROM agg
+       |UNION ALL SELECT 3, 'decontam_holdout', CAST(n3 AS BIGINT),
+       |  CAST(n2 - n3 AS BIGINT) FROM agg
+       |ORDER BY stage""".stripMargin
+  }
 }

@@ -772,4 +772,21 @@ class NewOpsR7Spec extends GraftTestBase {
     r.getAs[Long]("n") shouldBe n.toLong
     r.getAs[Double]("h_stat") shouldBe (h +- (math.abs(h) * 1e-5 + 1e-5))
   }
+
+  behavior of "Curation.curationFunnel"
+
+  it should "shrink monotonically and reconcile drops per stage" in {
+    val rows = graft.text.Curation.curationFunnel(spark, sf).collect()
+      .sortBy(_.getAs[Int]("stage"))
+    rows.map(_.getAs[String]("name")) shouldBe
+      Array("total", "exact_dedup", "quality", "decontam_holdout")
+    rows.head.getAs[Long]("n_docs") shouldBe
+      graft.Tables.documents(spark, sf).count()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("n_docs") should be <= a.getAs[Long]("n_docs")
+      b.getAs[Long]("n_dropped") shouldBe
+        a.getAs[Long]("n_docs") - b.getAs[Long]("n_docs")
+    }
+    rows.last.getAs[Long]("n_docs") should be > 0L
+  }
 }
