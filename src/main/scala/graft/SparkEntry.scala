@@ -132,6 +132,9 @@ object SparkEntry {
     "q_mutual_info"     -> (graft.ops.Analytics.mutualInfoTypeHour _),
     "q_kruskal"         -> (graft.ops.Behavior.kruskalWallis _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
+    "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
+    "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
+    "q_classifier_metrics" -> (TextAnalysis.classifierMetrics _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -624,6 +627,9 @@ object SparkEntry {
     "q_mutual_info"   -> graft.ops.Analytics.mutualInfoTypeHourSql,
     "q_kruskal"       -> graft.ops.Behavior.kruskalWallisSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
+    "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
+    "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,
+    "q_classifier_metrics" -> TextAnalysis.classifierMetricsSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

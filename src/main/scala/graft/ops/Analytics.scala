@@ -2748,6 +2748,66 @@ object Analytics {
       |    - 3.0 * max(n_days) * ((SELECT k FROM kk) + 1), 6) AS chi2_f
       |FROM sums""".stripMargin
 
+  /** COCHRAN–ARMITAGE TREND TEST: does the return rate TREND with the
+    * discount level? The ordered-dose 2×k test — χ²-style independence
+    * ([[chiSquareStatusPriority]]) ignores the ordering; this weights
+    * each discount level by its integer dose and asks for a monotone
+    * dose-response signal ("do discounted items come back more?").
+    *
+    * Exactness: doses are integer discount percents; the trend
+    * numerator N·Σwr − R·Σwn and the variance core
+    * N·Σw²n − (Σwn)² are exact decimal(38,0); Z is one pinned double
+    * formula (one sqrt). All from the O(k) dose census.
+    *
+    * Scale: one combinable census aggregate over facts → k ≤ 11 rows →
+    * one scalar fold. */
+  def cochranArmitageTrend(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val census = Tables.lineitem(s, d)
+      .groupBy(round(col("l_discount") * 100).cast("long").as("w"))
+      .agg(count(lit(1)).cast("long").as("n_i"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast("long").as("r_i"))
+    val sums = census.agg(
+      sum(col("n_i")).cast(big).as("n"),
+      sum(col("r_i")).cast(big).as("r"),
+      sum(col("w").cast(big) * col("n_i")).cast(big).as("swn"),
+      sum(col("w").cast(big) * col("r_i")).cast(big).as("swr"),
+      sum(col("w").cast(big) * col("w") * col("n_i")).cast(big).as("sw2n"),
+      count(lit(1)).cast("long").as("k"))
+    val num = (col("n") * col("swr") - col("r") * col("swn")).cast("double")
+    val p = col("r").cast("double") / col("n").cast("double")
+    val varCore = (col("n") * col("sw2n") - col("swn") * col("swn"))
+      .cast("double")
+    sums.select(col("k"), col("n").cast("long").as("n_total"),
+      col("r").cast("long").as("n_returned"),
+      round(num / (col("n").cast("double") *
+        sqrt(p * (lit(1.0) - p) * varCore)), 6).as("z_trend"))
+  }
+
+  val cochranArmitageTrendSql: String =
+    """WITH census AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS w,
+      |    count(*) AS n_i,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r_i
+      |  FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT sum(CAST(n_i AS HUGEINT)) AS n,
+      |    sum(CAST(r_i AS HUGEINT)) AS r,
+      |    sum(CAST(w AS HUGEINT) * n_i) AS swn,
+      |    sum(CAST(w AS HUGEINT) * r_i) AS swr,
+      |    sum(CAST(w AS HUGEINT) * w * n_i) AS sw2n,
+      |    count(*) AS k
+      |  FROM census)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_total,
+      |  CAST(r AS BIGINT) AS n_returned,
+      |  round(CAST(n * swr - r * swn AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) *
+      |     sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |       (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |       CAST(n * sw2n - swn * swn AS DOUBLE))), 6) AS z_trend
+      |FROM s""".stripMargin
+
   /** MUTUAL INFORMATION between event type and hour-of-day: how many
     * bits does WHEN an event happens carry about WHAT it is? The
     * information-theoretic dependence readout next to [[q: chi2]]'s

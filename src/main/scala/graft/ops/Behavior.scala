@@ -1615,6 +1615,78 @@ object Behavior {
       |        + CAST(sg AS DOUBLE)), 6) END AS burstiness
       |FROM st ORDER BY n_gaps DESC, user_id LIMIT 20""".stripMargin
 
+  /** CONVERSION ODDS RATIO for the md5-parity A/B split: the 2×2 effect
+    * size the relative-rate readouts ([[abTestRevenue]] Welch,
+    * [[sampleRatioCheck]] SRM) don't give — OR with its Woolf 95%
+    * log-CI, the epidemiology-standard reporting for binary outcomes.
+    *
+    * Determinism: the 2×2 cells are exact integers; OR is one exact
+    * rational; ln/exp appear once each on O(1)-magnitude values with
+    * identical inputs on both engines (the Kaplan–Meier transcendental
+    * precedent), rounded to 6.
+    *
+    * Scale: one user-keyed aggregate over facts → 4 cells. */
+  def oddsRatioConversion(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        col("conv"))
+    val cells = perUser.agg(
+      sum(when(col("variant") === 1 && col("conv") === 1, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("variant") === 1 && col("conv") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("variant") === 0 && col("conv") === 1, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("variant") === 0 && col("conv") === 0, 1L).otherwise(0L))
+        .as("d"))
+    // Haldane–Anscombe +0.5 on every cell: the standard zero-cell
+    // correction, and what keeps the division total under ANSI (at this
+    // corpus nearly every user converts, so a non-converter cell CAN be
+    // zero)
+    val (a, b, c2, d2) = (col("a") + lit(0.5), col("b") + lit(0.5),
+      col("c") + lit(0.5), col("d") + lit(0.5))
+    val or = (a * d2) / (b * c2)
+    val se = sqrt(lit(1.0) / a + lit(1.0) / b +
+      lit(1.0) / c2 + lit(1.0) / d2)
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      round(or, 6).as("odds_ratio"),
+      round(exp(log(or) - lit(1.959963984540054) * se), 6).as("ci_low"),
+      round(exp(log(or) + lit(1.959963984540054) * se), 6).as("ci_high"))
+  }
+
+  val oddsRatioConversionSql: String =
+    """WITH per_user AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM per_user)
+      |SELECT a, b, c, d,
+      |  round(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)), 6)
+      |    AS odds_ratio,
+      |  round(exp(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+      |    - 1.959963984540054 * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)
+      |      + 1.0/(c + 0.5) + 1.0/(d + 0.5))), 6) AS ci_low,
+      |  round(exp(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+      |    + 1.959963984540054 * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)
+      |      + 1.0/(c + 0.5) + 1.0/(d + 0.5))), 6) AS ci_high
+      |FROM cells""".stripMargin
+
   /** KRUSKAL–WALLIS H: do event values rank differently across the k
     * event types? The k-group generalization of [[mannWhitney]] — ANOVA
     * on global midranks, tie-corrected, distribution-free. Shares the

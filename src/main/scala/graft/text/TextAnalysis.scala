@@ -1239,6 +1239,82 @@ object TextAnalysis {
       |    4) AS jsd
       |FROM pairs GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 
+  /** CLASSIFIER METRICS for the stopword language-ID heuristic against
+    * the corpus's declared labels, binarized on 'en': precision /
+    * recall / F1 / accuracy / MCC from the exact confusion counts —
+    * the model-evaluation readout [[langConfusion]]'s raw matrix feeds
+    * (every filtered pipeline reports exactly this table).
+    *
+    * Determinism: TP/FP/FN/TN are exact integers; each metric is one
+    * pinned double formula; MCC's denominator is one IEEE sqrt of an
+    * exact product (decimal — the four marginals multiply past int64
+    * at corpus scale). Degenerate zero marginals pin to NULL.
+    *
+    * Scale: one codegen'd scan → 4 counters. */
+  def classifierMetrics(s: SparkSession, d: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hits = col("ts").getField("n_stopwords")
+    val scored = Tables.documents(s, d)
+      .select(col("lang"),
+        graft.functions.GraftFunctions.tokenStats(col("text"), stopwords)
+          .as("ts"))
+      .select((col("lang") === "en").as("actual"), (hits >= 2).as("pred"))
+    val cells = scored.agg(
+      sum(when(col("actual") && col("pred"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("actual") && col("pred"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("actual") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("actual") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+    val denom2 = (col("tp") + col("fp")).cast(big) *
+      (col("tp") + col("fn")) * (col("tn") + col("fp")) *
+      (col("tn") + col("fn"))
+    cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round(col("tp").cast("double") /
+        greatest(col("tp") + col("fp"), lit(1L)), 6).as("precision"),
+      round(col("tp").cast("double") /
+        greatest(col("tp") + col("fn"), lit(1L)), 6).as("recall"),
+      round(lit(2.0) * col("tp") /
+        greatest(lit(2L) * col("tp") + col("fp") + col("fn"), lit(1L)), 6)
+        .as("f1"),
+      round((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+      when(denom2 === 0, lit(null).cast("double"))
+        .otherwise(round(
+          (col("tp").cast(big) * col("tn") - col("fp").cast(big) * col("fn"))
+            .cast("double") / sqrt(denom2.cast("double")), 6)).as("mcc"))
+  }
+
+  val classifierMetricsSql: String = {
+    val hitExpr =
+      s"len(list_filter(string_split(text,' '), t -> t IN ($stopList)))"
+    s"""WITH scored AS (
+       |  SELECT (lang = 'en') AS actual, ($hitExpr >= 2) AS pred
+       |  FROM documents),
+       |cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN actual AND pred THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tp,
+       |    CAST(sum(CASE WHEN NOT actual AND pred THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN actual AND NOT pred THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT actual AND NOT pred THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn
+       |  FROM scored)
+       |SELECT tp, fp, fn, tn,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+       |  round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1,
+       |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+       |    AS accuracy,
+       |  CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
+       |      * (tn + fn) = 0 THEN NULL
+       |    ELSE round(CAST(CAST(tp AS HUGEINT) * tn
+       |        - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+       |      / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
+       |        * (tn + fn) AS DOUBLE)), 6) END AS mcc
+       |FROM cells""".stripMargin
+  }
+
   /** N-GRAM NOVELTY CURVE: per doc_id decile, what fraction of each
     * document's distinct 3-grams were ALREADY seen in an earlier doc —
     * the corpus-freshness statistic behind "is the tail of my crawl

@@ -789,4 +789,60 @@ class NewOpsR7Spec extends GraftTestBase {
     }
     rows.last.getAs[Long]("n_docs") should be > 0L
   }
+
+  behavior of "Behavior.oddsRatioConversion"
+
+  it should "order the CI around the corrected OR and conserve users" in {
+    val r = Behavior.oddsRatioConversion(spark, sf).collect().head
+    val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"), r.getAs[Long]("d"))
+    a + b + c + d shouldBe graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val or = r.getAs[Double]("odds_ratio")
+    or shouldBe ((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)) +- 1e-5)
+    r.getAs[Double]("ci_low") should be < or
+    r.getAs[Double]("ci_high") should be > or
+    r.getAs[Double]("ci_low") should be > 0.0
+  }
+
+  behavior of "Analytics.cochranArmitageTrend"
+
+  it should "match a driver-side trend replica" in {
+    val r = Analytics.cochranArmitageTrend(spark, sf).collect().head
+    val F = org.apache.spark.sql.functions
+    val cells = graft.Tables.lineitem(spark, sf)
+      .groupBy(F.round(F.col("l_discount") * 100).cast("long").as("w"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("l_returnflag") === "R", 1L).otherwise(0L)).as("rr"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val rTot = cells.map(_._3).sum.toDouble
+    val swn = cells.map(x => x._1 * x._2).sum.toDouble
+    val swr = cells.map(x => x._1 * x._3).sum.toDouble
+    val sw2n = cells.map(x => x._1 * x._1 * x._2).sum.toDouble
+    val p = rTot / n
+    val z = (n * swr - rTot * swn) /
+      (n * math.sqrt(p * (1 - p) * (n * sw2n - swn * swn)))
+    r.getAs[Long]("n_total") shouldBe n.toLong
+    r.getAs[Double]("z_trend") shouldBe (z +- (math.abs(z) * 1e-5 + 1e-5))
+  }
+
+  behavior of "TextAnalysis.classifierMetrics"
+
+  it should "keep all metrics in range and consistent with the cells" in {
+    val r = graft.text.TextAnalysis.classifierMetrics(spark, sf)
+      .collect().head
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    tp + fp + fn + tn shouldBe graft.Tables.documents(spark, sf).count()
+    Seq("precision", "recall", "f1", "accuracy").foreach { m =>
+      r.getAs[Double](m) should (be >= 0.0 and be <= 1.0)
+    }
+    Option(r.getAs[Any]("mcc")).foreach { m =>
+      m.asInstanceOf[Double] should (be >= -1.0 and be <= 1.0)
+    }
+    if (tp + fp > 0)
+      r.getAs[Double]("precision") shouldBe
+        (tp.toDouble / (tp + fp) +- 1e-5)
+  }
 }
