@@ -135,6 +135,7 @@ object SparkEntry {
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
     "q_classifier_metrics" -> (TextAnalysis.classifierMetrics _),
+    "q_audio_census"    -> (Multimodal.audioCensus _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -630,6 +631,7 @@ object SparkEntry {
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,
     "q_classifier_metrics" -> TextAnalysis.classifierMetricsSql,
+    "q_audio_census"  -> Multimodal.audioCensusSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

@@ -373,4 +373,110 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) % 61 + 16 AS INTEGER) AS img_width,
       |  CAST(octet_length(encode(text)) % 37 + 12 AS INTEGER) AS img_height
       |FROM documents""".stripMargin
+
+  /** Samples per analysis frame for the audio face. */
+  val audioFrame = 256
+  /** Sample-value modulus (signed 16-bit PCM range). */
+  val pcmMod = 65536L
+
+  /** One REAL 16-bit little-endian PCM payload per document: sample i is
+    * ((seed + 7·i) mod 65536) − 32768, byte-packed exactly as a WAV data
+    * chunk would carry it. Sample count derives from the text byte
+    * length ((len mod 1024) + 512) — the generation contract the oracle
+    * mirrors in integer arithmetic without touching a byte. */
+  def audioTable(s: SparkSession, d: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        length(encode(col("text"), "UTF-8")).cast("int").as("len"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (r.getInt(1) % 1024) + 512
+          val sd = ((id * 131) % pcmMod).toInt
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((sd + 7L * i) % pcmMod) - 32768L).toInt
+            bytes(2 * i) = (v & 0xff).toByte
+            bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          Row(id, bytes)
+        }
+      }(enc)
+  }
+
+  /** AUDIO FRAME CENSUS (driver-graded): per document, the decoded
+    * sample count, complete [[audioFrame]]-sample frame count, total
+    * frame energy Σ s² and zero-crossing count — the VAD/loudness
+    * feature pass every speech pipeline runs first. The Spark side
+    * PARSES the real PCM bytes (little-endian signed 16-bit, the decode
+    * is genuine — a truncated payload fails loudly); the oracle
+    * recomputes the same integers from the generation contract via a
+    * per-sample modular series, never seeing a byte. Ships the top-20
+    * docs by (energy, id). Exact integers end to end.
+    *
+    * Scale: map-only decode (bytes consumed and dropped in the
+    * iterator), one top-k; audio bytes never shuffle. */
+  def audioCensus(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("n_frames", LongType),
+      StructField("energy", LongType),
+      StructField("zero_crossings", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val decoded = audioTable(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          require(bytes.length % 2 == 0, s"odd PCM payload for $id")
+          val n = bytes.length / 2
+          val nf = n / audioFrame
+          var energy = 0L
+          var zc = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i) & 0xff) |
+              (bytes(2 * i + 1).toInt << 8)).toShort.toInt
+            if (i < nf * audioFrame) energy += v.toLong * v
+            if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+            prev = v
+            i += 1
+          }
+          Row(id, n.toLong, nf.toLong, energy, zc)
+        }
+      }(enc)
+    decoded.orderBy(col("energy").desc, col("media_id")).limit(20)
+  }
+
+  val audioCensusSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id AS media_id,
+       |    (octet_length(encode(text)) % 1024) + 512 AS n,
+       |    (doc_id * 131) % $pcmMod AS sd
+       |  FROM documents),
+       |samples AS (
+       |  SELECT media_id, n, i,
+       |    ((sd + 7 * i) % $pcmMod) - 32768 AS v
+       |  FROM base, unnest(generate_series(0, n - 1)) AS t(i)),
+       |flagged AS (
+       |  SELECT media_id, n, i, v,
+       |    CASE WHEN i > 0 AND (v >= 0) <>
+       |        (lag(v) OVER (PARTITION BY media_id ORDER BY i) >= 0)
+       |      THEN 1 ELSE 0 END AS zc
+       |  FROM samples),
+       |census AS (
+       |  SELECT media_id, max(n) AS n_samples,
+       |    max(n) // $audioFrame AS n_frames,
+       |    CAST(sum(CASE WHEN i < (n // $audioFrame) * $audioFrame
+       |      THEN v * v ELSE 0 END) AS BIGINT) AS energy,
+       |    CAST(sum(zc) AS BIGINT) AS zero_crossings
+       |  FROM flagged GROUP BY media_id)
+       |SELECT media_id, n_samples, n_frames, energy, zero_crossings
+       |FROM census
+       |ORDER BY energy DESC, media_id LIMIT 20""".stripMargin
 }

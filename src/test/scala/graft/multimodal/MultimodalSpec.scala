@@ -111,4 +111,28 @@ class MultimodalSpec extends GraftTestBase {
     // checksums vary across images (the resample read real pixels)
     rows.map(_.getLong(3)).distinct.length should be > 1
   }
+
+  behavior of "Multimodal.audioCensus"
+
+  it should "round-trip the PCM byte packing against a direct replica" in {
+    val rows = Multimodal.audioCensus(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = r.getAs[Long]("n_samples").toInt
+      // regenerate the contract directly (no bytes) and compare
+      val sd = (id * 131) % Multimodal.pcmMod
+      val samples = (0 until n).map(i => ((sd + 7L * i) % Multimodal.pcmMod) - 32768L)
+      val nf = n / Multimodal.audioFrame
+      val energy = samples.take(nf * Multimodal.audioFrame).map(v => v * v).sum
+      val zc = samples.sliding(2).count(p => (p(1) >= 0) != (p(0) >= 0))
+      r.getAs[Long]("n_frames") shouldBe nf.toLong
+      r.getAs[Long]("energy") shouldBe energy
+      r.getAs[Long]("zero_crossings") shouldBe zc.toLong
+    }
+    // descending energy with id tie-break
+    rows.sliding(2).foreach { case Array(a, b) =>
+      a.getAs[Long]("energy") should be >= b.getAs[Long]("energy")
+    }
+  }
 }
