@@ -136,6 +136,7 @@ object SparkEntry {
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
     "q_classifier_metrics" -> (TextAnalysis.classifierMetrics _),
     "q_audio_census"    -> (Multimodal.audioCensus _),
+    "q_stl_strength"    -> (graft.ops.TimeSeries.seasonalStrength _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -632,6 +633,7 @@ object SparkEntry {
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,
     "q_classifier_metrics" -> TextAnalysis.classifierMetricsSql,
     "q_audio_census"  -> Multimodal.audioCensusSql,
+    "q_stl_strength"  -> graft.ops.TimeSeries.seasonalStrengthSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

@@ -1617,6 +1617,104 @@ object TimeSeries {
           * col("n_days") * (col("n_days") + 2), 6).as("q_stat"))
   }
 
+  /** SEASONAL/TREND STRENGTH (the STL-decomposition readout,
+    * Hyndman's F_s/F_t): how much of daily revenue variance is weekly
+    * seasonality vs trend vs noise? Trend = 7-day centered moving
+    * average, seasonal = day-of-week mean of the detrended series,
+    * F = max(0, 1 − Var(remainder)/Var(component)) — the statistic
+    * forecasting pipelines use to pick model structure (and the formal
+    * face of [[acfDailyRevenue]]'s lag-7 spike).
+    *
+    * Numeric contract: the detrended numerator ν = 7x − S₇ and the
+    * per-dow totals are EXACT integers; the remainder doubles derive
+    * from them identically on both engines; the two variance sums
+    * accumulate doubles in engine aggregation order, so the outputs
+    * round to 4dp (the lmScore precedent: summation-order error
+    * ~1e-13, far inside 4dp).
+    *
+    * Scale: one combinable day aggregate; the centered MA is a 7-row
+    * window over O(days); dow means are a 7-key aggregate. */
+  def seasonalStrength(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val centered = daily
+      .withColumn("s7", sum(col("cents")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .filter(col("m") === 7)
+      .select(col("day"), col("cents"),
+        (lit(7) * col("cents") - col("s7")).as("nu"),
+        dayofweek(col("day")).as("dow"))
+    val dowStats = centered.groupBy("dow")
+      .agg(count(lit(1)).cast("long").as("nd"),
+        sum(col("nu")).cast("long").as("td"))
+    val scored = centered.join(dowStats, Seq("dow"))
+      .select(
+        (col("nu").cast("double") / 7.0).as("dtr"),
+        (col("nu").cast("double") / 7.0 -
+          col("td").cast("double") / (lit(7.0) * col("nd"))).as("rem"),
+        (col("cents").cast("double") -
+          col("td").cast("double") / (lit(7.0) * col("nd"))).as("deseas"))
+    def popVar(c: String): Column =
+      (sum(col(c) * col(c)) / count(lit(1)) -
+        (sum(col(c)) / count(lit(1))) * (sum(col(c)) / count(lit(1))))
+    scored.agg(count(lit(1)).cast("long").as("n_days"),
+      popVar("dtr").as("vd"), popVar("rem").as("vr"),
+      popVar("deseas").as("va"))
+      .select(col("n_days"),
+        when(col("vd") <= 0, lit(null).cast("double"))
+          .otherwise(round(greatest(lit(0.0),
+            lit(1.0) - col("vr") / col("vd")), 4)).as("seasonal_strength"),
+        when(col("va") <= 0, lit(null).cast("double"))
+          .otherwise(round(greatest(lit(0.0),
+            lit(1.0) - col("vr") / col("va")), 4)).as("trend_strength"))
+  }
+
+  val seasonalStrengthSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |centered AS (
+      |  SELECT day, cents, 7 * cents - s7 AS nu, dayofweek(day) AS dow
+      |  FROM (
+      |    SELECT day, cents,
+      |      sum(cents) OVER w AS s7, count(*) OVER w AS m
+      |    FROM daily
+      |    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3
+      |      FOLLOWING))
+      |  WHERE m = 7),
+      |dow_stats AS (
+      |  SELECT dow, count(*) AS nd, CAST(sum(nu) AS BIGINT) AS td
+      |  FROM centered GROUP BY 1),
+      |scored AS (
+      |  SELECT CAST(nu AS DOUBLE) / 7.0 AS dtr,
+      |    CAST(nu AS DOUBLE) / 7.0 - CAST(td AS DOUBLE) / (7.0 * nd)
+      |      AS rem,
+      |    CAST(cents AS DOUBLE) - CAST(td AS DOUBLE) / (7.0 * nd)
+      |      AS deseas
+      |  FROM centered JOIN dow_stats USING (dow)),
+      |v AS (
+      |  SELECT count(*) AS n_days,
+      |    sum(dtr * dtr) / count(*)
+      |      - (sum(dtr) / count(*)) * (sum(dtr) / count(*)) AS vd,
+      |    sum(rem * rem) / count(*)
+      |      - (sum(rem) / count(*)) * (sum(rem) / count(*)) AS vr,
+      |    sum(deseas * deseas) / count(*)
+      |      - (sum(deseas) / count(*)) * (sum(deseas) / count(*)) AS va
+      |  FROM scored)
+      |SELECT CAST(n_days AS BIGINT) AS n_days,
+      |  CASE WHEN vd <= 0 THEN NULL
+      |    ELSE round(greatest(0.0, 1.0 - vr / vd), 4) END
+      |    AS seasonal_strength,
+      |  CASE WHEN va <= 0 THEN NULL
+      |    ELSE round(greatest(0.0, 1.0 - vr / va), 4) END
+      |    AS trend_strength
+      |FROM v""".stripMargin
+
   /** SAX SYMBOLIZATION (Lin et al.): daily revenue compressed to a
     * 4-symbol string — PAA over 7-day segments, z-normalized, binned at
     * the Gaussian quartile breakpoints {−0.6745, 0, 0.6745} (literals).

@@ -845,4 +845,20 @@ class NewOpsR7Spec extends GraftTestBase {
       r.getAs[Double]("precision") shouldBe
         (tp.toDouble / (tp + fp) +- 1e-5)
   }
+
+  behavior of "TimeSeries.seasonalStrength"
+
+  it should "keep both strengths in [0, 1]" in {
+    val r = TimeSeries.seasonalStrength(spark, sf).collect().head
+    r.getAs[Long]("n_days") should be > 0L
+    Seq("seasonal_strength", "trend_strength").foreach { c =>
+      Option(r.getAs[Any](c)).foreach { v =>
+        v.asInstanceOf[Double] should (be >= 0.0 and be <= 1.0)
+      }
+    }
+    // deseasonalized variance ≥ remainder variance would make
+    // trend_strength ≥ seasonal_strength only when trend dominates —
+    // no ordering guaranteed; just both defined on this corpus
+    assert(r.getAs[Any]("seasonal_strength") != null)
+  }
 }
