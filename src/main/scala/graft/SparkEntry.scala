@@ -137,6 +137,8 @@ object SparkEntry {
     "q_classifier_metrics" -> (TextAnalysis.classifierMetrics _),
     "q_audio_census"    -> (Multimodal.audioCensus _),
     "q_stl_strength"    -> (graft.ops.TimeSeries.seasonalStrength _),
+    "q_did"             -> (graft.ops.Behavior.diffInDiff _),
+    "q_sequential"      -> (graft.ops.Behavior.sequentialTest _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -634,6 +636,8 @@ object SparkEntry {
     "q_classifier_metrics" -> TextAnalysis.classifierMetricsSql,
     "q_audio_census"  -> Multimodal.audioCensusSql,
     "q_stl_strength"  -> graft.ops.TimeSeries.seasonalStrengthSql,
+    "q_did"           -> graft.ops.Behavior.diffInDiffSql,
+    "q_sequential"    -> graft.ops.Behavior.sequentialTestSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

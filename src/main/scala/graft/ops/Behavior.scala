@@ -1615,6 +1615,195 @@ object Behavior {
       |        + CAST(sg AS DOUBLE)), 6) END AS burstiness
       |FROM st ORDER BY n_gaps DESC, user_id LIMIT 20""".stripMargin
 
+  /** DIFFERENCE-IN-DIFFERENCES: the md5-parity variants × first/second
+    * half of the event window — did the treatment group's mean event
+    * value MOVE differently across periods? The workhorse causal
+    * readout when randomization is suspect ([[abTestRevenue]] assumes
+    * it; DiD differences out group-level and period-level shifts).
+    * Period split pinned at the window midpoint date.
+    *
+    * Determinism: the four (group, period) cells carry exact decimal
+    * power sums; cell means are exact-integer ratios; the SE's four
+    * variance terms fold over the (variant, period)-sorted array; DiD,
+    * SE and t are one pinned double formula each.
+    *
+    * Scale: ONE combinable aggregate over facts → 4 cells → a one-row
+    * fold. */
+  def diffInDiff(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = (dec(col("value")) * 100).cast("long")
+    val cells = Tables.events(s, d)
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).as("p2"),
+        cents.as("x"))
+      .groupBy("variant", "p2")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(big)).cast(big).as("sx"),
+        sum(col("x").cast(big) * col("x").cast(big)).cast(big).as("sq"))
+    val m = (v: Int, p: Boolean) =>
+      max(when(col("variant") === v && col("p2") === p,
+        col("sx").cast("double") / col("n")))
+    val packed = cells.agg(
+      sort_array(collect_list(struct(col("variant"), col("p2"), col("n"),
+        col("sx"), col("sq")))).as("a"),
+      m(1, true).as("t2"), m(1, false).as("t1"),
+      m(0, true).as("c2"), m(0, false).as("c1"))
+    val did = (col("t2") - col("t1")) - (col("c2") - col("c1"))
+    val se = sqrt(expr(
+      """aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+        |  acc + (CAST(e.sq AS DOUBLE) / e.n
+        |    - (CAST(e.sx AS DOUBLE) / e.n) * (CAST(e.sx AS DOUBLE) / e.n))
+        |    / e.n)""".stripMargin))
+    packed.select(
+      round(col("t1"), 6).as("treat_pre"), round(col("t2"), 6).as("treat_post"),
+      round(col("c1"), 6).as("ctrl_pre"), round(col("c2"), 6).as("ctrl_post"),
+      round(did, 6).as("did_cents"),
+      round(did / se, 6).as("t_stat"))
+  }
+
+  val diffInDiffSql: String =
+    """WITH cells AS (
+      |  SELECT
+      |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    (ts >= TIMESTAMP '2024-01-16') AS p2,
+      |    count(*) AS n,
+      |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)) AS sx,
+      |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT) * CAST(CAST(value AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS sq
+      |  FROM events GROUP BY 1, 2),
+      |packed AS (
+      |  SELECT
+      |    list(struct_pack(variant := variant, p2 := p2, n := n,
+      |      sx := sx, sq := sq) ORDER BY variant, p2) AS a,
+      |    max(CASE WHEN variant = 1 AND p2 THEN CAST(sx AS DOUBLE) / n END)
+      |      AS t2,
+      |    max(CASE WHEN variant = 1 AND NOT p2
+      |      THEN CAST(sx AS DOUBLE) / n END) AS t1,
+      |    max(CASE WHEN variant = 0 AND p2 THEN CAST(sx AS DOUBLE) / n END)
+      |      AS c2,
+      |    max(CASE WHEN variant = 0 AND NOT p2
+      |      THEN CAST(sx AS DOUBLE) / n END) AS c1
+      |  FROM cells)
+      |SELECT round(t1, 6) AS treat_pre, round(t2, 6) AS treat_post,
+      |  round(c1, 6) AS ctrl_pre, round(c2, 6) AS ctrl_post,
+      |  round((t2 - t1) - (c2 - c1), 6) AS did_cents,
+      |  round(((t2 - t1) - (c2 - c1)) /
+      |    sqrt(list_sum(list_transform(a, e ->
+      |      (CAST(e.sq AS DOUBLE) / e.n
+      |        - (CAST(e.sx AS DOUBLE) / e.n) * (CAST(e.sx AS DOUBLE) / e.n))
+      |        / e.n))), 6) AS t_stat
+      |FROM packed""".stripMargin
+
+  /** GROUP-SEQUENTIAL A/B MONITOR: the week-by-week interim looks an
+    * always-on experiment dashboard runs — cumulative two-proportion
+    * conversion z per variant at each weekly look, against the
+    * O'Brien–Fleming-style spending boundaries for 4 looks (pinned
+    * literals; the conservative early / near-nominal late shape that
+    * controls overall α at 5%). "Crossed" at look k = stop early.
+    *
+    * Determinism: cumulative cells are exact integers (user counted
+    * from his FIRST week so looks nest properly); z is one pinned
+    * pooled-proportion formula; the boundary compare inputs are
+    * bit-identical doubles on both engines.
+    *
+    * Scale: one user-week aggregate over facts; the look frame is
+    * O(4). */
+  def sequentialTest(s: SparkSession, d: String): DataFrame = {
+    // conversion = a HIGH-VALUE purchase (≥ $150, exact-cents compare):
+    // plain "any purchase" saturates at ~100% on this corpus, making
+    // p(1−p) = 0 and the z undefined (the first gate's ANSI
+    // DIVIDE_BY_ZERO); the high-value event sits mid-range (~45%)
+    val firstWeek = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(date_trunc("week", col("ts")).cast("date")).as("wk0"),
+        max(when(col("event_type") === "purchase" &&
+          (dec(col("value")) * 100).cast("long") >= 15000L, 1L)
+          .otherwise(0L)).as("conv"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        col("wk0"), col("conv"))
+    // looks = the first 4 CALENDAR weeks of the event stream (every
+    // user joins in week 1 on this dense corpus, so first-seen weeks
+    // would collapse to one look)
+    val weeks = Tables.events(s, d)
+      .select(date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct().orderBy("wk").limit(4)
+      .withColumn("look", row_number().over(Window.orderBy("wk")))
+    // cumulative cells at each look: users whose first week ≤ the look
+    val cells = firstWeek.crossJoin(broadcast(weeks))
+      .filter(col("wk0") <= col("wk"))
+      .groupBy("look", "wk", "variant")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("conv")).cast("long").as("cv"))
+    val wide = cells.groupBy("look", "wk")
+      .agg(max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("cv"))).as("cv0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("cv"))).as("cv1"))
+    val p = (col("cv0") + col("cv1")).cast("double") /
+      (col("n0") + col("n1"))
+    val z = (col("cv1").cast("double") / col("n1") -
+      col("cv0").cast("double") / col("n0")) /
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val bound = element_at(
+      array(lit(4.333), lit(2.963), lit(2.359), lit(2.014)), col("look"))
+    val degenerate = p <= 0.0 || p >= 1.0
+    wide.select(col("look"), col("wk"), col("n0"), col("cv0"),
+      col("n1"), col("cv1"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(z, 6)).as("z"),
+      bound.as("boundary"),
+      when(degenerate, lit(false)).otherwise(abs(z) > bound).as("crossed"))
+      .orderBy("look")
+  }
+
+  val sequentialTestSql: String =
+    """WITH fw AS (
+      |  SELECT
+      |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS wk0,
+      |    max(CASE WHEN event_type = 'purchase'
+      |      AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 15000
+      |      THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |weeks AS (
+      |  SELECT wk, row_number() OVER (ORDER BY wk) AS look FROM (
+      |    SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk
+      |    FROM events ORDER BY wk LIMIT 4)),
+      |cells AS (
+      |  SELECT look, wk, variant, count(*) AS n, sum(conv) AS cv
+      |  FROM fw CROSS JOIN weeks WHERE fw.wk0 <= weeks.wk
+      |  GROUP BY 1, 2, 3),
+      |wide AS (
+      |  SELECT look, wk,
+      |    CAST(max(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+      |    CAST(max(CASE WHEN variant = 0 THEN cv END) AS BIGINT) AS cv0,
+      |    CAST(max(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+      |    CAST(max(CASE WHEN variant = 1 THEN cv END) AS BIGINT) AS cv1
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT look, wk, n0, cv0, n1, cv1,
+      |  CASE WHEN cv0 + cv1 = 0 OR cv0 + cv1 = n0 + n1 THEN NULL
+      |    ELSE round((CAST(cv1 AS DOUBLE) / n1 - CAST(cv0 AS DOUBLE) / n0)
+      |      / sqrt((CAST(cv0 + cv1 AS DOUBLE) / (n0 + n1)) *
+      |        (1.0 - CAST(cv0 + cv1 AS DOUBLE) / (n0 + n1)) *
+      |        (1.0 / n0 + 1.0 / n1)), 6) END AS z,
+      |  [4.333, 2.963, 2.359, 2.014][look] AS boundary,
+      |  CASE WHEN cv0 + cv1 = 0 OR cv0 + cv1 = n0 + n1 THEN false
+      |    ELSE abs((CAST(cv1 AS DOUBLE) / n1 - CAST(cv0 AS DOUBLE) / n0)
+      |      / sqrt((CAST(cv0 + cv1 AS DOUBLE) / (n0 + n1)) *
+      |        (1.0 - CAST(cv0 + cv1 AS DOUBLE) / (n0 + n1)) *
+      |        (1.0 / n0 + 1.0 / n1)))
+      |      > [4.333, 2.963, 2.359, 2.014][look] END AS crossed
+      |FROM wide ORDER BY look""".stripMargin
+
   /** CONVERSION ODDS RATIO for the md5-parity A/B split: the 2×2 effect
     * size the relative-rate readouts ([[abTestRevenue]] Welch,
     * [[sampleRatioCheck]] SRM) don't give — OR with its Woolf 95%

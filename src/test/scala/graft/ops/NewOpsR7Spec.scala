@@ -861,4 +861,35 @@ class NewOpsR7Spec extends GraftTestBase {
     // no ordering guaranteed; just both defined on this corpus
     assert(r.getAs[Any]("seasonal_strength") != null)
   }
+
+  behavior of "Behavior.diffInDiff"
+
+  it should "reconstruct DiD from its four cell means" in {
+    val r = Behavior.diffInDiff(spark, sf).collect().head
+    val did = (r.getAs[Double]("treat_post") - r.getAs[Double]("treat_pre")) -
+      (r.getAs[Double]("ctrl_post") - r.getAs[Double]("ctrl_pre"))
+    r.getAs[Double]("did_cents") shouldBe (did +- 1e-4)
+    // t and DiD share sign
+    (r.getAs[Double]("t_stat") >= 0) shouldBe (r.getAs[Double]("did_cents") >= 0)
+  }
+
+  behavior of "Behavior.sequentialTest"
+
+  it should "nest looks monotonically with valid boundaries" in {
+    val rows = Behavior.sequentialTest(spark, sf).collect()
+      .sortBy(_.getAs[Int]("look"))
+    rows.length should be >= 2
+    var (pn0, pn1) = (0L, 0L)
+    rows.foreach { r =>
+      // cumulative looks only grow
+      r.getAs[Long]("n0") should be >= pn0
+      r.getAs[Long]("n1") should be >= pn1
+      pn0 = r.getAs[Long]("n0"); pn1 = r.getAs[Long]("n1")
+      r.getAs[Long]("cv0") should be <= r.getAs[Long]("n0")
+      r.getAs[Long]("cv1") should be <= r.getAs[Long]("n1")
+    }
+    // O'Brien-Fleming boundaries decrease across looks
+    rows.map(_.getAs[Double]("boundary")).toSeq shouldBe
+      rows.map(_.getAs[Double]("boundary")).toSeq.sorted.reverse
+  }
 }
