@@ -81,6 +81,7 @@ object Graph {
   def clearCaches(s: SparkSession): Unit = cacheLock.synchronized {
     edgeCache.keys.filter(_._1 eq s).foreach(edgeCache.remove)
     biCache.keys.filter(_._1 eq s).foreach(biCache.remove)
+    adjCache.keys.filter(_._1 eq s).foreach(adjCache.remove)
     distCache.keys.filter(_._1 eq s).foreach(distCache.remove)
     hookedSessions -= s
   }
@@ -1266,6 +1267,17 @@ object Graph {
       .limit(20)
   }
 
+  /** Full-neighborhood adjacency arrays of the co-purchase graph,
+    * memoized with the [[edgeCache]] contract (one groupBy+collect per
+    * session instead of one per consumer). */
+  private val adjCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def adjFullCached(s: SparkSession, d: String): DataFrame =
+    memo(adjCache, s, d)(
+      biEdges(s, d).groupBy(col("u").as("x"))
+        .agg(sort_array(collect_set(col("v"))).as("nb"))
+        .localCheckpoint())
+
   /** Peel rounds for [[kTruss]] — bounded like [[kcoreRounds]]: the
     * census is DEFINED per round, so determinism never depends on
     * convergence. */
@@ -1301,14 +1313,11 @@ object Graph {
     // enumerate O(|D|·d̄) candidate triangles instead of re-pricing all
     // O(E·d̄) — measured 26.7 → ~11 s at sf0.1. Both paths produce the
     // identical per-round census the full-recompute oracle checks.
-    // FULL adjacency of the round-0 graph, built once off the cached
-    // bidirectional frame; later rounds expand deleted edges against it
-    // and re-check edge membership with two cheap semi-joins (witness
-    // lists only ever SHRINK, so E_0 lists + membership = E_{r-1}
-    // lists).
-    val adjFull = biEdges(s, d).groupBy(col("u").as("x"))
-      .agg(sort_array(collect_set(col("v"))).as("nb"))
-      .localCheckpoint()
+    // FULL adjacency of the round-0 graph, memoized like the edge
+    // frames; later rounds expand deleted edges against it and re-check
+    // edge membership with two cheap semi-joins (witness lists only
+    // ever SHRINK, so E_0 lists + membership = E_{r-1} lists).
+    val adjFull = adjFullCached(s, d)
     var support: DataFrame = null // support within the CURRENT cur
     var total: DataFrame = null   // one-row running triangle count
     for (r <- 1 to ktrussRounds) {
