@@ -139,6 +139,7 @@ object SparkEntry {
     "q_stl_strength"    -> (graft.ops.TimeSeries.seasonalStrength _),
     "q_did"             -> (graft.ops.Behavior.diffInDiff _),
     "q_sequential"      -> (graft.ops.Behavior.sequentialTest _),
+    "q_reco_eval"       -> (graft.ops.Graph.recommenderEval _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
@@ -638,6 +639,7 @@ object SparkEntry {
     "q_stl_strength"  -> graft.ops.TimeSeries.seasonalStrengthSql,
     "q_did"           -> graft.ops.Behavior.diffInDiffSql,
     "q_sequential"    -> graft.ops.Behavior.sequentialTestSql,
+    "q_reco_eval"     -> graft.ops.Graph.recommenderEvalSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,

@@ -1424,6 +1424,143 @@ object Graph {
     base + rounds + "\n" + census + "\nORDER BY round"
   }
 
+  /** Temporal split date for [[recommenderEval]] — the midpoint of the
+    * TPC-H order window (train strictly before, test at-or-after). */
+  val recoSplitDate = "1995-06-17"
+  val recoK = 5
+
+  /** OFFLINE RECOMMENDER EVALUATION: hit-rate@5 of the simplest
+    * co-purchase recommender ("customers who bought X also bought Y")
+    * against a TEMPORAL holdout — train on orders before the split
+    * date, recommend the top-5 non-owned parts ranked by how many of
+    * the customer's train parts they are co-purchased with (the
+    * [[linkPrediction]] CN score, basket-scoped), score hits against
+    * the parts actually bought after the split. The end-to-end eval
+    * loop every recsys ships, expressed as four key-shuffle joins.
+    *
+    * Determinism: CN scores are exact integers; the top-5 ranks break
+    * ties on (cn DESC, part id); hit counts and the final rate are one
+    * exact-integer ratio, rounded 6.
+    *
+    * Scale: candidate volume is Σ_customers |basket|·d̄ — key-shuffle
+    * hash joins end to end, no cross product; baskets are bounded by
+    * order history, adjacency by the co-purchase degree. Evaluated
+    * customers = those with BOTH train and test activity. */
+  def recommenderEval(s: SparkSession, d: String): DataFrame = {
+    val bi = biEdges(s, d)
+    val lineOrders = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        to_date(col("o_orderdate")).as("od"),
+        (to_date(col("o_orderdate")) < lit(recoSplitDate).cast("date"))
+          .as("is_train"))
+    val trainAll = lineOrders.filter(col("is_train"))
+      .groupBy("cust", "part").agg(max(col("od")).as("last_od"))
+      .localCheckpoint() // consumers: basket ranking, ownership, eval set
+    // the recommendation BASKET is the 5 most recent train parts per
+    // customer (the "last-N items" form every production recommender
+    // uses) — it bounds candidate volume at 5·d̄ per customer, the
+    // difference between ~10 s and ~6 s at sf0.1 and between feasible
+    // and quadratic at 100 TB; ownership filtering still uses the FULL
+    // history
+    val basket = trainAll
+      .withColumn("rk", row_number().over(Window.partitionBy("cust")
+        .orderBy(col("last_od").desc, col("part"))))
+      .filter(col("rk") <= 5)
+      .select("cust", "part")
+    val train = trainAll.select("cust", "part")
+    val test = lineOrders.filter(!col("is_train")).select("cust", "part")
+      .distinct()
+    // candidates: parts adjacent to any train part, not already owned
+    val cands = basket
+      .join(bi.select(col("u").as("part"), col("v").as("cand")), Seq("part"))
+      .groupBy(col("cust"), col("cand"))
+      .agg(count(lit(1)).cast("long").as("cn"))
+      .join(train.select(col("cust"), col("part").as("cand")),
+        Seq("cust", "cand"), "left_anti")
+    val topk = cands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cust").orderBy(col("cn").desc, col("cand"))))
+      .filter(col("rk") <= recoK)
+    // evaluate only customers with both train and test activity
+    val evalCusts = train.select("cust").distinct()
+      .join(test.select("cust").distinct(), Seq("cust"), "left_semi")
+    val hits = topk
+      .join(evalCusts, Seq("cust"), "left_semi")
+      .join(test.select(col("cust"), col("part").as("cand"))
+        .withColumn("hit", lit(1L)), Seq("cust", "cand"), "left")
+      .groupBy("cust")
+      .agg(count(lit(1)).cast("long").as("n_rec"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+    hits.agg(count(lit(1)).cast("long").as("n_customers"),
+      sum(col("n_rec")).cast("long").as("n_recommended"),
+      sum(col("n_hit")).cast("long").as("n_hits"),
+      sum(when(col("n_hit") > 0, 1L).otherwise(0L)).cast("long")
+        .as("n_customers_hit"))
+      .select(col("n_customers"), col("n_recommended"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          greatest(col("n_recommended"), lit(1L)), 6).as("precision_at_k"),
+        round(col("n_customers_hit").cast("double") /
+          greatest(col("n_customers"), lit(1L)), 6).as("hit_rate"))
+  }
+
+  val recommenderEvalSql: String =
+    s"""WITH pr AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+       |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |lo AS (
+       |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+       |    CAST(o.o_orderdate AS DATE) AS od,
+       |    CAST(o.o_orderdate AS DATE) < DATE '$recoSplitDate' AS is_train
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |train_all AS (
+       |  SELECT cust, part, max(od) AS last_od FROM lo WHERE is_train
+       |  GROUP BY 1, 2),
+       |basket AS (
+       |  SELECT cust, part FROM (
+       |    SELECT cust, part, row_number() OVER (PARTITION BY cust
+       |      ORDER BY last_od DESC, part) AS rk
+       |    FROM train_all)
+       |  WHERE rk <= 5),
+       |train AS (SELECT cust, part FROM train_all),
+       |test AS (SELECT DISTINCT cust, part FROM lo WHERE NOT is_train),
+       |cands AS (
+       |  SELECT t.cust, bi.v AS cand, count(*) AS cn
+       |  FROM basket t JOIN bi ON bi.u = t.part
+       |  GROUP BY 1, 2),
+       |fresh AS (
+       |  SELECT c.cust, c.cand, c.cn FROM cands c
+       |  WHERE NOT EXISTS (SELECT 1 FROM train t
+       |    WHERE t.cust = c.cust AND t.part = c.cand)),
+       |topk AS (
+       |  SELECT cust, cand FROM (
+       |    SELECT cust, cand, row_number() OVER (PARTITION BY cust
+       |      ORDER BY cn DESC, cand) AS rk
+       |    FROM fresh)
+       |  WHERE rk <= $recoK),
+       |ec AS (
+       |  SELECT DISTINCT cust FROM train
+       |  WHERE cust IN (SELECT cust FROM test)),
+       |hits AS (
+       |  SELECT k.cust, count(*) AS n_rec,
+       |    sum(CASE WHEN te.part IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM topk k
+       |  JOIN ec ON ec.cust = k.cust
+       |  LEFT JOIN test te ON te.cust = k.cust AND te.part = k.cand
+       |  GROUP BY 1)
+       |SELECT count(*) AS n_customers,
+       |  CAST(sum(n_rec) AS BIGINT) AS n_recommended,
+       |  CAST(sum(n_hit) AS BIGINT) AS n_hits,
+       |  round(CAST(sum(n_hit) AS DOUBLE) / greatest(sum(n_rec), 1), 6)
+       |    AS precision_at_k,
+       |  round(CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / greatest(count(*), 1), 6) AS hit_rate
+       |FROM hits""".stripMargin
+
   val eigenCentralitySql: String =
     """WITH pr AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

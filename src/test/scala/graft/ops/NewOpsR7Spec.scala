@@ -892,4 +892,20 @@ class NewOpsR7Spec extends GraftTestBase {
     rows.map(_.getAs[Double]("boundary")).toSeq shouldBe
       rows.map(_.getAs[Double]("boundary")).toSeq.sorted.reverse
   }
+
+  behavior of "Graph.recommenderEval"
+
+  it should "bound recommendations at k per customer with consistent rates" in {
+    val r = Graph.recommenderEval(spark, sf).collect().head
+    val (nc, nr, nh) = (r.getAs[Long]("n_customers"),
+      r.getAs[Long]("n_recommended"), r.getAs[Long]("n_hits"))
+    nc should be > 0L
+    nr should be <= nc * Graph.recoK // ≤ k recs per evaluated customer
+    nh should be <= nr
+    r.getAs[Double]("precision_at_k") shouldBe
+      (nh.toDouble / math.max(nr, 1) +- 1e-5)
+    r.getAs[Double]("hit_rate") should (be >= 0.0 and be <= 1.0)
+    // the CN recommender must beat zero on this co-purchase corpus
+    nh should be > 0L
+  }
 }
