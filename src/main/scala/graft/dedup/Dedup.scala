@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Deduplication operators over `documents` — the LLM-corpus-curation
   * surface (north star, SURVEY.md §7.4): exact, n-gram Jaccard, MinHash
@@ -281,13 +282,13 @@ object Dedup {
     * iteration's labels are checkpointed to keep the plan flat
     * (iterative lineage otherwise grows exponentially). */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val pairs = minhashLsh(s, d).select(col("doc_a"), col("doc_b")).pin()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label"))
-      .localCheckpoint()
+      .pin()
     var converged = false
     var iter = 0
     while (!converged && iter < 16) {
@@ -302,7 +303,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), col("nbr_label")).as("label"),
           (col("nbr_label") < col("label")).as("changed"))
-        .localCheckpoint()
+        .pin()
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("doc_id"), col("label"))
       iter += 1

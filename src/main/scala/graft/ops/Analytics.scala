@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Analytics widening over the harness testdata: reshaping (pivot/unpivot),
   * explicit grouping sets, exact percentiles, statistical moments, ordered
@@ -325,15 +326,14 @@ object Analytics {
       .select(col("k"), col("p"))
       .as[(Long, Double)]
       .rdd
-    // localCheckpoint pins the shuffle output so the counting pass and
-    // the ranking pass read the SAME partitioning without recomputing
-    // the sort. Durability contract: localCheckpoint blocks live on
-    // executors, not reliable storage — losing an executor between the
-    // two passes fails the job (and it fails LOUDLY; a silent recompute
-    // could reorder). On a long-lived cluster checkpoint() to reliable
-    // storage buys the same pinning with fault tolerance at the cost of
-    // an HDFS round-trip.
-    ranged.localCheckpoint()
+    // Pin the shuffle output so the counting pass and the ranking pass
+    // read the SAME partitioning without recomputing the sort. In the
+    // default local mode losing an executor between the two passes
+    // fails the job (LOUDLY; a silent recompute could reorder); with
+    // spark.graft.checkpoint.dir set, Pin swaps to a reliable
+    // checkpoint that survives executor loss at the cost of a
+    // distributed-FS round-trip.
+    graft.Pin.rdd(ranged)
     val counts = ranged
       // fold to a Long directly — Iterator.size returns Int and would
       // wrap past 2^31 rows in one partition
@@ -1365,7 +1365,7 @@ object Analytics {
     // pin the (flag, price, qty) aggregate once: three plan subtrees
     // consume it (two rank legs + the closing join), and without the
     // checkpoint each re-runs the full lineitem scan + groupBy
-    val pairs = spearmanPairs(s, d).localCheckpoint()
+    val pairs = spearmanPairs(s, d).pin()
     def minRanks(valueCol: String, rankName: String): DataFrame =
       Distributed.withRunningTotal(
         pairs.groupBy(col("l_returnflag"), col(valueCol)).agg(sum(col("c")).as("nv")),
@@ -1631,7 +1631,7 @@ object Analytics {
       // pinned once: FOUR plan subtrees consume this aggregate (three
       // rank legs + the closing join) — without the checkpoint each
       // re-runs the orders scan + per-customer groupBy
-      .localCheckpoint()
+      .pin()
     def score(orderCol: String, name: String): DataFrame =
       Distributed.withRunningTotal(
         perCust.select(col("o_custkey"), col(orderCol), col("one")),
@@ -2823,7 +2823,7 @@ object Analytics {
     val cells = Tables.events(s, d)
       .groupBy(col("event_type"), hour(col("ts")).as("hr"))
       .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint() // consumers: both marginals + the cell fold
+      .pin() // consumers: both marginals + the cell fold
     val rowM = cells.groupBy("event_type").agg(sum(col("c")).cast("long").as("r"))
     val colM = cells.groupBy("hr").agg(sum(col("c")).cast("long").as("cc"))
     cells.join(rowM, Seq("event_type")).join(colM, Seq("hr"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Behavioral analytics over the `events` stream table: funnel conversion
   * and cohort retention — the two queries every product-analytics engine
@@ -1507,7 +1508,7 @@ object Behavior {
       .select(col("user_id"),
         date_trunc("week", col("ts")).cast("date").as("wk"))
       .distinct()
-      .localCheckpoint() // 4 consumers: act, first-week, both retained sides
+      .pin() // 4 consumers: act, first-week, both retained sides
     val act = um.groupBy("wk").agg(count(lit(1)).as("n_active"))
     val nw = um.groupBy("user_id").agg(min(col("wk")).as("wk"))
       .groupBy("wk").agg(count(lit(1)).as("n_new"))

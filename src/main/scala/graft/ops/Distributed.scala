@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
+import graft.Pin
+
 /** Distributed exact order statistics — the building block that replaces
   * the two window-operator scale antipatterns PlanLint flags:
   *
@@ -118,7 +120,7 @@ object Distributed {
     val wIdx = schema.fieldIndex(weightCol)
     val nFields = schema.fields.length
     val rdd = shims.internalRdd(ranged).map(_.copy())
-    rdd.localCheckpoint()
+    Pin.rdd(rdd)
     def groupKey(r: InternalRow): Seq[Any] =
       gIdx.indices.map(i => r.get(gIdx(i), gTypes(i)))
     // pass 1: per-partition per-group totals (metadata-sized)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Time-series join/window operators over `events` — the shapes Spark has
   * no single built-in operator for, composed from windows and range
@@ -1311,7 +1312,7 @@ object TimeSeries {
         date_trunc("day", col("ts")).cast("date").as("day"))
       .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
         .as("cents"))
-      .localCheckpoint() // 3 consumers: both pair-join sides + tie census
+      .pin() // 3 consumers: both pair-join sides + tie census
     val a = daily.select(col("event_type"), col("day"), col("cents"))
     val b = daily.select(col("event_type").as("et2"), col("day").as("day2"),
       col("cents").as("cents2"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.shims
 
 import graft.Tables
+import graft.Pin.Pinned
 import graft.functions.GraftFunctions.cosineSim
 
 /** Similarity search over the `embeddings` table (`ARRAY<FLOAT>[64]`) —
@@ -957,16 +958,16 @@ object Similarity {
       .select(col("va"), col("vb"))
     val sym = half.select(col("va").as("src"), col("vb").as("dst"))
       .unionAll(half.select(col("vb").as("src"), col("va").as("dst")))
-      .localCheckpoint()
+      .pin()
     val core = sym.groupBy(col("src")).agg(count(lit(1)).as("nn"))
       .filter(col("nn") >= dbscanMinPts - 1)
       .select(col("src").as("x"))
-      .localCheckpoint()
+      .pin()
     val coreEdges = sym
       .join(core.select(col("x").as("src")), Seq("src"))
       .join(core.select(col("x").as("dst")), Seq("dst"))
       .select(col("src"), col("dst"))
-    var labels = core.select(col("x"), col("x").as("label")).localCheckpoint()
+    var labels = core.select(col("x"), col("x").as("label")).pin()
     var converged = false
     var iter = 0
     while (!converged && iter < 16) {
@@ -978,7 +979,7 @@ object Similarity {
         .select(col("x"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           (coalesce(col("nl"), col("label")) < col("label")).as("changed"))
-        .localCheckpoint()
+        .pin()
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("x"), col("label"))
       iter += 1

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Corpus curation — the OUTPUT side of the LLM-data pipeline: pack the
   * kept documents into fixed-token-budget training shards, and
@@ -229,8 +230,8 @@ object Curation {
         graft.functions.GraftFunctions.wordNgrams(col("text"), 3)
           .as(Seq("pos", "gram")))
       .select("doc_id", "gram").distinct()
-      .localCheckpoint()
-    var covered = grams.select("gram").limit(0).localCheckpoint()
+      .pin()
+    var covered = grams.select("gram").limit(0).pin()
     val rows = Seq.newBuilder[(Int, Long, Long, Long)]
     var cum = 0L
     for (r <- 1 to coverageRounds) {
@@ -244,7 +245,7 @@ object Curation {
       covered = covered
         .unionAll(grams.filter(col("doc_id") === wid).select("gram"))
         .distinct()
-        .localCheckpoint()
+        .pin()
     }
     import s.implicits._
     rows.result().toDF("round", "doc_id", "new_grams", "cum_grams")

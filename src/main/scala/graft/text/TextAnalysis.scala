@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Text-analysis operators over the `documents` table — the LLM-training-
   * pipeline surface (north star, SURVEY.md §7.4): token counting, quality
@@ -1185,7 +1186,7 @@ object TextAnalysis {
     val census = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // two consumers: totals + postings
+      .pin() // two consumers: totals + postings
     val totals = census.groupBy("source").agg(sum(col("c")).as("nt"))
     val pairs = census.groupBy("tok")
       .agg(sort_array(collect_list(struct(col("source"), col("c")))).as("ps"))
