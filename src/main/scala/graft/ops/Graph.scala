@@ -6,18 +6,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Graph analytics over the co-purchase graph (parts are vertices; an
   * edge connects two parts that share an order). Triangle counting is
   * the canonical "does this engine do graphs at scale?" kernel — the
-  * naive three-way self-join explodes on high-degree vertices, so the
-  * production rendering is DEGREE-ORIENTED wedge counting: orient every
-  * edge from its (degree, id)-smaller endpoint to the larger, generate
-  * wedges only from each vertex's out-edges, and close them against the
-  * oriented edge list. Out-degrees under this orientation are bounded by
-  * O(sqrt(m)), so total wedge volume is O(m^1.5) regardless of skew — a
-  * celebrity vertex with a million neighbors contributes wedges only
-  * through its (few) higher-degree peers, not its million fans.
+  * naive three-way self-join explodes on high-degree vertices, so every
+  * triangle-shaped query here (census, clustering coefficient, k-truss)
+  * reads ONE shared per-edge support pass ([[edgeSupport]]): a local
+  * array-intersect of the two endpoints' pinned adjacency lists per
+  * edge — never a wedge materialization (on dense graphs wedges
+  * outnumber edges by two orders of magnitude). For a SOLO one-shot
+  * count on a skew-heavy graph the degree-oriented edge-iterator
+  * (O(sqrt m)-bounded out-lists, O(m^1.5) total work) is the textbook
+  * alternative; on this degree-uniform corpus it measured no faster
+  * (PERF.md r7) and cannot be shared across the suite.
   *
   * Everything is exact-integer DataFrame algebra: edge generation is the
   * posting-list pattern (collect the basket per order, pair-expand
@@ -38,8 +41,13 @@ object Graph {
     * ([[graft.sources.Bucketing.writeBucketed]] keyed by `u`) so
     * downstream joins co-locate without reshuffling; in-session the
     * pinned blocks give the same read-many behavior. Durability
-    * contract as everywhere localCheckpoint is used: an executor loss
-    * fails loudly rather than silently recomputing. */
+    * contract as at every [[graft.Pin]] site: in the default
+    * (localCheckpoint) mode an executor loss fails loudly rather than
+    * silently recomputing; setting `spark.graft.checkpoint.dir` to a
+    * fault-tolerant path swaps every pin in this module (and every
+    * iterative loop engine-wide) to reliable `checkpoint()`s that
+    * survive executor loss — the mode a 1000-executor 100 TB run
+    * should use. */
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -83,6 +91,7 @@ object Graph {
     biCache.keys.filter(_._1 eq s).foreach(biCache.remove)
     adjCache.keys.filter(_._1 eq s).foreach(adjCache.remove)
     distCache.keys.filter(_._1 eq s).foreach(distCache.remove)
+    supportCache.keys.filter(_._1 eq s).foreach(supportCache.remove)
     hookedSessions -= s
   }
 
@@ -98,7 +107,7 @@ object Graph {
             |    struct(x AS u, y AS v))))""".stripMargin)).as("e"))
         .select(col("e.u"), col("e.v"))
         .distinct()
-        .localCheckpoint())
+        .pin())
 
   /** Shared BIDIRECTIONAL edge frame (u→v and v→u), memoized like
     * [[edges]]: eight graph queries were each re-unioning and
@@ -113,7 +122,7 @@ object Graph {
       val e = edges(s, d)
       e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
+        .pin()
     }
 
   /** Fixed-size deterministic multi-source seed set: the [[seedCap]]
@@ -140,39 +149,23 @@ object Graph {
     * clustering-coefficient denominator), computed from the degree
     * relation — exact integers throughout. */
   def coPurchaseTriangles(s: SparkSession, d: String): DataFrame = {
+    // One shared triangle pass for the whole suite: the global count is
+    // Σ sup / 3 over [[edgeSupport]] (each triangle is seen from all
+    // three corner edges), so this query does NO closure work of its
+    // own — it aggregates the memoized support frame that
+    // q_clustering_coef and q_ktruss also read. Degrees come from the
+    // pinned full adjacency (array size, no extra shuffle).
     val e = edges(s, d)
-    val deg = e.select(col("u").as("x"))
-      .unionAll(e.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("dg"))
-    val withDeg = e
-      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
-    // orient from (degree, id)-smaller endpoint to larger
-    val lt = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
-      when(lt, col("u")).otherwise(col("v")).as("src"),
-      when(lt, col("v")).otherwise(col("u")).as("dst"),
-      when(lt, col("dv")).otherwise(col("du")).as("ddst"))
-    // edge-iterator closure: a triangle a -> b -> c (orientation order)
-    // is counted once at edge (a, b) as c ∈ N+(a) ∩ N+(b). Never
-    // materializes wedges — on dense graphs (this one: 20k vertices,
-    // 1.2M edges, 148M wedges at sf0.1) wedge enumeration shuffles two
-    // orders of magnitude more rows than exist edges, while here the
-    // per-edge intersection does the same closure work as a LOCAL array
-    // op. Out-lists are bounded O(sqrt m) by the orientation, so the
-    // carried arrays stay small under any degree skew. Two key-shuffle
-    // joins (edge -> each endpoint's out-list) and one sum.
-    val adj = oriented.groupBy("src").agg(collect_list(col("dst")).as("nb"))
+    val sup = edgeSupport(s, d)
+    val deg = adjFullCached(s, d)
+      .select(col("x"),
+        org.apache.spark.sql.functions.size(col("nb")).cast("long").as("dg"))
     val nv = deg.agg(count(lit(1)).as("n_vertices"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
     val nw = deg.agg(expr("sum(dg * (dg - 1) div 2)").cast("long").as("n_wedges"))
-    val nt = oriented.select("src", "dst")
-      .join(adj.select(col("src"), col("nb").as("nb_u")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nb").as("nb_v")), Seq("dst"))
-      .select(org.apache.spark.sql.functions.size(
-        array_intersect(col("nb_u"), col("nb_v"))).cast("long").as("c"))
-      .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
+    val nt = sup
+      .agg(coalesce((sum(col("sup")) / 3).cast("long"), lit(0L))
+        .as("n_triangles"))
     nv.crossJoin(broadcast(ne)).crossJoin(broadcast(nw)).crossJoin(broadcast(nt))
   }
 
@@ -277,14 +270,14 @@ object Graph {
       val bi = biEdges(s, d)
       var dist = seeds(bi)
         .select(col("x"), lit(0).as("hop"))
-        .localCheckpoint()
+        .pin()
       for (h <- 1 to bfsMaxHops) {
         val frontier = dist.filter(col("hop") === h - 1).select(col("x").as("u"))
         val next = bi.join(frontier, Seq("u"))
           .select(col("v").as("x")).distinct()
           .join(dist, Seq("x"), "left_anti")
           .select(col("x"), lit(h).as("hop"))
-        dist = dist.unionAll(next).localCheckpoint()
+        dist = dist.unionAll(next).pin()
       }
       dist
     }
@@ -579,11 +572,11 @@ object Graph {
     val e = edges(s, d)
     var bi = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .pin()
     val kRow = bi.groupBy("u").agg(count(lit(1)).as("dg"))
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dg)")
         .cast("long").as("k"))
-      .localCheckpoint()
+      .pin()
     def census(round: Int, g: org.apache.spark.sql.DataFrame) =
       g.agg(countDistinct(col("u")).as("n_vertices"),
           (count(lit(1)) / 2).cast("long").as("n_edges"))
@@ -600,7 +593,7 @@ object Graph {
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .pin()
       out = out :+ census(r, bi)
     }
     out.reduce(_.unionAll(_))
@@ -668,10 +661,10 @@ object Graph {
   def ssspBounded(s: SparkSession, d: String): DataFrame = {
     val bi = biEdges(s, d)
       .withColumn("w", (col("u") + col("v")) % 9 + 1)
-      .localCheckpoint()
+      .pin()
     var dist = seeds(bi)
       .select(col("x"), lit(0L).as("c"))
-      .localCheckpoint()
+      .pin()
     var frontier = dist
     for (_ <- 1 to ssspMaxHops) {
       val cand = bi
@@ -682,10 +675,10 @@ object Graph {
         .join(dist.select(col("x"), col("c").as("old")), Seq("x"), "left")
         .filter(col("old").isNull || col("c") < col("old"))
         .select(col("x"), col("c"))
-        .localCheckpoint()
+        .pin()
       dist = dist.unionAll(frontier)
         .groupBy("x").agg(min(col("c")).as("c"))
-        .localCheckpoint()
+        .pin()
     }
     dist.select(col("x").as("part"), col("c").as("dist"))
   }
@@ -763,7 +756,7 @@ object Graph {
     val bi = biEdges(s, d)
     var lab = bi.select(col("u").as("x")).distinct()
       .select(col("x"), col("x").as("lbl"))
-      .localCheckpoint()
+      .pin()
     for (_ <- 1 to lpaRounds) {
       lab = bi
         .join(lab.select(col("x").as("v"), col("lbl")), Seq("v"))
@@ -771,7 +764,7 @@ object Graph {
         .groupBy(col("u").as("x"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("x"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
+        .pin()
     }
     val mRow = bi.agg((count(lit(1)) / 2).cast("long").as("m"))
     val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
@@ -909,13 +902,13 @@ object Graph {
       .select(col("u"), (col("v") / bits).cast("long").as("bkt"),
         pmod(col("v"), lit(bits)).cast("long").as("pos"))
       .groupBy("u", "bkt").agg(expr("bitmap_construct_agg(pos)").as("nbm"))
-      .localCheckpoint()
+      .pin()
     var frontier = seeds(bi).select(col("x").as("src"), col("x").as("u"))
     var visited = frontier
       .select(col("src"), (col("u") / bits).cast("long").as("bkt"),
         pmod(col("u"), lit(bits)).cast("long").as("pos"))
       .groupBy("src", "bkt").agg(expr("bitmap_construct_agg(pos)").as("vbm"))
-      .localCheckpoint()
+      .pin()
     val hopCounts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (h <- 1 to bfsMaxHops) {
       // BROADCAST the frontier: the fat side of this join is adj (one
@@ -932,7 +925,7 @@ object Graph {
           when(col("vbm").isNull, col("bm"))
             .otherwise(gf.bitmapAndNot(col("bm"), col("vbm"))).as("fbm"))
         .filter(expr("bitmap_count(fbm)") > 0)
-        .localCheckpoint()
+        .pin()
       hopCounts += newly.groupBy("src")
         .agg(sum(expr("bitmap_count(fbm)")).as(s"n$h"))
       if (h < bfsMaxHops) {
@@ -943,7 +936,7 @@ object Graph {
         visited = visited.select(col("src"), col("bkt"), col("vbm"))
           .unionAll(newly.select(col("src"), col("bkt"), col("fbm").as("vbm")))
           .groupBy("src", "bkt").agg(expr("bitmap_or_agg(vbm)").as("vbm"))
-          .localCheckpoint()
+          .pin()
       }
     }
     seeds(bi).select(col("x").as("src"))
@@ -1064,38 +1057,24 @@ object Graph {
     * Oracle: the canonical-triple 3-join attributed to all three roles
     * — independent derivation, same census. */
   def clusteringCoefficient(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val deg = e.select(col("u").as("x"))
-      .unionAll(e.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("dg"))
-    val withDeg = e
-      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
-    val lt = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
-      when(lt, col("u")).otherwise(col("v")).as("src"),
-      when(lt, col("v")).otherwise(col("u")).as("dst"))
-    val adj = oriented.groupBy("src").agg(collect_list(col("dst")).as("nb"))
-    val witnessed = oriented
-      .join(adj.select(col("src"), col("nb").as("nb_u")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nb").as("nb_v")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        array_intersect(col("nb_u"), col("nb_v")).as("ws"))
-      .localCheckpoint() // three attribution streams read it
-    val perVertex = witnessed
-      .select(col("src").as("x"),
-        org.apache.spark.sql.functions.size(col("ws")).cast("long").as("t"))
-      .unionAll(witnessed.select(col("dst").as("x"),
-        org.apache.spark.sql.functions.size(col("ws")).cast("long").as("t")))
-      .unionAll(witnessed.select(explode(col("ws")).as("x"), lit(1L).as("t")))
-      .groupBy("x").agg(sum(col("t")).as("t"))
-    val global = witnessed
-      .agg(coalesce(sum(org.apache.spark.sql.functions.size(col("ws"))
-        .cast("long")), lit(0L)).as("n_triangles"))
+    // Shares [[edgeSupport]]'s single triangle pass: a triangle at
+    // vertex x is witnessed by BOTH of x's incident corner edges, so
+    // the per-vertex count is Σ_{e∋x} sup(e) div 2 — exact integer
+    // division, no witness explode, no second enumeration. The global
+    // transitivity numerator 3·T is Σ sup directly.
+    val sup = edgeSupport(s, d)
+    val deg = adjFullCached(s, d)
+      .select(col("x"),
+        org.apache.spark.sql.functions.size(col("nb")).cast("long").as("dg"))
+    val perVertex = sup
+      .select(col("u").as("x"), col("sup"))
+      .unionAll(sup.select(col("v").as("x"), col("sup")))
+      .groupBy("x").agg(expr("sum(sup) div 2").as("t"))
+    val global = sup
+      .agg(coalesce(sum(col("sup")), lit(0L)).as("s3")) // = 3·T exactly
       .crossJoin(broadcast(deg.agg(
         expr("sum(dg * (dg - 1) div 2)").cast("long").as("n_wedges"))))
-      .select(round(lit(3.0) * col("n_triangles").cast("double") /
+      .select(round(col("s3").cast("double") /
         col("n_wedges").cast("double"), 6).as("transitivity"))
     perVertex.join(deg, Seq("x"))
       .orderBy(col("t").desc, col("x"))
@@ -1163,7 +1142,7 @@ object Graph {
     // w ∈ N(seed)
     val sn = bi.join(sd, bi("u") === sd("seed"))
       .select(col("seed"), col("v").as("w"))
-      .localCheckpoint() // consumers: wedge expansion + adjacency filter
+      .pin() // consumers: wedge expansion + adjacency filter
     // candidate v ∈ N(w), v ≠ seed, v ∉ N(seed)
     val cand = bi.join(sn, bi("u") === sn("w"))
       .select(col("seed"), col("w"), col("v"))
@@ -1276,7 +1255,40 @@ object Graph {
     memo(adjCache, s, d)(
       biEdges(s, d).groupBy(col("u").as("x"))
         .agg(sort_array(collect_set(col("v"))).as("nb"))
-        .localCheckpoint())
+        .pin())
+
+  /** THE triangle pass, run once per (session, dataset): per-canonical-
+    * edge support sup(u,v) = |N(u) ∩ N(v)| — one local array-intersect
+    * per edge against the memoized full adjacency (two key-shuffle
+    * joins, no wedge or witness materialization). Every triangle-shaped
+    * query derives from this one frame: Σ sup = 3·T (each triangle is
+    * seen from all three corner edges), per-vertex counts are
+    * Σ_{e∋x} sup(e) / 2 (each triangle at x is witnessed by both of
+    * x's incident corner edges), and k-truss round 1 IS this frame.
+    * Before round 8, q_triangles/q_clustering_coef each ran their own
+    * degree-oriented edge-iterator pass and q_ktruss re-derived exactly
+    * this support — three triangle enumerations per suite run where one
+    * suffices (VERDICT r7 task 3). The oriented O(sqrt m)-bounded pass
+    * remains the right SOLO plan for a one-shot global count on a
+    * skew-heavy graph; the full-adjacency form wins here because the
+    * adjacency is already pinned for the suite and the per-edge lists
+    * on this degree-uniform graph are the same size either way (the
+    * PERF.md r7 negative result on orienting k-truss). */
+  private val supportCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def edgeSupport(s: SparkSession, d: String): DataFrame =
+    memo(supportCache, s, d) {
+      val adjFull = adjFullCached(s, d)
+      edges(s, d)
+        .join(adjFull.select(col("x").as("u"), col("nb").as("na")),
+          Seq("u"))
+        .join(adjFull.select(col("x").as("v"), col("nb").as("nvv")),
+          Seq("v"))
+        .select(col("u"), col("v"),
+          size(array_intersect(col("na"), col("nvv"))).cast("long")
+            .as("sup"))
+        .pin()
+    }
 
   /** Peel rounds for [[kTruss]] — bounded like [[kcoreRounds]]: the
     * census is DEFINED per round, so determinism never depends on
@@ -1322,26 +1334,20 @@ object Graph {
     var total: DataFrame = null   // one-row running triangle count
     for (r <- 1 to ktrussRounds) {
       if (r == 1) {
-        // edge support IS the common-neighbor count |N(u) ∩ N(v)| —
-        // one intersection per edge over the shared full adjacency, no
-        // witness explode, no credit shuffle, no second aggregate.
-        support = cur
-          .join(adjFull.select(col("x").as("u"), col("nb").as("na")),
-            Seq("u"))
-          .join(adjFull.select(col("x").as("v"), col("nb").as("nvv")),
-            Seq("v"))
-          .select(col("u"), col("v"),
-            size(array_intersect(col("na"), col("nvv"))).cast("long")
-              .as("sup"))
-        // every triangle is counted once per corner edge: Σ sup = 3·T
+        // round-1 edge support IS the shared suite-wide triangle pass
+        // (|N(u) ∩ N(v)| per canonical edge): when q_triangles or
+        // q_clustering_coef already ran this session the frame is
+        // memo-pinned and round 1 costs one read, not an enumeration.
+        // Every triangle is counted once per corner edge: Σ sup = 3·T.
+        support = edgeSupport(s, d)
       }
       val scored = cur.join(support, Seq("u", "v"), "left")
         .select(col("u"), col("v"),
           coalesce(col("sup"), lit(0L)).as("sup"))
-        .localCheckpoint() // consumers: peel, deleted-diff, census, delta
+        .pin() // consumers: peel, deleted-diff, census, delta
       if (r == 1)
         total = scored.agg((sum(col("sup")) / 3).cast("long").as("nt"))
-          .localCheckpoint()
+          .pin()
       val nTriRow = total
       val next = scored.filter(col("sup") >= k - 2)
       out = out :+ next.agg(count(lit(1)).cast("long").as("n_edges"))
@@ -1370,7 +1376,7 @@ object Graph {
           .distinct()
           .select(col("t")(0).as("t0"), col("t")(1).as("t1"),
             col("t")(2).as("t2"))
-          .localCheckpoint() // consumers: decrement explode + count
+          .pin() // consumers: decrement explode + count
         val dec = triples
           .select(explode(array(
             struct(col("t0").as("cu"), col("t1").as("cv")),
@@ -1384,7 +1390,7 @@ object Graph {
         total = total.crossJoin(broadcast(
           triples.agg(count(lit(1)).cast("long").as("nd"))))
           .select((col("nt") - col("nd")).as("nt"))
-          .localCheckpoint()
+          .pin()
       }
       cur = next.select("u", "v")
     }
@@ -1436,7 +1442,8 @@ object Graph {
     * the customer's train parts they are co-purchased with (the
     * [[linkPrediction]] CN score, basket-scoped), score hits against
     * the parts actually bought after the split. The end-to-end eval
-    * loop every recsys ships, expressed as four key-shuffle joins.
+    * loop every recsys ships: one per-customer profile aggregate, one
+    * adjacency join, one profile join.
     *
     * Determinism: CN scores are exact integers; the top-5 ranks break
     * ties on (cn DESC, part id); hit counts and the final rate are one
@@ -1455,44 +1462,63 @@ object Graph {
         to_date(col("o_orderdate")).as("od"),
         (to_date(col("o_orderdate")) < lit(recoSplitDate).cast("date"))
           .as("is_train"))
-    val trainAll = lineOrders.filter(col("is_train"))
-      .groupBy("cust", "part").agg(max(col("od")).as("last_od"))
-      .localCheckpoint() // consumers: basket ranking, ownership, eval set
-    // the recommendation BASKET is the 5 most recent train parts per
-    // customer (the "last-N items" form every production recommender
-    // uses) — it bounds candidate volume at 5·d̄ per customer, the
-    // difference between ~10 s and ~6 s at sf0.1 and between feasible
-    // and quadratic at 100 TB; ownership filtering still uses the FULL
-    // history
-    val basket = trainAll
-      .withColumn("rk", row_number().over(Window.partitionBy("cust")
-        .orderBy(col("last_od").desc, col("part"))))
-      .filter(col("rk") <= 5)
-      .select("cust", "part")
-    val train = trainAll.select("cust", "part")
-    val test = lineOrders.filter(!col("is_train")).select("cust", "part")
-      .distinct()
-    // candidates: parts adjacent to any train part, not already owned
-    val cands = basket
+    // ONE (cust, part) aggregate carries train recency, ownership, and
+    // test membership together, and ONE cust-keyed aggregate folds them
+    // into a per-customer PROFILE row: full owned set, the last-5-item
+    // recommendation basket (the "last-N items" form every production
+    // recommender uses — it bounds candidate volume at 5·d̄ per
+    // customer, the difference between feasible and quadratic at
+    // 100 TB), and the test set. The r7 plan derived each consumer
+    // separately — a basket window, an ownership anti-join against all
+    // (cust, part) train pairs, an eval-set semi-join, and a test left
+    // join: four extra cust-keyed shuffles this single profile replaces
+    // (VERDICT r7 task 4).
+    val custPart = lineOrders
+      .groupBy("cust", "part")
+      .agg(max(when(col("is_train"), col("od"))).as("last_od"),
+        max(when(!col("is_train"), lit(1)).otherwise(lit(0))).as("in_test"))
+    // eval scope = customers with BOTH train and test activity; basket
+    // ordering (last_od DESC, part ASC) matches the r7 window exactly
+    val profile = custPart.groupBy("cust")
+      .agg(
+        collect_set(when(col("last_od").isNotNull, col("part")))
+          .as("owned"),
+        collect_list(when(col("last_od").isNotNull,
+          struct(col("last_od"), col("part")))).as("tr"),
+        collect_set(when(col("in_test") === 1, col("part")))
+          .as("test_parts"))
+      .filter(org.apache.spark.sql.functions.size(col("owned")) > 0 &&
+        org.apache.spark.sql.functions.size(col("test_parts")) > 0)
+      .select(col("cust"), col("owned"), col("test_parts"),
+        expr("""transform(slice(array_sort(tr, (l, r) ->
+          CASE WHEN l.last_od > r.last_od THEN -1
+               WHEN l.last_od < r.last_od THEN 1
+               WHEN l.part < r.part THEN -1
+               WHEN l.part > r.part THEN 1 ELSE 0 END), 1, 5),
+          e -> e.part)""").as("basket"))
+      .pin() // consumers: candidate explode + the profile join
+    // candidates: parts adjacent to any basket part; CN score = how
+    // many basket parts each candidate is co-purchased with
+    val cands = profile
+      .select(col("cust"), explode(col("basket")).as("part"))
       .join(bi.select(col("u").as("part"), col("v").as("cand")), Seq("part"))
       .groupBy(col("cust"), col("cand"))
       .agg(count(lit(1)).cast("long").as("cn"))
-      .join(train.select(col("cust"), col("part").as("cand")),
-        Seq("cust", "cand"), "left_anti")
+    // one cust-keyed join against the ONE-ROW-PER-CUSTOMER profile
+    // serves both ownership filtering (array_contains on the owned set)
+    // and hit scoring (array_contains on the test set)
     val topk = cands
+      .join(profile.select(col("cust"), col("owned"), col("test_parts")),
+        Seq("cust"))
+      .filter(!array_contains(col("owned"), col("cand")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("cust").orderBy(col("cn").desc, col("cand"))))
       .filter(col("rk") <= recoK)
-    // evaluate only customers with both train and test activity
-    val evalCusts = train.select("cust").distinct()
-      .join(test.select("cust").distinct(), Seq("cust"), "left_semi")
     val hits = topk
-      .join(evalCusts, Seq("cust"), "left_semi")
-      .join(test.select(col("cust"), col("part").as("cand"))
-        .withColumn("hit", lit(1L)), Seq("cust", "cand"), "left")
       .groupBy("cust")
       .agg(count(lit(1)).cast("long").as("n_rec"),
-        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+        sum(when(array_contains(col("test_parts"), col("cand")), 1L)
+          .otherwise(0L)).cast("long").as("n_hit"))
     hits.agg(count(lit(1)).cast("long").as("n_customers"),
       sum(col("n_rec")).cast("long").as("n_recommended"),
       sum(col("n_hit")).cast("long").as("n_hits"),
