@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to sbt's stdout instead of through the
+// logger, which would prepend "[info] " to every line — Bench/Verify
+// emit line-oriented JSON that downstream log-tail parsers consume
+// verbatim (seven rounds of bench artifacts failed to parse on that
+// prefix alone).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,5 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark harness. Emits THREE artifacts:
+  *  1. `bench_full.json` in the working dir — the complete
+  *     machine-parsable object (every per-query time, the suite-warm
+  *     reruns, and every isolated repetition), for post-hoc analysis.
+  *  2. A full per-query JSON line on stdout (useful when the caller
+  *     keeps complete logs).
+  *  3. A COMPACT final JSON line on stdout, sized to survive a
+  *     2 kB log-tail window: headline total, the slowest in-suite
+  *     queries, suite-warm reruns and best-of-3 isolated minima for the
+  *     top 10 — enough to adjudicate suite-order and host-noise effects
+  *     from the graded artifact alone (VERDICT r7 task 1). Times in the
+  *     compact line are rounded to milliseconds; full precision lives
+  *     in the file and the full line.
+  *
+  * `run / outputStrategy := StdoutOutput` in build.sbt keeps these
+  * lines UNPREFIXED (sbt's default forked-output logger prepends
+  * "[info] ", which defeats line-oriented JSON parsing downstream).
+  */
 object Bench {
 
   /** Time every selected query on one session, in sorted-name order
@@ -12,20 +31,33 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Per-query localCheckpoints (the `_dist` pre-aggregates, graph
-      // rounds, …) pin BlockManager storage that the ContextCleaner only
-      // releases after a GC notices the dropped RDD references — and the
-      // JVM may not run a full GC at all inside a five-minute sweep, so
-      // by query ~200 the session is running under hundreds of orphaned
+      // Per-query pins (the `_dist` pre-aggregates, graph rounds, …)
+      // hold BlockManager storage that the ContextCleaner only releases
+      // after a GC notices the dropped RDD references — and the JVM may
+      // not run a full GC at all inside a five-minute sweep, so by
+      // query ~200 the session is running under hundreds of orphaned
       // pinned blocks (BENCH_r06's ghost regressions: q_incr_agg 5.7 s
       // in-suite vs 1.8 s isolated). An explicit GC after each query
       // hands the dead blocks to the cleaner while the SHARED module
-      // caches (Graph.edgeCache/distCache) survive — they're still
-      // strongly referenced. Measured cost: ~10-30 ms per GC on the 8 GB
-      // bench heap, ~5 s across 244 queries, against ~75 s of ghost.
+      // caches (Graph edge/adjacency/support memos) survive — they're
+      // still strongly referenced. Measured cost: ~10-30 ms per GC on
+      // the 8 GB bench heap, ~5 s across the suite, against ~75 s of
+      // ghost.
       System.gc()
       name -> dt
     }
+
+  private def jmap(xs: Seq[(String, Double)], digits: Int = 9): String =
+    xs.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(digits,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.mkString("{", ",", "}")
+
+  private def jmapArr(xs: Seq[(String, Seq[Double])], digits: Int): String =
+    xs.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(v => BigDecimal(v).setScale(digits,
+        BigDecimal.RoundingMode.HALF_UP).toDouble).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,41 +74,65 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_(n)))
     val results = sweep(spark, sfDir, names)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // ISOLATION PASS: re-time the 10 most expensive queries on a FRESH
-    // session (new Spark context, empty caches, empty BlockManager) so a
-    // suite-order artifact can be adjudicated from the bench output alone
-    // instead of a judge re-run (VERDICT r6 task 8). Each isolated time
-    // includes everything a solo run would pay — shared-cache builds
-    // included — with caches cleared between queries.
     val top = results.sortBy(-_._2).take(10).map(_._1)
+    // SUITE-WARM RERUN of the top-10 on the SAME session, shared caches
+    // still hot: a second in-suite sample per heavy query, so a one-off
+    // host-noise spike in the sweep (the r7 q_sssp 15.9-vs-10.5 case)
+    // is adjudicable without leaving the artifact. min(sweep, rerun) is
+    // the honest in-suite figure; both samples ship.
+    val suiteRerun =
+      if (sys.env.contains("SPARK_GRAFT_NO_ISOLATED")) Seq.empty
+      else top.map(n => n -> sweep(spark, sfDir, Seq(n)).head._2)
     graft.ops.Graph.clearCaches(spark)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val iso =
-      if (sys.env.get("SPARK_GRAFT_NO_ISOLATED").isDefined) Seq.empty
+    // ISOLATION PASS: re-time the top-10 on a FRESH session (new Spark
+    // context, empty caches, empty BlockManager), [reps]× each with
+    // caches cleared between reps, so every repetition pays everything
+    // a solo run would pay — shared-cache builds included. The MINIMUM
+    // over reps is the noise-robust isolated figure (VERDICT r7: single
+    // isolated samples on a noisy host were 1.8-2× the quiet-host
+    // truth and could not be adjudicated from the artifact).
+    val reps = sys.env.get("SPARK_GRAFT_ISO_REPS").map(_.toInt).getOrElse(3)
+    val isoRuns: Seq[(String, Seq[Double])] =
+      if (sys.env.contains("SPARK_GRAFT_NO_ISOLATED")) Seq.empty
       else {
         val spark2 = GraftSession.local(cpus)
         spark2.range(0, 1000).selectExpr("sum(id)").collect()
         spark2.read.parquet(s"$sfDir/region.parquet").count()
         val r = top.map { name =>
-          val t = sweep(spark2, sfDir, Seq(name)).head._2
-          graft.ops.Graph.clearCaches(spark2)
-          System.gc()
-          name -> t
+          name -> (1 to reps).map { _ =>
+            val t = sweep(spark2, sfDir, Seq(name)).head._2
+            graft.ops.Graph.clearCaches(spark2)
+            System.gc()
+            t
+          }
         }
         spark2.stop()
         r
       }
-    val isoJson = iso.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // the driver keeps only the TAIL of long output, and the per-query
-    // map above can exceed that window (r5's total was truncated away) —
-    // repeat the headline numbers in a compact trailing line
-    println(s"""{"metric":"total_compact","total":$total,"n":${results.size},"unit":"sec","isolated":$isoJson,"sf":"$sfDir"}""")
+    val isoMin = isoRuns.map { case (k, vs) => k -> vs.min }
+    // artifact 1: the complete object, to a file
+    val full =
+      s"""{"metric":"bench_full","total":$total,"n":${results.size},
+         |"unit":"sec","sf":"$sfDir","cpus":"$cpus","iso_reps":$reps,
+         |"queries":${jmap(results)},
+         |"suite_rerun":${jmap(suiteRerun)},
+         |"isolated_runs":${jmapArr(isoRuns, 9)},
+         |"isolated_min":${jmap(isoMin)}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), full)
+    // artifact 2: full per-query line (kept by callers with real logs)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+    // artifact 3: the compact line, LAST, under ~1.9 kB so a 2 kB
+    // log-tail keeps it whole and parseable
+    val slow = results.sortBy(-_._2).take(15)
+    println(s"""{"metric":"total_compact","total":${
+      BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    },"n":${results.size},"unit":"sec","sf":"$sfDir","iso_reps":$reps,"slow":${
+      jmap(slow, 3)},"suite_rerun":${jmap(suiteRerun, 3)},"iso_min":${
+      jmap(isoMin, 3)},"iso_runs":${jmapArr(isoRuns, 3)}}""")
   }
 }
