@@ -15,15 +15,20 @@ object LintSweep {
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     var flagged = 0
+    var errored = 0
     names.foreach { n =>
       val line =
         try {
           val fs = graft.plans.PlanLint.lint(SparkEntry.queries(n)(spark, sf))
           if (fs.isEmpty) "clean" else { flagged += 1; fs.mkString("; ") }
-        } catch { case e: Throwable => s"lint error: ${e.getMessage}" }
+        } catch { case e: Throwable =>
+          // an unlintable query is NOT clean — count it (ADVICE r7)
+          errored += 1; s"lint error: ${e.getMessage}"
+        }
       if (line != "clean") println(s"LINT $n: $line")
     }
-    println(s"LINT-SUMMARY: ${names.size} queries, $flagged flagged")
+    println(s"LINT-SUMMARY: ${names.size} queries, $flagged flagged" +
+      (if (errored > 0) s", $errored errored" else ""))
     spark.stop()
   }
 }

