@@ -84,7 +84,7 @@ object Bench {
     val suiteRerun =
       if (sys.env.contains("SPARK_GRAFT_NO_ISOLATED")) Seq.empty
       else top.map(n => n -> sweep(spark, sfDir, Seq(n)).head._2)
-    graft.ops.Graph.clearCaches(spark)
+    graft.ops.Graph.clearCaches(spark); graft.ops.Analytics.clearCaches(spark)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -105,7 +105,7 @@ object Bench {
         val r = top.map { name =>
           name -> (1 to reps).map { _ =>
             val t = sweep(spark2, sfDir, Seq(name)).head._2
-            graft.ops.Graph.clearCaches(spark2)
+            graft.ops.Graph.clearCaches(spark2); graft.ops.Analytics.clearCaches(spark2)
             System.gc()
             t
           }

@@ -770,9 +770,11 @@ object Analytics {
     * order nor partial-sum order can perturb the crossing test
     * `2·cumw >= total`, which stays in integer-exact decimal arithmetic. */
   def weightedMedianPrice(s: SparkSession, d: String): DataFrame = {
-    val byPrice = Tables.lineitem(s, d)
+    // derives from the shared (flag, price, qty) → count memo: weight
+    // Σ qty·c ≡ the raw scan's Σ qty in exact decimal arithmetic
+    val byPrice = spearmanPairs(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("wt"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)") * col("c")).as("wt"))
     // prices are distinct per flag after the aggregate, so a ROWS frame
     // is exactly the reference's RANGE frame
     val byFlag = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"))
@@ -803,10 +805,10 @@ object Analytics {
     * running total RANGE-frame semantics (all equal prices count
     * together). */
   def weightedMedianPriceDist(s: SparkSession, d: String): DataFrame = {
-    val byPrice = Tables.lineitem(s, d)
+    val byPrice = spearmanPairs(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg((sum(col("l_quantity").cast("decimal(12,2)")) * 100).cast("long")
-        .as("wt_cents"))
+      .agg((sum(col("l_quantity").cast("decimal(12,2)") * col("c")) * 100)
+        .cast("long").as("wt_cents"))
     Distributed.withRunningTotal(byPrice,
       Seq("l_returnflag"), Seq("l_extendedprice"), "wt_cents", "cumw", Some("totw"))
       .filter(col("cumw") * 2 >= col("totw"))
@@ -1362,10 +1364,10 @@ object Analytics {
     * (range-partitioned, cluster-wide parallelism) and closes with the
     * identical exact power sums. Graded against the SAME oracle. */
   def spearmanPriceQtyDist(s: SparkSession, d: String): DataFrame = {
-    // pin the (flag, price, qty) aggregate once: three plan subtrees
-    // consume it (two rank legs + the closing join), and without the
-    // checkpoint each re-runs the full lineitem scan + groupBy
-    val pairs = spearmanPairs(s, d).pin()
+    // the shared memo is already pinned: three plan subtrees here (two
+    // rank legs + the closing join) and three sibling queries read the
+    // same blocks instead of re-running the fact scan + groupBy
+    val pairs = spearmanPairs(s, d)
     def minRanks(valueCol: String, rankName: String): DataFrame =
       Distributed.withRunningTotal(
         pairs.groupBy(col("l_returnflag"), col(valueCol)).agg(sum(col("c")).as("nv")),
@@ -1377,12 +1379,46 @@ object Analytics {
       .join(minRanks("l_quantity", "rq"), Seq("l_returnflag", "l_quantity")))
   }
 
-  /** The (flag, price, qty) → count relation both Spearman renderings
-    * rank over — one map-side-combinable aggregate over the facts. */
+  /** The (flag, price, qty) → count relation the Spearman AND weighted-
+    * median families derive from — one map-side-combinable aggregate
+    * over the facts, memoized per (session, dataset) with the
+    * [[Graph]] cache contract (pinned once, read by every consumer,
+    * evicted on session end / [[clearCaches]]). Four queries share it:
+    * both Spearman renderings rank over it directly, and both
+    * weighted-median renderings re-aggregate it to (flag, price) with
+    * weight Σ qty·c — exactly the weight the raw scan produced, in
+    * exact arithmetic, so results are unchanged while the fact scan +
+    * widest groupBy runs once per suite instead of four times. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cacheLock = new Object
+  private val hookedSessions =
+    scala.collection.mutable.Set.empty[SparkSession]
+
+  /** Drop this module's pinned memo for `s` (see [[Graph.clearCaches]]
+    * for the release mechanics). */
+  def clearCaches(s: SparkSession): Unit = cacheLock.synchronized {
+    pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
+    hookedSessions -= s
+  }
+
   private def spearmanPairs(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
-      .agg(count(lit(1)).cast("long").as("c"))
+    cacheLock.synchronized {
+      if (!hookedSessions.contains(s)) {
+        hookedSessions += s
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              clearCaches(s)
+          })
+      }
+      pairsCache.getOrElseUpdate((s, d),
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .pin())
+    }
 
   /** Close the correlation from count-weighted integer ranks via exact
     * decimal(38,0) power sums and one pinned double formula. */
