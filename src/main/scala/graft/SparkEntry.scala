@@ -75,6 +75,7 @@ object SparkEntry {
     "q_dedup_exact"     -> (Dedup.exactDedup _),
     "q_dedup_jaccard"   -> (Dedup.ngramJaccard _),
     "q_dedup_minhash"   -> (Dedup.minhashLsh _),
+    "q_minhash_calib"   -> (Dedup.minhashCalibration _),
     "q_dedup_simhash"   -> (Dedup.simhashDedup _),
     "q_span_dedup"      -> (Dedup.spanDedup _),
     "q_block_dedup"     -> (Dedup.blockDedup _),
@@ -313,6 +314,7 @@ object SparkEntry {
     "q_zorder"          -> (graft.ops.Layout.zorderAudit _),
     "q_lag_features"    -> (graft.ops.Behavior.lagFeatures _),
     "q_pagerank"        -> (graft.ops.Graph.pageRank _),
+    "q_ppr_seeds"       -> (graft.ops.Graph.personalizedPageRank _),
     "q_bfs"             -> (graft.ops.Graph.bfsHops _),
     "q_sssp"            -> (graft.ops.Graph.ssspBounded _),
     "q_kcore"           -> (graft.ops.Graph.kCorePeeling _),
@@ -576,6 +578,7 @@ object SparkEntry {
     "q_dedup_exact"   -> Dedup.exactDedupSql,
     "q_dedup_jaccard" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,
+    "q_minhash_calib" -> Dedup.minhashCalibrationSql,
     "q_dedup_simhash" -> Dedup.simhashDedupSql,
     "q_span_dedup"    -> Dedup.spanDedupSql,
     "q_block_dedup"   -> Dedup.blockDedupSql,
@@ -826,6 +829,7 @@ object SparkEntry {
     "q_zorder"        -> graft.ops.Layout.zorderAuditSql,
     "q_lag_features"  -> graft.ops.Behavior.lagFeaturesSql,
     "q_pagerank"      -> graft.ops.Graph.pageRankSql,
+    "q_ppr_seeds"     -> graft.ops.Graph.personalizedPageRankSql,
     "q_bfs"           -> graft.ops.Graph.bfsHopsSql,
     "q_sssp"          -> graft.ops.Graph.ssspBoundedSql,
     "q_kcore"         -> graft.ops.Graph.kCorePeelingSql,

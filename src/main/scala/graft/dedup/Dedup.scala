@@ -207,6 +207,102 @@ object Dedup {
       .agg(count("*").as("n_bands_shared"))
   }
 
+  /** MINHASH CALIBRATION TABLE: for every LSH candidate pair, the
+    * signature-agreement ESTIMATE (matching slots / [[numHashes]] — the
+    * unbiased MinHash estimator of Jaccard) against the EXACT Jaccard
+    * on fingerprint sets, aggregated per agreement level. This is the
+    * tuning artifact behind every banding decision ([[lshPlanning]]
+    * gives the theoretical S-curve; this measures what the 16-hash
+    * signature actually delivers on THIS corpus): each row says "pairs
+    * agreeing on k of 16 slots have true Jaccard in [min, max], micro-
+    * average m" — what you consult before moving a production
+    * threshold.
+    *
+    * Determinism: slot agreements and intersection/union sizes are
+    * exact integers; micro_jaccard is a ratio of integer SUMS (one
+    * double division — never an average of doubles, whose summation
+    * order is engine-divergent); min/max pick from identical
+    * per-pair doubles.
+    *
+    * Scale: the signature pipeline runs ONCE over the corpus and is
+    * pinned; pairs come from the same posting-list banding as
+    * [[minhashLsh]] (no self-join); the fingerprint-set join touches
+    * only candidate pairs — O(pairs · shingles/doc), the bounded
+    * near-dup candidate volume, never all-pairs. */
+  def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val base = docShingles(s, d)
+      .select(col("doc_id"), shingleFingerprints(col("sh")).as("fp0"))
+      .select(col("doc_id"), array_distinct(col("fp0")).as("fp"))
+      .select(col("doc_id"), col("fp"), minhashSignature(col("fp")).as("sig"))
+      .pin() // consumers: banding + both pair-join sides
+    val pairs = base.select(col("doc_id"),
+      posexplode(array((0 until numBands).map { b =>
+        concat_ws("|",
+          element_at(col("sig"), b * bandWidth + 1),
+          element_at(col("sig"), b * bandWidth + 2))
+      }: _*)).as(Seq("band_idx", "band_sig")))
+      .groupBy("band_idx", "band_sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val cal = pairs
+      .join(base.select(col("doc_id").as("doc_a"), col("fp").as("fa"),
+        col("sig").as("sa")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("fp").as("fb"),
+        col("sig").as("sb")), Seq("doc_b"))
+      .select(
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), z -> z))")
+          .cast("int").as("est16"),
+        size(array_intersect(col("fa"), col("fb"))).cast("long").as("ni"),
+        (size(col("fa")) + size(col("fb"))).cast("long").as("nab"))
+      // greatest(nu, 1): two empty-shingle docs sharing a degenerate
+      // band would make the ratio 0/0 — ANSI errors where DuckDB
+      // NULLs; the total form is identical in both engines (trap list)
+      .select(col("est16"), col("ni"),
+        greatest(col("nab") - col("ni"), lit(1L)).as("nu"))
+    cal.groupBy("est16")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("ni")).cast("long").as("sum_inter"),
+        sum(col("nu")).cast("long").as("sum_union"),
+        round(min(col("ni").cast("double") / col("nu")), 6).as("min_jaccard"),
+        round(max(col("ni").cast("double") / col("nu")), 6).as("max_jaccard"))
+      .select(col("est16"), col("n_pairs"), col("sum_inter"), col("sum_union"),
+        round(col("sum_inter").cast("double") / col("sum_union"), 6)
+          .as("micro_jaccard"),
+        col("min_jaccard"), col("max_jaccard"))
+      .orderBy("est16")
+  }
+
+  // lazy: interpolates [[minhashPairsBody]], declared later in the file
+  lazy val minhashCalibrationSql: String =
+    s"""WITH $minhashPairsBody,
+       |fpd AS (SELECT doc_id, list_distinct(fp) AS fp FROM fps),
+       |cal AS (
+       |  SELECT
+       |    len(list_filter(generate_series(1, $numHashes),
+       |      i -> sa.sig[i] = sb.sig[i])) AS est16,
+       |    len(list_intersect(fa.fp, fb.fp)) AS ni,
+       |    greatest(len(fa.fp) + len(fb.fp)
+       |      - len(list_intersect(fa.fp, fb.fp)), 1) AS nu
+       |  FROM (SELECT DISTINCT doc_a, doc_b FROM pairs) p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b
+       |  JOIN fpd fa ON fa.doc_id = p.doc_a
+       |  JOIN fpd fb ON fb.doc_id = p.doc_b)
+       |SELECT CAST(est16 AS INTEGER) AS est16,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(ni) AS BIGINT) AS sum_inter,
+       |  CAST(sum(nu) AS BIGINT) AS sum_union,
+       |  round(CAST(sum(ni) AS DOUBLE) / sum(nu), 6) AS micro_jaccard,
+       |  round(min(CAST(ni AS DOUBLE) / nu), 6) AS min_jaccard,
+       |  round(max(CAST(ni AS DOUBLE) / nu), 6) AS max_jaccard
+       |FROM cal GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SimHash width in bits. 16 bits = the 16 leading hex chars of md5. */
   val simhashBits = 16
 

@@ -237,6 +237,88 @@ object Graph {
          |FROM r$prIters ORDER BY r DESC, x LIMIT 20""".stripMargin
   }
 
+  /** Personalized-PageRank rounds — fixed and unrolled like
+    * [[prIters]] so both engines compute the identical value. */
+  val pprIters = 4
+
+  /** PERSONALIZED PAGERANK from the capped [[seeds]] set — "relevance
+    * to THESE products", the related-items score a recommender surface
+    * serves, where global [[pageRank]] measures importance to the
+    * whole graph. Same exact-integer fixed-point discipline (scale
+    * [[prScale]], floor division at every step → bit-equal across
+    * engines AND partitionings): restart mass lands ONLY on seeds,
+    *   r'(v) = [v∈S]·150000 + ⌊850 · Σ_{u~v} ⌊r(u)/deg u⌋ / 1000⌋,
+    * r0 = [v∈S]·scale. Output: top 20 NON-seed vertices by final mass
+    * (the actual recommendation list — seeds trivially dominate).
+    *
+    * Scale: identical per-round shape to [[pageRank]] — one
+    * key-shuffle join + a map-side-combinable sum by destination;
+    * per-round state O(V); the seed flag rides the degree relation.
+    * Early rounds touch only the seeds' expanding neighborhood (the
+    * r>0 filter), so cost ramps with reach, not |V|. */
+  def personalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val bi = biEdges(s, d)
+    val deg = bi.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
+    val sd = seeds(bi).select(col("x"), lit(1).as("is_seed"))
+    // degree relation + seed flag, pinned once: init + every round +
+    // the final projection read it
+    val degS = deg.join(broadcast(sd), Seq("x"), "left")
+      .select(col("x"), col("dg"),
+        coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .pin()
+    var r = degS.select(col("x"), col("dg"), col("is_seed"),
+      (col("is_seed").cast("long") * prScale).as("r"))
+    for (_ <- 1 to pprIters) {
+      // ⌊0/deg⌋ contributes nothing: the r>0 filter only prunes work
+      val contrib = bi
+        .join(r.filter(col("r") > 0)
+          .select(col("x").as("u"), expr("r div dg").as("c")), Seq("u"))
+        .groupBy(col("v").as("x")).agg(sum("c").as("s"))
+      r = degS.join(contrib, Seq("x"), "left")
+        .select(col("x"), col("dg"), col("is_seed"),
+          (col("is_seed").cast("long") * 150000L +
+            expr("(850 * coalesce(s, 0L)) div 1000")).as("r"))
+    }
+    r.filter(col("is_seed") === 0 && col("r") > 0)
+      .orderBy(col("r").desc, col("x"))
+      .limit(20)
+      .select(col("x").as("part"), col("dg").as("degree"),
+        col("r").as("ppr_scaled"))
+  }
+
+  val personalizedPageRankSql: String = {
+    val base =
+      s"""WITH pr AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+         |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |deg AS (SELECT u AS x, count(*) AS dg FROM bi GROUP BY u),
+         |sd AS (SELECT DISTINCT u AS x FROM bi WHERE u % 500 = 0
+         |  ORDER BY x LIMIT $seedCap),
+         |ds AS (SELECT deg.x, deg.dg,
+         |  CASE WHEN sd.x IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+         |  FROM deg LEFT JOIN sd ON sd.x = deg.x),
+         |r0 AS (SELECT x, dg, is_seed,
+         |  CAST(is_seed * $prScale AS BIGINT) AS r FROM ds)""".stripMargin
+    val iters = (1 to pprIters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.x, d.dg, d.is_seed,
+         |    CAST(d.is_seed * 150000
+         |      + (850 * COALESCE(s.s, 0)) // 1000 AS BIGINT) AS r
+         |  FROM ds d LEFT JOIN (
+         |    SELECT bi.v AS x, CAST(sum(p.r // p.dg) AS BIGINT) AS s
+         |    FROM bi JOIN r${i - 1} p ON p.x = bi.u
+         |    GROUP BY bi.v) s ON s.x = d.x)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + iters +
+      s"""
+         |SELECT x AS part, dg AS degree, r AS ppr_scaled
+         |FROM r$pprIters WHERE is_seed = 0 AND r > 0
+         |ORDER BY r DESC, x LIMIT 20""".stripMargin
+  }
+
   /** Bounded BFS hop count. Fixed so both renderings terminate on the
     * same frontier and the oracle's recursive depth is capped. */
   val bfsMaxHops = 3
