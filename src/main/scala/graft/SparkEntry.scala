@@ -126,6 +126,7 @@ object SparkEntry {
     "q_var_ratio"       -> (graft.ops.TimeSeries.varianceRatio _),
     "q_ktruss"          -> (graft.ops.Graph.kTruss _),
     "q_span_corruption" -> (graft.text.Curation.spanCorruption _),
+    "q_mlm_mask"        -> (graft.text.Curation.mlmMasking _),
     "q_dataset_card"    -> (graft.text.Curation.datasetCard _),
     "q_sax"             -> (graft.ops.TimeSeries.saxSymbols _),
     "q_peaks"           -> (graft.ops.TimeSeries.peakDetection _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "q_frame_census"    -> (Multimodal.frameCensus _),
     "q_media_decode"    -> (Multimodal.decodeCensus _),
     "q_media_resize"    -> (Multimodal.resizeCensus _),
+    "q_media_hist"      -> (Multimodal.histogramCensus _),
     "q_frame_checksum"  -> (Multimodal.frameChecksum _),
     "q_silhouette"      -> (Similarity.silhouette _),
     "q_cuped"           -> (graft.ops.Behavior.cupedReadout _),
@@ -341,6 +343,8 @@ object SparkEntry {
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
+    "q_wilcoxon"        -> (graft.ops.Behavior.wilcoxonSignedRank _),
+    "q_strat_ate"       -> (graft.ops.Behavior.stratifiedAte _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
     "q_ks_test"         -> (graft.ops.Behavior.ksTest _),
     "q_assoc_rules"     -> (graft.ops.Behavior.associationRules _),
@@ -628,6 +632,7 @@ object SparkEntry {
     "q_var_ratio"     -> graft.ops.TimeSeries.varianceRatioSql,
     "q_ktruss"        -> graft.ops.Graph.kTrussSql,
     "q_span_corruption" -> graft.text.Curation.spanCorruptionSql,
+    "q_mlm_mask"      -> graft.text.Curation.mlmMaskingSql,
     "q_dataset_card"  -> graft.text.Curation.datasetCardSql,
     "q_sax"           -> graft.ops.TimeSeries.saxSymbolsSql,
     "q_peaks"         -> graft.ops.TimeSeries.peakDetectionSql,
@@ -653,6 +658,7 @@ object SparkEntry {
     "q_frame_census"  -> Multimodal.frameCensusSql,
     "q_media_decode"  -> Multimodal.decodeCensusSql,
     "q_media_resize"  -> Multimodal.resizeCensusSql,
+    "q_media_hist"    -> Multimodal.histogramCensusSql,
     "q_frame_checksum" -> Multimodal.frameChecksumSql,
     "q_silhouette"    -> Similarity.silhouetteSql,
     "q_cuped"         -> graft.ops.Behavior.cupedReadoutSql,
@@ -854,6 +860,8 @@ object SparkEntry {
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,
+    "q_wilcoxon"      -> graft.ops.Behavior.wilcoxonSignedRankSql,
+    "q_strat_ate"     -> graft.ops.Behavior.stratifiedAteSql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,
     "q_ks_test"       -> graft.ops.Behavior.ksTestSql,
     "q_assoc_rules"   -> graft.ops.Behavior.associationRulesSql,

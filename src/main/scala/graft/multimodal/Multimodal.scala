@@ -196,6 +196,72 @@ object Multimodal {
        |FROM px ORDER BY media_id""".stripMargin
   }
 
+  /** LUMINANCE-HISTOGRAM CENSUS (driver-graded): decode each REAL P6
+    * payload and bucket every pixel byte into four 64-wide luminance
+    * bands — the exposure/contrast feature a vision-data curation pass
+    * computes per image before filtering (all-dark / blown-out
+    * screens). The Spark side histograms the ACTUAL decoded buffer;
+    * the oracle derives the same counts in closed form from the
+    * generation contract ((seed + i) mod 256 ⇒ each full 256-cycle
+    * drops exactly 64 bytes per band, and the n mod 256 remainder is
+    * an interval-overlap count with at most one wraparound split — the
+    * [[patternSumSql]] discipline applied to counts instead of sums).
+    * Map-only; pixel buffers never shuffle. */
+  def histogramCensus(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_pixel_bytes", LongType),
+      StructField("h0", LongType), StructField("h1", LongType),
+      StructField("h2", LongType), StructField("h3", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    imageTable(s, d)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Ppm.decode(r.getAs[Array[Byte]](1))
+          val h = new Array[Long](4)
+          var i = 0
+          while (i < img.pixels.length) {
+            h((img.pixels(i) & 0xff) >> 6) += 1
+            i += 1
+          }
+          Row(r.getLong(0), img.pixels.length.toLong, h(0), h(1), h(2), h(3))
+        }
+      }(enc)
+      .orderBy("media_id")
+  }
+
+  /** Closed-form remainder-band count: how many of the r bytes
+    * (a+0 .. a+r-1 mod 256) land in [lo, hi]. One interval when the
+    * run doesn't wrap, two when it does. */
+  private def bandCountSql(b: Int): String = {
+    val lo = b * 64
+    val hi = b * 64 + 63
+    s"""CASE WHEN a + r <= 256
+       |  THEN greatest(0, least($hi, a + r - 1) - greatest($lo, a) + 1)
+       |  ELSE greatest(0, $hi - greatest($lo, a) + 1)
+       |     + greatest(0, least($hi, a + r - 257) - $lo + 1)
+       |  END""".stripMargin
+  }
+
+  val histogramCensusSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) % 61 + 16 AS BIGINT) AS w,
+       |    CAST(octet_length(encode(text)) % 37 + 12 AS BIGINT) AS h,
+       |    CAST((doc_id * 31) % 256 AS BIGINT) AS a
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id, a, w * h * 3 AS n,
+       |    (w * h * 3) // 256 AS q, (w * h * 3) % 256 AS r
+       |  FROM m)
+       |SELECT media_id, n AS n_pixel_bytes,
+       |  CAST(q * 64 + ${bandCountSql(0)} AS BIGINT) AS h0,
+       |  CAST(q * 64 + ${bandCountSql(1)} AS BIGINT) AS h1,
+       |  CAST(q * 64 + ${bandCountSql(2)} AS BIGINT) AS h2,
+       |  CAST(q * 64 + ${bandCountSql(3)} AS BIGINT) AS h3
+       |FROM px ORDER BY media_id""".stripMargin
+
   /** Resize target (fixed thumbnail dims). */
   val thumbW = 16
   val thumbH = 12

@@ -1189,6 +1189,201 @@ object Behavior {
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
 
+  /** STRATIFIED ATE — post-stratification average treatment effect:
+    * per-user purchase spend under the hash-assigned 50/50 split,
+    * stratified by pre-treatment ACTIVITY (non-purchase event count,
+    * bucketed to 5 fixed strata) — the estimator an observational or
+    * imbalance-prone experiment reports instead of the naive
+    * difference, ATE = Σ_s (n_s/n)·(ȳ₁ₛ − ȳ₀ₛ) over strata with both
+    * arms present. Ships the naive diff alongside so the adjustment is
+    * visible.
+    *
+    * Determinism: every cell (n₁,n₀,y₁,y₀ in exact cents) is an
+    * integer; the per-stratum double terms fold over a
+    * stratum-SORTED array ([[graft.ops.Analytics.chiSquareStatusPriority]]
+    * sorted-fold discipline), so both engines accumulate identical
+    * doubles in identical order.
+    *
+    * Scale: one user aggregate, one O(strata) aggregate — wordcount-
+    * shaped; strata count is FIXED, so the fold array is O(5). */
+  def stratifiedAte(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long")).otherwise(0L)).as("y"),
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("acts"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("g"),
+        col("y"), least(lit(4L), expr("acts div 5")).as("st"))
+    val cells = perUser.groupBy("st").agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("g") === 1, col("y")).otherwise(0L)).as("y1"),
+      sum(when(col("g") === 0, col("y")).otherwise(0L)).as("y0"))
+    val tot = cells.agg(
+      sum(col("n1") + col("n0")).cast("long").as("n_users"),
+      sum(col("n1")).cast("long").as("n1t"),
+      sum(col("n0")).cast("long").as("n0t"),
+      sum(col("y1")).cast("long").as("y1t"),
+      sum(col("y0")).cast("long").as("y0t"))
+    val packed = cells.filter(col("n1") > 0 && col("n0") > 0)
+      .crossJoin(broadcast(tot))
+      .groupBy("n_users", "n1t", "n0t", "y1t", "y0t")
+      .agg(sort_array(collect_list(struct(col("st"), col("n1"), col("n0"),
+        col("y1"), col("y0")))).as("a"),
+        sum(col("n1") + col("n0")).cast("long").as("n_used"),
+        count(lit(1)).cast("long").as("n_strata"))
+    packed.select(col("n_users"), col("n_used"), col("n_strata"),
+      round(expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+        |  acc + (CAST(e.n1 + e.n0 AS DOUBLE) / CAST(n_used AS DOUBLE))
+        |    * (CAST(e.y1 AS DOUBLE) / CAST(e.n1 AS DOUBLE)
+        |       - CAST(e.y0 AS DOUBLE) / CAST(e.n0 AS DOUBLE)))"""
+        .stripMargin), 4).as("ate_cents"),
+      round(col("y1t").cast("double") / col("n1t").cast("double") -
+        col("y0t").cast("double") / col("n0t").cast("double"), 4)
+        .as("naive_cents"))
+  }
+
+  val stratifiedAteSql: String =
+    """WITH per_user AS (
+      |  SELECT
+      |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS g,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS y,
+      |    least(4, sum(CASE WHEN event_type <> 'purchase' THEN 1
+      |      ELSE 0 END) // 5) AS st
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT st,
+      |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+      |    sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS y1,
+      |    sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS y0
+      |  FROM per_user GROUP BY st),
+      |tot AS (
+      |  SELECT CAST(sum(n1 + n0) AS BIGINT) AS n_users,
+      |    CAST(sum(n1) AS BIGINT) AS n1t, CAST(sum(n0) AS BIGINT) AS n0t,
+      |    CAST(sum(y1) AS BIGINT) AS y1t, CAST(sum(y0) AS BIGINT) AS y0t
+      |  FROM cells),
+      |used AS (
+      |  SELECT list(struct_pack(st := st, n1 := n1, n0 := n0,
+      |      y1 := y1, y0 := y0) ORDER BY st) AS a,
+      |    CAST(sum(n1 + n0) AS BIGINT) AS n_used,
+      |    count(*) AS n_strata
+      |  FROM cells WHERE n1 > 0 AND n0 > 0)
+      |SELECT t.n_users, u.n_used, u.n_strata,
+      |  round(list_sum(list_transform(u.a, e ->
+      |    (CAST(e.n1 + e.n0 AS DOUBLE) / CAST(u.n_used AS DOUBLE))
+      |      * (CAST(e.y1 AS DOUBLE) / CAST(e.n1 AS DOUBLE)
+      |         - CAST(e.y0 AS DOUBLE) / CAST(e.n0 AS DOUBLE)))), 4)
+      |    AS ate_cents,
+      |  round(CAST(t.y1t AS DOUBLE) / CAST(t.n1t AS DOUBLE)
+      |    - CAST(t.y0t AS DOUBLE) / CAST(t.n0t AS DOUBLE), 4)
+      |    AS naive_cents
+      |FROM used u CROSS JOIN tot t""".stripMargin
+
+  /** Paired-split boundary for [[wilcoxonSignedRank]] — the event
+    * window's midpoint (Jan 1–30), pinned as a literal. */
+  val wilcoxonSplit = "2024-01-16 00:00:00"
+
+  /** WILCOXON SIGNED-RANK — the PAIRED companion to [[mannWhitney]]:
+    * per-user spend in the window's first half vs second half (only
+    * users active in BOTH halves pair; zero diffs drop, the standard
+    * treatment), |diff| midranked with ties, W⁺ = rank sum of positive
+    * diffs, normal approximation with the tie-corrected variance
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48. The "did per-user spend shift?"
+    * test a marketplace runs across a pricing change.
+    *
+    * Exact-integer discipline (the [[mannWhitney]] pattern): diffs are
+    * exact cents; midranks come off the cumulative count over the
+    * |diff| DOMAIN via the doubling trick (2·midrank = 2·cum_before +
+    * t + 1); W⁺ and the tie term are integer sums; the z is ONE pinned
+    * double formula. Scale: the prefix sum is
+    * [[graft.ops.Distributed.withRunningTotal]] — range-partitioned,
+    * no global-order window touches a fact row. */
+  def wilcoxonSignedRank(s: SparkSession, d: String): DataFrame = {
+    val split = lit(wilcoxonSplit).cast("timestamp")
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < split, (dec(col("value")) * 100).cast("long"))
+          .otherwise(0L)).as("h1"),
+        sum(when(col("ts") >= split, (dec(col("value")) * 100).cast("long"))
+          .otherwise(0L)).as("h2"),
+        max(when(col("ts") < split, 1).otherwise(0)).as("has1"),
+        max(when(col("ts") >= split, 1).otherwise(0)).as("has2"))
+      .filter(col("has1") === 1 && col("has2") === 1 &&
+        col("h1") =!= col("h2"))
+      .select((col("h2") - col("h1")).as("dd"))
+    val byAbs = perUser
+      .select(abs(col("dd")).as("ad"),
+        when(col("dd") > 0, 1L).otherwise(0L).as("pos"))
+      .groupBy("ad").agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byAbs, Seq.empty, Seq("ad"), "t", "cumt")
+    val wide = cum.agg(
+      sum(col("t")).cast("long").as("n"),
+      sum(col("tp") * (lit(2L) * (col("cumt") - col("t")) + col("t") + lit(1L)))
+        .cast("long").as("wp_x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).cast("long").as("tie_sum"))
+    val nd = col("n").cast("double")
+    val muX2 = expr("(n * (n + 1)) div 2")
+    val sig2 = nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) / lit(24.0) -
+      col("tie_sum").cast("double") / lit(48.0)
+    val z = (col("wp_x2") - muX2).cast("double") / lit(2.0) / sqrt(sig2)
+    wide.select(col("n"), col("wp_x2"), col("tie_sum"),
+      z.as("z_stat"), (abs(z) > 1.959963984540054).as("significant_95"))
+  }
+
+  val wilcoxonSignedRankSql: String =
+    s"""WITH obs AS (
+       |  SELECT user_id, ts,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |per_user AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN ts < TIMESTAMP '$wilcoxonSplit'
+       |      THEN cents ELSE 0 END) AS h1,
+       |    sum(CASE WHEN ts >= TIMESTAMP '$wilcoxonSplit'
+       |      THEN cents ELSE 0 END) AS h2,
+       |    max(CASE WHEN ts < TIMESTAMP '$wilcoxonSplit'
+       |      THEN 1 ELSE 0 END) AS has1,
+       |    max(CASE WHEN ts >= TIMESTAMP '$wilcoxonSplit'
+       |      THEN 1 ELSE 0 END) AS has2
+       |  FROM obs GROUP BY 1),
+       |diffs AS (
+       |  SELECT h2 - h1 AS dd FROM per_user
+       |  WHERE has1 = 1 AND has2 = 1 AND h1 <> h2),
+       |by_abs AS (
+       |  SELECT abs(dd) AS ad, count(*) AS t,
+       |    sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS tp
+       |  FROM diffs GROUP BY 1),
+       |cum AS (
+       |  SELECT t, tp, sum(t) OVER (ORDER BY ad
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+       |  FROM by_abs),
+       |wide AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n,
+       |    CAST(sum(tp * (2 * (cumt - t) + t + 1)) AS BIGINT) AS wp_x2,
+       |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+       |  FROM cum),
+       |zed AS (
+       |  SELECT n, wp_x2, tie_sum,
+       |    CAST(wp_x2 - (n * (n + 1)) // 2 AS DOUBLE) / 2.0 /
+       |    sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+       |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+       |      - CAST(tie_sum AS DOUBLE) / 48.0) AS z_stat
+       |  FROM wide)
+       |SELECT n, wp_x2, tie_sum, z_stat,
+       |  abs(z_stat) > 1.959963984540054 AS significant_95
+       |FROM zed""".stripMargin
+
   /** ACTIVITY STREAKS — per-user longest run of CONSECUTIVE active days,
     * the gaps-and-islands shape (engagement/retention reporting's
     * "current streak" metric). Sessionization (q_sessionize) islands by

@@ -643,6 +643,82 @@ object Curation {
       .orderBy("source")
   }
 
+  /** BERT-STYLE MLM MASKING CENSUS — the sibling of [[spanCorruption]]
+    * for the masked-LM objective: ~15% of token positions are selected
+    * by md5(doc_id:m:i) mod 100 < 15, and each selected position draws
+    * its action from an INDEPENDENT digest md5(doc_id:a:i) mod 10 —
+    * 0-7 → [MASK] substitution (80%), 8 → random-token swap (10%),
+    * 9 → keep-original (10%), the classic BERT 80/10/10 recipe. Hash
+    * selection (never rand()) means every re-run, retry, and cluster
+    * size masks identically — the [[graft.text.TextAnalysis.trainSplit]]
+    * discipline. Reports the per-language data-budget accounting a
+    * pretraining run reconciles against its dataloader.
+    *
+    * Scale: pure per-row array lambdas inside codegen (two md5 calls
+    * per token, no explode, no shuffle beyond one language aggregate). */
+  def mlmMasking(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val perDoc = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), w.as("w"))
+      .select(col("lang"), col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("""filter(sequence(0, size(w) - 1), i ->
+            |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':m:',
+            |    CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            |    % 100 < 15)""".stripMargin).as("sel"))
+      .select(col("lang"), col("n_tokens"),
+        size(col("sel")).cast("long").as("n_sel"),
+        expr("""size(filter(sel, i ->
+            |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':a:',
+            |    CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            |    % 10 < 8))""".stripMargin).cast("long").as("n_mask"),
+        expr("""size(filter(sel, i ->
+            |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':a:',
+            |    CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            |    % 10 = 8))""".stripMargin).cast("long").as("n_rand"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"),
+        sum(col("n_sel")).cast("long").as("selected"),
+        sum(col("n_mask")).cast("long").as("mask_tok"),
+        sum(col("n_rand")).cast("long").as("rand_tok"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("selected"),
+        col("mask_tok"), col("rand_tok"),
+        (col("selected") - col("mask_tok") - col("rand_tok")).as("keep_tok"),
+        when(col("tokens") === 0, lit(0.0))
+          .otherwise(round(col("selected").cast("double") / col("tokens"), 6))
+          .as("mask_rate"))
+      .orderBy("lang")
+  }
+
+  val mlmMaskingSql: String =
+    """WITH per_doc AS (
+      |  SELECT lang, doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    list_filter(generate_series(0, len(string_split(text, ' ')) - 1),
+      |      i -> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m:' ||
+      |        CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 15) AS sel
+      |  FROM documents),
+      |counted AS (
+      |  SELECT lang, n_tokens, len(sel) AS n_sel,
+      |    len(list_filter(sel, i ->
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a:' ||
+      |        CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8)) AS n_mask,
+      |    len(list_filter(sel, i ->
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a:' ||
+      |        CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8)) AS n_rand
+      |  FROM per_doc)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(sum(n_sel) AS BIGINT) AS selected,
+      |  CAST(sum(n_mask) AS BIGINT) AS mask_tok,
+      |  CAST(sum(n_rand) AS BIGINT) AS rand_tok,
+      |  CAST(sum(n_sel) - sum(n_mask) - sum(n_rand) AS BIGINT) AS keep_tok,
+      |  CASE WHEN sum(n_tokens) = 0 THEN 0.0
+      |    ELSE round(CAST(sum(n_sel) AS DOUBLE) / sum(n_tokens), 6)
+      |  END AS mask_rate
+      |FROM counted GROUP BY lang ORDER BY lang""".stripMargin
+
   val spanCorruptionSql: String =
     """WITH per_doc AS (
       |  SELECT source,
