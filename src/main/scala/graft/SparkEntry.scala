@@ -345,6 +345,8 @@ object SparkEntry {
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
     "q_wilcoxon"        -> (graft.ops.Behavior.wilcoxonSignedRank _),
     "q_strat_ate"       -> (graft.ops.Behavior.stratifiedAte _),
+    "q_logrank"         -> (graft.ops.Behavior.logRank _),
+    "q_xyz"             -> (graft.ops.Analytics.xyzAnalysis _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
     "q_ks_test"         -> (graft.ops.Behavior.ksTest _),
     "q_assoc_rules"     -> (graft.ops.Behavior.associationRules _),
@@ -862,6 +864,8 @@ object SparkEntry {
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,
     "q_wilcoxon"      -> graft.ops.Behavior.wilcoxonSignedRankSql,
     "q_strat_ate"     -> graft.ops.Behavior.stratifiedAteSql,
+    "q_logrank"       -> graft.ops.Behavior.logRankSql,
+    "q_xyz"           -> graft.ops.Analytics.xyzAnalysisSql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,
     "q_ks_test"       -> graft.ops.Behavior.ksTestSql,
     "q_assoc_rules"   -> graft.ops.Behavior.associationRulesSql,

@@ -2894,6 +2894,93 @@ object Analytics {
       |    AS mi_nats
       |FROM folded""".stripMargin
 
+  /** XYZ DEMAND-VARIABILITY ANALYSIS — the companion axis to
+    * [[abcAnalysis]]: parts classified by the coefficient of variation
+    * of their MONTHLY demand over the full ship-date span (zero-demand
+    * months count, the standard XYZ convention): X = steadiest,
+    * Y = variable, Z = erratic. ABC ranks by value, XYZ by
+    * forecastability; together they are the 9-cell inventory-policy
+    * grid. Boundary choice: the classic 0.5/1.0 cuts assume dense
+    * demand; this corpus's monthly demand is sparse (every CV lands in
+    * 1.31-3.28), so the graded form cuts at the corpus-meaningful
+    * 1.8/2.0 — the boundaries are a tuning parameter, the machinery is
+    * the operator.
+    *
+    * Determinism: with M = span months (exact integer from year×12+month
+    * arithmetic, never float months_between) and per-part exact sums
+    * s1 = Σq, s2 = Σq² in scale-2 integer units,
+    * CV = σ/μ = √(M·s2 − s1²)/s1 — the M's cancel, every input to the
+    * one sqrt+division is the same exact integer in both engines, and
+    * IEEE sqrt is correctly rounded, so even a part sitting exactly on
+    * a class boundary classifies identically. Per-class outputs are
+    * counts, exact sums, and min/max picks of identical doubles.
+    *
+    * Scale: one combinable (part, month) aggregate, one part
+    * aggregate, one O(3) aggregate — wordcount-shaped. */
+  def xyzAnalysis(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val monthly = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("mk"),
+        (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("qc"))
+      .groupBy(col("l_partkey"), col("mk"))
+      .agg(sum(col("qc")).as("q"))
+    val span = Tables.lineitem(s, d)
+      .agg(((max(year(col("l_shipdate")) * 12 + month(col("l_shipdate"))) -
+        min(year(col("l_shipdate")) * 12 + month(col("l_shipdate")))) + 1)
+        .cast("long").as("m"))
+    val perPart = monthly.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).cast(big).as("s1"),
+        sum(col("q").cast(big) * col("q").cast(big)).cast(big).as("s2"),
+        count(lit(1)).cast("long").as("n_active"))
+    val cv = sqrt((col("m").cast(big) * col("s2") - col("s1") * col("s1"))
+      .cast("double")) / col("s1").cast("double")
+    perPart.crossJoin(broadcast(span))
+      .select(col("l_partkey"), col("s1"), col("n_active"), cv.as("cv"))
+      .select(col("l_partkey"), col("s1"), col("n_active"), col("cv"),
+        when(col("cv") < 1.8, "X").when(col("cv") < 2.0, "Y")
+          .otherwise("Z").as("cls"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum(col("s1")).cast(DecimalType(38, 0)).cast("double")
+          .as("qty_cents"),
+        round(min(col("cv")), 6).as("min_cv"),
+        round(max(col("cv")), 6).as("max_cv"),
+        round(avg(col("n_active").cast("double")), 6).as("avg_active_months"))
+      .orderBy("cls")
+  }
+
+  val xyzAnalysisSql: String =
+    """WITH monthly AS (
+      |  SELECT l_partkey,
+      |    year(l_shipdate) * 12 + month(l_shipdate) AS mk,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |span AS (
+      |  SELECT CAST(max(year(l_shipdate) * 12 + month(l_shipdate))
+      |    - min(year(l_shipdate) * 12 + month(l_shipdate)) + 1 AS BIGINT)
+      |    AS m
+      |  FROM lineitem),
+      |per_part AS (
+      |  SELECT l_partkey, CAST(sum(q) AS HUGEINT) AS s1,
+      |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s2,
+      |    count(*) AS n_active
+      |  FROM monthly GROUP BY 1),
+      |scored AS (
+      |  SELECT l_partkey, s1, n_active,
+      |    sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)) / CAST(s1 AS DOUBLE) AS cv
+      |  FROM per_part CROSS JOIN span)
+      |SELECT CASE WHEN cv < 1.8 THEN 'X' WHEN cv < 2.0 THEN 'Y'
+      |    ELSE 'Z' END AS cls,
+      |  count(*) AS n_parts,
+      |  CAST(CAST(sum(s1) AS HUGEINT) AS DOUBLE) AS qty_cents,
+      |  round(min(cv), 6) AS min_cv,
+      |  round(max(cv), 6) AS max_cv,
+      |  round(avg(CAST(n_active AS DOUBLE)), 6) AS avg_active_months
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ABC INVENTORY ANALYSIS: parts classified by cumulative revenue
     * share — A carries the first 80%, B to 95%, C the tail (the Pareto
     * cut every supply-chain and catalog-curation surface starts from).

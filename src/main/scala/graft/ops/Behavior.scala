@@ -1189,6 +1189,173 @@ object Behavior {
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
 
+  /** LOG-RANK TEST — the two-group survival comparison completing the
+    * [[kaplanMeier]]/[[nelsonAalen]] family: does time-to-first-purchase
+    * differ between the hash-assigned arms? At every event time t,
+    * observed events in arm 1 vs the hypergeometric expectation
+    * E₁ₜ = dₜ·n₁ₜ/nₜ and variance
+    * Vₜ = dₜ·(n₁ₜ/nₜ)·(n₀ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1);
+    * Z = (Σd₁ₜ − ΣE₁ₜ)/√ΣVₜ.
+    *
+    * Determinism: every count (at-risk, events, censored) is an exact
+    * integer off a DENSE time×arm grid (the at-risk count at t needs a
+    * row even when that arm has no event at t); the per-time double
+    * terms fold over the time-SORTED array, so both engines accumulate
+    * identical doubles in identical order.
+    *
+    * Scale: durations aggregate per user; the grid is O(study hours ×
+    * 2) — calendar-bounded, not data-bounded; the windows ride the
+    * O(hours) aggregate (the [[kaplanMeier]] advisory class). */
+  def logRank(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .filter(col("t0").isNotNull)
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("g"),
+        col("t0"), col("tp"))
+    val studyEnd = ev.agg(max(col("ts")).as("t_end"))
+    val durations = perUser.crossJoin(broadcast(studyEnd))
+      .select(col("g"),
+        when(col("tp").isNotNull && col("tp") >= col("t0"),
+          (unix_timestamp(col("tp")) - unix_timestamp(col("t0"))) / 3600L)
+          .otherwise(
+            (unix_timestamp(col("t_end")) - unix_timestamp(col("t0"))) / 3600L)
+          .cast("long").as("dur_h"),
+        (col("tp").isNotNull && col("tp") >= col("t0")).as("converted"))
+    val byCell = durations.groupBy(col("dur_h"), col("g"))
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    // dense grid: every observed time × both arms, so per-arm at-risk
+    // windows are defined at every time
+    val grid = byCell.select(col("dur_h")).distinct()
+      .crossJoin(broadcast(s.range(0, 2).select(col("id").cast("int").as("g"))))
+      .join(byCell, Seq("dur_h", "g"), "left")
+      .select(col("dur_h"), col("g"),
+        coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wCumG = Window.partitionBy("g").orderBy("dur_h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllG = Window.partitionBy("g").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val atRisk = grid.select(col("dur_h"), col("g"), col("d"),
+      (sum(col("d") + col("c")).over(wAllG) -
+        sum(col("d") + col("c")).over(wCumG) + col("d") + col("c"))
+        .cast("long").as("nr"))
+    val wide = atRisk.groupBy("dur_h")
+      .agg(sum(when(col("g") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 0, col("d")).otherwise(0L)).as("d0"),
+        max(when(col("g") === 1, col("nr"))).as("n1"),
+        max(when(col("g") === 0, col("nr"))).as("n0"))
+      .filter(col("d1") + col("d0") > 0)
+      .select(col("dur_h"), col("d1"), col("d0"),
+        col("n1"), col("n0"),
+        (col("d1") + col("d0")).as("dt"), (col("n1") + col("n0")).as("nt"))
+    val packed = wide.agg(
+      sum(col("d1")).cast("long").as("events1"),
+      sum(col("d0")).cast("long").as("events0"),
+      sort_array(collect_list(struct(col("dur_h"), col("dt"), col("nt"),
+        col("n1"), col("n0")))).as("a"))
+    val sizes = durations.agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).cast("long").as("size1"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).cast("long").as("size0"))
+    packed.crossJoin(broadcast(sizes))
+      .select(col("size1"), col("size0"), col("events1"), col("events0"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+          |  acc + CAST(e.dt AS DOUBLE) * CAST(e.n1 AS DOUBLE)
+          |    / CAST(e.nt AS DOUBLE))""".stripMargin).as("e1"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+          |  acc + (CASE WHEN e.nt > 1
+          |    THEN CAST(e.dt AS DOUBLE)
+          |      * (CAST(e.n1 AS DOUBLE) / CAST(e.nt AS DOUBLE))
+          |      * (CAST(e.n0 AS DOUBLE) / CAST(e.nt AS DOUBLE))
+          |      * (CAST(e.nt - e.dt AS DOUBLE) / CAST(e.nt - 1 AS DOUBLE))
+          |    ELSE CAST(0.0 AS DOUBLE) END))""".stripMargin).as("v"))
+      .select(col("size1"), col("size0"), col("events1"), col("events0"),
+        round(col("events1") - col("e1"), 6).as("o_minus_e"),
+        round((col("events1") - col("e1")) / sqrt(col("v")), 6).as("z_stat"),
+        (abs((col("events1") - col("e1")) / sqrt(col("v"))) >
+          1.959963984540054).as("significant_95"))
+  }
+
+  val logRankSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      |  FROM events GROUP BY user_id),
+      |study AS (SELECT max(ts) AS t_end FROM events),
+      |durations AS (
+      |  SELECT
+      |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS g,
+      |    CASE WHEN tp IS NOT NULL AND tp >= t0
+      |      THEN (epoch_us(tp) // 1000000 - epoch_us(t0) // 1000000) // 3600
+      |      ELSE (epoch_us(t_end) // 1000000 - epoch_us(t0) // 1000000) // 3600
+      |    END AS dur_h,
+      |    tp IS NOT NULL AND tp >= t0 AS converted
+      |  FROM per_user CROSS JOIN study WHERE t0 IS NOT NULL),
+      |by_cell AS (
+      |  SELECT dur_h, g,
+      |    sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+      |    sum(CASE WHEN converted THEN 0 ELSE 1 END) AS c
+      |  FROM durations GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.dur_h, gg.g,
+      |    COALESCE(b.d, 0) AS d, COALESCE(b.c, 0) AS c
+      |  FROM (SELECT DISTINCT dur_h FROM by_cell) t
+      |  CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+      |  LEFT JOIN by_cell b ON b.dur_h = t.dur_h AND b.g = gg.g),
+      |at_risk AS (
+      |  SELECT dur_h, g, d,
+      |    CAST(sum(d + c) OVER (PARTITION BY g)
+      |      - sum(d + c) OVER (PARTITION BY g ORDER BY dur_h
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      + d + c AS BIGINT) AS nr
+      |  FROM grid),
+      |wide AS (
+      |  SELECT dur_h,
+      |    sum(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+      |    sum(CASE WHEN g = 0 THEN d ELSE 0 END) AS d0,
+      |    max(CASE WHEN g = 1 THEN nr END) AS n1,
+      |    max(CASE WHEN g = 0 THEN nr END) AS n0
+      |  FROM at_risk GROUP BY 1),
+      |terms AS (
+      |  SELECT dur_h, d1, d0, n1, n0, d1 + d0 AS dt, n1 + n0 AS nt
+      |  FROM wide WHERE d1 + d0 > 0),
+      |packed AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS events1,
+      |    CAST(sum(d0) AS BIGINT) AS events0,
+      |    list(struct_pack(dur_h := dur_h, dt := dt, nt := nt,
+      |      n1 := n1, n0 := n0) ORDER BY dur_h) AS a
+      |  FROM terms),
+      |sizes AS (
+      |  SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS size1,
+      |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS size0
+      |  FROM durations),
+      |folded AS (
+      |  SELECT size1, size0, events1, events0,
+      |    list_sum(list_transform(a, e ->
+      |      CAST(e.dt AS DOUBLE) * CAST(e.n1 AS DOUBLE)
+      |        / CAST(e.nt AS DOUBLE))) AS e1,
+      |    list_sum(list_transform(a, e ->
+      |      CASE WHEN e.nt > 1
+      |        THEN CAST(e.dt AS DOUBLE)
+      |          * (CAST(e.n1 AS DOUBLE) / CAST(e.nt AS DOUBLE))
+      |          * (CAST(e.n0 AS DOUBLE) / CAST(e.nt AS DOUBLE))
+      |          * (CAST(e.nt - e.dt AS DOUBLE) / CAST(e.nt - 1 AS DOUBLE))
+      |        ELSE CAST(0.0 AS DOUBLE) END)) AS v
+      |  FROM packed CROSS JOIN sizes)
+      |SELECT size1, size0, events1, events0,
+      |  round(events1 - e1, 6) AS o_minus_e,
+      |  round((events1 - e1) / sqrt(v), 6) AS z_stat,
+      |  abs((events1 - e1) / sqrt(v)) > 1.959963984540054 AS significant_95
+      |FROM folded""".stripMargin
+
   /** STRATIFIED ATE — post-stratification average treatment effect:
     * per-user purchase spend under the hash-assigned 50/50 split,
     * stratified by pre-treatment ACTIVITY (non-purchase event count,
