@@ -347,6 +347,7 @@ object SparkEntry {
     "q_strat_ate"       -> (graft.ops.Behavior.stratifiedAte _),
     "q_logrank"         -> (graft.ops.Behavior.logRank _),
     "q_xyz"             -> (graft.ops.Analytics.xyzAnalysis _),
+    "q_bh_fdr"          -> (graft.ops.Analytics.bhFdrScreen _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
     "q_ks_test"         -> (graft.ops.Behavior.ksTest _),
     "q_assoc_rules"     -> (graft.ops.Behavior.associationRules _),
@@ -866,6 +867,7 @@ object SparkEntry {
     "q_strat_ate"     -> graft.ops.Behavior.stratifiedAteSql,
     "q_logrank"       -> graft.ops.Behavior.logRankSql,
     "q_xyz"           -> graft.ops.Analytics.xyzAnalysisSql,
+    "q_bh_fdr"        -> graft.ops.Analytics.bhFdrScreenSql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,
     "q_ks_test"       -> graft.ops.Behavior.ksTestSql,
     "q_assoc_rules"   -> graft.ops.Behavior.associationRulesSql,

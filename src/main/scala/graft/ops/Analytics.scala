@@ -2894,6 +2894,118 @@ object Analytics {
       |    AS mi_nats
       |FROM folded""".stripMargin
 
+  /** Pinned BH critical values: zcrit_i = Φ⁻¹(1 − α·i/(2m)) for
+    * α = 0.05, m = 25 — |z|-space renderings of the Benjamini–Hochberg
+    * step-up thresholds p ≤ α·i/m, precomputed as literals because Φ⁻¹
+    * is a transcendental the two engines would NOT compute
+    * bit-identically (the O'Brien–Fleming boundary discipline of
+    * [[graft.ops.Behavior.sequentialTest]]). */
+  private val bhCrits: Seq[Double] = Seq(
+    3.090232306167813, 2.8781617390954826, 2.7477813854449917,
+    2.6520698079021954, 2.5758293035489, 2.5121443279304616,
+    2.457263390205436, 2.408915545815461, 2.365618126864292,
+    2.3263478740408408, 2.290367877855267, 2.257129244486225,
+    2.2262117693171737, 2.1972863766410513, 2.17009037758456,
+    2.1444106209118394, 2.1200716897421503, 2.0969274291643414,
+    2.0748547343933095, 2.053748910631822, 2.0335201492530506,
+    2.0140908120181384, 1.9953933101678243, 1.9773684281819461,
+    1.9599639845400536)
+
+  /** BENJAMINI–HOCHBERG FDR SCREEN — multiple-testing correction over
+    * the 25-nation family: each nation's high-value-order rate is
+    * tested against the global rate (one-sample two-proportion z from
+    * exact integers), then the step-up rule rejects the k largest |z|
+    * where k = max{i : |z|₍ᵢ₎ ≥ zcrit_i} — the dashboard pattern that
+    * stops 25 parallel segment tests from generating false alarms at
+    * α each.
+    *
+    * Determinism: counts are exact integers; each z is one pinned
+    * double formula; the DESC-|z| ranking ties on nation name; the
+    * step-up compare is double-vs-pinned-literal, identical in both
+    * engines. The sort + step-up run inside ONE collected 25-struct
+    * array (the [[chiSquareStatusPriority]] fold discipline) — m is
+    * the FAMILY size, fixed by the analysis design, never data-scaled.
+    *
+    * Scale: one key-shuffle join + one O(25) aggregate; facts are
+    * touched once. */
+  def bhFdrScreen(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long") >= 15000000L, 1L).otherwise(0L)).as("k"))
+    val glob = cells.agg(sum(col("n")).cast("long").as("nn"),
+      sum(col("k")).cast("long").as("kk"))
+    val pg = col("kk").cast("double") / col("nn").cast("double")
+    val z = (col("k").cast("double") / col("n").cast("double") - pg) /
+      sqrt(pg * (lit(1.0) - pg) / col("n").cast("double"))
+    val scored = cells.crossJoin(broadcast(glob))
+      .select(col("n_name"), col("n"), col("k"), z.as("z"))
+    val critArr = array(bhCrits.map(lit): _*)
+    // kmax = largest rank i whose |z| clears crit_i (step-up)
+    val withK = scored
+      .groupBy()
+      .agg(sort_array(collect_list(struct((-abs(col("z"))).as("negabs"),
+        col("n_name"), col("n"), col("k"), col("z")))).as("a"))
+      .select(col("a"), expr(
+        s"""array_max(transform(a, (e, i) ->
+           |  IF(abs(e.z) >= element_at(array(${bhCrits.mkString(",")}),
+           |    i + 1), i + 1, 0)))""".stripMargin).as("kmax"))
+    withK
+      .select(posexplode(col("a")).as(Seq("pos", "e")), col("kmax"))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.n_name").as("n_name"), col("e.n").as("n"), col("e.k").as("k"),
+        round(col("e.z"), 6).as("z"),
+        round(element_at(critArr, col("pos") + 1), 6).as("z_crit"),
+        (col("pos") + 1 <= col("kmax")).as("rejected"))
+      .orderBy("rank")
+  }
+
+  val bhFdrScreenSql: String = {
+    val critList = bhCrits.mkString("[", ", ", "]")
+    s"""WITH cells AS (
+       |  SELECT n_name, count(*) AS n,
+       |    sum(CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT) >= 15000000 THEN 1 ELSE 0 END) AS k
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+       |  GROUP BY 1),
+       |gl AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk
+       |  FROM cells),
+       |scored AS (
+       |  SELECT n_name, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       |    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+       |    / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        / CAST(n AS DOUBLE)) AS z
+       |  FROM cells CROSS JOIN gl),
+       |packed AS (
+       |  SELECT list(struct_pack(negabs := -abs(z), n_name := n_name,
+       |    n := n, k := k, z := z) ORDER BY -abs(z), n_name) AS a
+       |  FROM scored),
+       |km AS (
+       |  SELECT a, $critList AS cl,
+       |    list_max(list_transform(generate_series(1, len(a)), i ->
+       |      CASE WHEN abs(a[i].z) >= ($critList)[i] THEN i ELSE 0 END))
+       |      AS kmax
+       |  FROM packed)
+       |SELECT CAST(i AS INTEGER) AS rank, a[i].n_name AS n_name,
+       |  a[i].n AS n, a[i].k AS k,
+       |  round(a[i].z, 6) AS z,
+       |  round(cl[i], 6) AS z_crit,
+       |  i <= kmax AS rejected
+       |FROM km, range(1, 26) AS t(i)
+       |WHERE i <= len(a)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** XYZ DEMAND-VARIABILITY ANALYSIS — the companion axis to
     * [[abcAnalysis]]: parts classified by the coefficient of variation
     * of their MONTHLY demand over the full ship-date span (zero-demand
