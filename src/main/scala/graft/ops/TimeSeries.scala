@@ -1176,6 +1176,101 @@ object TimeSeries {
     * double division rounded 6. The lag window runs over the
     * per-(type, day) aggregate (O(types × days) rows — the ewmaDaily
     * scale posture). */
+  /** Holt smoothing constants — pinned so both engines run the exact
+    * same recursion. */
+  val holtAlpha = 0.3
+  val holtBeta = 0.1
+  val holtHorizon = 7
+
+  /** HOLT LINEAR-TREND FORECAST BACKTEST — the exponential-smoothing
+    * step up from [[forecastBacktest]]'s naive/seasonal-naive: fit
+    * level+trend state on all but the last [[holtHorizon]] days of
+    * daily purchase revenue (α = 0.3, β = 0.1, init l₂ = y₂,
+    * b₂ = y₂ − y₁), then forecast h-steps-ahead ŷ = l + h·b against
+    * the held-out week.
+    *
+    * Determinism: the recursion is ONE sequential fold over the
+    * day-sorted array with a STRUCT accumulator on the Spark side and
+    * the identical recurrence as a bounded recursive CTE on the oracle
+    * side — a float recursion is engine-safe precisely when both
+    * engines execute the same ops in the same order, which a
+    * fixed-order fold/recursion guarantees (the q_markov unrolled-
+    * iteration discipline, generalized to stateful folds). Inputs are
+    * exact cents.
+    *
+    * Scale: one day aggregate over facts; the fold runs on O(days)
+    * data in one row — calendar-bounded, the [[forecastBacktest]]
+    * class. */
+  def holtForecast(s: SparkSession, d: String): DataFrame = {
+    val a = holtAlpha
+    val b = holtBeta
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("c"))
+    val packed = daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+      .select(
+        expr(s"slice(arr, 1, size(arr) - $holtHorizon)").as("tr"),
+        expr(s"slice(arr, size(arr) - ${holtHorizon - 1}, $holtHorizon)")
+          .as("te"))
+      .select(col("te"), expr(
+        s"""aggregate(slice(tr, 3, size(tr) - 2),
+           |  named_struct(
+           |    'l', CAST(tr[1].c AS DOUBLE),
+           |    'b', CAST(tr[1].c - tr[0].c AS DOUBLE)),
+           |  (acc, e) -> named_struct(
+           |    'l', $a * CAST(e.c AS DOUBLE) + ${1 - a} * (acc.l + acc.b),
+           |    'b', $b * (($a * CAST(e.c AS DOUBLE)
+           |           + ${1 - a} * (acc.l + acc.b)) - acc.l)
+           |         + ${1 - b} * acc.b))""".stripMargin).as("st"))
+    packed
+      .select(posexplode(col("te")).as(Seq("pos", "e")),
+        col("st.l").as("l"), col("st.b").as("b"))
+      .select(col("e.day").as("day"), col("e.c").as("actual_cents"),
+        round(col("l") + (col("pos") + 1).cast("double") * col("b"), 4)
+          .as("forecast_cents"),
+        round(abs(col("e.c").cast("double") -
+          (col("l") + (col("pos") + 1).cast("double") * col("b"))), 4)
+          .as("abs_err"))
+      .orderBy("day")
+  }
+
+  val holtForecastSql: String = {
+    val a = holtAlpha
+    val b = holtBeta
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |packed AS (
+       |  SELECT list(struct_pack(day := day, c := c) ORDER BY day) AS arr
+       |  FROM daily),
+       |split AS (
+       |  SELECT arr[1 : len(arr) - $holtHorizon] AS tr,
+       |    arr[len(arr) - ${holtHorizon - 1} : len(arr)] AS te
+       |  FROM packed),
+       |state(i, l, bb) AS (
+       |  SELECT 2, CAST(tr[2].c AS DOUBLE),
+       |    CAST(tr[2].c - tr[1].c AS DOUBLE) FROM split
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    $a * CAST(tr[i + 1].c AS DOUBLE) + ${1 - a} * (l + bb),
+       |    $b * (($a * CAST(tr[i + 1].c AS DOUBLE) + ${1 - a} * (l + bb)) - l)
+       |      + ${1 - b} * bb
+       |  FROM state, split WHERE i < len(tr)),
+       |fin AS (
+       |  SELECT l, bb FROM state, split WHERE i = len(tr))
+       |SELECT te[h].day AS day, te[h].c AS actual_cents,
+       |  round(l + CAST(h AS DOUBLE) * bb, 4) AS forecast_cents,
+       |  round(abs(CAST(te[h].c AS DOUBLE)
+       |    - (l + CAST(h AS DOUBLE) * bb)), 4) AS abs_err
+       |FROM fin, split, range(1, ${holtHorizon + 1}) t(h)
+       |ORDER BY day""".stripMargin
+  }
+
   def forecastBacktest(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
