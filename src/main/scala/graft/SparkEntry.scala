@@ -349,6 +349,7 @@ object SparkEntry {
     "q_xyz"             -> (graft.ops.Analytics.xyzAnalysis _),
     "q_bh_fdr"          -> (graft.ops.Analytics.bhFdrScreen _),
     "q_holt"            -> (graft.ops.TimeSeries.holtForecast _),
+    "q_mahalanobis"     -> (graft.ops.Analytics.mahalanobisOutliers _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
     "q_ks_test"         -> (graft.ops.Behavior.ksTest _),
     "q_assoc_rules"     -> (graft.ops.Behavior.associationRules _),
@@ -870,6 +871,7 @@ object SparkEntry {
     "q_xyz"           -> graft.ops.Analytics.xyzAnalysisSql,
     "q_bh_fdr"        -> graft.ops.Analytics.bhFdrScreenSql,
     "q_holt"          -> graft.ops.TimeSeries.holtForecastSql,
+    "q_mahalanobis"   -> graft.ops.Analytics.mahalanobisOutliersSql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,
     "q_ks_test"       -> graft.ops.Behavior.ksTestSql,
     "q_assoc_rules"   -> graft.ops.Behavior.associationRulesSql,

@@ -2894,6 +2894,85 @@ object Analytics {
       |    AS mi_nats
       |FROM folded""".stripMargin
 
+  /** MAHALANOBIS OUTLIERS — joint (order count, total spend) anomaly
+    * screen per customer: distance to the population centroid in the
+    * covariance metric, the 2-D generalization of the z-score that
+    * catches "many tiny orders" / "one huge order" shapes a univariate
+    * screen misses. Top 20 by distance.
+    *
+    * Fully EXACT-INTEGER core: with u = N·x − Σx and v = N·y − Σy
+    * (exact decimal(38,0)) and the scaled co-moment matrix
+    * A = [[N·Σxx − (Σx)², N·Σxy − Σx·Σy], [·, N·Σyy − (Σy)²]],
+    * the N² factors cancel and
+    * d² = (u²·a_yy − 2uv·a_xy + v²·a_xx) / det(A) — numerator and
+    * denominator are exact integers (≤ ~1e33 at 100× this corpus,
+    * inside decimal(38,0)/HUGEINT; ANSI overflow is LOUD), so the
+    * whole statistic is ONE double division — no engine-ordered float
+    * sum anywhere, stronger even than the sorted-fold discipline.
+    *
+    * Scale: one customer aggregate + one 6-value global aggregate
+    * broadcast back; facts touched once. */
+  def mahalanobisOutliers(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: Column): Column = c.cast(big)
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("x"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("y"))
+    val mom = perCust.agg(
+      count(lit(1)).cast("long").as("nn"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(d0(col("y"))).cast(big).as("sy"),
+      sum(col("x") * col("x")).cast("long").as("sxx"),
+      sum(d0(col("y")) * d0(col("y"))).cast(big).as("syy"),
+      sum(d0(col("x")) * d0(col("y"))).cast(big).as("sxy"))
+    val axx = d0(col("nn")) * d0(col("sxx")) - d0(col("sx")) * d0(col("sx"))
+    val ayy = d0(col("nn")) * col("syy") - col("sy") * col("sy")
+    val axy = d0(col("nn")) * col("sxy") - d0(col("sx")) * col("sy")
+    val u = d0(col("nn")) * d0(col("x")) - d0(col("sx"))
+    val v = d0(col("nn")) * d0(col("y")) - col("sy")
+    val num = u * u * ayy - lit(2).cast(big) * u * v * axy + v * v * axx
+    val det = axx * ayy - axy * axy
+    perCust.crossJoin(broadcast(mom))
+      .select(col("o_custkey"), col("x").as("n_orders"),
+        col("y").as("spend_cents"),
+        round(num.cast("double") / det.cast("double"), 6).as("d2"))
+      .orderBy(col("d2").desc, col("o_custkey"))
+      .limit(20)
+  }
+
+  val mahalanobisOutliersSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS x,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |mom AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS nn,
+      |    CAST(sum(x) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM per_cust),
+      |am AS (
+      |  SELECT nn, sx, sy,
+      |    nn * sxx - sx * sx AS axx,
+      |    nn * syy - sy * sy AS ayy,
+      |    nn * sxy - sx * sy AS axy
+      |  FROM mom),
+      |scored AS (
+      |  SELECT p.o_custkey, p.x AS n_orders, p.y AS spend_cents,
+      |    round(CAST(
+      |      (nn * p.x - sx) * (nn * p.x - sx) * ayy
+      |      - 2 * (nn * p.x - sx) * (nn * p.y - sy) * axy
+      |      + (nn * p.y - sy) * (nn * p.y - sy) * axx
+      |    AS DOUBLE) / CAST(axx * ayy - axy * axy AS DOUBLE), 6) AS d2
+      |  FROM per_cust p CROSS JOIN am)
+      |SELECT o_custkey, n_orders, spend_cents, d2
+      |FROM scored ORDER BY d2 DESC, o_custkey LIMIT 20""".stripMargin
+
   /** Pinned BH critical values: zcrit_i = Φ⁻¹(1 − α·i/(2m)) for
     * α = 0.05, m = 25 — |z|-space renderings of the Benjamini–Hochberg
     * step-up thresholds p ≤ α·i/m, precomputed as literals because Φ⁻¹
