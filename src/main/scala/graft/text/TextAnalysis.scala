@@ -633,6 +633,50 @@ object TextAnalysis {
        |    AS cross_entropy
        |FROM agg""".stripMargin
 
+  /** MODEL CALIBRATION TABLE (reliability diagram) — does the unigram-LM
+    * quality score actually PREDICT the rule-based quality label? Docs
+    * bin by tenth-nat of rounded [[lmScore]] cross-entropy; each bin
+    * reports how many survive [[qualityFilter]] — the eval artifact you
+    * consult before replacing rule filters with a learned scorer (if
+    * pass-rate doesn't fall with cross-entropy, the score is
+    * uninformative).
+    *
+    * Determinism: binning keys off the ROUNDED cross-entropy — the
+    * exact doubles q_lm_score already proves hash-identical across
+    * engines — one identical IEEE multiply then floor; all bin stats are
+    * integer counts with one final division. */
+  def lmCalibration(s: SparkSession, d: String): DataFrame =
+    lmScore(s, d)
+      .join(qualityFilter(s, d).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+      .select(floor(col("cross_entropy") * 10).cast("int").as("ce_bin"),
+        col("keep"))
+      .groupBy("ce_bin")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_keep"))
+      .select(col("ce_bin"),
+        round(col("ce_bin").cast("double") / 10.0, 1).as("ce_lo"),
+        col("n_docs"), col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6)
+          .as("keep_rate"))
+      .orderBy("ce_bin")
+
+  // lazy: interpolates qualityFilterSql, declared later in the file
+  lazy val lmCalibrationSql: String =
+    s"""WITH lm AS ($lmScoreSql),
+       |qf AS ($qualityFilterSql),
+       |binned AS (
+       |  SELECT CAST(floor(lm.cross_entropy * 10) AS INTEGER) AS ce_bin,
+       |    qf.keep
+       |  FROM lm JOIN qf ON lm.doc_id = qf.doc_id)
+       |SELECT ce_bin,
+       |  round(CAST(ce_bin AS DOUBLE) / 10.0, 1) AS ce_lo,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS keep_rate
+       |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qualityFilterSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM (
