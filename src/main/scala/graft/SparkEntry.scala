@@ -307,6 +307,7 @@ object SparkEntry {
     "q_quality_filter"  -> (TextAnalysis.qualityFilter _),
     "q_lm_score"        -> (TextAnalysis.lmScore _),
     "q_lm_calibration"  -> (TextAnalysis.lmCalibration _),
+    "q_lm_bigram"       -> (TextAnalysis.bigramLmScore _),
     "q_quantize"        -> (Similarity.quantizeAudit _),
     // -- round 5 late: chunking, scrub, corpus diff, skyline, graph, layout
     "q_chunk"           -> (graft.text.Curation.chunkDocuments _),
@@ -833,6 +834,7 @@ object SparkEntry {
     "q_quality_filter" -> TextAnalysis.qualityFilterSql,
     "q_lm_score"       -> TextAnalysis.lmScoreSql,
     "q_lm_calibration" -> TextAnalysis.lmCalibrationSql,
+    "q_lm_bigram"      -> TextAnalysis.bigramLmScoreSql,
     "q_quantize"      -> Similarity.quantizeAuditSql,
     "q_chunk"         -> graft.text.Curation.chunkDocumentsSql,
     "q_pii_scrub"     -> graft.ops.Privacy.piiScrubSql,

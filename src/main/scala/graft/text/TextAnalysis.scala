@@ -633,6 +633,88 @@ object TextAnalysis {
        |    AS cross_entropy
        |FROM agg""".stripMargin
 
+  /** Bigram-LM backoff constants (named so the oracle interpolates the
+    * SAME literals). */
+  val lm2MinCount = 5L
+  val lm2Backoff = 0.4
+
+  /** BIGRAM-LM QUALITY SCORE — the n=2 step toward the CCNet/KenLM
+    * perplexity filter ([[lmScore]] is the n=1 case): per-document
+    * cross-entropy under the corpus's own bigram model with stupid
+    * backoff — p(w₂|w₁) = c(w₁w₂)/c(w₁·) when the bigram clears
+    * [[lm2MinCount]], else [[lm2Backoff]]·p_uni(w₂). Rare-bigram
+    * gibberish scores high, natural running text low; a bigram model
+    * separates scrambled-word text that fools every unigram filter.
+    *
+    * Everything is windows over the per-doc bigram tf relation (no
+    * joins, document text never shuffles): c(w₁w₂), the context total
+    * c(w₁·), the second-position unigram count, and the corpus bigram
+    * total are SUM windows. The per-doc ln fold rounds 4dp — the
+    * [[lmScore]] summation-order precedent.
+    *
+    * Scale: shuffles are keyed on bigram/word — short-string keys over
+    * the tf relation; per-doc aggregate combines map-side. */
+  def bigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // greatest+filter guard: sequence(1, 0) DESCENDS in Spark, so a
+      // 1-token doc would fabricate null-keyed bigrams — filter to the
+      // ascending range instead
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  filter(sequence(1, greatest(size(w) - 1, 1)),
+          |    i -> i <= size(w) - 1),
+          |  i -> struct(w[i - 1] AS w1, w[i] AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus total rides a broadcast one-row frame (the lmScore idiom)
+    // — a no-partition window would funnel the whole tf relation
+    // through one task
+    val total = tf.agg(sum(col("tf")).cast("long").as("nn"))
+    val scored = tf
+      .withColumn("c2", sum("tf").over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", sum("tf").over(Window.partitionBy("w1")))
+      .withColumn("cu", sum("tf").over(Window.partitionBy("w2")))
+      .crossJoin(broadcast(total))
+    scored
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(when(col("c2") < lm2MinCount, col("tf")).otherwise(lit(0L)))
+          .cast("long").as("n_backoff"),
+        sum(col("tf").cast("double") *
+          log(when(col("c2") >= lm2MinCount,
+            col("c2").cast("double") / col("c1").cast("double"))
+            .otherwise(lit(lm2Backoff) *
+              (col("cu").cast("double") / col("nn").cast("double")))))
+          .as("sln"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        round(-col("sln") / col("n_bigrams").cast("double"), 4)
+          .as("cross_entropy2"))
+  }
+
+  val bigramLmScoreSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, count(*) AS tf
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |    range(1, 10000) t(i)
+       |  WHERE i <= len(w) - 1
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT doc_id, tf,
+       |    sum(tf) OVER (PARTITION BY w1, w2) AS c2,
+       |    sum(tf) OVER (PARTITION BY w1) AS c1,
+       |    sum(tf) OVER (PARTITION BY w2) AS cu,
+       |    sum(tf) OVER () AS nn
+       |  FROM tf)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN c2 < $lm2MinCount THEN tf ELSE 0 END) AS BIGINT)
+       |    AS n_backoff,
+       |  round(-sum(tf * ln(CASE WHEN c2 >= $lm2MinCount
+       |      THEN CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+       |      ELSE $lm2Backoff * (CAST(cu AS DOUBLE) / CAST(nn AS DOUBLE))
+       |    END)) / CAST(sum(tf) AS DOUBLE), 4) AS cross_entropy2
+       |FROM scored GROUP BY 1""".stripMargin
+
   /** MODEL CALIBRATION TABLE (reliability diagram) — does the unigram-LM
     * quality score actually PREDICT the rule-based quality label? Docs
     * bin by tenth-nat of rounded [[lmScore]] cross-entropy; each bin
