@@ -144,6 +144,7 @@ object SparkEntry {
     "q_reco_eval"       -> (graft.ops.Graph.recommenderEval _),
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
+    "q_bitext_mine"     -> (Similarity.bitextMining _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
     "q_knn_ivf"         -> (Similarity.ivfRecallCheck _),
     "q_centroids"       -> (Similarity.labelCentroids _),
@@ -342,6 +343,8 @@ object SparkEntry {
     "q_corr_matrix"     -> (graft.ops.Analytics.corrMatrixLineitem _),
     "q_lorenz"          -> (graft.ops.Analytics.lorenzCustomerRevenue _),
     "q_attribution"     -> (graft.ops.Behavior.clickAttribution _),
+    "q_shapley"         -> (graft.ops.Behavior.shapleyAttribution _),
+    "q_conformal"       -> (graft.ops.Analytics.conformalIntervals _),
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
@@ -657,6 +660,7 @@ object SparkEntry {
     "q_reco_eval"     -> graft.ops.Graph.recommenderEvalSql,
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
+    "q_bitext_mine"   -> Similarity.bitextMiningSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,
     "q_pca_power"     -> Similarity.pcaPowerCheckSql,
@@ -866,6 +870,8 @@ object SparkEntry {
     "q_corr_matrix"   -> graft.ops.Analytics.corrMatrixLineitemSql,
     "q_lorenz"        -> graft.ops.Analytics.lorenzCustomerRevenueSql,
     "q_attribution"   -> graft.ops.Behavior.clickAttributionSql,
+    "q_shapley"       -> graft.ops.Behavior.shapleyAttributionSql,
+    "q_conformal"     -> graft.ops.Analytics.conformalIntervalsSql,
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,

@@ -3292,4 +3292,82 @@ object Analytics {
       |  round(CAST(sum(CASE WHEN is_new THEN 0 ELSE cents END) AS DOUBLE)
       |    / greatest(sum(cents), 1), 6) AS repeat_share
       |FROM classed GROUP BY month ORDER BY month""".stripMargin
+
+  /** SPLIT-CONFORMAL PREDICTION INTERVALS — distribution-free
+    * uncertainty quantification for a point model, the audit a training
+    * pipeline runs before trusting any predictor's error bars. Model =
+    * per-priority TRAIN-split median price (a discrete percentile, so
+    * the prediction is an actual data value — exact cents); conformal
+    * quantile q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest CALIBRATION-split
+    * absolute residual (α = 0.1); the readout is per-priority TEST-split
+    * coverage of ±q̂, which the split-conformal theorem guarantees is
+    * ≥ 90% marginally, any distribution, any (deterministic) model.
+    *
+    * EXACTNESS: residuals are exact cent integers; q̂ is an order
+    * statistic (a residual the data contains, never interpolated); the
+    * rank index ⌈(n+1)·0.9⌉ is the same double → same ceil on both
+    * engines. Coverage counts are integers; the rate is one rounded
+    * division.
+    *
+    * Scale: splits are key-arithmetic (no shuffle to assign); the model
+    * and q̂ frames are broadcast. The one collected array is the
+    * CALIBRATION SAMPLE — 0.5% here, and a FIXED-SIZE sample by design
+    * at any corpus size: split-conformal's coverage error is
+    * O(1/n_cal), so a few thousand calibration points saturate the
+    * guarantee no matter how big the corpus is (the same
+    * bounded-by-statistics argument as the BFS seed cap). Facts are
+    * touched in three scans (train median, calibration residuals, test
+    * audit), each map-side combinable. */
+  def conformalIntervals(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("priority"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val med = o.filter(col("k") % 10 <= 5).groupBy("priority")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("med_cents"))
+    val calib = o.filter(col("k") % 200 === 7)
+      .join(broadcast(med), Seq("priority"))
+      .select(abs(col("cents") - col("med_cents")).as("r"))
+    val qhat = calib.agg(sort_array(collect_list(col("r"))).as("rs"))
+      .select(size(col("rs")).as("n_cal"),
+        element_at(col("rs"),
+          least(ceil((size(col("rs")) + 1) * lit(0.9)).cast("int"),
+            size(col("rs")))).as("qhat_cents"))
+    o.filter(col("k") % 10 >= 8)
+      .join(broadcast(med), Seq("priority"))
+      .crossJoin(broadcast(qhat))
+      .groupBy("priority", "n_cal", "qhat_cents")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cents") - col("med_cents")) <= col("qhat_cents"),
+          1L).otherwise(0L)).as("covered"))
+      .select(col("priority"), col("n_cal"), col("qhat_cents"),
+        col("n_test"), col("covered"),
+        round(col("covered").cast("double") / col("n_test"), 6).as("coverage"))
+  }
+
+  val conformalIntervalsSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS priority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |med AS (
+      |  SELECT priority, CAST(quantile_disc(cents, 0.5) AS BIGINT)
+      |    AS med_cents
+      |  FROM o WHERE k % 10 <= 5 GROUP BY priority),
+      |calib AS (
+      |  SELECT abs(cents - med_cents) AS r
+      |  FROM o JOIN med USING (priority) WHERE k % 200 = 7),
+      |qhat AS (
+      |  SELECT len(rs) AS n_cal,
+      |    rs[least(CAST(ceil((len(rs) + 1) * 0.9) AS INT), len(rs))]
+      |      AS qhat_cents
+      |  FROM (SELECT list_sort(list(r)) AS rs FROM calib))
+      |SELECT priority, n_cal, qhat_cents, count(*) AS n_test,
+      |  CAST(sum(CASE WHEN abs(cents - med_cents) <= qhat_cents
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+      |  round(CAST(sum(CASE WHEN abs(cents - med_cents) <= qhat_cents
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+      |FROM o JOIN med USING (priority) CROSS JOIN qhat
+      |WHERE k % 10 >= 8
+      |GROUP BY priority, n_cal, qhat_cents""".stripMargin
 }

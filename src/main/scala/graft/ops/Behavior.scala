@@ -2491,4 +2491,108 @@ object Behavior {
       |    / s.n_users, 6) AS ltv_cents_per_user
       |FROM rev r JOIN sizes s USING (cohort_wk)
       |ORDER BY r.cohort_wk, r.age_wk""".stripMargin
+
+  /** SHAPLEY CHANNEL ATTRIBUTION — the game-theoretic credit split
+    * ([[clickAttribution]]'s first/last-touch models' principled big
+    * sibling, and [[markovStationary]]'s order-free counterpart): each
+    * channel's Shapley value over the coalition game where v(S) = number
+    * of conversions among users whose PRE-CONVERSION touch set is
+    * contained in S (the standard observed-coalition value of marketing
+    * Shapley). The event-type alphabet stands in for the channel set;
+    * a touch counts only if it lands strictly before the user's first
+    * purchase (converters) — the as-of-conversion gating the
+    * group-sequential monitor documents as its final-state
+    * approximation, done properly here.
+    *
+    * EXACTNESS: with n = 4 channels the Shapley weights |S|!(n−1−|S|)!/n!
+    * have common denominator 4! = 24, so 24·φ(channel) =
+    * Σ_{S∌c} w(|S|)·(v(S∪c) − v(S)) with w = (6,2,2,6) is an exact
+    * INTEGER — the attribution hash-grades with no float tolerance, and
+    * the double rendering is one pinned division. Efficiency axiom
+    * Σφ = v(full) − v(∅) ships as the self-check column.
+    *
+    * Scale: one user_id window+aggregate pass over facts (the cohort/
+    * funnel shuffle shape) reduces events to one (mask, conv) row per
+    * user; everything after operates on the 2^n = 16-row coalition
+    * lattice — broadcast-only, O(n·2^n) terms regardless of corpus
+    * size. Exponential blowup is in the CHANNEL alphabet (fixed by the
+    * business), never the data. */
+  def shapleyAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables.events(s, d)
+      .withColumn("conv_ts",
+        min(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        expr("""bit_or(CASE WHEN event_type <> 'purchase'
+            AND (conv_ts IS NULL OR ts < conv_ts)
+          THEN CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+            WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END
+          ELSE 0 END)""").as("mask"),
+        max(when(col("conv_ts").isNotNull, 1L).otherwise(0L)).as("conv"))
+    val cells = perUser.groupBy("mask").agg(sum(col("conv")).as("conv_cnt"))
+    // v(S) for every coalition: the 16-row lattice left-joins the ≤16
+    // observed cells on subset containment (broadcast nested loop over
+    // 16×16 — constant work).
+    val v = s.range(0, 16).select(col("id").cast("int").as("co"))
+      .join(broadcast(cells), expr("(mask & co) = mask"), "left_outer")
+      .groupBy("co").agg(coalesce(sum(col("conv_cnt")), lit(0L)).as("v"))
+      .pin()
+    val channels = s.range(0, 4).select(
+      element_at(array(lit("click"), lit("view"), lit("signup"), lit("error")),
+        col("id").cast("int") + 1).as("channel"),
+      element_at(array(lit(1), lit(2), lit(4), lit(8)),
+        col("id").cast("int") + 1).as("bit"))
+    val terms = channels
+      .join(broadcast(v.as("a")), expr("(a.co & bit) = 0"))
+      .join(broadcast(v.as("b")), expr("b.co = (a.co | bit)"))
+      .select(col("channel"),
+        (element_at(array(lit(6L), lit(2L), lit(2L), lit(6L)),
+          expr("bit_count(a.co)") + 1) * (col("b.v") - col("a.v"))).as("term"))
+    val eff = v.agg((max(when(col("co") === 15, col("v"))) -
+      max(when(col("co") === 0, col("v")))).as("total_attributed"))
+    terms.groupBy("channel").agg(sum(col("term")).as("shapley_x24"))
+      .crossJoin(broadcast(eff))
+      .select(col("channel"), col("shapley_x24"),
+        (col("shapley_x24").cast("double") / 24.0).as("shapley"),
+        col("total_attributed"))
+  }
+
+  val shapleyAttributionSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+      |  FROM events GROUP BY user_id),
+      |masks AS (
+      |  SELECT e.user_id,
+      |    bit_or(CASE WHEN e.event_type <> 'purchase'
+      |        AND (p.conv_ts IS NULL OR e.ts < p.conv_ts)
+      |      THEN CASE e.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+      |        WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END
+      |      ELSE 0 END) AS mask,
+      |    max(CASE WHEN p.conv_ts IS NULL THEN 0 ELSE 1 END) AS conv
+      |  FROM events e JOIN per_user p USING (user_id)
+      |  GROUP BY e.user_id),
+      |cells AS (SELECT mask, sum(conv) AS conv_cnt FROM masks GROUP BY mask),
+      |v AS (
+      |  SELECT t.i AS co, coalesce(sum(conv_cnt), 0) AS v
+      |  FROM range(0, 16) t(i)
+      |  LEFT JOIN cells ON (cells.mask & t.i) = cells.mask
+      |  GROUP BY t.i),
+      |eff AS (
+      |  SELECT CAST(max(CASE WHEN co = 15 THEN v END)
+      |    - max(CASE WHEN co = 0 THEN v END) AS BIGINT) AS total_attributed
+      |  FROM v),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4),
+      |  ('error', 8)) t(channel, bit)),
+      |terms AS (
+      |  SELECT ch.channel,
+      |    ([6, 2, 2, 6][CAST(bit_count(a.co) AS INT) + 1])
+      |      * (b.v - a.v) AS term
+      |  FROM ch JOIN v a ON (a.co & ch.bit) = 0
+      |  JOIN v b ON b.co = (a.co | ch.bit))
+      |SELECT channel, CAST(sum(term) AS BIGINT) AS shapley_x24,
+      |  CAST(sum(term) AS DOUBLE) / 24.0 AS shapley,
+      |  (SELECT total_attributed FROM eff) AS total_attributed
+      |FROM terms GROUP BY channel""".stripMargin
 }

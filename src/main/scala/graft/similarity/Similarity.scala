@@ -1027,4 +1027,124 @@ object Similarity {
        |SELECT cc.cluster_id, CAST(cc.n_core AS BIGINT) AS n_core,
        |  CAST(coalesce(bc.n_border, 0) AS BIGINT) AS n_border
        |FROM cc LEFT JOIN bc ON bc.cluster_id = cc.cluster_id""".stripMargin
+
+  /** BITEXT MARGIN MINING — the margin-based parallel-pair scorer behind
+    * large-scale translation-corpus mining (the LASER/CCMatrix recipe):
+    * for each query vector on side A, its best side-B neighbor is scored
+    * not by raw cosine (which a margin-less miner would use and which
+    * drowns in hubness) but by the RATIO margin
+    * 2k·cos(x,y) / (Σ_{z∈NNk_B(x)} cos(x,z) + Σ_{w∈NNk_A(y)} cos(y,w)),
+    * k = 4 — cosine normalized by the average similarity of each
+    * endpoint's own neighborhood. A pair is ACCEPTED when the margin
+    * clears the mining threshold (1.06, the published CCMatrix operating
+    * point) AND the pair is a mutual nearest neighbor.
+    *
+    * Side split is vec_id parity (the harness corpus is monolingual; the
+    * PLUMBING — two-sided kNN, denominators, mutuality, thresholding —
+    * is the operator). Query set capped like [[bruteForceTopK]]'s: this
+    * is the broadcast verifier rendering; the scale path buckets each
+    * side with [[lshTopK]]'s tables first and mines per bucket.
+    *
+    * Determinism: cosines quantize to exact integer THOUSANDTHS
+    * (`round(cos·1000)` — coarser than knn_brute's 4dp, shrinking the
+    * float32-vs-double straddle window of the DuckDB oracle's
+    * `list_cosine_similarity` by 10×); ranking, top-4 sums, mutuality
+    * and the margin all flow from those exact ints (id tie-breaks), so
+    * the margin is one double division of exact integers and the 1.06
+    * compare sees bit-identical doubles on both engines. */
+  val bitextK = 4
+  val bitextQueryCap = 16
+
+  def bitextMining(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    def milli(a: Column, b: Column): Column =
+      round(cosineSim(a, b) * 1000, 0).cast("long")
+    val qs = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < bitextQueryCap)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val bSide = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("c3").desc, col("cand_id").asc)
+    val fAgg = bSide.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("cand_id"),
+        milli(col("q_emb"), col("c_emb")).as("c3"))
+      .withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= bitextK)
+      .groupBy("query_id")
+      .agg(max(when(col("rk") === 1, col("cand_id"))).as("cand_id"),
+        max(when(col("rk") === 1, col("c3"))).as("c3"),
+        sum(col("c3")).as("denom_f"))
+      .pin()
+    val rq = fAgg.select(col("cand_id")).distinct()
+      .join(emb, col("cand_id") === col("vec_id"))
+      .select(col("cand_id").as("r_query"), col("embedding").as("q_emb"))
+    val aSide = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("c_emb"))
+    val wR = Window.partitionBy("r_query")
+      .orderBy(col("c3r").desc, col("a_id").asc)
+    val rAgg = aSide.crossJoin(broadcast(rq))
+      .select(col("r_query"), col("a_id"),
+        milli(col("q_emb"), col("c_emb")).as("c3r"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= bitextK)
+      .groupBy("r_query")
+      .agg(max(when(col("rk") === 1, col("a_id"))).as("rev_top1"),
+        sum(col("c3r")).as("denom_r"))
+    val margin = lit(2.0 * bitextK) * col("c3") /
+      (col("denom_f") + col("denom_r"))
+    fAgg.join(broadcast(rAgg), col("cand_id") === col("r_query"))
+      .select(col("query_id"), col("cand_id"),
+        (col("c3").cast("double") / 1000).as("cosine"),
+        round(margin, 6).as("margin"),
+        (col("rev_top1") === col("query_id")).as("mutual"),
+        (col("rev_top1") === col("query_id") && margin > 1.06).as("accepted"))
+  }
+
+  val bitextMiningSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 2 = 0 AND vec_id < $bitextQueryCap),
+       |b AS (
+       |  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % 2 = 1),
+       |fwd AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(round(list_cosine_similarity(q_emb, c_emb) * 1000, 0)
+       |      AS BIGINT) AS c3
+       |  FROM b CROSS JOIN q),
+       |ftop AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c3 DESC, cand_id) AS rk FROM fwd),
+       |fagg AS (
+       |  SELECT query_id,
+       |    max(CASE WHEN rk = 1 THEN cand_id END) AS cand_id,
+       |    max(CASE WHEN rk = 1 THEN c3 END) AS c3,
+       |    CAST(sum(c3) AS BIGINT) AS denom_f
+       |  FROM ftop WHERE rk <= $bitextK GROUP BY query_id),
+       |rq AS (
+       |  SELECT DISTINCT f.cand_id AS r_query, e.embedding AS q_emb
+       |  FROM fagg f JOIN embeddings e ON e.vec_id = f.cand_id),
+       |a AS (
+       |  SELECT vec_id AS a_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % 2 = 0),
+       |rev AS (
+       |  SELECT r_query, a_id,
+       |    CAST(round(list_cosine_similarity(q_emb, c_emb) * 1000, 0)
+       |      AS BIGINT) AS c3r
+       |  FROM a CROSS JOIN rq),
+       |rtop AS (
+       |  SELECT *, row_number() OVER (PARTITION BY r_query
+       |    ORDER BY c3r DESC, a_id) AS rk FROM rev),
+       |ragg AS (
+       |  SELECT r_query, max(CASE WHEN rk = 1 THEN a_id END) AS rev_top1,
+       |    CAST(sum(c3r) AS BIGINT) AS denom_r
+       |  FROM rtop WHERE rk <= $bitextK GROUP BY r_query)
+       |SELECT f.query_id, f.cand_id, CAST(f.c3 AS DOUBLE) / 1000 AS cosine,
+       |  round(${2.0 * bitextK} * f.c3 / (f.denom_f + r.denom_r), 6)
+       |    AS margin,
+       |  (r.rev_top1 = f.query_id) AS mutual,
+       |  (r.rev_top1 = f.query_id
+       |    AND ${2.0 * bitextK} * f.c3 / (f.denom_f + r.denom_r) > 1.06)
+       |    AS accepted
+       |FROM fagg f JOIN ragg r ON r.r_query = f.cand_id""".stripMargin
 }
