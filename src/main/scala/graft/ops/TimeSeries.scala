@@ -2392,4 +2392,104 @@ object TimeSeries {
       |SELECT CAST(n_days AS BIGINT) AS n_days, CAST(h AS BIGINT) AS h,
       |  round(ssum * n_days * (n_days + 2), 6) AS q_stat
       |FROM folded""".stripMargin
+
+  /** Sakoe–Chiba band half-width for [[dtwDistance]] — the classic
+    * warping constraint: a day may align at most this many positions
+    * away from its lockstep partner. */
+  val dtwBand = 7
+
+  /** DYNAMIC TIME WARPING distance between the daily click and view
+    * count series — the elastic-alignment similarity that lockstep
+    * metrics (our correlation/cosine batteries) cannot express: two
+    * series tracing the same shape a few days out of phase score near
+    * zero here while their pointwise L1 stays large. Banded
+    * (Sakoe–Chiba, half-width [[dtwBand]]) — the standard constraint
+    * that cuts the DP from O(T²) to O(T·w) and keeps pathological
+    * alignments out.
+    *
+    * The DP runs as one nested `aggregate` fold over the two collected
+    * day arrays — row i of the matrix folds over row i−1, cells outside
+    * the band pinned at an integer INF; every cost is an exact |Δcount|
+    * integer, so the distance hash-grades with no float tolerance. The
+    * lockstep L1 (one zip_with) ships next to it with the containment
+    * self-check dtw ≤ lockstep (the diagonal is one admissible warp
+    * path). Oracle: the identical recurrence as DuckDB nested
+    * list_reduce with the init row prepended (2-arg reduce).
+    *
+    * Scale: facts reduce to O(days) in one map-side-combinable
+    * aggregate; the DP is O(days·band) driver-free arithmetic inside a
+    * single codegen'd projection. Day-series DP at 100 TB is bounded by
+    * the CALENDAR, not the corpus — same argument as the Holt/OHLC
+    * folds. */
+  def dtwDistance(s: SparkSession, d: String): DataFrame = {
+    val inf = "500000000000000L"
+    val daily = Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+    daily
+      .agg(
+        expr("transform(sort_array(collect_list(struct(day, c))), x -> x.c)")
+          .as("a"),
+        expr("transform(sort_array(collect_list(struct(day, v))), x -> x.v)")
+          .as("b"))
+      .select(
+        size(col("a")).as("n_days"),
+        expr("aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0L, (s, x) -> s + x)")
+          .as("lockstep_l1"),
+        expr(s"""aggregate(
+            sequence(1, size(a)),
+            concat(array(0L), transform(sequence(1, size(b)), x -> $inf)),
+            (prev, i) -> aggregate(
+              sequence(1, size(b)),
+              array($inf),
+              (cur, j) -> concat(cur, array(
+                CASE WHEN abs(i - j) > $dtwBand THEN $inf
+                ELSE abs(element_at(a, i) - element_at(b, j)) +
+                  least(element_at(prev, j + 1), element_at(prev, j),
+                    element_at(cur, size(cur)))
+                END))),
+            row -> element_at(row, size(b) + 1))""").as("dtw"))
+      .select(col("n_days"), col("lockstep_l1"), col("dtw"),
+        round(col("dtw").cast("double") /
+          greatest(col("lockstep_l1"), lit(1L)), 6).as("warp_gain"),
+        (col("dtw") <= col("lockstep_l1")).as("contained"))
+  }
+
+  val dtwDistanceSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS v
+       |  FROM events GROUP BY 1),
+       |s AS (
+       |  SELECT list(c ORDER BY day) AS a, list(v ORDER BY day) AS b
+       |  FROM daily),
+       |dp AS (
+       |  SELECT len(a) AS n_days,
+       |    CAST(list_sum([abs(a[i] - b[i])
+       |      FOR i IN range(1, len(a) + 1)]) AS BIGINT) AS lockstep_l1,
+       |    list_reduce(
+       |      list_prepend(
+       |        [CAST(0 AS BIGINT)] ||
+       |          [CAST(500000000000000 AS BIGINT) FOR _ IN range(len(b))],
+       |        [[i] FOR i IN range(1, len(a) + 1)]),
+       |      (prev, ii) -> list_reduce(
+       |        list_prepend([CAST(500000000000000 AS BIGINT)],
+       |          [[j] FOR j IN range(1, len(b) + 1)]),
+       |        (cur, jj) -> list_append(cur,
+       |          CASE WHEN abs(ii[1] - jj[1]) > $dtwBand
+       |            THEN CAST(500000000000000 AS BIGINT)
+       |          ELSE abs(a[ii[1]] - b[jj[1]]) +
+       |            least(prev[jj[1] + 1], prev[jj[1]], cur[len(cur)])
+       |          END)))[len(b) + 1] AS dtw
+       |  FROM s)
+       |SELECT n_days, lockstep_l1, dtw,
+       |  round(CAST(dtw AS DOUBLE) / greatest(lockstep_l1, 1), 6)
+       |    AS warp_gain,
+       |  (dtw <= lockstep_l1) AS contained
+       |FROM dp""".stripMargin
 }
