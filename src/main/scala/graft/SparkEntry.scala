@@ -145,6 +145,7 @@ object SparkEntry {
     // -- LLM-pipeline: similarity search
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_bitext_mine"     -> (Similarity.bitextMining _),
+    "q_triplet_mine"    -> (Similarity.tripletMining _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
     "q_knn_ivf"         -> (Similarity.ivfRecallCheck _),
     "q_centroids"       -> (Similarity.labelCentroids _),
@@ -348,6 +349,7 @@ object SparkEntry {
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
+    "q_cliff_delta"     -> (graft.ops.Behavior.cliffDelta _),
     "q_wilcoxon"        -> (graft.ops.Behavior.wilcoxonSignedRank _),
     "q_strat_ate"       -> (graft.ops.Behavior.stratifiedAte _),
     "q_logrank"         -> (graft.ops.Behavior.logRank _),
@@ -662,6 +664,7 @@ object SparkEntry {
     "q_isotonic"      -> graft.ops.Analytics.isotonicQtyByDiscountSql,
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_bitext_mine"   -> Similarity.bitextMiningSql,
+    "q_triplet_mine"  -> Similarity.tripletMiningSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,
     "q_pca_power"     -> Similarity.pcaPowerCheckSql,
@@ -876,6 +879,7 @@ object SparkEntry {
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,
+    "q_cliff_delta"   -> graft.ops.Behavior.cliffDeltaSql,
     "q_wilcoxon"      -> graft.ops.Behavior.wilcoxonSignedRankSql,
     "q_strat_ate"     -> graft.ops.Behavior.stratifiedAteSql,
     "q_logrank"       -> graft.ops.Behavior.logRankSql,

@@ -1122,7 +1122,10 @@ object Behavior {
     * prefix sum over the value DOMAIN), so no global-order window ever
     * sees a fact row; the long arithmetic holds to ~3·10⁹ observations
     * (2n² < 2⁶³), past which the doubled sums move to decimal. */
-  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+  /** The shared exact-integer Mann–Whitney wide frame
+    * (n, n0, n1, u1_x2 = 2·U₁ with midrank ties, tie_sum) feeding both
+    * [[mannWhitney]] and [[cliffDelta]]. */
+  private def mannWhitneyWide(s: SparkSession, d: String): DataFrame = {
     val obs = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(
@@ -1133,7 +1136,7 @@ object Behavior {
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("t1"))
     val cum = graft.ops.Distributed.withRunningTotal(
       byValue, Seq.empty, Seq("v"), "t", "cumt")
-    val wide = cum.agg(
+    cum.agg(
       sum(col("t")).as("n"), sum(col("t1")).as("n1"),
       sum(col("t1") * (lit(2L) * (col("cumt") - col("t")) + col("t") + lit(1L)))
         .as("r1_x2"),
@@ -1141,6 +1144,10 @@ object Behavior {
       .select(col("n"), (col("n") - col("n1")).as("n0"), col("n1"),
         (col("r1_x2") - col("n1") * (col("n1") + lit(1L))).as("u1_x2"),
         col("tie_sum"))
+  }
+
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val wide = mannWhitneyWide(s, d)
     val nd = col("n").cast("double")
     val n0d = col("n0").cast("double")
     val n1d = col("n1").cast("double")
@@ -1188,6 +1195,68 @@ object Behavior {
       |SELECT n0, n1, u1_x2, tie_sum, z_stat,
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
+
+  /** CLIFF'S DELTA — the EFFECT-SIZE readout completing [[mannWhitney]]:
+    * the U test says whether the arms differ, δ says by HOW MUCH on the
+    * only scale that survives heavy tails, δ = P(x₁ > x₀) − P(x₁ < x₀).
+    * The practical-significance number every experiment report should
+    * carry next to the p-value (a large-n test flags δ ≈ 0 "wins" as
+    * significant; δ is sample-size-free).
+    *
+    * Falls out of the midrank machinery EXACTLY: with u1_x2 = 2U₁
+    * (ties at half), #(x₁>x₀) − #(x₁<x₀) = 2U₁ − n₀n₁, so the doubled
+    * numerator is already an exact integer and δ = that / n₀n₁ is one
+    * pinned division. The |δ| magnitude ladder (Romano's 0.147 / 0.33 /
+    * 0.474) classifies by INTEGER cross-multiplication — 1000·|num| vs
+    * threshold·n₀n₁ — so the label never touches a float compare.
+    * Same [[graft.ops.Distributed.withRunningTotal]] scale posture as
+    * the parent test. */
+  def cliffDelta(s: SparkSession, d: String): DataFrame =
+    mannWhitneyWide(s, d)
+      .select(col("n0"), col("n1"),
+        (col("u1_x2") - col("n0") * col("n1")).as("delta_num"),
+        (col("n0") * col("n1")).as("delta_den"))
+      .select(col("n0"), col("n1"), col("delta_num"),
+        (col("delta_num").cast("double") / col("delta_den").cast("double"))
+          .as("cliff_delta"),
+        when(abs(col("delta_num")) * 1000 < lit(147L) * col("delta_den"),
+          "negligible")
+          .when(abs(col("delta_num")) * 1000 < lit(330L) * col("delta_den"),
+            "small")
+          .when(abs(col("delta_num")) * 1000 < lit(474L) * col("delta_den"),
+            "medium")
+          .otherwise("large").as("magnitude"))
+
+  val cliffDeltaSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v, count(*) AS t,
+      |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS t1
+      |  FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT t, t1, sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+      |  FROM by_value),
+      |wide AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+      |    CAST(sum(t1 * (2 * (cumt - t) + t + 1)) AS BIGINT) AS r1_x2
+      |  FROM cum),
+      |stat AS (
+      |  SELECT n - n1 AS n0, n1,
+      |    (r1_x2 - n1 * (n1 + 1)) - (n - n1) * n1 AS delta_num,
+      |    (n - n1) * n1 AS delta_den
+      |  FROM wide)
+      |SELECT n0, n1, delta_num,
+      |  CAST(delta_num AS DOUBLE) / CAST(delta_den AS DOUBLE) AS cliff_delta,
+      |  CASE WHEN abs(delta_num) * 1000 < 147 * delta_den THEN 'negligible'
+      |    WHEN abs(delta_num) * 1000 < 330 * delta_den THEN 'small'
+      |    WHEN abs(delta_num) * 1000 < 474 * delta_den THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM stat""".stripMargin
 
   /** LOG-RANK TEST — the two-group survival comparison completing the
     * [[kaplanMeier]]/[[nelsonAalen]] family: does time-to-first-purchase

@@ -1100,6 +1100,102 @@ object Similarity {
         (col("rev_top1") === col("query_id") && margin > 1.06).as("accepted"))
   }
 
+  /** TRIPLET MINING for metric learning — the (anchor, positive,
+    * hard-negative) selection that contrastive/triplet training data
+    * prep runs over an embedded corpus (the FaceNet recipe): per anchor,
+    * the most-similar SAME-label vector (positive), the most-similar
+    * DIFFERENT-label vector (hard negative), the margin-violation flag
+    * that says whether the triplet still produces gradient
+    * (cos_neg > cos_pos − α, α = 0.2), and the SEMI-HARD negative — the
+    * most similar different-label vector that is farther than the
+    * positive but inside the margin band (the selection FaceNet showed
+    * trains stablest; NULL when the band is empty, itself a signal the
+    * anchor's neighborhood is already well separated).
+    *
+    * Anchor set capped like [[bruteForceTopK]]'s queries — the broadcast
+    * verifier; at scale anchors batch through [[lshTopK]]'s tables or
+    * the [[ivfTopK]] partition index. Cosines quantize to exact integer
+    * thousandths ([[bitextMining]]'s discipline), so every argmax,
+    * band-membership test, and the active flag are integer-exact with
+    * id tie-breaks. */
+  val tripletAnchorCap = 8
+  val tripletMarginMilli = 200
+
+  def tripletMining(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.filter(col("vec_id") < tripletAnchorCap)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id").as("cand"),
+        (col("label") === col("a_label")).as("same"),
+        round(cosineSim(col("a_emb"), col("embedding")) * 1000, 0)
+          .cast("long").as("c3"))
+      .pin()
+    def best(cond: Column) =
+      max(when(cond, struct(col("c3").as("c"), (-col("cand")).as("nid"))))
+    val base = scored.groupBy("anchor_id", "a_label")
+      .agg(best(col("same")).as("p"), best(!col("same")).as("n"))
+      .select(col("anchor_id"), col("a_label"),
+        (-col("p.nid")).as("pos_id"), col("p.c").as("pos_c3"),
+        (-col("n.nid")).as("neg_id"), col("n.c").as("neg_c3"))
+    val semi = scored
+      .join(broadcast(base.select(col("anchor_id"), col("pos_c3"))),
+        Seq("anchor_id"))
+      .filter(!col("same") && col("c3") < col("pos_c3") &&
+        col("c3") + tripletMarginMilli > col("pos_c3"))
+      .groupBy("anchor_id").agg(best(lit(true)).as("sh"))
+      .select(col("anchor_id"), (-col("sh.nid")).as("semi_id"),
+        col("sh.c").as("semi_c3"))
+    base.join(semi, Seq("anchor_id"), "left_outer")
+      .select(col("anchor_id"), col("a_label").as("anchor_label"),
+        col("pos_id"), (col("pos_c3").cast("double") / 1000).as("pos_cos"),
+        col("neg_id"), (col("neg_c3").cast("double") / 1000).as("neg_cos"),
+        (col("neg_c3") + tripletMarginMilli > col("pos_c3")).as("active"),
+        col("semi_id"),
+        (col("semi_c3").cast("double") / 1000).as("semi_cos"))
+  }
+
+  val tripletMiningSql: String =
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS anchor_id, label AS a_label, embedding AS a_emb
+       |  FROM embeddings WHERE vec_id < $tripletAnchorCap),
+       |scored AS (
+       |  SELECT a.anchor_id, a.a_label, e.vec_id AS cand,
+       |    (e.label = a.a_label) AS same,
+       |    CAST(round(list_cosine_similarity(a.a_emb, e.embedding) * 1000, 0)
+       |      AS BIGINT) AS c3
+       |  FROM embeddings e CROSS JOIN anchors a
+       |  WHERE e.vec_id <> a.anchor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+       |    ORDER BY c3 DESC, cand) AS rk
+       |  FROM scored),
+       |base AS (
+       |  SELECT anchor_id, a_label,
+       |    max(CASE WHEN same AND rk = 1 THEN cand END) AS pos_id,
+       |    max(CASE WHEN same AND rk = 1 THEN c3 END) AS pos_c3,
+       |    max(CASE WHEN NOT same AND rk = 1 THEN cand END) AS neg_id,
+       |    max(CASE WHEN NOT same AND rk = 1 THEN c3 END) AS neg_c3
+       |  FROM ranked GROUP BY anchor_id, a_label),
+       |semi_ranked AS (
+       |  SELECT s.anchor_id, s.cand, s.c3,
+       |    row_number() OVER (PARTITION BY s.anchor_id
+       |      ORDER BY s.c3 DESC, s.cand) AS rk
+       |  FROM scored s JOIN base b USING (anchor_id)
+       |  WHERE NOT s.same AND s.c3 < b.pos_c3
+       |    AND s.c3 + $tripletMarginMilli > b.pos_c3),
+       |shneg AS (
+       |  SELECT anchor_id, cand AS semi_id, c3 AS semi_c3
+       |  FROM semi_ranked WHERE rk = 1)
+       |SELECT b.anchor_id, b.a_label AS anchor_label, b.pos_id,
+       |  CAST(b.pos_c3 AS DOUBLE) / 1000 AS pos_cos,
+       |  b.neg_id, CAST(b.neg_c3 AS DOUBLE) / 1000 AS neg_cos,
+       |  (b.neg_c3 + $tripletMarginMilli > b.pos_c3) AS active,
+       |  s.semi_id, CAST(s.semi_c3 AS DOUBLE) / 1000 AS semi_cos
+       |FROM base b LEFT JOIN shneg s USING (anchor_id)""".stripMargin
+
   val bitextMiningSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
