@@ -346,6 +346,8 @@ object SparkEntry {
     "q_attribution"     -> (graft.ops.Behavior.clickAttribution _),
     "q_shapley"         -> (graft.ops.Behavior.shapleyAttribution _),
     "q_conformal"       -> (graft.ops.Analytics.conformalIntervals _),
+    "q_pinball"         -> (graft.ops.Analytics.pinballBacktest _),
+    "q_brier"           -> (graft.ops.Behavior.brierCalibration _),
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
@@ -876,6 +878,8 @@ object SparkEntry {
     "q_attribution"   -> graft.ops.Behavior.clickAttributionSql,
     "q_shapley"       -> graft.ops.Behavior.shapleyAttributionSql,
     "q_conformal"     -> graft.ops.Analytics.conformalIntervalsSql,
+    "q_pinball"       -> graft.ops.Analytics.pinballBacktestSql,
+    "q_brier"         -> graft.ops.Behavior.brierCalibrationSql,
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,

@@ -3345,6 +3345,69 @@ object Analytics {
         round(col("covered").cast("double") / col("n_test"), 6).as("coverage"))
   }
 
+  /** PINBALL (QUANTILE) LOSS BACKTEST — the proper scoring rule for
+    * quantile predictions, evaluating the same train/test discipline as
+    * [[conformalIntervals]] on two per-priority quantile models: the
+    * train median (τ = 0.5) and the train P90 (τ = 0.9), each scored
+    * with its own loss L_τ(y,q) = max(τ(y−q), (τ−1)(y−q)) on the test
+    * split. The readout a forecasting pipeline uses to pick between
+    * quantile models — and a correctness probe of quantile semantics
+    * itself, since the true τ-quantile minimizes expected L_τ.
+    *
+    * EXACTNESS: predictions are discrete percentiles (actual cent
+    * values); losses are scaled ×10 so both τ's become integer weights
+    * (5/−5 and 9/−1) — every per-row loss and sum is an exact long;
+    * the mean is one rounded division. Scale: two map-side-combinable
+    * scans (train percentiles, test score), broadcast model frame. */
+  def pinballBacktest(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("priority"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val model = o.filter(col("k") % 10 <= 5).groupBy("priority")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("q50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("q90"))
+    o.filter(col("k") % 10 >= 8)
+      .join(broadcast(model), Seq("priority"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_test"),
+        sum(greatest(lit(5L) * (col("cents") - col("q50")),
+          lit(-5L) * (col("cents") - col("q50")))).as("pin50_x10"),
+        sum(greatest(lit(9L) * (col("cents") - col("q90")),
+          lit(-1L) * (col("cents") - col("q90")))).as("pin90_x10"))
+      .select(col("priority"), col("n_test"), col("pin50_x10"),
+        col("pin90_x10"),
+        round(col("pin50_x10").cast("double") / (col("n_test") * 10), 6)
+          .as("mean_pinball_q50_cents"),
+        round(col("pin90_x10").cast("double") / (col("n_test") * 10), 6)
+          .as("mean_pinball_q90_cents"))
+  }
+
+  val pinballBacktestSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS priority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |model AS (
+      |  SELECT priority,
+      |    CAST(quantile_disc(cents, 0.5) AS BIGINT) AS q50,
+      |    CAST(quantile_disc(cents, 0.9) AS BIGINT) AS q90
+      |  FROM o WHERE k % 10 <= 5 GROUP BY priority)
+      |SELECT priority, count(*) AS n_test,
+      |  CAST(sum(greatest(5 * (cents - q50), -5 * (cents - q50)))
+      |    AS BIGINT) AS pin50_x10,
+      |  CAST(sum(greatest(9 * (cents - q90), -1 * (cents - q90)))
+      |    AS BIGINT) AS pin90_x10,
+      |  round(CAST(sum(greatest(5 * (cents - q50), -5 * (cents - q50)))
+      |    AS DOUBLE) / (count(*) * 10), 6) AS mean_pinball_q50_cents,
+      |  round(CAST(sum(greatest(9 * (cents - q90), -1 * (cents - q90)))
+      |    AS DOUBLE) / (count(*) * 10), 6) AS mean_pinball_q90_cents
+      |FROM o JOIN model USING (priority)
+      |WHERE k % 10 >= 8
+      |GROUP BY priority""".stripMargin
+
   val conformalIntervalsSql: String =
     """WITH o AS (
       |  SELECT o_orderkey AS k, o_orderpriority AS priority,

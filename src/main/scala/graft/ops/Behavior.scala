@@ -2561,6 +2561,89 @@ object Behavior {
       |FROM rev r JOIN sizes s USING (cohort_wk)
       |ORDER BY r.cohort_wk, r.age_wk""".stripMargin
 
+  /** BRIER CALIBRATION BACKTEST — the proper scoring rule for
+    * PROBABILISTIC predictions, closing the classifier-evaluation
+    * family ([[classifier metrics|q_classifier_metrics]] grades hard
+    * labels, the LM reliability diagram grades a ranking; this grades
+    * predicted probabilities). Model: per-stratum conversion rate
+    * (conversion = a ≥ $150 purchase, the [[sequentialTest]] mid-range
+    * event) fit on the even-user train split, strata = activity-volume
+    * buckets (⌊events/10⌋ capped at 12 — monotone in conversion on this
+    * corpus, a real reliability table); scored on the odd-user test
+    * split with per-stratum Brier score and the skill score vs the
+    * climatological (global-rate) forecast.
+    *
+    * EXACTNESS: predicted probabilities are QUANTIZED TO BASIS POINTS
+    * (p_bp = ⌊10000·conv/n⌋ — the model's declared precision, like the
+    * int8 quantizer's), so the Brier numerator
+    * Σ(p_bp − 10000·y)² = conv·(p_bp−10000)² + (n−conv)·p_bp² is an
+    * exact integer; score and skill are two rounded divisions. Scale:
+    * one user-keyed aggregate over facts, then O(strata) arithmetic. */
+  def brierCalibration(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          (dec(col("value")) * 100).cast("long") >= 15000L, 1L)
+          .otherwise(0L)).as("y"))
+      .select(col("user_id"),
+        least(expr("n_ev div 10"), lit(12L)).as("stratum"), col("y"))
+    val train = perUser.filter(col("user_id") % 2 === 0)
+    val fit = train.groupBy("stratum")
+      .agg(count(lit(1)).as("n_train"), sum(col("y")).as("conv_train"))
+      .select(col("stratum"), col("n_train"),
+        expr("conv_train * 10000 div n_train").as("p_bp"))
+    val glob = train.agg(sum(col("y")).as("cv"), count(lit(1)).as("nt"))
+      .select(expr("cv * 10000 div nt").as("g_bp"))
+    val test = perUser.filter(col("user_id") % 2 === 1)
+      .join(broadcast(fit), Seq("stratum"))
+      .crossJoin(broadcast(glob))
+      .groupBy("stratum", "n_train", "p_bp", "g_bp")
+      .agg(count(lit(1)).as("n_test"), sum(col("y")).as("conv_test"),
+        sum((col("p_bp") - lit(10000L) * col("y")) *
+          (col("p_bp") - lit(10000L) * col("y"))).as("brier_num"),
+        sum((col("g_bp") - lit(10000L) * col("y")) *
+          (col("g_bp") - lit(10000L) * col("y"))).as("ref_num"))
+    test.select(col("stratum"), col("n_train"), col("p_bp"),
+      col("n_test"), col("conv_test"), col("brier_num"),
+      round(col("brier_num").cast("double") /
+        (col("n_test").cast("double") * 1e8), 6).as("brier"),
+      round(lit(1.0) - col("brier_num").cast("double") /
+        greatest(col("ref_num"), lit(1L)).cast("double"), 6).as("skill"))
+  }
+
+  val brierCalibrationSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    least(count(*) // 10, 12) AS stratum,
+      |    max(CASE WHEN event_type = 'purchase'
+      |        AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 15000
+      |      THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY user_id),
+      |fit AS (
+      |  SELECT stratum, count(*) AS n_train,
+      |    CAST(sum(y) * 10000 // count(*) AS BIGINT) AS p_bp
+      |  FROM per_user WHERE user_id % 2 = 0 GROUP BY stratum),
+      |gref AS (
+      |  SELECT CAST(sum(y) * 10000 // count(*) AS BIGINT) AS g_bp
+      |  FROM per_user WHERE user_id % 2 = 0),
+      |test AS (
+      |  SELECT stratum, n_train, p_bp, g_bp,
+      |    count(*) AS n_test, CAST(sum(y) AS BIGINT) AS conv_test,
+      |    CAST(sum((p_bp - 10000 * y) * (p_bp - 10000 * y)) AS BIGINT)
+      |      AS brier_num,
+      |    CAST(sum((g_bp - 10000 * y) * (g_bp - 10000 * y)) AS BIGINT)
+      |      AS ref_num
+      |  FROM per_user JOIN fit USING (stratum) CROSS JOIN gref
+      |  WHERE user_id % 2 = 1
+      |  GROUP BY stratum, n_train, p_bp, g_bp)
+      |SELECT stratum, n_train, p_bp, n_test, conv_test, brier_num,
+      |  round(CAST(brier_num AS DOUBLE) / (CAST(n_test AS DOUBLE) * 1e8), 6)
+      |    AS brier,
+      |  round(1.0 - CAST(brier_num AS DOUBLE)
+      |    / CAST(greatest(ref_num, 1) AS DOUBLE), 6) AS skill
+      |FROM test""".stripMargin
+
   /** SHAPLEY CHANNEL ATTRIBUTION — the game-theoretic credit split
     * ([[clickAttribution]]'s first/last-touch models' principled big
     * sibling, and [[markovStationary]]'s order-free counterpart): each
