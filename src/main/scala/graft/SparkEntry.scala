@@ -347,6 +347,7 @@ object SparkEntry {
     "q_shapley"         -> (graft.ops.Behavior.shapleyAttribution _),
     "q_conformal"       -> (graft.ops.Analytics.conformalIntervals _),
     "q_pinball"         -> (graft.ops.Analytics.pinballBacktest _),
+    "q_jackknife"       -> (graft.ops.Analytics.jackknifeClusterSe _),
     "q_brier"           -> (graft.ops.Behavior.brierCalibration _),
     "q_time_to_convert" -> (graft.ops.Behavior.timeToConvert _),
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
@@ -879,6 +880,7 @@ object SparkEntry {
     "q_shapley"       -> graft.ops.Behavior.shapleyAttributionSql,
     "q_conformal"     -> graft.ops.Analytics.conformalIntervalsSql,
     "q_pinball"       -> graft.ops.Analytics.pinballBacktestSql,
+    "q_jackknife"     -> graft.ops.Analytics.jackknifeClusterSeSql,
     "q_brier"         -> graft.ops.Behavior.brierCalibrationSql,
     "q_time_to_convert" -> graft.ops.Behavior.timeToConvertSql,
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,

@@ -3345,6 +3345,106 @@ object Analytics {
         round(col("covered").cast("double") / col("n_test"), 6).as("coverage"))
   }
 
+  /** DELETE-ONE-GROUP JACKKNIFE — cluster-robust uncertainty for a
+    * grand mean: the standard error of mean order value when orders are
+    * CLUSTERED by customer nation (within-cluster correlation makes the
+    * iid SE a lie — the classic inference trap in any geo-clustered
+    * experiment). θ₍₋g₎ recomputes the mean with nation g deleted;
+    * v = (G−1)/G · Σ(θ₍₋g₎ − θ̄)² . Ships next to the naive iid SE and
+    * the design effect v_jack/v_iid — the number that says how many
+    * "effective" observations the clustering leaves.
+    *
+    * Determinism: per-nation Σcents/n are exact longs and the squared
+    * sum an exact DECIMAL, so every θ₍₋g₎ is the same double on both
+    * engines; the two G-term folds run in nation-key order (the
+    * log-rank/ANOVA array-fold discipline). Scale: one custkey join +
+    * one nation aggregate over facts; everything after is O(G) inside a
+    * single row. */
+  def jackknifeClusterSe(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("nk"))
+    val byNation = o.join(cust, Seq("o_custkey"))
+      .groupBy("nk")
+      .agg(sum(col("cents")).as("sg"), count(lit(1)).as("ng"),
+        sum((col("cents").cast(DecimalType(38, 0)) * col("cents"))
+          .cast(DecimalType(38, 0))).as("qg"))
+    val packed = byNation.agg(
+      sum(col("sg")).as("stot"), sum(col("ng")).as("ntot"),
+      sum(col("qg")).as("qtot"), count(lit(1)).as("gq"),
+      sort_array(collect_list(struct(col("nk"), col("sg"), col("ng"))))
+        .as("a"))
+    val folded = packed.select(col("stot"), col("ntot"), col("qtot"),
+      col("gq"),
+      expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+        acc + CAST(stot - e.sg AS DOUBLE) / CAST(ntot - e.ng AS DOUBLE))""")
+        .as("tjsum"))
+    val stage2 = folded.select(col("stot"), col("ntot"), col("qtot"),
+      col("gq"), (col("tjsum") / col("gq").cast("double")).as("tbar"))
+      .crossJoin(broadcast(packed.select(col("a"))))
+      .select(col("stot"), col("ntot"), col("qtot"), col("gq"), col("tbar"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+          acc + (CAST(stot - e.sg AS DOUBLE) / CAST(ntot - e.ng AS DOUBLE)
+            - tbar) * (CAST(stot - e.sg AS DOUBLE)
+            / CAST(ntot - e.ng AS DOUBLE) - tbar))""").as("ssq"))
+    val nd = col("ntot").cast("double")
+    val vJack = (col("gq") - 1).cast("double") / col("gq").cast("double") *
+      col("ssq")
+    val s2 = (col("qtot").cast("double") -
+      col("stot").cast("double") * col("stot").cast("double") / nd) /
+      (nd - 1.0)
+    stage2.select(col("gq").as("g_clusters"), col("ntot").as("n_orders"),
+      round(col("stot").cast("double") / nd, 6).as("theta_cents"),
+      round(sqrt(s2 / nd), 6).as("se_iid_cents"),
+      round(sqrt(vJack), 6).as("se_jack_cents"),
+      round(vJack / (s2 / nd), 4).as("design_effect"))
+  }
+
+  val jackknifeClusterSeSql: String =
+    """WITH o AS (
+      |  SELECT c.c_nationkey AS nk,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer c ON c.c_custkey = o_custkey),
+      |by_nation AS (
+      |  SELECT nk, CAST(sum(cents) AS BIGINT) AS sg, count(*) AS ng,
+      |    sum(CAST(cents AS DECIMAL(38,0)) * cents) AS qg
+      |  FROM o GROUP BY nk),
+      |packed AS (
+      |  SELECT CAST(sum(sg) AS BIGINT) AS stot,
+      |    CAST(sum(ng) AS BIGINT) AS ntot,
+      |    CAST(sum(qg) AS DOUBLE) AS qtot_d,
+      |    count(*) AS gq,
+      |    list(struct_pack(nk := nk, sg := sg, ng := ng) ORDER BY nk) AS a
+      |  FROM by_nation),
+      |folded AS (
+      |  SELECT *, list_sum(list_transform(a, e ->
+      |      CAST(stot - e.sg AS DOUBLE) / CAST(ntot - e.ng AS DOUBLE)))
+      |    AS tjsum
+      |  FROM packed),
+      |stage2 AS (
+      |  SELECT *, tjsum / CAST(gq AS DOUBLE) AS tbar FROM folded),
+      |stage3 AS (
+      |  SELECT stot, ntot, qtot_d, gq, tbar,
+      |    list_sum(list_transform(a, e ->
+      |      (CAST(stot - e.sg AS DOUBLE) / CAST(ntot - e.ng AS DOUBLE)
+      |        - tbar) * (CAST(stot - e.sg AS DOUBLE)
+      |        / CAST(ntot - e.ng AS DOUBLE) - tbar))) AS ssq
+      |  FROM stage2),
+      |fin AS (
+      |  SELECT gq, ntot, stot, ssq,
+      |    CAST(gq - 1 AS DOUBLE) / CAST(gq AS DOUBLE) * ssq AS v_jack,
+      |    (qtot_d - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+      |      / CAST(ntot AS DOUBLE)) / (CAST(ntot AS DOUBLE) - 1.0) AS s2
+      |  FROM stage3)
+      |SELECT gq AS g_clusters, ntot AS n_orders,
+      |  round(CAST(stot AS DOUBLE) / CAST(ntot AS DOUBLE), 6)
+      |    AS theta_cents,
+      |  round(sqrt(s2 / CAST(ntot AS DOUBLE)), 6) AS se_iid_cents,
+      |  round(sqrt(v_jack), 6) AS se_jack_cents,
+      |  round(v_jack / (s2 / CAST(ntot AS DOUBLE)), 4) AS design_effect
+      |FROM fin""".stripMargin
+
   /** PINBALL (QUANTILE) LOSS BACKTEST — the proper scoring rule for
     * quantile predictions, evaluating the same train/test discipline as
     * [[conformalIntervals]] on two per-priority quantile models: the
