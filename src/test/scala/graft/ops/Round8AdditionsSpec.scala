@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.GraftTestBase
+import graft.similarity.Similarity
+
+/** Property specs for the round-8 late additions — each asserts the
+  * operator's defining mathematical invariant on real data, beyond the
+  * row-level oracle equality the driver grades. */
+class Round8AdditionsSpec extends GraftTestBase {
+
+  behavior of "shapleyAttribution"
+
+  it should "satisfy the efficiency axiom: shares sum to v(full) - v(empty)" in {
+    val rows = Behavior.shapleyAttribution(spark, sf).collect()
+    rows should have length 4
+    val total = rows.head.getAs[Long]("total_attributed")
+    rows.map(_.getAs[Long]("shapley_x24")).sum shouldBe 24L * total
+    // attributions are a credit SPLIT of real conversions
+    total should be > 0L
+  }
+
+  behavior of "conformalIntervals"
+
+  it should "cover the test split at roughly the nominal 90% rate" in {
+    val rows = Analytics.conformalIntervals(spark, sf).collect()
+    rows.length should be > 0
+    val n = rows.map(_.getAs[Long]("n_test")).sum
+    val cov = rows.map(_.getAs[Long]("covered")).sum
+    // the marginal guarantee is >= 0.9 in expectation over calibration
+    // draws; on one fixed split allow sampling slack below, none above 1
+    cov.toDouble / n should be >= 0.75
+    cov should be <= n
+    rows.foreach(_.getAs[Long]("qhat_cents") should be >= 0L)
+  }
+
+  behavior of "dtwDistance"
+
+  it should "never exceed the lockstep L1 and report a sane day count" in {
+    val r = TimeSeries.dtwDistance(spark, sf).head()
+    r.getAs[Boolean]("contained") shouldBe true
+    r.getAs[Long]("dtw") should be <= r.getAs[Long]("lockstep_l1")
+    r.getAs[Long]("dtw") should be >= 0L
+    r.getAs[Int]("n_days") shouldBe 30
+  }
+
+  behavior of "cliffDelta"
+
+  it should "stay in [-1, 1] and agree with its integer classification" in {
+    val r = Behavior.cliffDelta(spark, sf).head()
+    val den = r.getAs[Long]("n0") * r.getAs[Long]("n1")
+    math.abs(r.getAs[Long]("delta_num")) should be <= den
+    val d = math.abs(r.getAs[Double]("cliff_delta"))
+    val expected =
+      if (d < 0.147) "negligible"
+      else if (d < 0.33) "small"
+      else if (d < 0.474) "medium"
+      else "large"
+    r.getAs[String]("magnitude") shouldBe expected
+  }
+
+  behavior of "tripletMining"
+
+  it should "order positives, semi-hards, and hard negatives correctly" in {
+    val rows = Similarity.tripletMining(spark, sf).collect()
+    rows should have length Similarity.tripletAnchorCap
+    rows.foreach { r =>
+      // the semi-hard negative, when present, sits strictly inside the
+      // (pos - margin, pos) band and never beats the hard negative
+      if (!r.isNullAt(r.fieldIndex("semi_id"))) {
+        val pos = r.getAs[Double]("pos_cos")
+        val semi = r.getAs[Double]("semi_cos")
+        semi should be < pos
+        semi should be > pos - Similarity.tripletMarginMilli / 1000.0
+        semi should be <= r.getAs[Double]("neg_cos")
+      }
+    }
+  }
+
+  behavior of "brierCalibration"
+
+  it should "produce basis-point probabilities and a bounded Brier score" in {
+    val rows = Behavior.brierCalibration(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_bp")
+      p should be >= 0L
+      p should be <= 10000L
+      val b = r.getAs[Double]("brier")
+      b should be >= 0.0
+      b should be <= 1.0
+    }
+  }
+
+  behavior of "jackknifeClusterSe"
+
+  it should "report positive SEs and a positive design effect" in {
+    val r = Analytics.jackknifeClusterSe(spark, sf).head()
+    r.getAs[Long]("g_clusters") should be > 1L
+    r.getAs[Double]("se_iid_cents") should be > 0.0
+    r.getAs[Double]("se_jack_cents") should be > 0.0
+    r.getAs[Double]("design_effect") should be > 0.0
+  }
+
+  behavior of "bitextMining"
+
+  it should "bound margins by mutuality arithmetic and accept only mutual pairs" in {
+    val rows = Similarity.bitextMining(spark, sf).collect()
+    rows should have length (Similarity.bitextQueryCap / 2)
+    rows.foreach { r =>
+      // 2k·cos(top1) over the sum of two top-k neighborhoods that BOTH
+      // contain a cosine >= cos(top1) on the forward side keeps the
+      // margin positive and finite
+      r.getAs[Double]("margin") should be > 0.0
+      if (r.getAs[Boolean]("accepted")) {
+        r.getAs[Boolean]("mutual") shouldBe true
+        r.getAs[Double]("margin") should be > 1.06
+      }
+    }
+  }
+}
