@@ -353,6 +353,8 @@ object SparkEntry {
     "q_ab_test"         -> (graft.ops.Behavior.abTestRevenue _),
     "q_mannwhitney"     -> (graft.ops.Behavior.mannWhitney _),
     "q_cliff_delta"     -> (graft.ops.Behavior.cliffDelta _),
+    "q_wasserstein"     -> (graft.ops.Behavior.wassersteinDistance _),
+    "q_aa_calib"        -> (graft.ops.Behavior.aaCalibration _),
     "q_wilcoxon"        -> (graft.ops.Behavior.wilcoxonSignedRank _),
     "q_strat_ate"       -> (graft.ops.Behavior.stratifiedAte _),
     "q_logrank"         -> (graft.ops.Behavior.logRank _),
@@ -886,6 +888,8 @@ object SparkEntry {
     "q_ab_test"       -> graft.ops.Behavior.abTestRevenueSql,
     "q_mannwhitney"   -> graft.ops.Behavior.mannWhitneySql,
     "q_cliff_delta"   -> graft.ops.Behavior.cliffDeltaSql,
+    "q_wasserstein"   -> graft.ops.Behavior.wassersteinDistanceSql,
+    "q_aa_calib"      -> graft.ops.Behavior.aaCalibrationSql,
     "q_wilcoxon"      -> graft.ops.Behavior.wilcoxonSignedRankSql,
     "q_strat_ate"     -> graft.ops.Behavior.stratifiedAteSql,
     "q_logrank"       -> graft.ops.Behavior.logRankSql,

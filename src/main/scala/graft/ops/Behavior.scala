@@ -1196,6 +1196,175 @@ object Behavior {
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
 
+  /** A/A CALIBRATION AUDIT — the experimentation-platform health check
+    * that belongs next to [[q_srm|sample-ratio mismatch]]: split users
+    * into 8 hash-derived PSEUDO-experiments where both arms receive
+    * identical treatment (nothing), run the same Welch z each real test
+    * uses on per-user purchase spend, and count rejections. A healthy
+    * assignment + statistic shows ≈ 5% false positives; an excess means
+    * the hash is correlated with the metric or the variance model is
+    * wrong — found BEFORE any real experiment is trusted.
+    *
+    * Determinism: per-(experiment, arm) n/Σx/Σx² are exact longs (cents;
+    * the decimal-graduation note of [[mannWhitney]] applies at ~10⁹
+    * users); each z is the one pinned Welch formula on those integers;
+    * the 1.96 compare sees identical doubles on both engines. Scale:
+    * one user aggregate, then O(16) cells. */
+  def aaCalibration(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("cents"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16).as("h"),
+        col("cents"))
+      .select((col("h") % 8).as("exp_id"), expr("h div 8").as("variant"),
+        col("cents"))
+    val cells = perUser.groupBy("exp_id", "variant")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sq"))
+    val wide = cells.groupBy("exp_id").agg(
+      max(when(col("variant") === 0, col("n"))).as("n0"),
+      max(when(col("variant") === 0, col("sx"))).as("sx0"),
+      max(when(col("variant") === 0, col("sq"))).as("sq0"),
+      max(when(col("variant") === 1, col("n"))).as("n1"),
+      max(when(col("variant") === 1, col("sx"))).as("sx1"),
+      max(when(col("variant") === 1, col("sq"))).as("sq1"))
+    def m(sx: Column, n: Column) = sx.cast("double") / n.cast("double")
+    def varm(sq: Column, sx: Column, n: Column) =
+      (sq.cast("double") - sx.cast("double") * sx.cast("double") /
+        n.cast("double")) / (n.cast("double") - 1.0) / n.cast("double")
+    val z = (m(col("sx1"), col("n1")) - m(col("sx0"), col("n0"))) /
+      sqrt(varm(col("sq1"), col("sx1"), col("n1")) +
+        varm(col("sq0"), col("sx0"), col("n0")))
+    wide.select(col("exp_id"), col("n0"), col("n1"),
+      round(m(col("sx0"), col("n0")), 6).as("mean0_cents"),
+      round(m(col("sx1"), col("n1")), 6).as("mean1_cents"),
+      round(z, 6).as("z_stat"),
+      (abs(z) > 1.959963984540054).as("false_positive"))
+  }
+
+  val aaCalibrationSql: String =
+    """WITH per_user AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 16 AS BIGINT) AS h,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |cells AS (
+      |  SELECT h % 8 AS exp_id, h // 8 AS variant, count(*) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sx,
+      |    CAST(sum(cents * cents) AS BIGINT) AS sq
+      |  FROM per_user GROUP BY 1, 2),
+      |wide AS (
+      |  SELECT exp_id,
+      |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+      |    max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+      |    max(CASE WHEN variant = 0 THEN sq END) AS sq0,
+      |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+      |    max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+      |    max(CASE WHEN variant = 1 THEN sq END) AS sq1
+      |  FROM cells GROUP BY exp_id),
+      |zed AS (
+      |  SELECT exp_id, n0, n1,
+      |    CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+      |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |    (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+      |    sqrt((CAST(sq1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+      |        * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |        / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+      |      + (CAST(sq0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+      |        * CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |        / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE)) AS z
+      |  FROM wide)
+      |SELECT exp_id, n0, n1,
+      |  round(m0, 6) AS mean0_cents, round(m1, 6) AS mean1_cents,
+      |  round(z, 6) AS z_stat,
+      |  abs(z) > 1.959963984540054 AS false_positive
+      |FROM zed""".stripMargin
+
+  /** 1-D WASSERSTEIN (EARTH-MOVER) DISTANCE between the two variants'
+    * purchase-value distributions — the principled drift/shift metric
+    * next to [[mannWhitney]] (rank shift), the KS sup-gap, and the PSI
+    * bin heuristic: W₁ = ∫|F_A − F_B| integrates the WHOLE CDF gap in
+    * value units (cents), so it reports HOW MUCH money-mass moved, not
+    * just whether something did.
+    *
+    * EXACT and fully distributed: both CDFs ride ONE
+    * [[graft.ops.Distributed.withRunningTotal]] pass with the two
+    * counters packed into one long (cumw = cumA·2³² + cumB — the
+    * span-dedup 2³²-guarded packing trick; valid to 4.3e9 observations
+    * per side), each value's successor comes from a rank-free equi-join
+    * on running counts (next row is the one whose exclusive prefix
+    * equals my inclusive prefix — no global window anywhere), and
+    * W₁·nA·nB = Σ|cumA·nB − cumB·nA|·Δv is an exact long (holds to
+    * ~10⁷ observations at this price range; past that the term sum
+    * graduates to DECIMAL, the [[mannWhitney]] note). The reported
+    * distance is one rounded division. */
+  def wassersteinDistance(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        (dec(col("value")) * 100).cast("long").as("v"))
+    val byValue = obs.groupBy("v").agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+      .select(col("v"), col("ca"), col("cb"),
+        (col("ca") * lit(4294967296L) + col("cb")).as("w"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byValue, Seq.empty, Seq("v"), "w", "cumw", Some("totw"))
+      .select(col("v"), (col("ca") + col("cb")).as("cnt"),
+        expr("cumw div 4294967296L").as("cuma"),
+        expr("cumw % 4294967296L").as("cumb"),
+        expr("totw div 4294967296L").as("na"),
+        expr("totw % 4294967296L").as("nb"))
+      .select(col("v"), col("cnt"), col("cuma"), col("cumb"),
+        col("na"), col("nb"), (col("cuma") + col("cumb")).as("cumt"))
+    cum.as("x").join(cum.as("y"), expr("y.cumt - y.cnt = x.cumt"))
+      .select(col("x.na").as("na"), col("x.nb").as("nb"),
+        (abs(col("x.cuma") * col("x.nb") - col("x.cumb") * col("x.na")) *
+          (col("y.v") - col("x.v"))).as("term"))
+      .groupBy("na", "nb").agg(sum(col("term")).as("w1_scaled"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("w1_scaled"),
+        round(col("w1_scaled").cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("w1_cents"))
+  }
+
+  val wassersteinDistanceSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+      |    lead(v) OVER (ORDER BY v) AS vnext
+      |  FROM by_value
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM by_value)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(sum(abs(cuma * nb - cumb * na) * (vnext - v)) AS BIGINT)
+      |    AS w1_scaled,
+      |  round(CAST(sum(abs(cuma * nb - cumb * na) * (vnext - v)) AS DOUBLE)
+      |    / CAST(na * nb AS DOUBLE), 6) AS w1_cents
+      |FROM cum CROSS JOIN tot
+      |WHERE vnext IS NOT NULL
+      |GROUP BY na, nb""".stripMargin
+
   /** CLIFF'S DELTA — the EFFECT-SIZE readout completing [[mannWhitney]]:
     * the U test says whether the arms differ, δ says by HOW MUCH on the
     * only scale that survives heavy tails, δ = P(x₁ > x₀) − P(x₁ < x₀).
