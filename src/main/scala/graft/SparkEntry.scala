@@ -355,6 +355,8 @@ object SparkEntry {
     "q_cliff_delta"     -> (graft.ops.Behavior.cliffDelta _),
     "q_wasserstein"     -> (graft.ops.Behavior.wassersteinDistance _),
     "q_aa_calib"        -> (graft.ops.Behavior.aaCalibration _),
+    "q_perm_test"       -> (graft.ops.Behavior.permutationTest _),
+    "q_cramer"          -> (graft.ops.Behavior.cramerDistance _),
     "q_wilcoxon"        -> (graft.ops.Behavior.wilcoxonSignedRank _),
     "q_strat_ate"       -> (graft.ops.Behavior.stratifiedAte _),
     "q_logrank"         -> (graft.ops.Behavior.logRank _),
@@ -890,6 +892,8 @@ object SparkEntry {
     "q_cliff_delta"   -> graft.ops.Behavior.cliffDeltaSql,
     "q_wasserstein"   -> graft.ops.Behavior.wassersteinDistanceSql,
     "q_aa_calib"      -> graft.ops.Behavior.aaCalibrationSql,
+    "q_perm_test"     -> graft.ops.Behavior.permutationTestSql,
+    "q_cramer"        -> graft.ops.Behavior.cramerDistanceSql,
     "q_wilcoxon"      -> graft.ops.Behavior.wilcoxonSignedRankSql,
     "q_strat_ate"     -> graft.ops.Behavior.stratifiedAteSql,
     "q_logrank"       -> graft.ops.Behavior.logRankSql,

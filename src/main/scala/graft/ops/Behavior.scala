@@ -1196,6 +1196,119 @@ object Behavior {
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
 
+  /** Number of pseudo-permutations for [[permutationTest]]. */
+  val permK = 200
+
+  /** PERMUTATION TEST on mean per-user spend — Fisher's exact-inference
+    * recipe rendered distributed and DETERMINISTIC: the null
+    * distribution comes from [[permK]] pseudo-permutations, each
+    * reassigning every user by one md5(user‖k) bit, and the p-value is
+    * the rank of the observed |mean diff| among them. No normality
+    * assumption, no variance model — the inference the z machinery
+    * ([[abTestRevenue]], [[aaCalibration]]) is an approximation OF.
+    *
+    * Determinism: every permutation is a pure hash function of
+    * (user_id, k) — identical on any cluster size, any engine. Sums are
+    * exact cent longs; each permutation's diff-of-means is one pinned
+    * double expression; the acceptance count is an integer compare of
+    * identical doubles, and p = (1 + #{|diff_k| ≥ |obs|}) / (K+1) —
+    * the add-one form that keeps the test valid at finite K.
+    *
+    * Scale: the per-user frame (one map-side-combinable aggregate over
+    * facts) explodes ×K into (k, user) rows — at 10⁹ users × 200 perms
+    * that's the one genuinely wide stage, but it partial-aggregates to
+    * K×2 cells map-side, so the shuffle carries O(K) rows per
+    * partition. K is fixed by the analyst, not the data. */
+  def permutationTest(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("cents"))
+      .select(col("user_id").cast("string").as("u"), col("cents"))
+      .pin()
+    def diffExpr(n1: Column, s1: Column, n0: Column, s0: Column) =
+      s1.cast("double") / n1.cast("double") -
+        s0.cast("double") / n0.cast("double")
+    val obs = perUser
+      .select((conv(substring(md5(col("u")), 1, 15), 16, 10)
+        .cast("long") % 2).as("g"), col("cents"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"))
+      .agg(
+        max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 1, col("sx"))).as("s1"),
+        max(when(col("g") === 0, col("n"))).as("n0"),
+        max(when(col("g") === 0, col("sx"))).as("s0"))
+      .select(abs(diffExpr(col("n1"), col("s1"), col("n0"), col("s0")))
+        .as("obs_abs"))
+    val perms = perUser
+      .select(col("u"), col("cents"), explode(sequence(lit(1), lit(permK)))
+        .as("k"))
+      .select(col("k"),
+        (conv(substring(md5(concat(col("u"), lit("|"), col("k"))), 1, 15),
+          16, 10).cast("long") % 2).as("g"), col("cents"))
+      .groupBy("k", "g").agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"))
+      .groupBy("k").agg(
+        max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 1, col("sx"))).as("s1"),
+        max(when(col("g") === 0, col("n"))).as("n0"),
+        max(when(col("g") === 0, col("sx"))).as("s0"))
+      .select(col("k"),
+        abs(diffExpr(col("n1"), col("s1"), col("n0"), col("s0")))
+          .as("perm_abs"))
+    perms.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("k_perms"),
+        sum(when(col("perm_abs") >= col("obs_abs"), 1L).otherwise(0L))
+          .as("n_ge"),
+        max(col("obs_abs")).as("obs_abs"))
+      .select(col("k_perms"), round(col("obs_abs"), 6).as("obs_abs_diff"),
+        col("n_ge"),
+        round((lit(1L) + col("n_ge")).cast("double") /
+          (col("k_perms") + lit(1L)).cast("double"), 6).as("p_value"),
+        ((lit(1L) + col("n_ge")) * 20 <= col("k_perms") + lit(1L))
+          .as("significant_95"))
+  }
+
+  val permutationTestSql: String =
+    s"""WITH per_user AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS u,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |obs_cells AS (
+       |  SELECT CAST(('0x' || substr(md5(u), 1, 15)) AS BIGINT) % 2 AS g,
+       |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx
+       |  FROM per_user GROUP BY 1),
+       |obs AS (
+       |  SELECT abs(
+       |    CAST(max(CASE WHEN g = 1 THEN sx END) AS DOUBLE)
+       |      / CAST(max(CASE WHEN g = 1 THEN n END) AS DOUBLE)
+       |    - CAST(max(CASE WHEN g = 0 THEN sx END) AS DOUBLE)
+       |      / CAST(max(CASE WHEN g = 0 THEN n END) AS DOUBLE)) AS obs_abs
+       |  FROM obs_cells),
+       |perm_cells AS (
+       |  SELECT t.k,
+       |    CAST(('0x' || substr(md5(u || '|' || t.k), 1, 15)) AS BIGINT) % 2
+       |      AS g,
+       |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx
+       |  FROM per_user CROSS JOIN range(1, $permK + 1) t(k)
+       |  GROUP BY 1, 2),
+       |perms AS (
+       |  SELECT k, abs(
+       |    CAST(max(CASE WHEN g = 1 THEN sx END) AS DOUBLE)
+       |      / CAST(max(CASE WHEN g = 1 THEN n END) AS DOUBLE)
+       |    - CAST(max(CASE WHEN g = 0 THEN sx END) AS DOUBLE)
+       |      / CAST(max(CASE WHEN g = 0 THEN n END) AS DOUBLE)) AS perm_abs
+       |  FROM perm_cells GROUP BY k)
+       |SELECT count(*) AS k_perms,
+       |  round(max(obs_abs), 6) AS obs_abs_diff,
+       |  CAST(sum(CASE WHEN perm_abs >= obs_abs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ge,
+       |  round(CAST(1 + sum(CASE WHEN perm_abs >= obs_abs THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value,
+       |  ((1 + sum(CASE WHEN perm_abs >= obs_abs THEN 1 ELSE 0 END)) * 20
+       |    <= count(*) + 1) AS significant_95
+       |FROM perms CROSS JOIN obs""".stripMargin
+
   /** A/A CALIBRATION AUDIT — the experimentation-platform health check
     * that belongs next to [[q_srm|sample-ratio mismatch]]: split users
     * into 8 hash-derived PSEUDO-experiments where both arms receive
@@ -1303,7 +1416,11 @@ object Behavior {
     * ~10⁷ observations at this price range; past that the term sum
     * graduates to DECIMAL, the [[mannWhitney]] note). The reported
     * distance is one rounded division. */
-  def wassersteinDistance(s: SparkSession, d: String): DataFrame = {
+  /** The shared CDF-gap interval frame behind [[wassersteinDistance]]
+    * and [[cramerDistance]]: one row per adjacent distinct-value pair
+    * with `dnum` = cumA·nB − cumB·nA (the nA·nB-scaled CDF gap, exact)
+    * and `dv` = the interval width in cents. */
+  private def variantCdfGaps(s: SparkSession, d: String): DataFrame = {
     val obs = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(
@@ -1326,13 +1443,84 @@ object Behavior {
         col("na"), col("nb"), (col("cuma") + col("cumb")).as("cumt"))
     cum.as("x").join(cum.as("y"), expr("y.cumt - y.cnt = x.cumt"))
       .select(col("x.na").as("na"), col("x.nb").as("nb"),
-        (abs(col("x.cuma") * col("x.nb") - col("x.cumb") * col("x.na")) *
-          (col("y.v") - col("x.v"))).as("term"))
+        (col("x.cuma") * col("x.nb") - col("x.cumb") * col("x.na"))
+          .as("dnum"),
+        (col("y.v") - col("x.v")).as("dv"))
+  }
+
+  def wassersteinDistance(s: SparkSession, d: String): DataFrame =
+    variantCdfGaps(s, d)
+      .select(col("na"), col("nb"), (abs(col("dnum")) * col("dv")).as("term"))
       .groupBy("na", "nb").agg(sum(col("term")).as("w1_scaled"))
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("w1_scaled"),
         round(col("w1_scaled").cast("double") /
           (col("na") * col("nb")).cast("double"), 6).as("w1_cents"))
-  }
+
+  /** CRAMÉR / ENERGY DISTANCE — [[wassersteinDistance]]'s SQUARED
+    * sibling over the same CDF-gap frame: ∫(F_A − F_B)² dx, whose
+    * doubled form is the 1-D ENERGY DISTANCE
+    * 2·E|X−Y| − E|X−X′| − E|Y−Y′| (the two-sample statistic behind
+    * energy tests and MMD-style drift monitors; unlike W₁ it
+    * down-weights long thin CDF gaps, so the pair (W₁, energy)
+    * separates "small shift everywhere" from "big shift somewhere").
+    *
+    * Exactness: each interval's (cumA·nB − cumB·nA)²·Δv term exceeds
+    * the long range, so the term sum runs in DECIMAL(38,0) — still
+    * exact, order-insensitive, map-side combinable — and converts to
+    * double ONCE at the end (same exact value → same double on both
+    * engines; DuckDB accumulates the identical integer in HUGEINT). */
+  def cramerDistance(s: SparkSession, d: String): DataFrame =
+    variantCdfGaps(s, d)
+      .select(col("na"), col("nb"),
+        (col("dnum").cast(DecimalType(38, 0)) * col("dnum") * col("dv"))
+          .cast(DecimalType(38, 0)).as("term"))
+      .groupBy("na", "nb")
+      .agg(sum(col("term")).cast(DecimalType(38, 0)).as("c_scaled"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("c_scaled").cast("double") /
+          ((col("na") * col("nb")).cast("double") *
+            (col("na") * col("nb")).cast("double")), 6).as("cramer_cents"),
+        round(lit(2.0) * col("c_scaled").cast("double") /
+          ((col("na") * col("nb")).cast("double") *
+            (col("na") * col("nb")).cast("double")), 6).as("energy_cents"))
+
+  val cramerDistanceSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+      |    lead(v) OVER (ORDER BY v) AS vnext
+      |  FROM by_value
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM by_value),
+      |summed AS (
+      |  SELECT na, nb,
+      |    sum(CAST(cuma * nb - cumb * na AS HUGEINT)
+      |      * (cuma * nb - cumb * na) * (vnext - v)) AS c_scaled
+      |  FROM cum CROSS JOIN tot
+      |  WHERE vnext IS NOT NULL
+      |  GROUP BY na, nb)
+      |SELECT na AS n_a, nb AS n_b,
+      |  round(CAST(c_scaled AS DOUBLE)
+      |    / (CAST(na * nb AS DOUBLE) * CAST(na * nb AS DOUBLE)), 6)
+      |    AS cramer_cents,
+      |  round(2.0 * CAST(c_scaled AS DOUBLE)
+      |    / (CAST(na * nb AS DOUBLE) * CAST(na * nb AS DOUBLE)), 6)
+      |    AS energy_cents
+      |FROM summed""".stripMargin
 
   val wassersteinDistanceSql: String =
     """WITH obs AS (
