@@ -146,6 +146,7 @@ object SparkEntry {
     "q_knn_brute"       -> (Similarity.bruteForceTopK _),
     "q_bitext_mine"     -> (Similarity.bitextMining _),
     "q_triplet_mine"    -> (Similarity.tripletMining _),
+    "q_lof"             -> (Similarity.lofOutliers _),
     "q_knn_lsh"         -> (Similarity.lshRecallCheck _),
     "q_knn_ivf"         -> (Similarity.ivfRecallCheck _),
     "q_centroids"       -> (Similarity.labelCentroids _),
@@ -357,6 +358,7 @@ object SparkEntry {
     "q_aa_calib"        -> (graft.ops.Behavior.aaCalibration _),
     "q_perm_test"       -> (graft.ops.Behavior.permutationTest _),
     "q_cramer"          -> (graft.ops.Behavior.cramerDistance _),
+    "q_qte"             -> (graft.ops.Behavior.quantileTreatmentEffects _),
     "q_wilcoxon"        -> (graft.ops.Behavior.wilcoxonSignedRank _),
     "q_strat_ate"       -> (graft.ops.Behavior.stratifiedAte _),
     "q_logrank"         -> (graft.ops.Behavior.logRank _),
@@ -672,6 +674,7 @@ object SparkEntry {
     "q_knn_brute"     -> Similarity.bruteForceTopKSql,
     "q_bitext_mine"   -> Similarity.bitextMiningSql,
     "q_triplet_mine"  -> Similarity.tripletMiningSql,
+    "q_lof"           -> Similarity.lofOutliersSql,
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,
     "q_pca_power"     -> Similarity.pcaPowerCheckSql,
@@ -894,6 +897,7 @@ object SparkEntry {
     "q_aa_calib"      -> graft.ops.Behavior.aaCalibrationSql,
     "q_perm_test"     -> graft.ops.Behavior.permutationTestSql,
     "q_cramer"        -> graft.ops.Behavior.cramerDistanceSql,
+    "q_qte"           -> graft.ops.Behavior.quantileTreatmentEffectsSql,
     "q_wilcoxon"      -> graft.ops.Behavior.wilcoxonSignedRankSql,
     "q_strat_ate"     -> graft.ops.Behavior.stratifiedAteSql,
     "q_logrank"       -> graft.ops.Behavior.logRankSql,

@@ -1196,6 +1196,83 @@ object Behavior {
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
 
+  /** QUANTILE TREATMENT EFFECTS — the distributional readout the mean
+    * ATE hides: at each decile τ, QTE(τ) = F_B⁻¹(τ) − F_A⁻¹(τ) of
+    * per-user purchase spend under the hash-assigned split. A zero mean
+    * effect with positive upper-decile QTEs is the classic "the
+    * treatment only moved the whales" finding; the uniform-shift null
+    * is visible as a flat QTE curve.
+    *
+    * Exactness: both inverse CDFs are DISCRETE percentiles (actual
+    * cent values a user spent — [[Analytics.percentileDiscByStatus]]'s
+    * engine-portable contract), so every QTE is an exact integer
+    * difference; the relative effect is one rounded division. Scale:
+    * one user aggregate, two percentile_disc aggregates over the
+    * O(users) frame, O(9) output. */
+  def quantileTreatmentEffects(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("cents"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        col("cents"))
+    val deciles = (1 to 9).map(_ / 10.0)
+    val wide = perUser.groupBy("variant").agg(
+      count(lit(1)).as("n"),
+      deciles.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as(s"p${i + 1}")
+      }: _*)
+    val aggs: Seq[Column] =
+      Seq(max(when(col("variant") === 1, col("n"))).as("n_b")) ++
+        (1 to 9).map(i =>
+          max(when(col("variant") === 0, col(s"p$i"))).as(s"a$i")) ++
+        (1 to 9).map(i =>
+          max(when(col("variant") === 1, col(s"p$i"))).as(s"b$i"))
+    val packed = wide.agg(
+      max(when(col("variant") === 0, col("n"))).as("n_a"), aggs: _*)
+    packed
+      .select(col("n_a"), col("n_b"),
+        explode(array((1 to 9).map(i => struct(lit(i).as("decile"),
+          col(s"a$i").as("qa"), col(s"b$i").as("qb"))): _*)).as("d"))
+      .select(col("n_a"), col("n_b"), col("d.decile").as("decile"),
+        col("d.qa").as("q_a_cents"), col("d.qb").as("q_b_cents"),
+        (col("d.qb") - col("d.qa")).as("qte_cents"),
+        round((col("d.qb") - col("d.qa")).cast("double") /
+          greatest(col("d.qa"), lit(1L)).cast("double"), 6).as("qte_rel"))
+  }
+
+  val quantileTreatmentEffectsSql: String = {
+    val pcols = (1 to 9).map(i =>
+      s"quantile_disc(cents, 0.$i) AS p$i").mkString(",\n      |    ")
+    val structs = (1 to 9).map(i =>
+      s"struct_pack(decile := $i, qa := max(CASE WHEN variant = 0 THEN p$i END), " +
+        s"qb := max(CASE WHEN variant = 1 THEN p$i END))").mkString(",\n      |      ")
+    s"""WITH per_user AS (
+       |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS variant,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |wide AS (
+       |  SELECT variant, count(*) AS n,
+       |    $pcols
+       |  FROM per_user GROUP BY variant),
+       |packed AS (
+       |  SELECT CAST(max(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+       |    CAST(max(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+       |    [$structs] AS ds
+       |  FROM wide)
+       |SELECT n_a, n_b, d.decile AS decile,
+       |  CAST(d.qa AS BIGINT) AS q_a_cents, CAST(d.qb AS BIGINT) AS q_b_cents,
+       |  CAST(d.qb - d.qa AS BIGINT) AS qte_cents,
+       |  round(CAST(d.qb - d.qa AS DOUBLE)
+       |    / CAST(greatest(d.qa, 1) AS DOUBLE), 6) AS qte_rel
+       |FROM packed, unnest(ds) AS t(d)""".stripMargin
+  }
+
   /** Number of pseudo-permutations for [[permutationTest]]. */
   val permK = 200
 

@@ -1157,6 +1157,138 @@ object Similarity {
         (col("semi_c3").cast("double") / 1000).as("semi_cos"))
   }
 
+  /** LOCAL OUTLIER FACTOR (k = [[lofK]]) of the capped anchor set —
+    * the density-RATIO outlier score that catches what a global
+    * distance cutoff ([[dbscanEmbeddings]]'s eps, the Mahalanobis
+    * screen) cannot: a point that is merely in a sparse REGION scores
+    * ≈ 1, a point sparser than its OWN neighbors scores ≫ 1. The data-
+    * cleaning screen for embedded corpora where density varies by
+    * cluster.
+    *
+    * Three bounded tiers (anchors → their k-NN → THEIR k-NN) each scan
+    * the corpus once with the tier broadcast — the [[bruteForceTopK]]
+    * verifier class; at scale each tier batches through the LSH/IVF
+    * indexes. Distances quantize to exact integer milli-cosine-
+    * distances (d = 1000 − ⌊cos·1000⌉), so k-distances, reachability
+    * maxima, and every lrd denominator are exact longs; the only floats
+    * are the 5 reciprocal lrds folded in neighbor-id order (the pinned
+    * array-fold discipline) and one final ratio. */
+  val lofK = 5
+  val lofAnchorCap = 8
+
+  def lofOutliers(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    def dist(a: Column, b: Column): Column =
+      lit(1000L) - round(cosineSim(a, b) * 1000, 0).cast("long")
+    def knn(queries: DataFrame, qid: String, qemb: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(qid)
+        .orderBy(col("d3").asc, col(out).asc)
+      emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col(qid))
+        .select(col(qid), col("vec_id").as(out),
+          dist(col(qemb), col("embedding")).as("d3"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= lofK)
+    }
+    val anchors = emb.filter(col("vec_id") < lofAnchorCap)
+      .select(col("vec_id").as("aid"), col("embedding").as("a_emb"))
+    val p1 = knn(anchors, "aid", "a_emb", "nb").pin()
+    val t1 = p1.select(col("nb")).distinct()
+      .join(emb, col("nb") === col("vec_id"))
+      .select(col("nb").as("o"), col("embedding").as("o_emb"))
+    val p2 = knn(t1, "o", "o_emb", "p").pin()
+    val kdistO = p2.groupBy("o").agg(max(col("d3")).as("kdist_o"))
+    val t2 = p2.select(col("p")).distinct()
+      .join(emb, col("p") === col("vec_id"))
+      .select(col("p").as("q2"), col("embedding").as("q_emb"))
+    val kdistP = knn(t2, "q2", "q_emb", "r")
+      .groupBy("q2").agg(max(col("d3")).as("kdist_p"))
+    val denO = p2.join(broadcast(kdistP), col("p") === col("q2"))
+      .groupBy("o")
+      .agg(sum(greatest(col("d3"), col("kdist_p"))).as("den_o"))
+      .select(col("o"), greatest(col("den_o"), lit(1L)).as("den_o"))
+    val denX = p1.join(broadcast(kdistO), col("nb") === col("o"))
+      .groupBy("aid")
+      .agg(sum(greatest(col("d3"), col("kdist_o"))).as("den_x"))
+      .select(col("aid"), greatest(col("den_x"), lit(1L)).as("den_x"))
+    val folded = p1.join(broadcast(denO), col("nb") === col("o"))
+      .groupBy("aid")
+      .agg(sort_array(collect_list(struct(col("nb"), col("den_o"))))
+        .as("arr"))
+      .select(col("aid"), expr(
+        """aggregate(arr, CAST(0.0 AS DOUBLE),
+           (acc, e) -> acc + 1.0 / CAST(e.den_o AS DOUBLE))""").as("rsum"))
+    val lof = col("rsum") * col("den_x").cast("double") /
+      lit((lofK * lofK).toDouble)
+    folded.join(broadcast(denX), Seq("aid"))
+      .select(col("aid").as("anchor_id"), col("den_x"),
+        round(lof, 6).as("lof"), (lof > 1.2).as("is_outlier"))
+  }
+
+  val lofOutliersSql: String = {
+    val k = lofK
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS aid, embedding AS a_emb FROM embeddings
+       |  WHERE vec_id < $lofAnchorCap),
+       |p1 AS (
+       |  SELECT * FROM (
+       |    SELECT a.aid, e.vec_id AS nb,
+       |      1000 - CAST(round(list_cosine_similarity(a.a_emb, e.embedding)
+       |        * 1000, 0) AS BIGINT) AS d3,
+       |      row_number() OVER (PARTITION BY a.aid ORDER BY
+       |        1000 - CAST(round(list_cosine_similarity(a.a_emb, e.embedding)
+       |          * 1000, 0) AS BIGINT) ASC, e.vec_id ASC) AS rk
+       |    FROM embeddings e CROSS JOIN anchors a
+       |    WHERE e.vec_id <> a.aid) WHERE rk <= $k),
+       |t1 AS (
+       |  SELECT DISTINCT p1.nb AS o, e.embedding AS o_emb
+       |  FROM p1 JOIN embeddings e ON e.vec_id = p1.nb),
+       |p2 AS (
+       |  SELECT * FROM (
+       |    SELECT t.o, e.vec_id AS p,
+       |      1000 - CAST(round(list_cosine_similarity(t.o_emb, e.embedding)
+       |        * 1000, 0) AS BIGINT) AS d3,
+       |      row_number() OVER (PARTITION BY t.o ORDER BY
+       |        1000 - CAST(round(list_cosine_similarity(t.o_emb, e.embedding)
+       |          * 1000, 0) AS BIGINT) ASC, e.vec_id ASC) AS rk
+       |    FROM embeddings e CROSS JOIN t1 t
+       |    WHERE e.vec_id <> t.o) WHERE rk <= $k),
+       |kdist_o AS (SELECT o, max(d3) AS kdist_o FROM p2 GROUP BY o),
+       |t2 AS (
+       |  SELECT DISTINCT p2.p AS q2, e.embedding AS q_emb
+       |  FROM p2 JOIN embeddings e ON e.vec_id = p2.p),
+       |p3 AS (
+       |  SELECT * FROM (
+       |    SELECT t.q2, e.vec_id AS r,
+       |      1000 - CAST(round(list_cosine_similarity(t.q_emb, e.embedding)
+       |        * 1000, 0) AS BIGINT) AS d3,
+       |      row_number() OVER (PARTITION BY t.q2 ORDER BY
+       |        1000 - CAST(round(list_cosine_similarity(t.q_emb, e.embedding)
+       |          * 1000, 0) AS BIGINT) ASC, e.vec_id ASC) AS rk
+       |    FROM embeddings e CROSS JOIN t2 t
+       |    WHERE e.vec_id <> t.q2) WHERE rk <= $k),
+       |kdist_p AS (SELECT q2, max(d3) AS kdist_p FROM p3 GROUP BY q2),
+       |den_o AS (
+       |  SELECT o, greatest(CAST(sum(greatest(d3, kdist_p)) AS BIGINT), 1)
+       |    AS den_o
+       |  FROM p2 JOIN kdist_p ON kdist_p.q2 = p2.p GROUP BY o),
+       |den_x AS (
+       |  SELECT aid, greatest(CAST(sum(greatest(d3, kdist_o)) AS BIGINT), 1)
+       |    AS den_x
+       |  FROM p1 JOIN kdist_o ON kdist_o.o = p1.nb GROUP BY aid),
+       |folded AS (
+       |  SELECT p1.aid,
+       |    list_sum(list_transform(
+       |      list_sort(list(struct_pack(nb := p1.nb, den_o := den_o.den_o))),
+       |      e -> 1.0 / CAST(e.den_o AS DOUBLE))) AS rsum
+       |  FROM p1 JOIN den_o ON den_o.o = p1.nb GROUP BY p1.aid)
+       |SELECT f.aid AS anchor_id, x.den_x,
+       |  round(f.rsum * CAST(x.den_x AS DOUBLE) / ${k * k}.0, 6) AS lof,
+       |  (f.rsum * CAST(x.den_x AS DOUBLE) / ${k * k}.0 > 1.2) AS is_outlier
+       |FROM folded f JOIN den_x x USING (aid)""".stripMargin
+  }
+
   val tripletMiningSql: String =
     s"""WITH anchors AS (
        |  SELECT vec_id AS anchor_id, label AS a_label, embedding AS a_emb
