@@ -759,6 +759,84 @@ object TextAnalysis {
        |    / count(*), 6) AS keep_rate
        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CE threshold for the LM-side classifier in [[classifierAgreement]]
+    * — the compare runs on the 4-dp ROUNDED cross-entropy that
+    * q_lm_score proves hash-identical across engines, so the boolean is
+    * engine-exact with no margin analysis needed. */
+  val agreementCeMax = 3.405
+
+  /** CLASSIFIER AGREEMENT: Cohen's κ and McNemar's paired test between
+    * the two quality screens this engine ships — the heuristic cascade
+    * ([[qualityFilter]]) and the unigram-LM threshold ([[lmScore]] ≤
+    * [[agreementCeMax]]). The curation question they answer: do the
+    * cheap rules and the model-based score AGREE beyond chance (κ), and
+    * when they disagree, is the disagreement SYMMETRIC (McNemar on the
+    * discordant cells — an asymmetry means one screen is strictly
+    * stricter, so running both is near-redundant in one direction)?
+    *
+    * Exactness: all four confusion cells are exact longs; κ is computed
+    * as one integer-ratio — ((a+d)·n − Σ marginal products) /
+    * (n² − Σ marginal products) — and McNemar's χ² = (b−c)²/(b+c) is an
+    * integer ratio too, so both are single pinned divisions (n² holds
+    * to ~3·10⁹ docs; past that the cells graduate to decimal). One
+    * doc-keyed join of two O(docs) frames. */
+  def classifierAgreement(s: SparkSession, d: String): DataFrame = {
+    val qf = qualityFilter(s, d).select(col("doc_id"), col("keep"))
+    val lm = lmScore(s, d).select(col("doc_id"),
+      (col("cross_entropy") <= agreementCeMax).as("lm_pass"))
+    val cells = qf.join(lm, Seq("doc_id"))
+      .agg(
+        sum(when(col("keep") && col("lm_pass"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("keep") && !col("lm_pass"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("keep") && col("lm_pass"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("keep") && !col("lm_pass"), 1L).otherwise(0L)).as("dd"))
+    val n = col("a") + col("b") + col("c") + col("dd")
+    val peNum = (col("a") + col("b")) * (col("a") + col("c")) +
+      (col("c") + col("dd")) * (col("b") + col("dd"))
+    val kappaNum = (col("a") + col("dd")) * n - peNum
+    val kappaDen = n * n - peNum
+    val chi2 = ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+      greatest(col("b") + col("c"), lit(1L)).cast("double")
+    cells.select(col("a").as("both_keep"), col("b").as("qf_only"),
+      col("c").as("lm_only"), col("dd").as("both_drop"),
+      round((col("a") + col("dd")).cast("double") / n.cast("double"), 6)
+        .as("agreement"),
+      round(kappaNum.cast("double") / kappaDen.cast("double"), 6).as("kappa"),
+      round(chi2, 6).as("mcnemar_chi2"),
+      (chi2 > 3.841458820694124).as("classifiers_differ_95"))
+  }
+
+  lazy val classifierAgreementSql: String =
+    s"""WITH lm AS ($lmScoreSql),
+       |qf AS ($qualityFilterSql),
+       |joined AS (
+       |  SELECT qf.keep, (lm.cross_entropy <= $agreementCeMax) AS lm_pass
+       |  FROM qf JOIN lm ON lm.doc_id = qf.doc_id),
+       |cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN keep AND lm_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN keep AND NOT lm_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN NOT keep AND lm_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN NOT keep AND NOT lm_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS dd
+       |  FROM joined),
+       |fin AS (
+       |  SELECT a, b, c, dd, a + b + c + dd AS n,
+       |    (a + b) * (a + c) + (c + dd) * (b + dd) AS pe_num,
+       |    CAST((b - c) * (b - c) AS DOUBLE)
+       |      / CAST(greatest(b + c, 1) AS DOUBLE) AS chi2
+       |  FROM cells)
+       |SELECT a AS both_keep, b AS qf_only, c AS lm_only, dd AS both_drop,
+       |  round(CAST(a + dd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS agreement,
+       |  round(CAST((a + dd) * n - pe_num AS DOUBLE)
+       |    / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa,
+       |  round(chi2, 6) AS mcnemar_chi2,
+       |  chi2 > 3.841458820694124 AS classifiers_differ_95
+       |FROM fin""".stripMargin
+
   val qualityFilterSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM (
