@@ -113,6 +113,8 @@ object SparkEntry {
     "q_ljung_box"       -> (graft.ops.TimeSeries.ljungBox _),
     "q_link_pred"       -> (graft.ops.Graph.linkPrediction _),
     "q_eigencentrality" -> (graft.ops.Graph.eigenCentrality _),
+    "q_hits"            -> (graft.ops.Graph.hitsBipartite _),
+    "q_price_index"     -> (graft.ops.Analytics.priceIndices _),
     "q_semdedup"        -> (graft.dedup.Dedup.semDedup _),
     "q_ngram_novelty"   -> (graft.text.TextAnalysis.ngramNovelty _),
     "q_perm_entropy"    -> (graft.ops.TimeSeries.permutationEntropy _),
@@ -642,6 +644,8 @@ object SparkEntry {
     "q_ljung_box"     -> graft.ops.TimeSeries.ljungBoxSql,
     "q_link_pred"     -> graft.ops.Graph.linkPredictionSql,
     "q_eigencentrality" -> graft.ops.Graph.eigenCentralitySql,
+    "q_hits"          -> graft.ops.Graph.hitsBipartiteSql,
+    "q_price_index"   -> graft.ops.Analytics.priceIndicesSql,
     "q_semdedup"      -> graft.dedup.Dedup.semDedupSql,
     "q_ngram_novelty" -> graft.text.TextAnalysis.ngramNoveltySql,
     "q_perm_entropy"  -> graft.ops.TimeSeries.permutationEntropySql,

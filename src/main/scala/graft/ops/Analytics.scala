@@ -3345,6 +3345,79 @@ object Analytics {
         round(col("covered").cast("double") / col("n_test"), 6).as("coverage"))
   }
 
+  /** PRICE INDEX NUMBERS — Laspeyres, Paasche, and Fisher monthly
+    * indices of the part catalog against the first shipping month: the
+    * economic-index operator behind every "inflation-adjusted revenue"
+    * dashboard. Per (part, month) the representative quote is the MIN
+    * observed unit price (deterministic, an actual quoted price — the
+    * [[percentileDiscByStatus]] exactness doctrine applied to price
+    * relatives); the basket is the parts MATCHED between base and
+    * report months; Laspeyres weights by base-month quantities, Paasche
+    * by report-month, Fisher is their geometric mean.
+    *
+    * Exactness: quotes and quantities are exact longs, so all four
+    * Σ price·qty sums are exact; each index is one pinned division
+    * (Fisher adds one sqrt of their product). Scale: one
+    * (part, month) aggregate over facts (map-side combinable), one
+    * broadcast of the base-month frame, O(months) output. */
+  def priceIndices(s: SparkSession, d: String): DataFrame = {
+    val pm = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("pc"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("pk", "m")
+      .agg(min(col("pc")).as("quote"), sum(col("q")).as("qty"))
+      .pin()
+    val base = pm.agg(min(col("m")).as("m0"))
+    val baseQ = pm.join(broadcast(base), col("m") === col("m0"))
+      .select(col("pk"), col("quote").as("quote0"), col("qty").as("qty0"))
+    val matched = pm.join(broadcast(baseQ), Seq("pk"))
+    matched.groupBy("m").agg(
+      count(lit(1)).as("n_matched"),
+      sum(col("quote") * col("qty0")).as("l_num"),
+      sum(col("quote0") * col("qty0")).as("l_den"),
+      sum(col("quote") * col("qty")).as("p_num"),
+      sum(col("quote0") * col("qty")).as("p_den"))
+      .select(col("m").as("month"), col("n_matched"),
+        round(col("l_num").cast("double") / col("l_den").cast("double"), 6)
+          .as("laspeyres"),
+        round(col("p_num").cast("double") / col("p_den").cast("double"), 6)
+          .as("paasche"),
+        round(sqrt((col("l_num").cast("double") /
+          col("l_den").cast("double")) *
+          (col("p_num").cast("double") / col("p_den").cast("double"))), 6)
+          .as("fisher"))
+  }
+
+  val priceIndicesSql: String =
+    """WITH pm AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+      |    CAST(min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS quote,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |base AS (SELECT min(m) AS m0 FROM pm),
+      |base_q AS (
+      |  SELECT pk, quote AS quote0, qty AS qty0
+      |  FROM pm CROSS JOIN base WHERE m = m0),
+      |matched AS (SELECT pm.* , b.quote0, b.qty0
+      |  FROM pm JOIN base_q b USING (pk)),
+      |sums AS (
+      |  SELECT m, count(*) AS n_matched,
+      |    CAST(sum(quote * qty0) AS BIGINT) AS l_num,
+      |    CAST(sum(quote0 * qty0) AS BIGINT) AS l_den,
+      |    CAST(sum(quote * qty) AS BIGINT) AS p_num,
+      |    CAST(sum(quote0 * qty) AS BIGINT) AS p_den
+      |  FROM matched GROUP BY m)
+      |SELECT m AS month, n_matched,
+      |  round(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6) AS laspeyres,
+      |  round(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6) AS paasche,
+      |  round(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+      |    * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6) AS fisher
+      |FROM sums""".stripMargin
+
   /** DELETE-ONE-GROUP JACKKNIFE — cluster-robust uncertainty for a
     * grand mean: the standard error of mean order value when orders are
     * CLUSTERED by customer nation (within-cluster correlation makes the

@@ -1690,4 +1690,56 @@ object Graph {
       |  round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score
       |FROM s4 CROSS JOIN mx
       |ORDER BY score DESC, vertex LIMIT 20""".stripMargin
+
+  /** BIPARTITE HITS — hub/authority ranking of the TWO-MODE
+    * customer×part purchase graph itself, the projection-free dual of
+    * [[eigenCentrality]] (which walks the part-part projection): two
+    * exact mutual-reinforcement rounds, auth¹(p) = deg(p),
+    * hub¹(c) = Σ_{p∋c} auth¹(p), auth²(p) = Σ_{c∋p} hub¹(c) — so
+    * auth² counts length-3 alternating walks ending at p, the integer
+    * fixed-point surrogate that needs no per-round normalization (the
+    * [[eigenCentrality]] doctrine; rankings are scale-free). Top-20
+    * authorities ship with their degree and the ppm share, an exact
+    * integer division.
+    *
+    * Scale: the bipartite edge list is one orderkey join + distinct
+    * (the co-purchase build's first half, lighter than its pair
+    * expansion); each round is one key-shuffle join + aggregate —
+    * O(E) per round, 2 rounds. */
+  def hitsBipartite(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val ords = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+    val b = li.join(ords, Seq("ok")).select(col("c"), col("p"))
+      .distinct().pin()
+    val auth1 = b.groupBy("p").agg(count(lit(1)).as("a1"))
+    val hub1 = b.join(auth1, Seq("p")).groupBy("c").agg(sum(col("a1")).as("h1"))
+    val auth2 = b.join(hub1, Seq("c")).groupBy("p")
+      .agg(sum(col("h1")).as("a2"), count(lit(1)).as("deg_p"))
+      .pin()
+    val tot = auth2.agg(sum(col("a2")).as("tot"))
+    auth2.crossJoin(broadcast(tot))
+      .orderBy(col("a2").desc, col("p").asc).limit(20)
+      .select(col("p").as("part"), col("deg_p").as("degree"),
+        col("a2").as("authority_walks"),
+        expr("a2 * 1000000 div tot").as("share_ppm"))
+  }
+
+  val hitsBipartiteSql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |auth1 AS (SELECT p, count(*) AS a1 FROM b GROUP BY p),
+      |hub1 AS (
+      |  SELECT c, CAST(sum(a1) AS BIGINT) AS h1
+      |  FROM b JOIN auth1 USING (p) GROUP BY c),
+      |auth2 AS (
+      |  SELECT p, CAST(sum(h1) AS BIGINT) AS a2, count(*) AS deg_p
+      |  FROM b JOIN hub1 USING (c) GROUP BY p),
+      |tot AS (SELECT CAST(sum(a2) AS BIGINT) AS tot FROM auth2)
+      |SELECT p AS part, deg_p AS degree, a2 AS authority_walks,
+      |  a2 * 1000000 // tot AS share_ppm
+      |FROM auth2 CROSS JOIN tot
+      |ORDER BY a2 DESC, p LIMIT 20""".stripMargin
 }
