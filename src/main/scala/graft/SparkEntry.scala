@@ -160,6 +160,7 @@ object SparkEntry {
     "q_frame_census"    -> (Multimodal.frameCensus _),
     "q_media_decode"    -> (Multimodal.decodeCensus _),
     "q_media_resize"    -> (Multimodal.resizeCensus _),
+    "q_media_ahash"     -> (Multimodal.ahashCensus _),
     "q_media_hist"      -> (Multimodal.histogramCensus _),
     "q_frame_checksum"  -> (Multimodal.frameChecksum _),
     "q_silhouette"      -> (Similarity.silhouette _),
@@ -688,6 +689,7 @@ object SparkEntry {
     "q_frame_census"  -> Multimodal.frameCensusSql,
     "q_media_decode"  -> Multimodal.decodeCensusSql,
     "q_media_resize"  -> Multimodal.resizeCensusSql,
+    "q_media_ahash"   -> Multimodal.ahashCensusSql,
     "q_media_hist"    -> Multimodal.histogramCensusSql,
     "q_frame_checksum" -> Multimodal.frameChecksumSql,
     "q_silhouette"    -> Similarity.silhouetteSql,

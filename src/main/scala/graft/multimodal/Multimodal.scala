@@ -266,6 +266,97 @@ object Multimodal {
   val thumbW = 16
   val thumbH = 12
 
+  /** aHash grid dimension (8×8 = 64-bit hash, the classic pHash-family
+    * average hash). */
+  val ahashDim = 8
+
+  /** PERCEPTUAL AVERAGE-HASH (aHash) — the image NEAR-DUP key every
+    * vision-data dedup pass computes first: decode the REAL P6 payload,
+    * nearest-neighbor resample to [[ahashDim]]² (the [[resizeCensus]]
+    * face), per-cell luminance = r+g+b, and bit p = 1 iff
+    * lum(p)·64 > Σlum — brightness-pattern bits invariant to uniform
+    * exposure shifts. Identical images hash equal; near-dups differ in
+    * a few bits (downstream: Hamming-band bucketing, exactly the
+    * [[graft.dedup.Dedup]] SimHash recipe applied to pixels).
+    *
+    * The 64 bits ship as two 32-bit words (a packed 64-bit hash with
+    * bit 63 set would overflow the oracle's BIGINT sum — the signed-
+    * top-bit trap, dodged structurally). Everything is exact integers:
+    * luminances, the ×64 cross-multiplied mean compare, the bit packs.
+    * Oracle: closed form from the generation contract over an 8×8 grid
+    * per image — the [[resizeCensus]] index mapping composed with the
+    * sawtooth byte formula, no decoding. Map-only on the Spark side;
+    * pixel buffers never shuffle. */
+  def ahashCensus(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash_hi", LongType),
+      StructField("ahash_lo", LongType),
+      StructField("bits_set", IntegerType)))
+    val enc = RowEncoder.encoderFor(schema)
+    imageTable(s, d)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Ppm.decode(r.getAs[Array[Byte]](1))
+          val small = Ppm.resizeNearest(img, ahashDim, ahashDim)
+          val n = ahashDim * ahashDim
+          val lums = new Array[Long](n)
+          var total = 0L
+          var p = 0
+          while (p < n) {
+            val base = p * 3
+            val l = (small.pixels(base) & 0xff).toLong +
+              (small.pixels(base + 1) & 0xff) + (small.pixels(base + 2) & 0xff)
+            lums(p) = l; total += l; p += 1
+          }
+          var hi = 0L; var lo = 0L; var c = 0
+          p = 0
+          while (p < n) {
+            if (lums(p) * n > total) {
+              c += 1
+              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+            }
+            p += 1
+          }
+          Row(r.getLong(0), hi, lo, c)
+        }
+      }(enc)
+      .orderBy("media_id")
+  }
+
+  val ahashCensusSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) % 61 + 16 AS BIGINT) AS w,
+       |    CAST(octet_length(encode(text)) % 37 + 12 AS BIGINT) AS h,
+       |    CAST((doc_id * 31) % 256 AS BIGINT) AS a
+       |  FROM documents),
+       |lum AS (
+       |  SELECT media_id, y.r * $ahashDim + x.r AS p,
+       |    ((a + (((y.r * h) // $ahashDim) * w + ((x.r * w) // $ahashDim))
+       |        * 3) % 256)
+       |    + ((a + (((y.r * h) // $ahashDim) * w + ((x.r * w) // $ahashDim))
+       |        * 3 + 1) % 256)
+       |    + ((a + (((y.r * h) // $ahashDim) * w + ((x.r * w) // $ahashDim))
+       |        * 3 + 2) % 256) AS l
+       |  FROM m
+       |  CROSS JOIN range($ahashDim) y(r)
+       |  CROSS JOIN range($ahashDim) x(r)),
+       |tot AS (
+       |  SELECT media_id, p, l,
+       |    sum(l) OVER (PARTITION BY media_id) AS total
+       |  FROM lum)
+       |SELECT media_id,
+       |  CAST(sum(CASE WHEN l * ${ahashDim * ahashDim} > total AND p >= 32
+       |    THEN CAST(1 AS BIGINT) << (p - 32) ELSE 0 END) AS BIGINT)
+       |    AS ahash_hi,
+       |  CAST(sum(CASE WHEN l * ${ahashDim * ahashDim} > total AND p < 32
+       |    THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS ahash_lo,
+       |  CAST(sum(CASE WHEN l * ${ahashDim * ahashDim} > total
+       |    THEN 1 ELSE 0 END) AS INTEGER) AS bits_set
+       |FROM tot GROUP BY media_id ORDER BY media_id""".stripMargin
+
   /** RESIZE CENSUS (driver-graded): decode → REAL nearest-neighbor
     * resample to [[thumbW]]×[[thumbH]] → checksum of the resampled
     * bytes. The oracle replays the nearest-neighbor index mapping
