@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Multimodal-column plumbing (north star, SURVEY.md §7.4): media as
   * opaque `BINARY` columns with typed metadata, batch feature extraction
@@ -356,6 +357,71 @@ object Multimodal {
        |  CAST(sum(CASE WHEN l * ${ahashDim * ahashDim} > total
        |    THEN 1 ELSE 0 END) AS INTEGER) AS bits_set
        |FROM tot GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** Hamming radius for [[ahashNearDup]] confirmation. */
+  val ahashMaxHamming = 8
+
+  /** IMAGE NEAR-DUP PAIRING over [[ahashCensus]] — the
+    * [[graft.dedup.Dedup]] SimHash band recipe applied to pixels: the
+    * 64-bit aHash splits into four 16-bit bands; images sharing ANY
+    * band become candidates (a ≤ [[ahashMaxHamming]]-bit corruption
+    * must leave one band intact when the distance is < 4 bands' worth —
+    * the pigeonhole guarantee); candidates confirm by exact Hamming
+    * distance (two XOR + bit_count's on the hash words). Ships the
+    * distance histogram of confirmed pairs next to the candidate
+    * count — the precision readout that tunes the band width.
+    *
+    * Scale: the only join is the band-bucket equi-join (hash join on
+    * (band, value)); no all-pairs anywhere. Bucket sizes are the
+    * SimHash/MinHash S-curve story ([[graft.dedup.Dedup]]'s planning
+    * table applies unchanged). Everything is exact integers. */
+  def ahashNearDup(s: SparkSession, d: String): DataFrame = {
+    val h = ahashCensus(s, d)
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+    val bands = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(
+        struct(lit(0).as("b"), expr("ahash_lo & 65535").as("v")),
+        struct(lit(1).as("b"), expr("ahash_lo div 65536").as("v")),
+        struct(lit(2).as("b"), expr("ahash_hi & 65535").as("v")),
+        struct(lit(3).as("b"), expr("ahash_hi div 65536").as("v"))))
+        .as("bd"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("bd.b").as("b"), col("bd.v").as("v"))
+    val pairs = bands.as("x").join(bands.as("y"),
+      expr("x.b = y.b AND x.v = y.v AND x.media_id < y.media_id"))
+      .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"),
+        expr("bit_count(x.ahash_hi ^ y.ahash_hi) " +
+          "+ bit_count(x.ahash_lo ^ y.ahash_lo)").as("hamming"))
+      .distinct()
+      .pin()
+    val tot = pairs.agg(count(lit(1)).as("n_candidates"))
+    pairs.filter(col("hamming") <= ahashMaxHamming)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("hamming").cast("int").as("hamming"), col("n_pairs"),
+        col("n_candidates"))
+  }
+
+  val ahashNearDupSql: String =
+    s"""WITH h AS ($ahashCensusSql),
+       |bands AS (
+       |  SELECT media_id, ahash_hi, ahash_lo, t.b,
+       |    CASE t.b WHEN 0 THEN ahash_lo & 65535
+       |      WHEN 1 THEN ahash_lo // 65536
+       |      WHEN 2 THEN ahash_hi & 65535
+       |      ELSE ahash_hi // 65536 END AS v
+       |  FROM h CROSS JOIN range(4) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb,
+       |    bit_count(xor(x.ahash_hi, y.ahash_hi))
+       |      + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.v = y.v AND x.media_id < y.media_id),
+       |tot AS (SELECT count(*) AS n_candidates FROM pairs)
+       |SELECT CAST(hamming AS INTEGER) AS hamming,
+       |  count(*) AS n_pairs, (SELECT n_candidates FROM tot) AS n_candidates
+       |FROM pairs WHERE hamming <= $ahashMaxHamming
+       |GROUP BY hamming""".stripMargin
 
   /** RESIZE CENSUS (driver-graded): decode → REAL nearest-neighbor
     * resample to [[thumbW]]×[[thumbH]] → checksum of the resampled
