@@ -162,6 +162,7 @@ object SparkEntry {
     "q_media_resize"    -> (Multimodal.resizeCensus _),
     "q_media_ahash"     -> (Multimodal.ahashCensus _),
     "q_media_neardup"   -> (Multimodal.ahashNearDup _),
+    "q_media_funnel"    -> (Multimodal.mediaCurationFunnel _),
     "q_media_hist"      -> (Multimodal.histogramCensus _),
     "q_frame_checksum"  -> (Multimodal.frameChecksum _),
     "q_silhouette"      -> (Similarity.silhouette _),
@@ -692,6 +693,7 @@ object SparkEntry {
     "q_media_resize"  -> Multimodal.resizeCensusSql,
     "q_media_ahash"   -> Multimodal.ahashCensusSql,
     "q_media_neardup" -> Multimodal.ahashNearDupSql,
+    "q_media_funnel"  -> Multimodal.mediaCurationFunnelSql,
     "q_media_hist"    -> Multimodal.histogramCensusSql,
     "q_frame_checksum" -> Multimodal.frameChecksumSql,
     "q_silhouette"    -> Similarity.silhouetteSql,

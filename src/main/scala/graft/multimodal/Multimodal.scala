@@ -375,7 +375,9 @@ object Multimodal {
     * (band, value)); no all-pairs anywhere. Bucket sizes are the
     * SimHash/MinHash S-curve story ([[graft.dedup.Dedup]]'s planning
     * table applies unchanged). Everything is exact integers. */
-  def ahashNearDup(s: SparkSession, d: String): DataFrame = {
+  /** The shared band-bucketed candidate-pair frame (ma < mb, exact
+    * Hamming) behind [[ahashNearDup]] and [[mediaCurationFunnel]]. */
+  private def ahashPairs(s: SparkSession, d: String): DataFrame = {
     val h = ahashCensus(s, d)
       .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
     val bands = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
@@ -387,13 +389,32 @@ object Multimodal {
         .as("bd"))
       .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
         col("bd.b").as("b"), col("bd.v").as("v"))
-    val pairs = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
       expr("x.b = y.b AND x.v = y.v AND x.media_id < y.media_id"))
       .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"),
         expr("bit_count(x.ahash_hi ^ y.ahash_hi) " +
           "+ bit_count(x.ahash_lo ^ y.ahash_lo)").as("hamming"))
       .distinct()
       .pin()
+  }
+
+  private val ahashPairsSqlBody: String =
+    s"""bands AS (
+       |  SELECT media_id, ahash_hi, ahash_lo, t.b,
+       |    CASE t.b WHEN 0 THEN ahash_lo & 65535
+       |      WHEN 1 THEN ahash_lo // 65536
+       |      WHEN 2 THEN ahash_hi & 65535
+       |      ELSE ahash_hi // 65536 END AS v
+       |  FROM ah CROSS JOIN range(4) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb,
+       |    bit_count(xor(x.ahash_hi, y.ahash_hi))
+       |      + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.v = y.v AND x.media_id < y.media_id)""".stripMargin
+
+  def ahashNearDup(s: SparkSession, d: String): DataFrame = {
+    val pairs = ahashPairs(s, d)
     val tot = pairs.agg(count(lit(1)).as("n_candidates"))
     pairs.filter(col("hamming") <= ahashMaxHamming)
       .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
@@ -403,25 +424,76 @@ object Multimodal {
   }
 
   val ahashNearDupSql: String =
-    s"""WITH h AS ($ahashCensusSql),
-       |bands AS (
-       |  SELECT media_id, ahash_hi, ahash_lo, t.b,
-       |    CASE t.b WHEN 0 THEN ahash_lo & 65535
-       |      WHEN 1 THEN ahash_lo // 65536
-       |      WHEN 2 THEN ahash_hi & 65535
-       |      ELSE ahash_hi // 65536 END AS v
-       |  FROM h CROSS JOIN range(4) t(b)),
-       |pairs AS (
-       |  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb,
-       |    bit_count(xor(x.ahash_hi, y.ahash_hi))
-       |      + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS hamming
-       |  FROM bands x JOIN bands y
-       |    ON x.b = y.b AND x.v = y.v AND x.media_id < y.media_id),
+    s"""WITH ah AS ($ahashCensusSql),
+       |$ahashPairsSqlBody,
        |tot AS (SELECT count(*) AS n_candidates FROM pairs)
        |SELECT CAST(hamming AS INTEGER) AS hamming,
        |  count(*) AS n_pairs, (SELECT n_candidates FROM tot) AS n_candidates
        |FROM pairs WHERE hamming <= $ahashMaxHamming
        |GROUP BY hamming""".stripMargin
+
+  /** Near-dup prune radius and exposure-spread cap for
+    * [[mediaCurationFunnel]] (named so the oracle interpolates the SAME
+    * constants). */
+  val funnelDupHamming = 2
+  val funnelMaxSpread = 32L
+
+  /** IMAGE CURATION FUNNEL — the multimodal capstone composing the
+    * whole vision-side toolchain the way q_curation_funnel composes the
+    * text side: decode census → EXPOSURE screen (luminance-band spread
+    * ≤ [[funnelMaxSpread]] pixels — flat histograms pass, skewed ones
+    * drop) → NEAR-DUP prune (an exposure-ok image drops when a
+    * smaller-id exposure-ok partner sits within Hamming
+    * [[funnelDupHamming]] of its aHash — the deterministic keep-first
+    * pair rule). Ships the attrition table: images decoded → exposure
+    * ok → surviving dedup, all exact integer counts, every stage an
+    * operator this module grades independently. */
+  def mediaCurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val hist = histogramCensus(s, d)
+    val okIds = hist.filter(
+      greatest(col("h0"), col("h1"), col("h2"), col("h3")) -
+        least(col("h0"), col("h1"), col("h2"), col("h3")) <=
+        lit(funnelMaxSpread))
+      .select(col("media_id")).pin()
+    val drops = ahashPairs(s, d)
+      .filter(col("hamming") <= funnelDupHamming)
+      .join(okIds.withColumnRenamed("media_id", "ma"), Seq("ma"))
+      .join(okIds.withColumnRenamed("media_id", "mb"), Seq("mb"))
+      .select(col("mb").as("media_id")).distinct()
+    val survivors = okIds.join(drops, Seq("media_id"), "left_anti")
+    hist.agg(count(lit(1)).as("n_images"))
+      .select(lit(1).as("stage_id"), lit("decoded").as("stage"),
+        col("n_images"))
+      .unionAll(okIds.agg(count(lit(1)).as("n_images"))
+        .select(lit(2).as("stage_id"), lit("exposure_ok").as("stage"),
+          col("n_images")))
+      .unionAll(survivors.agg(count(lit(1)).as("n_images"))
+        .select(lit(3).as("stage_id"), lit("near_dup_pruned").as("stage"),
+          col("n_images")))
+  }
+
+  val mediaCurationFunnelSql: String =
+    s"""WITH hist AS ($histogramCensusSql),
+       |ok AS (
+       |  SELECT media_id FROM hist
+       |  WHERE greatest(h0, h1, h2, h3) - least(h0, h1, h2, h3)
+       |    <= $funnelMaxSpread),
+       |ah AS ($ahashCensusSql),
+       |$ahashPairsSqlBody,
+       |drops AS (
+       |  SELECT DISTINCT p.mb AS media_id
+       |  FROM pairs p
+       |  JOIN ok a ON a.media_id = p.ma
+       |  JOIN ok b ON b.media_id = p.mb
+       |  WHERE p.hamming <= $funnelDupHamming),
+       |surv AS (
+       |  SELECT o.media_id FROM ok o
+       |  LEFT JOIN drops dr ON dr.media_id = o.media_id
+       |  WHERE dr.media_id IS NULL)
+       |SELECT 1 AS stage_id, 'decoded' AS stage, count(*) AS n_images
+       |FROM hist
+       |UNION ALL SELECT 2, 'exposure_ok', count(*) FROM ok
+       |UNION ALL SELECT 3, 'near_dup_pruned', count(*) FROM surv""".stripMargin
 
   /** RESIZE CENSUS (driver-graded): decode → REAL nearest-neighbor
     * resample to [[thumbW]]×[[thumbH]] → checksum of the resampled
