@@ -1422,17 +1422,21 @@ object Behavior {
       max(when(col("variant") === 1, col("sx"))).as("sx1"),
       max(when(col("variant") === 1, col("sq"))).as("sq1"))
     def m(sx: Column, n: Column) = sx.cast("double") / n.cast("double")
+    // divisions TOTAL (ANSI raises on double/0 in Spark 4) — the n = 1
+    // branch is unread because z is gated on both arms having n >= 2
     def varm(sq: Column, sx: Column, n: Column) =
       (sq.cast("double") - sx.cast("double") * sx.cast("double") /
-        n.cast("double")) / (n.cast("double") - 1.0) / n.cast("double")
-    val z = (m(col("sx1"), col("n1")) - m(col("sx0"), col("n0"))) /
+        n.cast("double")) /
+        greatest(n.cast("double") - 1.0, lit(1.0)) / n.cast("double")
+    val zRaw = (m(col("sx1"), col("n1")) - m(col("sx0"), col("n0"))) /
       sqrt(varm(col("sq1"), col("sx1"), col("n1")) +
         varm(col("sq0"), col("sx0"), col("n0")))
+    val z = when(col("n0") >= 2 && col("n1") >= 2, zRaw)
     wide.select(col("exp_id"), col("n0"), col("n1"),
       round(m(col("sx0"), col("n0")), 6).as("mean0_cents"),
       round(m(col("sx1"), col("n1")), 6).as("mean1_cents"),
       round(z, 6).as("z_stat"),
-      (abs(z) > 1.959963984540054).as("false_positive"))
+      coalesce(abs(z) > 1.959963984540054, lit(false)).as("false_positive"))
   }
 
   val aaCalibrationSql: String =
@@ -1460,19 +1464,21 @@ object Behavior {
       |  SELECT exp_id, n0, n1,
       |    CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
       |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |    CASE WHEN n0 >= 2 AND n1 >= 2 THEN
       |    (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
       |      - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
       |    sqrt((CAST(sq1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
       |        * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-      |        / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+      |        / greatest(CAST(n1 AS DOUBLE) - 1.0, 1.0) / CAST(n1 AS DOUBLE)
       |      + (CAST(sq0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
       |        * CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-      |        / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE)) AS z
+      |        / greatest(CAST(n0 AS DOUBLE) - 1.0, 1.0) / CAST(n0 AS DOUBLE))
+      |    END AS z
       |  FROM wide)
       |SELECT exp_id, n0, n1,
       |  round(m0, 6) AS mean0_cents, round(m1, 6) AS mean1_cents,
       |  round(z, 6) AS z_stat,
-      |  abs(z) > 1.959963984540054 AS false_positive
+      |  coalesce(abs(z) > 1.959963984540054, false) AS false_positive
       |FROM zed""".stripMargin
 
   /** 1-D WASSERSTEIN (EARTH-MOVER) DISTANCE between the two variants'

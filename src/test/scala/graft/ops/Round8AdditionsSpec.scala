@@ -101,6 +101,93 @@ class Round8AdditionsSpec extends GraftTestBase {
     r.getAs[Double]("design_effect") should be > 0.0
   }
 
+  behavior of "wassersteinDistance vs cramerDistance"
+
+  it should "bound W1 by the value range and keep Cramer below W1's scale" in {
+    val w = Behavior.wassersteinDistance(spark, sf).head()
+    w.getAs[Long]("w1_scaled") should be >= 0L
+    // W1 between distributions on [min, max] cents is at most the range
+    val c = Behavior.cramerDistance(spark, sf).head()
+    c.getAs[Double]("cramer_cents") should be >= 0.0
+    // energy = 2 * cramer by construction
+    c.getAs[Double]("energy_cents") shouldBe
+      (2.0 * c.getAs[Double]("cramer_cents") +- 1e-5)
+    // |F_A - F_B| <= 1 everywhere, so the Cramer integral (of the
+    // SQUARED gap) never exceeds the W1 integral (of the plain gap)
+    c.getAs[Double]("cramer_cents") should be <=
+      w.getAs[Double]("w1_cents") + 1e-6
+  }
+
+  behavior of "permutationTest"
+
+  it should "produce a valid add-one p-value consistent with its count" in {
+    val r = Behavior.permutationTest(spark, sf).head()
+    val k = r.getAs[Long]("k_perms")
+    k shouldBe Behavior.permK.toLong
+    val nGe = r.getAs[Long]("n_ge")
+    nGe should be >= 0L
+    nGe should be <= k
+    r.getAs[Double]("p_value") shouldBe
+      ((1.0 + nGe) / (k + 1.0) +- 1e-6)
+  }
+
+  behavior of "aaCalibration"
+
+  it should "run 8 null experiments with a plausible false-positive count" in {
+    val rows = Behavior.aaCalibration(spark, sf).collect()
+    rows should have length 8
+    // expectation is 5% of 8 = 0.4; allow up to half firing before
+    // calling the assignment broken
+    rows.count(_.getAs[Boolean]("false_positive")) should be <= 4
+  }
+
+  behavior of "priceIndices"
+
+  it should "keep Fisher between Laspeyres and Paasche in every month" in {
+    val rows = Analytics.priceIndices(spark, sf).collect()
+    rows.length should be > 12
+    rows.foreach { r =>
+      val l = r.getAs[Double]("laspeyres")
+      val p = r.getAs[Double]("paasche")
+      val f = r.getAs[Double]("fisher")
+      f should be >= math.min(l, p) - 1e-6
+      f should be <= math.max(l, p) + 1e-6
+    }
+  }
+
+  behavior of "hitsBipartite"
+
+  it should "rank authorities with consistent shares and degrees" in {
+    val rows = graft.ops.Graph.hitsBipartite(spark, sf).collect()
+    rows should have length 20
+    val walks = rows.map(_.getAs[Long]("authority_walks"))
+    walks.toSeq shouldBe walks.sorted.reverse.toSeq
+    rows.foreach { r =>
+      r.getAs[Long]("degree") should be > 0L
+      r.getAs[Long]("share_ppm") should be <= 1000000L
+    }
+  }
+
+  behavior of "ahash suite"
+
+  it should "bound hash bits and keep the funnel monotone" in {
+    val h = graft.multimodal.Multimodal.ahashCensus(spark, sf).collect()
+    h.foreach { r =>
+      val bits = r.getAs[Int]("bits_set")
+      bits should be >= 0
+      bits should be <= 64
+      java.lang.Long.bitCount(r.getAs[Long]("ahash_hi")) +
+        java.lang.Long.bitCount(r.getAs[Long]("ahash_lo")) shouldBe bits
+      r.getAs[Long]("ahash_hi") should be < 4294967296L
+      r.getAs[Long]("ahash_lo") should be < 4294967296L
+    }
+    val f = graft.multimodal.Multimodal.mediaCurationFunnel(spark, sf)
+      .collect().sortBy(_.getAs[Int]("stage_id")).map(_.getAs[Long]("n_images"))
+    f(0) should be >= f(1)
+    f(1) should be >= f(2)
+    f(2) should be > 0L
+  }
+
   behavior of "bitextMining"
 
   it should "bound margins by mutuality arithmetic and accept only mutual pairs" in {
