@@ -115,6 +115,7 @@ object SparkEntry {
     "q_eigencentrality" -> (graft.ops.Graph.eigenCentrality _),
     "q_hits"            -> (graft.ops.Graph.hitsBipartite _),
     "q_price_index"     -> (graft.ops.Analytics.priceIndices _),
+    "q_scale_diag"      -> (graft.ops.Analytics.scaleDiagnostics _),
     "q_semdedup"        -> (graft.dedup.Dedup.semDedup _),
     "q_ngram_novelty"   -> (graft.text.TextAnalysis.ngramNovelty _),
     "q_perm_entropy"    -> (graft.ops.TimeSeries.permutationEntropy _),
@@ -649,6 +650,7 @@ object SparkEntry {
     "q_eigencentrality" -> graft.ops.Graph.eigenCentralitySql,
     "q_hits"          -> graft.ops.Graph.hitsBipartiteSql,
     "q_price_index"   -> graft.ops.Analytics.priceIndicesSql,
+    "q_scale_diag"    -> graft.ops.Analytics.scaleDiagnosticsSql,
     "q_semdedup"      -> graft.dedup.Dedup.semDedupSql,
     "q_ngram_novelty" -> graft.text.TextAnalysis.ngramNoveltySql,
     "q_perm_entropy"  -> graft.ops.TimeSeries.permutationEntropySql,

@@ -3345,6 +3345,166 @@ object Analytics {
         round(col("covered").cast("double") / col("n_test"), 6).as("coverage"))
   }
 
+  /** PARTIAL CORRELATION, CRONBACH'S α, AND INTRACLASS CORRELATION —
+    * three named statistics that all fall out of the same exact decimal
+    * power sums the [[corrMatrixLineitem]] discipline already
+    * established, each answering a question the raw matrix cannot:
+    *  - partial r(qty, price | discount): does the qty–price link
+    *    survive controlling for discount? (confounder screening)
+    *  - Cronbach's α over the four lineitem measures: do they move as
+    *    one "scale"? (the reliability readout feature-bundling wants)
+    *  - ICC(1) of order value within customers: how much of price
+    *    variance is BETWEEN customers? — the clustering-strength
+    *    companion to [[jackknifeClusterSe]]'s design effect
+    *    (deff ≈ 1 + (m̄−1)·ICC).
+    *
+    * All three are pure pinned double arithmetic over exact
+    * DECIMAL/long sums — identical on both engines, no rounding
+    * tolerance beyond the final 6dp render. One row out. */
+  def scaleDiagnostics(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        sum(dec(col(c))).as(s"s_$c"),
+        sum((dec(col(c)) * dec(col(c))).cast(DecimalType(38, 6)))
+          .as(s"ss_$c"))) ++
+        cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          sum((dec(col(a)) * dec(col(b))).cast(DecimalType(38, 6)))
+            .as(s"sp_${a}_$b")
+        }: _*)
+    def nd = col("n").cast("double")
+    def cov(a: String, b: String): Column = {
+      val sp = if (cols.indexOf(a) < cols.indexOf(b)) s"sp_${a}_$b"
+        else s"sp_${b}_$a"
+      col(sp).cast("double") * nd -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+    }
+    def vr(a: String): Column =
+      col(s"ss_$a").cast("double") * nd -
+        col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+    def r(a: String, b: String): Column = cov(a, b) / sqrt(vr(a) * vr(b))
+    val rqp = r("l_quantity", "l_extendedprice")
+    val rqd = r("l_quantity", "l_discount")
+    val rpd = r("l_extendedprice", "l_discount")
+    val partial = (rqp - rqd * rpd) /
+      sqrt((lit(1.0) - rqd * rqd) * (lit(1.0) - rpd * rpd))
+    // Cronbach: item variances and total-score variance from the same
+    // sums (var_total = Σvar_i + 2Σcov_ij), all over the common n²
+    // denominator, which cancels in the ratio
+    val sumVar = cols.map(vr).reduce(_ + _)
+    val sumCov = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      cov(a, b) }.reduce(_ + _)
+    val alpha = lit(cols.length.toDouble / (cols.length - 1)) *
+      (lit(1.0) - sumVar / (sumVar + lit(2.0) * sumCov))
+    val base = sums.crossJoin(broadcast(iccSums(s, d)))
+    base.select(col("n").as("n_rows"),
+      round(rqp, 6).as("r_qty_price"),
+      round(partial, 6).as("r_qty_price_given_discount"),
+      round(alpha, 6).as("cronbach_alpha"),
+      col("g_customers"), round(col("icc1"), 6).as("icc1"))
+  }
+
+  /** Pairwise-product ICC of order totalprice within customers — the
+    * correlation-form estimator
+    * ICC = Σ_g Σ_{i≠j∈g}(yᵢ−μ)(yⱼ−μ) / (P·σ²), which unlike the ANOVA
+    * MSB/MSW form needs NO per-group division: multiplying through by
+    * N² leaves numerator N²A − 2NSB + S²C − N²Q + NS² and denominator
+    * (C−N)(NQ − S²) over the exact aggregates A=Σsv², B=Σm·sv, C=Σm²
+    * (per-group) and N, S=Σy, Q=Σy² (global) — EXACT DECIMAL(38)
+    * integers end to end (~10³² here; HUGEINT on the oracle side),
+    * with one double division at the end. */
+  private def iccSums(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val per = Tables.orders(s, d)
+      .select(col("o_custkey").as("c"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("v"))
+      .groupBy("c").agg(count(lit(1)).as("m"), sum(col("v")).as("sv"),
+        sum((col("v").cast(d38) * col("v")).cast(d38)).as("qv"))
+    per.agg(count(lit(1)).as("g"), sum(col("m")).as("nn"),
+      sum(col("sv")).as("st"), sum(col("qv")).cast(d38).as("qt"),
+      sum((col("sv").cast(d38) * col("sv")).cast(d38)).cast(d38).as("aa"),
+      sum(col("m") * col("sv")).as("bb"),
+      sum(col("m") * col("m")).as("cc"))
+      .select(col("g").as("g_customers"), {
+        val nD = col("nn").cast(d38)
+        val sD = col("st").cast(d38)
+        val num = (nD * nD * col("aa") -
+          lit(2).cast(d38) * nD * sD * col("bb") +
+          sD * sD * col("cc") -
+          nD * nD * col("qt") + nD * sD * sD).cast(d38)
+        val den = ((col("cc").cast(d38) - nD) *
+          (nD * col("qt") - sD * sD)).cast(d38)
+        (num.cast("double") / den.cast("double")).as("icc1")
+      })
+  }
+
+  val scaleDiagnosticsSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def s0(c: String) = s"CAST(s_$c AS DOUBLE)"
+    def cov(a: String, b: String): String = {
+      val sp = if (cols.indexOf(a) < cols.indexOf(b)) s"sp_${a}_$b"
+        else s"sp_${b}_$a"
+      s"(CAST($sp AS DOUBLE) * nd - ${s0(a)} * ${s0(b)})"
+    }
+    def vr(a: String) = s"(CAST(ss_$a AS DOUBLE) * nd - ${s0(a)} * ${s0(a)})"
+    def r(a: String, b: String) =
+      s"(${cov(a, b)} / sqrt(${vr(a)} * ${vr(b)}))"
+    val rqp = r("l_quantity", "l_extendedprice")
+    val rqd = r("l_quantity", "l_discount")
+    val rpd = r("l_extendedprice", "l_discount")
+    val sumVar = cols.map(vr).mkString(" + ")
+    val sumCov = cols.combinations(2).toSeq
+      .map { case Seq(a, b) => cov(a, b) }.mkString(" + ")
+    val sumSel = (cols.flatMap(c => Seq(
+      s"sum(CAST($c AS DECIMAL(18,2))) AS s_$c",
+      s"sum(CAST(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))" +
+        s" AS DECIMAL(38,6))) AS ss_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        s"sum(CAST(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))" +
+          s" AS DECIMAL(38,6))) AS sp_${a}_$b"
+      }).mkString(",\n      |    ")
+    s"""WITH sums AS (
+       |  SELECT count(*) AS n,
+       |    $sumSel
+       |  FROM lineitem),
+       |nd_t AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM sums),
+       |per AS (
+       |  SELECT o_custkey AS c, count(*) AS m,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS sv,
+       |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT) AS HUGEINT)
+       |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS qv
+       |  FROM orders GROUP BY o_custkey),
+       |icc_raw AS (
+       |  SELECT count(*) AS g, CAST(sum(m) AS HUGEINT) AS nn,
+       |    CAST(sum(sv) AS HUGEINT) AS st,
+       |    CAST(sum(qv) AS HUGEINT) AS qt,
+       |    CAST(sum(CAST(sv AS HUGEINT) * sv) AS HUGEINT) AS aa,
+       |    CAST(sum(CAST(m AS HUGEINT) * sv) AS HUGEINT) AS bb,
+       |    CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS cc
+       |  FROM per),
+       |icc AS (
+       |  SELECT g AS g_customers,
+       |    CAST(nn * nn * aa - 2 * nn * st * bb + st * st * cc
+       |      - nn * nn * qt + nn * st * st AS DOUBLE)
+       |    / CAST((cc - nn) * (nn * qt - st * st) AS DOUBLE) AS icc1
+       |  FROM icc_raw)
+       |SELECT n AS n_rows,
+       |  round($rqp, 6) AS r_qty_price,
+       |  round(($rqp - $rqd * $rpd)
+       |    / sqrt((1.0 - $rqd * $rqd) * (1.0 - $rpd * $rpd)), 6)
+       |    AS r_qty_price_given_discount,
+       |  round(${cols.length}.0 / ${cols.length - 1}
+       |    * (1.0 - ($sumVar) / (($sumVar) + 2.0 * ($sumCov))), 6)
+       |    AS cronbach_alpha,
+       |  g_customers, round(icc1, 6) AS icc1
+       |FROM nd_t CROSS JOIN icc""".stripMargin
+  }
+
   /** PRICE INDEX NUMBERS — Laspeyres, Paasche, and Fisher monthly
     * indices of the part catalog against the first shipping month: the
     * economic-index operator behind every "inflation-adjusted revenue"
