@@ -315,6 +315,7 @@ object SparkEntry {
     "q_mixture"         -> (graft.text.Curation.mixturePlan _),
     "q_quality_filter"  -> (TextAnalysis.qualityFilter _),
     "q_rater_agreement" -> (TextAnalysis.classifierAgreement _),
+    "q_lm_auc"          -> (TextAnalysis.lmAuc _),
     "q_lm_score"        -> (TextAnalysis.lmScore _),
     "q_lm_calibration"  -> (TextAnalysis.lmCalibration _),
     "q_lm_bigram"       -> (TextAnalysis.bigramLmScore _),
@@ -864,6 +865,7 @@ object SparkEntry {
     "q_mixture"       -> graft.text.Curation.mixturePlanSql,
     "q_quality_filter" -> TextAnalysis.qualityFilterSql,
     "q_rater_agreement" -> TextAnalysis.classifierAgreementSql,
+    "q_lm_auc"        -> TextAnalysis.lmAucSql,
     "q_lm_score"       -> TextAnalysis.lmScoreSql,
     "q_lm_calibration" -> TextAnalysis.lmCalibrationSql,
     "q_lm_bigram"      -> TextAnalysis.bigramLmScoreSql,

@@ -837,6 +837,78 @@ object TextAnalysis {
        |  chi2 > 3.841458820694124 AS classifiers_differ_95
        |FROM fin""".stripMargin
 
+  /** ROC AUC of the LM score as a predictor of the heuristic drop
+    * decision — the one classifier metric the evaluation family still
+    * lacked (q_classifier_metrics grades hard labels, q_brier
+    * probabilities, q_lm_calibration reliability; AUC grades the
+    * RANKING). Via the Mann–Whitney identity AUC = U/(n₊n₋) with
+    * midrank tie handling, over the score DOMAIN (each distinct
+    * 4-dp-rounded cross-entropy, ×10⁴ an exact long), so the whole
+    * computation is the [[graft.ops.Behavior]] midrank machinery:
+    * exact integer rank sums off one
+    * [[graft.ops.Distributed.withRunningTotal]] pass, AUC and Gini one
+    * pinned division each. Positive class = dropped docs (higher
+    * cross-entropy should predict dropping); AUC ≈ 0.5 means the LM
+    * score carries no signal about the heuristic's decision — the
+    * ranking-level twin of q_rater_agreement's κ ≈ 0 finding. */
+  def lmAuc(s: SparkSession, d: String): DataFrame = {
+    val obs = lmScore(s, d)
+      .select(col("doc_id"),
+        round(col("cross_entropy") * 10000, 0).cast("long").as("v"))
+      .join(qualityFilter(s, d).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+    val byValue = obs.groupBy("v").agg(count(lit(1)).as("t"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("t1"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byValue, Seq.empty, Seq("v"), "t", "cumt")
+    cum.agg(
+      sum(col("t")).as("n"), sum(col("t1")).as("n1"),
+      sum(col("t1") * (lit(2L) * (col("cumt") - col("t")) + col("t") + lit(1L)))
+        .as("r1_x2"))
+      .select((col("n") - col("n1")).as("n_keep"), col("n1").as("n_drop"),
+        (col("r1_x2") - col("n1") * (col("n1") + lit(1L))).as("u1_x2"),
+        col("n"))
+      .select(col("n_keep"), col("n_drop"),
+        round(col("u1_x2").cast("double") /
+          (lit(2.0) * col("n_keep").cast("double") *
+            col("n_drop").cast("double")), 6).as("auc"),
+        round(col("u1_x2").cast("double") /
+          (col("n_keep").cast("double") * col("n_drop").cast("double")) -
+          lit(1.0), 6).as("gini"))
+  }
+
+  lazy val lmAucSql: String =
+    s"""WITH lm AS ($lmScoreSql),
+       |qf AS ($qualityFilterSql),
+       |obs AS (
+       |  SELECT CAST(round(lm.cross_entropy * 10000, 0) AS BIGINT) AS v,
+       |    qf.keep
+       |  FROM lm JOIN qf ON qf.doc_id = lm.doc_id),
+       |by_value AS (
+       |  SELECT v, count(*) AS t,
+       |    sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS t1
+       |  FROM obs GROUP BY v),
+       |cum AS (
+       |  SELECT t, t1, sum(t) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+       |  FROM by_value),
+       |wide AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+       |    CAST(sum(t1 * (2 * (cumt - t) + t + 1)) AS BIGINT) AS r1_x2
+       |  FROM cum),
+       |stat AS (
+       |  SELECT n - n1 AS n_keep, n1 AS n_drop,
+       |    r1_x2 - n1 * (n1 + 1) AS u1_x2
+       |  FROM wide)
+       |SELECT n_keep, n_drop,
+       |  round(CAST(u1_x2 AS DOUBLE)
+       |    / (2.0 * CAST(n_keep AS DOUBLE) * CAST(n_drop AS DOUBLE)), 6)
+       |    AS auc,
+       |  round(CAST(u1_x2 AS DOUBLE)
+       |    / (CAST(n_keep AS DOUBLE) * CAST(n_drop AS DOUBLE)) - 1.0, 6)
+       |    AS gini
+       |FROM stat""".stripMargin
+
   val qualityFilterSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM (
