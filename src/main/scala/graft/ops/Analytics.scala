@@ -160,13 +160,19 @@ object Analytics {
         sum(q * p).as("sqp"))
       .select(
         col("l_returnflag"), col("n"),
-        ((col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double") / col("n"))
-          / (col("n") - 1)).as("var_qty"),
-        sqrt((col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))
-          / (col("n") - 1)).as("std_price"),
-        ((col("sqp").cast("double") - col("sq").cast("double") * col("sp").cast("double") / col("n"))
+        round((col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double") / col("n"))
+          / (col("n") - 1), 8).as("var_qty"),
+        round(sqrt((col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))
+          / (col("n") - 1)), 8).as("std_price"),
+        // corr pins to 12 dp: the inputs are the SAME exact decimals,
+        // but DuckDB's decimal->double conversion (int128 value times
+        // 1e-scale, two float ops) can land 1 ulp off Spark's
+        // correctly-rounded BigDecimal conversion, and at tiny scales
+        // that ulp survives into the 17-digit rendering (seen once at
+        // sf0.001; 12 dp is far beyond any analytical use of r)
+        round((col("sqp").cast("double") - col("sq").cast("double") * col("sp").cast("double") / col("n"))
           / sqrt((col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double") / col("n"))
-            * (col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))))
+            * (col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))), 12)
           .as("corr_qty_price"))
   }
 
@@ -180,13 +186,13 @@ object Analytics {
       |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)
+      |  round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1), 8)
       |    AS var_qty,
-      |  sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1))
+      |  round(sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1)), 8)
       |    AS std_price,
-      |  (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+      |  round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)
       |    / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
-      |         * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n))
+      |         * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n)), 12)
       |    AS corr_qty_price
       |FROM s""".stripMargin
 
