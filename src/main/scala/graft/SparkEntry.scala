@@ -365,6 +365,7 @@ object SparkEntry {
     "q_wasserstein"     -> (graft.ops.Behavior.wassersteinDistance _),
     "q_aa_calib"        -> (graft.ops.Behavior.aaCalibration _),
     "q_perm_test"       -> (graft.ops.Behavior.permutationTest _),
+    "q_sprt"            -> (graft.ops.Behavior.sprtMonitor _),
     "q_cramer"          -> (graft.ops.Behavior.cramerDistance _),
     "q_qte"             -> (graft.ops.Behavior.quantileTreatmentEffects _),
     "q_wilcoxon"        -> (graft.ops.Behavior.wilcoxonSignedRank _),
@@ -912,6 +913,7 @@ object SparkEntry {
     "q_wasserstein"   -> graft.ops.Behavior.wassersteinDistanceSql,
     "q_aa_calib"      -> graft.ops.Behavior.aaCalibrationSql,
     "q_perm_test"     -> graft.ops.Behavior.permutationTestSql,
+    "q_sprt"          -> graft.ops.Behavior.sprtMonitorSql,
     "q_cramer"        -> graft.ops.Behavior.cramerDistanceSql,
     "q_qte"           -> graft.ops.Behavior.quantileTreatmentEffectsSql,
     "q_wilcoxon"      -> graft.ops.Behavior.wilcoxonSignedRankSql,

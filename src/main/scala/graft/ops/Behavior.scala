@@ -1196,6 +1196,99 @@ object Behavior {
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
 
+  /** WALD'S SPRT — the continuous-monitoring member completing the
+    * experimentation family (fixed-horizon z → group-sequential OBF →
+    * permutation → A/A → this): the Sequential Probability Ratio Test
+    * of H₀: p = 0.4 vs H₁: p = 0.5 on the high-value-conversion rate,
+    * replayed over users in arrival (id) order. The log-likelihood
+    * ratio after n users with k conversions is the LINEAR walk
+    * LLR = k·ln(p₁/p₀) + (n−k)·ln(q₁/q₀); the test stops the first
+    * time it exits (ln(β/(1−α)), ln((1−β)/α)) — Wald's boundaries, here
+    * α = β = 0.05 → ±ln 19.
+    *
+    * Determinism: the four transcendental constants are PINNED double
+    * literals (computed offline — no ln runs in either engine), so
+    * every LLR is k·c₁ + (n−k)·c₀ on exact integers — bit-identical;
+    * the boundary crossings are compares of identical doubles. (k, n)
+    * ride ONE range-partitioned prefix pass with the
+    * [[wassersteinDistance]] 2³²-packing. Scale: O(users) prefix, the
+    * decision is two conditional min-structs. */
+  def sprtMonitor(s: SparkSession, d: String): DataFrame = {
+    val c1 = 0.22314355131420976 // ln(0.5/0.4)
+    val c0 = -0.1823215567939546 // ln(0.5/0.6)
+    val up = 2.9444389791664403 // ln((1-beta)/alpha) = ln 19
+    val dn = -2.9444389791664403 // ln(beta/(1-alpha))
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        (dec(col("value")) * 100).cast("long") >= 15000L, 1L)
+        .otherwise(0L)).as("x"))
+      .select(col("user_id").as("u"),
+        (col("x") * lit(4294967296L) + lit(1L)).as("w"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      perUser, Seq.empty, Seq("u"), "w", "cumw", Some("totw"))
+      .select(
+        expr("cumw div 4294967296L").as("k"),
+        expr("cumw % 4294967296L").as("n"),
+        expr("totw div 4294967296L").as("k_all"),
+        expr("totw % 4294967296L").as("n_all"))
+    val llr = col("k").cast("double") * c1 +
+      (col("n") - col("k")).cast("double") * c0
+    cum.agg(
+      max(col("n_all")).as("n_users"), max(col("k_all")).as("k_total"),
+      min(when(llr >= up, struct(col("n"), col("k")))).as("hit1"),
+      min(when(llr <= dn, struct(col("n"), col("k")))).as("hit0"))
+      .select(col("n_users"), col("k_total"),
+        when(col("hit1").isNotNull &&
+          (col("hit0").isNull || col("hit1.n") < col("hit0.n")), "accept_h1")
+          .when(col("hit0").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"),
+        coalesce(least(col("hit1.n"), col("hit0.n")),
+          col("hit1.n"), col("hit0.n")).as("n_at_decision"),
+        coalesce(when(col("hit1").isNotNull &&
+          (col("hit0").isNull || col("hit1.n") < col("hit0.n")),
+          col("hit1.k")).otherwise(col("hit0.k"))).as("k_at_decision"))
+  }
+
+  val sprtMonitorSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id AS u,
+      |    max(CASE WHEN event_type = 'purchase'
+      |        AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 15000
+      |      THEN 1 ELSE 0 END) AS x
+      |  FROM events GROUP BY user_id),
+      |cum AS (
+      |  SELECT
+      |    CAST(sum(x) OVER w AS BIGINT) AS k,
+      |    CAST(row_number() OVER (ORDER BY u) AS BIGINT) AS n
+      |  FROM per_user
+      |  WINDOW w AS (ORDER BY u ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT n, k,
+      |    CAST(k AS DOUBLE) * 0.22314355131420976
+      |      + CAST(n - k AS DOUBLE) * -0.1823215567939546 AS llr
+      |  FROM cum),
+      |tot AS (
+      |  SELECT max(n) AS n_users, max(k) AS k_total FROM scored),
+      |hits AS (
+      |  SELECT
+      |    min(CASE WHEN llr >= 2.9444389791664403
+      |      THEN struct_pack(n := n, k := k) END) AS hit1,
+      |    min(CASE WHEN llr <= -2.9444389791664403
+      |      THEN struct_pack(n := n, k := k) END) AS hit0
+      |  FROM scored)
+      |SELECT n_users, k_total,
+      |  CASE WHEN hit1 IS NOT NULL
+      |      AND (hit0 IS NULL OR hit1.n < hit0.n) THEN 'accept_h1'
+      |    WHEN hit0 IS NOT NULL THEN 'accept_h0'
+      |    ELSE 'continue' END AS decision,
+      |  coalesce(least(hit1.n, hit0.n), hit1.n, hit0.n) AS n_at_decision,
+      |  CASE WHEN hit1 IS NOT NULL
+      |      AND (hit0 IS NULL OR hit1.n < hit0.n) THEN hit1.k
+      |    ELSE hit0.k END AS k_at_decision
+      |FROM tot CROSS JOIN hits""".stripMargin
+
   /** QUANTILE TREATMENT EFFECTS — the distributional readout the mean
     * ATE hides: at each decile τ, QTE(τ) = F_B⁻¹(τ) − F_A⁻¹(τ) of
     * per-user purchase spend under the hash-assigned split. A zero mean
