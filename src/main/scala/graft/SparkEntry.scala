@@ -374,6 +374,7 @@ object SparkEntry {
     "q_xyz"             -> (graft.ops.Analytics.xyzAnalysis _),
     "q_bh_fdr"          -> (graft.ops.Analytics.bhFdrScreen _),
     "q_holt"            -> (graft.ops.TimeSeries.holtForecast _),
+    "q_croston"         -> (graft.ops.TimeSeries.crostonForecast _),
     "q_dtw"             -> (graft.ops.TimeSeries.dtwDistance _),
     "q_mahalanobis"     -> (graft.ops.Analytics.mahalanobisOutliers _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
@@ -922,6 +923,7 @@ object SparkEntry {
     "q_xyz"           -> graft.ops.Analytics.xyzAnalysisSql,
     "q_bh_fdr"        -> graft.ops.Analytics.bhFdrScreenSql,
     "q_holt"          -> graft.ops.TimeSeries.holtForecastSql,
+    "q_croston"       -> graft.ops.TimeSeries.crostonForecastSql,
     "q_dtw"           -> graft.ops.TimeSeries.dtwDistanceSql,
     "q_mahalanobis"   -> graft.ops.Analytics.mahalanobisOutliersSql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,

@@ -2393,6 +2393,111 @@ object TimeSeries {
       |  round(ssum * n_days * (n_days + 2), 6) AS q_stat
       |FROM folded""".stripMargin
 
+  /** Croston smoothing constant and the qualifying-part activity band
+    * (named so the oracle interpolates the SAME literals). */
+  val crostonAlpha = 0.1
+  val crostonMinActive = 15
+  val crostonMaxActive = 40
+  val crostonParts = 3
+
+  /** CROSTON / SBA INTERMITTENT-DEMAND FORECAST — the member the
+    * demand-forecast family ([[q_forecast_bt|naive/seasonal-naive]],
+    * [[holtForecast]]) still lacked: for sparse demand (most periods
+    * zero — exactly the XYZ analysis's Z class), exponential smoothing
+    * on the raw series collapses toward zero between demands; Croston
+    * smooths demand SIZE z and inter-demand INTERVAL p separately and
+    * forecasts z/p, with the Syntetos–Boylan (1 − α/2) bias correction.
+    * Run over the [[crostonParts]] lowest-id parts whose monthly demand
+    * is genuinely intermittent ([[crostonMinActive]]..[[crostonMaxActive]]
+    * active months of the calendar).
+    *
+    * Determinism: the zero-filled monthly series is exact integers; the
+    * Croston recurrence folds in month order inside one `aggregate`
+    * with a 4-slot double state ([[holtForecast]]'s stateful-fold
+    * discipline — identical op sequence on both engines), outputs
+    * round 6. Scale: one (part, month) aggregate over facts; the grid
+    * join is months × [[crostonParts]]; each fold is O(months). */
+  def crostonForecast(s: SparkSession, d: String): DataFrame = {
+    val a = crostonAlpha
+    val pm = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("pk", "m").agg(sum(col("q")).as("dem"))
+      .pin()
+    val months = pm.select(col("m")).distinct()
+    val parts = pm.groupBy("pk").agg(count(lit(1)).as("n_active"))
+      .filter(col("n_active") >= crostonMinActive &&
+        col("n_active") <= crostonMaxActive)
+      .orderBy(col("pk").asc).limit(crostonParts)
+    val series = months.crossJoin(broadcast(parts))
+      .join(pm, Seq("pk", "m"), "left_outer")
+      .select(col("pk"), col("n_active"), col("m"),
+        coalesce(col("dem"), lit(0L)).as("dem"))
+    series.groupBy("pk", "n_active")
+      .agg(count(lit(1)).as("n_months"),
+        expr("transform(sort_array(collect_list(struct(m, dem))), x -> CAST(x.dem AS DOUBLE))")
+          .as("arr"))
+      .select(col("pk"), col("n_months"), col("n_active").as("n_demand_months"),
+        expr(s"""aggregate(arr,
+            array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+              CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+            (acc, d) -> CASE WHEN d > 0.0 THEN
+                CASE WHEN element_at(acc, 4) = 0.0
+                THEN array(d, element_at(acc, 3) + 1.0,
+                  CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                ELSE array($a * d + ${1 - a} * element_at(acc, 1),
+                  $a * (element_at(acc, 3) + 1.0)
+                    + ${1 - a} * element_at(acc, 2),
+                  CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) END
+              ELSE array(element_at(acc, 1), element_at(acc, 2),
+                element_at(acc, 3) + 1.0, element_at(acc, 4)) END)""")
+          .as("st"))
+      .select(col("pk").as("part"), col("n_months"), col("n_demand_months"),
+        round(element_at(col("st"), 1), 6).as("z_size"),
+        round(element_at(col("st"), 2), 6).as("p_interval"),
+        round(lit(1 - a / 2) * element_at(col("st"), 1) /
+          element_at(col("st"), 2), 6).as("sba_forecast"))
+  }
+
+  val crostonForecastSql: String = {
+    val a = crostonAlpha
+    s"""WITH pm AS (
+       |  SELECT l_partkey AS pk,
+       |    CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS dem
+       |  FROM lineitem GROUP BY 1, 2),
+       |months AS (SELECT DISTINCT m FROM pm),
+       |parts AS (
+       |  SELECT pk, count(*) AS n_active FROM pm GROUP BY pk
+       |  HAVING count(*) BETWEEN $crostonMinActive AND $crostonMaxActive
+       |  ORDER BY pk LIMIT $crostonParts),
+       |series AS (
+       |  SELECT p.pk, p.n_active, g.m, coalesce(pm.dem, 0) AS dem
+       |  FROM months g CROSS JOIN parts p
+       |  LEFT JOIN pm ON pm.pk = p.pk AND pm.m = g.m),
+       |folded AS (
+       |  SELECT pk, n_active, count(*) AS n_months,
+       |    list_reduce(
+       |      list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0],
+       |        [[CAST(dd AS DOUBLE)] FOR dd IN list(dem ORDER BY m)]),
+       |      (acc, e) -> CASE WHEN e[1] > 0.0 THEN
+       |          CASE WHEN acc[4] = 0.0
+       |          THEN [e[1], acc[3] + 1.0, CAST(0.0 AS DOUBLE),
+       |            CAST(1.0 AS DOUBLE)]
+       |          ELSE [$a * e[1] + ${1 - a} * acc[1],
+       |            $a * (acc[3] + 1.0) + ${1 - a} * acc[2],
+       |            CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)] END
+       |        ELSE [acc[1], acc[2], acc[3] + 1.0, acc[4]] END) AS st
+       |  FROM series GROUP BY pk, n_active)
+       |SELECT pk AS part, n_months,
+       |  CAST(n_active AS BIGINT) AS n_demand_months,
+       |  round(st[1], 6) AS z_size,
+       |  round(st[2], 6) AS p_interval,
+       |  round(${1 - a / 2} * st[1] / st[2], 6) AS sba_forecast
+       |FROM folded""".stripMargin
+  }
+
   /** Sakoe–Chiba band half-width for [[dtwDistance]] — the classic
     * warping constraint: a day may align at most this many positions
     * away from its lockstep partner. */
