@@ -375,6 +375,7 @@ object SparkEntry {
     "q_bh_fdr"          -> (graft.ops.Analytics.bhFdrScreen _),
     "q_holt"            -> (graft.ops.TimeSeries.holtForecast _),
     "q_croston"         -> (graft.ops.TimeSeries.crostonForecast _),
+    "q_cointegration"   -> (graft.ops.TimeSeries.cointegration _),
     "q_dtw"             -> (graft.ops.TimeSeries.dtwDistance _),
     "q_mahalanobis"     -> (graft.ops.Analytics.mahalanobisOutliers _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
@@ -924,6 +925,7 @@ object SparkEntry {
     "q_bh_fdr"        -> graft.ops.Analytics.bhFdrScreenSql,
     "q_holt"          -> graft.ops.TimeSeries.holtForecastSql,
     "q_croston"       -> graft.ops.TimeSeries.crostonForecastSql,
+    "q_cointegration" -> graft.ops.TimeSeries.cointegrationSql,
     "q_dtw"           -> graft.ops.TimeSeries.dtwDistanceSql,
     "q_mahalanobis"   -> graft.ops.Analytics.mahalanobisOutliersSql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,

@@ -2393,6 +2393,152 @@ object TimeSeries {
       |  round(ssum * n_days * (n_days + 2), 6) AS q_stat
       |FROM folded""".stripMargin
 
+  /** ENGLE–GRANGER COINTEGRATION TEST between the daily click and view
+    * series — the econometric capstone composing the OLS and
+    * Dickey–Fuller machinery: two trending series are cointegrated when
+    * some linear combination is stationary, i.e. they share a common
+    * stochastic trend (the property pairs-trading and any
+    * ratio-metric alert system quietly assume). Step 1 fits
+    * clicks = α + β·views by OLS from exact integer power sums; step 2
+    * runs the no-lag DF regression Δe = γ·e₋₁ on the residuals and
+    * compares the t-statistic against the Engle–Granger 5% critical
+    * value (−3.37 for two variables, pinned literal — stricter than
+    * plain DF because α̂, β̂ were estimated).
+    *
+    * Determinism: α̂, β̂ are pinned doubles from exact sums; residuals
+    * and every DF sum accumulate inside ONE `aggregate` fold over the
+    * day-sorted array (8-slot double state, identical op sequence on
+    * both engines — the [[crostonForecast]]/[[holtForecast]]
+    * discipline), so the final t and the critical-value compare see
+    * bit-identical doubles. Scale: facts reduce to O(days) map-side;
+    * the fold is O(days) in one row. */
+  def cointegration(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+      .pin()
+    val ols = daily.agg(count(lit(1)).as("n"),
+      sum(col("a")).cast(big).as("sa"), sum(col("b")).cast(big).as("sb"),
+      sum((col("a").cast(big) * col("b")).cast(big)).cast(big).as("sab"),
+      sum((col("b").cast(big) * col("b")).cast(big)).cast(big).as("sbb"))
+      .select(col("n"),
+        ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+          (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
+          .as("beta"))
+      .crossJoin(broadcast(daily.agg(
+        sum(col("a")).as("sa2"), sum(col("b")).as("sb2"),
+        count(lit(1)).as("n2"))))
+      .select(col("n"), col("beta"),
+        ((col("sa2").cast("double") - col("beta") * col("sb2").cast("double"))
+          / col("n2").cast("double")).as("alpha"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct(col("day"), col("a"), col("b"))))
+        .as("arr"))
+      .crossJoin(broadcast(ols))
+      .select(col("n"), col("beta"), col("alpha"), expr(
+        """aggregate(arr,
+             array(CAST(0.0 AS DOUBLE), 0.0D, 0.0D, 0.0D,
+               0.0D, 0.0D, 0.0D, 0.0D),
+             (acc, e) -> CASE WHEN element_at(acc, 2) = 0.0 THEN
+                 array(CAST(e.a AS DOUBLE) - alpha
+                     - beta * CAST(e.b AS DOUBLE),
+                   1.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D)
+               ELSE array(
+                 CAST(e.a AS DOUBLE) - alpha - beta * CAST(e.b AS DOUBLE),
+                 1.0D,
+                 element_at(acc, 3) + element_at(acc, 1),
+                 element_at(acc, 4) + (CAST(e.a AS DOUBLE) - alpha
+                   - beta * CAST(e.b AS DOUBLE) - element_at(acc, 1)),
+                 element_at(acc, 5) + element_at(acc, 1)
+                   * (CAST(e.a AS DOUBLE) - alpha
+                     - beta * CAST(e.b AS DOUBLE) - element_at(acc, 1)),
+                 element_at(acc, 6) + element_at(acc, 1)
+                   * element_at(acc, 1),
+                 element_at(acc, 7) + (CAST(e.a AS DOUBLE) - alpha
+                     - beta * CAST(e.b AS DOUBLE) - element_at(acc, 1))
+                   * (CAST(e.a AS DOUBLE) - alpha
+                     - beta * CAST(e.b AS DOUBLE) - element_at(acc, 1)),
+                 element_at(acc, 8) + 1.0) END)""").as("st"))
+    val m = element_at(col("st"), 8)
+    val sx = element_at(col("st"), 3)
+    val sy = element_at(col("st"), 4)
+    val sxy = element_at(col("st"), 5)
+    val sxx = element_at(col("st"), 6)
+    val syy = element_at(col("st"), 7)
+    val gamma = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val cSxx = sxx - sx * sx / m
+    val cSyy = syy - sy * sy / m
+    val cSxy = sxy - sx * sy / m
+    val t = gamma / sqrt(((cSyy - gamma * cSxy) / (m - 2.0)) / cSxx)
+    folded.select(col("n").as("n_days"),
+      round(col("beta"), 6).as("beta"),
+      round(col("alpha"), 6).as("alpha"),
+      round(gamma, 6).as("gamma"),
+      round(t, 6).as("t_stat"),
+      (t < -3.37).as("cointegrated_95"))
+  }
+
+  val cointegrationSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b
+      |  FROM events GROUP BY 1),
+      |ols AS (
+      |  SELECT count(*) AS n,
+      |    CAST(count(*) * sum(CAST(a AS HUGEINT) * b)
+      |        - sum(a) * sum(b) AS DOUBLE)
+      |      / CAST(count(*) * sum(CAST(b AS HUGEINT) * b)
+      |        - sum(b) * sum(b) AS DOUBLE) AS beta,
+      |    CAST(sum(a) AS DOUBLE) AS sa2, CAST(sum(b) AS DOUBLE) AS sb2
+      |  FROM daily),
+      |ols2 AS (
+      |  SELECT n, beta,
+      |    (sa2 - beta * sb2) / CAST(n AS DOUBLE) AS alpha
+      |  FROM ols),
+      |folded AS (
+      |  SELECT n, beta, alpha,
+      |    list_reduce(
+      |      list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0,
+      |          0.0, 0.0, 0.0, 0.0],
+      |        [[CAST(p[1] AS DOUBLE), CAST(p[2] AS DOUBLE)]
+      |          FOR p IN list([a, b] ORDER BY day)]),
+      |      (acc, e) -> CASE WHEN acc[2] = 0.0 THEN
+      |          [e[1] - alpha - beta * e[2],
+      |           1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+      |        ELSE [
+      |          e[1] - alpha - beta * e[2],
+      |          1.0,
+      |          acc[3] + acc[1],
+      |          acc[4] + (e[1] - alpha - beta * e[2] - acc[1]),
+      |          acc[5] + acc[1] * (e[1] - alpha - beta * e[2] - acc[1]),
+      |          acc[6] + acc[1] * acc[1],
+      |          acc[7] + (e[1] - alpha - beta * e[2] - acc[1])
+      |            * (e[1] - alpha - beta * e[2] - acc[1]),
+      |          acc[8] + 1.0] END) AS st
+      |  FROM daily CROSS JOIN ols2 GROUP BY n, beta, alpha),
+      |stat AS (
+      |  SELECT n, beta, alpha,
+      |    (st[8] * st[5] - st[3] * st[4])
+      |      / (st[8] * st[6] - st[3] * st[3]) AS gamma,
+      |    st[3] AS sx, st[4] AS sy, st[5] AS sxy, st[6] AS sxx,
+      |    st[7] AS syy, st[8] AS m
+      |  FROM folded)
+      |SELECT n AS n_days, round(beta, 6) AS beta, round(alpha, 6) AS alpha,
+      |  round(gamma, 6) AS gamma,
+      |  round(gamma / sqrt((((syy - sy * sy / m)
+      |      - gamma * (sxy - sx * sy / m)) / (m - 2.0))
+      |    / (sxx - sx * sx / m)), 6) AS t_stat,
+      |  (gamma / sqrt((((syy - sy * sy / m)
+      |      - gamma * (sxy - sx * sy / m)) / (m - 2.0))
+      |    / (sxx - sx * sx / m)) < -3.37) AS cointegrated_95
+      |FROM stat""".stripMargin
+
   /** Croston smoothing constant and the qualifying-part activity band
     * (named so the oracle interpolates the SAME literals). */
   val crostonAlpha = 0.1
