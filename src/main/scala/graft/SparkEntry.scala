@@ -376,6 +376,7 @@ object SparkEntry {
     "q_holt"            -> (graft.ops.TimeSeries.holtForecast _),
     "q_croston"         -> (graft.ops.TimeSeries.crostonForecast _),
     "q_cointegration"   -> (graft.ops.TimeSeries.cointegration _),
+    "q_granger"         -> (graft.ops.TimeSeries.grangerCausality _),
     "q_dtw"             -> (graft.ops.TimeSeries.dtwDistance _),
     "q_mahalanobis"     -> (graft.ops.Analytics.mahalanobisOutliers _),
     "q_seqpattern"      -> (graft.ops.Behavior.sequencePattern _),
@@ -926,6 +927,7 @@ object SparkEntry {
     "q_holt"          -> graft.ops.TimeSeries.holtForecastSql,
     "q_croston"       -> graft.ops.TimeSeries.crostonForecastSql,
     "q_cointegration" -> graft.ops.TimeSeries.cointegrationSql,
+    "q_granger"       -> graft.ops.TimeSeries.grangerCausalitySql,
     "q_dtw"           -> graft.ops.TimeSeries.dtwDistanceSql,
     "q_mahalanobis"   -> graft.ops.Analytics.mahalanobisOutliersSql,
     "q_seqpattern"    -> graft.ops.Behavior.sequencePatternSql,

@@ -2393,6 +2393,112 @@ object TimeSeries {
       |  round(ssum * n_days * (n_days + 2), 6) AS q_stat
       |FROM folded""".stripMargin
 
+  /** GRANGER CAUSALITY (one lag) — does yesterday's view count predict
+    * today's clicks beyond yesterday's clicks? The F-test between the
+    * restricted regression clicksₜ ~ clicksₜ₋₁ and the unrestricted
+    * one adding viewsₜ₋₁, the predictive-precedence companion to
+    * [[cointegration]]'s common-trend test. Both regressions solve in
+    * CLOSED FORM from exact integer power sums (lagged regressors are
+    * exact daily counts; the 2×2 normal equations go through Cramer's
+    * rule on centered sums) — no fold, no iteration; the F statistic
+    * and the pinned F(1, n−3) 95% critical value
+    * (4.225201273127478 at n = 29, computed offline) compare
+    * bit-identical doubles. Scale: one day aggregate + one lag window
+    * over O(days) + one scalar aggregate. */
+  def grangerCausality(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val ord = Window.orderBy("day")
+    val frame = Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+      .select(col("day"), col("c"),
+        lag(col("c"), 1).over(ord).as("x1"),
+        lag(col("v"), 1).over(ord).as("x2"))
+      .filter(col("x1").isNotNull)
+      .select(col("c").cast(big).as("y"), col("x1").cast(big).as("x1"),
+        col("x2").cast(big).as("x2"))
+    val sums = frame.agg(count(lit(1)).as("n"),
+      sum(col("y")).cast(big).as("sy"), sum(col("x1")).cast(big).as("s1"),
+      sum(col("x2")).cast(big).as("s2"),
+      sum((col("y") * col("y")).cast(big)).cast(big).as("syy"),
+      sum((col("x1") * col("y")).cast(big)).cast(big).as("s1y"),
+      sum((col("x2") * col("y")).cast(big)).cast(big).as("s2y"),
+      sum((col("x1") * col("x1")).cast(big)).cast(big).as("s11"),
+      sum((col("x2") * col("x2")).cast(big)).cast(big).as("s22"),
+      sum((col("x1") * col("x2")).cast(big)).cast(big).as("s12"))
+    def d0(c: Column) = c.cast("double")
+    val nd = d0(col("n"))
+    val cYY = d0(col("syy")) - d0(col("sy")) * d0(col("sy")) / nd
+    val c1y = d0(col("s1y")) - d0(col("s1")) * d0(col("sy")) / nd
+    val c2y = d0(col("s2y")) - d0(col("s2")) * d0(col("sy")) / nd
+    val c11 = d0(col("s11")) - d0(col("s1")) * d0(col("s1")) / nd
+    val c22 = d0(col("s22")) - d0(col("s2")) * d0(col("s2")) / nd
+    val c12 = d0(col("s12")) - d0(col("s1")) * d0(col("s2")) / nd
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val ssrU = cYY - b1 * c1y - b2 * c2y
+    val ssrR = cYY - c1y * c1y / c11
+    val f = (ssrR - ssrU) * (nd - 3.0) / ssrU
+    sums.select(col("n").as("n_obs"),
+      round(b1, 6).as("beta_clicks_lag"),
+      round(b2, 6).as("beta_views_lag"),
+      round(f, 6).as("f_stat"),
+      (f > 4.225201273127478).as("views_granger_cause_clicks_95"))
+  }
+
+  val grangerCausalitySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |fr AS (
+      |  SELECT CAST(c AS HUGEINT) AS y, CAST(x1 AS HUGEINT) AS x1,
+      |    CAST(x2 AS HUGEINT) AS x2
+      |  FROM (SELECT c, lag(c) OVER (ORDER BY day) AS x1,
+      |      lag(v) OVER (ORDER BY day) AS x2 FROM daily)
+      |  WHERE x1 IS NOT NULL),
+      |s AS (
+      |  SELECT count(*) AS n, sum(y) AS sy, sum(x1) AS s1, sum(x2) AS s2,
+      |    sum(y * y) AS syy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+      |    sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12
+      |  FROM fr),
+      |cen AS (
+      |  SELECT CAST(n AS BIGINT) AS n,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS cyy,
+      |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c1y,
+      |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c2y,
+      |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c11,
+      |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c22,
+      |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c12
+      |  FROM s),
+      |beta AS (
+      |  SELECT n, cyy, c1y, c2y, c11,
+      |    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+      |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      |  FROM cen),
+      |fin AS (
+      |  SELECT n, b1, b2,
+      |    ((cyy - c1y * c1y / c11) - (cyy - b1 * c1y - b2 * c2y))
+      |      * (CAST(n AS DOUBLE) - 3.0)
+      |      / (cyy - b1 * c1y - b2 * c2y) AS f
+      |  FROM beta)
+      |SELECT n AS n_obs, round(b1, 6) AS beta_clicks_lag,
+      |  round(b2, 6) AS beta_views_lag, round(f, 6) AS f_stat,
+      |  (f > 4.225201273127478) AS views_granger_cause_clicks_95
+      |FROM fin""".stripMargin
+
   /** ENGLE–GRANGER COINTEGRATION TEST between the daily click and view
     * series — the econometric capstone composing the OLS and
     * Dickey–Fuller machinery: two trending series are cointegrated when
