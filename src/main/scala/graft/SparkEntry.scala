@@ -366,6 +366,7 @@ object SparkEntry {
     "q_aa_calib"        -> (graft.ops.Behavior.aaCalibration _),
     "q_perm_test"       -> (graft.ops.Behavior.permutationTest _),
     "q_sprt"            -> (graft.ops.Behavior.sprtMonitor _),
+    "q_tost"            -> (graft.ops.Behavior.tostEquivalence _),
     "q_cramer"          -> (graft.ops.Behavior.cramerDistance _),
     "q_qte"             -> (graft.ops.Behavior.quantileTreatmentEffects _),
     "q_wilcoxon"        -> (graft.ops.Behavior.wilcoxonSignedRank _),
@@ -917,6 +918,7 @@ object SparkEntry {
     "q_aa_calib"      -> graft.ops.Behavior.aaCalibrationSql,
     "q_perm_test"     -> graft.ops.Behavior.permutationTestSql,
     "q_sprt"          -> graft.ops.Behavior.sprtMonitorSql,
+    "q_tost"          -> graft.ops.Behavior.tostEquivalenceSql,
     "q_cramer"        -> graft.ops.Behavior.cramerDistanceSql,
     "q_qte"           -> graft.ops.Behavior.quantileTreatmentEffectsSql,
     "q_wilcoxon"      -> graft.ops.Behavior.wilcoxonSignedRankSql,

@@ -1196,6 +1196,100 @@ object Behavior {
       |  abs(z_stat) > 1.959963984540054 AS significant_95
       |FROM zed""".stripMargin
 
+  /** TOST equivalence margin in cents (±$5 mean spend). */
+  val tostMarginCents = 500.0
+
+  /** TOST EQUIVALENCE TEST — the direction every other test in this
+    * family cannot conclude: statistical evidence of ABSENCE. A
+    * non-significant z says "didn't detect a difference"; the two
+    * one-sided tests say "the difference is provably inside
+    * ±[[tostMarginCents]]" at 95% — the readout a no-regression launch
+    * gate actually needs. z₁ = (Δ+δ)/se tests Δ > −δ, z₂ = (δ−Δ)/se
+    * tests Δ < δ; equivalent iff BOTH clear the one-sided 5% normal
+    * quantile (1.6448536269514722, pinned).
+    *
+    * Determinism: the same exact-integer Welch cells as
+    * [[aaCalibration]] (per-user spend cents; total divisions,
+    * small-arm-gated); Δ, se, both z's are one pinned double formula
+    * each. Scale: one user aggregate, O(1) output. */
+  def tostEquivalence(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("cents"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        col("cents"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sq"))
+    val wide = cells.agg(
+      max(when(col("variant") === 0, col("n"))).as("n0"),
+      max(when(col("variant") === 0, col("sx"))).as("sx0"),
+      max(when(col("variant") === 0, col("sq"))).as("sq0"),
+      max(when(col("variant") === 1, col("n"))).as("n1"),
+      max(when(col("variant") === 1, col("sx"))).as("sx1"),
+      max(when(col("variant") === 1, col("sq"))).as("sq1"))
+    def m(sx: Column, n: Column) = sx.cast("double") / n.cast("double")
+    def varm(sq: Column, sx: Column, n: Column) =
+      (sq.cast("double") - sx.cast("double") * sx.cast("double") /
+        n.cast("double")) /
+        greatest(n.cast("double") - 1.0, lit(1.0)) / n.cast("double")
+    val diff = m(col("sx1"), col("n1")) - m(col("sx0"), col("n0"))
+    val se = sqrt(varm(col("sq1"), col("sx1"), col("n1")) +
+      varm(col("sq0"), col("sx0"), col("n0")))
+    val z1 = (diff + tostMarginCents) / se
+    val z2 = (lit(tostMarginCents) - diff) / se
+    val crit = 1.6448536269514722
+    wide.select(col("n0"), col("n1"),
+      round(diff, 6).as("diff_cents"), round(se, 6).as("se_cents"),
+      round(z1, 6).as("z_lower"), round(z2, 6).as("z_upper"),
+      (col("n0") >= 2 && col("n1") >= 2 && z1 > crit && z2 > crit)
+        .as("equivalent_95"))
+  }
+
+  val tostEquivalenceSql: String =
+    s"""WITH per_user AS (
+       |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS variant,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |cells AS (
+       |  SELECT variant, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+       |    CAST(sum(cents * cents) AS BIGINT) AS sq
+       |  FROM per_user GROUP BY variant),
+       |wide AS (
+       |  SELECT
+       |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+       |    max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+       |    max(CASE WHEN variant = 0 THEN sq END) AS sq0,
+       |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+       |    max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+       |    max(CASE WHEN variant = 1 THEN sq END) AS sq1
+       |  FROM cells),
+       |zed AS (
+       |  SELECT n0, n1,
+       |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |      - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+       |    sqrt((CAST(sq1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+       |        * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |        / greatest(CAST(n1 AS DOUBLE) - 1.0, 1.0) / CAST(n1 AS DOUBLE)
+       |      + (CAST(sq0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+       |        * CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       |        / greatest(CAST(n0 AS DOUBLE) - 1.0, 1.0)
+       |        / CAST(n0 AS DOUBLE)) AS se
+       |  FROM wide)
+       |SELECT n0, n1, round(diff, 6) AS diff_cents, round(se, 6) AS se_cents,
+       |  round((diff + $tostMarginCents) / se, 6) AS z_lower,
+       |  round(($tostMarginCents - diff) / se, 6) AS z_upper,
+       |  (n0 >= 2 AND n1 >= 2
+       |    AND (diff + $tostMarginCents) / se > 1.6448536269514722
+       |    AND ($tostMarginCents - diff) / se > 1.6448536269514722)
+       |    AS equivalent_95
+       |FROM zed""".stripMargin
+
   /** WALD'S SPRT — the continuous-monitoring member completing the
     * experimentation family (fixed-horizon z → group-sequential OBF →
     * permutation → A/A → this): the Sequential Probability Ratio Test
