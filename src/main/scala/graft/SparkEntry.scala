@@ -136,6 +136,7 @@ object SparkEntry {
     "q_friedman"        -> (graft.ops.Analytics.friedmanTest _),
     "q_mutual_info"     -> (graft.ops.Analytics.mutualInfoTypeHour _),
     "q_kruskal"         -> (graft.ops.Behavior.kruskalWallis _),
+    "q_dunn"            -> (graft.ops.Behavior.dunnPosthoc _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -677,6 +678,7 @@ object SparkEntry {
     "q_friedman"      -> graft.ops.Analytics.friedmanTestSql,
     "q_mutual_info"   -> graft.ops.Analytics.mutualInfoTypeHourSql,
     "q_kruskal"       -> graft.ops.Behavior.kruskalWallisSql,
+    "q_dunn"          -> graft.ops.Behavior.dunnPosthocSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

@@ -2961,7 +2961,9 @@ object Behavior {
     *
     * Scale: one census aggregate over facts (O(distinct values × k)
     * cells), one `_dist` prefix pass over the value domain. */
-  def kruskalWallis(s: SparkSession, d: String): DataFrame = {
+  /** The shared (per-group doubled rank sums, tie scalars) frames
+    * behind [[kruskalWallis]] and [[dunnPosthoc]]. */
+  private def kwFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val big = DecimalType(38, 0)
     val obs = Tables.events(s, d)
       .select(col("event_type"), dec(col("value")).as("v"))
@@ -2980,6 +2982,11 @@ object Behavior {
     val ties = cum.agg(sum(col("t")).cast("long").as("n"),
       sum(col("t") * col("t") * col("t") - col("t")).cast("long")
         .as("tie_sum"))
+    (perGroup, ties)
+  }
+
+  def kruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val (perGroup, ties) = kwFrames(s, d)
     perGroup
       .agg(count(lit(1)).cast("long").as("k"),
         sort_array(collect_list(struct(col("event_type"), col("ng"),
@@ -2994,6 +3001,75 @@ object Behavior {
             (col("n").cast("double") * col("n") * col("n") - col("n"))),
           6).as("h_stat"))
   }
+
+  /** DUNN'S POST-HOC TEST — which PAIRS differ, once [[kruskalWallis]]'s
+    * omnibus H says "some do": pairwise mean-rank z's over the same
+    * global midranks (NOT per-pair re-ranking — Dunn's defining
+    * property), tie-corrected pooled variance, Bonferroni-adjusted
+    * against the pinned z(1 − .05/(2·10)) = 2.8070337683438007 for the
+    * k = 5 groups' 10 pairs. The omnibus→post-hoc pair completes the
+    * nonparametric family the way [[q_tukey_hsd|Tukey]] completes ANOVA.
+    *
+    * Exactness: mean ranks are rg2/(2·ng) on exact integers; σ² and
+    * each z are one pinned double formula; the pair frame is a 5-row
+    * self-join. Same `_dist` prefix-pass scale shape as the parent. */
+  def dunnPosthoc(s: SparkSession, d: String): DataFrame = {
+    val (perGroup, ties) = kwFrames(s, d)
+    val pg = perGroup.pin()
+    val pairs = pg.as("g1").join(broadcast(pg.as("g2")),
+      expr("g1.event_type < g2.event_type"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val sig2 = (nD * (nD + 1.0) / 12.0) -
+      col("tie_sum").cast("double") / (lit(12.0) * (nD - 1.0))
+    val rbar1 = col("g1.rg2").cast("double") / 2.0 / col("g1.ng")
+    val rbar2 = col("g2.rg2").cast("double") / 2.0 / col("g2.ng")
+    val z = (rbar1 - rbar2) /
+      sqrt(sig2 * (lit(1.0) / col("g1.ng") + lit(1.0) / col("g2.ng")))
+    pairs.select(col("g1.event_type").as("group_a"),
+      col("g2.event_type").as("group_b"),
+      col("g1.ng").as("n_a"), col("g2.ng").as("n_b"),
+      round(rbar1 - rbar2, 6).as("mean_rank_diff"),
+      round(z, 6).as("z_stat"),
+      (abs(z) > 2.8070337683438007).as("significant_bonf_95"))
+  }
+
+  val dunnPosthocSql: String =
+    """WITH obs AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |by_value AS (SELECT v, count(*) AS t FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT v, t, sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+      |  FROM by_value),
+      |cells AS (
+      |  SELECT v, event_type, count(*) AS tg FROM obs GROUP BY 1, 2),
+      |per_group AS (
+      |  SELECT event_type, CAST(sum(tg) AS BIGINT) AS ng,
+      |    sum(CAST(tg AS HUGEINT) * (2 * (cumt - t) + t + 1)) AS rg2
+      |  FROM cells JOIN cum USING (v) GROUP BY 1),
+      |ties AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n,
+      |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      |  FROM cum)
+      |SELECT g1.event_type AS group_a, g2.event_type AS group_b,
+      |  g1.ng AS n_a, g2.ng AS n_b,
+      |  round(CAST(g1.rg2 AS DOUBLE) / 2.0 / g1.ng
+      |    - CAST(g2.rg2 AS DOUBLE) / 2.0 / g2.ng, 6) AS mean_rank_diff,
+      |  round((CAST(g1.rg2 AS DOUBLE) / 2.0 / g1.ng
+      |      - CAST(g2.rg2 AS DOUBLE) / 2.0 / g2.ng)
+      |    / sqrt(((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0)
+      |        - CAST(tie_sum AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+      |      * (1.0 / g1.ng + 1.0 / g2.ng)), 6) AS z_stat,
+      |  (abs((CAST(g1.rg2 AS DOUBLE) / 2.0 / g1.ng
+      |      - CAST(g2.rg2 AS DOUBLE) / 2.0 / g2.ng)
+      |    / sqrt(((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0)
+      |        - CAST(tie_sum AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+      |      * (1.0 / g1.ng + 1.0 / g2.ng)))
+      |    > 2.8070337683438007) AS significant_bonf_95
+      |FROM per_group g1 JOIN per_group g2
+      |  ON g1.event_type < g2.event_type
+      |CROSS JOIN ties""".stripMargin
 
   val kruskalWallisSql: String =
     """WITH obs AS (
