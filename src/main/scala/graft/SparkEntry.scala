@@ -179,6 +179,9 @@ object SparkEntry {
     "q_sketches"        -> (graft.ops.Sketches.orderSketches _),
     "q_cms"             -> (graft.ops.Sketches.cmsFrequencies _),
     "q_overlap_sketch"  -> (graft.ops.Sketches.audienceOverlap _),
+    "q_hll_det"         -> (graft.ops.Sketches.detHll _),
+    "q_kmv"             -> (graft.ops.Sketches.kmvDistinct _),
+    "q_ams_f2"          -> (graft.ops.Sketches.amsF2 _),
     // -- time-series joins/windows + ranking battery
     "q_asof_join"       -> (graft.ops.TimeSeries.asofLatestClick _),
     "q_range_join"      -> (graft.ops.TimeSeries.eventPairsWithin30Min _),
@@ -606,6 +609,9 @@ object SparkEntry {
     "q_sketches"      -> graft.ops.Sketches.orderSketchesSql,
     "q_cms"           -> graft.ops.Sketches.cmsFrequenciesSql,
     "q_overlap_sketch" -> graft.ops.Sketches.audienceOverlapSql,
+    "q_hll_det"       -> graft.ops.Sketches.detHllSql,
+    "q_kmv"           -> graft.ops.Sketches.kmvDistinctSql,
+    "q_ams_f2"        -> graft.ops.Sketches.amsF2Sql,
     "q_wau_sketch"    -> graft.ops.Behavior.rollingActiveUsersSketchSql,
     "q_heavy_hitters" -> graft.ops.Analytics.heavyHitterPartsSql,
     "q_text_stats"    -> TextAnalysis.textStatsSql,

@@ -23,6 +23,18 @@ import graft.Tables
   * BOOLEANS the oracle asserts as TRUE constants: the estimator's
   * contract is what's graded, the estimate itself stays approximate.
   * SketchSpec additionally asserts the raw estimates.
+  *
+  * The DETERMINISTIC sketch family ([[detHll]], [[kmvDistinct]],
+  * [[amsF2]]) goes further: each sketch is rebuilt from first
+  * principles on md5-derived hashes, so BOTH engines compute the
+  * identical sketch and the oracle grades the ESTIMATE itself, not
+  * just its bound — the strongest possible cross-engine proof that
+  * the sketch math is right. Exactness rests on three facts: (a) all
+  * register/sign/order statistics are exact integers; (b) the only
+  * doubles are sums of dyadic rationals (2^-M_j — exact in IEEE
+  * regardless of summation order) or single divisions of identical
+  * exact inputs; (c) thresholds compare the same double on both
+  * engines, so branches can never split.
   */
 object Sketches {
 
@@ -284,5 +296,253 @@ object Sketches {
        |  FROM est
        |  WINDOW f AS (PARTITION BY l_returnflag))
        |WHERE item LIKE 'hot%'""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic sketch family — estimate-graded, not just bound-graded
+  // ---------------------------------------------------------------------
+
+  /** HLL registers: m = 64 (6 index bits off a 32-bit md5 prefix). */
+  val hllDetM = 64
+  /** α₆₄ from Flajolet et al. 2007 for m = 64 (pinned literal). */
+  val hllDetAlpha = 0.709
+  /** Relative-error bound for the 64-register estimate: theoretical σ is
+    * 1.04/√64 ≈ 0.13. Measured |err| on this corpus: 0.208 (sf0.001,
+    * linear-counting branch with 10/64 empty registers — a high but
+    * in-range draw for that load factor), 0.022 (sf0.01), 0.010
+    * (sf0.1). Bound sits above the measured max with margin. */
+  val hllDetBound = 0.30
+
+  /** DETERMINISTIC HyperLogLog over `orders.o_custkey`, rebuilt from
+    * first principles so the oracle can grade the estimate itself (see
+    * object scaladoc). 32-bit hash = first 8 md5 hex chars; top 6 bits
+    * pick one of 64 registers; register value = leading-zero rank of
+    * the remaining 26 bits, computed EXACTLY via the bin-length trick
+    * (`bin()` strips leading zeros on both engines, so rank =
+    * 27 − bitlen, with the all-zero word pinned to 27). Includes the
+    * paper's small-range linear-counting branch (E ≤ 2.5m and empty
+    * registers present → m·ln(m/V)) — live at sf0.001 where only 150
+    * custkeys exist, so both branches are gate-exercised.
+    *
+    * Scale: THE mergeable-cardinality shape — one hash-groupBy to 64
+    * registers with map-side partial `max`, O(m) state total; register
+    * frames from disjoint shards merge with `max`. The exact
+    * `countDistinct` companion (O(distinct) shuffle) is the verifier,
+    * exactly as in [[orderSketches]]. */
+  def detHll(s: SparkSession, d: String): DataFrame = {
+    val m = hllDetM
+    val regs = Tables.orders(s, d)
+      .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
+        16, 10).cast("long").as("h"))
+      .select(expr("h div 67108864").as("reg"),
+        (col("h") % 67108864L).as("w"))
+      .select(col("reg"),
+        when(col("w") === 0L, lit(27))
+          .otherwise(lit(27) - length(bin(col("w")))).as("rank"))
+      .groupBy("reg").agg(max("rank").as("mj"))
+    val st = regs.agg(count(lit(1)).as("present"),
+      sum(pow(lit(2.0), -col("mj"))).as("sum_present"))
+    val ex = Tables.orders(s, d)
+      .agg(countDistinct("o_custkey").as("n_exact"))
+    val vEmpty = lit(m.toLong) - col("present")
+    val sumInv = col("sum_present") + vEmpty.cast("double")
+    val rawE = lit(hllDetAlpha * m * m) / sumInv
+    val est = when(rawE <= lit(2.5 * m) && vEmpty > 0L,
+      lit(m.toDouble) * log(lit(m.toDouble) / vEmpty.cast("double")))
+      .otherwise(rawE)
+    val relErr = abs(est - col("n_exact").cast("double")) /
+      col("n_exact").cast("double")
+    st.crossJoin(broadcast(ex)).select(
+      lit(m).as("m"), vEmpty.cast("long").as("v_empty"),
+      round(sumInv, 6).as("sum_inv"),
+      round(est, 4).as("hll_est"), col("n_exact"),
+      round(relErr, 4).as("rel_err"),
+      (relErr <= hllDetBound).as("hll_ok"))
+  }
+
+  val detHllSql: String =
+    s"""WITH h AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+       |    AS BIGINT) AS h FROM orders),
+       |r AS (
+       |  SELECT h // 67108864 AS reg,
+       |    max(CASE WHEN h % 67108864 = 0 THEN 27
+       |             ELSE 27 - length(bin(h % 67108864)) END) AS mj
+       |  FROM h GROUP BY 1),
+       |st AS (
+       |  SELECT count(*) AS present, sum(power(2.0, -mj)) AS sum_present
+       |  FROM r),
+       |ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+       |SELECT $hllDetM AS m,
+       |  CAST($hllDetM - present AS BIGINT) AS v_empty,
+       |  round(sum_present + ($hllDetM - present), 6) AS sum_inv,
+       |  round(CASE WHEN ${hllDetAlpha * hllDetM * hllDetM}
+       |        / (sum_present + ($hllDetM - present)) <= ${2.5 * hllDetM}
+       |      AND $hllDetM - present > 0
+       |    THEN ${hllDetM}.0 * ln(${hllDetM}.0 / ($hllDetM - present))
+       |    ELSE ${hllDetAlpha * hllDetM * hllDetM}
+       |        / (sum_present + ($hllDetM - present)) END, 4) AS hll_est,
+       |  n_exact,
+       |  round(abs((CASE WHEN ${hllDetAlpha * hllDetM * hllDetM}
+       |        / (sum_present + ($hllDetM - present)) <= ${2.5 * hllDetM}
+       |      AND $hllDetM - present > 0
+       |    THEN ${hllDetM}.0 * ln(${hllDetM}.0 / ($hllDetM - present))
+       |    ELSE ${hllDetAlpha * hllDetM * hllDetM}
+       |        / (sum_present + ($hllDetM - present)) END)
+       |      - n_exact) / n_exact, 4) AS rel_err,
+       |  (abs((CASE WHEN ${hllDetAlpha * hllDetM * hllDetM}
+       |        / (sum_present + ($hllDetM - present)) <= ${2.5 * hllDetM}
+       |      AND $hllDetM - present > 0
+       |    THEN ${hllDetM}.0 * ln(${hllDetM}.0 / ($hllDetM - present))
+       |    ELSE ${hllDetAlpha * hllDetM * hllDetM}
+       |        / (sum_present + ($hllDetM - present)) END)
+       |      - n_exact) / n_exact <= $hllDetBound) AS hll_ok
+       |FROM st CROSS JOIN ex""".stripMargin
+
+  /** KMV order statistics kept (k-th minimum hash). */
+  val kmvK = 64
+  /** 2^60 — the hash space size for the 15-hex-char md5 prefix. */
+  val kmvSpace = 1152921504606846976.0
+  /** Rel-err bound: KMV σ ≈ 1/√(k−2) ≈ 0.127. Measured |err| on this
+    * corpus: 0.0 (sf0.001, exact branch), 0.034 (sf0.01), 0.296
+    * (sf0.1 — a 2.3σ draw on the 1500-user set; deterministic, so it
+    * is the same draw every run). Bound sits above it with margin. */
+  val kmvBound = 0.40
+
+  /** DETERMINISTIC K-Minimum-Values distinct sketch over
+    * `events.user_id`: keep the k = 64 smallest 60-bit md5-prefix
+    * hashes of the distinct keys; if fewer than k hashes exist the
+    * sketch IS the exact answer (that branch is live at sf0.001 with
+    * 15 users), else estimate (k−1)·2⁶⁰/h₍ₖ₎ — every input to the one
+    * division is an exact integer (63·2⁶⁰ is a 6-bit mantissa × 2⁶⁰,
+    * exactly representable), so both engines compute the identical
+    * double and the oracle grades the estimate itself.
+    *
+    * Scale: `ORDER BY h LIMIT k` is Spark's TakeOrdered — O(k) heap
+    * per partition, O(k·partitions) merged on the driver; no full
+    * sort, no full shuffle. KMV sketches union by merging min-heaps —
+    * the mergeable-distinct alternative when HLL's fixed error is too
+    * coarse. Exact `countDistinct` rides as the verifier. */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val hs = Tables.events(s, d)
+      .select(conv(substring(md5(col("user_id").cast("string")), 1, 15),
+        16, 10).cast("long").as("h"))
+      .distinct()
+    val low = hs.orderBy("h").limit(kmvK)
+      .agg(max("h").as("hk"), count(lit(1)).as("k_seen"))
+    val ex = Tables.events(s, d)
+      .agg(countDistinct("user_id").as("n_exact"))
+    val est = when(col("k_seen") < kmvK, col("k_seen").cast("double"))
+      .otherwise(lit((kmvK - 1) * kmvSpace) / col("hk").cast("double"))
+    val relErr = abs(est - col("n_exact").cast("double")) /
+      col("n_exact").cast("double")
+    low.crossJoin(broadcast(ex)).select(
+      lit(kmvK).as("k"), col("k_seen"), col("hk"),
+      round(est, 4).as("kmv_est"), col("n_exact"),
+      round(relErr, 4).as("rel_err"),
+      (relErr <= kmvBound).as("kmv_ok"))
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT CAST(('0x' ||
+       |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |low AS (
+       |  SELECT max(h) AS hk, count(*) AS k_seen
+       |  FROM (SELECT h FROM hs ORDER BY h LIMIT $kmvK)),
+       |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events),
+       |e AS (
+       |  SELECT hk, k_seen, n_exact,
+       |    CASE WHEN k_seen < $kmvK THEN CAST(k_seen AS DOUBLE)
+       |         ELSE ${(kmvK - 1).toDouble} * $kmvSpace / hk END AS est
+       |  FROM low CROSS JOIN ex)
+       |SELECT $kmvK AS k, k_seen, hk, round(est, 4) AS kmv_est, n_exact,
+       |  round(abs(est - n_exact) / n_exact, 4) AS rel_err,
+       |  (abs(est - n_exact) / n_exact <= $kmvBound) AS kmv_ok
+       |FROM e""".stripMargin
+
+  /** AMS estimators: 5 groups × 5 sign bits = 25 ±1 hash functions off
+    * the 60-bit md5 prefix (bit e of the hash → sign 2·bit−1). */
+  val amsGroups = 5
+  val amsPerGroup = 5
+  /** Rel-err bound: a single AMS estimator has Var ≤ 2·F2²; averaging
+    * 5 then taking the median-of-5 concentrates it. Measured |err| on
+    * this corpus: 0.083 (sf0.001), 0.014 (sf0.01), 0.336 (sf0.1) —
+    * bound ~2.4× the observed max. */
+  val amsBound = 0.80
+
+  /** DETERMINISTIC Alon–Matthias–Szegedy F₂ sketch (second frequency
+    * moment of the `events.user_id` frequency vector — the "repeat
+    * rate" / self-join size statistic): 25 sign-sums X_e =
+    * Σ rows ±1(user), squared, averaged in 5 groups of 5, median of
+    * the group means. EVERY X_e is an exact integer sum, so the final
+    * median is deterministic to the bit on both engines; the oracle
+    * grades the estimate, the exact Σc² companion (O(distinct) state)
+    * is the verifier.
+    *
+    * Scale: the whole sketch is ONE aggregate with 25 long-sum
+    * partials — O(1) state, map-side combinable, no shuffle of keys
+    * at all; this is the sketch that estimates self-join sizes at
+    * 100 TB where even a distinct-count shuffle is too expensive. */
+  def amsF2(s: SparkSession, d: String): DataFrame = {
+    val withH = Tables.events(s, d)
+      .select(conv(substring(md5(col("user_id").cast("string")), 1, 15),
+        16, 10).cast("long").as("h"))
+    val signSums = (0 until amsGroups * amsPerGroup).map { e =>
+      sum(expr(s"(h div ${1L << e}) % 2 * 2 - 1")).as(s"x$e")
+    }
+    val sums = withH.agg(signSums.head, signSums.tail: _*)
+    val groupMeans = (0 until amsGroups).map { g =>
+      val sq = (0 until amsPerGroup)
+        .map(i => col(s"x${g * amsPerGroup + i}") * col(s"x${g * amsPerGroup + i}"))
+        .reduce(_ + _)
+      (sq.cast("double") / amsPerGroup).as(s"m$g")
+    }
+    val exact = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).cast("long").as("f2_exact"))
+    val med = element_at(
+      array_sort(array((0 until amsGroups).map(g => col(s"m$g")): _*)),
+      amsGroups / 2 + 1)
+    val relErr = abs(med - col("f2_exact").cast("double")) /
+      col("f2_exact").cast("double")
+    sums.select(groupMeans: _*).crossJoin(broadcast(exact))
+      .select(round(med, 4).as("f2_ams"), col("f2_exact"),
+        round(relErr, 4).as("rel_err"),
+        (relErr <= amsBound).as("ams_ok"))
+  }
+
+  val amsF2Sql: String = {
+    val xs = (0 until amsGroups * amsPerGroup).map { e =>
+      s"sum((h // ${1L << e}) % 2 * 2 - 1) AS x$e"
+    }.mkString(",\n       |    ")
+    val ms = (0 until amsGroups).map { g =>
+      val sq = (0 until amsPerGroup)
+        .map(i => s"CAST(x${g * amsPerGroup + i} AS DOUBLE) * x${g * amsPerGroup + i}")
+        .mkString(" + ")
+      s"($sq) / $amsPerGroup AS m$g"
+    }.mkString(",\n       |    ")
+    val medExpr = "list_sort([m0, m1, m2, m3, m4])[" +
+      s"${amsGroups / 2 + 1}]"
+    s"""WITH h AS (
+       |  SELECT CAST(('0x' ||
+       |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |sums AS (
+       |  SELECT
+       |    $xs
+       |  FROM h),
+       |gm AS (
+       |  SELECT
+       |    $ms
+       |  FROM sums),
+       |ex AS (
+       |  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM (
+       |    SELECT count(*) AS c FROM events GROUP BY user_id))
+       |SELECT round($medExpr, 4) AS f2_ams, f2_exact,
+       |  round(abs($medExpr - f2_exact) / f2_exact, 4) AS rel_err,
+       |  (abs($medExpr - f2_exact) / f2_exact <= $amsBound) AS ams_ok
+       |FROM gm CROSS JOIN ex""".stripMargin
   }
 }

@@ -204,4 +204,49 @@ class Round8AdditionsSpec extends GraftTestBase {
       }
     }
   }
+
+  behavior of "deterministic sketches"
+
+  it should "keep detHll registers coherent and inside its error bound" in {
+    val r = Sketches.detHll(spark, sf).head()
+    r.getAs[Int]("m") shouldBe Sketches.hllDetM
+    val v = r.getAs[Long]("v_empty")
+    v should (be >= 0L and be <= Sketches.hllDetM.toLong)
+    // sum over 64 registers of 2^-M_j with M_j in [0, 27]
+    val sumInv = r.getAs[Double]("sum_inv")
+    sumInv should (be > 0.0 and be <= Sketches.hllDetM.toDouble)
+    // at sf0.001 (150 keys over 64 registers) the small-range
+    // linear-counting branch must be the one that fired
+    v should be > 0L
+    r.getAs[Boolean]("hll_ok") shouldBe true
+    val est = r.getAs[Double]("hll_est")
+    val n = r.getAs[Long]("n_exact").toDouble
+    math.abs(est - n) / n should be <= Sketches.hllDetBound
+  }
+
+  it should "make kmvDistinct exact below k and never overrun the heap" in {
+    val r = Sketches.kmvDistinct(spark, sf).head()
+    val seen = r.getAs[Long]("k_seen")
+    seen should be <= Sketches.kmvK.toLong
+    r.getAs[Long]("hk") should (be >= 0L and be < (1L << 60))
+    // 15 users at sf0.001: the under-filled sketch IS the exact count
+    if (seen < Sketches.kmvK) {
+      r.getAs[Double]("kmv_est") shouldBe r.getAs[Long]("n_exact").toDouble
+      r.getAs[Double]("rel_err") shouldBe 0.0
+    }
+    r.getAs[Boolean]("kmv_ok") shouldBe true
+  }
+
+  it should "hold the F2 identities around the AMS estimate" in {
+    val r = Sketches.amsF2(spark, sf).head()
+    val f2 = r.getAs[Long]("f2_exact")
+    val rows = graft.Tables.events(spark, sf).count()
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // Cauchy-Schwarz sandwich: F1²/F0 <= F2 <= F1²
+    f2 should be >= rows * rows / users
+    f2 should be <= rows * rows
+    r.getAs[Double]("f2_ams") should be > 0.0
+    r.getAs[Boolean]("ams_ok") shouldBe true
+  }
 }
