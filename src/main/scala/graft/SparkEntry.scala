@@ -137,6 +137,11 @@ object SparkEntry {
     "q_mutual_info"     -> (graft.ops.Analytics.mutualInfoTypeHour _),
     "q_kruskal"         -> (graft.ops.Behavior.kruskalWallis _),
     "q_dunn"            -> (graft.ops.Behavior.dunnPosthoc _),
+    "q_mcnemar"         -> (graft.ops.Behavior.mcnemarTest _),
+    "q_cochran_q"       -> (graft.ops.Behavior.cochranQ _),
+    "q_mood_median"     -> (graft.ops.Behavior.moodMedianTest _),
+    "q_jonckheere"      -> (graft.ops.Analytics.jonckheereTerpstra _),
+    "q_durbin_watson"   -> (graft.ops.TimeSeries.durbinWatson _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -685,6 +690,11 @@ object SparkEntry {
     "q_mutual_info"   -> graft.ops.Analytics.mutualInfoTypeHourSql,
     "q_kruskal"       -> graft.ops.Behavior.kruskalWallisSql,
     "q_dunn"          -> graft.ops.Behavior.dunnPosthocSql,
+    "q_mcnemar"       -> graft.ops.Behavior.mcnemarTestSql,
+    "q_cochran_q"     -> graft.ops.Behavior.cochranQSql,
+    "q_mood_median"   -> graft.ops.Behavior.moodMedianTestSql,
+    "q_jonckheere"    -> graft.ops.Analytics.jonckheereTerpstraSql,
+    "q_durbin_watson" -> graft.ops.TimeSeries.durbinWatsonSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

@@ -3772,4 +3772,146 @@ object Analytics {
       |FROM o JOIN med USING (priority) CROSS JOIN qhat
       |WHERE k % 10 >= 8
       |GROUP BY priority, n_cal, qhat_cents""".stripMargin
+
+  /** JONCKHEERE–TERPSTRA TEST — the ordered-alternative k-sample test:
+    * does `o_totalprice` TREND across the naturally ordered
+    * `o_orderpriority` levels (1-URGENT < … < 5-LOW)? Where
+    * Kruskal–Wallis asks "do any groups differ", JT asks "do they
+    * differ IN THE GIVEN ORDER" — strictly more powerful when a dose
+    * ordering exists. JT = Σ_{i<j} U_ij; doubled (JT2 = 2·JT) so
+    * half-ties stay integer; z against the no-tie null moments
+    * (o_totalprice is 14 999/15 000 distinct at sf0.01 — the tie
+    * correction is sub-ulp here and is documented away, as in the
+    * standard large-sample treatment).
+    *
+    * Rendering: one value census with the 5 per-group counts packed
+    * into TWO base-2²⁰ digit longs (3 + 2 digits), so the global
+    * exclusive prefix counts for all 5 groups ride just TWO
+    * [[Distributed.withRunningTotal]] range-partition passes — the
+    * same digit-packing idiom as the shard packer, guarded by the
+    * per-group < 2²⁰ cumulative bound (30 k at sf0.1; the guard long
+    * overflows loudly far before the digits collide). Per value v the
+    * pair mass is Σ_j t_j·(2·Σ_{i<j} cumExcl_i + Σ_{i<j} t_i) — exact
+    * integers end to end; the only doubles are the final z division
+    * (same exact inputs both engines).
+    *
+    * Scale: census is a map-side-combinable groupBy; prefixes are the
+    * `_dist` operator (parallel by range, not by the 5 groups); the
+    * rest is O(distinct values) arithmetic. */
+  def jonckheereTerpstra(s: SparkSession, d: String): DataFrame = {
+    val B = 1L << 20
+    val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    def t(i: Int) = sum(when(col("o_orderpriority") === gs(i), 1L)
+      .otherwise(0L)).as(s"t${i + 1}")
+    val cells = Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy("cents")
+      .agg(t(0), t(1), t(2), t(3), t(4))
+      .withColumn("pack_a",
+        col("t1") + col("t2") * B + col("t3") * B * B)
+      .withColumn("pack_b", col("t4") + col("t5") * B)
+    val cum = graft.ops.Distributed.withRunningTotal(
+      graft.ops.Distributed.withRunningTotal(
+        cells, Seq.empty, Seq("cents"), "pack_a", "cum_a"),
+      Seq.empty, Seq("cents"), "pack_b", "cum_b")
+    val un = cum.select(col("*"),
+      (col("cum_a") % B - col("t1")).as("x1"),
+      (expr(s"cum_a div $B") % B - col("t2")).as("x2"),
+      (expr(s"cum_a div ${B * B}") - col("t3")).as("x3"),
+      (col("cum_b") % B - col("t4")).as("x4"))
+    // per-value pair mass: group j vs the union of groups i < j
+    val contrib =
+      col("t2") * (lit(2L) * col("x1") + col("t1")) +
+      col("t3") * (lit(2L) * (col("x1") + col("x2")) +
+        col("t1") + col("t2")) +
+      col("t4") * (lit(2L) * (col("x1") + col("x2") + col("x3")) +
+        col("t1") + col("t2") + col("t3")) +
+      col("t5") * (lit(2L) * (col("x1") + col("x2") + col("x3") +
+        col("x4")) + col("t1") + col("t2") + col("t3") + col("t4"))
+    val sums = un.agg(
+      sum(contrib).cast("long").as("jt2"),
+      sum(col("t1") + col("t2") + col("t3") + col("t4") + col("t5"))
+        .cast("long").as("n"),
+      sum(col("t1")).cast("long").as("n1"),
+      sum(col("t2")).cast("long").as("n2"),
+      sum(col("t3")).cast("long").as("n3"),
+      sum(col("t4")).cast("long").as("n4"),
+      sum(col("t5")).cast("long").as("n5"))
+    val n = col("n")
+    val sq = (c: Column) => c * c
+    val sumNi2 = sq(col("n1")) + sq(col("n2")) + sq(col("n3")) +
+      sq(col("n4")) + sq(col("n5"))
+    // n² − Σnᵢ² = 2·Σ_{i<j}nᵢnⱼ is even; the value is < 2⁵³ so the
+    // true-division double is exact and the long cast is lossless
+    val e2 = ((n * n - sumNi2) / lit(2L)).cast("long")
+    val var4num = n * n * (lit(2L) * n + 3L) -
+      (sq(col("n1")) * (lit(2L) * col("n1") + 3L) +
+       sq(col("n2")) * (lit(2L) * col("n2") + 3L) +
+       sq(col("n3")) * (lit(2L) * col("n3") + 3L) +
+       sq(col("n4")) * (lit(2L) * col("n4") + 3L) +
+       sq(col("n5")) * (lit(2L) * col("n5") + 3L))
+    val z = (col("jt2") - col("e2")).cast("double") /
+      sqrt(col("var4num").cast("double") / 18.0)
+    sums.withColumn("e2", e2).withColumn("var4num", var4num)
+      .select(col("n"), col("jt2"), col("e2"),
+        round(z, 6).as("z_stat"),
+        (abs(z) > 1.959963984540054).as("significant_95"),
+        when(z > 0, lit("increasing")).otherwise(lit("decreasing"))
+          .as("direction"))
+  }
+
+  val jonckheereTerpstraSql: String =
+    """WITH obs AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |cells AS (
+      |  SELECT cents,
+      |    sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS t1,
+      |    sum(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS t2,
+      |    sum(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS t3,
+      |    sum(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS t4,
+      |    sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS t5
+      |  FROM obs GROUP BY 1),
+      |cum AS (
+      |  SELECT cents, t1, t2, t3, t4, t5,
+      |    sum(t1) OVER w - t1 AS x1, sum(t2) OVER w - t2 AS x2,
+      |    sum(t3) OVER w - t3 AS x3, sum(t4) OVER w - t4 AS x4
+      |  FROM cells
+      |  WINDOW w AS (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT
+      |    CAST(sum(t2 * (2 * x1 + t1)
+      |      + t3 * (2 * (x1 + x2) + t1 + t2)
+      |      + t4 * (2 * (x1 + x2 + x3) + t1 + t2 + t3)
+      |      + t5 * (2 * (x1 + x2 + x3 + x4) + t1 + t2 + t3 + t4))
+      |      AS BIGINT) AS jt2,
+      |    CAST(sum(t1 + t2 + t3 + t4 + t5) AS BIGINT) AS n,
+      |    CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t2) AS BIGINT) AS n2,
+      |    CAST(sum(t3) AS BIGINT) AS n3, CAST(sum(t4) AS BIGINT) AS n4,
+      |    CAST(sum(t5) AS BIGINT) AS n5
+      |  FROM cum),
+      |m AS (
+      |  SELECT n, jt2,
+      |    (n * n - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5)) // 2 AS e2,
+      |    n * n * (2 * n + 3)
+      |      - (n1*n1 * (2*n1 + 3) + n2*n2 * (2*n2 + 3)
+      |         + n3*n3 * (2*n3 + 3) + n4*n4 * (2*n4 + 3)
+      |         + n5*n5 * (2*n5 + 3)) AS var4num
+      |  FROM s)
+      |SELECT n, jt2, e2,
+      |  round(CAST(jt2 - e2 AS DOUBLE)
+      |    / sqrt(CAST(var4num AS DOUBLE) / 18.0), 6) AS z_stat,
+      |  (abs(CAST(jt2 - e2 AS DOUBLE)
+      |    / sqrt(CAST(var4num AS DOUBLE) / 18.0))
+      |    > 1.959963984540054) AS significant_95,
+      |  CASE WHEN CAST(jt2 - e2 AS DOUBLE)
+      |    / sqrt(CAST(var4num AS DOUBLE) / 18.0) > 0
+      |    THEN 'increasing' ELSE 'decreasing' END AS direction
+      |FROM m""".stripMargin
 }

@@ -3450,4 +3450,260 @@ object Behavior {
       |  CAST(sum(term) AS DOUBLE) / 24.0 AS shapley,
       |  (SELECT total_attributed FROM eff) AS total_attributed
       |FROM terms GROUP BY channel""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Paired / related-samples nonparametric tests
+  // ---------------------------------------------------------------------
+
+  /** χ²(1, 0.95) — the McNemar critical value (pinned literal). */
+  private val chi2Df1Crit = 3.841458820694124
+  /** χ²(2, 0.95) — Cochran's Q critical value for k = 3 (pinned). */
+  private val chi2Df2Crit = 5.991464547107979
+  /** χ²(4, 0.95) — Mood's median critical value for 5 groups (pinned). */
+  private val chi2Df4Crit = 9.487729036781154
+
+  /** MCNEMAR'S TEST on PAIRED binary outcomes — "did the same users'
+    * high-value purchasing change between the first and second half of
+    * the month?" Each user contributes one (before, after) flag pair
+    * (a ≥ $200 purchase in Jan 1–15 vs Jan 16–30 — the corpus spans
+    * exactly Jan 2024; $200 keeps both discordant cells populated at
+    * every SF). Only the DISCORDANT cells carry information:
+    * χ² = (b−c)²/(b+c), plus Edwards' continuity-corrected
+    * (|b−c|−1)²/(b+c), against the pinned χ²(1) 95% quantile. The
+    * b+c = 0 degenerate case yields NULL statistics and FALSE flags
+    * (guarded with `greatest` so ANSI mode cannot raise).
+    *
+    * Exactness: b and c are exact integer cell counts; each statistic
+    * is one division of exact integers — identical doubles on both
+    * engines. Scale: one user_id-keyed conditional aggregate (map-side
+    * combinable) then a single-row reduce — the [[funnel]] shuffle
+    * shape. */
+  def mcnemarTest(s: SparkSession, d: String): DataFrame = {
+    val cents = (dec(col("value")) * 100).cast("long")
+    val hv = col("event_type") === "purchase" && cents >= 20000L
+    val split = lit("2024-01-16").cast("timestamp")
+    val flags = Tables.events(s, d).groupBy("user_id").agg(
+      max(when(hv && col("ts") < split, 1L).otherwise(0L)).as("a"),
+      max(when(hv && col("ts") >= split, 1L).otherwise(0L)).as("b"))
+    val cells = flags.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+        .as("b_count"),
+      sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+        .as("c_count"))
+    val bc = col("b_count") + col("c_count")
+    val diff = col("b_count") - col("c_count")
+    val chi2 = (diff * diff).cast("double") / greatest(bc, lit(1L))
+    val cc = abs(diff) - lit(1L)
+    val chi2cc = (cc * cc).cast("double") / greatest(bc, lit(1L))
+    cells.select(col("n_pairs"), col("b_count"), col("c_count"),
+      when(bc === 0L, lit(null).cast("double"))
+        .otherwise(round(chi2, 6)).as("chi2"),
+      when(bc === 0L, lit(null).cast("double"))
+        .otherwise(round(chi2cc, 6)).as("chi2_cc"),
+      when(bc === 0L, lit(false))
+        .otherwise(chi2cc > chi2Df1Crit).as("significant_95"))
+  }
+
+  val mcnemarTestSql: String =
+    s"""WITH flags AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase'
+       |          AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |              >= 20000
+       |          AND ts < TIMESTAMP '2024-01-16'
+       |        THEN 1 ELSE 0 END) AS a,
+       |    max(CASE WHEN event_type = 'purchase'
+       |          AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |              >= 20000
+       |          AND ts >= TIMESTAMP '2024-01-16'
+       |        THEN 1 ELSE 0 END) AS b
+       |  FROM events GROUP BY 1),
+       |cells AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b_count,
+       |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c_count
+       |  FROM flags)
+       |SELECT n_pairs, b_count, c_count,
+       |  CASE WHEN b_count + c_count = 0 THEN NULL
+       |    ELSE round(CAST((b_count - c_count) * (b_count - c_count)
+       |      AS DOUBLE) / greatest(b_count + c_count, 1), 6) END AS chi2,
+       |  CASE WHEN b_count + c_count = 0 THEN NULL
+       |    ELSE round(CAST((abs(b_count - c_count) - 1)
+       |        * (abs(b_count - c_count) - 1)
+       |      AS DOUBLE) / greatest(b_count + c_count, 1), 6) END
+       |    AS chi2_cc,
+       |  CASE WHEN b_count + c_count = 0 THEN FALSE
+       |    ELSE CAST((abs(b_count - c_count) - 1)
+       |        * (abs(b_count - c_count) - 1)
+       |      AS DOUBLE) / greatest(b_count + c_count, 1)
+       |      > $chi2Df1Crit END AS significant_95
+       |FROM cells""".stripMargin
+
+  /** COCHRAN'S Q TEST — McNemar generalized to k = 3 related binary
+    * treatments: did the same user produce a ≥ $200 click, view, and
+    * purchase? Tests whether the three "treatment" success rates are
+    * homogeneous given per-user blocking.
+    * Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) with C_j the per-type
+    * column totals, R_i the per-user row totals, T the grand total —
+    * ALL exact integers (the only double is the final division),
+    * against the pinned χ²(k−1) quantile. Degenerate denominator
+    * (every user all-0 or all-k) → NULL/FALSE.
+    *
+    * Scale: one user_id×type flag aggregate, then user-keyed and
+    * type-keyed reductions — O(users·k) intermediate, map-side
+    * combinable everywhere. */
+  def cochranQ(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase")
+    val cents = (dec(col("value")) * 100).cast("long")
+    val flags = Tables.events(s, d)
+      .filter(col("event_type").isin(types: _*))
+      .groupBy("user_id", "event_type")
+      .agg(max(when(cents >= 20000L, 1L).otherwise(0L)).as("x"))
+    val rows = flags.groupBy("user_id")
+      .agg(sum("x").as("r"))
+      .agg(count(lit(1)).as("n_users"), sum("r").as("t_total"),
+        sum(col("r") * col("r")).as("r2_sum"))
+    val colsAgg = flags.groupBy("event_type")
+      .agg(sum("x").as("c"))
+      .agg(count(lit(1)).as("k"), sum(col("c") * col("c")).as("c2_sum"))
+    val k = col("k")
+    val num = (k - 1L) * (k * col("c2_sum") - col("t_total") * col("t_total"))
+    val den = k * col("t_total") - col("r2_sum")
+    val q = num.cast("double") / greatest(den, lit(1L))
+    rows.crossJoin(broadcast(colsAgg)).select(
+      col("k").cast("int").as("k"), col("n_users"), col("t_total"),
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round(q, 6)).as("q_stat"),
+      when(den === 0L, lit(false))
+        .otherwise(q > chi2Df2Crit).as("significant_95"))
+  }
+
+  val cochranQSql: String =
+    s"""WITH flags AS (
+       |  SELECT user_id, event_type,
+       |    max(CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+       |        AS BIGINT) >= 20000 THEN 1 ELSE 0 END) AS x
+       |  FROM events
+       |  WHERE event_type IN ('click', 'view', 'purchase')
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(r) AS BIGINT) AS t_total,
+       |    CAST(sum(r * r) AS BIGINT) AS r2_sum
+       |  FROM (SELECT user_id, sum(x) AS r FROM flags GROUP BY 1)),
+       |c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(c * c) AS BIGINT) AS c2_sum
+       |  FROM (SELECT event_type, sum(x) AS c FROM flags GROUP BY 1))
+       |SELECT CAST(k AS INT) AS k, n_users, t_total,
+       |  CASE WHEN k * t_total - r2_sum = 0 THEN NULL
+       |    ELSE round(CAST((k - 1) * (k * c2_sum - t_total * t_total)
+       |      AS DOUBLE) / greatest(k * t_total - r2_sum, 1), 6) END
+       |    AS q_stat,
+       |  CASE WHEN k * t_total - r2_sum = 0 THEN FALSE
+       |    ELSE CAST((k - 1) * (k * c2_sum - t_total * t_total)
+       |      AS DOUBLE) / greatest(k * t_total - r2_sum, 1)
+       |      > $chi2Df2Crit END AS significant_95
+       |FROM r CROSS JOIN c""".stripMargin
+
+  /** MOOD'S MEDIAN TEST — are the five event types' value
+    * distributions split the same way around the GLOBAL median? The
+    * coarsest, most outlier-robust k-sample location test: a 2×k χ²
+    * on (above / at-or-below global lower median) counts,
+    * E_cell = row·col/n, df = k−1 against the pinned χ²(4) quantile.
+    *
+    * Exactness: the global lower median is an exact order statistic
+    * off the value-census running total (the [[kwFrames]] `_dist`
+    * shape — no sort of raw rows); every cell count is an exact
+    * integer; each (O−E)²/E term is a double from exact integers, and
+    * the k-term sum is folded in SORTED group order on both engines
+    * (the [[kruskalWallis]] portability rule — never let partial-agg
+    * order touch a float sum). Scale: one value census + one O(k)
+    * fold. */
+  def moodMedianTest(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .select(col("event_type"), dec(col("value")).as("v"))
+    val byValue = obs.groupBy("v").agg(count(lit(1)).as("t"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byValue, Seq.empty, Seq("v"), "t", "cumt")
+    val n2 = cum.agg(sum("t").cast("long").as("n"))
+    val med = cum.crossJoin(broadcast(n2))
+      .filter(col("cumt") >= expr("(n + 1) div 2"))
+      .agg(min("v").as("median_v"), first(col("n")).as("n"))
+    val perGroup = obs.crossJoin(broadcast(med))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(when(col("v") > col("median_v"), 1L).otherwise(0L))
+          .as("above"),
+        first(col("n")).as("n"), first(col("median_v")).as("median_v"))
+    val totals = perGroup.agg(sum("above").cast("long").as("a_total"))
+    val folded = perGroup.crossJoin(broadcast(totals))
+      .agg(first(col("n")).as("n"), first(col("a_total")).as("a_total"),
+        first(col("median_v")).as("median_v"),
+        count(lit(1)).cast("int").as("k_groups"),
+        sort_array(collect_list(struct(col("event_type"), col("ng"),
+          col("above")))).as("cells"))
+    // (O−E)²/E for the above-row and below-row of each group, folded
+    // in event_type order; E_above = ng·A/n, E_below = ng·(n−A)/n
+    val chi2 = expr(
+      """aggregate(cells, CAST(0.0 AS DOUBLE), (acc, e) ->
+        |  acc
+        |  + (e.above - CAST(e.ng AS DOUBLE) * a_total / n)
+        |    * (e.above - CAST(e.ng AS DOUBLE) * a_total / n)
+        |    / (CAST(e.ng AS DOUBLE) * a_total / n)
+        |  + ((e.ng - e.above) - CAST(e.ng AS DOUBLE) * (n - a_total) / n)
+        |    * ((e.ng - e.above) - CAST(e.ng AS DOUBLE) * (n - a_total) / n)
+        |    / (CAST(e.ng AS DOUBLE) * (n - a_total) / n))""".stripMargin)
+    folded.select(col("k_groups"), col("n"),
+      col("median_v").cast("double").as("median_value"),
+      col("a_total"), round(chi2, 6).as("chi2"),
+      (chi2 > chi2Df4Crit).as("significant_95"))
+  }
+
+  val moodMedianTestSql: String =
+    s"""WITH obs AS (
+       |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events),
+       |by_value AS (SELECT v, count(*) AS t FROM obs GROUP BY v),
+       |cum AS (
+       |  SELECT v, t, sum(t) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+       |  FROM by_value),
+       |nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM cum),
+       |med AS (
+       |  SELECT min(v) AS median_v, (SELECT n FROM nn) AS n
+       |  FROM cum WHERE cumt >= ((SELECT n FROM nn) + 1) // 2),
+       |per_group AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+       |    CAST(sum(CASE WHEN o.v > m.median_v THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS above
+       |  FROM obs o CROSS JOIN med m GROUP BY 1),
+       |tot AS (SELECT CAST(sum(above) AS BIGINT) AS a_total
+       |  FROM per_group),
+       |folded AS (
+       |  SELECT CAST(count(*) AS INT) AS k_groups,
+       |    list(struct_pack(event_type := event_type, ng := ng,
+       |      above := above) ORDER BY event_type) AS cells
+       |  FROM per_group)
+       |SELECT k_groups, n, CAST(median_v AS DOUBLE) AS median_value,
+       |  a_total,
+       |  round(list_sum(list_transform(cells, e ->
+       |    (e.above - CAST(e.ng AS DOUBLE) * a_total / n)
+       |      * (e.above - CAST(e.ng AS DOUBLE) * a_total / n)
+       |      / (CAST(e.ng AS DOUBLE) * a_total / n)
+       |    + ((e.ng - e.above) - CAST(e.ng AS DOUBLE) * (n - a_total) / n)
+       |      * ((e.ng - e.above) - CAST(e.ng AS DOUBLE) * (n - a_total) / n)
+       |      / (CAST(e.ng AS DOUBLE) * (n - a_total) / n))), 6) AS chi2,
+       |  (list_sum(list_transform(cells, e ->
+       |    (e.above - CAST(e.ng AS DOUBLE) * a_total / n)
+       |      * (e.above - CAST(e.ng AS DOUBLE) * a_total / n)
+       |      / (CAST(e.ng AS DOUBLE) * a_total / n)
+       |    + ((e.ng - e.above) - CAST(e.ng AS DOUBLE) * (n - a_total) / n)
+       |      * ((e.ng - e.above) - CAST(e.ng AS DOUBLE) * (n - a_total) / n)
+       |      / (CAST(e.ng AS DOUBLE) * (n - a_total) / n)))
+       |    > $chi2Df4Crit) AS significant_95
+       |FROM folded CROSS JOIN med CROSS JOIN tot""".stripMargin
 }

@@ -2849,4 +2849,115 @@ object TimeSeries {
        |    AS warp_gain,
        |  (dtw <= lockstep_l1) AS contained
        |FROM dp""".stripMargin
+
+  /** DURBIN–WATSON TEST — serial correlation in the residuals of the
+    * daily-revenue-vs-time OLS for 1998 (the regression-diagnostics
+    * companion to [[q_rolling_ols]]/[[grangerCausality]]: a trend fit
+    * whose residuals autocorrelate means the OLS standard errors lie).
+    * DW = Σ(Δe)²/Σe² over the OBSERVATION SEQUENCE of order days
+    * (calendar gaps are adjacent observations, the standard treatment
+    * for a sparse series), with the centered-regressor closed form:
+    * Sty = 2Σty − (n+1)Σy and Stt = n(n²−1)/3 come straight off raw
+    * power sums, so no two-pass centering is needed. DW ≈ 2(1−ρ̂);
+    * the asymptotic z-test flags |ρ̂| > 1.96/√n.
+    *
+    * Exactness: daily revenue is floored to whole DOLLARS (`div 100`
+    * on exact cents) so every power sum is an exact long < 2⁵³ —
+    * both engines convert them to identical doubles; the remaining
+    * arithmetic is the same literal expression tree on both sides
+    * (products like (Σy)² exceed 2⁵³ but are single correctly-rounded
+    * ops on identical inputs). Degenerate guards: n < 3 or a
+    * perfectly-linear series (Σe² = 0) yield NULL/FALSE with
+    * `greatest` keeping ANSI division total.
+    *
+    * Scale: one map-side-combinable daily aggregate, one O(days) lag
+    * window (the accepted O(days) frame class), one single-row
+    * reduce. */
+  def durbinWatson(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.orderBy("day")
+    val daily = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1998)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+      .select(col("day"), expr("cents div 100").as("y"))
+      .select(col("day"), col("y"),
+        row_number().over(ord).cast("long").as("t"),
+        (col("y") - lag(col("y"), 1).over(ord)).as("dy"))
+    val sums = daily.agg(
+      count(lit(1)).as("n"), sum("y").as("sy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("t") * col("y")).as("sty_raw"),
+      sum("dy").as("sd1"), sum(col("dy") * col("dy")).as("sd2"))
+    def d0(c: Column) = c.cast("double")
+    val nd = d0(col("n"))
+    val stt = nd * (nd * nd - 1.0) / 3.0
+    val sty = d0(col("sty_raw")) * 2.0 - (nd + 1.0) * d0(col("sy"))
+    val b = sty / greatest(stt, lit(1.0))
+    val se2 = d0(col("syy")) - d0(col("sy")) * d0(col("sy")) / nd -
+      sty * sty / greatest(stt, lit(1.0))
+    val sde2 = d0(col("sd2")) - b * 4.0 * d0(col("sd1")) +
+      b * 4.0 * b * (nd - 1.0)
+    val dw = sde2 / greatest(se2, lit(1e-12))
+    val rho = lit(1.0) - dw / 2.0
+    val zCrit = lit(1.959963984540054) / sqrt(nd)
+    val bad = col("n") < 3L || se2 <= 0.0
+    sums.select(col("n").as("n_days"),
+      when(bad, lit(null).cast("double")).otherwise(round(dw, 6))
+        .as("dw"),
+      when(bad, lit(null).cast("double")).otherwise(round(rho, 6))
+        .as("rho_hat"),
+      when(bad, lit(false)).otherwise(rho > zCrit)
+        .as("positive_autocorr_95"),
+      when(bad, lit(false)).otherwise(rho < -zCrit)
+        .as("negative_autocorr_95"))
+  }
+
+  val durbinWatsonSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) // 100 AS y
+      |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1),
+      |seq AS (
+      |  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    y - lag(y) OVER (ORDER BY day) AS dy
+      |  FROM daily),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(t * y) AS BIGINT) AS sty_raw,
+      |    CAST(sum(dy) AS BIGINT) AS sd1,
+      |    CAST(sum(dy * dy) AS BIGINT) AS sd2
+      |  FROM seq),
+      |f AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(syy AS DOUBLE) AS syyd, CAST(sd1 AS DOUBLE) AS sd1d,
+      |    CAST(sd2 AS DOUBLE) AS sd2d,
+      |    2.0 * CAST(sty_raw AS DOUBLE)
+      |      - (CAST(n AS DOUBLE) + 1.0) * CAST(sy AS DOUBLE) AS sty,
+      |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |      - 1.0) / 3.0 AS stt
+      |  FROM s),
+      |g AS (
+      |  SELECT n, nd,
+      |    syyd - syd * syd / nd - sty * sty / greatest(stt, 1.0) AS se2,
+      |    sd2d - 4.0 * (sty / greatest(stt, 1.0)) * sd1d
+      |      + 4.0 * (sty / greatest(stt, 1.0)) * (sty / greatest(stt, 1.0))
+      |        * (nd - 1.0) AS sde2
+      |  FROM f)
+      |SELECT n AS n_days,
+      |  CASE WHEN n < 3 OR se2 <= 0.0 THEN NULL
+      |    ELSE round(sde2 / greatest(se2, 1e-12), 6) END AS dw,
+      |  CASE WHEN n < 3 OR se2 <= 0.0 THEN NULL
+      |    ELSE round(1.0 - sde2 / greatest(se2, 1e-12) / 2.0, 6) END
+      |    AS rho_hat,
+      |  CASE WHEN n < 3 OR se2 <= 0.0 THEN FALSE
+      |    ELSE 1.0 - sde2 / greatest(se2, 1e-12) / 2.0
+      |      > 1.959963984540054 / sqrt(nd) END AS positive_autocorr_95,
+      |  CASE WHEN n < 3 OR se2 <= 0.0 THEN FALSE
+      |    ELSE 1.0 - sde2 / greatest(se2, 1e-12) / 2.0
+      |      < -(1.959963984540054 / sqrt(nd)) END AS negative_autocorr_95
+      |FROM g""".stripMargin
 }

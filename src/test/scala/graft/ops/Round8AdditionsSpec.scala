@@ -237,6 +237,62 @@ class Round8AdditionsSpec extends GraftTestBase {
     r.getAs[Boolean]("kmv_ok") shouldBe true
   }
 
+  behavior of "paired and ordered nonparametric tests"
+
+  it should "keep McNemar consistent with its discordant cells" in {
+    val r = Behavior.mcnemarTest(spark, sf).head()
+    val b = r.getAs[Long]("b_count"); val c = r.getAs[Long]("c_count")
+    b should be >= 0L; c should be >= 0L
+    (b + c) should be <= r.getAs[Long]("n_pairs")
+    if (b + c > 0) {
+      val chi2 = r.getAs[Double]("chi2")
+      chi2 shouldBe ((b - c) * (b - c)).toDouble / (b + c) +- 1e-9
+      // continuity correction can only shrink the statistic
+      r.getAs[Double]("chi2_cc") should be <= chi2
+    }
+  }
+
+  it should "bound Cochran's Q below its algebraic maximum" in {
+    val r = Behavior.cochranQ(spark, sf).head()
+    r.getAs[Int]("k") shouldBe 3
+    r.getAs[Long]("t_total") should be <= 3L * r.getAs[Long]("n_users")
+    val q = r.getAs[Double]("q_stat")
+    q should be >= 0.0
+    // Q <= (k-1) * n_users always (each block contributes at most k-1)
+    q should be <= 2.0 * r.getAs[Long]("n_users")
+  }
+
+  it should "split Mood's median table in half by construction" in {
+    val r = Behavior.moodMedianTest(spark, sf).head()
+    r.getAs[Int]("k_groups") shouldBe 5
+    val n = r.getAs[Long]("n"); val a = r.getAs[Long]("a_total")
+    // strictly-above count can never reach half plus the median's mass
+    a should be < n
+    a should be <= n / 2
+    r.getAs[Double]("chi2") should be >= 0.0
+    r.getAs[Double]("median_value") should be > 0.0
+  }
+
+  it should "keep Jonckheere's JT2 inside [0, 2·E2] with a coherent direction" in {
+    val r = Analytics.jonckheereTerpstra(spark, sf).head()
+    val jt2 = r.getAs[Long]("jt2"); val e2 = r.getAs[Long]("e2")
+    e2 should be > 0L
+    jt2 should be >= 0L
+    jt2 should be <= 2 * e2 // max JT = sum of all cross-group pairs
+    val z = r.getAs[Double]("z_stat")
+    r.getAs[String]("direction") shouldBe
+      (if (z > 0) "increasing" else "decreasing")
+  }
+
+  it should "keep Durbin-Watson inside [0, 4] with rho = 1 - dw/2" in {
+    val r = TimeSeries.durbinWatson(spark, sf).head()
+    r.getAs[Long]("n_days") should be > 2L
+    val dw = r.getAs[Double]("dw")
+    dw should be >= 0.0
+    dw should be <= 4.0
+    r.getAs[Double]("rho_hat") shouldBe (1.0 - dw / 2.0) +- 1e-6
+  }
+
   it should "hold the F2 identities around the AMS estimate" in {
     val r = Sketches.amsF2(spark, sf).head()
     val f2 = r.getAs[Long]("f2_exact")
