@@ -142,6 +142,9 @@ object SparkEntry {
     "q_mood_median"     -> (graft.ops.Behavior.moodMedianTest _),
     "q_jonckheere"      -> (graft.ops.Analytics.jonckheereTerpstra _),
     "q_durbin_watson"   -> (graft.ops.TimeSeries.durbinWatson _),
+    "q_readability"     -> (graft.text.TextAnalysis.readability _),
+    "q_cem"             -> (graft.ops.Behavior.cemAtt _),
+    "q_mase"            -> (graft.ops.TimeSeries.maseForecast _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -695,6 +698,9 @@ object SparkEntry {
     "q_mood_median"   -> graft.ops.Behavior.moodMedianTestSql,
     "q_jonckheere"    -> graft.ops.Analytics.jonckheereTerpstraSql,
     "q_durbin_watson" -> graft.ops.TimeSeries.durbinWatsonSql,
+    "q_readability"   -> graft.text.TextAnalysis.readabilitySql,
+    "q_cem"           -> graft.ops.Behavior.cemAttSql,
+    "q_mase"          -> graft.ops.TimeSeries.maseForecastSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

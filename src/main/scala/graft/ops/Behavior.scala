@@ -3706,4 +3706,123 @@ object Behavior {
        |      / (CAST(e.ng AS DOUBLE) * (n - a_total) / n)))
        |    > $chi2Df4Crit) AS significant_95
        |FROM folded CROSS JOIN med CROSS JOIN tot""".stripMargin
+
+  /** COARSENED EXACT MATCHING — the observational-causal companion to
+    * [[stratifiedAte]]: estimate the effect of being a BUILDING-segment
+    * customer on total order spend, matching on coarsened covariates
+    * (nation × $2 000 account-balance band) and — CEM's defining move —
+    * PRUNING every stratum that lacks common support (no treated or no
+    * control unit). ATT = Σ_s m_t^s·(ȳ_t^s − ȳ_c^s) / M_t over matched
+    * strata only; the naive unmatched difference rides along so the
+    * pruning's effect is visible in one row.
+    *
+    * Exactness: strata keys are exact integers (the balance band is
+    * (cents + 100000) div 200000 — shifted positive BEFORE the integer
+    * division because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and they disagree on negatives); stratum
+    * sums are exact cents; the per-stratum term St − Sc·mt/mc is a
+    * double folded in SORTED stratum order on both engines (the
+    * [[kruskalWallis]] float-fold rule). Scale: one custkey-shuffle
+    * left join + one O(strata) fold; strata cardinality is 25·6. */
+  def cemAtt(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey").cast("int").as("nation"),
+      expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " + 100000) div 200000").cast("int").as("band"),
+      when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+        .as("treated"))
+    val spend = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("spend"))
+    val joined = cust
+      .join(spend, cust("c_custkey") === spend("o_custkey"), "left")
+      .select(col("nation"), col("band"), col("treated"),
+        coalesce(col("spend"), lit(0L)).as("y"))
+    val strata = joined.groupBy("nation", "band").agg(
+      sum(when(col("treated") === 1L, 1L).otherwise(0L)).as("mt"),
+      sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("mc"),
+      sum(when(col("treated") === 1L, col("y")).otherwise(0L)).as("st"),
+      sum(when(col("treated") === 0L, col("y")).otherwise(0L)).as("sc"))
+    val all = strata.agg(count(lit(1)).as("strata_total"),
+      sum("mt").cast("long").as("mt_all"),
+      sum("mc").cast("long").as("mc_all"),
+      sum("st").cast("long").as("st_all"),
+      sum("sc").cast("long").as("sc_all"))
+    val matched = strata.filter(col("mt") > 0L && col("mc") > 0L)
+      .agg(count(lit(1)).as("strata_matched"),
+        sum("mt").cast("long").as("mt_m"),
+        sum("mc").cast("long").as("mc_m"),
+        sort_array(collect_list(struct(col("nation"), col("band"),
+          col("mt"), col("mc"), col("st"), col("sc")))).as("cells"))
+    val foldSum = expr(
+      """aggregate(cells, CAST(0.0 AS DOUBLE), (acc, e) ->
+        |  acc + (e.st - CAST(e.sc AS DOUBLE) * e.mt / e.mc))"""
+        .stripMargin)
+    val att = foldSum / greatest(col("mt_m"), lit(1L)).cast("double")
+    val naive = col("st_all").cast("double") /
+      greatest(col("mt_all"), lit(1L)) -
+      col("sc_all").cast("double") / greatest(col("mc_all"), lit(1L))
+    matched.crossJoin(broadcast(all)).select(
+      col("strata_total"), col("strata_matched"),
+      col("mt_m").as("treated_matched"),
+      col("mc_m").as("control_matched"),
+      (col("mt_all") - col("mt_m")).as("treated_pruned"),
+      when(col("mt_m") === 0L, lit(null).cast("double"))
+        .otherwise(round(att, 4)).as("att_cents"),
+      round(naive, 4).as("naive_diff_cents"))
+  }
+
+  val cemAttSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS INT) AS nation,
+      |    CAST((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + 100000) // 200000 AS INT) AS band,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+      |      AS treated
+      |  FROM customer),
+      |spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS spend
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT nation, band, treated, coalesce(spend, 0) AS y
+      |  FROM cust LEFT JOIN spend ON c_custkey = o_custkey),
+      |strata AS (
+      |  SELECT nation, band,
+      |    CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS mt,
+      |    CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS mc,
+      |    CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+      |      AS st,
+      |    CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+      |      AS sc
+      |  FROM j GROUP BY 1, 2),
+      |allt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS strata_total,
+      |    CAST(sum(mt) AS BIGINT) AS mt_all,
+      |    CAST(sum(mc) AS BIGINT) AS mc_all,
+      |    CAST(sum(st) AS BIGINT) AS st_all,
+      |    CAST(sum(sc) AS BIGINT) AS sc_all
+      |  FROM strata),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS strata_matched,
+      |    CAST(sum(mt) AS BIGINT) AS mt_m,
+      |    CAST(sum(mc) AS BIGINT) AS mc_m,
+      |    list(struct_pack(nation := nation, band := band, mt := mt,
+      |      mc := mc, st := st, sc := sc) ORDER BY nation, band)
+      |      AS cells
+      |  FROM strata WHERE mt > 0 AND mc > 0)
+      |SELECT strata_total, strata_matched,
+      |  mt_m AS treated_matched, mc_m AS control_matched,
+      |  mt_all - mt_m AS treated_pruned,
+      |  CASE WHEN mt_m = 0 THEN NULL
+      |    ELSE round(list_sum(list_transform(cells, e ->
+      |      e.st - CAST(e.sc AS DOUBLE) * e.mt / e.mc))
+      |      / CAST(greatest(mt_m, 1) AS DOUBLE), 4) END AS att_cents,
+      |  round(CAST(st_all AS DOUBLE) / greatest(mt_all, 1)
+      |    - CAST(sc_all AS DOUBLE) / greatest(mc_all, 1), 4)
+      |    AS naive_diff_cents
+      |FROM m CROSS JOIN allt""".stripMargin
 }

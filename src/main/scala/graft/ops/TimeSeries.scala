@@ -2960,4 +2960,70 @@ object TimeSeries {
       |    ELSE 1.0 - sde2 / greatest(se2, 1e-12) / 2.0
       |      < -(1.959963984540054 / sqrt(nd)) END AS negative_autocorr_95
       |FROM g""".stripMargin
+
+  /** MASE — the scale-free forecast-accuracy metric
+    * ([[q_pinball]]/[[q_forecast_bt]]'s missing companion): does the
+    * WEEKLY seasonal-naive forecast (ŷ_t = y_{t−7 obs}) beat the
+    * one-step naive (ŷ_t = y_{t−1 obs}) on 1998 daily revenue?
+    * MASE = MAE(snaive7)/MAE(naive1); < 1 means weekly seasonality is
+    * real signal. Both MAEs are ratios of exact integer sums, so MASE
+    * reduces to ONE division of exact integer products —
+    * (Σ|e₇|·n₁)/(Σ|e₁|·n₇) — bit-identical across engines, no float
+    * folding anywhere. Lags index the observation sequence (sparse
+    * calendars shift the "week" — documented, same convention as
+    * [[durbinWatson]]). Scale: one daily aggregate + one O(days) lag
+    * window + a single-row reduce. */
+  def maseForecast(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.orderBy("day")
+    val daily = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1998)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+      .select(col("day"), col("cents"),
+        lag(col("cents"), 1).over(ord).as("l1"),
+        lag(col("cents"), 7).over(ord).as("l7"))
+    val sums = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("l7").isNotNull, 1L).otherwise(0L)).as("n7"),
+      sum(when(col("l1").isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(abs(col("cents") - col("l7"))).as("sae7"),
+      sum(abs(col("cents") - col("l1"))).as("sae1"))
+    val mase = (col("sae7") * col("n1")).cast("double") /
+      greatest(col("sae1") * col("n7"), lit(1L))
+    val bad = col("n7") === 0L || col("sae1") === 0L
+    sums.select(col("n_days"), col("n7"), col("sae7"), col("sae1"),
+      when(bad, lit(null).cast("double")).otherwise(round(mase, 6))
+        .as("mase"),
+      when(bad, lit(false)).otherwise(mase < 1.0)
+        .as("weekly_seasonality"))
+  }
+
+  val maseForecastSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1),
+      |seq AS (
+      |  SELECT cents, lag(cents, 1) OVER (ORDER BY day) AS l1,
+      |    lag(cents, 7) OVER (ORDER BY day) AS l7
+      |  FROM daily),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n7,
+      |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(abs(cents - l7)) AS BIGINT) AS sae7,
+      |    CAST(sum(abs(cents - l1)) AS BIGINT) AS sae1
+      |  FROM seq)
+      |SELECT n_days, n7, sae7, sae1,
+      |  CASE WHEN n7 = 0 OR sae1 = 0 THEN NULL
+      |    ELSE round(CAST(sae7 * n1 AS DOUBLE)
+      |      / greatest(sae1 * n7, 1), 6) END AS mase,
+      |  CASE WHEN n7 = 0 OR sae1 = 0 THEN FALSE
+      |    ELSE CAST(sae7 * n1 AS DOUBLE) / greatest(sae1 * n7, 1) < 1.0
+      |    END AS weekly_seasonality
+      |FROM s""".stripMargin
 }

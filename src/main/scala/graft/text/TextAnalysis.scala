@@ -1674,4 +1674,76 @@ object TextAnalysis {
       |    ELSE round(CAST(sum(n_seen) AS DOUBLE) / sum(n_grams), 6)
       |  END AS dup_frac
       |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** Pseudo-sentence length for corpora without terminal punctuation
+    * (this corpus has zero `[.!?]` — verified): the standard
+    * fixed-window chunking fallback. */
+  val readabilityChunk = 20
+
+  /** FLESCH READING EASE per document — the length/complexity prior
+    * quality cascades add next to [[q_quality_filter]]'s Gopher rules:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Words = maximal `[a-z]+` runs of the lowercased text; syllables =
+    * the vowel-group heuristic (maximal `[aeiouy]+` runs — the classic
+    * dictionary-free approximation); sentences = real `[.!?]+`
+    * terminators when present, else ⌈words/20⌉ pseudo-sentences
+    * ([[readabilityChunk]]) so the formula stays defined on this
+    * unpunctuated corpus.
+    *
+    * Exactness: all three inputs are exact integer counts (the regexes
+    * are RE2/Java-identical literal classes); the score is one double
+    * expression over them, rounded. Scale: embarrassingly parallel
+    * map-side counting — no shuffle at all beyond the final ordering
+    * the driver imposes. */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val lc = lower(col("text"))
+    val words = size(regexp_extract_all(lc, lit("[a-z]+"), lit(0)))
+      .cast("long")
+    val syll = size(regexp_extract_all(lc, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val realSent = size(regexp_extract_all(lc, lit("[.!?]+"), lit(0)))
+      .cast("long")
+    val flesch = lit(206.835) -
+      lit(1.015) * (col("words").cast("double") / col("sentences")) -
+      lit(84.6) * (col("syllables").cast("double") / col("words"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words.as("words"),
+        syll.as("syllables"), realSent.as("real_sent"))
+      .select(col("doc_id"), col("lang"), col("words"), col("syllables"),
+        when(col("real_sent") > 0L, col("real_sent"))
+          .otherwise(expr(
+            s"(words + ${readabilityChunk - 1}) div $readabilityChunk"))
+          .as("sentences"))
+      .filter(col("words") > 0L && col("sentences") > 0L)
+      .select(col("doc_id"), col("lang"), col("words"),
+        col("syllables"), col("sentences"),
+        round(flesch, 6).as("flesch"),
+        (flesch >= 60.0).as("easy_read"))
+  }
+
+  val readabilitySql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(regexp_extract_all(lower(text), '[a-z]+'))
+       |      AS BIGINT) AS words,
+       |    CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      AS BIGINT) AS syllables,
+       |    CAST(length(regexp_extract_all(lower(text), '[.!?]+'))
+       |      AS BIGINT) AS real_sent
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lang, words, syllables,
+       |    CASE WHEN real_sent > 0 THEN real_sent
+       |      ELSE (words + ${readabilityChunk - 1}) // $readabilityChunk
+       |    END AS sentences
+       |  FROM c)
+       |SELECT doc_id, lang, words, syllables, sentences,
+       |  round(206.835
+       |    - 1.015 * (CAST(words AS DOUBLE) / sentences)
+       |    - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) AS flesch,
+       |  (206.835
+       |    - 1.015 * (CAST(words AS DOUBLE) / sentences)
+       |    - 84.6 * (CAST(syllables AS DOUBLE) / words) >= 60.0)
+       |    AS easy_read
+       |FROM n WHERE words > 0 AND sentences > 0""".stripMargin
 }

@@ -293,6 +293,48 @@ class Round8AdditionsSpec extends GraftTestBase {
     r.getAs[Double]("rho_hat") shouldBe (1.0 - dw / 2.0) +- 1e-6
   }
 
+  behavior of "readability, CEM, and MASE"
+
+  it should "reproduce Flesch from its own counted inputs" in {
+    val rows = graft.text.TextAnalysis.readability(spark, sf).collect()
+    rows.length should be > 400
+    rows.foreach { r =>
+      val w = r.getAs[Long]("words"); val sy = r.getAs[Long]("syllables")
+      val se = r.getAs[Long]("sentences")
+      w should be > 0L
+      // corpus has no terminal punctuation: chunk fallback everywhere
+      se shouldBe (w + 19) / 20
+      val expected = 206.835 - 1.015 * (w.toDouble / se) -
+        84.6 * (sy.toDouble / w)
+      r.getAs[Double]("flesch") shouldBe expected +- 1e-5
+      r.getAs[Boolean]("easy_read") shouldBe (expected >= 60.0)
+    }
+  }
+
+  it should "conserve treated units across CEM matching and pruning" in {
+    val r = Behavior.cemAtt(spark, sf).head()
+    r.getAs[Long]("strata_matched") should be <=
+      r.getAs[Long]("strata_total")
+    val treatedTotal = graft.Tables.customer(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .count()
+    r.getAs[Long]("treated_matched") +
+      r.getAs[Long]("treated_pruned") shouldBe treatedTotal
+    r.getAs[Long]("control_matched") should be > 0L
+  }
+
+  it should "agree MASE with its integer-sum closed form" in {
+    val r = TimeSeries.maseForecast(spark, sf).head()
+    val n = r.getAs[Long]("n_days")
+    val n7 = r.getAs[Long]("n7")
+    n7 shouldBe math.max(0L, n - 7)
+    if (n7 > 0 && r.getAs[Long]("sae1") > 0) {
+      r.getAs[Double]("mase") shouldBe
+        (r.getAs[Long]("sae7").toDouble * (n - 1)) /
+          (r.getAs[Long]("sae1").toDouble * n7) +- 1e-5
+    }
+  }
+
   it should "hold the F2 identities around the AMS estimate" in {
     val r = Sketches.amsF2(spark, sf).head()
     val f2 = r.getAs[Long]("f2_exact")
