@@ -145,6 +145,10 @@ object SparkEntry {
     "q_readability"     -> (graft.text.TextAnalysis.readability _),
     "q_cem"             -> (graft.ops.Behavior.cemAtt _),
     "q_mase"            -> (graft.ops.TimeSeries.maseForecast _),
+    "q_textrank"        -> (graft.text.TextAnalysis.textRank _),
+    "q_changepoint"     -> (graft.ops.TimeSeries.changepoint _),
+    "q_capture_recapture" -> (graft.ops.Behavior.captureRecapture _),
+    "q_rate_test"       -> (graft.ops.Behavior.poissonRateTest _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -701,6 +705,10 @@ object SparkEntry {
     "q_readability"   -> graft.text.TextAnalysis.readabilitySql,
     "q_cem"           -> graft.ops.Behavior.cemAttSql,
     "q_mase"          -> graft.ops.TimeSeries.maseForecastSql,
+    "q_textrank"      -> graft.text.TextAnalysis.textRankSql,
+    "q_changepoint"   -> graft.ops.TimeSeries.changepointSql,
+    "q_capture_recapture" -> graft.ops.Behavior.captureRecaptureSql,
+    "q_rate_test"     -> graft.ops.Behavior.poissonRateTestSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

@@ -3825,4 +3825,112 @@ object Behavior {
       |    - CAST(sc_all AS DOUBLE) / greatest(mc_all, 1), 4)
       |    AS naive_diff_cents
       |FROM m CROSS JOIN allt""".stripMargin
+
+  /** CAPTURE–RECAPTURE (Chapman-corrected Lincoln–Petersen) — estimate
+    * the TOTAL user population from two overlapping "sightings": users
+    * active in calendar week 1 vs week 2 of Jan 2024.
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1, the bias-corrected estimator that
+    * stays finite at m = 0. The same arithmetic estimates hidden
+    * corpus mass in dedup pipelines (how many near-dup clusters did
+    * two independent detectors miss?) — a sketch-adjacent estimator
+    * that needs only two membership aggregates. The month's exact
+    * distinct-user count rides as ground truth (on this fully-active
+    * corpus the estimate lands exactly — every user appears in both
+    * weeks; the estimator's bias shows only in the week counts).
+    *
+    * Exactness: n₁, n₂, m are exact integers; N̂ is one division of
+    * exact integer products. Scale: one user-keyed flag aggregate —
+    * the [[funnel]] shuffle shape. */
+  def captureRecapture(s: SparkSession, d: String): DataFrame = {
+    val wk = date_trunc("week", col("ts")).cast("date")
+    val flags = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(wk === lit("2024-01-01").cast("date"), 1L)
+        .otherwise(0L)).as("in1"),
+        max(when(wk === lit("2024-01-08").cast("date"), 1L)
+          .otherwise(0L)).as("in2"))
+    val cells = flags.agg(
+      count(lit(1)).as("n_true"),
+      sum("in1").cast("long").as("n1"),
+      sum("in2").cast("long").as("n2"),
+      sum(col("in1") * col("in2")).cast("long").as("m_both"))
+    val est = ((col("n1") + 1L) * (col("n2") + 1L)).cast("double") /
+      (col("m_both") + 1L) - lit(1.0)
+    cells.select(col("n1"), col("n2"), col("m_both"), col("n_true"),
+      round(est, 4).as("n_hat"),
+      round(abs(est - col("n_true").cast("double")) /
+        col("n_true").cast("double"), 4).as("rel_err"))
+  }
+
+  val captureRecaptureSql: String =
+    """WITH flags AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN CAST(date_trunc('week', ts) AS DATE)
+      |      = DATE '2024-01-01' THEN 1 ELSE 0 END) AS in1,
+      |    max(CASE WHEN CAST(date_trunc('week', ts) AS DATE)
+      |      = DATE '2024-01-08' THEN 1 ELSE 0 END) AS in2
+      |  FROM events GROUP BY 1),
+      |cells AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+      |    CAST(sum(in1) AS BIGINT) AS n1,
+      |    CAST(sum(in2) AS BIGINT) AS n2,
+      |    CAST(sum(in1 * in2) AS BIGINT) AS m_both
+      |  FROM flags)
+      |SELECT n1, n2, m_both, n_true,
+      |  round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m_both + 1)
+      |    - 1.0, 4) AS n_hat,
+      |  round(abs(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m_both + 1)
+      |    - 1.0 - n_true) / n_true, 4) AS rel_err
+      |FROM cells""".stripMargin
+
+  /** TWO-SAMPLE POISSON RATE TEST (conditional / binomial form) — are
+    * clicks and views arriving at the same rate over the identical
+    * 30-day exposure? Conditioned on the total k = k₁+k₂, k₁ is
+    * Binomial(k, ½) under H₀, so z = (k₁−k₂)/√(k₁+k₂) — the exact
+    * conditional test statistic, no rate parameter estimated. The
+    * rate ratio with its log-scale Wald CI (e^{±1.96·√(1/k₁+1/k₂)})
+    * rides along as the effect size.
+    *
+    * Exactness: k₁, k₂ are exact counts; every output is a pinned
+    * formula of the two integers. Scale: one map-side-combinable
+    * count — the cheapest possible shuffle. */
+  def poissonRateTest(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("k1"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("k2"))
+    val z = (col("k1") - col("k2")).cast("double") /
+      sqrt((col("k1") + col("k2")).cast("double"))
+    val ratio = col("k1").cast("double") / col("k2")
+    val se = sqrt(lit(1.0) / col("k1") + lit(1.0) / col("k2"))
+    counts.select(col("k1"), col("k2"),
+      round(ratio, 6).as("rate_ratio"),
+      round(ratio * exp(se * -1.959963984540054), 6).as("ci_lo"),
+      round(ratio * exp(se * 1.959963984540054), 6).as("ci_hi"),
+      round(z, 6).as("z_stat"),
+      (abs(z) > 1.959963984540054).as("significant_95"))
+  }
+
+  val poissonRateTestSql: String =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k2
+      |  FROM events)
+      |SELECT k1, k2,
+      |  round(CAST(k1 AS DOUBLE) / k2, 6) AS rate_ratio,
+      |  round(CAST(k1 AS DOUBLE) / k2
+      |    * exp(sqrt(1.0 / k1 + 1.0 / k2) * -1.959963984540054), 6)
+      |    AS ci_lo,
+      |  round(CAST(k1 AS DOUBLE) / k2
+      |    * exp(sqrt(1.0 / k1 + 1.0 / k2) * 1.959963984540054), 6)
+      |    AS ci_hi,
+      |  round(CAST(k1 - k2 AS DOUBLE) / sqrt(CAST(k1 + k2 AS DOUBLE)),
+      |    6) AS z_stat,
+      |  (abs(CAST(k1 - k2 AS DOUBLE) / sqrt(CAST(k1 + k2 AS DOUBLE)))
+      |    > 1.959963984540054) AS significant_95
+      |FROM c""".stripMargin
 }

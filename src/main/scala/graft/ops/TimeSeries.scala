@@ -3026,4 +3026,87 @@ object TimeSeries {
       |    ELSE CAST(sae7 * n1 AS DOUBLE) / greatest(sae1 * n7, 1) < 1.0
       |    END AS weekly_seasonality
       |FROM s""".stripMargin
+
+  /** OFFLINE CHANGEPOINT DETECTION (binary segmentation, first split) —
+    * where [[q_cusum]] monitors a stream against a target, this asks
+    * the retrospective question: which single day best splits the
+    * whole daily-revenue history into two regimes? For every candidate
+    * boundary k the variance-reduction gain of splitting there is
+    *   gain(k) = (S₁·n₂ − S₂·n₁)² / (n·n₁·n₂)
+    * (the between-segment sum of squares — the CART split criterion on
+    * a time axis). The argmax row is flagged; emitting EVERY
+    * candidate's gain makes the whole curve oracle-checkable, not just
+    * the winner.
+    *
+    * Exactness: prefix sums are exact cents; S₁·n₂ − S₂·n₁ stays
+    * under 2⁵³ so its double is exact, and gain is two float ops on
+    * identical inputs — the max-equality flag therefore agrees
+    * bit-for-bit across engines. The REPORTED column is gain/TSS (the
+    * split's R² ∈ [0,1]) because raw gain sits at ~1e19 cents² where
+    * decimal rounding diverges between engines (the q_sax lesson);
+    * TSS converts one exact DECIMAL(38) through the known 1-ulp
+    * conversion skew, which the 6 dp rounding of a ≤1e-1 ratio
+    * swallows by eleven orders of magnitude. Scale: one daily
+    * aggregate, one O(days) prefix window, one O(days) max — the
+    * accepted single-partition day-frame class. */
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.orderBy("day")
+    val all = Window.partitionBy(lit(1))
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+      .select(col("day"), col("cents"),
+        sum("cents").over(ord).as("s1"),
+        count(lit(1)).over(ord).as("n1"),
+        sum("cents").over(all).as("st"),
+        count(lit(1)).over(all).as("nt"),
+        sum((col("cents").cast(DecimalType(38, 0)) * col("cents"))
+          .cast(DecimalType(38, 0))).over(all).as("syy"))
+      .filter(col("n1") < col("nt")) // boundary after day k needs a right segment
+    val n2 = col("nt") - col("n1")
+    val s2 = col("st") - col("s1")
+    val num = (col("s1") * n2 - s2 * col("n1")).cast("double")
+    val gain = num * num /
+      (col("nt") * col("n1") * n2).cast("double")
+    // TSS·n = n·Σy² − (Σy)² held exact in DECIMAL(38); ONE conversion
+    val tssN = (col("syy") * col("nt") -
+      col("st").cast(DecimalType(38, 0)) * col("st")).cast("double")
+    val r2 = gain * col("nt").cast("double") / tssN
+    val g = daily.select(col("day"), col("n1").as("n_left"),
+      n2.as("n_right"), round(r2, 6).as("gain_r2"), gain.as("g_raw"))
+    g.select(col("day"), col("n_left"), col("n_right"), col("gain_r2"),
+      (col("g_raw") === max(col("g_raw")).over(Window.partitionBy(lit(1))))
+        .as("is_best_split"))
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |pre AS (
+      |  SELECT day,
+      |    CAST(sum(cents) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS s1,
+      |    CAST(count(*) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(cents) OVER () AS BIGINT) AS st,
+      |    CAST(count(*) OVER () AS BIGINT) AS nt,
+      |    sum(CAST(cents AS HUGEINT) * cents) OVER () AS syy
+      |  FROM daily),
+      |g AS (
+      |  SELECT day, n1 AS n_left, nt - n1 AS n_right, nt,
+      |    CAST(s1 * (nt - n1) - (st - s1) * n1 AS DOUBLE)
+      |      * CAST(s1 * (nt - n1) - (st - s1) * n1 AS DOUBLE)
+      |      / CAST(nt * n1 * (nt - n1) AS DOUBLE) AS g_raw,
+      |    CAST(syy * nt - CAST(st AS HUGEINT) * st AS DOUBLE) AS tssn
+      |  FROM pre WHERE n1 < nt)
+      |SELECT day, n_left, n_right,
+      |  round(g_raw * CAST(nt AS DOUBLE) / tssn, 6) AS gain_r2,
+      |  (g_raw = max(g_raw) OVER ()) AS is_best_split
+      |FROM g""".stripMargin
 }

@@ -1746,4 +1746,112 @@ object TextAnalysis {
        |    - 84.6 * (CAST(syllables AS DOUBLE) / words) >= 60.0)
        |    AS easy_read
        |FROM n WHERE words > 0 AND sentences > 0""".stripMargin
+
+  /** TextRank fixed-point iterations — unrolled like the graph
+    * family's [[graft.ops.Graph.prIters]] so both engines compute the
+    * identical integer trajectory. */
+  val trIters = 5
+  /** Integer score scale (1.0 ≡ 1 000 000 walks). */
+  val trScale = 1000000L
+  /** Corpus stopwords excluded from the keyword graph. */
+  val trStop = Seq("a", "the")
+
+  /** TEXTRANK KEYWORD EXTRACTION — PageRank over the word
+    * CO-OCCURRENCE graph (Mihalcea & Tarau 2004): vertices are
+    * non-stopword vocabulary terms, undirected edges weighted by
+    * corpus-wide co-occurrence counts within a ±2 token window. The
+    * rank runs in the graph family's EXACT-INTEGER fixed-point
+    * discipline (scale [[trScale]], floor division at every step —
+    * see [[graft.ops.Graph.pageRank]]), generalized to weighted
+    * edges: r'(v) = 150000 + ⌊850·Σ_u ⌊r(u)·w_uv / wdeg(u)⌋ / 1000⌋,
+    * so every iterate is an exact integer on both engines regardless
+    * of partitioning or join order.
+    *
+    * Scale: token-pair extraction is the map-heavy stage — O(tokens)
+    * rows shuffled once to aggregate pair counts (vocabulary² is the
+    * ceiling, tiny against the corpus); the [[trIters]] iterations
+    * then run on the O(vocabulary) rank frame — broadcast-size here,
+    * key-shuffle joins at 100 TB vocabularies. */
+  def textRank(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && !col("w").isin(trStop: _*))
+    // co-occurrence within ±2 positions (stopword slots still count as
+    // positions — the standard surface-window convention)
+    val pairs = Seq(1, 2).map { k =>
+      toks.as("t1").join(toks.as("t2"),
+        col("t1.doc_id") === col("t2.doc_id") &&
+          col("t2.pos") === col("t1.pos") + k &&
+          col("t1.w") =!= col("t2.w"))
+        .select(least(col("t1.w"), col("t2.w")).as("u"),
+          greatest(col("t1.w"), col("t2.w")).as("v"))
+    }.reduce(_ unionAll _)
+    val edges = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val bi = edges.select(col("u"), col("v"), col("w"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val deg = bi.groupBy(col("u").as("x"))
+      .agg(sum("w").cast("long").as("wdeg"))
+    var r = deg.select(col("x"), col("wdeg"), lit(trScale).as("r"))
+    for (_ <- 1 to trIters) {
+      val contrib = bi
+        .join(r.select(col("x").as("u"),
+          col("r").as("ru"), col("wdeg").as("du")), Seq("u"))
+        .groupBy(col("v").as("x"))
+        .agg(sum(expr("(ru * w) div du")).cast("long").as("s"))
+      r = deg.join(contrib, Seq("x"))
+        .select(col("x"), col("wdeg"),
+          (lit(150L * trScale / 1000L) + expr("(850 * s) div 1000"))
+            .as("r"))
+    }
+    r.orderBy(col("r").desc, col("x")).limit(15)
+      .select(col("x").as("keyword"), col("wdeg").as("cooc_weight"),
+        col("r").as("rank_scaled"))
+  }
+
+  val textRankSql: String = {
+    val base =
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(lower(text), ' ')) AS w,
+         |    unnest(range(1, len(string_split(lower(text), ' ')) + 1))
+         |      AS pos
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, w, pos FROM toks
+         |  WHERE regexp_full_match(w, '[a-z]+')
+         |    AND w NOT IN ('a', 'the')),
+         |pairs AS (
+         |  SELECT least(t1.w, t2.w) AS u, greatest(t1.w, t2.w) AS v
+         |  FROM tok t1 JOIN tok t2
+         |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |    AND t1.w <> t2.w
+         |  UNION ALL
+         |  SELECT least(t1.w, t2.w), greatest(t1.w, t2.w)
+         |  FROM tok t1 JOIN tok t2
+         |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 2
+         |    AND t1.w <> t2.w),
+         |e AS (SELECT u, v, count(*) AS w FROM pairs GROUP BY 1, 2),
+         |bi AS (SELECT u, v, w FROM e
+         |  UNION ALL SELECT v AS u, u AS v, w FROM e),
+         |deg AS (SELECT u AS x, CAST(sum(w) AS BIGINT) AS wdeg
+         |  FROM bi GROUP BY u),
+         |r0 AS (SELECT x, wdeg, CAST($trScale AS BIGINT) AS r
+         |  FROM deg)""".stripMargin
+    val iters = (1 to trIters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.x, d.wdeg,
+         |    ${150L * trScale / 1000L}
+         |      + CAST((850 * s.s) // 1000 AS BIGINT) AS r
+         |  FROM deg d JOIN (
+         |    SELECT bi.v AS x,
+         |      CAST(sum((p.r * bi.w) // p.wdeg) AS BIGINT) AS s
+         |    FROM bi JOIN r${i - 1} p ON p.x = bi.u
+         |    GROUP BY bi.v) s ON s.x = d.x)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + iters +
+      s"""
+         |SELECT x AS keyword, wdeg AS cooc_weight, r AS rank_scaled
+         |FROM r$trIters ORDER BY r DESC, x LIMIT 15""".stripMargin
+  }
 }

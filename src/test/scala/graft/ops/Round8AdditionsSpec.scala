@@ -335,6 +335,60 @@ class Round8AdditionsSpec extends GraftTestBase {
     }
   }
 
+  behavior of "textrank, changepoint, capture-recapture, rate test"
+
+  it should "conserve TextRank mass within the damping envelope" in {
+    val rows = graft.text.TextAnalysis.textRank(spark, sf).collect()
+    rows.length shouldBe 15
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("rank_scaled")
+      // every node's floor-division fixed point sits in [0.15, ~k]·scale
+      rank should be >= 150000L
+      rank should be < 31L * 1000000L
+      r.getAs[Long]("cooc_weight") should be > 0L
+    }
+    // ordered by rank descending
+    val ranks = rows.map(_.getAs[Long]("rank_scaled")).toSeq
+    ranks shouldBe ranks.sorted.reverse
+  }
+
+  it should "flag exactly one best split with R2 in [0,1]" in {
+    val rows = TimeSeries.changepoint(spark, sf).collect()
+    rows.length should be > 100
+    rows.count(_.getAs[Boolean]("is_best_split")) shouldBe 1
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gain_r2")
+      g should be >= 0.0
+      g should be <= 1.0
+      r.getAs[Long]("n_left") + r.getAs[Long]("n_right") shouldBe
+        rows.length + 1L
+    }
+  }
+
+  it should "keep Chapman's estimator at least the overlap size" in {
+    val r = Behavior.captureRecapture(spark, sf).head()
+    val m = r.getAs[Long]("m_both")
+    m should be <= r.getAs[Long]("n1")
+    m should be <= r.getAs[Long]("n2")
+    val nHat = r.getAs[Double]("n_hat")
+    // N-hat >= max(n1, n2) whenever m <= min(n1, n2)
+    nHat should be >= math.max(r.getAs[Long]("n1"),
+      r.getAs[Long]("n2")).toDouble - 1e-9
+  }
+
+  it should "nest the rate-ratio CI around the point estimate" in {
+    val r = Behavior.poissonRateTest(spark, sf).head()
+    r.getAs[Long]("k1") should be > 0L
+    r.getAs[Long]("k2") should be > 0L
+    r.getAs[Double]("ci_lo") should be < r.getAs[Double]("rate_ratio")
+    r.getAs[Double]("ci_hi") should be > r.getAs[Double]("rate_ratio")
+    // z and the CI must agree on significance up to rounding: CI
+    // excludes 1 iff |z'| > 1.96 for the Wald z', and the conditional
+    // z is close to it on balanced counts
+    if (r.getAs[Boolean]("significant_95"))
+      (r.getAs[Double]("ci_lo") > 1.0 || r.getAs[Double]("ci_hi") < 1.0) shouldBe true
+  }
+
   it should "hold the F2 identities around the AMS estimate" in {
     val r = Sketches.amsF2(spark, sf).head()
     val f2 = r.getAs[Long]("f2_exact")
