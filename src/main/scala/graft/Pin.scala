@@ -48,22 +48,45 @@ object Pin {
   }
 
   /** Pin a DataFrame: eager local checkpoint, or eager reliable
-    * checkpoint when `spark.graft.checkpoint.dir` is set. */
+    * checkpoint when `spark.graft.checkpoint.dir` is set.
+    *
+    * Reliable mode persists before checkpointing: `Dataset.checkpoint()`
+    * materializes in one job and then writes the checkpoint files in a
+    * SECOND job that would re-execute the whole lineage — for the
+    * iterative loops (kTruss, SSSP, LPA, dedup clusters) that is ~2×
+    * compute per round. Caching first makes the checkpoint job a read of
+    * the just-computed blocks, so the cost really is one distributed
+    * write+read per pin; the cache is dropped as soon as the checkpoint
+    * is on disk. */
   def apply(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     reliableDir(s) match {
-      case Some(d) => ensureDir(s, d); df.checkpoint()
+      case Some(d) =>
+        ensureDir(s, d)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint() finally df.unpersist(blocking = false)
       case None => df.localCheckpoint()
     }
   }
 
   /** RDD form (the `_dist` prefix-sum operator pins an InternalRow RDD).
     * Both branches MARK the RDD — materialization happens on the
-    * caller's first action, matching `RDD.localCheckpoint` semantics. */
-  def rdd[T](r: RDD[T]): RDD[T] = {
-    val s = SparkSession.active
+    * caller's first action, matching `RDD.localCheckpoint` semantics.
+    * The owning session is threaded in explicitly (NOT read from
+    * `SparkSession.active`): the active-session thread-local reflects
+    * the calling thread, which in a multi-session JVM or a fresh thread
+    * is not necessarily the session that owns this RDD's SparkContext.
+    * In reliable mode the RDD is persisted before the checkpoint mark so
+    * the deferred checkpoint job (which runs after the caller's first
+    * action) reads the computed blocks instead of re-executing lineage;
+    * the caller unpersists via the returned handle's lineage truncation
+    * once the checkpoint materializes. */
+  def rdd[T](s: SparkSession, r: RDD[T]): RDD[T] = {
     reliableDir(s) match {
-      case Some(d) => ensureDir(s, d); r.checkpoint(); r
+      case Some(d) =>
+        ensureDir(s, d)
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.checkpoint(); r
       case None => r.localCheckpoint()
     }
   }

@@ -364,12 +364,18 @@ object Multimodal {
   /** IMAGE NEAR-DUP PAIRING over [[ahashCensus]] — the
     * [[graft.dedup.Dedup]] SimHash band recipe applied to pixels: the
     * 64-bit aHash splits into four 16-bit bands; images sharing ANY
-    * band become candidates (a ≤ [[ahashMaxHamming]]-bit corruption
-    * must leave one band intact when the distance is < 4 bands' worth —
-    * the pigeonhole guarantee); candidates confirm by exact Hamming
-    * distance (two XOR + bit_count's on the hash words). Ships the
-    * distance histogram of confirmed pairs next to the candidate
-    * count — the precision readout that tunes the band width.
+    * band become candidates; candidates confirm by exact Hamming
+    * distance (two XOR + bit_count's on the hash words) up to
+    * [[ahashMaxHamming]]. RECALL CONTRACT: with 4 bands the pigeonhole
+    * guarantee covers only Hamming ≤ 3 (4+ flips can hit every band);
+    * pairs at distance 4–8 are surfaced opportunistically when a band
+    * happens to survive, so the tail of the distance histogram is a
+    * lower bound, not a census — the standard banded-LSH trade
+    * (8 bands of 8 bits would make the ≤8 radius complete at 2× the
+    * candidate volume). [[mediaCurationFunnel]]'s radius-2 dedup sits
+    * fully inside the guaranteed region. Ships the distance histogram
+    * of confirmed pairs next to the candidate count — the precision
+    * readout that tunes the band width.
     *
     * Scale: the only join is the band-bucket equi-join (hash join on
     * (band, value)); no all-pairs anywhere. Bucket sizes are the

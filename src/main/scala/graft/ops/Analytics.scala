@@ -339,7 +339,7 @@ object Analytics {
     // spark.graft.checkpoint.dir set, Pin swaps to a reliable
     // checkpoint that survives executor loss at the cost of a
     // distributed-FS round-trip.
-    graft.Pin.rdd(ranged)
+    graft.Pin.rdd(s, ranged)
     val counts = ranged
       // fold to a Long directly — Iterator.size returns Int and would
       // wrap past 2^31 rows in one partition
@@ -1395,8 +1395,18 @@ object Analytics {
     * weight Σ qty·c — exactly the weight the raw scan produced, in
     * exact arithmetic, so results are unchanged while the fact scan +
     * widest groupBy runs once per suite instead of four times. */
+  /** Per-key lazy holder: the slot is RESERVED under [[cacheLock]] but
+    * the pinned build (a full Spark job) runs OUTSIDE it, synchronized
+    * only on its own holder (`lazy val` monitor). Concurrent callers of
+    * the same key still build once; callers for other sessions/datasets
+    * never serialize behind a slow or failed build (ADVICE r8). A build
+    * that throws leaves the lazy val uninitialized, so the next caller
+    * retries instead of caching the failure. */
+  private final class PairsMemo(build: () => DataFrame) {
+    lazy val frame: DataFrame = build()
+  }
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PairsMemo]
   private val cacheLock = new Object
   private val hookedSessions =
     scala.collection.mutable.Set.empty[SparkSession]
@@ -1408,8 +1418,8 @@ object Analytics {
     hookedSessions -= s
   }
 
-  private def spearmanPairs(s: SparkSession, d: String): DataFrame =
-    cacheLock.synchronized {
+  private def spearmanPairs(s: SparkSession, d: String): DataFrame = {
+    val holder = cacheLock.synchronized {
       if (!hookedSessions.contains(s)) {
         hookedSessions += s
         s.sparkContext.addSparkListener(
@@ -1419,12 +1429,14 @@ object Analytics {
               clearCaches(s)
           })
       }
-      pairsCache.getOrElseUpdate((s, d),
+      pairsCache.getOrElseUpdate((s, d), new PairsMemo(() =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
           .agg(count(lit(1)).cast("long").as("c"))
-          .pin())
+          .pin()))
     }
+    holder.frame
+  }
 
   /** Close the correlation from count-weighted integer ranks via exact
     * decimal(38,0) power sums and one pinned double formula. */

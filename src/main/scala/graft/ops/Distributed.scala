@@ -120,7 +120,7 @@ object Distributed {
     val wIdx = schema.fieldIndex(weightCol)
     val nFields = schema.fields.length
     val rdd = shims.internalRdd(ranged).map(_.copy())
-    Pin.rdd(rdd)
+    Pin.rdd(s, rdd)
     def groupKey(r: InternalRow): Seq[Any] =
       gIdx.indices.map(i => r.get(gIdx(i), gTypes(i)))
     // pass 1: per-partition per-group totals (metadata-sized)

@@ -1219,8 +1219,11 @@ object Similarity {
       .select(col("aid"), expr(
         """aggregate(arr, CAST(0.0 AS DOUBLE),
            (acc, e) -> acc + 1.0 / CAST(e.den_o AS DOUBLE))""").as("rsum"))
+    // LOF(a) = (Σ_{o∈N(a)} lrd(o))/k / lrd(a); with lrd = k/den the k's
+    // cancel to rsum·den_x/k (ONE factor of k — r8 advisory fixed the
+    // former /k² which deflated every score 5×).
     val lof = col("rsum") * col("den_x").cast("double") /
-      lit((lofK * lofK).toDouble)
+      lit(lofK.toDouble)
     folded.join(broadcast(denX), Seq("aid"))
       .select(col("aid").as("anchor_id"), col("den_x"),
         round(lof, 6).as("lof"), (lof > 1.2).as("is_outlier"))
@@ -1284,8 +1287,8 @@ object Similarity {
        |      e -> 1.0 / CAST(e.den_o AS DOUBLE))) AS rsum
        |  FROM p1 JOIN den_o ON den_o.o = p1.nb GROUP BY p1.aid)
        |SELECT f.aid AS anchor_id, x.den_x,
-       |  round(f.rsum * CAST(x.den_x AS DOUBLE) / ${k * k}.0, 6) AS lof,
-       |  (f.rsum * CAST(x.den_x AS DOUBLE) / ${k * k}.0 > 1.2) AS is_outlier
+       |  round(f.rsum * CAST(x.den_x AS DOUBLE) / $k.0, 6) AS lof,
+       |  (f.rsum * CAST(x.den_x AS DOUBLE) / $k.0 > 1.2) AS is_outlier
        |FROM folded f JOIN den_x x USING (aid)""".stripMargin
   }
 
