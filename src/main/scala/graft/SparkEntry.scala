@@ -149,6 +149,14 @@ object SparkEntry {
     "q_changepoint"     -> (graft.ops.TimeSeries.changepoint _),
     "q_capture_recapture" -> (graft.ops.Behavior.captureRecapture _),
     "q_rate_test"       -> (graft.ops.Behavior.poissonRateTest _),
+    // -- round 9: the last six TPC-H shapes over the derived partsupp /
+    //    receipt-commit relations (TpchClose object doc)
+    "q2_min_cost"       -> (graft.ops.TpchClose.q2MinCostSupplier _),
+    "q9_product_profit" -> (graft.ops.TpchClose.q9ProductProfit _),
+    "q11_important_stock" -> (graft.ops.TpchClose.q11ImportantStock _),
+    "q16_parts_suppliers" -> (graft.ops.TpchClose.q16PartsSupplierRel _),
+    "q20_potential_promo" -> (graft.ops.TpchClose.q20PotentialPromo _),
+    "q21_waiting_supp"  -> (graft.ops.TpchClose.q21WaitingSuppliers _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -709,6 +717,12 @@ object SparkEntry {
     "q_changepoint"   -> graft.ops.TimeSeries.changepointSql,
     "q_capture_recapture" -> graft.ops.Behavior.captureRecaptureSql,
     "q_rate_test"     -> graft.ops.Behavior.poissonRateTestSql,
+    "q2_min_cost"     -> graft.ops.TpchClose.q2MinCostSupplierSql,
+    "q9_product_profit" -> graft.ops.TpchClose.q9ProductProfitSql,
+    "q11_important_stock" -> graft.ops.TpchClose.q11ImportantStockSql,
+    "q16_parts_suppliers" -> graft.ops.TpchClose.q16PartsSupplierRelSql,
+    "q20_potential_promo" -> graft.ops.TpchClose.q20PotentialPromoSql,
+    "q21_waiting_supp" -> graft.ops.TpchClose.q21WaitingSuppliersSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,
