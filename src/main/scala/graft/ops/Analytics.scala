@@ -1395,48 +1395,23 @@ object Analytics {
     * weight Σ qty·c — exactly the weight the raw scan produced, in
     * exact arithmetic, so results are unchanged while the fact scan +
     * widest groupBy runs once per suite instead of four times. */
-  /** Per-key lazy holder: the slot is RESERVED under [[cacheLock]] but
-    * the pinned build (a full Spark job) runs OUTSIDE it, synchronized
-    * only on its own holder (`lazy val` monitor). Concurrent callers of
-    * the same key still build once; callers for other sessions/datasets
-    * never serialize behind a slow or failed build (ADVICE r8). A build
-    * that throws leaves the lazy val uninitialized, so the next caller
-    * retries instead of caching the failure. */
-  private final class PairsMemo(build: () => DataFrame) {
-    lazy val frame: DataFrame = build()
-  }
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PairsMemo]
-  private val cacheLock = new Object
-  private val hookedSessions =
-    scala.collection.mutable.Set.empty[SparkSession]
+  /** Memo cache: slot reserved under the module lock, the pinned build
+    * runs outside it, build time flows to the [[graft.Memo]] log so
+    * Bench separates memo cost from query cost (ADVICE r8 + VERDICT r8
+    * "what's wrong" #3 — the pattern now lives in [[graft.Memo]]). */
+  private val memoCache = new graft.Memo.Cache("analytics")
 
   /** Drop this module's pinned memo for `s` (see [[Graph.clearCaches]]
     * for the release mechanics). */
-  def clearCaches(s: SparkSession): Unit = cacheLock.synchronized {
-    pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
-    hookedSessions -= s
-  }
+  def clearCaches(s: SparkSession): Unit = memoCache.clear(s)
 
-  private def spearmanPairs(s: SparkSession, d: String): DataFrame = {
-    val holder = cacheLock.synchronized {
-      if (!hookedSessions.contains(s)) {
-        hookedSessions += s
-        s.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              clearCaches(s)
-          })
-      }
-      pairsCache.getOrElseUpdate((s, d), new PairsMemo(() =>
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
-          .agg(count(lit(1)).cast("long").as("c"))
-          .pin()))
+  private def spearmanPairs(s: SparkSession, d: String): DataFrame =
+    memoCache(s, d, "spearmanPairs") {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .pin()
     }
-    holder.frame
-  }
 
   /** Close the correlation from count-weighted integer ranks via exact
     * decimal(38,0) power sums and one pinned double formula. */

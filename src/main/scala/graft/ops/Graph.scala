@@ -65,7 +65,7 @@ object Graph {
 
   private def memo(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-      s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+      name: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
     cacheLock.synchronized {
       if (!hookedSessions.contains(s)) {
         hookedSessions += s
@@ -76,7 +76,15 @@ object Graph {
               clearCaches(s)
           })
       }
-      cache.getOrElseUpdate((s, d), build)
+      cache.getOrElseUpdate((s, d), {
+        // record build time so Bench can separate shared-memo cost from
+        // the timing of whichever query happened to build it first
+        // (VERDICT r8 "what's wrong" #3)
+        val t0 = System.nanoTime()
+        val f = build
+        graft.Memo.record(s"graph.$name", (System.nanoTime() - t0) / 1e9)
+        f
+      })
     }
 
   /** Drop every pinned frame this module holds for `s` (the strong
@@ -96,7 +104,7 @@ object Graph {
   }
 
   private def edges(s: SparkSession, d: String): DataFrame =
-    memo(edgeCache, s, d)(
+    memo(edgeCache, "edges", s, d)(
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
@@ -118,7 +126,7 @@ object Graph {
   private val biCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def biEdges(s: SparkSession, d: String): DataFrame =
-    memo(biCache, s, d) {
+    memo(biCache, "biEdges", s, d) {
       val e = edges(s, d)
       e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -348,7 +356,7 @@ object Graph {
   private val distCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def seedDistances(s: SparkSession, d: String): DataFrame =
-    memo(distCache, s, d) {
+    memo(distCache, "seedDistances", s, d) {
       val bi = biEdges(s, d)
       var dist = seeds(bi)
         .select(col("x"), lit(0).as("hop"))
@@ -1334,7 +1342,7 @@ object Graph {
   private val adjCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def adjFullCached(s: SparkSession, d: String): DataFrame =
-    memo(adjCache, s, d)(
+    memo(adjCache, "adjacency", s, d)(
       biEdges(s, d).groupBy(col("u").as("x"))
         .agg(sort_array(collect_set(col("v"))).as("nb"))
         .pin())
@@ -1359,7 +1367,7 @@ object Graph {
   private val supportCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def edgeSupport(s: SparkSession, d: String): DataFrame =
-    memo(supportCache, s, d) {
+    memo(supportCache, "edgeSupport", s, d) {
       val adjFull = adjFullCached(s, d)
       edges(s, d)
         .join(adjFull.select(col("x").as("u"), col("nb").as("na")),
