@@ -1319,9 +1319,21 @@ object Graph {
     // so one final action executes the whole 4-join pipeline with
     // nothing recomputed — per-round eager pinning would only add 4
     // actions and dead storage.
-    var score = bi.select(col("u").as("x")).distinct()
-      .select(col("x"), lit(1).cast(big).as("w"))
-    for (_ <- 1 to 4) {
+    // Round 1 of power iteration from the uniform start vector is just
+    // the in-degree: w¹(y) = Σ_{u→y} 1 = deg(y). Computing it as ONE
+    // map-side-combinable count instead of join(bi, uniform-score)
+    // deletes a full |2E|-row shuffle join from the 4-round chain
+    // (measured round 9 at sf0.1: cold 10.7 → 9.1 s, where the memo log
+    // shows 7.9 s of both figures is the shared edges+biEdges builds —
+    // so the query-own cost fell ~2.8 → ~1.3 s. The VERDICT r8
+    // eigen+hits fusion experiment resolves NEGATIVE: the two walks run
+    // over DIFFERENT edge frames (order-based part-part projection vs
+    // the two-mode customer×part graph), so a shared iteration cache is
+    // not semantically available; this shortcut is what the iteration
+    // algebra does offer).
+    var score = bi.groupBy(col("v").as("x"))
+      .agg(count(lit(1)).cast(big).as("w"))
+    for (_ <- 1 to 3) {
       score = bi.join(score, bi("u") === score("x"))
         .groupBy(col("v").as("y"))
         .agg(sum(col("w")).cast(big).as("w"))
