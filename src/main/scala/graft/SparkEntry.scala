@@ -157,6 +157,14 @@ object SparkEntry {
     "q16_parts_suppliers" -> (graft.ops.TpchClose.q16PartsSupplierRel _),
     "q20_potential_promo" -> (graft.ops.TpchClose.q20PotentialPromo _),
     "q21_waiting_supp"  -> (graft.ops.TpchClose.q21WaitingSuppliers _),
+    // -- round 9: robust/inequality statistics, drift, retrieval LM,
+    //    state-space filtering, vocabulary richness
+    "q_gini_dist"       -> (graft.ops.Analytics.giniRevenue _),
+    "q_trimmed_mean"    -> (graft.ops.Analytics.winsorizedStats _),
+    "q_kalman"          -> (graft.ops.TimeSeries.kalmanLevel _),
+    "q_query_likelihood" -> (graft.text.Retrieval.queryLikelihood _),
+    "q_js_div"          -> (graft.ops.Behavior.jsDivergence _),
+    "q_chao1"           -> (TextAnalysis.vocabRichness _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -723,6 +731,12 @@ object SparkEntry {
     "q16_parts_suppliers" -> graft.ops.TpchClose.q16PartsSupplierRelSql,
     "q20_potential_promo" -> graft.ops.TpchClose.q20PotentialPromoSql,
     "q21_waiting_supp" -> graft.ops.TpchClose.q21WaitingSuppliersSql,
+    "q_gini_dist"     -> graft.ops.Analytics.giniRevenueSql,
+    "q_trimmed_mean"  -> graft.ops.Analytics.winsorizedStatsSql,
+    "q_kalman"        -> graft.ops.TimeSeries.kalmanLevelSql,
+    "q_query_likelihood" -> graft.text.Retrieval.queryLikelihoodSql,
+    "q_js_div"        -> graft.ops.Behavior.jsDivergenceSql,
+    "q_chao1"         -> TextAnalysis.vocabRichnessSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

@@ -3901,4 +3901,135 @@ object Analytics {
       |    / sqrt(CAST(var4num AS DOUBLE) / 18.0) > 0
       |    THEN 'increasing' ELSE 'decreasing' END AS direction
       |FROM m""".stripMargin
+
+  /** GINI COEFFICIENT of per-customer revenue, GLOBAL and RANK-FREE —
+    * the `_dist` rendering complementing [[giniBySegment]] (whose
+    * per-segment `row_number` window is the accepted O(customers)
+    * class but still materializes a rank per row; at extreme
+    * cardinality THIS is the form that survives, exactly as
+    * q_rfm → q_rfm_dist). Computed EXACTLY from the revenue-value
+    * census: with
+    * buckets (v, t) and exclusive prefix count c off the running total,
+    * the rank-weighted sum Σ i·x₍ᵢ₎ telescopes per bucket to
+    * v·(t·c + t(t+1)/2), so G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) needs no
+    * per-row rank. Numerator and denominator stay exact DECIMAL(38,0)
+    * to the end; ONE conversion each and one division, rounded 6dp
+    * (the decimal→double 1-ulp conversion class).
+    *
+    * Scale: per-customer aggregate (map-side combinable), value census,
+    * one range-partitioned prefix pass ([[Distributed.withRunningTotal]])
+    * — no global window over raw rows. */
+  def giniRevenue(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("v"))
+    val census = perCust.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val cum = Distributed.withRunningTotal(
+      census, Seq.empty, Seq("v"), "t", "cumt", Some("n"))
+    cum.agg(
+      max(col("n")).as("n"),
+      sum(col("v").cast(big) * col("t").cast(big)).as("sx"),
+      sum(col("v").cast(big) *
+        expr("t * (cumt - t) + (t * (t + 1)) div 2").cast(big)).as("s1"))
+      .select(col("n").as("n_customers"),
+        col("sx").cast("long").as("total_cents"),
+        round((lit(2).cast(big) * col("s1") -
+          (col("n") + 1).cast(big) * col("sx")).cast("double") /
+          (col("n").cast(big) * col("sx")).cast("double"), 6).as("gini"))
+  }
+
+  lazy val giniRevenueSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |census AS (SELECT v, count(*) AS t FROM per_cust GROUP BY v),
+      |cum AS (
+      |  SELECT v, t,
+      |    CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS cumt,
+      |    CAST(sum(t) OVER () AS BIGINT) AS n
+      |  FROM census),
+      |agg AS (
+      |  SELECT max(n) AS n,
+      |    sum(CAST(v AS HUGEINT) * t) AS sx,
+      |    sum(CAST(v AS HUGEINT) *
+      |      (t * (cumt - t) + (t * (t + 1)) // 2)) AS s1
+      |  FROM cum)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  CAST(sx AS BIGINT) AS total_cents,
+      |  round(CAST(2 * s1 - (n + 1) * sx AS DOUBLE) /
+      |    CAST(CAST(n AS HUGEINT) * sx AS DOUBLE), 6) AS gini
+      |FROM agg""".stripMargin
+
+  /** Robust-location pair the plain mean hides behind outliers:
+    * 5% WINSORIZED MEAN (tails clamped to the 5th/95th order
+    * statistics) and 5% TRIMMED MEAN (tails dropped) of order totals.
+    * [[winsorizedPrices]] ships the per-row CLIP transform; this is
+    * the missing ESTIMATE pair those clipped columns feed — and unlike
+    * the transform's percentile() caps it never sorts raw rows. Fully
+    * exact: the clip counts k = ⌊n/20⌋ per side come from
+    * the one-row total; both boundary order statistics and the interior
+    * mass come off the value census + running total (per bucket the
+    * interior overlap is min(cumt, n−k) − max(cumt−t, k), clamped ≥ 0),
+    * so each mean is ONE division of exact integers. No sort of raw
+    * rows anywhere.
+    *
+    * Scale: census + one range-partitioned prefix pass + an O(buckets)
+    * aggregate — the [[decileStats]] posture. */
+  def winsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val census = Tables.orders(s, d)
+      .select((dec(col("o_totalprice")) * 100).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("t"))
+    val cum = Distributed.withRunningTotal(
+      census, Seq.empty, Seq("v"), "t", "cumt", Some("n"))
+      .withColumn("k", expr("n div 20"))
+    cum.agg(
+      max(col("n")).as("n"), max(col("k")).as("k"),
+      min(when(col("cumt") >= col("k") + 1, col("v"))).as("v_lo"),
+      min(when(col("cumt") >= col("n") - col("k"), col("v"))).as("v_hi"),
+      sum(greatest(least(col("cumt"), col("n") - col("k")) -
+        greatest(col("cumt") - col("t"), col("k")), lit(0L)).cast(big) *
+        col("v").cast(big)).as("mid"))
+      .select(col("n"), col("k"), col("v_lo").as("p05_cents"),
+        col("v_hi").as("p95_cents"),
+        round((col("mid") + col("k").cast(big) * col("v_lo").cast(big) +
+          col("k").cast(big) * col("v_hi").cast(big)).cast("double") /
+          col("n").cast("double"), 4).as("winsor_mean_cents"),
+        round(col("mid").cast("double") /
+          (col("n") - col("k") * 2).cast("double"), 4)
+          .as("trimmed_mean_cents"))
+  }
+
+  lazy val winsorizedStatsSql: String =
+    """WITH census AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS t
+      |  FROM orders GROUP BY 1),
+      |cum AS (
+      |  SELECT v, t,
+      |    CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS cumt,
+      |    CAST(sum(t) OVER () AS BIGINT) AS n
+      |  FROM census),
+      |cum2 AS (SELECT *, n // 20 AS k FROM cum),
+      |agg AS (
+      |  SELECT max(n) AS n, max(k) AS k,
+      |    min(CASE WHEN cumt >= k + 1 THEN v END) AS v_lo,
+      |    min(CASE WHEN cumt >= n - k THEN v END) AS v_hi,
+      |    sum(CAST(greatest(least(cumt, n - k) - greatest(cumt - t, k), 0)
+      |      AS HUGEINT) * v) AS mid
+      |  FROM cum2)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  v_lo AS p05_cents, v_hi AS p95_cents,
+      |  round(CAST(mid + CAST(k AS HUGEINT) * v_lo
+      |    + CAST(k AS HUGEINT) * v_hi AS DOUBLE) / CAST(n AS DOUBLE), 4)
+      |    AS winsor_mean_cents,
+      |  round(CAST(mid AS DOUBLE) / CAST(n - 2 * k AS DOUBLE), 4)
+      |    AS trimmed_mean_cents
+      |FROM agg""".stripMargin
+
 }

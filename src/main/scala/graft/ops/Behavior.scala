@@ -3953,4 +3953,98 @@ object Behavior {
       |  (abs(CAST(k1 - k2 AS DOUBLE) / sqrt(CAST(k1 + k2 AS DOUBLE)))
       |    > 1.959963984540054) AS significant_95
       |FROM c""".stripMargin
+
+  /** JENSEN–SHANNON DIVERGENCE between the two variants' purchase-value
+    * histograms ($20 bins) — the bounded, symmetric, zero-safe drift
+    * metric completing the distribution-shift family: [[q: psi]] needs
+    * bin-floor hacks when a bin is empty on one side, W₁/Cramér
+    * ([[wassersteinDistance]]) measure SHIFT in value units, JS measures
+    * INFORMATION divergence in nats and is finite by construction
+    * (every mixture bin m = (p+q)/2 > 0 wherever either side has mass).
+    * Both one-sided KLs to the mixture ship alongside.
+    *
+    * Determinism: bin counts are exact integers; the ≤O(buckets) p·ln
+    * terms fold over the bucket-sorted cell array (the [[q: mutual
+    * info]] discipline), zero-mass sides contribute exactly 0 via CASE,
+    * outputs round 6dp.
+    *
+    * Scale: one combinable (bucket → ca, cb) census; the fold is
+    * O(buckets). */
+  def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 2000")
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+    cells.agg(
+      sum(col("ca")).cast("long").as("n_a"),
+      sum(col("cb")).cast("long").as("n_b"),
+      count(lit(1)).cast("long").as("n_buckets"),
+      sort_array(collect_list(struct(col("bucket"), col("ca"), col("cb"))))
+        .as("a"))
+      .select(col("n_a"), col("n_b"), col("n_buckets"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+            acc + (CASE WHEN e.ca > 0 THEN
+              (CAST(e.ca AS DOUBLE) / n_a) *
+              ln((CAST(e.ca AS DOUBLE) / n_a) /
+                 ((CAST(e.ca AS DOUBLE) / n_a
+                   + CAST(e.cb AS DOUBLE) / n_b) / 2.0))
+            ELSE 0.0 END))""").as("kl_a"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+            acc + (CASE WHEN e.cb > 0 THEN
+              (CAST(e.cb AS DOUBLE) / n_b) *
+              ln((CAST(e.cb AS DOUBLE) / n_b) /
+                 ((CAST(e.ca AS DOUBLE) / n_a
+                   + CAST(e.cb AS DOUBLE) / n_b) / 2.0))
+            ELSE 0.0 END))""").as("kl_b"))
+      .select(col("n_a"), col("n_b"), col("n_buckets"),
+        round(col("kl_a"), 6).as("kl_a_to_mix"),
+        round(col("kl_b"), 6).as("kl_b_to_mix"),
+        round((col("kl_a") + col("kl_b")) / 2.0, 6).as("js_nats"))
+  }
+
+  lazy val jsDivergenceSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INT) AS variant,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2000 AS bucket
+      |  FROM events WHERE event_type = 'purchase'),
+      |cells AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY 1),
+      |packed AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+      |    CAST(count(*) AS BIGINT) AS n_buckets,
+      |    list(struct_pack(bucket := bucket, ca := ca, cb := cb)
+      |      ORDER BY bucket) AS a
+      |  FROM cells),
+      |folded AS (
+      |  SELECT n_a, n_b, n_buckets,
+      |    list_sum(list_transform(a, e ->
+      |      CASE WHEN e.ca > 0 THEN
+      |        (CAST(e.ca AS DOUBLE) / n_a) *
+      |        ln((CAST(e.ca AS DOUBLE) / n_a) /
+      |           ((CAST(e.ca AS DOUBLE) / n_a
+      |             + CAST(e.cb AS DOUBLE) / n_b) / 2.0))
+      |      ELSE 0.0 END)) AS kl_a,
+      |    list_sum(list_transform(a, e ->
+      |      CASE WHEN e.cb > 0 THEN
+      |        (CAST(e.cb AS DOUBLE) / n_b) *
+      |        ln((CAST(e.cb AS DOUBLE) / n_b) /
+      |           ((CAST(e.ca AS DOUBLE) / n_a
+      |             + CAST(e.cb AS DOUBLE) / n_b) / 2.0))
+      |      ELSE 0.0 END)) AS kl_b
+      |  FROM packed)
+      |SELECT n_a, n_b, n_buckets,
+      |  round(kl_a, 6) AS kl_a_to_mix, round(kl_b, 6) AS kl_b_to_mix,
+      |  round((kl_a + kl_b) / 2.0, 6) AS js_nats
+      |FROM folded""".stripMargin
+
 }

@@ -3109,4 +3109,79 @@ object TimeSeries {
       |  round(g_raw * CAST(nt AS DOUBLE) / tssn, 6) AS gain_r2,
       |  (g_raw = max(g_raw) OVER ()) AS is_best_split
       |FROM g""".stripMargin
+
+  /** Kalman local-level model constants (pinned): process variance Q,
+    * observation variance R, initial state variance P0 — dollars². */
+  val kalmanQ = 10000.0
+  val kalmanR = 1000000.0
+  val kalmanP0 = 1000000.0
+
+  /** 1-D KALMAN FILTER (local-level model) over daily revenue — the
+    * optimal-under-Gaussian online smoother the EWMA approximates with
+    * a FIXED gain; the Kalman gain ADAPTS (large while uncertain, then
+    * converges to the steady state the Riccati recursion fixes), which
+    * is exactly what a live revenue tracker wants after a restart or a
+    * regime change. Rendering: whole-dollar daily observations (exact
+    * longs, the [[durbinWatson]] flooring), one day-sorted array fold
+    * carrying (level, variance, gain, innovation) — the [[holtForecast]]
+    * stateful-fold determinism pattern, with the recurrence written as
+    * the IDENTICAL expression tree on both engines (oracle: bounded
+    * recursive CTE). Constants pinned; only the final row ships,
+    * rounded.
+    *
+    * Scale: one combinable daily aggregate + an O(days) fold — the
+    * accepted single-partition day-frame class. */
+  def kalmanLevel(s: SparkSession, d: String): DataFrame = {
+    val q = kalmanQ; val r = kalmanR; val p0 = kalmanP0
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) div 100")
+        .as("y"))
+    daily.groupBy()
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+      .select(size(col("arr")).cast("long").as("n_days"), expr(
+        s"""aggregate(slice(arr, 2, size(arr) - 1),
+           |  named_struct(
+           |    'l', CAST(arr[0].y AS DOUBLE), 'p', CAST($p0 AS DOUBLE),
+           |    'kg', CAST(0.0 AS DOUBLE), 'innov', CAST(0.0 AS DOUBLE)),
+           |  (acc, e) -> named_struct(
+           |    'l', acc.l + ((acc.p + $q) / (acc.p + $q + $r))
+           |           * (CAST(e.y AS DOUBLE) - acc.l),
+           |    'p', (1.0 - (acc.p + $q) / (acc.p + $q + $r)) * (acc.p + $q),
+           |    'kg', (acc.p + $q) / (acc.p + $q + $r),
+           |    'innov', CAST(e.y AS DOUBLE) - acc.l))""".stripMargin).as("st"))
+      .select(col("n_days"),
+        round(col("st.l"), 4).as("level_dollars"),
+        round(col("st.p"), 6).as("p_var"),
+        round(col("st.kg"), 6).as("gain"),
+        round(col("st.innov"), 4).as("last_innovation"))
+  }
+
+  lazy val kalmanLevelSql: String = {
+    val q = kalmanQ; val r = kalmanR; val p0 = kalmanP0
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) // 100 AS y
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |packed AS (
+       |  SELECT list(struct_pack(day := day, y := y) ORDER BY day) AS arr
+       |  FROM daily),
+       |state(i, l, p, kg, innov) AS (
+       |  SELECT 1, CAST(arr[1].y AS DOUBLE), CAST($p0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM packed
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    l + ((p + $q) / (p + $q + $r))
+       |      * (CAST(arr[i + 1].y AS DOUBLE) - l),
+       |    (1.0 - (p + $q) / (p + $q + $r)) * (p + $q),
+       |    (p + $q) / (p + $q + $r),
+       |    CAST(arr[i + 1].y AS DOUBLE) - l
+       |  FROM state, packed WHERE i < len(arr))
+       |SELECT CAST(len(arr) AS BIGINT) AS n_days,
+       |  round(l, 4) AS level_dollars, round(p, 6) AS p_var,
+       |  round(kg, 6) AS gain, round(innov, 4) AS last_innovation
+       |FROM state, packed WHERE i = len(arr)""".stripMargin
+  }
+
 }

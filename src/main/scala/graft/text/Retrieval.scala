@@ -240,4 +240,65 @@ object Retrieval {
        |  round(a.dcg / b.idcg, 6) AS ndcg_at_k
        |FROM a CROSS JOIN b""".stripMargin
   }
+
+  /** Dirichlet smoothing mass (Zhai–Lafferty's standard μ). */
+  val dirichletMu = 2000.0
+
+  /** DIRICHLET-SMOOTHED QUERY LIKELIHOOD — the language-model retrieval
+    * score next to [[bm25]] (the two classic lexical families; their
+    * disagreement is what [[rrfFusion]] exists to reconcile):
+    * score(d) = Σ_t ln((tf_td + μ·p̂_tc) / (dl_d + μ)), with the corpus
+    * unigram p̂_tc = (cf_t + 1)/(C + |q|) add-one smoothed so a term
+    * absent from the whole corpus cannot produce ln 0. Same determinism
+    * contract as [[bm25]]: exact integer (tf, dl, cf, C) from one scan
+    * + one broadcast corpus row, float math once per (doc, term) in a
+    * FIXED formula, the per-doc score an explicitly ORDERED fold over
+    * the constant term list, rounded 4dp ([[TextAnalysis.lmScore]]'s
+    * ln-sum precedent).
+    *
+    * Scale: pure projection against a broadcast one-row frame —
+    * scan-speed at any corpus size, no shuffle of text. */
+  def queryLikelihood(s: SparkSession, d: String): DataFrame = {
+    val mu = dirichletMu
+    val stats = docTermStats(s, d)
+    val corpusAggs =
+      sum(col("dl")).cast("long").as("c_total") +:
+        queryTerms.indices.map(i => sum(col(s"tf_$i")).cast("long").as(s"cf_$i"))
+    val corpus = stats.agg(corpusAggs.head, corpusAggs.tail: _*)
+    val termScore = (i: Int) => {
+      val tf = col(s"tf_$i").cast("double")
+      val pc = (col(s"cf_$i").cast("double") + 1.0) /
+        (col("c_total").cast("double") + queryTerms.length)
+      log((tf + lit(mu) * pc) / (col("dl").cast("double") + mu))
+    }
+    val score = queryTerms.indices.map(termScore).reduceLeft(_ + _)
+    stats.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("dl"), round(score, 4).as("ql_score"))
+      .orderBy("doc_id")
+  }
+
+  lazy val queryLikelihoodSql: String = {
+    val mu = dirichletMu
+    val tfs = queryTerms.zipWithIndex
+      .map { case (t, i) => s"CAST(${tfSql(t)} AS BIGINT) AS tf_$i" }
+      .mkString(",\n    ")
+    val cfs = queryTerms.indices
+      .map(i => s"CAST(sum(tf_$i) AS BIGINT) AS cf_$i").mkString(",\n    ")
+    val score = queryTerms.indices.map { i =>
+      s"""ln((CAST(tf_$i AS DOUBLE) + $mu * ((CAST(cf_$i AS DOUBLE) + 1.0)
+         |      / (CAST(c_total AS DOUBLE) + ${queryTerms.length})))
+         |   / (CAST(dl AS DOUBLE) + $mu))""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH stats AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS c_total,
+       |    $cfs
+       |  FROM stats)
+       |SELECT doc_id, dl, round($score, 4) AS ql_score
+       |FROM stats CROSS JOIN corpus ORDER BY doc_id""".stripMargin
+  }
+
 }

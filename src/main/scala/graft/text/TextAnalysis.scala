@@ -1854,4 +1854,65 @@ object TextAnalysis {
          |SELECT x AS keyword, wdeg AS cooc_weight, r AS rank_scaled
          |FROM r$trIters ORDER BY r DESC, x LIMIT 15""".stripMargin
   }
+
+  /** VOCABULARY RICHNESS ESTIMATORS over the corpus token distribution
+    * — the capture-recapture idea applied WITHIN one corpus: Chao1
+    * (bias-corrected, f₂-safe) estimates how many types the corpus has
+    * NOT yet shown from the singleton/doubleton counts, Good–Turing
+    * coverage 1 − f₁/N estimates the probability mass of unseen types,
+    * and Simpson concentration Σnᵢ(nᵢ−1)/(N(N−1)) is the repeat-rate
+    * dual ([[graft.ops.Sketches]]' F₂ normalized). Together they answer
+    * the curation question "is more crawling still buying new
+    * vocabulary?" — the saturation readout next to [[q: heaps]]' growth
+    * curve.
+    *
+    * Exactness: every input (V, N, f₁, f₂, Σnᵢ(nᵢ−1)) is an exact
+    * integer off the token-frequency relation; each estimator is one
+    * pinned formula of them, rounded.
+    *
+    * Scale: the wordcount shape — explode to tokens, one combinable
+    * groupBy, one O(1)-state reduce; text never shuffles. */
+  def vocabRichness(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("c"))
+      .agg(
+        count(lit(1)).cast("long").as("v_types"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"),
+        sum(col("c") * (col("c") - 1)).cast("long").as("rep2"))
+      .select(col("v_types"), col("n_tokens"), col("f1"), col("f2"),
+        round(col("v_types").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+          ((col("f2") + 1) * 2).cast("double"), 4).as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") /
+          col("n_tokens").cast("double"), 6).as("gt_coverage"),
+        round(col("rep2").cast("double") /
+          (col("n_tokens").cast("double") *
+            (col("n_tokens") - 1).cast("double")), 8).as("simpson"))
+
+  lazy val vocabRichnessSql: String =
+    """WITH tf AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v_types,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+      |  FROM tf)
+      |SELECT v_types, n_tokens, f1, f2,
+      |  round(CAST(v_types AS DOUBLE)
+      |    + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST((f2 + 1) * 2 AS DOUBLE), 4)
+      |    AS chao1,
+      |  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    AS gt_coverage,
+      |  round(CAST(rep2 AS DOUBLE) /
+      |    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)), 8)
+      |    AS simpson
+      |FROM agg""".stripMargin
+
 }
