@@ -165,6 +165,9 @@ object SparkEntry {
     "q_query_likelihood" -> (graft.text.Retrieval.queryLikelihood _),
     "q_js_div"          -> (graft.ops.Behavior.jsDivergence _),
     "q_chao1"           -> (TextAnalysis.vocabRichness _),
+    "q_fleiss"          -> (TextAnalysis.fleissKappa _),
+    "q_rmst"            -> (graft.ops.Behavior.rmst _),
+    "q_ego_betweenness" -> (graft.ops.Graph.egoBetweenness _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -737,6 +740,9 @@ object SparkEntry {
     "q_query_likelihood" -> graft.text.Retrieval.queryLikelihoodSql,
     "q_js_div"        -> graft.ops.Behavior.jsDivergenceSql,
     "q_chao1"         -> TextAnalysis.vocabRichnessSql,
+    "q_fleiss"        -> TextAnalysis.fleissKappaSql,
+    "q_rmst"          -> graft.ops.Behavior.rmstSql,
+    "q_ego_betweenness" -> graft.ops.Graph.egoBetweennessSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

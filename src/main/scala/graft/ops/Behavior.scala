@@ -4047,4 +4047,125 @@ object Behavior {
       |  round((kl_a + kl_b) / 2.0, 6) AS js_nats
       |FROM folded""".stripMargin
 
+
+  /** RMST truncation horizon (hours) — one week. */
+  val rmstTauH = 168L
+
+  /** RESTRICTED MEAN SURVIVAL TIME at τ = [[rmstTauH]] hours — the
+    * area under the Kaplan–Meier curve up to τ: "average hours to
+    * first purchase within the first week", the single-number summary
+    * the KM curve ([[kaplanMeier]]) and its pointwise tests can't give
+    * when the median is never reached. Rendering: the same exact
+    * (dur_h, d, n_risk) census as KM, collected into ONE hour-sorted
+    * array and folded — survival updates multiplicatively
+    * s·(1 − d/n), each interval contributes s·Δt with Δt clamped to
+    * τ, and the tail s·(τ − t_last) closes the integral; the fold is
+    * the identical expression tree as the oracle's bounded recursive
+    * CTE, so the only doubles are the same ops in the same order.
+    *
+    * Scale: the KM class — user-keyed aggregate, O(distinct hours)
+    * census, O(hours) fold. */
+  def rmst(s: SparkSession, d: String): DataFrame = {
+    val tau = rmstTauH
+    val ev = Tables.events(s, d)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .filter(col("t0").isNotNull)
+    val studyEnd = ev.agg(max(col("ts")).as("t_end"))
+    val durations = perUser.crossJoin(broadcast(studyEnd))
+      .select(
+        when(col("tp").isNotNull && col("tp") >= col("t0"),
+          (unix_timestamp(col("tp")) - unix_timestamp(col("t0"))) / 3600L)
+          .otherwise(
+            (unix_timestamp(col("t_end")) - unix_timestamp(col("t0"))) / 3600L)
+          .cast("long").as("dur_h"),
+        (col("tp").isNotNull && col("tp") >= col("t0")).as("converted"))
+    val byHour = durations.groupBy(col("dur_h"))
+      .agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    val wCum = Window.orderBy(col("dur_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val risk = byHour
+      .select(col("dur_h"), col("d"),
+        (sum(col("d") + col("c")).over(wAll) -
+          sum(col("d") + col("c")).over(wCum) + col("d") + col("c"))
+          .cast("long").as("n_risk"))
+    risk.groupBy()
+      .agg(count(lit(1)).cast("long").as("n_times"),
+        sort_array(collect_list(struct(col("dur_h"), col("d"), col("n_risk"))))
+          .as("arr"))
+      .select(col("n_times"), expr(
+        s"""aggregate(arr,
+           |  named_struct('t', CAST(0 AS BIGINT), 's', CAST(1.0 AS DOUBLE),
+           |    'area', CAST(0.0 AS DOUBLE)),
+           |  (acc, e) -> named_struct(
+           |    't', greatest(acc.t, least(e.dur_h, CAST($tau AS BIGINT))),
+           |    's', CASE WHEN e.dur_h <= $tau THEN
+           |        acc.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n_risk AS DOUBLE))
+           |      ELSE acc.s END,
+           |    'area', acc.area + acc.s * CAST(greatest(
+           |      least(e.dur_h, CAST($tau AS BIGINT)) - acc.t, 0) AS DOUBLE)))
+           |""".stripMargin).as("st"))
+      .select(col("n_times"),
+        lit(tau).as("tau_h"),
+        round(col("st.area") +
+          col("st.s") * (lit(tau) - col("st.t")).cast("double"), 4)
+          .as("rmst_h"),
+        round(col("st.s"), 6).as("s_at_tau"))
+  }
+
+  lazy val rmstSql: String = {
+    val tau = rmstTauH
+    s"""WITH RECURSIVE per_user AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+       |  FROM events GROUP BY user_id),
+       |durs AS (
+       |  SELECT CASE WHEN tp IS NOT NULL AND tp >= t0
+       |      THEN date_diff('second', t0, tp) // 3600
+       |      ELSE date_diff('second', t0, (SELECT max(ts) FROM events)) // 3600
+       |    END AS dur_h,
+       |    (tp IS NOT NULL AND tp >= t0) AS converted
+       |  FROM per_user WHERE t0 IS NOT NULL),
+       |by_hour AS (
+       |  SELECT dur_h,
+       |    sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+       |    sum(CASE WHEN converted THEN 0 ELSE 1 END) AS c
+       |  FROM durs GROUP BY dur_h),
+       |risk AS (
+       |  SELECT dur_h, CAST(d AS BIGINT) AS d,
+       |    CAST(sum(d + c) OVER () -
+       |      sum(d + c) OVER (ORDER BY dur_h
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      + d + c AS BIGINT) AS n_risk
+       |  FROM by_hour),
+       |packed AS (
+       |  SELECT list(struct_pack(dur_h := dur_h, d := d, n_risk := n_risk)
+       |    ORDER BY dur_h) AS arr FROM risk),
+       |state(i, t, st, area) AS (
+       |  SELECT 0, CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE) FROM packed
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    greatest(t, least(arr[i + 1].dur_h, CAST($tau AS BIGINT))),
+       |    CASE WHEN arr[i + 1].dur_h <= $tau THEN
+       |        st * (1.0 - CAST(arr[i + 1].d AS DOUBLE)
+       |          / CAST(arr[i + 1].n_risk AS DOUBLE))
+       |      ELSE st END,
+       |    area + st * CAST(greatest(
+       |      least(arr[i + 1].dur_h, CAST($tau AS BIGINT)) - t, 0) AS DOUBLE)
+       |  FROM state, packed WHERE i < len(arr))
+       |SELECT CAST(len(arr) AS BIGINT) AS n_times,
+       |  CAST($tau AS BIGINT) AS tau_h,
+       |  round(area + st * CAST($tau - t AS DOUBLE), 4) AS rmst_h,
+       |  round(st, 6) AS s_at_tau
+       |FROM state, packed WHERE i = len(arr)""".stripMargin
+  }
+
 }

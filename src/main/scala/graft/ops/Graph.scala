@@ -1762,4 +1762,94 @@ object Graph {
       |  a2 * 1000000 // tot AS share_ppm
       |FROM auth2 CROSS JOIN tot
       |ORDER BY a2 DESC, p LIMIT 20""".stripMargin
+
+  /** EGO BETWEENNESS (Everett–Borgatti) of the seed vertices — the
+    * scalable rendering of betweenness centrality, the one classic
+    * centrality this suite lacked: full Brandes is O(V·E) with
+    * all-pairs state (the exact algorithm is infeasible at 100 TB and
+    * its sampled form is a different estimator), while the ego form —
+    * betweenness of v WITHIN its 1-hop ego network — is local, needs
+    * only v's neighborhood and its internal adjacency, and correlates
+    * famously well with the global rank (Everett & Borgatti 2005). For
+    * every non-adjacent neighbor pair (u, w) of seed v, every shortest
+    * u–w path inside the ego net has length 2 and its intermediates
+    * are v plus the pair's common neighbors INSIDE N(v); v's credit is
+    * 1/(that count + 1), summed over the pair list in sorted order
+    * (the [[linkPrediction]] fold discipline — Σ of reciprocals of
+    * exact integers, deterministic order).
+    *
+    * Scale: [[seedCap]] seeds × C(deg, 2) pairs, each resolved by
+    * sorted-array intersections against the memoized [[adjFullCached]]
+    * frame — no global pair expansion, no iteration; state is O(pairs
+    * per seed), embarrassingly parallel across seeds. */
+  def egoBetweenness(s: SparkSession, d: String): DataFrame = {
+    val bi = biEdges(s, d)
+    val adj = adjFullCached(s, d)
+    val sd = seeds(bi).select(col("x").as("seed"))
+    val ego = adj.join(sd, col("x") === col("seed"))
+      .select(col("seed"), col("nb"))
+    // non-adjacent neighbor pairs (u < w) of each seed, from the sorted
+    // neighbor array (the edges-builder pair expansion, seed-bounded)
+    val pairs = ego.select(col("seed"), col("nb"),
+      explode(expr(
+        """flatten(transform(nb, (a, i) ->
+          |  transform(slice(nb, i + 2, size(nb) - i - 1), b ->
+          |    struct(a AS u, b AS w))))""".stripMargin)).as("pr"))
+      .select(col("seed"), col("nb"), col("pr.u").as("u"), col("pr.w").as("w"))
+    val withAdj = pairs
+      .join(adj.select(col("x").as("u"), col("nb").as("nu")), Seq("u"))
+      .join(adj.select(col("x").as("w"), col("nb").as("nw")), Seq("w"))
+      .filter(!array_contains(col("nu"), col("w"))) // u–w not adjacent
+      .select(col("seed"), col("u"), col("w"),
+        (size(array_intersect(array_intersect(col("nu"), col("nw")),
+          col("nb"))) + 1).cast("long").as("k"))
+    withAdj.groupBy(col("seed"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sort_array(collect_list(struct(col("u"), col("w"), col("k"))))
+          .as("ps"))
+      .select(col("seed"), col("n_pairs"),
+        round(expr("""aggregate(ps, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + 1.0 / CAST(e.k AS DOUBLE))"""), 6)
+          .as("ego_betweenness"))
+      .orderBy(col("ego_betweenness").desc, col("seed").asc)
+  }
+
+  lazy val egoBetweennessSql: String =
+    s"""WITH pr AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+       |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |adj AS (
+       |  SELECT u AS x, list_sort(list(DISTINCT v)) AS nb
+       |  FROM bi GROUP BY u),
+       |seeds AS (
+       |  SELECT DISTINCT u AS seed FROM bi WHERE u % 500 = 0
+       |  ORDER BY seed LIMIT $seedCap),
+       |ego AS (
+       |  SELECT s.seed, a.nb FROM adj a JOIN seeds s ON a.x = s.seed),
+       |p1 AS (SELECT seed, nb, unnest(nb) AS u FROM ego),
+       |pairs AS (
+       |  SELECT seed, nb, u, w FROM (
+       |    SELECT seed, nb, u, unnest(nb) AS w FROM p1)
+       |  WHERE u < w),
+       |with_adj AS (
+       |  SELECT p.seed, p.u, p.w,
+       |    CAST(len(list_intersect(list_intersect(au.nb, aw.nb), p.nb)) + 1
+       |      AS BIGINT) AS k
+       |  FROM pairs p
+       |  JOIN adj au ON au.x = p.u
+       |  JOIN adj aw ON aw.x = p.w
+       |  WHERE NOT list_contains(au.nb, p.w)),
+       |grouped AS (
+       |  SELECT seed, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    list(struct_pack(u := u, w := w, k := k) ORDER BY u, w, k) AS ps
+       |  FROM with_adj GROUP BY seed)
+       |SELECT seed, n_pairs,
+       |  round(list_sum(list_transform(ps, e -> 1.0 / CAST(e.k AS DOUBLE))), 6)
+       |    AS ego_betweenness
+       |FROM grouped
+       |ORDER BY ego_betweenness DESC, seed ASC""".stripMargin
+
 }

@@ -1915,4 +1915,84 @@ object TextAnalysis {
       |    AS simpson
       |FROM agg""".stripMargin
 
+
+  /** Minimum length (chars) for the third screen of [[fleissKappa]]. */
+  val fleissLenMin = 200L
+
+  /** FLEISS' KAPPA across THREE quality screens — the multi-rater
+    * generalization completing the agreement family
+    * ([[classifierAgreement]] is the 2-rater Cohen form): raters are
+    * the heuristic cascade ([[qualityFilter]].keep), the unigram-LM
+    * threshold (cross_entropy ≤ [[agreementCeMax]], as in
+    * [[classifierAgreement]]), and the plain length screen
+    * (n_chars ≥ [[fleissLenMin]]). With m = 3 binary raters, per-item
+    * agreement is Pᵢ = (v² + (3−v)² − 3)/6 for v keep-votes, so
+    * P̄·6N = Σ(v² + (3−v)²) − 3N is an exact integer, the chance
+    * agreement P̄ₑ comes from the exact global vote share, and
+    * κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) is a pinned double formula over four
+    * exact integers. The vote histogram (how many docs got 0/1/2/3
+    * keeps) ships alongside — the disagreement surface itself.
+    *
+    * Scale: three doc-keyed screens join on doc_id (combinable
+    * aggregates or pure projections), one O(1)-state reduce. */
+  def fleissKappa(s: SparkSession, d: String): DataFrame = {
+    val qf = qualityFilter(s, d).select(col("doc_id"),
+      col("keep").cast("int").as("r1"))
+    val lm = lmScore(s, d).select(col("doc_id"),
+      (col("cross_entropy") <= agreementCeMax).cast("int").as("r2"))
+    val len = Tables.documents(s, d).select(col("doc_id"),
+      (col("n_chars") >= fleissLenMin).cast("int").as("r3"))
+    val votes = qf.join(lm, Seq("doc_id")).join(len, Seq("doc_id"))
+      .select((col("r1") + col("r2") + col("r3")).cast("long").as("v"))
+    val agg = votes.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("v")).cast("long").as("keeps"),
+      sum(col("v") * col("v") + (lit(3) - col("v")) * (lit(3) - col("v")))
+        .cast("long").as("sq"),
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("v0"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("v1"),
+      sum(when(col("v") === 2, 1L).otherwise(0L)).as("v2"),
+      sum(when(col("v") === 3, 1L).otherwise(0L)).as("v3"))
+    val pbar = (col("sq") - lit(3) * col("n")).cast("double") /
+      (lit(6.0) * col("n").cast("double"))
+    val pk = col("keeps").cast("double") / (lit(3.0) * col("n").cast("double"))
+    val pe = pk * pk + (lit(1.0) - pk) * (lit(1.0) - pk)
+    agg.select(col("n").as("n_docs"), col("v0"), col("v1"), col("v2"),
+      col("v3"),
+      round(pbar, 6).as("p_bar"),
+      round(pe, 6).as("p_e"),
+      round((pbar - pe) / (lit(1.0) - pe), 6).as("fleiss_kappa"))
+  }
+
+  lazy val fleissKappaSql: String =
+    s"""WITH qf AS ($qualityFilterSql),
+       |lm AS ($lmScoreSql),
+       |votes AS (
+       |  SELECT (CAST(qf.keep AS INT) +
+       |    CAST((lm.cross_entropy <= $agreementCeMax) AS INT) +
+       |    CAST((dd.n_chars >= $fleissLenMin) AS INT)) AS v
+       |  FROM qf
+       |  JOIN lm ON lm.doc_id = qf.doc_id
+       |  JOIN documents dd ON dd.doc_id = qf.doc_id),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS keeps,
+       |    CAST(sum(v * v + (3 - v) * (3 - v)) AS BIGINT) AS sq,
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |    CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+       |    CAST(sum(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT) AS v3
+       |  FROM votes),
+       |f AS (
+       |  SELECT *,
+       |    CAST(sq - 3 * n AS DOUBLE) / (6.0 * CAST(n AS DOUBLE)) AS pbar,
+       |    (CAST(keeps AS DOUBLE) / (3.0 * CAST(n AS DOUBLE))) AS pk
+       |  FROM agg)
+       |SELECT n AS n_docs, v0, v1, v2, v3,
+       |  round(pbar, 6) AS p_bar,
+       |  round(pk * pk + (1.0 - pk) * (1.0 - pk), 6) AS p_e,
+       |  round((pbar - (pk * pk + (1.0 - pk) * (1.0 - pk))) /
+       |    (1.0 - (pk * pk + (1.0 - pk) * (1.0 - pk))), 6) AS fleiss_kappa
+       |FROM f""".stripMargin
+
 }
