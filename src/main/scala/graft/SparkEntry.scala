@@ -168,6 +168,7 @@ object SparkEntry {
     "q_fleiss"          -> (TextAnalysis.fleissKappa _),
     "q_rmst"            -> (graft.ops.Behavior.rmst _),
     "q_ego_betweenness" -> (graft.ops.Graph.egoBetweenness _),
+    "q_pacf"            -> (graft.ops.TimeSeries.pacfDailyRevenue _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -743,6 +744,7 @@ object SparkEntry {
     "q_fleiss"        -> TextAnalysis.fleissKappaSql,
     "q_rmst"          -> graft.ops.Behavior.rmstSql,
     "q_ego_betweenness" -> graft.ops.Graph.egoBetweennessSql,
+    "q_pacf"          -> graft.ops.TimeSeries.pacfDailyRevenueSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

@@ -3184,4 +3184,172 @@ object TimeSeries {
        |FROM state, packed WHERE i = len(arr)""".stripMargin
   }
 
+
+  /** Max PACF lag. */
+  val pacfMaxLag = 7
+
+  /** PARTIAL AUTOCORRELATION FUNCTION, lags 1..[[pacfMaxLag]], via the
+    * Durbin–Levinson recursion — the AR-order-selection readout the
+    * plain ACF ([[acfDailyRevenue]]) can't give (a pure AR(p) series
+    * has geometric ACF forever but PACF that CUTS OFF at p; the
+    * cutoff, read against the ±1.96/√n band shipped alongside, is the
+    * Box–Jenkins model-identification step). Two stages, each in the
+    * engine's determinism discipline:
+    *
+    *  1. Fixed-mean autocorrelations ρ₁..ρ₇ from EXACT integers: with
+    *     S = Σy, n, and per-lag overlap sums (head Hₖ, tail Tₖ, cross
+    *     Σyₜyₜ₊ₖ — calendar-shift equi-joins, the [[acfDailyRevenue]]
+    *     rendering, no global window), the scaled autocovariance
+    *     Aₖ = n²Σyₜyₜ₊ₖ − nS(Hₖ+Tₖ) + cₖS² is exact DECIMAL(38,0);
+    *     ρₖ = Aₖ/A₀ is one division of two converted decimals.
+    *  2. Durbin–Levinson folds k = 2..7 over the pinned ρ array with
+    *     the IDENTICAL nested-fold expression tree on both engines
+    *     (inner dot products ascending-j, φ updates positional), so
+    *     the only float divergence is the known 1-ulp decimal
+    *     conversion, swallowed by the 6 dp rounding.
+    *
+    * Scale: one daily aggregate, a 7-lag broadcast-crossed self-join
+    * on O(days) rows, then O(lag²) scalar arithmetic. */
+  def pacfDailyRevenue(s: SparkSession, d: String): DataFrame = {
+    val K = pacfMaxLag
+    val big = DecimalType(38, 0)
+    def d0(c: org.apache.spark.sql.Column) = c.cast(big)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+    val glob = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("y")).cast("long").as("sgl"),
+      sum(d0(col("y")) * d0(col("y"))).as("syy"))
+    val lags = s.range(1, K + 1).select(col("id").cast("int").as("lag"))
+    val left = daily.crossJoin(broadcast(lags))
+      .select(col("lag"), date_add(col("day"), col("lag")).as("day2"),
+        col("y").as("x"))
+    val right = daily.select(col("day").as("day2"), col("y"))
+    val perLag = left.join(right, Seq("day2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("long").as("ck"),
+        sum(d0(col("x")) * d0(col("y"))).as("sxy"),
+        sum(col("x")).cast("long").as("hk"),
+        sum(col("y")).cast("long").as("tk"))
+    val withG = perLag.crossJoin(broadcast(glob))
+      .select(col("lag"), col("n"),
+        ((d0(col("n")) * d0(col("n")) * col("sxy") -
+          d0(col("n")) * d0(col("sgl")) * d0(col("hk") + col("tk")) +
+          d0(col("ck")) * d0(col("sgl")) * d0(col("sgl"))).cast("double") /
+          (d0(col("n")) * d0(col("n")) * col("syy") -
+            d0(col("n")) * d0(col("sgl")) * d0(col("sgl"))).cast("double"))
+          .as("rho"))
+    withG
+      .groupBy()
+      .agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("lag"), col("rho")))).as("rl"))
+      .select(col("n"), expr("transform(rl, e -> e.rho)").as("rho"))
+      .select(col("n"), expr(
+        s"""aggregate(sequence(2, $K),
+           |  named_struct('phi', array(rho[0]),
+           |    'e', 1.0 - rho[0] * rho[0],
+           |    'pout', array(rho[0])),
+           |  (acc, k) -> named_struct(
+           |    'phi', concat(
+           |      transform(sequence(1, k - 1), j ->
+           |        acc.phi[j - 1] -
+           |          ((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |              CAST(0.0 AS DOUBLE),
+           |              (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
+           |            / acc.e) * acc.phi[k - j - 1]),
+           |      array((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |          CAST(0.0 AS DOUBLE),
+           |          (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
+           |        / acc.e)),
+           |    'e', acc.e * (1.0 -
+           |      ((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |          CAST(0.0 AS DOUBLE),
+           |          (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
+           |        / acc.e) *
+           |      ((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |          CAST(0.0 AS DOUBLE),
+           |          (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
+           |        / acc.e)),
+           |    'pout', concat(acc.pout,
+           |      array((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |          CAST(0.0 AS DOUBLE),
+           |          (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
+           |        / acc.e))))""".stripMargin).as("st"))
+      .select(col("n"), posexplode(col("st.pout")).as(Seq("pos", "p")))
+      .select((col("pos") + 1).as("lag"),
+        round(col("p"), 6).as("pacf"),
+        // band compare on the ROUNDED statistic against a rounded band:
+        // both sides are then identical doubles on both engines, so the
+        // flag can't flip on the 1-ulp decimal-conversion skew
+        (abs(round(col("p"), 6)) >
+          round(lit(1.959963984540054) / sqrt(col("n").cast("double")), 6))
+          .as("significant_95"))
+  }
+
+  lazy val pacfDailyRevenueSql: String = {
+    val K = pacfMaxLag
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |gtot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS sgl,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM daily),
+       |lags AS (SELECT UNNEST(range(1, ${K + 1})) AS lag),
+       |per_lag AS (
+       |  SELECT l.lag, count(*) AS ck,
+       |    sum(CAST(a.y AS HUGEINT) * b.y) AS sxy,
+       |    CAST(sum(a.y) AS BIGINT) AS hk, CAST(sum(b.y) AS BIGINT) AS tk
+       |  FROM daily a CROSS JOIN lags l
+       |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+       |  GROUP BY l.lag),
+       |rho_rows AS (
+       |  SELECT lag,
+       |    CAST(CAST(n AS HUGEINT) * n * sxy
+       |        - CAST(n AS HUGEINT) * sgl * (hk + tk)
+       |        + CAST(ck AS HUGEINT) * sgl * sgl AS DOUBLE) /
+       |    CAST(CAST(n AS HUGEINT) * n * syy
+       |        - CAST(n AS HUGEINT) * sgl * sgl AS DOUBLE) AS rho
+       |  FROM per_lag CROSS JOIN gtot),
+       |packed AS (
+       |  SELECT (SELECT max(n) FROM gtot) AS n,
+       |    list(rho ORDER BY lag) AS rho FROM rho_rows),
+       |dl(k, phi, e, pout) AS (
+       |  SELECT 1, [rho[1]], 1.0 - rho[1] * rho[1], [rho[1]] FROM packed
+       |  UNION ALL
+       |  SELECT k + 1,
+       |    list_append(
+       |      [phi[CAST(j AS INT)] -
+       |         ((rho[k + 1] - list_sum(
+       |             [phi[CAST(j2 AS INT)] * rho[CAST(k + 1 - j2 AS INT)]
+       |              FOR j2 IN range(1, k + 1)])) / e)
+       |         * phi[CAST(k + 1 - j AS INT)]
+       |       FOR j IN range(1, k + 1)],
+       |      (rho[k + 1] - list_sum(
+       |          [phi[CAST(j2 AS INT)] * rho[CAST(k + 1 - j2 AS INT)]
+       |           FOR j2 IN range(1, k + 1)])) / e),
+       |    e * (1.0 -
+       |      ((rho[k + 1] - list_sum(
+       |          [phi[CAST(j2 AS INT)] * rho[CAST(k + 1 - j2 AS INT)]
+       |           FOR j2 IN range(1, k + 1)])) / e) *
+       |      ((rho[k + 1] - list_sum(
+       |          [phi[CAST(j2 AS INT)] * rho[CAST(k + 1 - j2 AS INT)]
+       |           FOR j2 IN range(1, k + 1)])) / e)),
+       |    list_append(pout,
+       |      (rho[k + 1] - list_sum(
+       |          [phi[CAST(j2 AS INT)] * rho[CAST(k + 1 - j2 AS INT)]
+       |           FOR j2 IN range(1, k + 1)])) / e)
+       |  FROM dl, packed WHERE k < $K)
+       |SELECT CAST(t.i AS INT) AS lag,
+       |  round(pout[CAST(t.i AS INT)], 6) AS pacf,
+       |  (abs(round(pout[CAST(t.i AS INT)], 6)) >
+       |    round(1.959963984540054 / sqrt(CAST(packed.n AS DOUBLE)), 6))
+       |    AS significant_95
+       |FROM dl, packed, range(1, ${K + 1}) t(i)
+       |WHERE dl.k = $K""".stripMargin
+  }
+
 }
