@@ -169,6 +169,7 @@ object SparkEntry {
     "q_rmst"            -> (graft.ops.Behavior.rmst _),
     "q_ego_betweenness" -> (graft.ops.Graph.egoBetweenness _),
     "q_pacf"            -> (graft.ops.TimeSeries.pacfDailyRevenue _),
+    "q_bradley_terry"   -> (graft.ops.Analytics.bradleyTerry _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -745,6 +746,7 @@ object SparkEntry {
     "q_rmst"          -> graft.ops.Behavior.rmstSql,
     "q_ego_betweenness" -> graft.ops.Graph.egoBetweennessSql,
     "q_pacf"          -> graft.ops.TimeSeries.pacfDailyRevenueSql,
+    "q_bradley_terry" -> graft.ops.Analytics.bradleyTerrySql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

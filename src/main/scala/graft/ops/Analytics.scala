@@ -4032,4 +4032,142 @@ object Analytics {
       |    AS trimmed_mean_cents
       |FROM agg""".stripMargin
 
+
+  /** Bradley–Terry MM iteration count. */
+  val btIters = 20
+
+  /** BRADLEY–TERRY STRENGTH RANKING of nations from monthly pairwise
+    * revenue wins — the paired-comparison model behind Elo/TrueSkill
+    * and RLHF preference aggregation: each month every nation pair
+    * with unequal revenue records one "win", and the MM algorithm
+    * (Hunter 2004) πᵢ ← Wᵢ / Σ_{j≠i} nᵢⱼ/(πᵢ+πⱼ) converts the exact
+    * win/comparison counts into latent strengths. The update is
+    * SCALE-EQUIVARIANT, so no per-round normalization is needed —
+    * one normalization at the end (the [[graft.ops.Graph.pageRank]]
+    * no-per-round-normalization doctrine, here in float form): both
+    * engines run the IDENTICAL [[btIters]]-step fold over the same
+    * dense integer matrices, so every double is the same op sequence
+    * on exact inputs. Zero-comparison nations guard their division
+    * (ANSI raises on double 0/0) and rank at strength 0.
+    *
+    * Scale: facts collapse to O(nations × months); the pair join and
+    * the MM fold are O(nations²) — the model is for SMALL item sets
+    * ranked by MANY comparisons (the preference-data shape); item
+    * sets beyond broadcast size shard the pair matrix and turn the
+    * fold into one aggregate per iteration. */
+  def bradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val nNations = 25
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("int").as("nk"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("rev"))
+    val wins = monthly.as("a").join(monthly.as("b"),
+      col("a.mon") === col("b.mon") && col("a.nk") =!= col("b.nk") &&
+        col("a.rev") > col("b.rev"))
+      .groupBy(col("a.nk").as("i"), col("b.nk").as("j"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    val cells = s.range(nNations.toLong * nNations)
+      .select((col("id") / nNations).cast("int").as("i"),
+        (col("id") % nNations).cast("int").as("j"), col("id"))
+      .join(wins, Seq("i", "j"), "left")
+      .join(wins.select(col("j").as("i"), col("i").as("j"),
+        col("w").as("wj")), Seq("i", "j"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0L)).as("w"),
+        (coalesce(col("w"), lit(0L)) + coalesce(col("wj"), lit(0L))).as("nij"))
+    val packed = cells
+      .agg(sort_array(collect_list(struct(col("id"), col("w"), col("nij"))))
+        .as("m"))
+      .select(expr("transform(m, e -> e.w)").as("wf"),
+        expr("transform(m, e -> e.nij)").as("nf"))
+      .select(col("nf"), expr(
+        s"""transform(sequence(0, ${nNations - 1}), i ->
+           |  aggregate(sequence(0, ${nNations - 1}), CAST(0 AS BIGINT),
+           |    (acc, j) -> acc + wf[i * $nNations + j]))""".stripMargin)
+        .as("wtot"))
+    val folded = packed.select(expr(
+      s"""aggregate(sequence(1, $btIters),
+         |  transform(sequence(0, ${nNations - 1}),
+         |    i -> CAST(1.0 AS DOUBLE)),
+         |  (pi, t) -> transform(sequence(0, ${nNations - 1}), i ->
+         |    CASE WHEN aggregate(sequence(0, ${nNations - 1}),
+         |        CAST(0.0 AS DOUBLE),
+         |        (acc, j) -> acc + (CASE WHEN j = i THEN 0.0 ELSE
+         |          CAST(nf[i * $nNations + j] AS DOUBLE) / (pi[i] + pi[j])
+         |          END)) = 0.0 THEN 0.0
+         |      ELSE CAST(wtot[i] AS DOUBLE) /
+         |        aggregate(sequence(0, ${nNations - 1}),
+         |          CAST(0.0 AS DOUBLE),
+         |          (acc, j) -> acc + (CASE WHEN j = i THEN 0.0 ELSE
+         |            CAST(nf[i * $nNations + j] AS DOUBLE) / (pi[i] + pi[j])
+         |            END)) END))""".stripMargin).as("pi"),
+      col("wtot"))
+    folded
+      .select(expr("""transform(pi, x ->
+          x / aggregate(pi, CAST(0.0 AS DOUBLE), (a, b) -> a + b))""")
+        .as("pin"), col("wtot"))
+      .select(posexplode(col("pin")).as(Seq("nk", "p")), col("wtot"))
+      .select(col("nk"), col("p"),
+        expr("wtot[nk]").as("total_wins"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("nk") === col("n_nationkey").cast("int"))
+      .select(col("n_name").as("nation"), col("total_wins"),
+        round(col("p"), 6).as("bt_strength"))
+  }
+
+  lazy val bradleyTerrySql: String = {
+    val n = 25
+    val k = btIters
+    val den =
+      s"""list_sum([CASE WHEN j = i THEN 0.0 ELSE
+         |         CAST(nf[CAST(i * $n + j + 1 AS INT)] AS DOUBLE)
+         |           / (pi[CAST(i + 1 AS INT)] + pi[CAST(j + 1 AS INT)]) END
+         |       for j in range($n)])""".stripMargin
+    s"""WITH RECURSIVE monthly AS (
+       |  SELECT CAST(c_nationkey AS INT) AS nk,
+       |    date_trunc('month', o_orderdate) AS mon,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |wins AS (
+       |  SELECT a.nk AS i, b.nk AS j, CAST(count(*) AS BIGINT) AS w
+       |  FROM monthly a JOIN monthly b
+       |    ON a.mon = b.mon AND a.nk <> b.nk AND a.rev > b.rev
+       |  GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT t.id, coalesce(w1.w, 0) AS w,
+       |    coalesce(w1.w, 0) + coalesce(w2.w, 0) AS nij
+       |  FROM range(0, ${n * n}) t(id)
+       |  LEFT JOIN wins w1 ON w1.i = t.id // $n AND w1.j = t.id % $n
+       |  LEFT JOIN wins w2 ON w2.j = t.id // $n AND w2.i = t.id % $n),
+       |packed AS (
+       |  SELECT list(CAST(w AS BIGINT) ORDER BY id) AS wf,
+       |    list(CAST(nij AS BIGINT) ORDER BY id) AS nf
+       |  FROM cells),
+       |mats AS (
+       |  SELECT nf,
+       |    [CAST(list_sum(
+       |       wf[CAST(i * $n + 1 AS INT):CAST(i * $n + $n AS INT)]) AS BIGINT)
+       |      for i in range($n)] AS wtot
+       |  FROM packed),
+       |mm(t, pi) AS (
+       |  SELECT 0, [CAST(1.0 AS DOUBLE) for i in range($n)] FROM mats
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    [CASE WHEN $den = 0.0 THEN 0.0
+       |       ELSE CAST(wtot[CAST(i + 1 AS INT)] AS DOUBLE) / $den END
+       |     for i in range($n)]
+       |  FROM mm, mats WHERE t < $k),
+       |fin AS (SELECT pi FROM mm WHERE t = $k),
+       |norm AS (
+       |  SELECT [x / list_sum(pi) for x in pi] AS pin,
+       |    (SELECT wtot FROM mats) AS wtot
+       |  FROM fin)
+       |SELECT n_name AS nation,
+       |  CAST(wtot[CAST(n_nationkey + 1 AS INT)] AS BIGINT) AS total_wins,
+       |  round(pin[CAST(n_nationkey + 1 AS INT)], 6) AS bt_strength
+       |FROM nation, norm""".stripMargin
+  }
+
 }
