@@ -170,6 +170,9 @@ object SparkEntry {
     "q_ego_betweenness" -> (graft.ops.Graph.egoBetweenness _),
     "q_pacf"            -> (graft.ops.TimeSeries.pacfDailyRevenue _),
     "q_bradley_terry"   -> (graft.ops.Analytics.bradleyTerry _),
+    "q_cvm"             -> (graft.ops.Behavior.cvmTest _),
+    "q_cronbach"        -> (TextAnalysis.cronbachAlpha _),
+    "q_icc"             -> (graft.ops.Behavior.iccDesignEffect _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
     "q_odds_ratio"      -> (graft.ops.Behavior.oddsRatioConversion _),
     "q_ca_trend"        -> (graft.ops.Analytics.cochranArmitageTrend _),
@@ -747,6 +750,9 @@ object SparkEntry {
     "q_ego_betweenness" -> graft.ops.Graph.egoBetweennessSql,
     "q_pacf"          -> graft.ops.TimeSeries.pacfDailyRevenueSql,
     "q_bradley_terry" -> graft.ops.Analytics.bradleyTerrySql,
+    "q_cvm"           -> graft.ops.Behavior.cvmTestSql,
+    "q_cronbach"      -> TextAnalysis.cronbachAlphaSql,
+    "q_icc"           -> graft.ops.Behavior.iccDesignEffectSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,
     "q_odds_ratio"    -> graft.ops.Behavior.oddsRatioConversionSql,
     "q_ca_trend"      -> graft.ops.Analytics.cochranArmitageTrendSql,

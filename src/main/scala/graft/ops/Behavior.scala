@@ -1733,6 +1733,7 @@ object Behavior {
         col("na"), col("nb"), (col("cuma") + col("cumb")).as("cumt"))
     cum.as("x").join(cum.as("y"), expr("y.cumt - y.cnt = x.cumt"))
       .select(col("x.na").as("na"), col("x.nb").as("nb"),
+        col("x.cnt").as("cnt"),
         (col("x.cuma") * col("x.nb") - col("x.cumb") * col("x.na"))
           .as("dnum"),
         (col("y.v") - col("x.v")).as("dv"))
@@ -1842,6 +1843,204 @@ object Behavior {
       |FROM cum CROSS JOIN tot
       |WHERE vnext IS NOT NULL
       |GROUP BY na, nb""".stripMargin
+
+  /** TWO-SAMPLE CRAMÉR–VON MISES TEST (Anderson 1962) between the
+    * variants' purchase values — the COUNT-weighted member of the
+    * CDF-gap family: [[wassersteinDistance]] integrates |F_A − F_B|
+    * over VALUE (dv), [[cramerDistance]] integrates the square over
+    * value, and T here weights the squared gap by the EMPIRICAL
+    * measure (the multiplicity at each observed value), which is what
+    * makes it a distribution-free TEST with known null moments rather
+    * than a distance in value units:
+    * T = Σ_z cnt(z)·(F_A(z) − F_B(z))² · nm/N².
+    *
+    * Rendering: reads the SAME memoized [[variantCdfGaps]] frame (now
+    * carrying cnt) — Σ cnt·dnum² is exact in DECIMAL(38,0) since
+    * dnum = cumA·nB − cumB·nA is the nm-scaled gap, so
+    * T = Σ/(nm·N²) is one double division. The maximum value has no
+    * gap row but contributes exactly 0 (F_A = F_B = 1 there). The
+    * null moments are pinned closed forms of (m, n): E[T] = 1/6 +
+    * 1/(6N) and Var[T] = (N+1)/(45N²) · (4mnN − 3(m²+n²) − 2mn)/(4mn),
+    * so z = (T − E)/√Var is the same op sequence on both engines.
+    *
+    * Scale: free once the shared census+prefix frame exists (the
+    * [[wassersteinDistance]] posture); the extra work is one
+    * map-side-combinable decimal sum. */
+  def cvmTest(s: SparkSession, d: String): DataFrame =
+    variantCdfGaps(s, d)
+      .select(col("na"), col("nb"),
+        (col("dnum").cast(DecimalType(38, 0)) * col("dnum") * col("cnt"))
+          .cast(DecimalType(38, 0)).as("term"))
+      .groupBy("na", "nb")
+      .agg(sum(col("term")).cast(DecimalType(38, 0)).as("t_scaled"))
+      .select(col("na"), col("nb"), col("t_scaled"),
+        ((col("na") + col("nb")).cast("double")).as("nn"),
+        (col("t_scaled").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double") *
+            (col("na") + col("nb")).cast("double") *
+            (col("na") + col("nb")).cast("double"))).as("t"))
+      .select(col("na"), col("nb"), col("t"), col("nn"),
+        (lit(1.0) / 6.0 + lit(1.0) / (lit(6.0) * col("nn"))).as("et"),
+        (((col("nn") + 1.0) / (lit(45.0) * col("nn") * col("nn"))) *
+          ((lit(4.0) * col("na").cast("double") * col("nb").cast("double") *
+            col("nn") -
+            lit(3.0) * (col("na").cast("double") * col("na").cast("double") +
+              col("nb").cast("double") * col("nb").cast("double")) -
+            lit(2.0) * col("na").cast("double") * col("nb").cast("double")) /
+            (lit(4.0) * col("na").cast("double") * col("nb").cast("double"))))
+          .as("vart"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("t"), 8).as("cvm_t"),
+        round(col("et"), 8).as("cvm_e0"),
+        round((col("t") - col("et")) / sqrt(col("vart")), 6).as("cvm_z"),
+        ((col("t") - col("et")) / sqrt(col("vart")) >
+          lit(1.644853626951472)).as("significant_95"))
+
+  val cvmTestSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT v, ca + cb AS cnt,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cumb
+      |  FROM by_value
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM by_value),
+      |summed AS (
+      |  SELECT na, nb, CAST(na + nb AS DOUBLE) AS nn,
+      |    sum(CAST(cuma * nb - cumb * na AS HUGEINT)
+      |      * (cuma * nb - cumb * na) * cnt) AS t_scaled
+      |  FROM cum CROSS JOIN tot
+      |  GROUP BY na, nb),
+      |stat AS (
+      |  SELECT na, nb, nn,
+      |    CAST(t_scaled AS DOUBLE)
+      |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * nn * nn) AS t,
+      |    1.0 / 6.0 + 1.0 / (6.0 * nn) AS et,
+      |    ((nn + 1.0) / (45.0 * nn * nn)) *
+      |      ((4.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * nn
+      |        - 3.0 * (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+      |                 + CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))
+      |        - 2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |       / (4.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS vart
+      |  FROM summed)
+      |SELECT na AS n_a, nb AS n_b,
+      |  round(t, 8) AS cvm_t,
+      |  round(et, 8) AS cvm_e0,
+      |  round((t - et) / sqrt(vart), 6) AS cvm_z,
+      |  ((t - et) / sqrt(vart) > 1.644853626951472) AS significant_95
+      |FROM stat""".stripMargin
+
+  /** Number of randomization sites for [[iccDesignEffect]]. */
+  val iccSites = 97L
+
+  /** INTRACLASS CORRELATION + DESIGN EFFECT for CLUSTER-randomized
+    * experiments — the power-planning number every geo/site-randomized
+    * test needs before launch: when treatment is assigned at the SITE
+    * level (here [[iccSites]] hash-sites of users), effective sample
+    * size is N/DEFF with DEFF = 1 + (m̄ − 1)·ICC, and ignoring it is
+    * the classic false-positive factory (user-level SEs on
+    * cluster-level randomization). ICC(1) comes from the one-way
+    * random-effects ANOVA decomposition (Fisher): MSB/MSW over sites,
+    * ICC = (MSB − MSW)/(MSB + (n₀ − 1)·MSW) with n₀ the
+    * unequal-cluster-size correction (N − Σnᵢ²/N)/(k − 1).
+    *
+    * Determinism: the site census (nᵢ, Tᵢ, Σx²) is exact integer
+    * cents; the only order-sensitive float sum — Σ Tᵢ²/nᵢ — folds
+    * over the site-sorted census array (the [[jsDivergence]]
+    * discipline), and everything after is a pinned scalar formula.
+    *
+    * Scale: one map-side-combinable census to [[iccSites]] rows; the
+    * fold is O(sites). At 100 TB nothing but the census shuffles. */
+  def iccDesignEffect(s: SparkSession, d: String): DataFrame = {
+    val census = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % iccSites).as("site"),
+        (dec(col("value")) * 100).cast("long").as("v"))
+      .groupBy("site")
+      .agg(count(lit(1)).cast("long").as("nc"),
+        sum(col("v")).cast("long").as("tc"),
+        sum(col("v") * col("v")).cast("long").as("qc"))
+    census.agg(
+      count(lit(1)).cast("long").as("k"),
+      sum(col("nc")).cast("long").as("n"),
+      sum(col("tc")).cast("long").as("g"),
+      sum(col("qc")).cast("long").as("q"),
+      sum(col("nc") * col("nc")).cast("long").as("sn2"),
+      sort_array(collect_list(struct(col("site"), col("tc"), col("nc"))))
+        .as("a"))
+      .select(col("k"), col("n"), col("q"), col("g"), col("sn2"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+            acc + CAST(e.tc AS DOUBLE) * CAST(e.tc AS DOUBLE)
+                  / CAST(e.nc AS DOUBLE))""").as("sb"))
+      .select(col("k").as("k_sites"), col("n").as("n_obs"),
+        ((col("sb") - col("g").cast("double") * col("g").cast("double") /
+          col("n").cast("double")) / (col("k") - 1).cast("double"))
+          .as("msb"),
+        ((col("q").cast("double") - col("sb")) /
+          (col("n") - col("k")).cast("double")).as("msw"),
+        ((col("n").cast("double") -
+          col("sn2").cast("double") / col("n").cast("double")) /
+          (col("k") - 1).cast("double")).as("n0"),
+        (col("n").cast("double") / col("k").cast("double")).as("mbar"))
+      .select(col("k_sites"), col("n_obs"),
+        round(col("msb"), 4).as("msb"),
+        round(col("msw"), 4).as("msw"),
+        round((col("msb") - col("msw")) /
+          (col("msb") + (col("n0") - 1.0) * col("msw")), 6).as("icc"),
+        round(lit(1.0) + (col("mbar") - 1.0) *
+          ((col("msb") - col("msw")) /
+            (col("msb") + (col("n0") - 1.0) * col("msw"))), 4)
+          .as("design_effect"))
+  }
+
+  val iccDesignEffectSql: String =
+    """WITH obs AS (
+      |  SELECT user_id % 97 AS site,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |census AS (
+      |  SELECT site, CAST(count(*) AS BIGINT) AS nc,
+      |    CAST(sum(v) AS BIGINT) AS tc,
+      |    CAST(sum(v * v) AS BIGINT) AS qc
+      |  FROM obs GROUP BY site),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(nc) AS BIGINT) AS n,
+      |    CAST(sum(tc) AS BIGINT) AS g,
+      |    CAST(sum(qc) AS BIGINT) AS q,
+      |    CAST(sum(nc * nc) AS BIGINT) AS sn2,
+      |    list_sum(list_transform(list(struct_pack(site := site, tc := tc,
+      |        nc := nc) ORDER BY site),
+      |      e -> CAST(e.tc AS DOUBLE) * CAST(e.tc AS DOUBLE)
+      |           / CAST(e.nc AS DOUBLE))) AS sb
+      |  FROM census),
+      |ms AS (
+      |  SELECT k, n,
+      |    (sb - CAST(g AS DOUBLE) * CAST(g AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(k - 1 AS DOUBLE) AS msb,
+      |    (CAST(q AS DOUBLE) - sb) / CAST(n - k AS DOUBLE) AS msw,
+      |    (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(k - 1 AS DOUBLE) AS n0,
+      |    CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS mbar
+      |  FROM agg)
+      |SELECT k AS k_sites, n AS n_obs,
+      |  round(msb, 4) AS msb, round(msw, 4) AS msw,
+      |  round((msb - msw) / (msb + (n0 - 1.0) * msw), 6) AS icc,
+      |  round(1.0 + (mbar - 1.0) *
+      |    ((msb - msw) / (msb + (n0 - 1.0) * msw)), 4) AS design_effect
+      |FROM ms""".stripMargin
 
   /** CLIFF'S DELTA — the EFFECT-SIZE readout completing [[mannWhitney]]:
     * the U test says whether the arms differ, δ says by HOW MUCH on the

@@ -1995,4 +1995,104 @@ object TextAnalysis {
        |    (1.0 - (pk * pk + (1.0 - pk) * (1.0 - pk))), 6) AS fleiss_kappa
        |FROM f""".stripMargin
 
+  /** CRONBACH'S ALPHA (KR-20) over the SAME three binary quality
+    * screens as [[fleissKappa]] — the INTERNAL-CONSISTENCY reading of
+    * the rater family: κ asks "do the screens agree beyond chance on
+    * each doc", α asks "do the screens measure ONE underlying quality
+    * trait" (can their sum be used as a composite score?). For k
+    * dichotomous items this is exactly Kuder–Richardson 20:
+    * α = k/(k−1) · (1 − Σᵢ pᵢqᵢ / σ²_total).
+    *
+    * Exactness: with binary items, rᵢ² = rᵢ, so every moment is an
+    * integer aggregate — item sums s₁..s₃, pairwise product sums
+    * p₁₂, p₁₃, p₂₃ — and both variances share the n² scale:
+    * n²·Var(item i) = n·sᵢ − sᵢ², n²·Var(total) = n·Σv² − (Σv)² with
+    * Σv² = Σsᵢ + 2Σpᵢⱼ. α and each ALPHA-IF-DELETED (the k=2
+    * Spearman–Brown-adjacent diagnostic: which screen hurts the
+    * composite?) are single divisions of exact integers; the item
+    * marginals ship alongside.
+    *
+    * Scale: the [[fleissKappa]] posture — three doc-keyed screens,
+    * one O(1)-state reduce. */
+  def cronbachAlpha(s: SparkSession, d: String): DataFrame = {
+    val qf = qualityFilter(s, d).select(col("doc_id"),
+      col("keep").cast("long").as("r1"))
+    val lm = lmScore(s, d).select(col("doc_id"),
+      (col("cross_entropy") <= agreementCeMax).cast("long").as("r2"))
+    val len = Tables.documents(s, d).select(col("doc_id"),
+      (col("n_chars") >= fleissLenMin).cast("long").as("r3"))
+    val agg = qf.join(lm, Seq("doc_id")).join(len, Seq("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("r1")).cast("long").as("s1"),
+        sum(col("r2")).cast("long").as("s2"),
+        sum(col("r3")).cast("long").as("s3"),
+        sum(col("r1") * col("r2")).cast("long").as("p12"),
+        sum(col("r1") * col("r3")).cast("long").as("p13"),
+        sum(col("r2") * col("r3")).cast("long").as("p23"))
+    // n²-scaled variances: vi = n·si − si²; pair totals for drop-1.
+    val v1 = col("n") * col("s1") - col("s1") * col("s1")
+    val v2 = col("n") * col("s2") - col("s2") * col("s2")
+    val v3 = col("n") * col("s3") - col("s3") * col("s3")
+    def vtot(ss: Column, sq: Column) = col("n") * sq - ss * ss
+    val sv = col("s1") + col("s2") + col("s3")
+    val sq3 = sv + lit(2L) * (col("p12") + col("p13") + col("p23"))
+    def alpha(k: Double, items: Column, total: Column): Column =
+      lit(k / (k - 1.0)) *
+        (lit(1.0) - items.cast("double") / total.cast("double"))
+    agg.select(col("n").as("n_docs"),
+      col("s1").as("keep_cascade"), col("s2").as("keep_lm"),
+      col("s3").as("keep_len"),
+      round(alpha(3.0, v1 + v2 + v3, vtot(sv, sq3)), 6).as("alpha"),
+      round(alpha(2.0, v2 + v3,
+        vtot(col("s2") + col("s3"),
+          col("s2") + col("s3") + lit(2L) * col("p23"))), 6)
+        .as("alpha_drop_cascade"),
+      round(alpha(2.0, v1 + v3,
+        vtot(col("s1") + col("s3"),
+          col("s1") + col("s3") + lit(2L) * col("p13"))), 6)
+        .as("alpha_drop_lm"),
+      round(alpha(2.0, v1 + v2,
+        vtot(col("s1") + col("s2"),
+          col("s1") + col("s2") + lit(2L) * col("p12"))), 6)
+        .as("alpha_drop_len"))
+  }
+
+  lazy val cronbachAlphaSql: String =
+    s"""WITH qf AS ($qualityFilterSql),
+       |lm AS ($lmScoreSql),
+       |items AS (
+       |  SELECT CAST(qf.keep AS BIGINT) AS r1,
+       |    CAST((lm.cross_entropy <= $agreementCeMax) AS BIGINT) AS r2,
+       |    CAST((dd.n_chars >= $fleissLenMin) AS BIGINT) AS r3
+       |  FROM qf
+       |  JOIN lm ON lm.doc_id = qf.doc_id
+       |  JOIN documents dd ON dd.doc_id = qf.doc_id),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(r1) AS BIGINT) AS s1, CAST(sum(r2) AS BIGINT) AS s2,
+       |    CAST(sum(r3) AS BIGINT) AS s3,
+       |    CAST(sum(r1 * r2) AS BIGINT) AS p12,
+       |    CAST(sum(r1 * r3) AS BIGINT) AS p13,
+       |    CAST(sum(r2 * r3) AS BIGINT) AS p23
+       |  FROM items)
+       |SELECT n AS n_docs,
+       |  s1 AS keep_cascade, s2 AS keep_lm, s3 AS keep_len,
+       |  round((3.0 / 2.0) * (1.0 -
+       |    CAST((n*s1 - s1*s1) + (n*s2 - s2*s2) + (n*s3 - s3*s3) AS DOUBLE)
+       |    / CAST(n * (s1 + s2 + s3 + 2*(p12 + p13 + p23))
+       |           - (s1+s2+s3) * (s1+s2+s3) AS DOUBLE)), 6) AS alpha,
+       |  round(2.0 * (1.0 -
+       |    CAST((n*s2 - s2*s2) + (n*s3 - s3*s3) AS DOUBLE)
+       |    / CAST(n * (s2 + s3 + 2*p23) - (s2+s3) * (s2+s3) AS DOUBLE)), 6)
+       |    AS alpha_drop_cascade,
+       |  round(2.0 * (1.0 -
+       |    CAST((n*s1 - s1*s1) + (n*s3 - s3*s3) AS DOUBLE)
+       |    / CAST(n * (s1 + s3 + 2*p13) - (s1+s3) * (s1+s3) AS DOUBLE)), 6)
+       |    AS alpha_drop_lm,
+       |  round(2.0 * (1.0 -
+       |    CAST((n*s1 - s1*s1) + (n*s2 - s2*s2) AS DOUBLE)
+       |    / CAST(n * (s1 + s2 + 2*p12) - (s1+s2) * (s1+s2) AS DOUBLE)), 6)
+       |    AS alpha_drop_len
+       |FROM agg""".stripMargin
+
 }
