@@ -171,6 +171,8 @@ object SparkEntry {
     "q_pacf"            -> (graft.ops.TimeSeries.pacfDailyRevenue _),
     "q_bradley_terry"   -> (graft.ops.Analytics.bradleyTerry _),
     "q_cvm"             -> (graft.ops.Behavior.cvmTest _),
+    "q_logit"           -> (graft.ops.Analytics.logisticRegression _),
+    "q_pr_auc"          -> (TextAnalysis.prAuc _),
     "q_cronbach"        -> (TextAnalysis.cronbachAlpha _),
     "q_icc"             -> (graft.ops.Behavior.iccDesignEffect _),
     "q_curation_funnel" -> (graft.text.Curation.curationFunnel _),
@@ -751,6 +753,8 @@ object SparkEntry {
     "q_pacf"          -> graft.ops.TimeSeries.pacfDailyRevenueSql,
     "q_bradley_terry" -> graft.ops.Analytics.bradleyTerrySql,
     "q_cvm"           -> graft.ops.Behavior.cvmTestSql,
+    "q_logit"         -> graft.ops.Analytics.logisticRegressionSql,
+    "q_pr_auc"        -> TextAnalysis.prAucSql,
     "q_cronbach"      -> TextAnalysis.cronbachAlphaSql,
     "q_icc"           -> graft.ops.Behavior.iccDesignEffectSql,
     "q_curation_funnel" -> graft.text.Curation.curationFunnelSql,

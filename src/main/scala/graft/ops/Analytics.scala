@@ -4170,4 +4170,185 @@ object Analytics {
        |FROM nation, norm""".stripMargin
   }
 
+  /** Newton iteration count for [[logisticRegression]]. */
+  val logitIters = 8
+
+  /** LOGISTIC REGRESSION BY NEWTON–RAPHSON (IRLS) over the
+    * SUFFICIENT-STATISTICS CENSUS — the canonical "ML training as a
+    * query" rendering: P(returnflag = 'R') ~ discount + quantity.
+    * With two bounded integer features the data collapses to a
+    * (discount-pct × quantity) cell census (≤ ~550 cells: cnt, pos),
+    * and each Newton step needs only the 9 census moments
+    * (g ∈ ℝ³, symmetric H ∈ ℝ³ˣ³): β ← β + H⁻¹g with the 3×3 inverse
+    * in closed adjugate form. This is how large-scale GLM fitting
+    * actually distributes — one map-side-combinable census shuffle,
+    * then O(cells) arithmetic per step, NO per-row iteration.
+    *
+    * Determinism: both engines run the IDENTICAL [[logitIters]]-step
+    * fold over the same cell-sorted integer census — every moment sum
+    * folds in cell order, the solve is one pinned expression, and
+    * Newton's attracting fixed point damps any exp()-ulp skew before
+    * the 6-dp rounding. Deviance, null deviance, and McFadden's R²
+    * ship alongside (the fit-quality readout); the per-iteration
+    * moment binding uses the fold-over-singleton idiom so the 9 sums
+    * evaluate once per step.
+    *
+    * Scale: the census is O(cells) after a combinable groupBy; at
+    * 100 TB the only shuffle is 550 rows wide. Features beyond
+    * census cardinality graduate to per-partition partial (XᵀWX, XᵀWz)
+    * aggregation — same algebra, d×d partials instead of cells. */
+  def logisticRegression(s: SparkSession, d: String): DataFrame = {
+    val k = logitIters
+    val cells = Tables.lineitem(s, d)
+      .select((dec(col("l_discount")) * 100).cast("long").as("x1"),
+        col("l_quantity").cast("long").as("x2"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("x1", "x2")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("y")).cast("long").as("pos"))
+    val packed = cells.agg(
+      count(lit(1)).cast("long").as("n_cells"),
+      sum(col("cnt")).cast("long").as("n"),
+      sum(col("pos")).cast("long").as("npos"),
+      sort_array(collect_list(struct(col("x1"), col("x2"), col("cnt"),
+        col("pos")))).as("cells"))
+    // p(c, b) with 0-based Spark subscripts; b bound per step below.
+    def p(b: String) =
+      s"""(1.0 / (1.0 + exp(-($b[0] + $b[1] * CAST(c.x1 AS DOUBLE)
+         |  + $b[2] * CAST(c.x2 AS DOUBLE)))))""".stripMargin
+    def mom(term: String, b: String) =
+      s"""aggregate(cells, CAST(0.0 AS DOUBLE), (acc, c) -> acc + ($term))"""
+        .replace("P", p(b))
+    // s = [g0,g1,g2,h00,h01,h02,h11,h12,h22], 0-based.
+    val sums = Seq(
+      "(CAST(c.pos AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P)",
+      "(CAST(c.pos AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P) * CAST(c.x1 AS DOUBLE)",
+      "(CAST(c.pos AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P) * CAST(c.x2 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x1 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x2 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x1 AS DOUBLE) * CAST(c.x1 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x1 AS DOUBLE) * CAST(c.x2 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x2 AS DOUBLE) * CAST(c.x2 AS DOUBLE)")
+    def sumsArr(b: String) =
+      sums.map(t => mom(t, b)).mkString("array(", ",\n", ")")
+    // adjugate solve of the symmetric 3x3; det repeated textually so the
+    // op sequence is pinned on both engines.
+    val det = """(s[3] * (s[6] * s[8] - s[7] * s[7])
+      - s[4] * (s[4] * s[8] - s[7] * s[5])
+      + s[5] * (s[4] * s[7] - s[6] * s[5]))"""
+    val d0 = s"""((s[6] * s[8] - s[7] * s[7]) * s[0]
+      + (s[5] * s[7] - s[4] * s[8]) * s[1]
+      + (s[4] * s[7] - s[5] * s[6]) * s[2]) / $det"""
+    val d1 = s"""((s[5] * s[7] - s[4] * s[8]) * s[0]
+      + (s[3] * s[8] - s[5] * s[5]) * s[1]
+      + (s[4] * s[5] - s[3] * s[7]) * s[2]) / $det"""
+    val d2 = s"""((s[4] * s[7] - s[5] * s[6]) * s[0]
+      + (s[4] * s[5] - s[3] * s[7]) * s[1]
+      + (s[3] * s[6] - s[4] * s[4]) * s[2]) / $det"""
+    val fitted = packed.select(col("n_cells"), col("n"), col("npos"),
+      col("cells"),
+      expr(
+        s"""aggregate(sequence(1, $k),
+           |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+           |        CAST(0.0 AS DOUBLE)),
+           |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
+           |    (bb, s) -> array(bb[0] + $d0, bb[1] + $d1, bb[2] + $d2)))"""
+          .stripMargin).as("b"))
+    fitted.select(col("n_cells"), col("n"), col("npos"), col("b"),
+      expr(s"""-2.0 * ${mom(
+        """CAST(c.pos AS DOUBLE) * ln(P)
+          + (CAST(c.cnt AS DOUBLE) - CAST(c.pos AS DOUBLE)) * ln(1.0 - P)""",
+        "b")}""").as("dev"),
+      (lit(-2.0) * (col("npos").cast("double") *
+        log(col("npos").cast("double") / col("n").cast("double")) +
+        (col("n") - col("npos")).cast("double") *
+          log((col("n") - col("npos")).cast("double") /
+            col("n").cast("double")))).as("dev0"))
+      .select(col("n").as("n_rows"), col("npos").as("n_pos"),
+        col("n_cells"),
+        round(expr("b[0]"), 6).as("beta_intercept"),
+        round(expr("b[1]"), 6).as("beta_discount_pct"),
+        round(expr("b[2]"), 6).as("beta_quantity"),
+        round(col("dev"), 4).as("deviance"),
+        round(col("dev0"), 4).as("null_deviance"),
+        round(lit(1.0) - col("dev") / col("dev0"), 6).as("mcfadden_r2"))
+  }
+
+  lazy val logisticRegressionSql: String = {
+    val k = logitIters
+    def p(b: String) =
+      s"""(1.0 / (1.0 + exp(-($b[1] + $b[2] * CAST(c.x1 AS DOUBLE)
+         |  + $b[3] * CAST(c.x2 AS DOUBLE)))))""".stripMargin
+    def mom(term: String, b: String) =
+      s"""list_sum(list_transform(cells, c -> ($term)))"""
+        .replace("P", p(b))
+    val sums = Seq(
+      "(CAST(c.pos AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P)",
+      "(CAST(c.pos AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P) * CAST(c.x1 AS DOUBLE)",
+      "(CAST(c.pos AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P) * CAST(c.x2 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x1 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x2 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x1 AS DOUBLE) * CAST(c.x1 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x1 AS DOUBLE) * CAST(c.x2 AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x2 AS DOUBLE) * CAST(c.x2 AS DOUBLE)")
+    def sumsArr(b: String) =
+      sums.map(t => mom(t, b)).mkString("[", ",\n", "]")
+    val det = """(s[4] * (s[7] * s[9] - s[8] * s[8])
+      - s[5] * (s[5] * s[9] - s[8] * s[6])
+      + s[6] * (s[5] * s[8] - s[7] * s[6]))"""
+    val d0 = s"""((s[7] * s[9] - s[8] * s[8]) * s[1]
+      + (s[6] * s[8] - s[5] * s[9]) * s[2]
+      + (s[5] * s[8] - s[6] * s[7]) * s[3]) / $det"""
+    val d1 = s"""((s[6] * s[8] - s[5] * s[9]) * s[1]
+      + (s[4] * s[9] - s[6] * s[6]) * s[2]
+      + (s[5] * s[6] - s[4] * s[8]) * s[3]) / $det"""
+    val d2 = s"""((s[5] * s[8] - s[6] * s[7]) * s[1]
+      + (s[5] * s[6] - s[4] * s[8]) * s[2]
+      + (s[4] * s[7] - s[5] * s[5]) * s[3]) / $det"""
+    s"""WITH RECURSIVE cellrel AS (
+       |  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+       |    CAST(l_quantity AS BIGINT) AS x2,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS pos
+       |  FROM lineitem GROUP BY 1, 2),
+       |packed AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS npos,
+       |    list(struct_pack(x1 := x1, x2 := x2, cnt := cnt, pos := pos)
+       |      ORDER BY x1, x2, cnt, pos) AS cells
+       |  FROM cellrel),
+       |newton(t, b) AS (
+       |  SELECT 0, [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE)] FROM packed
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    ([ [b[1] + $d0, b[2] + $d1, b[3] + $d2]
+       |       for s in [${sumsArr("b")}] ])[1]
+       |  FROM newton, packed
+       |  WHERE t < $k),
+       |fit AS (SELECT b FROM newton WHERE t = $k),
+       |devs AS (
+       |  SELECT n_cells, n, npos, b,
+       |    -2.0 * ${mom(
+      """CAST(c.pos AS DOUBLE) * ln(P)
+        + (CAST(c.cnt AS DOUBLE) - CAST(c.pos AS DOUBLE)) * ln(1.0 - P)""",
+      "b")} AS dev,
+       |    -2.0 * (CAST(npos AS DOUBLE)
+       |        * ln(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+       |      + CAST(n - npos AS DOUBLE)
+       |        * ln(CAST(n - npos AS DOUBLE) / CAST(n AS DOUBLE))) AS dev0
+       |  FROM fit, packed)
+       |SELECT n AS n_rows, npos AS n_pos, n_cells,
+       |  round(b[1], 6) AS beta_intercept,
+       |  round(b[2], 6) AS beta_discount_pct,
+       |  round(b[3], 6) AS beta_quantity,
+       |  round(dev, 4) AS deviance,
+       |  round(dev0, 4) AS null_deviance,
+       |  round(1.0 - dev / dev0, 6) AS mcfadden_r2
+       |FROM devs""".stripMargin
+  }
+
 }

@@ -909,6 +909,98 @@ object TextAnalysis {
        |    AS gini
        |FROM stat""".stripMargin
 
+  /** PRECISION–RECALL AUC (AVERAGE PRECISION) of the LM score against
+    * the heuristic drop decision — [[lmAuc]]'s class-imbalance-honest
+    * twin: ROC AUC is blind to prevalence (a 1%-positive screen can
+    * post 0.95 AUC while every alert is noise); AP integrates
+    * precision over recall, so its baseline IS the prevalence and the
+    * gap above it is the usable signal. Convention: the step-wise
+    * (non-interpolated) AP over score THRESHOLDS,
+    * AP = Σ_blocks (t₊/n₊) · P(threshold), ties handled as one block —
+    * the estimator sklearn's average_precision_score documents.
+    *
+    * Rendering: the SAME score-domain census as [[lmAuc]]; one
+    * [[graft.ops.Distributed.withRunningTotal]] pass (counts packed
+    * t·2³² + t₊) gives ascending cums, descending cums fall out by
+    * complement, every precision is a ratio of exact integers, and
+    * the block terms fold over the score-DESC-sorted array (the
+    * [[graft.ops.Behavior]] census-fold discipline) before one
+    * division by n₊.
+    *
+    * Scale: O(distinct scores) census off one doc-keyed aggregate —
+    * the [[lmAuc]] posture exactly. */
+  def prAuc(s: SparkSession, d: String): DataFrame = {
+    val obs = lmScore(s, d)
+      .select(col("doc_id"),
+        round(col("cross_entropy") * 10000, 0).cast("long").as("v"))
+      .join(qualityFilter(s, d).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+    val byValue = obs.groupBy("v").agg(
+      (count(lit(1)) * lit(4294967296L) +
+        sum(when(!col("keep"), 1L).otherwise(0L))).as("w"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byValue, Seq.empty, Seq("v"), "w", "cumw", Some("totw"))
+      .select(col("v"),
+        expr("(totw div 4294967296L) - (cumw div 4294967296L) + (w div 4294967296L)")
+          .as("cumtd"),
+        expr("(totw % 4294967296L) - (cumw % 4294967296L) + (w % 4294967296L)")
+          .as("cum1d"),
+        expr("w % 4294967296L").as("t1"),
+        expr("totw div 4294967296L").as("n"),
+        expr("totw % 4294967296L").as("n1"))
+    cum.agg(max(col("n")).as("n"), max(col("n1")).as("n1"),
+      sort_array(collect_list(struct((-col("v")).as("nv"), col("t1"),
+        col("cum1d"), col("cumtd")))).as("a"))
+      .select(col("n"), col("n1"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+            acc + CAST(e.t1 AS DOUBLE) *
+              (CAST(e.cum1d AS DOUBLE) / CAST(e.cumtd AS DOUBLE)))""")
+          .as("ap_sum"))
+      .select((col("n") - col("n1")).as("n_keep"), col("n1").as("n_drop"),
+        round(col("n1").cast("double") / col("n").cast("double"), 6)
+          .as("prevalence"),
+        round(col("ap_sum") / col("n1").cast("double"), 6)
+          .as("avg_precision"))
+  }
+
+  lazy val prAucSql: String =
+    s"""WITH lm AS ($lmScoreSql),
+       |qf AS ($qualityFilterSql),
+       |obs AS (
+       |  SELECT CAST(round(lm.cross_entropy * 10000, 0) AS BIGINT) AS v,
+       |    qf.keep
+       |  FROM lm JOIN qf ON qf.doc_id = lm.doc_id),
+       |by_value AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+       |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS t1
+       |  FROM obs GROUP BY v),
+       |cum AS (
+       |  SELECT v, t1,
+       |    CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cumt,
+       |    CAST(sum(t1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cum1,
+       |    t
+       |  FROM by_value),
+       |tot AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1
+       |  FROM by_value),
+       |blocks AS (
+       |  SELECT v, t1, n - cumt + t AS cumtd, n1 - cum1 + t1 AS cum1d, n, n1
+       |  FROM cum CROSS JOIN tot),
+       |folded AS (
+       |  SELECT max(n) AS n, max(n1) AS n1,
+       |    list_sum(list_transform(
+       |      list(struct_pack(t1 := t1, cum1d := cum1d, cumtd := cumtd)
+       |        ORDER BY v DESC),
+       |      e -> CAST(e.t1 AS DOUBLE) *
+       |        (CAST(e.cum1d AS DOUBLE) / CAST(e.cumtd AS DOUBLE)))) AS ap_sum
+       |  FROM blocks)
+       |SELECT n - n1 AS n_keep, n1 AS n_drop,
+       |  round(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS prevalence,
+       |  round(ap_sum / CAST(n1 AS DOUBLE), 6) AS avg_precision
+       |FROM folded""".stripMargin
+
   val qualityFilterSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM (
