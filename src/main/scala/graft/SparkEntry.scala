@@ -172,6 +172,9 @@ object SparkEntry {
     "q_bradley_terry"   -> (graft.ops.Analytics.bradleyTerry _),
     "q_cvm"             -> (graft.ops.Behavior.cvmTest _),
     "q_logit"           -> (graft.ops.Analytics.logisticRegression _),
+    "q_rich_club"       -> (graft.ops.Graph.richClub _),
+    "q_kneser_ney"      -> (TextAnalysis.knBigramScore _),
+    "q_dsir"            -> (graft.text.Curation.dsirWeights _),
     "q_pr_auc"          -> (TextAnalysis.prAuc _),
     "q_cronbach"        -> (TextAnalysis.cronbachAlpha _),
     "q_icc"             -> (graft.ops.Behavior.iccDesignEffect _),
@@ -754,6 +757,9 @@ object SparkEntry {
     "q_bradley_terry" -> graft.ops.Analytics.bradleyTerrySql,
     "q_cvm"           -> graft.ops.Behavior.cvmTestSql,
     "q_logit"         -> graft.ops.Analytics.logisticRegressionSql,
+    "q_rich_club"     -> graft.ops.Graph.richClubSql,
+    "q_kneser_ney"    -> TextAnalysis.knBigramScoreSql,
+    "q_dsir"          -> graft.text.Curation.dsirWeightsSql,
     "q_pr_auc"        -> TextAnalysis.prAucSql,
     "q_cronbach"      -> TextAnalysis.cronbachAlphaSql,
     "q_icc"           -> graft.ops.Behavior.iccDesignEffectSql,

@@ -1294,6 +1294,78 @@ object Graph {
        |JOIN deg dv ON dv.x = sc.v
        |ORDER BY sc.cn DESC, sc.seed, sc.v LIMIT 20""".stripMargin
 
+  /** RICH-CLUB COEFFICIENT ladder — "do the hubs trade with each
+    * other?": φ(k) = 2·E₍₎ₖ / (nₖ(nₖ−1)) over the subgraph induced by
+    * vertices of degree > k, reported for the doubling ladder
+    * k ∈ {1, 2, 4, …, 128}. A rising φ(k) tail is the rich-club
+    * ordering (hubs preferentially interconnected — the topology that
+    * makes hub-targeted failures catastrophic and hub-level caching
+    * effective); flat-or-falling means hubs fan out to the periphery.
+    *
+    * Exactness: degrees, induced-edge counts (bi rows double-count
+    * undirected edges, exactly the 2E the numerator wants), and nₖ are
+    * integers; φ is one double division, rounded 6. Ladder rows with
+    * nₖ < 2 are undefined and filtered identically on both engines.
+    *
+    * Scale: ONE pass over the memoized [[biEdges]] frame joined to the
+    * degree census (two key-shuffle joins), then an O(E × ladder)
+    * broadcast expansion that map-side-combines to ladder-size rows.
+    * No wedge or pair materialization anywhere (the q_triangles
+    * lesson); normalized φ against degree-preserving rewirings is a
+    * simulation, documented out of scope. */
+  def richClub(s: SparkSession, d: String): DataFrame = {
+    val bi = biEdges(s, d) // consumers: degree census + induced-edge pass
+    val deg = bi.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
+    val ladder = s.range(8)
+      .select(expr("shiftleft(1L, CAST(id AS INT))").as("k"))
+    val nk = deg.crossJoin(broadcast(ladder))
+      .filter(col("dg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("n_nodes"))
+    val ek = bi
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+      .crossJoin(broadcast(ladder))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("e2"))
+    nk.join(ek, Seq("k"))
+      .filter(col("n_nodes") >= 2)
+      .select(col("k"), col("n_nodes"), (col("e2") / 2).cast("long")
+        .as("club_edges"),
+        round(col("e2").cast("double") /
+          (col("n_nodes").cast("double") *
+            (col("n_nodes") - 1).cast("double")), 6).as("phi"))
+      .orderBy("k")
+  }
+
+  val richClubSql: String =
+    """WITH pr AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+      |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |deg AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS dg
+      |  FROM bi GROUP BY u),
+      |ladder AS (SELECT CAST(1 << i AS BIGINT) AS k FROM range(8) t(i)),
+      |nk AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM deg CROSS JOIN ladder WHERE dg > k GROUP BY k),
+      |ek AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS e2
+      |  FROM bi
+      |  JOIN deg du ON du.x = bi.u
+      |  JOIN deg dv ON dv.x = bi.v
+      |  CROSS JOIN ladder
+      |  WHERE du.dg > k AND dv.dg > k
+      |  GROUP BY k)
+      |SELECT nk.k, n_nodes, e2 // 2 AS club_edges,
+      |  round(CAST(e2 AS DOUBLE)
+      |    / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)), 6)
+      |    AS phi
+      |FROM nk JOIN ek ON ek.k = nk.k
+      |WHERE n_nodes >= 2
+      |ORDER BY nk.k""".stripMargin
+
   /** EIGENVECTOR CENTRALITY via integer walk counts: score(u) after k
     * power-iteration rounds from the all-ones vector is EXACTLY the
     * number of k-walks ending at u — so the iteration runs in exact

@@ -976,4 +976,95 @@ object Curation {
        |  CAST(n2 - n3 AS BIGINT) FROM agg
        |ORDER BY stage""".stripMargin
   }
+
+  /** Hashed-feature bucket count for [[dsirWeights]]. */
+  val dsirBuckets = 64L
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — the
+    * domain-targeting selector the mixture family lacked:
+    * [[mixturePlan]]/[[temperatureMixture]] reweight whole SOURCES;
+    * DSIR scores each DOCUMENT by how target-like its hashed n-gram
+    * profile is, log w(x) = Σ_b c_x[b]·(ln p_target[b] − ln p_raw[b])
+    * over [[dsirBuckets]] hashed unigram buckets (target = the 'en'
+    * slice standing in for the high-quality domain), then resamples
+    * by weight. The hashed feature space is what makes it a QUERY:
+    * two bounded bucket censuses, not an LM.
+    *
+    * Determinism: bucket counts are exact integers (md5-hash
+    * bucketing, the established cross-engine idiom); both bucket
+    * log-ratios are Laplace-smoothed pinned expressions; the per-doc
+    * Σ over ≤64 buckets rounds 4dp ([[TextAnalysis.lmScore]]
+    * summation-order precedent); top-20 orders on the ROUNDED
+    * per-token weight with doc_id tiebreak.
+    *
+    * Scale: one token-bucket census per side (map-side combinable,
+    * 64 rows out), the 64-row log-ratio table broadcasts, and the
+    * per-doc aggregate keys on doc_id — text never shuffles. The
+    * 100 TB form is identical; only the census shrinks further
+    * relative to the corpus. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val b = dsirBuckets
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long") % b).as("bkt"))
+    val census = toks.groupBy("bkt")
+      .agg(count(lit(1)).cast("long").as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = census.agg(sum(col("cr")).cast("long").as("nr"),
+      sum(col("ct")).cast("long").as("nt"))
+    val lr = census.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (log((col("ct") + 1).cast("double") /
+          (col("nt") + b).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("nr") + b).cast("double"))).as("lr"))
+    toks.groupBy(col("doc_id"), col("lang"), col("source"), col("bkt"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .join(broadcast(lr), Seq("bkt"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        sum(col("c").cast("double") * col("lr")).as("lw"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_toks"),
+        round(col("lw"), 4).as("log_weight"),
+        round(col("lw") / col("n_toks").cast("double"), 4)
+          .as("log_weight_per_tok"))
+      .orderBy(col("log_weight_per_tok").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val dsirWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bkt
+      |  FROM (SELECT doc_id, lang, source,
+      |          unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |census AS (
+      |  SELECT bkt, CAST(count(*) AS BIGINT) AS cr,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |  FROM toks GROUP BY bkt),
+      |totals AS (
+      |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+      |  FROM census),
+      |lr AS (
+      |  SELECT bkt,
+      |    ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) -
+      |    ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)) AS lr
+      |  FROM census CROSS JOIN totals),
+      |perdoc AS (
+      |  SELECT doc_id, lang, source, bkt, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2, 3, 4)
+      |SELECT doc_id, lang, source,
+      |  CAST(sum(c) AS BIGINT) AS n_toks,
+      |  round(sum(CAST(c AS DOUBLE) * lr.lr), 4) AS log_weight,
+      |  round(sum(CAST(c AS DOUBLE) * lr.lr)
+      |    / CAST(sum(c) AS DOUBLE), 4) AS log_weight_per_tok
+      |FROM perdoc JOIN lr ON lr.bkt = perdoc.bkt
+      |GROUP BY doc_id, lang, source
+      |ORDER BY log_weight_per_tok DESC, doc_id
+      |LIMIT 20""".stripMargin
 }

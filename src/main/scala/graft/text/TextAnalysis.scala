@@ -715,6 +715,91 @@ object TextAnalysis {
        |    END)) / CAST(sum(tf) AS DOUBLE), 4) AS cross_entropy2
        |FROM scored GROUP BY 1""".stripMargin
 
+  /** Kneser–Ney absolute discount (the KenLM default). 0.75 is exact
+    * in binary, so the discount arithmetic carries no rounding. */
+  val knDiscount = 0.75
+
+  /** INTERPOLATED KNESER–NEY BIGRAM SCORING — the smoothing that
+    * actually ships in KenLM/CCNet pipelines, completing the LM-filter
+    * ladder ([[lmScore]] unigram → [[bigramLmScore]] stupid backoff →
+    * KN): P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    * + (D/c(w₁·))·N₁₊(w₁·)·P_cont(w₂), with the CONTINUATION
+    * probability P_cont(w₂) = N₁₊(·w₂)/N₁₊(··) — "how many contexts
+    * does w₂ complete" rather than "how often does w₂ occur", the
+    * insight that separates KN from every count-ratio backoff (high-
+    * frequency-but-one-context tokens stop leaking probability).
+    *
+    * Determinism: D = [[knDiscount]] = 0.75 is exact in binary, every
+    * count is an exact integer off the bigram TYPE relation (windows
+    * over it give c(w₁·), N₁₊(w₁·), N₁₊(·w₂); one broadcast row gives
+    * N₁₊(··)), the per-bigram probability is a pinned expression, and
+    * the per-doc ln sum rounds 4dp (the [[lmScore]] summation-order
+    * precedent).
+    *
+    * Scale: the type relation keys on short strings (combinable
+    * windows); scoring is one (w₁, w₂) key-shuffle join of the
+    * per-doc tf relation against the type relation — document text
+    * itself never shuffles. */
+  def knBigramScore(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  filter(sequence(1, greatest(size(w) - 1, 1)),
+          |    i -> i <= size(w) - 1),
+          |  i -> struct(w[i - 1] AS w1, w[i] AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val types = tf.groupBy("w1", "w2").agg(sum(col("tf")).cast("long").as("c2"))
+      .withColumn("c1", sum("c2").over(Window.partitionBy("w1")))
+      .withColumn("n1p", count(lit(1)).over(Window.partitionBy("w1")))
+      .withColumn("pc", count(lit(1)).over(Window.partitionBy("w2")))
+    val total = types.agg(count(lit(1)).cast("long").as("tt"))
+    tf.join(types, Seq("w1", "w2"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(when(col("c2") === 1L, col("tf")).otherwise(lit(0L)))
+          .cast("long").as("n_singleton_bigrams"),
+        sum(col("tf").cast("double") *
+          log((greatest(col("c2").cast("double") - lit(knDiscount), lit(0.0)) +
+            lit(knDiscount) * col("n1p").cast("double") *
+              (col("pc").cast("double") / col("tt").cast("double"))) /
+            col("c1").cast("double"))).as("sln"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_singleton_bigrams"),
+        round(-col("sln") / col("n_bigrams").cast("double"), 4)
+          .as("cross_entropy_kn"))
+  }
+
+  val knBigramScoreSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, count(*) AS tf
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |    range(1, 10000) t(i)
+       |  WHERE i <= len(w) - 1
+       |  GROUP BY 1, 2, 3),
+       |types AS (
+       |  SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+       |  FROM tf GROUP BY w1, w2),
+       |twin AS (
+       |  SELECT w1, w2, c2,
+       |    sum(c2) OVER (PARTITION BY w1) AS c1,
+       |    count(*) OVER (PARTITION BY w1) AS n1p,
+       |    count(*) OVER (PARTITION BY w2) AS pc,
+       |    count(*) OVER () AS tt
+       |  FROM types)
+       |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN t.c2 = 1 THEN tf.tf ELSE 0 END) AS BIGINT)
+       |    AS n_singleton_bigrams,
+       |  round(-sum(CAST(tf.tf AS DOUBLE) *
+       |    ln((greatest(CAST(t.c2 AS DOUBLE) - $knDiscount, 0.0) +
+       |      $knDiscount * CAST(t.n1p AS DOUBLE) *
+       |        (CAST(t.pc AS DOUBLE) / CAST(t.tt AS DOUBLE))) /
+       |      CAST(t.c1 AS DOUBLE))) / CAST(sum(tf.tf) AS DOUBLE), 4)
+       |    AS cross_entropy_kn
+       |FROM tf JOIN twin t ON t.w1 = tf.w1 AND t.w2 = tf.w2
+       |GROUP BY tf.doc_id""".stripMargin
+
   /** MODEL CALIBRATION TABLE (reliability diagram) — does the unigram-LM
     * quality score actually PREDICT the rule-based quality label? Docs
     * bin by tenth-nat of rounded [[lmScore]] cross-entropy; each bin
