@@ -175,6 +175,9 @@ object SparkEntry {
     "q_rich_club"       -> (graft.ops.Graph.richClub _),
     "q_kneser_ney"      -> (TextAnalysis.knBigramScore _),
     "q_dsir"            -> (graft.text.Curation.dsirWeights _),
+    "q_theil_u"         -> (graft.ops.TimeSeries.theilU _),
+    "q_sampen"          -> (graft.ops.TimeSeries.sampleEntropy _),
+    "q_ansari"          -> (graft.ops.Behavior.ansariBradley _),
     "q_pr_auc"          -> (TextAnalysis.prAuc _),
     "q_cronbach"        -> (TextAnalysis.cronbachAlpha _),
     "q_icc"             -> (graft.ops.Behavior.iccDesignEffect _),
@@ -760,6 +763,9 @@ object SparkEntry {
     "q_rich_club"     -> graft.ops.Graph.richClubSql,
     "q_kneser_ney"    -> TextAnalysis.knBigramScoreSql,
     "q_dsir"          -> graft.text.Curation.dsirWeightsSql,
+    "q_theil_u"       -> graft.ops.TimeSeries.theilUSql,
+    "q_sampen"        -> graft.ops.TimeSeries.sampleEntropySql,
+    "q_ansari"        -> graft.ops.Behavior.ansariBradleySql,
     "q_pr_auc"        -> TextAnalysis.prAucSql,
     "q_cronbach"      -> TextAnalysis.cronbachAlphaSql,
     "q_icc"           -> graft.ops.Behavior.iccDesignEffectSql,

@@ -1942,6 +1942,140 @@ object Behavior {
       |  ((t - et) / sqrt(vart) > 1.644853626951472) AS significant_95
       |FROM stat""".stripMargin
 
+  /** ANSARI–BRADLEY SCALE TEST between the two variants' purchase
+    * values — the DISPERSION twin of [[mannWhitney]]'s location test
+    * (an A/B arm can leave the median alone and still widen the
+    * spread — pricing experiments do exactly this): scores
+    * a(r) = min(r, N+1−r) peak at the center, so a LOW group-A score
+    * sum means A sits in the tails (more dispersed). Midrank (tied)
+    * scores per value block come from the CLOSED-FORM prefix
+    * S(x) = Σ_{r≤x} a(r) — two arithmetic-series branches around
+    * h = ⌊(N+1)/2⌋, every product provably even before its ÷2 — so
+    * block score sums are exact integers off the same packed
+    * census + prefix pass as the U test, and the tie-adjusted normal
+    * moments (E[W] = n₁·ΣA/N,
+    * Var[W] = n₁n₂(N·Σa² − (ΣA)²)/(N²(N−1))) need only ΣA (exact,
+    * = S(N)) and Σa² (per-block bs²/t, folded in value order — the
+    * [[jsDivergence]] discipline).
+    *
+    * Scale: O(distinct cents) census (~10⁴ here); the fold is
+    * O(domain). A 100 TB deployment quantizes the value domain
+    * (dollar buckets) exactly as [[q: psi]] does — the test is on
+    * ranks, so bucketing is a documented resolution choice, not an
+    * approximation failure. */
+  def ansariBradley(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        (dec(col("value")) * 100).cast("long").as("v"))
+    val byValue = obs.groupBy("v").agg(
+      (count(lit(1)) * lit(4294967296L) +
+        sum(when(col("variant") === 0, 1L).otherwise(0L))).as("w"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byValue, Seq.empty, Seq("v"), "w", "cumw", Some("totw"))
+      .select(col("v"),
+        expr("w div 4294967296L").as("t"),
+        expr("w % 4294967296L").as("t1"),
+        expr("cumw div 4294967296L").as("cumt"),
+        expr("totw div 4294967296L").as("n"),
+        expr("totw % 4294967296L").as("n1"))
+    def sfun(x: String) =
+      s"""(CASE WHEN ($x) <= h THEN (($x) * (($x) + 1)) div 2
+         |  ELSE ((h * (h + 1)) div 2)
+         |    + (((2 * n + 1 - h - ($x)) * (($x) - h)) div 2) END)""".stripMargin
+    val packed = cum.agg(
+      max(col("n")).as("n"), max(col("n1")).as("n1"),
+      sort_array(collect_list(struct(col("v"), col("t"), col("t1"),
+        col("cumt")))).as("a"))
+      .select(col("n"), col("n1"), expr("(n + 1) div 2").as("h"), col("a"))
+    val folded = packed.select(col("n"), col("n1"), col("h"),
+      expr(s"""(${sfun("n")})""").as("stot"),
+      expr(s"""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+          acc + CAST(e.t1 AS DOUBLE) *
+            (CAST(${sfun("e.cumt")} - ${sfun("e.cumt - e.t")} AS DOUBLE)
+             / CAST(e.t AS DOUBLE)))""").as("w_stat"),
+      expr(s"""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+          acc + CAST(${sfun("e.cumt")} - ${sfun("e.cumt - e.t")} AS DOUBLE)
+            * CAST(${sfun("e.cumt")} - ${sfun("e.cumt - e.t")} AS DOUBLE)
+            / CAST(e.t AS DOUBLE))""").as("sa2"))
+    folded.select(col("n1").as("n_a"), (col("n") - col("n1")).as("n_b"),
+      col("w_stat"), col("stot"),
+      (col("n1").cast("double") * col("stot").cast("double") /
+        col("n").cast("double")).as("e_w"),
+      ((col("n1").cast("double") * (col("n") - col("n1")).cast("double")) *
+        (col("n").cast("double") * col("sa2") -
+          col("stot").cast("double") * col("stot").cast("double")) /
+        (col("n").cast("double") * col("n").cast("double") *
+          (col("n") - 1).cast("double"))).as("var_w"))
+      .select(col("n_a"), col("n_b"),
+        round(col("w_stat"), 4).as("w_stat"),
+        round(col("e_w"), 4).as("e_w"),
+        round((col("w_stat") - col("e_w")) / sqrt(col("var_w")), 6)
+          .as("ab_z"),
+        (abs((col("w_stat") - col("e_w")) / sqrt(col("var_w"))) >
+          lit(1.959963984540054)).as("dispersion_differs_95"))
+  }
+
+  val ansariBradleySql: String = {
+    def sfun(x: String) =
+      s"""(CASE WHEN ($x) <= h THEN (($x) * (($x) + 1)) // 2
+         |  ELSE ((h * (h + 1)) // 2)
+         |    + (((2 * n + 1 - h - ($x)) * (($x) - h)) // 2) END)""".stripMargin
+    s"""WITH obs AS (
+       |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM events WHERE event_type = 'purchase'),
+       |by_value AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+       |  FROM obs GROUP BY v),
+       |cum AS (
+       |  SELECT v, t, t1,
+       |    CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cumt
+       |  FROM by_value),
+       |tot AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+       |    CAST((sum(t) + 1) // 2 AS BIGINT) AS h
+       |  FROM by_value),
+       |folded AS (
+       |  SELECT n, n1, ${sfun("n")} AS stot,
+       |    list_sum(list_transform(
+       |      list(struct_pack(v := v, t := t, t1 := t1, cumt := cumt)
+       |        ORDER BY v),
+       |      e -> CAST(e.t1 AS DOUBLE) *
+       |        (CAST(${sfun("e.cumt")} - ${sfun("e.cumt - e.t")} AS DOUBLE)
+       |         / CAST(e.t AS DOUBLE)))) AS w_stat,
+       |    list_sum(list_transform(
+       |      list(struct_pack(v := v, t := t, t1 := t1, cumt := cumt)
+       |        ORDER BY v),
+       |      e -> CAST(${sfun("e.cumt")} - ${sfun("e.cumt - e.t")} AS DOUBLE)
+       |        * CAST(${sfun("e.cumt")} - ${sfun("e.cumt - e.t")} AS DOUBLE)
+       |        / CAST(e.t AS DOUBLE))) AS sa2
+       |  FROM cum CROSS JOIN tot
+       |  GROUP BY n, n1, h),
+       |stat AS (
+       |  SELECT n1 AS n_a, n - n1 AS n_b, w_stat, stot,
+       |    CAST(n1 AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS e_w,
+       |    (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)) *
+       |      (CAST(n AS DOUBLE) * sa2
+       |        - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)) /
+       |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |        * CAST(n - 1 AS DOUBLE)) AS var_w
+       |  FROM folded)
+       |SELECT n_a, n_b,
+       |  round(w_stat, 4) AS w_stat,
+       |  round(e_w, 4) AS e_w,
+       |  round((w_stat - e_w) / sqrt(var_w), 6) AS ab_z,
+       |  (abs((w_stat - e_w) / sqrt(var_w)) > 1.959963984540054)
+       |    AS dispersion_differs_95
+       |FROM stat""".stripMargin
+  }
+
   /** Number of randomization sites for [[iccDesignEffect]]. */
   val iccSites = 97L
 

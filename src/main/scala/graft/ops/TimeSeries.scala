@@ -3027,6 +3027,217 @@ object TimeSeries {
       |    END AS weekly_seasonality
       |FROM s""".stripMargin
 
+  /** THEIL'S U — the squared-error companion of [[maseForecast]]'s
+    * absolute-error ratio, on the same 1998 daily-revenue frame and
+    * the same two baseline forecasters: U₂ = √(Σe₇²/Σe₁²) (snaive-7
+    * vs naive-1, sample-size-corrected) answers "does weekly
+    * seasonality survive a SQUARED loss, which punishes the occasional
+    * big miss MAE forgives", and Theil's original U₁ ∈ [0,1]
+    * normalizes the snaive-7 RMSE by the predicted+actual magnitude.
+    * Reporting both ratios next to MASE is the standard
+    * forecast-eval triptych.
+    *
+    * Exactness: squared daily totals overflow BIGINT (~10¹⁹ cents²·
+    * days), so all four sums run in DECIMAL(38,0)/HUGEINT — exact,
+    * order-insensitive, map-side combinable — and convert to double
+    * ONCE each; the 6-dp rounding of O(1) ratios swallows the known
+    * 1-ulp conversion skew ([[q: changepoint]] posture). Degenerate
+    * guards mirror [[maseForecast]] (n₇ = 0 or a zero naive error →
+    * NULL).
+    *
+    * Scale: one daily aggregate + one O(days) lag window + a
+    * single-row reduce. */
+  def theilU(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: org.apache.spark.sql.Column) = c.cast(big)
+    val ord = Window.orderBy("day")
+    val daily = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1998)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+      .select(col("day"), col("cents"),
+        lag(col("cents"), 1).over(ord).as("l1"),
+        lag(col("cents"), 7).over(ord).as("l7"))
+    val sums = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("l7").isNotNull, 1L).otherwise(0L)).as("n7"),
+      sum(when(col("l1").isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("l7").isNotNull,
+        (d0(col("cents") - col("l7")) * (col("cents") - col("l7")))
+          .cast(big)).otherwise(d0(lit(0L)))).cast(big).as("se7"),
+      sum(when(col("l1").isNotNull,
+        (d0(col("cents") - col("l1")) * (col("cents") - col("l1")))
+          .cast(big)).otherwise(d0(lit(0L)))).cast(big).as("se1"),
+      sum(when(col("l7").isNotNull,
+        (d0(col("cents")) * col("cents")).cast(big))
+        .otherwise(d0(lit(0L)))).cast(big).as("sy2"),
+      sum(when(col("l7").isNotNull,
+        (d0(col("l7")) * col("l7")).cast(big))
+        .otherwise(d0(lit(0L)))).cast(big).as("sf2"))
+    val n7d = col("n7").cast("double")
+    val u2 = sqrt((col("se7").cast("double") * col("n1").cast("double")) /
+      (col("se1").cast("double") * n7d))
+    val u1 = sqrt(col("se7").cast("double") / n7d) /
+      (sqrt(col("sy2").cast("double") / n7d) +
+        sqrt(col("sf2").cast("double") / n7d))
+    val bad = col("n7") === 0L || col("se1") === d0(lit(0L))
+    sums.select(col("n_days"), col("n7"), col("n1"),
+      when(bad, lit(null).cast("double")).otherwise(round(u2, 6))
+        .as("theil_u2"),
+      when(bad, lit(null).cast("double")).otherwise(round(u1, 6))
+        .as("theil_u1"),
+      when(bad, lit(false)).otherwise(u2 < 1.0)
+        .as("snaive_beats_naive"))
+  }
+
+  val theilUSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1),
+      |seq AS (
+      |  SELECT cents, lag(cents, 1) OVER (ORDER BY day) AS l1,
+      |    lag(cents, 7) OVER (ORDER BY day) AS l7
+      |  FROM daily),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n7,
+      |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    sum(CASE WHEN l7 IS NOT NULL
+      |      THEN CAST(cents - l7 AS HUGEINT) * (cents - l7)
+      |      ELSE CAST(0 AS HUGEINT) END) AS se7,
+      |    sum(CASE WHEN l1 IS NOT NULL
+      |      THEN CAST(cents - l1 AS HUGEINT) * (cents - l1)
+      |      ELSE CAST(0 AS HUGEINT) END) AS se1,
+      |    sum(CASE WHEN l7 IS NOT NULL
+      |      THEN CAST(cents AS HUGEINT) * cents
+      |      ELSE CAST(0 AS HUGEINT) END) AS sy2,
+      |    sum(CASE WHEN l7 IS NOT NULL
+      |      THEN CAST(l7 AS HUGEINT) * l7
+      |      ELSE CAST(0 AS HUGEINT) END) AS sf2
+      |  FROM seq)
+      |SELECT n_days, n7, n1,
+      |  CASE WHEN n7 = 0 OR se1 = 0 THEN NULL
+      |    ELSE round(sqrt((CAST(se7 AS DOUBLE) * CAST(n1 AS DOUBLE))
+      |      / (CAST(se1 AS DOUBLE) * CAST(n7 AS DOUBLE))), 6) END
+      |    AS theil_u2,
+      |  CASE WHEN n7 = 0 OR se1 = 0 THEN NULL
+      |    ELSE round(sqrt(CAST(se7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+      |      / (sqrt(CAST(sy2 AS DOUBLE) / CAST(n7 AS DOUBLE))
+      |         + sqrt(CAST(sf2 AS DOUBLE) / CAST(n7 AS DOUBLE))), 6) END
+      |    AS theil_u1,
+      |  CASE WHEN n7 = 0 OR se1 = 0 THEN FALSE
+      |    ELSE sqrt((CAST(se7 AS DOUBLE) * CAST(n1 AS DOUBLE))
+      |      / (CAST(se1 AS DOUBLE) * CAST(n7 AS DOUBLE))) < 1.0 END
+      |    AS snaive_beats_naive
+      |FROM s""".stripMargin
+
+  /** SAMPLE ENTROPY (Richman & Moorman 2000) of the 1998 daily-revenue
+    * sequence, m = 2, r = 0.2σ — the regularity statistic next to
+    * [[q: perm entropy]]'s ordinal one: SampEn = −ln(A/B) where B
+    * counts template pairs matching for 2 steps and A those still
+    * matching at 3 (Chebyshev distance ≤ r). Low SampEn = new points
+    * are predictable from 2-step history; high = the series generates
+    * novelty at every step. Unlike approximate entropy it excludes
+    * self-matches, so it is unbiased in n.
+    *
+    * EXACT tolerance comparisons: r = 0.2σ never materializes as a
+    * float — with population SS = n·Σy² − (Σy)², the match predicate
+    * |Δ| ≤ 0.2σ is 25·Δ²·n² ≤ SS, an exact DECIMAL(38)/HUGEINT
+    * integer comparison on both engines, so A and B are exact integer
+    * counts and SampEn is one ln of their ratio.
+    *
+    * Scale: the O(days²) template-pair join is the documented bounded
+    * class (the [[q: granger]]/q_dunn adjudication — a self-join on
+    * the O(365)-row DAILY frame, ~66k pairs at any corpus size; the
+    * raw stream never joins itself). */
+  def sampleEntropy(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: org.apache.spark.sql.Column) = c.cast(big)
+    val ord = Window.orderBy("day")
+    val daily = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1998)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val stats = daily.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("cents")).cast("long").as("sy"),
+      sum((d0(col("cents")) * col("cents")).cast(big)).cast(big).as("syy"))
+      .select(col("n"),
+        (d0(col("n")) * col("syy") - d0(col("sy")) * col("sy"))
+          .cast(big).as("ss"))
+    val trip = daily
+      .select(col("day"), col("cents").as("y0"),
+        lead(col("cents"), 1).over(ord).as("y1"),
+        lead(col("cents"), 2).over(ord).as("y2"),
+        row_number().over(ord).as("rn"))
+      .filter(col("y2").isNotNull)
+    def near(a: String, b: String) =
+      (d0(col(a) - col(b)) * (col(a) - col(b)) * 25 *
+        col("n") * col("n")).cast(big) <= col("ss")
+    val pairs = trip.as("x").join(trip.as("y"), col("x.rn") < col("y.rn"))
+      .crossJoin(broadcast(stats))
+      .select(near("x.y0", "y.y0").as("c0"), near("x.y1", "y.y1").as("c1"),
+        near("x.y2", "y.y2").as("c2"), col("n"))
+    pairs.agg(max(col("n")).as("n_days"),
+      sum(when(col("c0") && col("c1"), 1L).otherwise(0L)).as("b_pairs"),
+      sum(when(col("c0") && col("c1") && col("c2"), 1L).otherwise(0L))
+        .as("a_pairs"))
+      .select(col("n_days"), col("b_pairs"), col("a_pairs"),
+        when(col("a_pairs") === 0L || col("b_pairs") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(-log(col("a_pairs").cast("double") /
+            col("b_pairs").cast("double")), 6)).as("sampen"))
+  }
+
+  val sampleEntropySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) AS HUGEINT)
+      |        * sum(CAST(cents AS HUGEINT) * cents)
+      |      - CAST(sum(cents) AS HUGEINT) * CAST(sum(cents) AS HUGEINT)
+      |      AS ss
+      |  FROM daily),
+      |trip AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS rn, cents AS y0,
+      |    lead(cents, 1) OVER (ORDER BY day) AS y1,
+      |    lead(cents, 2) OVER (ORDER BY day) AS y2
+      |  FROM daily
+      |  QUALIFY y2 IS NOT NULL),
+      |pairs AS (
+      |  SELECT
+      |    (CAST(x.y0 - y.y0 AS HUGEINT) * (x.y0 - y.y0) * 25 * n * n
+      |      <= ss) AS c0,
+      |    (CAST(x.y1 - y.y1 AS HUGEINT) * (x.y1 - y.y1) * 25 * n * n
+      |      <= ss) AS c1,
+      |    (CAST(x.y2 - y.y2 AS HUGEINT) * (x.y2 - y.y2) * 25 * n * n
+      |      <= ss) AS c2,
+      |    n
+      |  FROM trip x JOIN trip y ON x.rn < y.rn
+      |  CROSS JOIN stats),
+      |agg AS (
+      |  SELECT max(n) AS n_days,
+      |    CAST(sum(CASE WHEN c0 AND c1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS b_pairs,
+      |    CAST(sum(CASE WHEN c0 AND c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS a_pairs
+      |  FROM pairs)
+      |SELECT n_days, b_pairs, a_pairs,
+      |  CASE WHEN a_pairs = 0 OR b_pairs = 0 THEN NULL
+      |    ELSE round(-ln(CAST(a_pairs AS DOUBLE)
+      |      / CAST(b_pairs AS DOUBLE)), 6) END AS sampen
+      |FROM agg""".stripMargin
+
   /** OFFLINE CHANGEPOINT DETECTION (binary segmentation, first split) —
     * where [[q_cusum]] monitors a stream against a target, this asks
     * the retrospective question: which single day best splits the
