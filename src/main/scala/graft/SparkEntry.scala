@@ -439,6 +439,10 @@ object SparkEntry {
     "q_timed_funnel"    -> (graft.ops.TimeSeries.timedFunnel _),
     "q_cv_folds"        -> (graft.ops.TimeSeries.cvFolds _),
     "q_acf"             -> (graft.ops.TimeSeries.acfDailyRevenue _),
+    // -- round 9, session 2: CDF-gap + block-rank family completions
+    "q_anderson_darling" -> (graft.ops.Behavior.andersonDarling _),
+    "q_kendall_w"       -> (graft.ops.Analytics.kendallW _),
+    "q_page_trend"      -> (graft.ops.Analytics.pageTrend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1045,5 +1049,8 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey <= 2000
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q_anderson_darling" -> graft.ops.Behavior.andersonDarlingSql,
+    "q_kendall_w"        -> graft.ops.Analytics.kendallWSql,
+    "q_page_trend"       -> graft.ops.Analytics.pageTrendSql,
   )
 }

@@ -2719,25 +2719,38 @@ object Analytics {
     *
     * Scale: one combinable (type, day) aggregate over facts; ranking
     * windows run per-day over k rows each — O(days) tiny partitions. */
+  /** Shared complete-block midrank frame behind [[friedmanTest]],
+    * [[kendallW]] and [[pageTrend]]: one row per (event_type, day) in
+    * the complete blocks (days where every type traded), with the
+    * day's revenue `cents`, the doubled within-day midrank `r2`
+    * (exact integer — the Mann-Whitney midrank discipline) and the
+    * type count `k`. Memoized per (session, dataset) so the three
+    * repeated-measures tests pay the events aggregate once in-suite. */
+  private def friedmanRanked(s: SparkSession, d: String): DataFrame =
+    memoCache(s, d, "friedmanRanked") {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+          .as("cents"))
+      val k = daily.select("event_type").distinct()
+        .agg(count(lit(1)).cast("long").as("k"))
+      val complete = daily
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy("day")))
+        .crossJoin(broadcast(k))
+        .filter(col("nt") === col("k"))
+      // midrank×2 = rank_first + rank_last (ties share the average rank)
+      val w = Window.partitionBy("day").orderBy("cents")
+      complete
+        .withColumn("r2",
+          rank().over(w) + (count(lit(1)).over(
+            Window.partitionBy("day", "cents")) - 1) + rank().over(w))
+        .select("event_type", "day", "cents", "r2", "k")
+        .pin()
+    }
+
   def friedmanTest(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type"),
-        date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
-        .as("cents"))
-    val k = daily.select("event_type").distinct()
-      .agg(count(lit(1)).cast("long").as("k"))
-    val complete = daily
-      .withColumn("nt", count(lit(1)).over(Window.partitionBy("day")))
-      .crossJoin(broadcast(k))
-      .filter(col("nt") === col("k"))
-    // midrank×2 = rank_first + rank_last (ties share the average rank)
-    val w = Window.partitionBy("day").orderBy("cents")
-    val ranked = complete
-      .withColumn("r2",
-        rank().over(w) + (count(lit(1)).over(
-          Window.partitionBy("day", "cents")) - 1) + rank().over(w))
-    val sums = ranked.groupBy("event_type")
+    val sums = friedmanRanked(s, d).groupBy("event_type")
       .agg(sum(col("r2")).cast("long").as("rs2"),
         count(lit(1)).cast("long").as("n_days"), max(col("k")).as("k"))
     sums
@@ -2776,6 +2789,159 @@ object Analytics {
       |    / (max(n_days) * (SELECT k FROM kk) * ((SELECT k FROM kk) + 1))
       |    - 3.0 * max(n_days) * ((SELECT k FROM kk) + 1), 6) AS chi2_f
       |FROM sums""".stripMargin
+
+  /** KENDALL'S COEFFICIENT OF CONCORDANCE W — [[friedmanTest]]'s
+    * EFFECT SIZE: the χ² answers "do the types rank consistently
+    * across days at all?"; W ∈ [0,1] answers "HOW consistently" (1 =
+    * every day ranks the types identically, 0 = pure noise), which is
+    * what makes day-over-day rank stability comparable across datasets
+    * of different length. Tie-corrected form (Kendall & Babington
+    * Smith): W = (12·ΣR_j² − 3n²k(k+1)²) / (n²k(k²−1) − n·ΣT) with
+    * T_i = Σ(t³−t) over tie groups in block i.
+    *
+    * Exactness: reads the shared [[friedmanRanked]] midrank frame —
+    * 12·ΣR² = 3·Σ(2R)² stays an exact long (no ÷4 ever happens), the
+    * tie term is an exact long census over (day, cents) groups, so W
+    * is ONE double division. Also reports the χ² link n(k−1)W.
+    *
+    * Scale: the memoized frame is the only events pass; both reducers
+    * are O(k) / O(tie-groups) combinable aggregates. */
+  def kendallW(s: SparkSession, d: String): DataFrame = {
+    val ranked = friedmanRanked(s, d)
+    val sums = ranked.groupBy("event_type")
+      .agg(sum(col("r2")).cast("long").as("rs2"),
+        count(lit(1)).cast("long").as("n_days"), max(col("k")).as("k"))
+      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+        sum(col("rs2") * col("rs2")).cast("long").as("ssq4"))
+    val ties = ranked.groupBy("day", "cents")
+      .agg(count(lit(1)).cast("long").as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("st"))
+    sums.crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("st").as("tie_t"),
+        ((lit(3.0) * col("ssq4").cast("double") -
+          lit(3.0) * col("n").cast("double") * col("n") * col("k") *
+            (col("k") + 1) * (col("k") + 1)) /
+          (col("n").cast("double") * col("n") * col("k") *
+            (col("k") * col("k") - 1) -
+            col("n").cast("double") * col("st"))).as("w"))
+      .select(col("k"), col("n"), col("tie_t"),
+        round(col("w"), 6).as("kendall_w"),
+        round(col("n") * (col("k") - 1) * col("w"), 6).as("chi2_w"))
+  }
+
+  val kendallWSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1,2),
+      |kk AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+      |complete AS (
+      |  SELECT d.* FROM daily d CROSS JOIN kk
+      |  QUALIFY count(*) OVER (PARTITION BY day) = kk.k),
+      |ranked AS (
+      |  SELECT event_type, day, cents,
+      |    rank() OVER (PARTITION BY day ORDER BY cents)
+      |      + (count(*) OVER (PARTITION BY day, cents) - 1)
+      |      + rank() OVER (PARTITION BY day ORDER BY cents) AS r2
+      |  FROM complete),
+      |sums AS (
+      |  SELECT CAST((SELECT k FROM kk) AS BIGINT) AS k,
+      |    CAST(max(n_days) AS BIGINT) AS n,
+      |    CAST(sum(CAST(rs2 AS HUGEINT) * rs2) AS DOUBLE) AS ssq4
+      |  FROM (SELECT event_type, CAST(sum(r2) AS BIGINT) AS rs2,
+      |          count(*) AS n_days
+      |        FROM ranked GROUP BY 1)),
+      |ties AS (
+      |  SELECT coalesce(CAST(sum(CAST(t AS BIGINT) * t * t - t) AS BIGINT),
+      |    0) AS st
+      |  FROM (SELECT day, cents, count(*) AS t FROM ranked GROUP BY 1,2)),
+      |stat AS (
+      |  SELECT k, n, st AS tie_t,
+      |    (3.0 * ssq4
+      |      - 3.0 * CAST(n AS DOUBLE) * n * k * (k + 1) * (k + 1)) /
+      |    (CAST(n AS DOUBLE) * n * k * (k * k - 1)
+      |      - CAST(n AS DOUBLE) * st) AS w
+      |  FROM sums CROSS JOIN ties)
+      |SELECT k, n, tie_t, round(w, 6) AS kendall_w,
+      |  round(n * (k - 1) * w, 6) AS chi2_w
+      |FROM stat""".stripMargin
+
+  /** PAGE'S TREND TEST (Page 1963) — the ORDERED-alternative member
+    * of the repeated-measures family: [[friedmanTest]] asks "do the
+    * types differ at all?", Page's L asks "do they follow the
+    * SPECIFIED order?" — the within-block twin of
+    * [[cochranArmitageTrend]] (ordered doses, independent samples) and
+    * [[q: jonckheere]] (ordered groups, independent samples). The
+    * a-priori treatment ordering a real experiment supplies is pinned
+    * here as lexicographic event_type order (deterministic; the
+    * statistic's mechanics are ordering-agnostic).
+    *
+    * Exactness: L = Σ_j c_j·R_j with c_j = 1..k; 2L = Σ c_j·(2R_j)
+    * stays an exact long off the shared [[friedmanRanked]] frame. The
+    * null moments are closed forms: E[2L] = n·k(k+1)²/2 and
+    * Var[2L] = n·k²(k+1)(k²−1)/36 (ties make the variance slightly
+    * conservative — the standard treatment, noted not hidden), so z is
+    * one pinned double formula.
+    *
+    * Scale: O(k) reducer over the memoized frame. */
+  def pageTrend(s: SparkSession, d: String): DataFrame = {
+    val sums = friedmanRanked(s, d).groupBy("event_type")
+      .agg(sum(col("r2")).cast("long").as("rs2"),
+        count(lit(1)).cast("long").as("n_days"), max(col("k")).as("k"))
+      .withColumn("c",
+        row_number().over(Window.orderBy("event_type")).cast("long"))
+    sums
+      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+        sum(col("c") * col("rs2")).cast("long").as("l2"))
+      .select(col("k"), col("n"), (col("l2").cast("double") / 2.0).as("l"),
+        (col("n").cast("double") * col("k") * (col("k") + 1) *
+          (col("k") + 1) / 2.0).as("e2"),
+        (col("n").cast("double") * col("k") * col("k") * (col("k") + 1) *
+          (col("k") * col("k") - 1) / 36.0).as("v2"),
+        col("l2"))
+      .select(col("k"), col("n"), col("l"),
+        round((col("l2").cast("double") - col("e2")) / sqrt(col("v2")), 6)
+          .as("page_z"),
+        ((col("l2").cast("double") - col("e2")) / sqrt(col("v2")) >
+          lit(1.644853626951472)).as("increasing_95"))
+  }
+
+  val pageTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1,2),
+      |kk AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+      |complete AS (
+      |  SELECT d.* FROM daily d CROSS JOIN kk
+      |  QUALIFY count(*) OVER (PARTITION BY day) = kk.k),
+      |ranked AS (
+      |  SELECT event_type,
+      |    rank() OVER (PARTITION BY day ORDER BY cents)
+      |      + (count(*) OVER (PARTITION BY day, cents) - 1)
+      |      + rank() OVER (PARTITION BY day ORDER BY cents) AS r2
+      |  FROM complete),
+      |sums AS (
+      |  SELECT event_type, CAST(sum(r2) AS BIGINT) AS rs2,
+      |    count(*) AS n_days,
+      |    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS c
+      |  FROM ranked GROUP BY 1),
+      |agg AS (
+      |  SELECT CAST((SELECT k FROM kk) AS BIGINT) AS k,
+      |    CAST(max(n_days) AS BIGINT) AS n,
+      |    CAST(sum(c * rs2) AS BIGINT) AS l2
+      |  FROM sums),
+      |stat AS (
+      |  SELECT k, n, CAST(l2 AS DOUBLE) / 2.0 AS l, l2,
+      |    CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 2.0 AS e2,
+      |    CAST(n AS DOUBLE) * k * k * (k + 1) * (k * k - 1) / 36.0 AS v2
+      |  FROM agg)
+      |SELECT k, n, l,
+      |  round((CAST(l2 AS DOUBLE) - e2) / sqrt(v2), 6) AS page_z,
+      |  ((CAST(l2 AS DOUBLE) - e2) / sqrt(v2) > 1.644853626951472)
+      |    AS increasing_95
+      |FROM stat""".stripMargin
 
   /** COCHRAN–ARMITAGE TREND TEST: does the return rate TREND with the
     * discount level? The ordered-dose 2×k test — χ²-style independence

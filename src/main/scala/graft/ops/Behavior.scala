@@ -1702,9 +1702,11 @@ object Behavior {
     * distance is one rounded division. */
   /** The shared CDF-gap interval frame behind [[wassersteinDistance]]
     * and [[cramerDistance]]: one row per adjacent distinct-value pair
-    * with `dnum` = cumA·nB − cumB·nA (the nA·nB-scaled CDF gap, exact)
-    * and `dv` = the interval width in cents. Memoized per (session,
-    * dataset): [[wassersteinDistance]] and [[cramerDistance]] each read
+    * with `dnum` = cumA·nB − cumB·nA (the nA·nB-scaled CDF gap, exact),
+    * `cumt` = the pooled cumulative count (for the F(1−F) weights of
+    * [[andersonDarling]]), and `dv` = the interval width in cents.
+    * Memoized per (session, dataset): [[wassersteinDistance]],
+    * [[cramerDistance]], [[cvmTest]] and [[andersonDarling]] each read
     * the pinned frame instead of re-running the census + prefix pass
     * (VERDICT r8 task 8 — the in-suite 2.1 s pointed at a rebuild). */
   private def variantCdfGaps(s: SparkSession, d: String): DataFrame =
@@ -1733,7 +1735,7 @@ object Behavior {
         col("na"), col("nb"), (col("cuma") + col("cumb")).as("cumt"))
     cum.as("x").join(cum.as("y"), expr("y.cumt - y.cnt = x.cumt"))
       .select(col("x.na").as("na"), col("x.nb").as("nb"),
-        col("x.cnt").as("cnt"),
+        col("x.cnt").as("cnt"), col("x.cumt").as("cumt"),
         (col("x.cuma") * col("x.nb") - col("x.cumb") * col("x.na"))
           .as("dnum"),
         (col("y.v") - col("x.v")).as("dv"))
@@ -1941,6 +1943,79 @@ object Behavior {
       |  round((t - et) / sqrt(vart), 6) AS cvm_z,
       |  ((t - et) / sqrt(vart) > 1.644853626951472) AS significant_95
       |FROM stat""".stripMargin
+
+  /** TWO-SAMPLE ANDERSON–DARLING TEST (Pettitt 1976; Scholz–Stephens
+    * 1987 eq. 3 tie form) between the variants' purchase values — the
+    * TAIL-weighted member of the CDF-gap family: CvM weights the
+    * squared gap by the empirical measure, AD divides it by
+    * F(1−F) so discrepancies in the distribution's TAILS count most —
+    * exactly where pricing/fraud shifts live and where CvM/KS are
+    * blind. Completes the drift battery: W₁ (how much mass moved),
+    * Cramér/energy (where broadly), CvM (body), AD (tails), KS (sup).
+    *
+    * Rendering: reads the SAME memoized [[variantCdfGaps]] frame. The
+    * Scholz–Stephens numerator (N·M_j − nA·B_j) IS the frame's exact
+    * `dnum` = cumA·nB − cumB·nA (algebra: (nA+nB)·cumA −
+    * nA·(cumA+cumB)), and the frame's successor-pair construction
+    * excludes exactly the j = L row (B_j = N) the formula skips, so
+    * A² = Σ_j cnt_j·dnum_j² / (cumt_j·(N−cumt_j)) / (nA·nB) — the
+    * squared term is exact DECIMAL(38,0); the per-row division and sum
+    * run in double and the output is pinned at 6 dp (the lmScore
+    * summation-order precedent). Significance: Pettitt proves A²'s
+    * asymptotic null law equals the ONE-sample AD limit, so the pinned
+    * 5% point is 2.492.
+    *
+    * Scale: free once the shared census+prefix frame exists — one
+    * map-side-combinable sum over O(distinct cents) rows. */
+  def andersonDarling(s: SparkSession, d: String): DataFrame =
+    variantCdfGaps(s, d)
+      .select(col("na"), col("nb"),
+        ((col("dnum").cast(DecimalType(38, 0)) * col("dnum") * col("cnt"))
+          .cast(DecimalType(38, 0)).cast("double") /
+          (col("cumt") * (col("na") + col("nb") - col("cumt")))
+            .cast("double")).as("term"))
+      .groupBy("na", "nb").agg(sum(col("term")).as("s"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("s") / (col("na").cast("double") * col("nb").cast("double")),
+          6).as("ad_a2"),
+        (col("s") / (col("na").cast("double") * col("nb").cast("double")) >
+          lit(2.492)).as("significant_95"))
+
+  val andersonDarlingSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT v, ca + cb AS cnt,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+      |    CAST(sum(ca + cb) OVER w AS BIGINT) AS cumt
+      |  FROM by_value
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM by_value),
+      |summed AS (
+      |  SELECT na, nb,
+      |    sum(CAST(CAST(cuma * nb - cumb * na AS HUGEINT)
+      |          * (cuma * nb - cumb * na) * cnt AS DOUBLE)
+      |        / CAST(cumt * (na + nb - cumt) AS DOUBLE)) AS s
+      |  FROM cum CROSS JOIN tot
+      |  WHERE cumt < na + nb
+      |  GROUP BY na, nb)
+      |SELECT na AS n_a, nb AS n_b,
+      |  round(s / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ad_a2,
+      |  (s / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) > 2.492)
+      |    AS significant_95
+      |FROM summed""".stripMargin
 
   /** ANSARI–BRADLEY SCALE TEST between the two variants' purchase
     * values — the DISPERSION twin of [[mannWhitney]]'s location test
