@@ -443,6 +443,7 @@ object SparkEntry {
     "q_anderson_darling" -> (graft.ops.Behavior.andersonDarling _),
     "q_kendall_w"       -> (graft.ops.Analytics.kendallW _),
     "q_page_trend"      -> (graft.ops.Analytics.pageTrend _),
+    "q_jaro_winkler"    -> (Dedup.jaroWinklerPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1052,5 +1053,6 @@ object SparkEntry {
     "q_anderson_darling" -> graft.ops.Behavior.andersonDarlingSql,
     "q_kendall_w"        -> graft.ops.Analytics.kendallWSql,
     "q_page_trend"       -> graft.ops.Analytics.pageTrendSql,
+    "q_jaro_winkler"     -> graft.dedup.Dedup.jaroWinklerPairsSql,
   )
 }

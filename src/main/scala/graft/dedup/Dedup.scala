@@ -435,6 +435,55 @@ object Dedup {
       .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
   }
 
+  /** BLOCKED JARO–WINKLER record linkage over the same distinct-name
+    * dictionary as [[fuzzyNames]] — the classic two-stage entity
+    * resolution shape: a cheap BLOCKING key (first token) prunes the
+    * candidate space (~10× here: 224 pairs vs C(64,2) = 2016
+    * all-pairs), then the native codegen'd
+    * [[graft.functions.JaroWinklerSim]] expression scores only the
+    * survivors. Complements [[fuzzyNames]]' levenshtein cutoff: edit
+    * distance counts operations, Jaro–Winkler rewards shared prefixes
+    * and tolerates transpositions — the actual geometry of name/title
+    * variants.
+    *
+    * Determinism: the expression's constants are pinned to DuckDB's
+    * builtin (integer transposition halving, 0.7 boost threshold,
+    * empty→0.0 — probed and spec-tested, `JaroWinklerSpec`); outputs
+    * round to 6 dp so a last-ulp divergence in the 3-term jaro average
+    * can't flip a cell.
+    *
+    * Scale: the dictionary groupBy is map-side combinable; pair cost is
+    * O(Σ block²) not O(|domain|²), and the block key shuffles only the
+    * O(|domain|) dictionary — at 100 TB the block key graduates to
+    * (first token, length bucket) exactly like [[ngramJaccard]]'s
+    * posting lists. */
+  def jaroWinklerPairs(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count("*").as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_b"))
+    a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+      .withColumn("jw",
+        graft.functions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= 0.8)
+      .select(col("name_a"), col("name_b"), round(col("jw"), 6).as("jw_sim"),
+        col("n_a"), col("n_b"))
+  }
+
+  val jaroWinklerPairsSql: String =
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
+      |blk AS (
+      |  SELECT split_part(p_name, ' ', 1) AS b, p_name, n_parts FROM names)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim,
+      |  a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM blk a JOIN blk b ON a.b = b.b AND a.p_name < b.p_name
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs: vectors within cosine >= 0.4
     * (threshold chosen from the corpus: max pairwise cosine ~0.51, so the
     * output is the discriminative near-dup tail, not noise).

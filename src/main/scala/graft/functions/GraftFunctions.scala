@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftFunctions.bitmapPositionsDescriptor)
     ext.injectFunction(GraftFunctions.bitmapAndNotDescriptor)
+    ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
@@ -76,6 +77,15 @@ object GraftFunctions {
       WordNgrams(children.head, children(1))
     })
 
+  private[functions] val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "jaro_winkler expects exactly 2 arguments")
+      JaroWinklerSim(children.head, children(1))
+    })
+
   /** Imperatively register the native functions and the `xor_checksum`
     * UDAF in an existing session (idempotent). UDAFs have no
     * SparkSessionExtensions injection point, so xor_checksum is
@@ -83,7 +93,8 @@ object GraftFunctions {
     * GraftExtensions. */
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, wordNgramsDescriptor, nfcNormalizeDescriptor,
-        bitmapPositionsDescriptor, bitmapAndNotDescriptor).foreach {
+        bitmapPositionsDescriptor, bitmapAndNotDescriptor,
+        jaroWinklerDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -116,6 +127,10 @@ object GraftFunctions {
   /** Column-API form of [[BitmapAndNot]]: bitmap set difference. */
   def bitmapAndNot(a: Column, b: Column): Column =
     shims.column(BitmapAndNot(shims.expression(a), shims.expression(b)))
+
+  /** Column-API form of [[JaroWinklerSim]] — record-linkage similarity. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    shims.column(JaroWinklerSim(shims.expression(a), shims.expression(b)))
 
   /** Column-API form of the [[XorChecksum]] aggregate — no registry. */
   def xorChecksum(c: Column): Column = XorChecksum.udaf(c)
