@@ -444,6 +444,9 @@ object SparkEntry {
     "q_kendall_w"       -> (graft.ops.Analytics.kendallW _),
     "q_page_trend"      -> (graft.ops.Analytics.pageTrend _),
     "q_jaro_winkler"    -> (Dedup.jaroWinklerPairs _),
+    "q_good_turing"     -> (TextAnalysis.goodTuring _),
+    "q_fertility"       -> (TextAnalysis.tokenizerFertility _),
+    "q_burrows_delta"   -> (TextAnalysis.burrowsDelta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1054,5 +1057,8 @@ object SparkEntry {
     "q_kendall_w"        -> graft.ops.Analytics.kendallWSql,
     "q_page_trend"       -> graft.ops.Analytics.pageTrendSql,
     "q_jaro_winkler"     -> graft.dedup.Dedup.jaroWinklerPairsSql,
+    "q_good_turing"      -> TextAnalysis.goodTuringSql,
+    "q_fertility"        -> TextAnalysis.tokenizerFertilitySql,
+    "q_burrows_delta"    -> TextAnalysis.burrowsDeltaSql,
   )
 }

@@ -2272,4 +2272,219 @@ object TextAnalysis {
        |    AS alpha_drop_len
        |FROM agg""".stripMargin
 
+  /** GOOD–TURING frequency-of-frequencies table (r = 1..10) over the
+    * corpus TRIGRAM counts — the smoothing estimator behind every
+    * count-based LM ([[knBigramScore]]'s absolute discount D = 0.75 is
+    * the fixed-D approximation of exactly this table; Katz backoff
+    * reads it directly): r* = (r+1)·N_{r+1}/N_r is the adjusted count,
+    * and the unseen mass P₀ = N₁/N is the probability budget the LM
+    * reserves for n-grams it has never seen. Trigrams, not unigrams,
+    * because GT lives in the sparse tail and this corpus's 31-word
+    * vocabulary has NO rare unigrams (min count 26) — exactly why real
+    * LMs apply GT at the n-gram level where N₁ is large (9.4k singleton
+    * trigrams at sf0.01). [[vocabRichness]] reports the r=1,2 summary
+    * (Chao1/coverage); this is the full table those cells come from.
+    *
+    * Exactness: N_r, N_{r+1}, N are exact longs off the n-gram
+    * census; r* and p_r are one double division each (round 6/10).
+    * Empty N_{r+1} cells (count gaps) surface as r_star = 0 — the
+    * honest "smoothing needs a fit here" signal (Gale's simple GT
+    * regression), not a silent interpolation.
+    *
+    * Scale: trigram expansion is per-row local (no shuffle); then two
+    * map-side-combinable aggregates (tri → c → N_c); the freq-of-freq
+    * relation is at most max-count rows. */
+  def goodTuring(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(0, size(t) - 3),
+          |  i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))""".stripMargin))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .pin() // consumers: freq-of-freq census + total mass
+    val fof = counts.groupBy("c").agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(sum(col("c")).cast("long").as("n"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n1"))
+    fof.filter(col("c") <= 10)
+      .join(fof.select((col("c") - 1).as("c"), col("n_r").as("n_r1")),
+        Seq("c"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c").cast("int").as("r"), col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r_plus1"),
+        round((col("c") + 1).cast("double") *
+          coalesce(col("n_r1"), lit(0L)) / col("n_r"), 6).as("r_star"),
+        round((col("c") + 1).cast("double") *
+          coalesce(col("n_r1"), lit(0L)) / col("n_r") /
+          col("n").cast("double"), 10).as("p_gt"),
+        round(col("n1").cast("double") / col("n").cast("double"), 8)
+          .as("p0_unseen"))
+      .orderBy("r")
+  }
+
+  val goodTuringSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |counts AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_transform(
+      |      generate_series(1, greatest(len(ts) - 2, 0)),
+      |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS tok
+      |    FROM toks)
+      |  GROUP BY 1),
+      |fof AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM counts
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM counts)
+      |SELECT CAST(f.c AS INTEGER) AS r, f.n_r,
+      |  coalesce(f1.n_r, 0) AS n_r_plus1,
+      |  round(CAST(f.c + 1 AS DOUBLE) * coalesce(f1.n_r, 0) / f.n_r, 6)
+      |    AS r_star,
+      |  round(CAST(f.c + 1 AS DOUBLE) * coalesce(f1.n_r, 0) / f.n_r
+      |    / CAST(n AS DOUBLE), 10) AS p_gt,
+      |  round(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE), 8) AS p0_unseen
+      |FROM fof f LEFT JOIN fof f1 ON f1.c = f.c + 1 CROSS JOIN tot
+      |WHERE f.c <= 10 ORDER BY r""".stripMargin
+
+  /** TOKENIZER FERTILITY by language — subwords per whitespace word,
+    * THE tokenizer-evaluation metric (a tokenizer trained on English
+    * "spends" more subwords per word on other scripts; fertility by
+    * language is how multilingual-budget papers report it) plus
+    * bytes-per-subword, the compression view. Completes the tokenizer
+    * family: [[textStats]] counts per doc, [[q: oov]] measures vocab
+    * coverage, this rolls the cost up to the language level where
+    * mixture decisions are made.
+    *
+    * Exactness: token/subword/char sums are exact longs off the
+    * one-pass native [[graft.functions.TokenStats]] scan; each ratio
+    * is one double division (round 6).
+    *
+    * Scale: codegen'd scan → 5-row aggregate; nothing else moves. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val ts = col("ts")
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        graft.functions.GraftFunctions.tokenStats(col("text"), stopwords)
+          .as("ts"))
+      .select(col("lang"), col("n_chars"),
+        ts.getField("n_tokens").as("n_tokens"),
+        ts.getField("n_subwords").as("n_subwords"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"),
+        sum(col("n_subwords")).cast("long").as("subwords"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("subwords"),
+        round(col("subwords").cast("double") / col("tokens"), 6)
+          .as("fertility"),
+        round(col("chars").cast("double") / col("subwords"), 6)
+          .as("chars_per_subword"))
+      .orderBy("lang")
+  }
+
+  val tokenizerFertilitySql: String =
+    """WITH per_doc AS (
+      |  SELECT lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      t -> (length(t) + 2) // 3)) AS BIGINT) AS n_subwords
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(sum(n_subwords) AS BIGINT) AS subwords,
+      |  round(CAST(sum(n_subwords) AS DOUBLE) / sum(n_tokens), 6)
+      |    AS fertility,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_subwords), 6)
+      |    AS chars_per_subword
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** BURROWS' DELTA between every pair of sources — the classic
+    * stylometry / authorship-attribution distance (Burrows 2002):
+    * z-score each source's relative frequency of the top-K corpus
+    * words (function words dominate any top-K list, and function-word
+    * profiles are the stylistic fingerprint), then Δ(a,b) = mean
+    * |z_a − z_b|. Complements [[jsdSources]]: JSD sees distribution
+    * MASS (what is said), Delta normalizes each word by its
+    * cross-source spread (how it's said) — two sources can be JSD-near
+    * and Delta-far.
+    *
+    * Determinism: counts/totals exact; the full K×|sources| grid is
+    * materialized (missing cells = exact 0) so both engines see
+    * identical term sets; per-word mean/variance and the per-pair
+    * |Δz| sum are bounded-term float folds rounded at 4 dp (the
+    * [[jsdSources]] tolerance discipline). Top-K selection tie-breaks
+    * by token text. Zero-variance words contribute exactly 0.
+    *
+    * Scale: one wordcount shuffle; everything after the census is
+    * O(K·|sources|) + O(K·pairs) — sources², never rows. */
+  def burrowsDelta(s: SparkSession, d: String): DataFrame = {
+    val topK = 20
+    val census = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .pin() // consumers: totals, top-K selection, grid fill
+    val totals = census.groupBy("source").agg(sum(col("c")).as("nt"))
+    val top = census.groupBy("tok").agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("tok").asc).limit(topK)
+      .select(col("tok"))
+    // full grid: every (source, top word) cell, absent counts = exact 0
+    val grid = totals.crossJoin(broadcast(top))
+      .join(census, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        (coalesce(col("c"), lit(0L)).cast("double") /
+          col("nt").cast("double")).as("f"))
+    val stats = grid.groupBy("tok")
+      .agg(count(lit(1)).as("k"), sum(col("f")).as("sf"),
+        sum(col("f") * col("f")).as("sf2"))
+      .select(col("tok"),
+        (col("sf") / col("k")).as("mean"),
+        sqrt(greatest(col("sf2") / col("k") -
+          (col("sf") / col("k")) * (col("sf") / col("k")), lit(0.0)))
+          .as("sd"))
+    val z = grid.join(broadcast(stats), Seq("tok"))
+      .select(col("source"), col("tok"),
+        when(col("sd") > 0, (col("f") - col("mean")) / col("sd"))
+          .otherwise(lit(0.0)).as("z"))
+    z.as("a").join(z.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(abs(col("a.z") - col("b.z"))) / count(lit(1)), 4)
+          .as("burrows_delta"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val burrowsDeltaSql: String =
+    """WITH census AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM census
+      |  GROUP BY 1),
+      |top AS (
+      |  SELECT tok FROM (SELECT tok, sum(c) AS ct FROM census GROUP BY 1)
+      |  ORDER BY ct DESC, tok ASC LIMIT 20),
+      |grid AS (
+      |  SELECT t.source, w.tok,
+      |    CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(t.nt AS DOUBLE) AS f
+      |  FROM totals t CROSS JOIN top w
+      |  LEFT JOIN census c ON c.source = t.source AND c.tok = w.tok),
+      |stats AS (
+      |  SELECT tok, sum(f) / count(*) AS mean,
+      |    sqrt(greatest(sum(f * f) / count(*)
+      |      - (sum(f) / count(*)) * (sum(f) / count(*)), 0.0)) AS sd
+      |  FROM grid GROUP BY tok),
+      |z AS (
+      |  SELECT g.source, g.tok,
+      |    CASE WHEN s.sd > 0 THEN (g.f - s.mean) / s.sd ELSE 0.0 END AS z
+      |  FROM grid g JOIN stats s USING (tok))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  count(*) AS n_words,
+      |  round(sum(abs(a.z - b.z)) / count(*), 4) AS burrows_delta
+      |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
 }
