@@ -447,6 +447,7 @@ object SparkEntry {
     "q_good_turing"     -> (TextAnalysis.goodTuring _),
     "q_fertility"       -> (TextAnalysis.tokenizerFertility _),
     "q_burrows_delta"   -> (TextAnalysis.burrowsDelta _),
+    "q_ecod"            -> (Similarity.ecodOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1060,5 +1061,6 @@ object SparkEntry {
     "q_good_turing"      -> TextAnalysis.goodTuringSql,
     "q_fertility"        -> TextAnalysis.tokenizerFertilitySql,
     "q_burrows_delta"    -> TextAnalysis.burrowsDeltaSql,
+    "q_ecod"             -> graft.similarity.Similarity.ecodOutliersSql,
   )
 }

@@ -1476,4 +1476,63 @@ object Similarity {
        |    AS within_jl_band
        |FROM d2o JOIN d2p USING (pair)
        |WHERE d2_orig > 0""".stripMargin
+
+  /** ECOD OUTLIER DETECTION (Li et al., TKDE 2022) over the embedding
+    * table — the DENSITY outlier detector next to [[lofOutliers]]'
+    * neighborhood one: per dimension, a point's tail probability is
+    * read off the empirical CDF, and the outlier score aggregates
+    * −ln F_j(x) (left tail) and −ln(1−F_j(x)+1/n) = −ln F̄_j (right
+    * tail) across dimensions; O = max(O_left, O_right) (the symmetric
+    * variant — the paper's skew-routed refinement needs only a second
+    * pass over the same frames). ECOD over HBOS deliberately: rank
+    * ratios are exact rationals, where HBOS's equal-width bin edges
+    * are float boundary decisions that can differ by an ulp between
+    * engines.
+    *
+    * Determinism: F_j = cume_dist (count ≤ / n — tie-correct by
+    * construction) is a division of exact small integers, identical
+    * in both engines; the 64-term ln sums follow the [[q: jsd]]
+    * round-4 tolerance; ranking is on the ROUNDED score with vec_id
+    * tie-break so the cutoff can't flip on a last ulp.
+    *
+    * Scale: the per-dim ECDF is one window partitioned BY DIMENSION —
+    * 64 independent O(n) partitions (at 100 TB: per-dim
+    * `withRunningTotal` over a value census, the established `_dist`
+    * graduation); score assembly is one vec-keyed combinable sum. */
+  def ecodOutliers(s: SparkSession, d: String): DataFrame = {
+    val dimW = Window.partitionBy("dim").orderBy("v")
+    val dimWDesc = Window.partitionBy("dim").orderBy(col("v").desc)
+    val tails = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"),
+        cume_dist().over(dimW).as("f_le"),
+        cume_dist().over(dimWDesc).as("f_ge"))
+    val scored = tails.groupBy("vec_id", "label")
+      .agg((-sum(log(col("f_le")))).as("o_left"),
+        (-sum(log(col("f_ge")))).as("o_right"))
+      .select(col("vec_id"), col("label"),
+        round(col("o_left"), 4).as("o_left"),
+        round(col("o_right"), 4).as("o_right"),
+        round(greatest(col("o_left"), col("o_right")), 4).as("ecod_score"))
+    scored.orderBy(col("ecod_score").desc, col("vec_id").asc).limit(20)
+  }
+
+  val ecodOutliersSql: String =
+    """WITH tails AS (
+      |  SELECT vec_id, label,
+      |    cume_dist() OVER (PARTITION BY dim ORDER BY v ASC) AS f_le,
+      |    cume_dist() OVER (PARTITION BY dim ORDER BY v DESC) AS f_ge
+      |  FROM (
+      |    SELECT vec_id, label, i AS dim, embedding[i + 1] AS v
+      |    FROM embeddings
+      |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i))),
+      |scored AS (
+      |  SELECT vec_id, label,
+      |    round(-sum(ln(f_le)), 4) AS o_left,
+      |    round(-sum(ln(f_ge)), 4) AS o_right,
+      |    round(greatest(-sum(ln(f_le)), -sum(ln(f_ge))), 4) AS ecod_score
+      |  FROM tails GROUP BY 1, 2)
+      |SELECT * FROM scored
+      |ORDER BY ecod_score DESC, vec_id ASC LIMIT 20""".stripMargin
 }
