@@ -448,6 +448,8 @@ object SparkEntry {
     "q_fertility"       -> (TextAnalysis.tokenizerFertility _),
     "q_burrows_delta"   -> (TextAnalysis.burrowsDelta _),
     "q_ecod"            -> (Similarity.ecodOutliers _),
+    "q_ccf"             -> (graft.ops.TimeSeries.ccfClicksPurchases _),
+    "q_ipw_ate"         -> (graft.ops.Analytics.ipwAte _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1062,5 +1064,7 @@ object SparkEntry {
     "q_fertility"        -> TextAnalysis.tokenizerFertilitySql,
     "q_burrows_delta"    -> TextAnalysis.burrowsDeltaSql,
     "q_ecod"             -> graft.similarity.Similarity.ecodOutliersSql,
+    "q_ccf"              -> graft.ops.TimeSeries.ccfClicksPurchasesSql,
+    "q_ipw_ate"          -> graft.ops.Analytics.ipwAteSql,
   )
 }

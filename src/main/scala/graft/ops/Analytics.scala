@@ -4517,4 +4517,150 @@ object Analytics {
        |FROM devs""".stripMargin
   }
 
+  /** Newton iteration count for [[ipwAte]]'s propensity model. */
+  val ipwIters = 8
+
+  /** INVERSE-PROPENSITY-WEIGHTED ATE — the model-based member of the
+    * causal battery: [[q: strat_ate]] stratifies on the raw covariate,
+    * [[q: cem]] coarsens and matches; IPW fits a PROPENSITY MODEL
+    * e(x) = P(treated | x) (here a 2-parameter logit of
+    * high-discount treatment on quantity, the [[logisticRegression]]
+    * IRLS census machinery specialized to 2×2 adjugate) and reweights
+    * each arm by 1/e, 1/(1−e) — the estimator that generalizes to
+    * continuous/many covariates where stratification's cells empty
+    * out. Both the Horvitz–Thompson and the Hájek (self-normalized)
+    * forms ship, plus the naive difference for contrast.
+    *
+    * Honest finding: discount and quantity are independent in this
+    * corpus, so the fitted propensity is near-flat and all three
+    * estimates agree — the A/A-calibration shape, documented not
+    * hidden; the MACHINERY (fit → weight → contrast, one census) is
+    * what transfers to confounded data.
+    *
+    * Determinism: the ≤50-cell quantity census is exact integers; the
+    * [[ipwIters]]-step Newton fold and the three weighted folds run in
+    * cell-sorted order on both engines (the [[logisticRegression]]
+    * discipline); outputs round 6.
+    *
+    * Scale: one combinable census shuffle; everything after is O(50)
+    * arithmetic. */
+  def ipwAte(s: SparkSession, d: String): DataFrame = {
+    val k = ipwIters
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("long").as("x"),
+        when(dec(col("l_discount")) * 100 >= 5, 1L).otherwise(0L).as("t"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("x")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("t")).cast("long").as("nt"),
+        sum(col("t") * col("y")).cast("long").as("s1"),
+        sum((lit(1L) - col("t")) * col("y")).cast("long").as("s0"))
+    val packed = cells.agg(
+      sum(col("cnt")).cast("long").as("n"),
+      sum(col("nt")).cast("long").as("ntr"),
+      sum(col("s1")).cast("long").as("ts1"),
+      sum(col("s0")).cast("long").as("ts0"),
+      sort_array(collect_list(struct(col("x"), col("cnt"), col("nt"),
+        col("s1"), col("s0")))).as("cells"))
+    def p(b: String) =
+      s"(1.0 / (1.0 + exp(-($b[0] + $b[1] * CAST(c.x AS DOUBLE)))))"
+    def mom(term: String, b: String) =
+      s"""aggregate(cells, CAST(0.0 AS DOUBLE), (acc, c) -> acc + ($term))"""
+        .replace("P", p(b))
+    val sums = Seq(
+      "(CAST(c.nt AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P)",
+      "(CAST(c.nt AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P) * CAST(c.x AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE)")
+    def sumsArr(b: String) =
+      sums.map(t => mom(t, b)).mkString("array(", ",\n", ")")
+    val det = "(s[2] * s[4] - s[3] * s[3])"
+    val d0 = s"(s[4] * s[0] - s[3] * s[1]) / $det"
+    val d1 = s"(s[2] * s[1] - s[3] * s[0]) / $det"
+    val fitted = packed.select(col("n"), col("ntr"), col("ts1"), col("ts0"),
+      col("cells"),
+      expr(
+        s"""aggregate(sequence(1, $k),
+           |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+           |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
+           |    (bb, s) -> array(bb[0] + $d0, bb[1] + $d1)))"""
+          .stripMargin).as("b"))
+    fitted.select(col("n"), col("ntr").as("n_treated"),
+      round(expr("b[0]"), 6).as("beta0"),
+      round(expr("b[1]"), 6).as("beta_quantity"),
+      round(col("ts1").cast("double") / col("ntr") -
+        col("ts0").cast("double") / (col("n") - col("ntr")), 6)
+        .as("naive_diff"),
+      round((expr(mom("CAST(c.s1 AS DOUBLE) / P", "b")).cast("double") -
+        expr(mom("CAST(c.s0 AS DOUBLE) / (1.0 - P)", "b"))) /
+        col("n").cast("double"), 6).as("ate_ht"),
+      round(expr(mom("CAST(c.s1 AS DOUBLE) / P", "b")) /
+        expr(mom("CAST(c.nt AS DOUBLE) / P", "b")) -
+        expr(mom("CAST(c.s0 AS DOUBLE) / (1.0 - P)", "b")) /
+        expr(mom("CAST(c.cnt - c.nt AS DOUBLE) / (1.0 - P)", "b")), 6)
+        .as("ate_hajek"))
+  }
+
+  lazy val ipwAteSql: String = {
+    val k = ipwIters
+    def p(b: String) =
+      s"(1.0 / (1.0 + exp(-($b[1] + $b[2] * CAST(c.x AS DOUBLE)))))"
+    def mom(term: String, b: String) =
+      s"""list_sum(list_transform(cells, c -> ($term)))"""
+        .replace("P", p(b))
+    val sums = Seq(
+      "(CAST(c.nt AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P)",
+      "(CAST(c.nt AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P) * CAST(c.x AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE)")
+    def sumsArr(b: String) =
+      sums.map(t => mom(t, b)).mkString("[", ",\n", "]")
+    val det = "(s[3] * s[5] - s[4] * s[4])"
+    val d0 = s"(s[5] * s[1] - s[4] * s[2]) / $det"
+    val d1 = s"(s[3] * s[2] - s[4] * s[1]) / $det"
+    s"""WITH RECURSIVE cellrel AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) * 100 >= 5
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) * 100 >= 5
+       |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) * 100 < 5
+       |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS s0
+       |  FROM lineitem GROUP BY 1),
+       |packed AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(nt) AS BIGINT) AS ntr,
+       |    CAST(sum(s1) AS BIGINT) AS ts1,
+       |    CAST(sum(s0) AS BIGINT) AS ts0,
+       |    list(struct_pack(x := x, cnt := cnt, nt := nt, s1 := s1,
+       |      s0 := s0) ORDER BY x) AS cells
+       |  FROM cellrel),
+       |newton(t, b) AS (
+       |  SELECT 0, [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)] FROM packed
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    ([ [b[1] + $d0, b[2] + $d1]
+       |       for s in [${sumsArr("b")}] ])[1]
+       |  FROM newton, packed
+       |  WHERE t < $k),
+       |fit AS (SELECT b FROM newton WHERE t = $k)
+       |SELECT n, ntr AS n_treated,
+       |  round(b[1], 6) AS beta0,
+       |  round(b[2], 6) AS beta_quantity,
+       |  round(CAST(ts1 AS DOUBLE) / ntr
+       |    - CAST(ts0 AS DOUBLE) / (n - ntr), 6) AS naive_diff,
+       |  round((${mom("CAST(c.s1 AS DOUBLE) / P", "b")}
+       |    - ${mom("CAST(c.s0 AS DOUBLE) / (1.0 - P)", "b")})
+       |    / CAST(n AS DOUBLE), 6) AS ate_ht,
+       |  round(${mom("CAST(c.s1 AS DOUBLE) / P", "b")}
+       |      / ${mom("CAST(c.nt AS DOUBLE) / P", "b")}
+       |    - ${mom("CAST(c.s0 AS DOUBLE) / (1.0 - P)", "b")}
+       |      / ${mom("CAST(c.cnt - c.nt AS DOUBLE) / (1.0 - P)", "b")}, 6)
+       |    AS ate_hajek
+       |FROM fit, packed""".stripMargin
+  }
+
 }

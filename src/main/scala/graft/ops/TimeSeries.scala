@@ -965,6 +965,84 @@ object TimeSeries {
       |       CAST(n * syy - sy * sy AS DOUBLE)) AS acf
       |FROM m""".stripMargin
 
+  /** CROSS-CORRELATION FUNCTION between daily CLICK volume and daily
+    * PURCHASE revenue at lags −7..+7 — the lead–lag detector
+    * [[acfDailyRevenue]] can't see (ACF is a series against itself;
+    * CCF asks "do clicks LEAD purchases, and by how many days?"): a
+    * peak at positive k means clicks at t correlate with purchase
+    * revenue at t+k, the standard marketing-attribution readout and
+    * the model-free precursor to [[grangerCausality]]'s fitted form.
+    *
+    * Rendering: identical discipline to ACF — NO global-order window;
+    * the shift is an equi-join of the two day aggregates on `day + k`
+    * with the 15-row lag frame broadcast-crossed; per-lag means over
+    * that lag's own pairs; all five moments exact integer
+    * (counts × cents via decimal(38,0) — the product exceeds
+    * decimal(19)), ONE double division at the end.
+    *
+    * Scale: one map-side-combinable events aggregate; everything after
+    * runs on O(days·15) rows. */
+  def ccfClicksPurchases(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .cast("long").as("clicks"),
+        (sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2))).otherwise(lit(0)
+          .cast(DecimalType(18, 2)))) * 100).cast("long").as("cents"))
+      .pin() // consumers: both sides of the lag join
+    val lags = s.range(-7, 8).select(col("id").cast("int").as("lag"))
+    val left = daily.crossJoin(broadcast(lags))
+      .select(col("lag"), date_add(col("day"), col("lag")).as("day2"),
+        col("clicks").as("x"))
+    val right = daily.select(col("day").as("day2"), col("cents").as("y"))
+    val dx = col("x").cast(big)
+    val dy = col("y").cast(big)
+    left.join(right, Seq("day2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dx).as("sx"), sum(dy).as("sy"),
+        sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"),
+        sum(dy * dy).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / sqrt(
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 6).as("ccf"))
+      .orderBy("lag")
+  }
+
+  val ccfClicksPurchasesSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS clicks,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |lags AS (SELECT UNNEST(range(-7, 8)) AS lag),
+      |pairs AS (
+      |  SELECT l.lag, a.clicks AS x, b.cents AS y
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |m AS (
+      |  SELECT lag, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pairs GROUP BY lag)
+      |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf
+      |FROM m ORDER BY lag""".stripMargin
+
   /** ROLLING OLS: per event type, the 7-day trailing least-squares slope
     * of daily revenue (cents/day) — the local-trend detector that EWMA
     * ([[ewmaDaily]]) smooths past: a level change shows in EWMA, a slope
