@@ -450,6 +450,8 @@ object SparkEntry {
     "q_ecod"            -> (Similarity.ecodOutliers _),
     "q_ccf"             -> (graft.ops.TimeSeries.ccfClicksPurchases _),
     "q_ipw_ate"         -> (graft.ops.Analytics.ipwAte _),
+    "q_brunner_munzel"  -> (graft.ops.Behavior.brunnerMunzel _),
+    "q_meta_fixed"      -> (graft.ops.Behavior.metaFixedEffect _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1066,5 +1068,7 @@ object SparkEntry {
     "q_ecod"             -> graft.similarity.Similarity.ecodOutliersSql,
     "q_ccf"              -> graft.ops.TimeSeries.ccfClicksPurchasesSql,
     "q_ipw_ate"          -> graft.ops.Analytics.ipwAteSql,
+    "q_brunner_munzel"   -> graft.ops.Behavior.brunnerMunzelSql,
+    "q_meta_fixed"       -> graft.ops.Behavior.metaFixedEffectSql,
   )
 }

@@ -3373,6 +3373,275 @@ object Behavior {
       |      + 1.0/(c + 0.5) + 1.0/(d + 0.5))), 6) AS ci_high
       |FROM cells""".stripMargin
 
+  /** BRUNNER–MUNZEL TEST between the variants' purchase values — the
+    * rank BEHRENS–FISHER solution: [[mannWhitney]] assumes the two
+    * distributions differ only by shift; when the arms also differ in
+    * SPREAD (exactly what [[ansariBradley]] detects) the U test's
+    * variance is wrong, and Brunner–Munzel (2000) is the replacement —
+    * it estimates p = P(X < Y) + ½P(X = Y) and studentizes with
+    * per-group rank variances, valid under unequal variances and ties.
+    *
+    * Exactness: doubled midranks keep everything integral — per value
+    * block, all observations share the pooled midrank Rp and the
+    * within-group midrank Rg (both closed forms of the packed running
+    * counts, the [[ansariBradley]] census+prefix pass), and the rank
+    * variance sum multiplies through by (2m)² so
+    * ES₁ = Σ tₐ·[m·(Rp2−Ra2+m+1) − ΣtₐRp2]² is an exact DECIMAL(38,0);
+    * S₁², the statistic, p̂ and the Welch-like df are pinned double
+    * formulas at the end (round 6).
+    *
+    * Scale: one O(distinct cents) census + one packed prefix pass (the
+    * `_dist` shape), then two O(domain) combinable aggregates. */
+  def brunnerMunzel(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val obs = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        (dec(col("value")) * 100).cast("long").as("v"))
+    val byValue = obs.groupBy("v").agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ta"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("tb"))
+      .select(col("v"), col("ta"), col("tb"),
+        (col("ta") * lit(4294967296L) + col("tb")).as("w"))
+    val cum = graft.ops.Distributed.withRunningTotal(
+      byValue, Seq.empty, Seq("v"), "w", "cumw", Some("totw"))
+      .select(col("ta"), col("tb"),
+        expr("cumw div 4294967296L").as("cuma"),
+        expr("cumw % 4294967296L").as("cumb"),
+        expr("totw div 4294967296L").as("na"),
+        expr("totw % 4294967296L").as("nb"))
+      .select(col("ta"), col("tb"), col("na"), col("nb"),
+        // doubled midranks: Rp2 = 2·cumt − t + 1 etc. (exact integers)
+        (lit(2) * (col("cuma") + col("cumb")) - (col("ta") + col("tb")) +
+          1).as("rp2"),
+        (lit(2) * col("cuma") - col("ta") + 1).as("ra2"),
+        (lit(2) * col("cumb") - col("tb") + 1).as("rb2"))
+      .pin() // consumers: rank-sum totals + the centered square pass
+    val sums = cum.agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+      sum(col("ta") * col("rp2")).cast("long").as("sr1"),
+      sum(col("tb") * col("rp2")).cast("long").as("sr2"))
+    val es = cum.select("ta", "tb", "rp2", "ra2", "rb2")
+      .crossJoin(broadcast(sums))
+      .select(col("na"), col("nb"), col("sr1"), col("sr2"),
+        (col("ta").cast(big) *
+          (col("na").cast(big) * (col("rp2") - col("ra2") + col("na") + 1) -
+            col("sr1")) *
+          (col("na").cast(big) * (col("rp2") - col("ra2") + col("na") + 1) -
+            col("sr1"))).as("e1"),
+        (col("tb").cast(big) *
+          (col("nb").cast(big) * (col("rp2") - col("rb2") + col("nb") + 1) -
+            col("sr2")) *
+          (col("nb").cast(big) * (col("rp2") - col("rb2") + col("nb") + 1) -
+            col("sr2"))).as("e2"))
+      .groupBy("na", "nb", "sr1", "sr2")
+      .agg(sum(col("e1")).cast(big).as("es1"),
+        sum(col("e2")).cast(big).as("es2"))
+    val m = col("na").cast("double")
+    val n = col("nb").cast("double")
+    val s1 = col("es1").cast("double") /
+      ((m - 1.0) * lit(4.0) * m * m)
+    val s2 = col("es2").cast("double") /
+      ((n - 1.0) * lit(4.0) * n * n)
+    val rbar1 = col("sr1").cast("double") / (lit(2.0) * m)
+    val rbar2 = col("sr2").cast("double") / (lit(2.0) * n)
+    val core = m * s1 + n * s2
+    val w = m * n * (rbar2 - rbar1) / ((m + n) * sqrt(core))
+    es.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round((rbar2 - (n + 1.0) / 2.0) / m, 6).as("p_hat"),
+      round(w, 6).as("bm_w"),
+      round(core * core /
+        ((m * s1) * (m * s1) / (m - 1.0) +
+          (n * s2) * (n * s2) / (n - 1.0)), 2).as("df"),
+      (abs(w) > lit(1.959963984540054)).as("differs_95"))
+  }
+
+  val brunnerMunzelSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tb
+      |  FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT ta, tb,
+      |    CAST(sum(ta) OVER w AS BIGINT) AS cuma,
+      |    CAST(sum(tb) OVER w AS BIGINT) AS cumb
+      |  FROM by_value
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |ranked AS (
+      |  SELECT ta, tb,
+      |    2 * (cuma + cumb) - (ta + tb) + 1 AS rp2,
+      |    2 * cuma - ta + 1 AS ra2,
+      |    2 * cumb - tb + 1 AS rb2
+      |  FROM cum),
+      |tot AS (
+      |  SELECT CAST(sum(ta) AS BIGINT) AS na, CAST(sum(tb) AS BIGINT) AS nb,
+      |    CAST(sum(ta * rp2) AS BIGINT) AS sr1,
+      |    CAST(sum(tb * rp2) AS BIGINT) AS sr2
+      |  FROM ranked),
+      |es AS (
+      |  SELECT na, nb, sr1, sr2,
+      |    sum(CAST(ta AS HUGEINT)
+      |      * (na * (rp2 - ra2 + na + 1) - sr1)
+      |      * (na * (rp2 - ra2 + na + 1) - sr1)) AS es1,
+      |    sum(CAST(tb AS HUGEINT)
+      |      * (nb * (rp2 - rb2 + nb + 1) - sr2)
+      |      * (nb * (rp2 - rb2 + nb + 1) - sr2)) AS es2
+      |  FROM ranked CROSS JOIN tot
+      |  GROUP BY na, nb, sr1, sr2),
+      |stat AS (
+      |  SELECT na, nb,
+      |    CAST(es1 AS DOUBLE) / ((CAST(na AS DOUBLE) - 1.0) * 4.0
+      |      * CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) AS s1,
+      |    CAST(es2 AS DOUBLE) / ((CAST(nb AS DOUBLE) - 1.0) * 4.0
+      |      * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) AS s2,
+      |    CAST(sr1 AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)) AS rbar1,
+      |    CAST(sr2 AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)) AS rbar2
+      |  FROM es)
+      |SELECT na AS n_a, nb AS n_b,
+      |  round((rbar2 - (CAST(nb AS DOUBLE) + 1.0) / 2.0)
+      |    / CAST(na AS DOUBLE), 6) AS p_hat,
+      |  round(CAST(na AS DOUBLE) * nb * (rbar2 - rbar1)
+      |    / ((CAST(na AS DOUBLE) + nb)
+      |      * sqrt(na * s1 + nb * s2)), 6) AS bm_w,
+      |  round((na * s1 + nb * s2) * (na * s1 + nb * s2)
+      |    / ((na * s1) * (na * s1) / (CAST(na AS DOUBLE) - 1.0)
+      |      + (nb * s2) * (nb * s2) / (CAST(nb AS DOUBLE) - 1.0)), 2)
+      |    AS df,
+      |  (abs(CAST(na AS DOUBLE) * nb * (rbar2 - rbar1)
+      |    / ((CAST(na AS DOUBLE) + nb)
+      |      * sqrt(na * s1 + nb * s2))) > 1.959963984540054)
+      |    AS differs_95
+      |FROM stat""".stripMargin
+
+  /** FIXED-EFFECT META-ANALYSIS of the weekly conversion odds ratios —
+    * the POOLING member of the experimentation family:
+    * [[oddsRatioConversion]] reports ONE 2×2; real programs re-run the
+    * same contrast every week and must combine them, and
+    * inverse-variance pooling of the log-ORs (Woolf weights) with
+    * Cochran's Q / Higgins' I² heterogeneity is the textbook fixed
+    * effect readout ("is the effect stable, and what's the pooled
+    * estimate?"). I² > 50% is the conventional "don't pool, go
+    * random-effects" flag — reported, not decided here.
+    *
+    * Determinism: weekly 2×2 cells are exact integers
+    * (Haldane–Anscombe +0.5 keeps every division total — the
+    * [[oddsRatioConversion]] guard); y_i = ln OR_i and w_i = 1/v_i are
+    * pinned per-week doubles; BOTH weighted folds (Σwy then
+    * Q = Σw(y−θ)²) run over the week-sorted array (the ICC
+    * order-sensitive-sum discipline), outputs round 6.
+    *
+    * Scale: one user-week aggregate; everything after is O(weeks). */
+  def metaFixedEffect(s: SparkSession, d: String): DataFrame = {
+    val perUserWeek = Tables.events(s, d)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"),
+        col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(col("wk"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        col("conv"))
+    val cells = perUserWeek.groupBy("wk").agg(
+      sum(when(col("variant") === 1 && col("conv") === 1, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("variant") === 1 && col("conv") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("variant") === 0 && col("conv") === 1, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("variant") === 0 && col("conv") === 0, 1L).otherwise(0L))
+        .as("d"))
+    val packed = cells.agg(
+      count(lit(1)).cast("long").as("k"),
+      sort_array(collect_list(struct(col("wk"), col("a"), col("b"),
+        col("c"), col("d")))).as("ws"))
+    // Haldane +0.5 carried as exact integers (A = 2a+1 — `0.5` inside a
+    // Spark SQL string parses as DECIMAL(1,1) and degrades the whole
+    // expression tree to decimal intermediates, a 1e-12 skew that cost
+    // this query its first gate); ln additionally pinned at 12 dp so a
+    // Math.log-vs-libm ulp can't survive into the exp() at the end
+    def y =
+      """round(ln(CAST((2*e.a + 1) * (2*e.d + 1) AS DOUBLE)
+        |  / CAST((2*e.b + 1) * (2*e.c + 1) AS DOUBLE)), 12)""".stripMargin
+    def wgt =
+      """(1.0 / (2.0/CAST(2*e.a + 1 AS DOUBLE) + 2.0/CAST(2*e.b + 1 AS DOUBLE)
+        |  + 2.0/CAST(2*e.c + 1 AS DOUBLE) + 2.0/CAST(2*e.d + 1 AS DOUBLE)))"""
+        .stripMargin
+    val folded = packed.select(col("k"), col("ws"),
+      expr(s"""aggregate(ws, CAST(0.0 AS DOUBLE),
+        (acc, e) -> acc + $wgt)""").as("sw"),
+      expr(s"""aggregate(ws, CAST(0.0 AS DOUBLE),
+        (acc, e) -> acc + $wgt * ($y))""").as("swy"))
+    val theta = col("swy") / col("sw")
+    val qstat = expr(s"""aggregate(ws, CAST(0.0 AS DOUBLE),
+      (acc, e) -> acc + $wgt * (($y) - swy / sw) * (($y) - swy / sw))""")
+    folded.select(col("k").as("n_weeks"),
+      round(theta, 6).as("pooled_log_or"),
+      round(exp(theta), 6).as("pooled_or"),
+      round(exp(theta - lit(1.959963984540054) / sqrt(col("sw"))), 6)
+        .as("ci_low"),
+      round(exp(theta + lit(1.959963984540054) / sqrt(col("sw"))), 6)
+        .as("ci_high"),
+      round(qstat, 6).as("cochran_q"),
+      round(greatest((qstat - (col("k") - 1).cast("double")) / qstat,
+        lit(0.0)), 6).as("i_squared"))
+  }
+
+  val metaFixedEffectSql: String = {
+    val y = """round(ln(CAST((2*e.a + 1) * (2*e.d + 1) AS DOUBLE)
+      |  / CAST((2*e.b + 1) * (2*e.c + 1) AS DOUBLE)), 12)""".stripMargin
+    val wgt = """(1.0 / (2.0/CAST(2*e.a + 1 AS DOUBLE) + 2.0/CAST(2*e.b + 1 AS DOUBLE)
+      |  + 2.0/CAST(2*e.c + 1 AS DOUBLE) + 2.0/CAST(2*e.d + 1 AS DOUBLE)))"""
+      .stripMargin
+    s"""WITH per_uw AS (
+       |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+       |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS variant,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY wk, user_id),
+       |cells AS (
+       |  SELECT wk,
+       |    CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM per_uw GROUP BY wk),
+       |packed AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    list(struct_pack(wk := wk, a := a, b := b, c := c, d := d)
+       |      ORDER BY wk) AS ws
+       |  FROM cells),
+       |folded AS (
+       |  SELECT k, ws,
+       |    list_sum(list_transform(ws, e -> $wgt)) AS sw,
+       |    list_sum(list_transform(ws, e -> $wgt * ($y))) AS swy
+       |  FROM packed),
+       |qq AS (
+       |  SELECT k, sw, swy,
+       |    list_sum(list_transform(ws,
+       |      e -> $wgt * (($y) - swy / sw) * (($y) - swy / sw))) AS qstat
+       |  FROM folded)
+       |SELECT k AS n_weeks,
+       |  round(swy / sw, 6) AS pooled_log_or,
+       |  round(exp(swy / sw), 6) AS pooled_or,
+       |  round(exp(swy / sw - 1.959963984540054 / sqrt(sw)), 6) AS ci_low,
+       |  round(exp(swy / sw + 1.959963984540054 / sqrt(sw)), 6) AS ci_high,
+       |  round(qstat, 6) AS cochran_q,
+       |  round(greatest((qstat - (k - 1)) / qstat, 0.0), 6) AS i_squared
+       |FROM qq""".stripMargin
+  }
+
   /** KRUSKAL–WALLIS H: do event values rank differently across the k
     * event types? The k-group generalization of [[mannWhitney]] — ANOVA
     * on global midranks, tie-corrected, distribution-free. Shares the
