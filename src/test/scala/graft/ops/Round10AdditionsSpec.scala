@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.GraftTestBase
+
+/** Property specs for the round-10 catalog additions — each asserts the
+  * operator's defining mathematical invariant on real data, beyond the
+  * row-level oracle equality the driver grades. */
+class Round10AdditionsSpec extends GraftTestBase {
+
+  behavior of "welchAnova (q_welch_anova)"
+
+  it should "produce a positive F with df2 below the pooled df" in {
+    val r = Analytics.welchAnova(spark, sf).head()
+    r.getAs[Double]("f_welch") should be > 0.0
+    val k = r.getAs[Long]("k"); val n = r.getAs[Long]("n_total")
+    // Satterthwaite df2 can never exceed the pooled N − k
+    r.getAs[Double]("df2") should be <= (n - k).toDouble
+    r.getAs[Double]("df2") should be > 0.0
+  }
+
+  behavior of "bartlettQtyByFlag (q_bartlett)"
+
+  it should "keep chi2 nonnegative with a correction factor above 1" in {
+    val r = Analytics.bartlettQtyByFlag(spark, sf).head()
+    r.getAs[Double]("chi2") should be >= 0.0
+    // C = 1 + positive term for any k ≥ 2 group layout
+    r.getAs[Double]("c_factor") should be > 1.0
+    r.getAs[Long]("k") shouldBe 3L
+  }
+
+  behavior of "drAte (q_dr_ate)"
+
+  it should "land AIPW near the singly-robust estimates on A/A-shaped data" in {
+    val dr = Analytics.drAte(spark, sf).head()
+    val ipw = Analytics.ipwAte(spark, sf).head()
+    // discount ⟂ quantity: the propensity is near-flat, so AIPW, IPW
+    // and the naive contrast must all coincide (double robustness
+    // collapsing to the A/A calibration shape)
+    dr.getAs[Double]("ate_aipw") shouldBe
+      (ipw.getAs[Double]("naive_diff") +- 0.05)
+    dr.getAs[Long]("n_treated") shouldBe ipw.getAs[Long]("n_treated")
+  }
+
+  behavior of "archTest (q_arch)"
+
+  it should "bound R2 to [0, 1] and link LM = m.R2" in {
+    val r = TimeSeries.archTest(spark, sf).head()
+    val r2 = r.getAs[Double]("r2")
+    r2 should (be >= 0.0 and be <= 1.0)
+    val m = r.getAs[Long]("n_pairs")
+    r.getAs[Double]("lm_stat") shouldBe (m * r2 +- 1e-2)
+    // consecutive-day pairs can never exceed days − 1
+    m should be < r.getAs[Long]("n_days")
+  }
+
+  behavior of "periodogram (q_periodogram)"
+
+  it should "emit Parseval-bounded fractions with exactly one winner" in {
+    val rows = TimeSeries.periodogram(spark, sf).collect()
+    rows should have size TimeSeries.periodogramPeriods.size.toLong
+    rows.foreach { r =>
+      val f = r.getAs[Double]("power_frac")
+      // a single non-Fourier projection can at most capture all energy
+      f should (be >= 0.0 and be <= 1.0)
+    }
+    rows.count(_.getAs[Boolean]("is_dominant")) should be >= 1
+  }
+
+  behavior of "mrrAtK (q_mrr)"
+
+  it should "keep per-term RRs consistent with their first ranks" in {
+    val rows = graft.text.Retrieval.mrrAtK(spark, sf).collect()
+    rows should have size graft.text.Retrieval.queryTerms.size.toLong
+    val mrr = rows.head.getAs[Double]("mrr")
+    var acc = 0.0
+    rows.foreach { r =>
+      val rr = r.getAs[Double]("rr")
+      rr should (be >= 0.0 and be <= 1.0)
+      if (r.getAs[Long]("n_relevant") > 0 &&
+        r.getAs[Long]("first_rank") <= graft.text.Retrieval.mrrAt)
+        rr shouldBe (1.0 / r.getAs[Long]("first_rank") +- 1e-6)
+      r.getAs[Long]("n_relevant") should be <= r.getAs[Long]("n_candidates")
+      acc += rr
+    }
+    mrr shouldBe (acc / rows.length +- 1e-5)
+  }
+
+  behavior of "hubnessAudit (q_hubness)"
+
+  it should "conserve k-occurrence mass at anchors x k" in {
+    val r = graft.similarity.Similarity.hubnessAudit(spark, sf).head()
+    val n = r.getAs[Long]("n_vectors")
+    val na = r.getAs[Long]("n_anchors")
+    val k = r.getAs[Int]("k").toLong
+    // every anchor hands out exactly k slots; antihubs got none of them
+    r.getAs[Long]("n_antihubs") should be >= (n - na * k)
+    r.getAs[Long]("max_k_occurrence") should be <= na
+    r.getAs[Long]("n_hubs") should be >= 0L
+  }
+
+  behavior of "isotropyAudit (q_isotropy)"
+
+  it should "tie the pairwise-cosine estimate to the mean-vector identity" in {
+    val r = graft.similarity.Similarity.isotropyAudit(spark, sf).head()
+    // E[cos] over pairs of unit vectors lives in [−1/(n−1), 1]
+    val n = r.getAs[Long]("n_vectors").toDouble
+    val c = r.getAs[Double]("avg_pairwise_cos")
+    c should be >= (-1.0 / (n - 1.0) - 1e-6)
+    c should be <= 1.0
+    r.getAs[Double]("anisotropy_ratio") should be >= 0.0
+    // a noise corpus is isotropic: the common-direction share is tiny
+    r.getAs[Double]("anisotropy_ratio") should be < 0.2
+  }
+
+  behavior of "clusterValidity (q_cluster_validity)"
+
+  it should "agree with silhouette that the label partition is weak" in {
+    val r = graft.similarity.Similarity.clusterValidity(spark, sf).head()
+    r.getAs[Long]("k") shouldBe 10L
+    // DB is a positive ratio; CH near 1 means between ≈ within scatter
+    r.getAs[Double]("davies_bouldin") should be > 0.0
+    val ch = r.getAs[Double]("calinski_harabasz")
+    ch should be > 0.0
+    ch should be < 2.0 // weak clusters: no real separation on this corpus
+  }
+}
