@@ -1772,20 +1772,28 @@ object Similarity {
     def cdist(a: Column, b: Column) = round(sqrt(aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, v) => acc + v)), 4)
-    val pairs = cents.as("a").crossJoin(cents.as("b"))
-      .filter(col("a.c_label") =!= col("b.c_label"))
-      .select(col("a.c_label").as("li"), col("b.c_label").as("lj"),
-        cdist(col("a.centroid"), col("b.centroid")).as("mij"))
     val toGrand = cents.crossJoin(broadcast(grand))
       .select(col("c_label").as("label"),
         cdist(col("centroid"), col("gmean")).as("dg"))
-    // DB_i = max_j (S_i + S_j)/M_ij — label-sorted folds
-    val withS = pairs
-      .join(own.select(col("label").as("li"), col("si").as("s_i")), Seq("li"))
-      .join(own.select(col("label").as("lj"), col("si").as("s_j")), Seq("lj"))
-      .groupBy("li")
-      .agg(max(round(((col("s_i") + col("s_j")) / col("mij")), 6))
-        .as("db_i"))
+    // DB_i = max_j (S_i + S_j)/M_ij. The k² pair matrix is NOT a
+    // self-join: all k (centroid, S) rows pack into ONE scalar-
+    // aggregate row and each cluster folds over that list — the
+    // boundedness is PROVABLE to PlanLint (scalar-agg NLJ side), the
+    // r8 tukey_hsd restructure precedent
+    val ocent = cents.join(own.select(col("label").as("c_label"),
+      col("si")), Seq("c_label"))
+    val packedC = ocent.agg(sort_array(collect_list(struct(
+      col("c_label").as("lbl"), col("centroid"), col("si")))).as("pc"))
+    val dbi = ocent.crossJoin(broadcast(packedC))
+      .select(col("c_label").as("li"), expr(
+        """aggregate(filter(pc, e -> e.lbl != c_label),
+          |  CAST(0.0 AS DOUBLE),
+          |  (acc, e) -> greatest(acc, round((si + e.si) /
+          |    round(sqrt(aggregate(
+          |      zip_with(centroid, e.centroid,
+          |        (x, y) -> (x - y) * (x - y)),
+          |      CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v)), 4), 6)))"""
+          .stripMargin).as("db_i"))
     val k = own.agg(count(lit(1)).cast("long").as("k"),
       sum(col("ni")).cast("long").as("n"),
       // within-scatter Σ n_i·w_i and Σ fold label-sorted
@@ -1794,7 +1802,7 @@ object Similarity {
     val bg = toGrand.join(own, Seq("label"))
       .agg(sort_array(collect_list(struct(col("label"), col("ni"),
         col("dg")))).as("ba"))
-    val dbRow = withS.agg(
+    val dbRow = dbi.agg(
       sort_array(collect_list(struct(col("li"), col("db_i")))).as("da"))
     k.crossJoin(broadcast(bg)).crossJoin(broadcast(dbRow))
       .select(col("k"), col("n"),
@@ -1839,13 +1847,6 @@ object Similarity {
       |    FROM embeddings,
       |      (SELECT unnest(generate_series(0, 63)) AS i) u
       |    GROUP BY 1)),
-      |pairs AS (
-      |  SELECT a.c_label AS li, b.c_label AS lj,
-      |    round(sqrt(list_sum(list_transform(
-      |      generate_series(1, len(a.centroid)),
-      |      i -> (a.centroid[i] - b.centroid[i])
-      |         * (a.centroid[i] - b.centroid[i])))), 4) AS mij
-      |  FROM cvec a CROSS JOIN cvec b WHERE a.c_label <> b.c_label),
       |togrand AS (
       |  SELECT c.c_label AS label,
       |    round(sqrt(list_sum(list_transform(
@@ -1853,12 +1854,22 @@ object Similarity {
       |      i -> (c.centroid[i] - g.gmean[i])
       |         * (c.centroid[i] - g.gmean[i])))), 4) AS dg
       |  FROM cvec c CROSS JOIN grand g),
+      |ocent AS (
+      |  SELECT c.c_label, c.centroid, o.si
+      |  FROM cvec c JOIN own o ON o.label = c.c_label),
+      |pcp AS (
+      |  SELECT list(struct_pack(lbl := c_label, centroid := centroid,
+      |    si := si) ORDER BY c_label) AS pc FROM ocent),
       |dbi AS (
-      |  SELECT p.li, max(round((oi.si + oj.si) / p.mij, 6)) AS db_i
-      |  FROM pairs p
-      |  JOIN own oi ON oi.label = p.li
-      |  JOIN own oj ON oj.label = p.lj
-      |  GROUP BY 1),
+      |  SELECT o.c_label AS li,
+      |    list_max(list_transform(
+      |      list_filter(p.pc, e -> e.lbl <> o.c_label),
+      |      e -> round((o.si + e.si) /
+      |        round(sqrt(list_sum(list_transform(
+      |          generate_series(1, len(o.centroid)),
+      |          i -> (o.centroid[i] - e.centroid[i])
+      |             * (o.centroid[i] - e.centroid[i])))), 4), 6))) AS db_i
+      |  FROM ocent o CROSS JOIN pcp p),
       |kk AS (
       |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
       |    list_sum(list_transform(list(struct_pack(label := label,
