@@ -461,6 +461,9 @@ object SparkEntry {
     "q_hubness"         -> (Similarity.hubnessAudit _),
     "q_isotropy"        -> (Similarity.isotropyAudit _),
     "q_cluster_validity" -> (Similarity.clusterValidity _),
+    "q_g_test"          -> (graft.text.TextAnalysis.gTestLangSource _),
+    "q_mantel_haenszel" -> (graft.ops.Behavior.mantelHaenszel _),
+    "q_hoeffding_d"     -> (graft.ops.Analytics.hoeffdingD _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1088,5 +1091,8 @@ object SparkEntry {
     "q_hubness"          -> graft.similarity.Similarity.hubnessAuditSql,
     "q_isotropy"         -> graft.similarity.Similarity.isotropyAuditSql,
     "q_cluster_validity" -> graft.similarity.Similarity.clusterValiditySql,
+    "q_g_test"           -> TextAnalysis.gTestLangSourceSql,
+    "q_mantel_haenszel"  -> graft.ops.Behavior.mantelHaenszelSql,
+    "q_hoeffding_d"      -> graft.ops.Analytics.hoeffdingDSql,
   )
 }

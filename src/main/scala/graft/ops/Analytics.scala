@@ -5098,4 +5098,122 @@ object Analytics {
        |FROM fite, fito, packed""".stripMargin
   }
 
+  /** HOEFFDING'S D between discount and quantity — the nonparametric
+    * dependence test that catches what [[kendallCorrelation]] and the
+    * Spearman family cannot: NON-MONOTONE association (a U-shape has
+    * τ ≈ ρ ≈ 0 but D > 0). D compares the joint rank CDF to the
+    * product of the marginals (the rank-space analogue of distance
+    * correlation), in the tie-adjusted SAS/Hollander–Wolfe census
+    * form.
+    *
+    * Exactness end-to-end: the (discount, quantity) domain is a ≤550-
+    * cell census, and every ingredient is an exact integer carried at
+    * a fixed scale — doubled midranks R2 = 2Σ_{x'<x}c + Σ_{x'=x}c + 1,
+    * quadrupled bivariate ranks Q4 = 4 + 4·LL + 2·EL + 2·LE +
+    * (c−1) (L/E = strictly-less/tied cell masses), and the three
+    * Hoeffding sums ΣQQ/ΣRRSS/ΣRSQ as DECIMAL(38,0)/HUGEINT folds at
+    * the ×16 scale — so D is ONE double division of two exact ~1e30
+    * integers, rounded 8. The O(cells²) dominance pass folds each
+    * cell over the ONE scalar-aggregate packed row (the
+    * [[graft.similarity.Similarity.clusterValidity]] lint-provable
+    * shape) — bounded by the value DOMAIN, never the row count.
+    *
+    * Honest finding: discount ⟂ quantity here, so D ≈ 0 — the null
+    * calibration of the machinery (the [[ipwAte]] A/A discipline).
+    *
+    * Scale: one combinable census shuffle; 550² ≈ 300k scalar ops. */
+  def hoeffdingD(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .groupBy((dec(col("l_discount")) * 100).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val packed = cells.agg(
+      sum(col("c")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_cells"),
+      sort_array(collect_list(struct(col("x"), col("y"), col("c"))))
+        .as("cs"))
+    // per-cell doubled/quadrupled ranks from one dominance fold each
+    val enrich =
+      """transform(cs, k -> named_struct(
+        |  'c', k.c,
+        |  'r2', 1 + aggregate(cs, CAST(0 AS BIGINT), (a, j) -> a +
+        |    CASE WHEN j.x < k.x THEN 2 * j.c
+        |         WHEN j.x = k.x THEN j.c ELSE CAST(0 AS BIGINT) END),
+        |  's2', 1 + aggregate(cs, CAST(0 AS BIGINT), (a, j) -> a +
+        |    CASE WHEN j.y < k.y THEN 2 * j.c
+        |         WHEN j.y = k.y THEN j.c ELSE CAST(0 AS BIGINT) END),
+        |  'q4', 3 + k.c + aggregate(cs, CAST(0 AS BIGINT), (a, j) -> a +
+        |    CASE WHEN j.x < k.x AND j.y < k.y THEN 4 * j.c
+        |         WHEN j.x = k.x AND j.y < k.y THEN 2 * j.c
+        |         WHEN j.x < k.x AND j.y = k.y THEN 2 * j.c
+        |         ELSE CAST(0 AS BIGINT) END)))""".stripMargin
+    val big = "DECIMAL(38,0)"
+    val folded = packed
+      .select(col("n"), col("n_cells"), expr(enrich).as("es"))
+      .select(col("n"), col("n_cells"),
+        expr(s"""aggregate(es, CAST(0 AS $big), (acc, e) ->
+          acc + CAST(e.c AS $big) * (e.q4 - 4) * (e.q4 - 8))""").as("d1"),
+        expr(s"""aggregate(es, CAST(0 AS $big), (acc, e) ->
+          acc + CAST(e.c AS $big) * (e.r2 - 2) * (e.r2 - 4)
+            * (e.s2 - 2) * (e.s2 - 4))""").as("d2"),
+        expr(s"""aggregate(es, CAST(0 AS $big), (acc, e) ->
+          acc + CAST(e.c AS $big) * (e.r2 - 4) * (e.s2 - 4)
+            * (e.q4 - 4))""").as("d3"))
+    val nb = col("n").cast(DecimalType(38, 0))
+    val num = lit(30).cast(DecimalType(38, 0)) *
+      ((nb - 2) * (nb - 3) * col("d1") + col("d2") -
+        lit(2).cast(DecimalType(38, 0)) * (nb - 2) * col("d3"))
+    val den = lit(16).cast(DecimalType(38, 0)) *
+      (nb * (nb - 1) * (nb - 2) * (nb - 3) * (nb - 4))
+    folded.select(col("n").as("n_rows"), col("n_cells"),
+      round(num.cast("double") / den.cast("double"), 8).as("hoeffding_d"))
+  }
+
+  val hoeffdingDSql: String = {
+    val enrich =
+      """list_transform(cs, k -> struct_pack(
+        |  c := k.c,
+        |  r2 := 1 + list_sum(list_transform(cs, j ->
+        |    CASE WHEN j.x < k.x THEN 2 * j.c
+        |         WHEN j.x = k.x THEN j.c ELSE CAST(0 AS BIGINT) END)),
+        |  s2 := 1 + list_sum(list_transform(cs, j ->
+        |    CASE WHEN j.y < k.y THEN 2 * j.c
+        |         WHEN j.y = k.y THEN j.c ELSE CAST(0 AS BIGINT) END)),
+        |  q4 := 3 + k.c + list_sum(list_transform(cs, j ->
+        |    CASE WHEN j.x < k.x AND j.y < k.y THEN 4 * j.c
+        |         WHEN j.x = k.x AND j.y < k.y THEN 2 * j.c
+        |         WHEN j.x < k.x AND j.y = k.y THEN 2 * j.c
+        |         ELSE CAST(0 AS BIGINT) END))))""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS x,
+       |    CAST(l_quantity AS BIGINT) AS y,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |packed AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_cells,
+       |    list(struct_pack(x := x, y := y, c := c) ORDER BY x, y) AS cs
+       |  FROM cells),
+       |en AS (
+       |  SELECT n, n_cells, $enrich AS es FROM packed),
+       |folded AS (
+       |  SELECT n, n_cells,
+       |    list_sum(list_transform(es, e ->
+       |      CAST(e.c AS HUGEINT) * (e.q4 - 4) * (e.q4 - 8))) AS d1,
+       |    list_sum(list_transform(es, e ->
+       |      CAST(e.c AS HUGEINT) * (e.r2 - 2) * (e.r2 - 4)
+       |        * (e.s2 - 2) * (e.s2 - 4))) AS d2,
+       |    list_sum(list_transform(es, e ->
+       |      CAST(e.c AS HUGEINT) * (e.r2 - 4) * (e.s2 - 4)
+       |        * (e.q4 - 4))) AS d3
+       |  FROM en)
+       |SELECT n AS n_rows, n_cells,
+       |  round(CAST(30 * ((CAST(n AS HUGEINT) - 2) * (n - 3) * d1 + d2
+       |      - 2 * (CAST(n AS HUGEINT) - 2) * d3) AS DOUBLE)
+       |    / CAST(16 * (CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3)
+       |      * (n - 4)) AS DOUBLE), 8) AS hoeffding_d
+       |FROM folded""".stripMargin
+  }
+
 }

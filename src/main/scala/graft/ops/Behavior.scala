@@ -4845,4 +4845,135 @@ object Behavior {
        |FROM state, packed WHERE i = len(arr)""".stripMargin
   }
 
+  /** MANTEL–HAENSZEL COMMON ODDS RATIO + Cochran–Mantel–Haenszel test of
+    * the variant→conversion contrast over user-WEEK units, STRATIFIED
+    * by that week's activity level (event-count bucket) — the
+    * confounder-adjustment member
+    * of the experimentation family: [[oddsRatioConversion]] reports one
+    * marginal 2×2 (Simpson-vulnerable when assignment correlates with
+    * activity), [[metaFixedEffect]] pools weekly replicates by inverse
+    * variance (undefined on zero cells); MH pools WITHIN-stratum
+    * contrasts with weights that stay finite on sparse strata — the
+    * epidemiology/experimentation standard for "one effect, adjusted".
+    * OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ); CMH χ² =
+    * (|Σaᵢ − ΣEᵢ| − ½)² / ΣVᵢ with the hypergeometric Eᵢ, Vᵢ.
+    *
+    * Determinism: stratum cells are exact longs from ONE user-level
+    * aggregate; each stratum's four ratio terms are one
+    * decimal→double conversion + pinned divisions; all folds run
+    * stratum-sorted; the ½ continuity correction is applied in Column
+    * space (a bare 0.5 inside an expr string parses as DECIMAL — the
+    * metaFixedEffect trap). Strata with nᵢ < 2 are excluded (Vᵢ's
+    * nᵢ−1 denominator) — documented, not hidden.
+    *
+    * Scale: one user aggregate (the funnel shuffle shape) → ≤5 stratum
+    * rows → one-row folds. */
+  def mantelHaenszel(s: SparkSession, d: String): DataFrame = {
+    // user-WEEK units (the metaFixedEffect lesson: full-month
+    // conversion saturates at ~100% and empties the non-converter cells)
+    val perUser = Tables.events(s, d)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("variant"),
+        least(expr("n_events div 5"), lit(4L)).as("stratum"),
+        col("conv"))
+    val cells = perUser.groupBy("stratum").agg(
+      sum(when(col("variant") === 1 && col("conv") === 1, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("variant") === 1 && col("conv") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("variant") === 0 && col("conv") === 1, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("variant") === 0 && col("conv") === 0, 1L).otherwise(0L))
+        .as("d"))
+    val packed = cells
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sort_array(collect_list(struct(col("stratum"), col("a"), col("b"),
+          col("c"), col("d"), col("n")))).as("ws"))
+    val big = "DECIMAL(38,0)"
+    def fold(term: String) =
+      s"""aggregate(filter(ws, e -> e.n >= 2), CAST(0.0 AS DOUBLE),
+         |  (acc, e) -> acc + ($term))""".stripMargin
+    val orNum = fold(s"CAST(CAST(e.a AS $big) * e.d AS DOUBLE) / CAST(e.n AS DOUBLE)")
+    val orDen = fold(s"CAST(CAST(e.b AS $big) * e.c AS DOUBLE) / CAST(e.n AS DOUBLE)")
+    val sa = fold("CAST(e.a AS DOUBLE)")
+    val se = fold(s"CAST(CAST(e.a + e.b AS $big) * (e.a + e.c) AS DOUBLE) / CAST(e.n AS DOUBLE)")
+    val sv = fold(
+      s"""CAST(CAST(e.a + e.b AS $big) * (e.c + e.d) * (e.a + e.c)
+         |  * (e.b + e.d) AS DOUBLE)
+         |  / (CAST(e.n AS DOUBLE) * e.n * (CAST(e.n AS DOUBLE) - 1.0))"""
+        .stripMargin)
+    val folded = packed.select(col("k"),
+      expr(orNum).as("or_num"), expr(orDen).as("or_den"),
+      expr(sa).as("sa"), expr(se).as("se"), expr(sv).as("sv"))
+    val chi = pow(greatest(abs(col("sa") - col("se")) - lit(0.5), lit(0.0)),
+      2.0) / col("sv")
+    folded.select(col("k").as("n_strata"),
+      round(col("or_num") / col("or_den"), 6).as("or_mh"),
+      round(log(col("or_num") / col("or_den")), 6).as("log_or_mh"),
+      round(chi, 4).as("cmh_chi2"),
+      (chi > lit(3.841458820694124)).as("reject_95"))
+  }
+
+  val mantelHaenszelSql: String = {
+    def fold(term: String) =
+      s"""list_sum(list_transform(list_filter(ws, e -> e.n >= 2),
+         |  e -> ($term)))""".stripMargin
+    val orNum = fold("CAST(CAST(e.a AS HUGEINT) * e.d AS DOUBLE) / CAST(e.n AS DOUBLE)")
+    val orDen = fold("CAST(CAST(e.b AS HUGEINT) * e.c AS DOUBLE) / CAST(e.n AS DOUBLE)")
+    val sa = fold("CAST(e.a AS DOUBLE)")
+    val se = fold("CAST(CAST(e.a + e.b AS HUGEINT) * (e.a + e.c) AS DOUBLE) / CAST(e.n AS DOUBLE)")
+    val sv = fold(
+      """CAST(CAST(e.a + e.b AS HUGEINT) * (e.c + e.d) * (e.a + e.c)
+        |  * (e.b + e.d) AS DOUBLE)
+        |  / (CAST(e.n AS DOUBLE) * e.n * (CAST(e.n AS DOUBLE) - 1.0))"""
+        .stripMargin)
+    s"""WITH per_user AS (
+       |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS variant,
+       |    least(CAST(count(*) AS BIGINT) // 5, 4) AS stratum,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events
+       |  GROUP BY CAST(date_trunc('week', ts) AS DATE), user_id),
+       |cells AS (
+       |  SELECT stratum,
+       |    CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM per_user GROUP BY 1),
+       |packed AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    list(struct_pack(stratum := stratum, a := a, b := b, c := c,
+       |      d := d, n := a + b + c + d) ORDER BY stratum) AS ws
+       |  FROM cells),
+       |folded AS (
+       |  SELECT k,
+       |    $orNum AS or_num,
+       |    $orDen AS or_den,
+       |    $sa AS sa,
+       |    $se AS se,
+       |    $sv AS sv
+       |  FROM packed)
+       |SELECT k AS n_strata,
+       |  round(or_num / or_den, 6) AS or_mh,
+       |  round(ln(or_num / or_den), 6) AS log_or_mh,
+       |  round(pow(greatest(abs(sa - se) - 0.5, 0.0), 2.0) / sv, 4)
+       |    AS cmh_chi2,
+       |  (pow(greatest(abs(sa - se) - 0.5, 0.0), 2.0) / sv
+       |    > 3.841458820694124) AS reject_95
+       |FROM folded""".stripMargin
+  }
+
 }

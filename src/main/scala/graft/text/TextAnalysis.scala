@@ -2487,4 +2487,77 @@ object TextAnalysis {
       |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  /** G-TEST of independence between document language and source — the
+    * likelihood-ratio twin of [[graft.ops.Analytics.chiSquareStatusPriority]]'s
+    * Pearson form, and the one that equals 2N·MI exactly (reported: the
+    * mutual-information link makes this THE corpus-audit readout — "does
+    * each source have its own language mix?" — in nats, comparable
+    * across corpora where raw G grows with N). G is additive across
+    * partitions of the table where Pearson χ² is not, which is why
+    * log-likelihood ratios are the collocation/corpus-comparison
+    * standard (Dunning 1993).
+    *
+    * Determinism: observed counts and all margins are exact longs; each
+    * cell's log-ratio argument is a division of two exactly-computed
+    * doubles (O·N ≤ 2⁵³, R·C ≤ 2⁵³), the ln rounds 12 dp (the
+    * metaFixedEffect libm-ulp guard), and the ≤100 cell terms fold in
+    * (lang, source)-sorted order. Empty cells contribute 0 to G by the
+    * O·ln(O) → 0 limit and simply don't exist in the census.
+    *
+    * Scale: one map-side-combinable (lang, source) aggregate;
+    * everything after is O(cells). */
+  def gTestLangSource(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val rowT = cells.groupBy("lang").agg(sum(col("o")).cast("long").as("r"))
+    val colT = cells.groupBy("source").agg(sum(col("o")).cast("long").as("c"))
+    val grand = cells.agg(sum(col("o")).cast("long").as("nn"))
+    val packed = cells
+      .join(broadcast(rowT), Seq("lang"))
+      .join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .groupBy(col("nn"))
+      .agg(sort_array(collect_list(struct(col("lang"), col("source"),
+        col("o"), col("r"), col("c")))).as("cs"),
+        countDistinct(col("lang")).cast("long").as("nl"),
+        countDistinct(col("source")).cast("long").as("ns"))
+    val g = expr(
+      """aggregate(cs, CAST(0.0 AS DOUBLE), (acc, e) ->
+        |  acc + CAST(2 * e.o AS DOUBLE) *
+        |    round(ln((CAST(e.o AS DOUBLE) * nn) /
+        |      (CAST(e.r AS DOUBLE) * e.c)), 12))""".stripMargin)
+    packed.select(col("nn").as("n_docs"),
+      ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+      round(g, 4).as("g_stat"),
+      round(g / (lit(2.0) * col("nn").cast("double")), 6).as("mi_nats"))
+  }
+
+  val gTestLangSourceSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+      |packed AS (
+      |  SELECT nn,
+      |    list(struct_pack(lang := lang, source := source, o := o,
+      |      r := r, c := c) ORDER BY lang, source) AS cs,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS ns
+      |  FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nt
+      |  GROUP BY nn),
+      |gq AS (
+      |  SELECT nn, nl, ns,
+      |    list_sum(list_transform(cs, e ->
+      |      CAST(2 * e.o AS DOUBLE) *
+      |        round(ln((CAST(e.o AS DOUBLE) * nn) /
+      |          (CAST(e.r AS DOUBLE) * e.c)), 12))) AS g
+      |  FROM packed)
+      |SELECT nn AS n_docs, (nl - 1) * (ns - 1) AS dof,
+      |  round(g, 4) AS g_stat,
+      |  round(g / (2.0 * CAST(nn AS DOUBLE)), 6) AS mi_nats
+      |FROM gq""".stripMargin
+
 }
