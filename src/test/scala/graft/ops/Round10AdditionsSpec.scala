@@ -112,6 +112,42 @@ class Round10AdditionsSpec extends GraftTestBase {
     r.getAs[Double]("anisotropy_ratio") should be < 0.2
   }
 
+  behavior of "gTestLangSource (q_g_test)"
+
+  it should "carry the exact 2N*MI identity and a nonnegative G" in {
+    val r = graft.text.TextAnalysis.gTestLangSource(spark, sf).head()
+    val g = r.getAs[Double]("g_stat")
+    g should be >= 0.0
+    r.getAs[Double]("mi_nats") shouldBe
+      (g / (2.0 * r.getAs[Long]("n_docs")) +- 1e-5)
+    r.getAs[Long]("dof") shouldBe 76L // (5 langs - 1)(20 sources - 1)
+  }
+
+  behavior of "mantelHaenszel (q_mantel_haenszel)"
+
+  it should "not reject the null on hash-randomized arms" in {
+    val r = Behavior.mantelHaenszel(spark, sf).head()
+    // variant is an md5 coin flip: the point OR is noisy at sf0.001's
+    // handful of user-weeks per stratum, but the TEST must not reject
+    r.getAs[Boolean]("reject_95") shouldBe false
+    r.getAs[Double]("or_mh") should be > 0.0
+    r.getAs[Double]("log_or_mh") shouldBe
+      (math.log(r.getAs[Double]("or_mh")) +- 1e-4)
+    r.getAs[Double]("cmh_chi2") should be >= 0.0
+    r.getAs[Long]("n_strata") should be >= 2L
+  }
+
+  behavior of "hoeffdingD (q_hoeffding_d)"
+
+  it should "stay inside Hoeffding's bounds and near 0 on independence" in {
+    val r = Analytics.hoeffdingD(spark, sf).head()
+    val dStat = r.getAs[Double]("hoeffding_d")
+    // D in [-0.5, 1] always; discount and quantity are independent here
+    dStat should (be >= -0.5 and be <= 1.0)
+    math.abs(dStat) should be < 0.001
+    r.getAs[Long]("n_cells") should be <= 550L
+  }
+
   behavior of "clusterValidity (q_cluster_validity)"
 
   it should "agree with silhouette that the label partition is weak" in {
