@@ -464,6 +464,9 @@ object SparkEntry {
     "q_g_test"          -> (graft.text.TextAnalysis.gTestLangSource _),
     "q_mantel_haenszel" -> (graft.ops.Behavior.mantelHaenszel _),
     "q_hoeffding_d"     -> (graft.ops.Analytics.hoeffdingD _),
+    "q_kuiper"          -> (graft.ops.Behavior.kuiperTest _),
+    "q_cox_ph"          -> (graft.ops.Behavior.coxPh _),
+    "q_holt_winters"    -> (graft.ops.TimeSeries.holtWinters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1094,5 +1097,8 @@ object SparkEntry {
     "q_g_test"           -> TextAnalysis.gTestLangSourceSql,
     "q_mantel_haenszel"  -> graft.ops.Behavior.mantelHaenszelSql,
     "q_hoeffding_d"      -> graft.ops.Analytics.hoeffdingDSql,
+    "q_kuiper"           -> graft.ops.Behavior.kuiperTestSql,
+    "q_cox_ph"           -> graft.ops.Behavior.coxPhSql,
+    "q_holt_winters"     -> graft.ops.TimeSeries.holtWintersSql,
   )
 }

@@ -4976,4 +4976,250 @@ object Behavior {
        |FROM folded""".stripMargin
   }
 
+  /** KUIPER'S TEST between the variant value distributions — the
+    * ROTATION-INVARIANT member of the CDF-gap family (W₁/Cramér/CvM/AD
+    * integrate the gap; KS takes max |gap|; Kuiper V = D⁺ + D⁻ adds
+    * the two SIGNED extremes, giving equal sensitivity at the tails
+    * and the median and — its defining property — invariance under
+    * cyclic shifts, the right test for day-of-week / hour-of-day
+    * phase comparisons where KS's sensitivity depends on where the
+    * cycle is cut).
+    *
+    * Rendering: two MAX aggregates over the memoized
+    * [[variantCdfGaps]] frame (fifth consumer — wasserstein, cramer,
+    * cvm, anderson_darling; the memo pays once in-suite). D± are
+    * exact scaled integers (cumA·n_B − cumB·n_A clamped at 0); V is
+    * one division; the 5% flag uses Stephens' asymptotic point
+    * V·√(n_AB) > 1.747 on pinned doubles.
+    *
+    * Scale: inherits the gap frame's census + range-partition passes. */
+  def kuiperTest(s: SparkSession, d: String): DataFrame =
+    variantCdfGaps(s, d)
+      .groupBy("na", "nb")
+      .agg(greatest(max(col("dnum")), lit(0L)).as("dplus_scaled"),
+        greatest(max(-col("dnum")), lit(0L)).as("dminus_scaled"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("dplus_scaled").cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("d_plus"),
+        round(col("dminus_scaled").cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("d_minus"),
+        round((col("dplus_scaled") + col("dminus_scaled")).cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("v_stat"),
+        (((col("dplus_scaled") + col("dminus_scaled")).cast("double") /
+          (col("na") * col("nb")).cast("double")) *
+          sqrt((col("na") * col("nb")).cast("double") /
+            (col("na") + col("nb")).cast("double")) > lit(1.747))
+          .as("differs_95"))
+
+  val kuiperTestSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_value AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY v),
+      |cum AS (
+      |  SELECT
+      |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+      |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+      |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+      |  FROM by_value
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |ext AS (
+      |  SELECT na, nb,
+      |    greatest(max(cuma * nb - cumb * na), 0) AS dplus_scaled,
+      |    greatest(max(cumb * na - cuma * nb), 0) AS dminus_scaled
+      |  FROM cum GROUP BY na, nb)
+      |SELECT na AS n_a, nb AS n_b,
+      |  round(CAST(dplus_scaled AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+      |    AS d_plus,
+      |  round(CAST(dminus_scaled AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+      |    AS d_minus,
+      |  round(CAST(dplus_scaled + dminus_scaled AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * nb), 6) AS v_stat,
+      |  ((CAST(dplus_scaled + dminus_scaled AS DOUBLE)
+      |      / (CAST(na AS DOUBLE) * nb))
+      |    * sqrt(CAST(na AS DOUBLE) * nb / (CAST(na AS DOUBLE) + nb))
+      |    > 1.747) AS differs_95
+      |FROM ext""".stripMargin
+
+  /** Newton iterations for [[coxPh]]'s partial-likelihood fit. */
+  val coxIters = 8
+
+  /** COX PROPORTIONAL-HAZARDS fit (one binary covariate, Breslow ties)
+    * — the MODEL that completes the survival family: [[kaplanMeier]]/
+    * [[nelsonAalen]] describe, [[logRank]] tests, [[rmst]] summarizes;
+    * Cox ESTIMATES the effect size as a hazard ratio with a standard
+    * error — the number a treatment decision actually consumes. With
+    * one binary covariate the Breslow partial likelihood needs only
+    * the per-event-time (d₁, d, n₁, n₀) table [[logRank]] already
+    * builds: U(β) = Σ[d₁ − d·n₁e^β/(n₁e^β+n₀)],
+    * I(β) = Σ d·n₁e^β·n₀/(n₁e^β+n₀)², Newton [[coxIters]] steps from 0.
+    * The score z at β=0 is the (uncorrected) log-rank z — shipped as
+    * the built-in cross-check.
+    *
+    * Determinism: the event grid is exact integers (the [[logRank]]
+    * dense-grid construction); the Newton fold and all three final
+    * sums run over the time-SORTED packed array with exp on identical
+    * doubles; outputs round 6/4.
+    *
+    * Scale: one user aggregate → O(study hours) grid → one-row folds. */
+  def coxPh(s: SparkSession, d: String): DataFrame = {
+    val k = coxIters
+    val ev = Tables.events(s, d)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .filter(col("t0").isNotNull)
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).cast("int").as("g"),
+        col("t0"), col("tp"))
+    val studyEnd = ev.agg(max(col("ts")).as("t_end"))
+    val durations = perUser.crossJoin(broadcast(studyEnd))
+      .select(col("g"),
+        when(col("tp").isNotNull && col("tp") >= col("t0"),
+          (unix_timestamp(col("tp")) - unix_timestamp(col("t0"))) / 3600L)
+          .otherwise(
+            (unix_timestamp(col("t_end")) - unix_timestamp(col("t0"))) / 3600L)
+          .cast("long").as("dur_h"),
+        (col("tp").isNotNull && col("tp") >= col("t0")).as("converted"))
+    val byCell = durations.groupBy(col("dur_h"), col("g"))
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    val grid = byCell.select(col("dur_h")).distinct()
+      .crossJoin(broadcast(s.range(0, 2).select(col("id").cast("int").as("g"))))
+      .join(byCell, Seq("dur_h", "g"), "left")
+      .select(col("dur_h"), col("g"),
+        coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wCumG = Window.partitionBy("g").orderBy("dur_h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllG = Window.partitionBy("g").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val atRisk = grid.select(col("dur_h"), col("g"), col("d"),
+      (sum(col("d") + col("c")).over(wAllG) -
+        sum(col("d") + col("c")).over(wCumG) + col("d") + col("c"))
+        .cast("long").as("nr"))
+    val packed = atRisk.groupBy("dur_h")
+      .agg(sum(when(col("g") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(col("d")).as("dt"),
+        max(when(col("g") === 1, col("nr"))).as("n1"),
+        max(when(col("g") === 0, col("nr"))).as("n0"))
+      .filter(col("dt") > 0)
+      .agg(sum(col("d1")).cast("long").as("events1"),
+        sum(col("dt")).cast("long").as("events"),
+        sort_array(collect_list(struct(col("dur_h"), col("d1"), col("dt"),
+          col("n1"), col("n0")))).as("a"))
+    // U and I as text macros over the packed array, b a scalar double
+    def uOf(b: String) =
+      s"""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) -> acc
+         |  + CAST(e.d1 AS DOUBLE)
+         |  - CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
+         |    / (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE)))"""
+        .stripMargin
+    def iOf(b: String) =
+      s"""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) -> acc
+         |  + CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
+         |    * CAST(e.n0 AS DOUBLE)
+         |    / ((CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))
+         |      * (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))))"""
+        .stripMargin
+    val fitted = packed.select(col("events1"), col("events"), col("a"),
+      expr(s"""aggregate(sequence(1, $k), CAST(0.0 AS DOUBLE),
+        (b, t) -> b + (${uOf("b")}) / (${iOf("b")}))""").as("beta"))
+    fitted.select(col("events1"), col("events"),
+      round(col("beta"), 6).as("beta_hat"),
+      round(exp(col("beta")), 6).as("hazard_ratio"),
+      round(lit(1.0) / sqrt(expr(iOf("beta"))), 6).as("se_beta"),
+      round(col("beta") * sqrt(expr(iOf("beta"))), 4).as("wald_z"),
+      round(expr(uOf("CAST(0.0 AS DOUBLE)")) /
+        sqrt(expr(iOf("CAST(0.0 AS DOUBLE)"))), 4).as("score_z"))
+  }
+
+  lazy val coxPhSql: String = {
+    val k = coxIters
+    def uOf(b: String) =
+      s"""list_sum(list_transform(a, e ->
+         |  CAST(e.d1 AS DOUBLE)
+         |  - CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
+         |    / (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))))"""
+        .stripMargin
+    def iOf(b: String) =
+      s"""list_sum(list_transform(a, e ->
+         |  CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
+         |    * CAST(e.n0 AS DOUBLE)
+         |    / ((CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))
+         |      * (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE)))))"""
+        .stripMargin
+    s"""WITH RECURSIVE per_user AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+       |  FROM events GROUP BY user_id),
+       |study AS (SELECT max(ts) AS t_end FROM events),
+       |durations AS (
+       |  SELECT
+       |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS g,
+       |    CASE WHEN tp IS NOT NULL AND tp >= t0
+       |      THEN (epoch_us(tp) // 1000000 - epoch_us(t0) // 1000000) // 3600
+       |      ELSE (epoch_us(t_end) // 1000000 - epoch_us(t0) // 1000000) // 3600
+       |    END AS dur_h,
+       |    tp IS NOT NULL AND tp >= t0 AS converted
+       |  FROM per_user CROSS JOIN study WHERE t0 IS NOT NULL),
+       |by_cell AS (
+       |  SELECT dur_h, g,
+       |    sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+       |    sum(CASE WHEN converted THEN 0 ELSE 1 END) AS c
+       |  FROM durations GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT t.dur_h, gg.g,
+       |    COALESCE(b.d, 0) AS d, COALESCE(b.c, 0) AS c
+       |  FROM (SELECT DISTINCT dur_h FROM by_cell) t
+       |  CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+       |  LEFT JOIN by_cell b ON b.dur_h = t.dur_h AND b.g = gg.g),
+       |at_risk AS (
+       |  SELECT dur_h, g, d,
+       |    CAST(sum(d + c) OVER (PARTITION BY g)
+       |      - sum(d + c) OVER (PARTITION BY g ORDER BY dur_h
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      + d + c AS BIGINT) AS nr
+       |  FROM grid),
+       |wide AS (
+       |  SELECT dur_h,
+       |    CAST(sum(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(d) AS BIGINT) AS dt,
+       |    max(CASE WHEN g = 1 THEN nr END) AS n1,
+       |    max(CASE WHEN g = 0 THEN nr END) AS n0
+       |  FROM at_risk GROUP BY 1),
+       |packed AS (
+       |  SELECT CAST(sum(d1) AS BIGINT) AS events1,
+       |    CAST(sum(dt) AS BIGINT) AS events,
+       |    list(struct_pack(dur_h := dur_h, d1 := d1, dt := dt,
+       |      n1 := n1, n0 := n0) ORDER BY dur_h) AS a
+       |  FROM wide WHERE dt > 0),
+       |newton(t, b) AS (
+       |  SELECT 0, CAST(0.0 AS DOUBLE) FROM packed
+       |  UNION ALL
+       |  SELECT t + 1, b + (${uOf("b")}) / (${iOf("b")})
+       |  FROM newton, packed WHERE t < $k),
+       |fit AS (SELECT b FROM newton WHERE t = $k)
+       |SELECT events1, events,
+       |  round(b, 6) AS beta_hat,
+       |  round(exp(b), 6) AS hazard_ratio,
+       |  round(1.0 / sqrt(${iOf("b")}), 6) AS se_beta,
+       |  round(b * sqrt(${iOf("b")}), 4) AS wald_z,
+       |  round((${uOf("CAST(0.0 AS DOUBLE)")})
+       |    / sqrt(${iOf("CAST(0.0 AS DOUBLE)")}), 4) AS score_z
+       |FROM fit, packed""".stripMargin
+  }
+
 }

@@ -3765,6 +3765,139 @@ object TimeSeries {
       |  (CAST(m AS DOUBLE) * r2num / r2den > 3.841458820694124) AS arch_95
       |FROM fin""".stripMargin
 
+  /** Holt–Winters smoothing constants + season length — pinned. */
+  val hwAlpha = 0.3
+  val hwBeta = 0.1
+  val hwGamma = 0.3
+  val hwPeriod = 7
+  val hwHorizon = 7
+
+  /** HOLT–WINTERS (additive, weekly season) FORECAST BACKTEST — the
+    * seasonal completion of the exponential-smoothing ladder:
+    * [[forecastBacktest]] naive/seasonal-naive → [[holtForecast]]
+    * level+trend → HW level+trend+season, the model that can track a
+    * weekday pulse ([[periodogram]] finds real sub-weekly energy in
+    * this series) instead of averaging through it. Same harness shape
+    * as Holt: fit on all but the last [[hwHorizon]] days, forecast the
+    * held-out week, ŷ_h = l + h·b + s[(t+h−1) mod 7].
+    *
+    * Init (classic): l = mean(week 1), b = (mean(week 2) −
+    * mean(week 1))/7, s_j = y_j − l; the update is ONE day-sorted fold
+    * whose struct state carries (l, b, s[7], i) — the seasonal slot
+    * rewrite is a positional `transform` with the index equality the
+    * oracle's recursive CTE replicates 1-based. Seasonal position is
+    * ARRAY position mod 7, not calendar weekday — on this dense daily
+    * series they coincide; a gapped series would need the
+    * [[archTest]] consecutive-day guard. Constants pinned; inputs
+    * exact cents; outputs round 4.
+    *
+    * Scale: one day aggregate; O(days) fold in one row — the
+    * [[holtForecast]] class. */
+  def holtWinters(s: SparkSession, d: String): DataFrame = {
+    val al = hwAlpha; val be = hwBeta; val ga = hwGamma
+    val m = hwPeriod; val h = hwHorizon
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("c"))
+    val l0 =
+      s"""(CAST(aggregate(slice(tr, 1, $m), CAST(0 AS BIGINT),
+         |  (a2, e2) -> a2 + e2.c) AS DOUBLE) / $m.0)""".stripMargin
+    val b0 =
+      s"""(CAST(aggregate(slice(tr, ${m + 1}, $m), CAST(0 AS BIGINT),
+         |    (a2, e2) -> a2 + e2.c)
+         |  - aggregate(slice(tr, 1, $m), CAST(0 AS BIGINT),
+         |    (a2, e2) -> a2 + e2.c) AS DOUBLE) / ${m * m}.0)""".stripMargin
+    val lnew =
+      s"""($al * (CAST(e.c AS DOUBLE) - acc.s[acc.i % $m])
+         |  + ${1 - al} * (acc.l + acc.b))""".stripMargin
+    val packed = daily
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+      .select(
+        expr(s"slice(arr, 1, size(arr) - $h)").as("tr"),
+        expr(s"slice(arr, size(arr) - ${h - 1}, $h)").as("te"))
+      .select(col("te"), expr(
+        s"""aggregate(slice(tr, ${m + 1}, size(tr) - $m),
+           |  named_struct(
+           |    'l', $l0,
+           |    'b', $b0,
+           |    's', transform(slice(tr, 1, $m),
+           |           e2 -> CAST(e2.c AS DOUBLE) - $l0),
+           |    'i', $m),
+           |  (acc, e) -> named_struct(
+           |    'l', $lnew,
+           |    'b', $be * ($lnew - acc.l) + ${1 - be} * acc.b,
+           |    's', transform(acc.s, (v, j) -> CASE WHEN j = acc.i % $m
+           |           THEN $ga * (CAST(e.c AS DOUBLE) - $lnew)
+           |             + ${1 - ga} * v
+           |           ELSE v END),
+           |    'i', acc.i + 1))""".stripMargin).as("st"),
+        expr("size(tr)").as("ntr"))
+    packed
+      .select(posexplode(col("te")).as(Seq("pos", "e")),
+        col("st.l").as("l"), col("st.b").as("b"), col("st.s").as("sarr"),
+        col("ntr"))
+      .select(col("e.day").as("day"), col("e.c").as("actual_cents"),
+        round(col("l") + (col("pos") + 1).cast("double") * col("b") +
+          expr(s"sarr[(ntr + pos) % $m]"), 4).as("forecast_cents"),
+        round(abs(col("e.c").cast("double") -
+          (col("l") + (col("pos") + 1).cast("double") * col("b") +
+            expr(s"sarr[(ntr + pos) % $m]"))), 4).as("abs_err"))
+      .orderBy("day")
+  }
+
+  lazy val holtWintersSql: String = {
+    val al = hwAlpha; val be = hwBeta; val ga = hwGamma
+    val m = hwPeriod; val h = hwHorizon
+    val l0 =
+      s"""(CAST(list_sum(list_transform(tr[1:$m], e2 -> e2.c)) AS DOUBLE)
+         |  / $m.0)""".stripMargin
+    val b0 =
+      s"""(CAST(list_sum(list_transform(tr[${m + 1}:${2 * m}], e2 -> e2.c))
+         |  - list_sum(list_transform(tr[1:$m], e2 -> e2.c)) AS DOUBLE)
+         |  / ${m * m}.0)""".stripMargin
+    val lnew =
+      s"""($al * (CAST(tr[i + 1].c AS DOUBLE) - s[(i % $m) + 1])
+         |  + ${1 - al} * (l + bb))""".stripMargin
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |packed AS (
+       |  SELECT list(struct_pack(day := day, c := c) ORDER BY day) AS arr
+       |  FROM daily),
+       |split AS (
+       |  SELECT arr[1 : len(arr) - $h] AS tr,
+       |    arr[len(arr) - ${h - 1} : len(arr)] AS te
+       |  FROM packed),
+       |state(i, l, bb, s) AS (
+       |  SELECT $m, $l0, $b0,
+       |    list_transform(tr[1:$m], e2 -> CAST(e2.c AS DOUBLE) - $l0)
+       |  FROM split
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    $lnew,
+       |    $be * ($lnew - l) + ${1 - be} * bb,
+       |    list_transform(s, (v, j) -> CASE WHEN j = (i % $m) + 1
+       |      THEN $ga * (CAST(tr[i + 1].c AS DOUBLE) - $lnew)
+       |        + ${1 - ga} * v
+       |      ELSE v END)
+       |  FROM state, split WHERE i < len(tr)),
+       |fin AS (
+       |  SELECT l, bb, s, len(tr) AS ntr FROM state, split
+       |  WHERE i = len(tr))
+       |SELECT te[hh].day AS day, te[hh].c AS actual_cents,
+       |  round(l + CAST(hh AS DOUBLE) * bb
+       |    + s[((ntr + hh - 1) % $m) + 1], 4) AS forecast_cents,
+       |  round(abs(CAST(te[hh].c AS DOUBLE)
+       |    - (l + CAST(hh AS DOUBLE) * bb
+       |      + s[((ntr + hh - 1) % $m) + 1])), 4) AS abs_err
+       |FROM fin, split, range(1, ${h + 1}) t(hh)
+       |ORDER BY day""".stripMargin
+  }
+
   /** Candidate periods (days) probed by [[periodogram]]. */
   val periodogramPeriods = Seq(2, 3, 5, 7, 10, 14)
 
