@@ -148,6 +148,45 @@ class Round10AdditionsSpec extends GraftTestBase {
     r.getAs[Long]("n_cells") should be <= 550L
   }
 
+  behavior of "kuiperTest (q_kuiper)"
+
+  it should "dominate KS and bound V by D+ + D-" in {
+    val r = Behavior.kuiperTest(spark, sf).head()
+    val dp = r.getAs[Double]("d_plus"); val dm = r.getAs[Double]("d_minus")
+    dp should be >= 0.0
+    dm should be >= 0.0
+    // V = D+ + D- (rounding slack), and V >= max(D+, D-) = the KS D
+    r.getAs[Double]("v_stat") shouldBe (dp + dm +- 1e-5)
+    r.getAs[Double]("v_stat") should be >= math.max(dp, dm) - 1e-9
+  }
+
+  behavior of "coxPh (q_cox_ph)"
+
+  it should "agree between Wald and score z on a null effect" in {
+    val r = Behavior.coxPh(spark, sf).head()
+    // hash-randomized arms: hazard ratio ~ 1, and near beta = 0 the
+    // Wald and score statistics coincide to first order
+    r.getAs[Double]("hazard_ratio") shouldBe
+      (math.exp(r.getAs[Double]("beta_hat")) +- 1e-4)
+    r.getAs[Double]("se_beta") should be > 0.0
+    math.abs(r.getAs[Double]("wald_z") - r.getAs[Double]("score_z")) should
+      be < 0.5
+    r.getAs[Long]("events1") should be <= r.getAs[Long]("events")
+  }
+
+  behavior of "holtWinters (q_holt_winters)"
+
+  it should "forecast the held-out week with finite seasonal-adjusted values" in {
+    val rows = TimeSeries.holtWinters(spark, sf).collect()
+    rows should have size TimeSeries.hwHorizon.toLong
+    rows.foreach { r =>
+      val f = r.getAs[Double]("forecast_cents")
+      f.isNaN shouldBe false
+      r.getAs[Double]("abs_err") shouldBe
+        (math.abs(r.getAs[Long]("actual_cents") - f) +- 1e-2)
+    }
+  }
+
   behavior of "clusterValidity (q_cluster_validity)"
 
   it should "agree with silhouette that the label partition is weak" in {
