@@ -467,6 +467,8 @@ object SparkEntry {
     "q_kuiper"          -> (graft.ops.Behavior.kuiperTest _),
     "q_cox_ph"          -> (graft.ops.Behavior.coxPh _),
     "q_holt_winters"    -> (graft.ops.TimeSeries.holtWinters _),
+    "q_games_howell"    -> (graft.ops.Analytics.gamesHowellPairs _),
+    "q_chow"            -> (graft.ops.TimeSeries.chowTest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1100,5 +1102,7 @@ object SparkEntry {
     "q_kuiper"           -> graft.ops.Behavior.kuiperTestSql,
     "q_cox_ph"           -> graft.ops.Behavior.coxPhSql,
     "q_holt_winters"     -> graft.ops.TimeSeries.holtWintersSql,
+    "q_games_howell"     -> graft.ops.Analytics.gamesHowellPairsSql,
+    "q_chow"             -> graft.ops.TimeSeries.chowTestSql,
   )
 }

@@ -4761,6 +4761,88 @@ object Analytics {
        |FROM w2""".stripMargin
   }
 
+  /** GAMES–HOWELL POST-HOC PAIRS — [[tukeyHsdPairs]] for the unequal-
+    * variance world [[welchAnova]] lives in: after Welch's F rejects,
+    * WHICH pairs differ, without the pooled-MSW assumption? Per pair
+    * q = |x̄ᵢ−x̄ⱼ| / √((sᵢ²/nᵢ + sⱼ²/nⱼ)/2) with the pair's own
+    * Welch–Satterthwaite df — the standard follow-up whenever Levene/
+    * Bartlett reject. Statistic + df reported (the [[tukeyHsdPairs]]
+    * convention: the studentized-range quantile lookup stays with the
+    * caller).
+    *
+    * Determinism: same census as [[welchAnova]] (exact cents moments);
+    * the k(k−1)/2 pairs expand INSIDE one scalar-aggregate row via the
+    * array-combination idiom (no self-join, lint-provable); each s² is
+    * one decimal→double conversion; outputs round 6/2.
+    *
+    * Scale: one combinable census over facts → O(k²) arithmetic. */
+  def gamesHowellPairs(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val groups = Tables.events(s, d)
+      .select(col("event_type"), cents.as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(big)).cast(big).as("sx"),
+        sum(col("x").cast(big) * col("x").cast(big)).cast(big).as("sq"))
+    val packed = groups
+      .agg(sort_array(collect_list(struct(
+        col("event_type"), col("n"), col("sx"), col("sq")))).as("a"))
+    // per-side variance-over-n as one textual macro (va = s_a²/n_a)
+    def von(p: String) =
+      s"""(CAST(p.n$p * p.sq$p - p.sx$p * p.sx$p AS DOUBLE)
+         |  / (CAST(p.n$p AS DOUBLE) * (CAST(p.n$p AS DOUBLE) - 1.0)
+         |     * CAST(p.n$p AS DOUBLE)))""".stripMargin
+    val va = von("a"); val vb = von("b")
+    packed
+      .select(explode(expr(
+        """flatten(transform(a, (x, i) ->
+          |  transform(slice(a, i + 2, size(a) - i - 1), y ->
+          |    struct(x.event_type AS ta, x.n AS na, x.sx AS sxa,
+          |      x.sq AS sqa, y.event_type AS tb, y.n AS nb,
+          |      y.sx AS sxb, y.sq AS sqb))))""".stripMargin)).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+        round(col("p.sxa").cast("double") / col("p.na") -
+          col("p.sxb").cast("double") / col("p.nb"), 6).as("mean_diff"),
+        round(abs(col("p.sxa").cast("double") / col("p.na") -
+          col("p.sxb").cast("double") / col("p.nb")) /
+          sqrt((expr(va) + expr(vb)) / 2.0), 6).as("q_gh"),
+        round(pow(expr(va) + expr(vb), 2.0) /
+          (expr(va) * expr(va) / (col("p.na").cast("double") - 1.0) +
+            expr(vb) * expr(vb) / (col("p.nb").cast("double") - 1.0)), 2)
+          .as("df_welch"))
+      .orderBy("ta", "tb")
+  }
+
+  val gamesHowellPairsSql: String = {
+    def von(p: String) =
+      s"""(CAST(p.n$p * p.sq$p - p.sx$p * p.sx$p AS DOUBLE)
+         |  / (CAST(p.n$p AS DOUBLE) * (CAST(p.n$p AS DOUBLE) - 1.0)
+         |     * CAST(p.n$p AS DOUBLE)))""".stripMargin
+    val va = von("a"); val vb = von("b")
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS HUGEINT)) AS sx,
+       |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS HUGEINT) * CAST(CAST(value AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS sq
+       |  FROM events GROUP BY 1),
+       |p AS (
+       |  SELECT x.event_type AS ta, x.n AS na, x.sx AS sxa, x.sq AS sqa,
+       |    y.event_type AS tb, y.n AS nb, y.sx AS sxb, y.sq AS sqb
+       |  FROM g x JOIN g y ON x.event_type < y.event_type)
+       |SELECT ta, tb,
+       |  round(CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb, 6)
+       |    AS mean_diff,
+       |  round(abs(CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+       |    / sqrt(($va + $vb) / 2.0), 6) AS q_gh,
+       |  round(pow($va + $vb, 2.0)
+       |    / ($va * $va / (CAST(na AS DOUBLE) - 1.0)
+       |      + $vb * $vb / (CAST(nb AS DOUBLE) - 1.0)), 2) AS df_welch
+       |FROM p ORDER BY ta, tb""".stripMargin
+  }
+
   /** BARTLETT'S TEST of equal variances across return flags — the
     * PARAMETRIC twin of [[leveneQtyByFlag]] (Levene is robust to
     * non-normality; Bartlett is the more powerful likelihood-ratio form

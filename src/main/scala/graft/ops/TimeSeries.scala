@@ -3765,6 +3765,111 @@ object TimeSeries {
       |  (CAST(m AS DOUBLE) * r2num / r2den > 3.841458820694124) AS arch_95
       |FROM fin""".stripMargin
 
+  /** CHOW STRUCTURAL-BREAK TEST at the sample midpoint — does the
+    * daily-revenue TREND LINE change regime halfway through the study?
+    * [[changepoint]] finds the best LEVEL split; Chow tests a
+    * hypothesized break in the full linear model (intercept AND
+    * slope): F = ((SSR_pooled − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4)),
+    * the classic pre/post-policy regression diagnostic. Break point
+    * pinned at min-date + ⌊span/2⌋ days (a HYPOTHESIZED break is the
+    * test's contract — searching for it is q_changepoint's job).
+    *
+    * Determinism: one conditional aggregate carries all three
+    * segments' exact integer moments (n, Σt, Σy, Σty, Σt², Σy² with
+    * t = days since d₀ and y in whole cents); each SSR is the pinned
+    * expression (C − A²/B)/n on DOUBLES CONVERTED ONCE from exact
+    * decimals (A² at ~10³⁸ is why the square happens in double — the
+    * exact subterms A, B, C are decimal(38,0)); the 5% flag uses the
+    * asymptotic F(2,∞) = χ²₂/2 point (n ≈ 2 400 ⇒ the exact
+    * F(2, n−4) point differs in the third decimal — documented).
+    *
+    * Scale: one map-side-combinable daily aggregate → one row. */
+  def chowTest(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: org.apache.spark.sql.Column) = c.cast(big)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+    val bounds = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val based = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("dmin")).cast("long").as("t"),
+        col("y"),
+        (datediff(col("day"), col("dmin")) <
+          expr("datediff(dmax, dmin) div 2")).as("pre"))
+    def moms(flag: Column, suffix: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).cast("long").as(s"n$suffix"),
+      sum(when(flag, d0(col("t"))).otherwise(d0(lit(0)))).cast(big)
+        .as(s"st$suffix"),
+      sum(when(flag, d0(col("y"))).otherwise(d0(lit(0)))).cast(big)
+        .as(s"sy$suffix"),
+      sum(when(flag, d0(col("t")) * d0(col("y"))).otherwise(d0(lit(0))))
+        .cast(big).as(s"sty$suffix"),
+      sum(when(flag, d0(col("t")) * d0(col("t"))).otherwise(d0(lit(0))))
+        .cast(big).as(s"stt$suffix"),
+      sum(when(flag, d0(col("y")) * d0(col("y"))).otherwise(d0(lit(0))))
+        .cast(big).as(s"syy$suffix"))
+    val aggs = moms(lit(true), "p") ++ moms(col("pre"), "1") ++
+      moms(!col("pre"), "2")
+    val m = based.agg(aggs.head, aggs.tail: _*)
+    def ssr(x: String) =
+      s"""((CAST(n$x * syy$x - sy$x * sy$x AS DOUBLE)
+         |  - CAST(n$x * sty$x - st$x * sy$x AS DOUBLE)
+         |    * CAST(n$x * sty$x - st$x * sy$x AS DOUBLE)
+         |    / CAST(n$x * stt$x - st$x * st$x AS DOUBLE))
+         |  / CAST(n$x AS DOUBLE))""".stripMargin
+    val f = (expr(ssr("p")) - expr(ssr("1")) - expr(ssr("2"))) / 2.0 /
+      ((expr(ssr("1")) + expr(ssr("2"))) /
+        (col("np").cast("double") - 4.0))
+    m.select(col("np").as("n_days"), col("n1").as("n_pre"),
+      col("n2").as("n_post"),
+      round(f, 4).as("chow_f"),
+      (f > lit(2.995732273553991)).as("break_95"))
+  }
+
+  val chowTestSql: String = {
+    def ssr(x: String) =
+      s"""((CAST(n$x * syy$x - sy$x * sy$x AS DOUBLE)
+         |  - CAST(n$x * sty$x - st$x * sy$x AS DOUBLE)
+         |    * CAST(n$x * sty$x - st$x * sy$x AS DOUBLE)
+         |    / CAST(n$x * stt$x - st$x * st$x AS DOUBLE))
+         |  / CAST(n$x AS DOUBLE))""".stripMargin
+    def moms(cond: String, x: String) =
+      s"""CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n$x,
+         |    sum(CASE WHEN $cond THEN CAST(t AS HUGEINT) ELSE 0 END) AS st$x,
+         |    sum(CASE WHEN $cond THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy$x,
+         |    sum(CASE WHEN $cond THEN CAST(t AS HUGEINT) * y ELSE 0 END)
+         |      AS sty$x,
+         |    sum(CASE WHEN $cond THEN CAST(t AS HUGEINT) * t ELSE 0 END)
+         |      AS stt$x,
+         |    sum(CASE WHEN $cond THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+         |      AS syy$x""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS y
+       |  FROM orders GROUP BY 1),
+       |b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+       |based AS (
+       |  SELECT CAST(date_diff('day', b.dmin, d.day) AS BIGINT) AS t, d.y,
+       |    date_diff('day', b.dmin, d.day)
+       |      < date_diff('day', b.dmin, b.dmax) // 2 AS pre
+       |  FROM daily d CROSS JOIN b),
+       |m AS (
+       |  SELECT ${moms("TRUE", "p")},
+       |    ${moms("pre", "1")},
+       |    ${moms("NOT pre", "2")}
+       |  FROM based)
+       |SELECT np AS n_days, n1 AS n_pre, n2 AS n_post,
+       |  round(((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
+       |    / ((${ssr("1")} + ${ssr("2")}) / (CAST(np AS DOUBLE) - 4.0)), 4)
+       |    AS chow_f,
+       |  ((((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
+       |    / ((${ssr("1")} + ${ssr("2")}) / (CAST(np AS DOUBLE) - 4.0)))
+       |    > 2.995732273553991) AS break_95
+       |FROM m""".stripMargin
+  }
+
   /** Holt–Winters smoothing constants + season length — pinned. */
   val hwAlpha = 0.3
   val hwBeta = 0.1
