@@ -721,4 +721,108 @@ object EventStreams {
             mean(sx0, n0), mean(sx1, n1), z, fp))
       }
   }
+
+  // --------------------------------------------- Mantel-Haenszel monitor
+
+  final case class MhState(cells: Map[(Long, Long), (Long, Long)], snap: Long)
+  final case class MhOut(snapshot: Long, n_strata: Long,
+      or_mh: java.lang.Double, log_or_mh: java.lang.Double,
+      cmh_chi2: java.lang.Double, reject_95: Boolean)
+
+  /** md5-derived 50/50 variant, identical to the batch operators'
+    * `conv(substring(md5(user_id), 1, 15), 16, 10) % 2`. */
+  private[graft] def variantHash(userId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(userId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2
+  }
+
+  /** ISO week start (Monday) of an event timestamp, as epoch days —
+    * the streaming replica of the batch `date_trunc('week', ts)`
+    * (UTC is pinned JVM-wide, so LocalDateTime is session-UTC). */
+  private[graft] def weekStartEpochDay(ts: Timestamp): Long = {
+    val d = ts.toLocalDateTime.toLocalDate
+    d.minusDays(d.getDayOfWeek.getValue - 1L).toEpochDay
+  }
+
+  /** Streaming face of [[graft.ops.Behavior.mantelHaenszel]]: the
+    * activity-stratified variant→conversion monitor re-adjudicated
+    * after every micro-batch — the confounder-adjusted live dashboard
+    * next to [[sprtStream]]/[[aaCalibStream]]. A late event can move a
+    * user-week ACROSS strata (its event count grows) or flip its
+    * conversion, so the honest incremental rendering keeps the
+    * per-user-week (count, conv) map as state and rebuilds the ≤5
+    * stratum 2×2 cells per snapshot — the stratum census is O(5), the
+    * replay O(user-weeks), same contract as the SPRT face. All double
+    * arithmetic replays the batch column expressions' IEEE sequence
+    * (stratum-sorted fold, one ½ continuity literal), so per-prefix
+    * equality holds to the bit; or_mh is NULL while a prefix still has
+    * an empty denominator cell (the early-traffic state a live monitor
+    * must render, not crash on). */
+  def mhStream(events: Dataset[Event]): Dataset[MhOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[MhState, MhOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, batch: Iterator[Event], state: GroupState[MhState]) =>
+          val st = state.getOption.getOrElse(MhState(Map.empty, 0L))
+          var cells = st.cells
+          batch.foreach { e =>
+            val key = (weekStartEpochDay(e.ts), e.user_id)
+            val (n, c) = cells.getOrElse(key, (0L, 0L))
+            val conv = if (e.event_type == "purchase") 1L else c
+            cells = cells.updated(key, (n + 1, math.max(c, conv)))
+          }
+          // stratum 2x2 census from the user-week map
+          var strata = Map.empty[Long, (Long, Long, Long, Long)]
+          cells.foreach { case ((_, u), (n, c)) =>
+            val s = math.min(n / 5, 4L)
+            val v = variantHash(u)
+            val (a, b, cc, dd) = strata.getOrElse(s, (0L, 0L, 0L, 0L))
+            val upd =
+              if (v == 1 && c == 1) (a + 1, b, cc, dd)
+              else if (v == 1) (a, b + 1, cc, dd)
+              else if (c == 1) (a, b, cc + 1, dd)
+              else (a, b, cc, dd + 1)
+            strata = strata.updated(s, upd)
+          }
+          var orNum = 0.0; var orDen = 0.0
+          var sa = 0.0; var se = 0.0; var sv = 0.0
+          var k = 0L
+          strata.toSeq.sortBy(_._1).foreach { case (_, (a, b, c, d)) =>
+            k += 1
+            val n = a + b + c + d
+            if (n >= 2) {
+              orNum += (a * d).toDouble / n.toDouble
+              orDen += (b * c).toDouble / n.toDouble
+              sa += a.toDouble
+              se += ((a + b) * (a + c)).toDouble / n.toDouble
+              // ONE exact-integer product converted once (the batch's
+              // CAST(decimal AS DOUBLE)); stepwise double products round
+              // differently and the 4-factor product can pass 2^63
+              sv += (BigInt(a + b) * (c + d) * (a + c) * (b + d)).toDouble /
+                (n.toDouble * n * (n.toDouble - 1.0))
+            }
+          }
+          def round(x: Double, s: Int): Double =
+            BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          val chiRaw: Option[Double] =
+            if (sv > 0.0)
+              Some(math.pow(math.max(math.abs(sa - se) - 0.5, 0.0), 2) / sv)
+            else None
+          val orOk = orDen > 0.0 && orNum > 0.0
+          val snap = st.snap + 1
+          state.update(MhState(cells, snap))
+          Iterator(MhOut(snap, k,
+            if (orOk) java.lang.Double.valueOf(round(orNum / orDen, 6))
+            else null,
+            if (orOk) java.lang.Double.valueOf(
+              round(math.log(orNum / orDen), 6)) else null,
+            chiRaw.map(v => java.lang.Double.valueOf(round(v, 4))).orNull,
+            chiRaw.exists(_ > 3.841458820694124)))
+      }
+  }
 }

@@ -187,6 +187,30 @@ class Round10AdditionsSpec extends GraftTestBase {
     }
   }
 
+  behavior of "gamesHowellPairs (q_games_howell)"
+
+  it should "score every unordered type pair with huge Welch dfs" in {
+    val rows = Analytics.gamesHowellPairs(spark, sf).collect()
+    rows should have size 10 // C(5, 2)
+    rows.foreach { r =>
+      r.getAs[String]("ta") should be < r.getAs[String]("tb")
+      r.getAs[Double]("q_gh") should be >= 0.0
+      // per-pair Satterthwaite df is bounded by the pooled df
+      r.getAs[Double]("df_welch") should be > 1.0
+    }
+  }
+
+  behavior of "chowTest (q_chow)"
+
+  it should "split the sample at the midpoint with a nonnegative F" in {
+    val r = TimeSeries.chowTest(spark, sf).head()
+    val n = r.getAs[Long]("n_days")
+    (r.getAs[Long]("n_pre") + r.getAs[Long]("n_post")) shouldBe n
+    // halves within one day of each other
+    math.abs(r.getAs[Long]("n_pre") - r.getAs[Long]("n_post")) should be <= 2L
+    r.getAs[Double]("chow_f") should be >= 0.0
+  }
+
   behavior of "clusterValidity (q_cluster_validity)"
 
   it should "agree with silhouette that the label partition is weak" in {
