@@ -469,6 +469,8 @@ object SparkEntry {
     "q_holt_winters"    -> (graft.ops.TimeSeries.holtWinters _),
     "q_games_howell"    -> (graft.ops.Analytics.gamesHowellPairs _),
     "q_chow"            -> (graft.ops.TimeSeries.chowTest _),
+    "q_dedup_eval"      -> (Dedup.dedupEval _),
+    "q_poisson_glm"     -> (graft.ops.Analytics.poissonGlm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1104,5 +1106,7 @@ object SparkEntry {
     "q_holt_winters"     -> graft.ops.TimeSeries.holtWintersSql,
     "q_games_howell"     -> graft.ops.Analytics.gamesHowellPairsSql,
     "q_chow"             -> graft.ops.TimeSeries.chowTestSql,
+    "q_dedup_eval"       -> Dedup.dedupEvalSql,
+    "q_poisson_glm"      -> graft.ops.Analytics.poissonGlmSql,
   )
 }

@@ -1029,4 +1029,92 @@ object Dedup {
       |  round(CAST(m.n_members - coalesce(pc.n_dropped, 0) AS DOUBLE)
       |    / m.n_members, 6) AS keep_rate
       |FROM m LEFT JOIN pc USING (label) ORDER BY m.label""".stripMargin
+
+  /** Truth threshold for [[dedupEval]]: a pair is a REAL near-dup iff
+    * its exact shingle Jaccard reaches this. */
+  val dedupEvalJaccard = 0.5
+
+  /** DEDUP PIPELINE EVALUATION — precision/recall of the [[minhashLsh]]
+    * banding against exact-Jaccard ground truth, the END-TO-END grade
+    * of the near-dup index ([[minhashCalibration]] characterizes the
+    * estimator per agreement level; this answers the production
+    * question: "of the pairs the index surfaces, how many are real,
+    * and how many real pairs does it miss at J ≥
+    * [[dedupEvalJaccard]]?"). The theoretical banding recall at the
+    * threshold, 1−(1−J^b)^r, ships alongside so measured-vs-theory is
+    * one row.
+    *
+    * Ground truth is COMPLETE without all-pairs: a pair with J ≥ 0.5
+    * shares shingles, so the [[ngramJaccard]] posting-list enumeration
+    * (pairs sharing ≥ 1 shingle) provably contains every true pair —
+    * the inverted index IS the exhaustive oracle at any corpus size.
+    * Precision/recall are one division of exact longs each; F1 uses
+    * the harmonic identity 2·hit/(cand + true) — one more exact
+    * division, no 0/0 (denominators guarded total).
+    *
+    * Scale: both legs are the existing posting-list pipelines (no
+    * self-join, df-capped); the comparison join touches only candidate
+    * pairs. */
+  def dedupEval(s: SparkSession, d: String): DataFrame = {
+    val truth = ngramJaccard(s, d)
+      .filter(col("jaccard") >= dedupEvalJaccard)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+    val cand = minhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
+    val theory = 1.0 - math.pow(
+      1.0 - math.pow(dedupEvalJaccard, bandWidth), numBands)
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("is_cand"), lit(0L))).cast("long").as("n_candidates"),
+        sum(coalesce(col("is_true"), lit(0L))).cast("long").as("n_true"),
+        sum(when(col("is_cand").isNotNull && col("is_true").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("n_hit"))
+      .select(col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_candidates"), lit(1L)).cast("double"), 6)
+          .as("precision"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_true"), lit(1L)).cast("double"), 6).as("recall"),
+        round(lit(2.0) * col("n_hit").cast("double") /
+          greatest(col("n_candidates") + col("n_true"), lit(1L))
+            .cast("double"), 6).as("f1"),
+        round(lit(theory), 6).as("theory_recall_at_t"))
+  }
+
+  lazy val dedupEvalSql: String = {
+    val theory = 1.0 - math.pow(
+      1.0 - math.pow(dedupEvalJaccard, bandWidth), numBands)
+    s"""WITH $minhashPairsBody,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+       |    >= $dedupEvalJaccard),
+       |cand AS (SELECT doc_a, doc_b FROM pairs),
+       |j AS (
+       |  SELECT
+       |    CAST(count(c.doc_a) AS BIGINT) AS n_candidates_hitside,
+       |    CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM truth t FULL OUTER JOIN cand c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |SELECT n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE)
+       |    / CAST(greatest(n_candidates, 1) AS DOUBLE), 6) AS precision,
+       |  round(CAST(n_hit AS DOUBLE)
+       |    / CAST(greatest(n_true, 1) AS DOUBLE), 6) AS recall,
+       |  round(2.0 * CAST(n_hit AS DOUBLE)
+       |    / CAST(greatest(n_candidates + n_true, 1) AS DOUBLE), 6) AS f1,
+       |  round(CAST($theory AS DOUBLE), 6) AS theory_recall_at_t
+       |FROM j""".stripMargin
+  }
 }

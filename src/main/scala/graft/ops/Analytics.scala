@@ -5180,6 +5180,128 @@ object Analytics {
        |FROM fite, fito, packed""".stripMargin
   }
 
+  /** Newton iterations for [[poissonGlm]]. */
+  val poissonIters = 8
+
+  /** POISSON GLM of daily order counts on time — the COUNT-family
+    * member completing the GLM pair with [[logisticRegression]]
+    * (binomial/logit there, Poisson/log here): fit
+    * ln μ = β₀ + β₁·t over the day census by IRLS, and report the
+    * PEARSON DISPERSION X²/(n−2) alongside — the "is Poisson even
+    * right?" readout (dispersion ≫ 1 says negative-binomial) that
+    * every count-model pipeline checks first. β₁ is the daily growth
+    * RATE (multiplicative trend), the GLM-correct version of what an
+    * OLS slope on counts mangles.
+    *
+    * Determinism: the day census (t, y) is exact integers; β₀
+    * initializes at round(ln(ȳ), 12) (one pinned transcendental —
+    * from zero the log-link Newton wanders); the [[poissonIters]]-step
+    * fold and the deviance/X² folds run over the day-sorted array
+    * with exp on identical doubles; outputs round 6/4.
+    *
+    * Scale: one map-side-combinable daily aggregate → one-row folds
+    * (the accepted O(days) class). */
+  def poissonGlm(s: SparkSession, d: String): DataFrame = {
+    val k = poissonIters
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val bounds = daily.agg(min(col("day")).as("dmin"))
+    val packed = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("dmin")).cast("long").as("t"),
+        col("y"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("sy"),
+        sort_array(collect_list(struct(col("t"), col("y")))).as("cs"))
+    def mu(b: String) = s"exp($b[0] + $b[1] * CAST(c.t AS DOUBLE))"
+    def mom(term: String, b: String) =
+      s"""aggregate(cs, CAST(0.0 AS DOUBLE), (acc, c) -> acc + ($term))"""
+        .replace("MU", mu(b))
+    val sums = Seq(
+      "(CAST(c.y AS DOUBLE) - MU)",
+      "(CAST(c.y AS DOUBLE) - MU) * CAST(c.t AS DOUBLE)",
+      "MU",
+      "MU * CAST(c.t AS DOUBLE)",
+      "MU * CAST(c.t AS DOUBLE) * CAST(c.t AS DOUBLE)")
+    def sumsArr(b: String) =
+      sums.map(t => mom(t, b)).mkString("array(", ",\n", ")")
+    val det = "(s[2] * s[4] - s[3] * s[3])"
+    val d0u = s"(s[4] * s[0] - s[3] * s[1]) / $det"
+    val d1u = s"(s[2] * s[1] - s[3] * s[0]) / $det"
+    val fitted = packed.select(col("n"), col("sy"), col("cs"),
+      expr(
+        s"""aggregate(sequence(1, $k),
+           |  array(round(ln(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 12),
+           |        CAST(0.0 AS DOUBLE)),
+           |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
+           |    (bb, s) -> array(bb[0] + $d0u, bb[1] + $d1u)))"""
+          .stripMargin).as("b"))
+    // Pearson X² and deviance folds on the fitted b (y ln(y/μ) with the
+    // y = 0 limit handled by the CASE — ln never sees 0)
+    val x2 = mom("(CAST(c.y AS DOUBLE) - MU) * (CAST(c.y AS DOUBLE) - MU) / MU", "b")
+    val dev = mom(
+      """2.0 * ((CASE WHEN c.y > 0
+        |  THEN CAST(c.y AS DOUBLE) * ln(CAST(c.y AS DOUBLE) / MU)
+        |  ELSE 0.0 END) - (CAST(c.y AS DOUBLE) - MU))""".stripMargin, "b")
+    fitted.select(col("n").as("n_days"), col("sy").as("n_orders"),
+      round(expr("b[0]"), 6).as("beta0"),
+      round(expr("b[1]"), 8).as("beta_t"),
+      round(expr(dev), 4).as("deviance"),
+      round(expr(x2) / (col("n").cast("double") - 2.0), 4)
+        .as("dispersion"))
+  }
+
+  lazy val poissonGlmSql: String = {
+    val k = poissonIters
+    def mu(b: String) = s"exp($b[1] + $b[2] * CAST(c.t AS DOUBLE))"
+    def mom(term: String, b: String) =
+      s"""list_sum(list_transform(cs, c -> ($term)))""".replace("MU", mu(b))
+    val sums = Seq(
+      "(CAST(c.y AS DOUBLE) - MU)",
+      "(CAST(c.y AS DOUBLE) - MU) * CAST(c.t AS DOUBLE)",
+      "MU",
+      "MU * CAST(c.t AS DOUBLE)",
+      "MU * CAST(c.t AS DOUBLE) * CAST(c.t AS DOUBLE)")
+    def sumsArr(b: String) =
+      sums.map(t => mom(t, b)).mkString("[", ",\n", "]")
+    val det = "(s[3] * s[5] - s[4] * s[4])"
+    val d0u = s"(s[5] * s[1] - s[4] * s[2]) / $det"
+    val d1u = s"(s[3] * s[2] - s[4] * s[1]) / $det"
+    val x2 = mom("(CAST(c.y AS DOUBLE) - MU) * (CAST(c.y AS DOUBLE) - MU) / MU", "b")
+    val dev = mom(
+      """2.0 * ((CASE WHEN c.y > 0
+        |  THEN CAST(c.y AS DOUBLE) * ln(CAST(c.y AS DOUBLE) / MU)
+        |  ELSE 0.0 END) - (CAST(c.y AS DOUBLE) - MU))""".stripMargin, "b")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |b0 AS (SELECT min(day) AS dmin FROM daily),
+       |packed AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    list(struct_pack(
+       |      t := CAST(date_diff('day', b0.dmin, day) AS BIGINT), y := y)
+       |      ORDER BY date_diff('day', b0.dmin, day)) AS cs
+       |  FROM daily CROSS JOIN b0),
+       |newton(t, b) AS (
+       |  SELECT 0, [round(ln(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 12),
+       |    CAST(0.0 AS DOUBLE)] FROM packed
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    ([ [b[1] + $d0u, b[2] + $d1u]
+       |       for s in [${sumsArr("b")}] ])[1]
+       |  FROM newton, packed
+       |  WHERE t < $k),
+       |fit AS (SELECT b FROM newton WHERE t = $k)
+       |SELECT n AS n_days, sy AS n_orders,
+       |  round(b[1], 6) AS beta0,
+       |  round(b[2], 8) AS beta_t,
+       |  round($dev, 4) AS deviance,
+       |  round(($x2) / (CAST(n AS DOUBLE) - 2.0), 4) AS dispersion
+       |FROM fit, packed""".stripMargin
+  }
+
   /** HOEFFDING'S D between discount and quantity — the nonparametric
     * dependence test that catches what [[kendallCorrelation]] and the
     * Spearman family cannot: NON-MONOTONE association (a U-shape has
