@@ -214,6 +214,35 @@ class Round10AdditionsSpec extends GraftTestBase {
     r.getAs[Double]("chow_f") should be >= 0.0
   }
 
+  behavior of "dedupEval (q_dedup_eval)"
+
+  it should "bound hits by both legs and respect the F1 identity" in {
+    val r = graft.dedup.Dedup.dedupEval(spark, sf).head()
+    val hit = r.getAs[Long]("n_hit")
+    hit should be <= r.getAs[Long]("n_candidates")
+    hit should be <= r.getAs[Long]("n_true")
+    // harmonic identity: F1 = 2 hit / (cand + true)
+    r.getAs[Double]("f1") shouldBe
+      (2.0 * hit / math.max(r.getAs[Long]("n_candidates") +
+        r.getAs[Long]("n_true"), 1L) +- 1e-5)
+    // the banding's measured recall should clear its theoretical floor
+    // (true pairs here sit well above the J = 0.5 threshold)
+    r.getAs[Double]("recall") should be >=
+      r.getAs[Double]("theory_recall_at_t") - 0.15
+  }
+
+  behavior of "poissonGlm (q_poisson_glm)"
+
+  it should "recover the mean rate with near-unit dispersion" in {
+    val r = Analytics.poissonGlm(spark, sf).head()
+    val meanRate = r.getAs[Long]("n_orders").toDouble / r.getAs[Long]("n_days")
+    // flat trend: beta0 ~ ln(mean), beta_t ~ 0
+    r.getAs[Double]("beta0") shouldBe (math.log(meanRate) +- 0.5)
+    math.abs(r.getAs[Double]("beta_t")) should be < 0.01
+    r.getAs[Double]("deviance") should be >= 0.0
+    r.getAs[Double]("dispersion") should be > 0.0
+  }
+
   behavior of "clusterValidity (q_cluster_validity)"
 
   it should "agree with silhouette that the label partition is weak" in {
