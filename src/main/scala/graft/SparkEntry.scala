@@ -471,6 +471,7 @@ object SparkEntry {
     "q_chow"            -> (graft.ops.TimeSeries.chowTest _),
     "q_dedup_eval"      -> (Dedup.dedupEval _),
     "q_poisson_glm"     -> (graft.ops.Analytics.poissonGlm _),
+    "q_schoenfeld"      -> (graft.ops.Behavior.schoenfeldPh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1108,5 +1109,6 @@ object SparkEntry {
     "q_chow"             -> graft.ops.TimeSeries.chowTestSql,
     "q_dedup_eval"       -> Dedup.dedupEvalSql,
     "q_poisson_glm"      -> graft.ops.Analytics.poissonGlmSql,
+    "q_schoenfeld"       -> graft.ops.Behavior.schoenfeldPhSql,
   )
 }

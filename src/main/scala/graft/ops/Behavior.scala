@@ -5070,8 +5070,10 @@ object Behavior {
     * doubles; outputs round 6/4.
     *
     * Scale: one user aggregate → O(study hours) grid → one-row folds. */
-  def coxPh(s: SparkSession, d: String): DataFrame = {
-    val k = coxIters
+  /** The one-row per-event-time frame (events1, events, a) both
+    * [[coxPh]] and [[schoenfeldPh]] fold over — the [[logRank]]
+    * dense-grid construction packed time-sorted. */
+  private def coxEventFrame(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val perUser = ev.groupBy(col("user_id"))
       .agg(
@@ -5108,7 +5110,7 @@ object Behavior {
       (sum(col("d") + col("c")).over(wAllG) -
         sum(col("d") + col("c")).over(wCumG) + col("d") + col("c"))
         .cast("long").as("nr"))
-    val packed = atRisk.groupBy("dur_h")
+    atRisk.groupBy("dur_h")
       .agg(sum(when(col("g") === 1, col("d")).otherwise(0L)).as("d1"),
         sum(col("d")).as("dt"),
         max(when(col("g") === 1, col("nr"))).as("n1"),
@@ -5118,23 +5120,33 @@ object Behavior {
         sum(col("dt")).cast("long").as("events"),
         sort_array(collect_list(struct(col("dur_h"), col("d1"), col("dt"),
           col("n1"), col("n0")))).as("a"))
-    // U and I as text macros over the packed array, b a scalar double
-    def uOf(b: String) =
-      s"""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) -> acc
-         |  + CAST(e.d1 AS DOUBLE)
-         |  - CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
-         |    / (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE)))"""
-        .stripMargin
-    def iOf(b: String) =
-      s"""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) -> acc
-         |  + CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
-         |    * CAST(e.n0 AS DOUBLE)
-         |    / ((CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))
-         |      * (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))))"""
-        .stripMargin
+  }
+
+  // U and I as text macros over the packed array, b a scalar double
+  private def coxU(b: String) =
+    s"""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) -> acc
+       |  + CAST(e.d1 AS DOUBLE)
+       |  - CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
+       |    / (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE)))"""
+      .stripMargin
+  private def coxI(b: String) =
+    s"""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) -> acc
+       |  + CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
+       |    * CAST(e.n0 AS DOUBLE)
+       |    / ((CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))
+       |      * (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))))"""
+      .stripMargin
+  /** The [[coxIters]]-step Newton fold as a text macro. */
+  private def coxBetaExpr: String =
+    s"""aggregate(sequence(1, $coxIters), CAST(0.0 AS DOUBLE),
+       (b, t) -> b + (${coxU("b")}) / (${coxI("b")}))"""
+
+  def coxPh(s: SparkSession, d: String): DataFrame = {
+    def uOf(b: String) = coxU(b)
+    def iOf(b: String) = coxI(b)
+    val packed = coxEventFrame(s, d)
     val fitted = packed.select(col("events1"), col("events"), col("a"),
-      expr(s"""aggregate(sequence(1, $k), CAST(0.0 AS DOUBLE),
-        (b, t) -> b + (${uOf("b")}) / (${iOf("b")}))""").as("beta"))
+      expr(coxBetaExpr).as("beta"))
     fitted.select(col("events1"), col("events"),
       round(col("beta"), 6).as("beta_hat"),
       round(exp(col("beta")), 6).as("hazard_ratio"),
@@ -5220,6 +5232,163 @@ object Behavior {
        |  round((${uOf("CAST(0.0 AS DOUBLE)")})
        |    / sqrt(${iOf("CAST(0.0 AS DOUBLE)")}), 4) AS score_z
        |FROM fit, packed""".stripMargin
+  }
+
+  /** SCHOENFELD PH DIAGNOSTIC — the assumption check [[coxPh]]'s
+    * hazard ratio is only valid under: proportional hazards means the
+    * per-event-time Schoenfeld residual rₜ = d₁ₜ − dₜ·p̂ₜ(β̂) (observed
+    * minus expected arm-1 events given the risk set) is trendless in
+    * time; a correlation with event-time RANK says the effect drifts
+    * (early boost fading, late-onset harm) and the single HR is a lie.
+    * The Grambsch–Therneau idea in its rank-correlation form:
+    * z = r·√(m−2)/√(1−r²) against the normal 5% point.
+    *
+    * Determinism: residuals come from the SAME packed frame and the
+    * same Newton β̂ macro as [[coxPh]] (textual reuse, identical
+    * doubles); the three residual sums fold once over the time-sorted
+    * array with a position counter in the accumulator (each field's
+    * additions are the same sequence as the oracle's per-quantity
+    * index folds); rank moments Σi, Σi² are closed-form exact longs;
+    * outputs round 6/4.
+    *
+    * Scale: inherits [[coxEventFrame]]'s O(study hours) grid. */
+  def schoenfeldPh(s: SparkSession, d: String): DataFrame = {
+    val rTerm =
+      """(CAST(e.d1 AS DOUBLE)
+        |  - CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp(beta))
+        |    / (CAST(e.n1 AS DOUBLE) * exp(beta) + CAST(e.n0 AS DOUBLE)))"""
+        .stripMargin
+    val packed = coxEventFrame(s, d)
+      .select(col("events"), col("a"), size(col("a")).cast("long").as("m"),
+        expr(coxBetaExpr).as("beta"))
+    val folded = packed.select(col("events"), col("m"), col("beta"),
+      expr(
+        s"""aggregate(a,
+           |  named_struct('i', CAST(0 AS BIGINT), 'sr', CAST(0.0 AS DOUBLE),
+           |    'srr', CAST(0.0 AS DOUBLE), 'sir', CAST(0.0 AS DOUBLE)),
+           |  (acc, e) -> named_struct(
+           |    'i', acc.i + 1,
+           |    'sr', acc.sr + $rTerm,
+           |    'srr', acc.srr + $rTerm * $rTerm,
+           |    'sir', acc.sir + CAST(acc.i + 1 AS DOUBLE) * $rTerm))"""
+          .stripMargin).as("st"))
+    val m = col("m").cast("double")
+    // rank moments are closed forms of m (exact integers)
+    val si = m * (m + 1.0) / 2.0
+    val sii = m * (m + 1.0) * (lit(2.0) * m + 1.0) / 6.0
+    val num = m * col("st.sir") - si * col("st.sr")
+    val den = sqrt((m * sii - si * si) *
+      (m * col("st.srr") - col("st.sr") * col("st.sr")))
+    val r = num / den
+    folded.select(col("m").as("n_event_times"),
+      round(col("beta"), 6).as("beta_hat"),
+      round(r, 6).as("rank_corr"),
+      round(r * sqrt(m - 2.0) / sqrt(lit(1.0) - r * r), 4).as("z_stat"),
+      (abs(r * sqrt(m - 2.0) / sqrt(lit(1.0) - r * r)) <
+        lit(1.959963984540054)).as("ph_holds_95"))
+  }
+
+  lazy val schoenfeldPhSql: String = {
+    val k = coxIters
+    def uOf(b: String) =
+      s"""list_sum(list_transform(a, e ->
+         |  CAST(e.d1 AS DOUBLE)
+         |  - CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
+         |    / (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))))"""
+        .stripMargin
+    def iOf(b: String) =
+      s"""list_sum(list_transform(a, e ->
+         |  CAST(e.dt AS DOUBLE) * (CAST(e.n1 AS DOUBLE) * exp($b))
+         |    * CAST(e.n0 AS DOUBLE)
+         |    / ((CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))
+         |      * (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE)))))"""
+        .stripMargin
+    def rOf(i: String) =
+      s"""(CAST(a[$i].d1 AS DOUBLE)
+         |  - CAST(a[$i].dt AS DOUBLE) * (CAST(a[$i].n1 AS DOUBLE) * exp(b))
+         |    / (CAST(a[$i].n1 AS DOUBLE) * exp(b)
+         |      + CAST(a[$i].n0 AS DOUBLE)))""".stripMargin
+    s"""WITH RECURSIVE per_user AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+       |  FROM events GROUP BY user_id),
+       |study AS (SELECT max(ts) AS t_end FROM events),
+       |durations AS (
+       |  SELECT
+       |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 2 AS INTEGER) AS g,
+       |    CASE WHEN tp IS NOT NULL AND tp >= t0
+       |      THEN (epoch_us(tp) // 1000000 - epoch_us(t0) // 1000000) // 3600
+       |      ELSE (epoch_us(t_end) // 1000000 - epoch_us(t0) // 1000000) // 3600
+       |    END AS dur_h,
+       |    tp IS NOT NULL AND tp >= t0 AS converted
+       |  FROM per_user CROSS JOIN study WHERE t0 IS NOT NULL),
+       |by_cell AS (
+       |  SELECT dur_h, g,
+       |    sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+       |    sum(CASE WHEN converted THEN 0 ELSE 1 END) AS c
+       |  FROM durations GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT t.dur_h, gg.g,
+       |    COALESCE(b.d, 0) AS d, COALESCE(b.c, 0) AS c
+       |  FROM (SELECT DISTINCT dur_h FROM by_cell) t
+       |  CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+       |  LEFT JOIN by_cell b ON b.dur_h = t.dur_h AND b.g = gg.g),
+       |at_risk AS (
+       |  SELECT dur_h, g, d,
+       |    CAST(sum(d + c) OVER (PARTITION BY g)
+       |      - sum(d + c) OVER (PARTITION BY g ORDER BY dur_h
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      + d + c AS BIGINT) AS nr
+       |  FROM grid),
+       |wide AS (
+       |  SELECT dur_h,
+       |    CAST(sum(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(d) AS BIGINT) AS dt,
+       |    max(CASE WHEN g = 1 THEN nr END) AS n1,
+       |    max(CASE WHEN g = 0 THEN nr END) AS n0
+       |  FROM at_risk GROUP BY 1),
+       |packed AS (
+       |  SELECT CAST(sum(dt) AS BIGINT) AS events,
+       |    CAST(count(*) AS BIGINT) AS m,
+       |    list(struct_pack(dur_h := dur_h, d1 := d1, dt := dt,
+       |      n1 := n1, n0 := n0) ORDER BY dur_h) AS a
+       |  FROM wide WHERE dt > 0),
+       |newton(t, b) AS (
+       |  SELECT 0, CAST(0.0 AS DOUBLE) FROM packed
+       |  UNION ALL
+       |  SELECT t + 1, b + (${uOf("b")}) / (${iOf("b")})
+       |  FROM newton, packed WHERE t < $k),
+       |fit AS (SELECT b FROM newton WHERE t = $k),
+       |sums AS (
+       |  SELECT m, b,
+       |    list_sum(list_transform(generate_series(1, CAST(m AS INTEGER)),
+       |      i -> ${rOf("i")})) AS sr,
+       |    list_sum(list_transform(generate_series(1, CAST(m AS INTEGER)),
+       |      i -> ${rOf("i")} * ${rOf("i")})) AS srr,
+       |    list_sum(list_transform(generate_series(1, CAST(m AS INTEGER)),
+       |      i -> CAST(i AS DOUBLE) * ${rOf("i")})) AS sir
+       |  FROM packed, fit),
+       |stat AS (
+       |  SELECT m, b,
+       |    (CAST(m AS DOUBLE) * sir
+       |      - (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0) / 2.0) * sr)
+       |    / sqrt((CAST(m AS DOUBLE) * (CAST(m AS DOUBLE)
+       |        * (CAST(m AS DOUBLE) + 1.0) * (2.0 * CAST(m AS DOUBLE) + 1.0)
+       |        / 6.0)
+       |      - (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0) / 2.0)
+       |        * (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0) / 2.0))
+       |      * (CAST(m AS DOUBLE) * srr - sr * sr)) AS r
+       |  FROM sums)
+       |SELECT m AS n_event_times,
+       |  round(b, 6) AS beta_hat,
+       |  round(r, 6) AS rank_corr,
+       |  round(r * sqrt(CAST(m AS DOUBLE) - 2.0) / sqrt(1.0 - r * r), 4)
+       |    AS z_stat,
+       |  (abs(r * sqrt(CAST(m AS DOUBLE) - 2.0) / sqrt(1.0 - r * r))
+       |    < 1.959963984540054) AS ph_holds_95
+       |FROM stat""".stripMargin
   }
 
 }
