@@ -243,6 +243,19 @@ class Round10AdditionsSpec extends GraftTestBase {
     r.getAs[Double]("dispersion") should be > 0.0
   }
 
+  behavior of "schoenfeldPh (q_schoenfeld)"
+
+  it should "find no hazard drift on null arms and share the Cox beta" in {
+    val sc = Behavior.schoenfeldPh(spark, sf).head()
+    val cox = Behavior.coxPh(spark, sf).head()
+    // identical Newton macro over the identical frame → identical beta
+    sc.getAs[Double]("beta_hat") shouldBe cox.getAs[Double]("beta_hat")
+    math.abs(sc.getAs[Double]("rank_corr")) should be <= 1.0
+    // hash-randomized arms: the proportional-hazards check must pass
+    sc.getAs[Boolean]("ph_holds_95") shouldBe true
+    sc.getAs[Long]("n_event_times") should be > 2L
+  }
+
   behavior of "clusterValidity (q_cluster_validity)"
 
   it should "agree with silhouette that the label partition is weak" in {
