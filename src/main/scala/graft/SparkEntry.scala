@@ -472,6 +472,8 @@ object SparkEntry {
     "q_dedup_eval"      -> (Dedup.dedupEval _),
     "q_poisson_glm"     -> (graft.ops.Analytics.poissonGlm _),
     "q_schoenfeld"      -> (graft.ops.Behavior.schoenfeldPh _),
+    "q_breusch_pagan"   -> (graft.ops.TimeSeries.breuschPagan _),
+    "q_jarque_bera"     -> (graft.ops.TimeSeries.jarqueBera _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1110,5 +1112,7 @@ object SparkEntry {
     "q_dedup_eval"       -> Dedup.dedupEvalSql,
     "q_poisson_glm"      -> graft.ops.Analytics.poissonGlmSql,
     "q_schoenfeld"       -> graft.ops.Behavior.schoenfeldPhSql,
+    "q_breusch_pagan"    -> graft.ops.TimeSeries.breuschPaganSql,
+    "q_jarque_bera"      -> graft.ops.TimeSeries.jarqueBeraSql,
   )
 }

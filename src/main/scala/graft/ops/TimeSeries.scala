@@ -3870,6 +3870,204 @@ object TimeSeries {
        |FROM m""".stripMargin
   }
 
+  /** Shared base for the OLS residual diagnostics ([[breuschPagan]],
+    * [[jarqueBera]]): the daily-revenue day census packed day-sorted
+    * with the OLS (intercept, slope) of cents on day index — both as
+    * pinned doubles off exact integer moments. Completes the
+    * regression-diagnostic battery with [[durbinWatson]]
+    * (autocorrelation) and [[chowTest]] (structural break). */
+  private def olsDailyPacked(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def d0(c: org.apache.spark.sql.Column) = c.cast(big)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+    val bounds = daily.agg(min(col("day")).as("dmin"))
+    daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("dmin")).cast("long").as("t"),
+        col("y"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d0(col("t"))).cast(big).as("st"),
+        sum(d0(col("y"))).cast(big).as("sy"),
+        sum(d0(col("t")) * d0(col("y"))).cast(big).as("sty"),
+        sum(d0(col("t")) * d0(col("t"))).cast(big).as("stt"),
+        sort_array(collect_list(struct(col("t"), col("y")))).as("cs"))
+      // slope/intercept: exact decimal subterms, ONE conversion each
+      .select(col("n"), col("cs"),
+        ((col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+          (col("n") * col("stt") - col("st") * col("st")).cast("double"))
+          .as("slope"),
+        (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+        (col("st").cast("double") / col("n").cast("double")).as("tbar"))
+      .select(col("n"), col("cs"), col("slope"),
+        (col("ybar") - col("slope") * col("tbar")).as("icept"))
+  }
+
+  /** Residual macro shared by both diagnostics (identical text both
+    * engines): e = y − (icept + slope·t). */
+  private val olsResid =
+    "(CAST(c.y AS DOUBLE) - (icept + slope * CAST(c.t AS DOUBLE)))"
+
+  /** BREUSCH–PAGAN TEST on the daily-revenue trend OLS — is the
+    * residual VARIANCE itself a function of time? The
+    * heteroscedasticity member of the residual battery
+    * ([[durbinWatson]] autocorrelation, [[jarqueBera]] normality,
+    * [[chowTest]] break, [[archTest]] lag-dependence of variance):
+    * regress e² on t, LM = n·R² ~ χ²(1). A growing business usually
+    * fails this — revenue noise scales with revenue — which is why
+    * trend CIs need robust (White) errors.
+    *
+    * Determinism: the auxiliary regression's five moments fold over
+    * the SAME day-sorted array as the base fit, with e² the pinned
+    * [[olsResid]] macro squared; one R² formula; χ²(1) 5% pinned.
+    * Scale: one daily aggregate → one-row folds (the accepted
+    * O(days) class). */
+  def breuschPagan(s: SparkSession, d: String): DataFrame = {
+    def f(term: String) =
+      s"""aggregate(cs, CAST(0.0 AS DOUBLE), (acc, c) -> acc + ($term))"""
+        .replace("E2", s"($olsResid * $olsResid)")
+    val folded = olsDailyPacked(s, d).select(col("n"),
+      expr(f("E2")).as("su"),
+      expr(f("E2 * CAST(c.t AS DOUBLE)")).as("sut"),
+      expr(f("E2 * E2")).as("suu"),
+      expr(f("CAST(c.t AS DOUBLE)")).as("stt1"),
+      expr(f("CAST(c.t AS DOUBLE) * CAST(c.t AS DOUBLE)")).as("stt2"))
+    val m = col("n").cast("double")
+    val r2num = (m * col("sut") - col("stt1") * col("su")) *
+      (m * col("sut") - col("stt1") * col("su"))
+    val r2den = (m * col("stt2") - col("stt1") * col("stt1")) *
+      (m * col("suu") - col("su") * col("su"))
+    folded.select(col("n").as("n_days"),
+      round(r2num / r2den, 6).as("r2_aux"),
+      round(m * r2num / r2den, 4).as("lm_stat"),
+      (m * r2num / r2den > lit(3.841458820694124)).as("hetero_95"))
+  }
+
+  /** JARQUE–BERA TEST on the same residuals — are they NORMAL enough
+    * for the OLS t/F machinery? JB = n·(S²/6 + (K−3)²/24) from the
+    * residual skewness and kurtosis; heavy-tailed revenue shocks fail
+    * here long before they show in a variance plot.
+    *
+    * Determinism: the four central-moment sums fold day-sorted with
+    * the pinned [[olsResid]] macro (mean term folded first, then the
+    * powered deviations in a second fold referencing it); powers are
+    * written as explicit products; outputs round 6/4; χ²(2) 5%
+    * pinned. Scale: same one-row O(days) class. */
+  def jarqueBera(s: SparkSession, d: String): DataFrame = {
+    def f(term: String) =
+      s"""aggregate(cs, CAST(0.0 AS DOUBLE), (acc, c) -> acc + ($term))"""
+    val base = olsDailyPacked(s, d).select(col("n"), col("cs"),
+      col("icept"), col("slope"),
+      (expr(f(olsResid)) / col("n").cast("double")).as("ebar"))
+    def dev = s"($olsResid - ebar)"
+    val folded = base.select(col("n"),
+      expr(f(s"$dev * $dev")).as("m2s"),
+      expr(f(s"$dev * $dev * $dev")).as("m3s"),
+      expr(f(s"$dev * $dev * $dev * $dev")).as("m4s"))
+    val m = col("n").cast("double")
+    val skew = (col("m3s") / m) /
+      sqrt((col("m2s") / m) * (col("m2s") / m) * (col("m2s") / m))
+    val kurt = (col("m4s") / m) / ((col("m2s") / m) * (col("m2s") / m))
+    val jb = m * (skew * skew / 6.0 +
+      (kurt - 3.0) * (kurt - 3.0) / 24.0)
+    folded.select(col("n").as("n_days"),
+      round(skew, 6).as("resid_skew"),
+      round(kurt, 6).as("resid_kurtosis"),
+      round(jb, 4).as("jb_stat"),
+      (jb > lit(5.991464547107979)).as("nonnormal_95"))
+  }
+
+  private val olsCteSql =
+    """daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |b0 AS (SELECT min(day) AS dmin FROM daily),
+      |packed AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(date_diff('day', b0.dmin, day) AS HUGEINT)) AS st,
+      |    sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(date_diff('day', b0.dmin, day) AS HUGEINT) * y) AS sty,
+      |    sum(CAST(date_diff('day', b0.dmin, day) AS HUGEINT)
+      |      * date_diff('day', b0.dmin, day)) AS stt,
+      |    list(struct_pack(
+      |      t := CAST(date_diff('day', b0.dmin, day) AS BIGINT), y := y)
+      |      ORDER BY date_diff('day', b0.dmin, day)) AS cs
+      |  FROM daily CROSS JOIN b0),
+      |fit AS (
+      |  SELECT n, cs,
+      |    CAST(n * sty - st * sy AS DOUBLE)
+      |      / CAST(n * stt - st * st AS DOUBLE) AS slope,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(n * sty - st * sy AS DOUBLE)
+      |          / CAST(n * stt - st * st AS DOUBLE))
+      |        * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS icept
+      |  FROM packed)""".stripMargin
+
+  lazy val breuschPaganSql: String = {
+    def f(term: String) =
+      s"""list_sum(list_transform(cs, c -> ($term)))"""
+        .replace("E2", s"($olsResid * $olsResid)")
+    s"""WITH $olsCteSql,
+       |folded AS (
+       |  SELECT n,
+       |    ${f("E2")} AS su,
+       |    ${f("E2 * CAST(c.t AS DOUBLE)")} AS sut,
+       |    ${f("E2 * E2")} AS suu,
+       |    ${f("CAST(c.t AS DOUBLE)")} AS stt1,
+       |    ${f("CAST(c.t AS DOUBLE) * CAST(c.t AS DOUBLE)")} AS stt2
+       |  FROM fit),
+       |stat AS (
+       |  SELECT n,
+       |    (CAST(n AS DOUBLE) * sut - stt1 * su)
+       |      * (CAST(n AS DOUBLE) * sut - stt1 * su) AS r2num,
+       |    (CAST(n AS DOUBLE) * stt2 - stt1 * stt1)
+       |      * (CAST(n AS DOUBLE) * suu - su * su) AS r2den
+       |  FROM folded)
+       |SELECT n AS n_days,
+       |  round(r2num / r2den, 6) AS r2_aux,
+       |  round(CAST(n AS DOUBLE) * r2num / r2den, 4) AS lm_stat,
+       |  (CAST(n AS DOUBLE) * r2num / r2den > 3.841458820694124)
+       |    AS hetero_95
+       |FROM stat""".stripMargin
+  }
+
+  lazy val jarqueBeraSql: String = {
+    def f(term: String) =
+      s"""list_sum(list_transform(cs, c -> ($term)))"""
+    val dev = s"($olsResid - ebar)"
+    s"""WITH $olsCteSql,
+       |base AS (
+       |  SELECT n, cs, icept, slope,
+       |    ${f(olsResid)} / CAST(n AS DOUBLE) AS ebar
+       |  FROM fit),
+       |folded AS (
+       |  SELECT n,
+       |    ${f(s"$dev * $dev")} AS m2s,
+       |    ${f(s"$dev * $dev * $dev")} AS m3s,
+       |    ${f(s"$dev * $dev * $dev * $dev")} AS m4s
+       |  FROM base),
+       |stat AS (
+       |  SELECT n,
+       |    (m3s / CAST(n AS DOUBLE)) / sqrt((m2s / CAST(n AS DOUBLE))
+       |      * (m2s / CAST(n AS DOUBLE)) * (m2s / CAST(n AS DOUBLE)))
+       |      AS skew,
+       |    (m4s / CAST(n AS DOUBLE)) / ((m2s / CAST(n AS DOUBLE))
+       |      * (m2s / CAST(n AS DOUBLE))) AS kurt
+       |  FROM folded)
+       |SELECT n AS n_days,
+       |  round(skew, 6) AS resid_skew,
+       |  round(kurt, 6) AS resid_kurtosis,
+       |  round(CAST(n AS DOUBLE) * (skew * skew / 6.0
+       |    + (kurt - 3.0) * (kurt - 3.0) / 24.0), 4) AS jb_stat,
+       |  (CAST(n AS DOUBLE) * (skew * skew / 6.0
+       |    + (kurt - 3.0) * (kurt - 3.0) / 24.0) > 5.991464547107979)
+       |    AS nonnormal_95
+       |FROM stat""".stripMargin
+  }
+
   /** Holt–Winters smoothing constants + season length — pinned. */
   val hwAlpha = 0.3
   val hwBeta = 0.1
