@@ -256,6 +256,28 @@ class Round10AdditionsSpec extends GraftTestBase {
     sc.getAs[Long]("n_event_times") should be > 2L
   }
 
+  behavior of "breuschPagan (q_breusch_pagan)"
+
+  it should "bound the auxiliary R2 and link LM = n.R2" in {
+    val r = TimeSeries.breuschPagan(spark, sf).head()
+    val r2 = r.getAs[Double]("r2_aux")
+    r2 should (be >= 0.0 and be <= 1.0)
+    r.getAs[Double]("lm_stat") shouldBe
+      (r.getAs[Long]("n_days") * r2 +- 1e-2)
+  }
+
+  behavior of "jarqueBera (q_jarque_bera)"
+
+  it should "compose JB from its skewness and kurtosis exactly" in {
+    val r = TimeSeries.jarqueBera(spark, sf).head()
+    val s2 = r.getAs[Double]("resid_skew")
+    val k = r.getAs[Double]("resid_kurtosis")
+    k should be > 1.0 // kurtosis of any nondegenerate sample exceeds 1
+    r.getAs[Double]("jb_stat") shouldBe
+      (r.getAs[Long]("n_days") * (s2 * s2 / 6.0 +
+        (k - 3.0) * (k - 3.0) / 24.0) +- 0.05)
+  }
+
   behavior of "clusterValidity (q_cluster_validity)"
 
   it should "agree with silhouette that the label partition is weak" in {
