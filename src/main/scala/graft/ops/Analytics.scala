@@ -5310,14 +5310,17 @@ object Analytics {
     * correlation), in the tie-adjusted SAS/Hollander–Wolfe census
     * form.
     *
-    * Exactness end-to-end: the (discount, quantity) domain is a ≤550-
-    * cell census, and every ingredient is an exact integer carried at
-    * a fixed scale — doubled midranks R2 = 2Σ_{x'<x}c + Σ_{x'=x}c + 1,
-    * quadrupled bivariate ranks Q4 = 4 + 4·LL + 2·EL + 2·LE +
-    * (c−1) (L/E = strictly-less/tied cell masses), and the three
-    * Hoeffding sums ΣQQ/ΣRRSS/ΣRSQ as DECIMAL(38,0)/HUGEINT folds at
-    * the ×16 scale — so D is ONE double division of two exact ~1e30
-    * integers, rounded 8. The O(cells²) dominance pass folds each
+    * Exactness: the (discount, quantity) domain is a ≤550-cell census
+    * whose rank ingredients are exact integers at a fixed scale —
+    * doubled midranks R2 = 2Σ_{x'<x}c + Σ_{x'=x}c + 1, quadrupled
+    * bivariate ranks Q4 = 4 + 4·LL + 2·EL + 2·LE + (c−1) (L/E =
+    * strictly-less/tied cell masses). Of the three Hoeffding sums only
+    * ΣQQ (~16n³) stays a DECIMAL(38,0)/HUGEINT exact fold — the ~n⁵
+    * ΣRRSS and ~n⁴ ΣRSQ would silently NULL decimal(38,0) past
+    * n ≈ 2×10⁷ (sf ≳ 7), so they and the final n⁵-order num/den
+    * products run in double, factor-by-factor left-to-right over the
+    * sorted cell list in BOTH engines (bit-identical fold), rounded 8.
+    * The O(cells²) dominance pass folds each
     * cell over the ONE scalar-aggregate packed row (the
     * [[graft.similarity.Similarity.clusterValidity]] lint-provable
     * shape) — bounded by the value DOMAIN, never the row count.
@@ -5352,25 +5355,31 @@ object Analytics {
         |         WHEN j.x < k.x AND j.y = k.y THEN 2 * j.c
         |         ELSE CAST(0 AS BIGINT) END)))""".stripMargin
     val big = "DECIMAL(38,0)"
+    // d1 is the only ~n³-order sum — it stays an exact integer fold
+    // (16n³ < 1e38 up to n ≈ 1.8e11). d2 (~n⁵) and d3 (~n⁴) would
+    // silently NULL a DECIMAL(38,0) fold past n ≈ 2×10⁷ (sf ≳ 7), so
+    // they accumulate in double with factor-by-factor left-to-right
+    // products — each factor is < 2⁵³ hence exact, the fold order is
+    // the sorted cell list in BOTH engines, and round 8 at the end
+    // swallows the ~1e-14 relative accumulation error.
     val folded = packed
       .select(col("n"), col("n_cells"), expr(enrich).as("es"))
       .select(col("n"), col("n_cells"),
         expr(s"""aggregate(es, CAST(0 AS $big), (acc, e) ->
           acc + CAST(e.c AS $big) * (e.q4 - 4) * (e.q4 - 8))""").as("d1"),
-        expr(s"""aggregate(es, CAST(0 AS $big), (acc, e) ->
-          acc + CAST(e.c AS $big) * (e.r2 - 2) * (e.r2 - 4)
+        expr("""aggregate(es, CAST(0 AS DOUBLE), (acc, e) ->
+          acc + CAST(e.c AS DOUBLE) * (e.r2 - 2) * (e.r2 - 4)
             * (e.s2 - 2) * (e.s2 - 4))""").as("d2"),
-        expr(s"""aggregate(es, CAST(0 AS $big), (acc, e) ->
-          acc + CAST(e.c AS $big) * (e.r2 - 4) * (e.s2 - 4)
+        expr("""aggregate(es, CAST(0 AS DOUBLE), (acc, e) ->
+          acc + CAST(e.c AS DOUBLE) * (e.r2 - 4) * (e.s2 - 4)
             * (e.q4 - 4))""").as("d3"))
-    val nb = col("n").cast(DecimalType(38, 0))
-    val num = lit(30).cast(DecimalType(38, 0)) *
-      ((nb - 2) * (nb - 3) * col("d1") + col("d2") -
-        lit(2).cast(DecimalType(38, 0)) * (nb - 2) * col("d3"))
-    val den = lit(16).cast(DecimalType(38, 0)) *
-      (nb * (nb - 1) * (nb - 2) * (nb - 3) * (nb - 4))
+    val nd = col("n").cast("double")
+    val num = lit(30.0d) *
+      ((nd - 2) * (nd - 3) * col("d1").cast("double") + col("d2") -
+        lit(2.0d) * (nd - 2) * col("d3"))
+    val den = lit(16.0d) * (nd * (nd - 1) * (nd - 2) * (nd - 3) * (nd - 4))
     folded.select(col("n").as("n_rows"), col("n_cells"),
-      round(num.cast("double") / den.cast("double"), 8).as("hoeffding_d"))
+      round(num / den, 8).as("hoeffding_d"))
   }
 
   val hoeffdingDSql: String = {
@@ -5406,17 +5415,19 @@ object Analytics {
        |    list_sum(list_transform(es, e ->
        |      CAST(e.c AS HUGEINT) * (e.q4 - 4) * (e.q4 - 8))) AS d1,
        |    list_sum(list_transform(es, e ->
-       |      CAST(e.c AS HUGEINT) * (e.r2 - 2) * (e.r2 - 4)
+       |      CAST(e.c AS DOUBLE) * (e.r2 - 2) * (e.r2 - 4)
        |        * (e.s2 - 2) * (e.s2 - 4))) AS d2,
        |    list_sum(list_transform(es, e ->
-       |      CAST(e.c AS HUGEINT) * (e.r2 - 4) * (e.s2 - 4)
+       |      CAST(e.c AS DOUBLE) * (e.r2 - 4) * (e.s2 - 4)
        |        * (e.q4 - 4))) AS d3
        |  FROM en)
        |SELECT n AS n_rows, n_cells,
-       |  round(CAST(30 * ((CAST(n AS HUGEINT) - 2) * (n - 3) * d1 + d2
-       |      - 2 * (CAST(n AS HUGEINT) - 2) * d3) AS DOUBLE)
-       |    / CAST(16 * (CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3)
-       |      * (n - 4)) AS DOUBLE), 8) AS hoeffding_d
+       |  round(30.0 * ((CAST(n AS DOUBLE) - 2) * (CAST(n AS DOUBLE) - 3)
+       |      * CAST(d1 AS DOUBLE) + d2
+       |      - 2.0 * (CAST(n AS DOUBLE) - 2) * d3)
+       |    / (16.0 * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+       |      * (CAST(n AS DOUBLE) - 2) * (CAST(n AS DOUBLE) - 3)
+       |      * (CAST(n AS DOUBLE) - 4))), 8) AS hoeffding_d
        |FROM folded""".stripMargin
   }
 

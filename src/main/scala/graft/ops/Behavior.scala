@@ -5052,24 +5052,6 @@ object Behavior {
   /** Newton iterations for [[coxPh]]'s partial-likelihood fit. */
   val coxIters = 8
 
-  /** COX PROPORTIONAL-HAZARDS fit (one binary covariate, Breslow ties)
-    * — the MODEL that completes the survival family: [[kaplanMeier]]/
-    * [[nelsonAalen]] describe, [[logRank]] tests, [[rmst]] summarizes;
-    * Cox ESTIMATES the effect size as a hazard ratio with a standard
-    * error — the number a treatment decision actually consumes. With
-    * one binary covariate the Breslow partial likelihood needs only
-    * the per-event-time (d₁, d, n₁, n₀) table [[logRank]] already
-    * builds: U(β) = Σ[d₁ − d·n₁e^β/(n₁e^β+n₀)],
-    * I(β) = Σ d·n₁e^β·n₀/(n₁e^β+n₀)², Newton [[coxIters]] steps from 0.
-    * The score z at β=0 is the (uncorrected) log-rank z — shipped as
-    * the built-in cross-check.
-    *
-    * Determinism: the event grid is exact integers (the [[logRank]]
-    * dense-grid construction); the Newton fold and all three final
-    * sums run over the time-SORTED packed array with exp on identical
-    * doubles; outputs round 6/4.
-    *
-    * Scale: one user aggregate → O(study hours) grid → one-row folds. */
   /** The one-row per-event-time frame (events1, events, a) both
     * [[coxPh]] and [[schoenfeldPh]] fold over — the [[logRank]]
     * dense-grid construction packed time-sorted. */
@@ -5141,19 +5123,35 @@ object Behavior {
     s"""aggregate(sequence(1, $coxIters), CAST(0.0 AS DOUBLE),
        (b, t) -> b + (${coxU("b")}) / (${coxI("b")}))"""
 
+  /** COX PROPORTIONAL-HAZARDS fit (one binary covariate, Breslow ties)
+    * — the MODEL that completes the survival family: [[kaplanMeier]]/
+    * [[nelsonAalen]] describe, [[logRank]] tests, [[rmst]] summarizes;
+    * Cox ESTIMATES the effect size as a hazard ratio with a standard
+    * error — the number a treatment decision actually consumes. With
+    * one binary covariate the Breslow partial likelihood needs only
+    * the per-event-time (d₁, d, n₁, n₀) table [[logRank]] already
+    * builds: U(β) = Σ[d₁ − d·n₁e^β/(n₁e^β+n₀)],
+    * I(β) = Σ d·n₁e^β·n₀/(n₁e^β+n₀)², Newton [[coxIters]] steps from 0.
+    * The score z at β=0 is the (uncorrected) log-rank z — shipped as
+    * the built-in cross-check.
+    *
+    * Determinism: the event grid is exact integers (the [[logRank]]
+    * dense-grid construction); the Newton fold and all three final
+    * sums run over the time-SORTED packed array with exp on identical
+    * doubles; outputs round 6/4.
+    *
+    * Scale: one user aggregate → O(study hours) grid → one-row folds. */
   def coxPh(s: SparkSession, d: String): DataFrame = {
-    def uOf(b: String) = coxU(b)
-    def iOf(b: String) = coxI(b)
     val packed = coxEventFrame(s, d)
     val fitted = packed.select(col("events1"), col("events"), col("a"),
       expr(coxBetaExpr).as("beta"))
     fitted.select(col("events1"), col("events"),
       round(col("beta"), 6).as("beta_hat"),
       round(exp(col("beta")), 6).as("hazard_ratio"),
-      round(lit(1.0) / sqrt(expr(iOf("beta"))), 6).as("se_beta"),
-      round(col("beta") * sqrt(expr(iOf("beta"))), 4).as("wald_z"),
-      round(expr(uOf("CAST(0.0 AS DOUBLE)")) /
-        sqrt(expr(iOf("CAST(0.0 AS DOUBLE)"))), 4).as("score_z"))
+      round(lit(1.0) / sqrt(expr(coxI("beta"))), 6).as("se_beta"),
+      round(col("beta") * sqrt(expr(coxI("beta"))), 4).as("wald_z"),
+      round(expr(coxU("CAST(0.0 AS DOUBLE)")) /
+        sqrt(expr(coxI("CAST(0.0 AS DOUBLE)"))), 4).as("score_z"))
   }
 
   lazy val coxPhSql: String = {

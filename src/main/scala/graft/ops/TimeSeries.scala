@@ -3782,6 +3782,8 @@ object TimeSeries {
     * exact subterms A, B, C are decimal(38,0)); the 5% flag uses the
     * asymptotic F(2,∞) = χ²₂/2 point (n ≈ 2 400 ⇒ the exact
     * F(2, n−4) point differs in the third decimal — documented).
+    * A segment with < 3 days (⇒ n·stt − st² = 0) yields NULL
+    * chow_f/break_95 rather than NaN and a silently-false flag.
     *
     * Scale: one map-side-combinable daily aggregate → one row. */
   def chowTest(s: SparkSession, d: String): DataFrame = {
@@ -3821,10 +3823,15 @@ object TimeSeries {
     val f = (expr(ssr("p")) - expr(ssr("1")) - expr(ssr("2"))) / 2.0 /
       ((expr(ssr("1")) + expr(ssr("2"))) /
         (col("np").cast("double") - 4.0))
+    // degenerate-segment guard: a side with < 3 days has n·stt − st² = 0
+    // (t is distinct per day, so n ≥ 3 ⇒ positive) and ssr would divide
+    // by zero — emit NULL chow_f/break_95 instead of NaN and a
+    // silently-false flag, mirroring mantelHaenszel's n≥2 stratum rule.
+    val ok = col("n1") >= 3L && col("n2") >= 3L
     m.select(col("np").as("n_days"), col("n1").as("n_pre"),
       col("n2").as("n_post"),
-      round(f, 4).as("chow_f"),
-      (f > lit(2.995732273553991)).as("break_95"))
+      round(when(ok, f), 4).as("chow_f"),
+      when(ok, f > lit(2.995732273553991)).as("break_95"))
   }
 
   val chowTestSql: String = {
@@ -3861,12 +3868,14 @@ object TimeSeries {
        |    ${moms("NOT pre", "2")}
        |  FROM based)
        |SELECT np AS n_days, n1 AS n_pre, n2 AS n_post,
-       |  round(((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
-       |    / ((${ssr("1")} + ${ssr("2")}) / (CAST(np AS DOUBLE) - 4.0)), 4)
-       |    AS chow_f,
-       |  ((((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
-       |    / ((${ssr("1")} + ${ssr("2")}) / (CAST(np AS DOUBLE) - 4.0)))
-       |    > 2.995732273553991) AS break_95
+       |  CASE WHEN n1 >= 3 AND n2 >= 3 THEN
+       |    round(((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
+       |      / ((${ssr("1")} + ${ssr("2")}) / (CAST(np AS DOUBLE) - 4.0)), 4)
+       |    END AS chow_f,
+       |  CASE WHEN n1 >= 3 AND n2 >= 3 THEN
+       |    ((((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
+       |      / ((${ssr("1")} + ${ssr("2")}) / (CAST(np AS DOUBLE) - 4.0)))
+       |      > 2.995732273553991) END AS break_95
        |FROM m""".stripMargin
   }
 

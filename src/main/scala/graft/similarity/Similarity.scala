@@ -1550,10 +1550,14 @@ object Similarity {
     * BEFORE trusting [[lofOutliers]]/[[bruteForceTopK]] downstream
     * decisions. Skewness of N_k is THE hubness score; hub count
     * (N_k ≥ 2k) and antihub count ship alongside. Honest finding on
-    * this noise-like synthetic corpus: N_k is near-binomial (skew
-    * ≈ 0.0006, zero hubs at sf0.1) — no hubness, which is itself the
-    * audit's pass state; the pathology the machinery exists to catch
-    * appears on REAL encoder output.
+    * this noise-like synthetic corpus: skew ≈ 1.17 at sf0.1 (1.05–1.21
+    * across scales) with ~50% antihubs — the mild-but-real right skew
+    * dimensionality alone induces, exactly Radovanović's point — while
+    * still ZERO hubs at the N_k ≥ 2k bar. (A round-10 audit shipped
+    * with an extra ÷n in the skewness denominator in BOTH engines,
+    * reading ≈ 0.0006 and mislabeled "near-binomial" — caught by the
+    * round-11 advisor, fixed, and now pinned by a driver-side moment
+    * cross-check in Round10AdditionsSpec.)
     *
     * Scale rendering: the query side is a capped ANCHOR SAMPLE
     * (vec_id ≡ 0 mod [[hubAnchorMod]] — spread across the id space),
@@ -1604,9 +1608,8 @@ object Similarity {
           col("s3") - lit(3).cast(big) * col("n_vectors").cast(big) *
           col("s1") * col("s2") + lit(2).cast(big) * col("s1") * col("s1") *
           col("s1")).cast("double") /
-          (col("n_vectors").cast("double") *
-            pow((col("n_vectors").cast(big) * col("s2") -
-              col("s1") * col("s1")).cast("double"), 1.5)), 6)
+          pow((col("n_vectors").cast(big) * col("s2") -
+            col("s1") * col("s1")).cast("double"), 1.5), 6)
           .as("skewness"))
   }
 
@@ -1643,8 +1646,7 @@ object Similarity {
        |  max_k_occurrence, n_hubs, n_antihubs,
        |  round(CAST(CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT)
        |      * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE) /
-       |    (CAST(n AS DOUBLE) *
-       |      pow(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE), 1.5)),
+       |    pow(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE), 1.5),
        |    6) AS skewness
        |FROM m CROSS JOIN na""".stripMargin
   }

@@ -98,6 +98,48 @@ class Round10AdditionsSpec extends GraftTestBase {
     r.getAs[Long]("n_hubs") should be >= 0L
   }
 
+  it should "match a from-scratch driver-side skewness recomputation" in {
+    // independent third implementation: both engines shared an extra ÷n
+    // in the skewness denominator through round 10 (the oracle gate is
+    // blind to engine-mirrored bugs) — this recomputes N_k and g1 from
+    // raw embeddings with plain Scala and pins the exact formula.
+    import graft.similarity.Similarity
+    val r = Similarity.hubnessAudit(spark, sf).head()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1).toArray))
+    val anchors = vecs.filter(_._1 % Similarity.hubAnchorMod == 0)
+    def d3(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val cos = dot / (math.sqrt(nx) * math.sqrt(ny))
+      1000L - BigDecimal(cos * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val occ = new scala.collection.mutable.HashMap[Long, Long]()
+    anchors.foreach { case (aid, aEmb) =>
+      vecs.filter(_._1 != aid)
+        .map { case (nb, e) => (d3(aEmb, e), nb) }
+        .sorted.take(Similarity.hubK)
+        .foreach { case (_, nb) => occ(nb) = occ.getOrElse(nb, 0L) + 1L }
+    }
+    val counts = vecs.map(v => occ.getOrElse(v._1, 0L))
+    val n = BigInt(counts.length)
+    val s1 = counts.map(BigInt(_)).sum
+    val s2 = counts.map(c => BigInt(c) * c).sum
+    val s3 = counts.map(c => BigInt(c) * c * c).sum
+    val g1 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).toDouble /
+      math.pow((n * s2 - s1 * s1).toDouble, 1.5)
+    r.getAs[Long]("n_vectors") shouldBe counts.length.toLong
+    r.getAs[Long]("n_anchors") shouldBe anchors.length.toLong
+    r.getAs[Long]("max_k_occurrence") shouldBe counts.max
+    r.getAs[Double]("skewness") shouldBe (g1 +- 2e-6)
+  }
+
   behavior of "isotropyAudit (q_isotropy)"
 
   it should "tie the pairwise-cosine estimate to the mean-vector identity" in {
