@@ -31,12 +31,45 @@ object Bench {
   private val memoByQuery =
     new scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]
 
+  /** LOAD-CALIBRATION PROBE (VERDICT r10 #1): a fixed-work in-memory
+    * aggregate — 2×10⁸ range rows through a multiply-mod sum, no I/O,
+    * no shuffle — timed before the sweep, every [[probeEvery]] queries
+    * inside it, and before every isolated repetition. Because the work
+    * is CONSTANT, the probe time is a direct host-contention index:
+    * the graded artifact carries its own weather report, so "the
+    * numbers were taken on a loaded host" becomes a measurement
+    * instead of an out-of-band adjudication (BENCH_r10's q_sssp
+    * 10.4–27.4 s spread needed PERF.md to be believed). All probe
+    * samples ship in the `load` blocks; [[probeBase]] (the running
+    * minimum) is the quiet reference, and an isolated rep whose
+    * leading probe drifts >[[probeDriftRerun]]× above it is rerun
+    * once — both samples ship, min wins. */
+  private val probeRows = 200000000L
+  private val probeEvery = 25
+  private val probeDriftRerun = 1.5
+  private val probes =
+    new scala.collection.mutable.LinkedHashMap[String, Double]
+  private var probeBase = Double.MaxValue
+
+  private def probe(spark: SparkSession, label: String): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, probeRows)
+      .selectExpr("sum((id * 2654435761) % 1000003)").collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    probes.update(label, dt)
+    if (dt < probeBase) probeBase = dt
+    dt
+  }
+
   /** Time every selected query on one session, in sorted-name order
     * (deterministic ordering makes round-over-round diffs meaningful),
-    * releasing the previous query's pinned storage between queries. */
+    * releasing the previous query's pinned storage between queries.
+    * With `probed` set (the MAIN suite sweep only), interleaves a
+    * calibration probe every [[probeEvery]] queries. */
   private def sweep(spark: SparkSession, sfDir: String,
-      names: Seq[String]): Seq[(String, Double)] =
-    names.map { name =>
+      names: Seq[String], probed: Boolean = false): Seq[(String, Double)] =
+    names.zipWithIndex.map { case (name, i) =>
+      if (probed && i % probeEvery == 0) probe(spark, s"sweep:$i")
       val fn = SparkEntry.queries(name)
       val memoCursor = Memo.cursor()
       val t0 = System.nanoTime()
@@ -93,7 +126,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_(n)))
-    val results = sweep(spark, sfDir, names)
+    // untimed probe warmups (codegen + tiered-JIT settle for the probe
+    // expression — one pass is NOT enough for C2), then three pre-sweep
+    // samples establish the quiet baseline (their min seeds probeBase;
+    // any later, quieter sample lowers it)
+    (1 to 3).foreach(_ => spark.range(0L, probeRows)
+      .selectExpr("sum((id * 2654435761) % 1000003)").collect())
+    (1 to 3).foreach(i => probe(spark, s"pre:$i"))
+    val results = sweep(spark, sfDir, names, probed = true)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val top = results.sortBy(-_._2).take(10).map(_._1)
     // SUITE-WARM RERUN of the top-10 on the SAME session, shared caches
@@ -124,12 +164,25 @@ object Bench {
           spark2.conf.set("spark.graft.checkpoint.dir", dir))
         spark2.range(0, 1000).selectExpr("sum(id)").collect()
         spark2.read.parquet(s"$sfDir/region.parquet").count()
+        // untimed probe warmups: the fresh session's first probes pay
+        // the probe expression's own codegen + tiered JIT, which would
+        // read as false contention and trigger spurious reruns
+        (1 to 3).foreach(_ => spark2.range(0L, probeRows)
+          .selectExpr("sum((id * 2654435761) % 1000003)").collect())
         val r = top.map { name =>
-          name -> (1 to reps).map { _ =>
-            val t = sweep(spark2, sfDir, Seq(name)).head._2
-            graft.ops.Graph.clearCaches(spark2); Memo.clearAll(spark2)
-            System.gc()
-            t
+          name -> (1 to reps).flatMap { i =>
+            def oneRep(tag: String): (Double, Double) = {
+              val p = probe(spark2, s"iso:$name:$tag")
+              val t = sweep(spark2, sfDir, Seq(name)).head._2
+              graft.ops.Graph.clearCaches(spark2); Memo.clearAll(spark2)
+              System.gc()
+              (p, t)
+            }
+            val (p1, t1) = oneRep(i.toString)
+            // contended rep (probe >1.5× the quiet baseline): one rerun,
+            // both samples ship — min over all reps stays the figure
+            if (p1 > probeDriftRerun * probeBase) Seq(t1, oneRep(s"$i-r")._2)
+            else Seq(t1)
           }
         }
         spark2.stop()
@@ -142,6 +195,19 @@ object Bench {
       memoByQuery.map { case (q, ms) =>
         "\"" + q + "\":" + jmap(ms, digits)
       }.mkString("{", ",", "}")
+    // load summary off the probe log: base = quietest sample (the
+    // calibration reference), max/med over all samples, drift = max/base
+    // — a drift near 1 certifies a quiet capture from the artifact alone
+    val probeSeq = probes.toSeq
+    val pTimes = probeSeq.map(_._2).sorted
+    def r3(v: Double): Double =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val loadSummary =
+      if (pTimes.isEmpty) """{"n":0}"""
+      else s"""{"base":${r3(pTimes.head)},"med":${
+        r3(pTimes(pTimes.size / 2))},"max":${r3(pTimes.last)},"drift":${
+        r3(pTimes.last / pTimes.head)},"n":${pTimes.size},"reruns":${
+        probeSeq.count(_._1.endsWith("-r"))}}"""
     // artifact 1: the complete object, to a file
     val full =
       s"""{"metric":"bench_full","total":$total,"n":${results.size},
@@ -150,6 +216,8 @@ object Bench {
          |"suite_rerun":${jmap(suiteRerun)},
          |"isolated_runs":${jmapArr(isoRuns, 9)},
          |"isolated_min":${jmap(isoMin)},
+         |"load":$loadSummary,
+         |"load_probes":${jmap(probeSeq)},
          |"memo_builds":${memoJson(9)}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), full)
@@ -160,7 +228,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(15)
     println(s"""{"metric":"total_compact","total":${
       BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
-    },"n":${results.size},"unit":"sec","sf":"$sfDir","iso_reps":$reps,"slow":${
+    },"n":${results.size},"unit":"sec","sf":"$sfDir","iso_reps":$reps,"load":$loadSummary,"slow":${
       jmap(slow, 3)},"suite_rerun":${jmap(suiteRerun, 3)},"iso_min":${
       jmap(isoMin, 3)},"iso_runs":${jmapArr(isoRuns, 3)},"memo":${memoJson(2)}}""")
   }
