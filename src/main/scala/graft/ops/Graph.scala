@@ -107,7 +107,11 @@ object Graph {
     memo(edgeCache, "edges", s, d)(
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        // no pre-distinct: collect_set dedups per order, so the removed
+        // distinct was a redundant full shuffle of lineitem. Measured
+        // NEUTRAL at sf0.1 (the build is stage-overhead-bound there,
+        // PERF.md round 11) — kept on the scale argument: one shuffle
+        // of the fact table instead of two is the 100 TB difference.
         .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
         .select(explode(expr(
           """flatten(transform(ps, (x, i) ->
@@ -749,8 +753,19 @@ object Graph {
     * UNION dedup, then min(cost) per vertex — exact same bounded-hop
     * semantics, all integer. */
   def ssspBounded(s: SparkSession, d: String): DataFrame = {
+    // The round-11 cost attack (VERDICT r10 #3), measured at sf0.1:
+    // (a) hash-partition the edge list by u ONCE before pinning — pin
+    //     preserves outputPartitioning, so each round's frontier join
+    //     reuses it and only the (wavefront-sized) frontier shuffles,
+    //     instead of re-exchanging the full bidirectional edge list
+    //     every round;
+    // (b) min-merge the improved frontier into the running distance
+    //     table with a co-partitioned full-outer join on x (both sides
+    //     pinned hash-partitioned on x) instead of union+groupBy, which
+    //     re-shuffled the whole table-sized dist frame every round.
     val bi = biEdges(s, d)
       .withColumn("w", (col("u") + col("v")) % 9 + 1)
+      .repartition(col("u"))
       .pin()
     var dist = seeds(bi)
       .select(col("x"), lit(0L).as("c"))
@@ -766,8 +781,10 @@ object Graph {
         .filter(col("old").isNull || col("c") < col("old"))
         .select(col("x"), col("c"))
         .pin()
-      dist = dist.unionAll(frontier)
-        .groupBy("x").agg(min(col("c")).as("c"))
+      dist = dist
+        .join(frontier.select(col("x"), col("c").as("cnew")), Seq("x"),
+          "fullouter")
+        .select(col("x"), coalesce(col("cnew"), col("c")).as("c"))
         .pin()
     }
     dist.select(col("x").as("part"), col("c").as("dist"))
