@@ -1,0 +1,177 @@
+package graft.export
+
+import java.util.concurrent.CountDownLatch
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.lib.output.{FileOutputCommitter, FileOutputFormat}
+import org.apache.hadoop.mapreduce.task.{JobContextImpl, TaskAttemptContextImpl}
+
+import graft.GraftTestBase
+import graft.sources.ObjectStoreFileSystem
+
+/** SPECULATIVE / TWO-ATTEMPT COMMIT against object-store semantics
+  * (VERDICT r10 task 3, closing r10 "what's missing" #2): when two
+  * live attempts of the SAME task both reach task commit — the one
+  * scenario Spark's OutputCommitCoordinator normally serializes but an
+  * object store must still survive (a zombie attempt can win
+  * authorization-then-stall while its successor commits) — exactly one
+  * attempt's bytes may be visible at the final location, never a
+  * byte-mix, and no attempt-path object may leak past job commit.
+  * This is the `replace=True` last-writer contract of the reference's
+  * terminal PUT (`postgres_to_s3_operator.py:58-63`) at the committer
+  * layer.
+  *
+  * The spec drives Hadoop's REAL `FileOutputCommitter` (algorithm v1,
+  * Spark's default for CSV/parquet writes) through the mocks3
+  * FileSystem — flat keyspace, PUT-on-close atomicity, copy+delete
+  * rename — not a hand-rolled rename simulation. */
+class SpeculativeCommitSpec extends GraftTestBase {
+
+  private val bucketName = "graft-spec-commit"
+
+  private def withBucket[T](body: Configuration => T): T = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.mocks3.impl", classOf[ObjectStoreFileSystem].getName)
+    conf.setInt("mapreduce.fileoutputcommitter.algorithm.version", 1)
+    ObjectStoreFileSystem.clearBucket(bucketName)
+    try body(conf)
+    finally ObjectStoreFileSystem.clearBucket(bucketName)
+  }
+
+  private val jobId = new JobID("specjob", 1)
+
+  private def attemptCtx(conf: Configuration, out: Path, attempt: Int) = {
+    val taid =
+      new TaskAttemptID(new TaskID(jobId, TaskType.REDUCE, 0), attempt)
+    val c = new Configuration(conf)
+    c.set(FileOutputFormat.OUTDIR, out.toString)
+    c.set("mapreduce.task.attempt.id", taid.toString)
+    new TaskAttemptContextImpl(c, taid)
+  }
+
+  private def jobCtx(conf: Configuration, out: Path) = {
+    val c = new Configuration(conf)
+    c.set(FileOutputFormat.OUTDIR, out.toString)
+    new JobContextImpl(c, jobId)
+  }
+
+  /** Write the task's (identically-named) part file from one attempt;
+    * the payload carries the attempt id so the spec can prove the
+    * final bytes came wholesale from a single attempt. */
+  private def writeAttempt(committer: FileOutputCommitter,
+      ctx: TaskAttemptContextImpl, tag: String): Array[Byte] = {
+    val fs = committer.getWorkPath.getFileSystem(ctx.getConfiguration)
+    val part = new Path(committer.getWorkPath, "part-00000.csv")
+    val bytes = s"id,tag\n1,$tag\n".getBytes("UTF-8")
+    val os = fs.create(part, true)
+    os.write(bytes); os.close()
+    bytes
+  }
+
+  private def finalCsvKeys(prefix: String): Seq[String] =
+    ObjectStoreFileSystem.objectKeys(bucketName)
+      .filter(k => k.startsWith(prefix) && k.endsWith(".csv") &&
+        !k.contains("_temporary"))
+
+  behavior of "two attempts of one task committing on mocks3"
+
+  it should "leave exactly the straggler's bytes when both commit sequentially" in {
+    withBucket { conf =>
+      val out = new Path(s"mocks3://$bucketName/exports/seq.csv")
+      val jc = jobCtx(conf, out)
+      val jobCommitter = new FileOutputCommitter(out, jc)
+      jobCommitter.setupJob(jc)
+      // attempt 0 wins authorization, commits, then a zombie attempt 1
+      // (already past the authorization check when 0 committed) commits
+      // late — v1 commitTask deletes the committed task dir and renames
+      // its own: last-writer-wins, the replace=True shape
+      val seen = (0 to 1).map { a =>
+        val ctx = attemptCtx(conf, out, a)
+        val c = new FileOutputCommitter(out, ctx)
+        c.setupTask(ctx)
+        val bytes = writeAttempt(c, ctx, s"attempt$a")
+        c.needsTaskCommit(ctx) shouldBe true
+        c.commitTask(ctx)
+        bytes
+      }
+      jobCommitter.commitJob(jc)
+      val keys = finalCsvKeys("exports/seq.csv")
+      keys should have size 1
+      ObjectStoreFileSystem.objectBytes(bucketName, keys.head) shouldBe
+        seen.last // the straggler's bytes, wholesale
+      ObjectStoreFileSystem.objectKeys(bucketName)
+        .count(_.contains("_temporary")) shouldBe 0
+      ObjectStoreFileSystem.objectKeys(bucketName)
+        .contains("exports/seq.csv/_SUCCESS") shouldBe true
+    }
+  }
+
+  it should "leave exactly one attempt's bytes, never a mix, under a concurrent commit race" in {
+    withBucket { conf =>
+      val out = new Path(s"mocks3://$bucketName/exports/race.csv")
+      val jc = jobCtx(conf, out)
+      val jobCommitter = new FileOutputCommitter(out, jc)
+      jobCommitter.setupJob(jc)
+      val setups = (0 to 1).map { a =>
+        val ctx = attemptCtx(conf, out, a)
+        val c = new FileOutputCommitter(out, ctx)
+        c.setupTask(ctx)
+        val bytes = writeAttempt(c, ctx, s"attempt$a")
+        (c, ctx, bytes)
+      }
+      // both attempts hit commitTask as simultaneously as a latch allows
+      val start = new CountDownLatch(1)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = setups.map { case (c, ctx, _) =>
+        new Thread(() => {
+          start.await()
+          try c.commitTask(ctx)
+          catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      threads.foreach(_.start()); start.countDown()
+      threads.foreach(_.join(30000))
+      // a loser MAY fail its rename (acceptable: the attempt retries or
+      // dies), but the store must never be left mixed or empty — at
+      // least one commit succeeded
+      errors.size should be <= 1
+      jobCommitter.commitJob(jc)
+      val keys = finalCsvKeys("exports/race.csv")
+      keys should have size 1
+      val finalBytes =
+        ObjectStoreFileSystem.objectBytes(bucketName, keys.head)
+      setups.map(_._3).count(_.sameElements(finalBytes)) shouldBe 1
+      ObjectStoreFileSystem.objectKeys(bucketName)
+        .count(_.contains("_temporary")) shouldBe 0
+    }
+  }
+
+  it should "not disturb the winner when the losing attempt aborts" in {
+    withBucket { conf =>
+      val out = new Path(s"mocks3://$bucketName/exports/abort.csv")
+      val jc = jobCtx(conf, out)
+      val jobCommitter = new FileOutputCommitter(out, jc)
+      jobCommitter.setupJob(jc)
+      val ctx0 = attemptCtx(conf, out, 0)
+      val c0 = new FileOutputCommitter(out, ctx0)
+      c0.setupTask(ctx0)
+      val winner = writeAttempt(c0, ctx0, "attempt0")
+      c0.commitTask(ctx0)
+      // the speculative duplicate is KILLED before commit — the normal
+      // coordinator outcome — and aborts; its attempt objects vanish
+      val ctx1 = attemptCtx(conf, out, 1)
+      val c1 = new FileOutputCommitter(out, ctx1)
+      c1.setupTask(ctx1)
+      writeAttempt(c1, ctx1, "attempt1")
+      c1.abortTask(ctx1)
+      jobCommitter.commitJob(jc)
+      val keys = finalCsvKeys("exports/abort.csv")
+      keys should have size 1
+      ObjectStoreFileSystem.objectBytes(bucketName, keys.head) shouldBe winner
+      ObjectStoreFileSystem.objectKeys(bucketName)
+        .count(_.contains("_temporary")) shouldBe 0
+    }
+  }
+}
