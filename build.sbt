@@ -37,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // session zone on any host (ADVICE r1).
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc flags for measurement runs (e.g. -Xlog:gc for the
+  // small-heap driver-ceiling gate, PERF.md round 11)
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split(" ").filter(_.nonEmpty))
