@@ -1129,7 +1129,14 @@ object Analytics {
     // degrades to the full-frame prefix sum — bounded, never wrong.
     val pw = theilSenBucketWidth
     val bucket = floor(col("slope") / pw).cast("long")
-    val hist = theilSenPairs(s, d)
+    // both selection passes re-stream the PAIR GENERATOR (intrinsic to
+    // two-pass selection: pass 2 cannot know its target buckets until
+    // pass 1 finishes), but the O(days × priorities) daily aggregate
+    // underneath it is pass-invariant — pin it once so the second pass
+    // reuses the materialized census instead of re-scanning orders
+    // (r11 measured: iso best-of-5 7.41 → 5.88 s at sf0.1, ~21%)
+    val daily = theilSenDaily(s, d).pin()
+    val hist = theilSenPairsFrom(daily)
       .groupBy(col("o_orderpriority"), bucket.as("b"))
       .agg(count(lit(1)).as("bc"))
     val targets = Distributed.withRunningTotal(hist,
@@ -1140,7 +1147,7 @@ object Analytics {
         || (col("bcum") - col("bc") <= col("thi") && col("thi") < col("bcum")))
       .select(col("o_orderpriority").as("tp"), col("b").as("tb"),
         (col("bcum") - col("bc")).as("offset"), col("n"))
-    val inTarget = theilSenPairs(s, d)
+    val inTarget = theilSenPairsFrom(daily)
       .join(broadcast(targets),
         col("o_orderpriority") === col("tp") && bucket === col("tb"))
       .groupBy(col("o_orderpriority"), col("tb"), col("offset"), col("n"),
@@ -1157,11 +1164,16 @@ object Analytics {
     * join of the per-(priority, day) daily-revenue aggregate against
     * itself — generation is cheap (no shuffle beyond the 12k-row daily
     * aggregate); consumers aggregate it map-side. */
-  private def theilSenPairs(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.orders(s, d)
+  private def theilSenDaily(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
       .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
         .cast("long").as("cents"))
+
+  private def theilSenPairs(s: SparkSession, d: String): DataFrame =
+    theilSenPairsFrom(theilSenDaily(s, d))
+
+  private def theilSenPairsFrom(daily: DataFrame): DataFrame = {
     val a = daily.select(col("o_orderpriority"), col("day").as("da"),
       col("cents").as("ya"))
     val b = daily.select(col("o_orderpriority"), col("day").as("db"),
