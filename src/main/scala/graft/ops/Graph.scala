@@ -1695,17 +1695,22 @@ object Graph {
       .join(bi.select(col("u").as("part"), col("v").as("cand")), Seq("part"))
       .groupBy(col("cust"), col("cand"))
       .agg(count(lit(1)).cast("long").as("cn"))
-    // one cust-keyed join against the ONE-ROW-PER-CUSTOMER profile
-    // serves both ownership filtering (array_contains on the owned set)
-    // and hit scoring (array_contains on the test set)
+    // ownership filtering reads the pinned profile's owned set, which is
+    // DROPPED again before the ranking window: the window sort was the
+    // widest task in the whole catalog (each candidate row carried the
+    // full owned AND test arrays through the sort — the task that OOMed
+    // the 2 GiB whole-JVM heap gate, PERF.md r11), and narrowing its
+    // input to (cust, cand, cn) costs one extra cust-keyed probe of the
+    // pinned profile over the ≤ k rows/customer that SURVIVE the rank
     val topk = cands
-      .join(profile.select(col("cust"), col("owned"), col("test_parts")),
-        Seq("cust"))
+      .join(profile.select(col("cust"), col("owned")), Seq("cust"))
       .filter(!array_contains(col("owned"), col("cand")))
+      .select(col("cust"), col("cand"), col("cn"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("cust").orderBy(col("cn").desc, col("cand"))))
       .filter(col("rk") <= recoK)
     val hits = topk
+      .join(profile.select(col("cust"), col("test_parts")), Seq("cust"))
       .groupBy("cust")
       .agg(count(lit(1)).cast("long").as("n_rec"),
         sum(when(array_contains(col("test_parts"), col("cand")), 1L)
