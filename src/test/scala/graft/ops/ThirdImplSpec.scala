@@ -335,6 +335,135 @@ class ThirdImplSpec extends GraftTestBase {
     r.getAs[Boolean]("ph_holds_95") shouldBe (math.abs(z) < 1.959963984540054)
   }
 
+  behavior of "welchAnova / gamesHowellPairs (q_welch_anova, q_games_howell)"
+
+  /** Per-event-type exact cents census (n, Σx, Σx²) shared by both. */
+  private lazy val typeCensus: Vector[(String, Long, BigInt, BigInt)] =
+    eventRows.groupBy(_._3).map { case (t, es) =>
+      val cs = es.map(e => cents(e._4))
+      (t, cs.length.toLong, cs.map(BigInt(_)).sum,
+        cs.map(c => BigInt(c) * c).sum)
+    }.toVector.sortBy(_._1)
+
+  it should "match Welch's F and its Satterthwaite df" in {
+    val k = typeCensus.length.toDouble
+    def s2(n: Long, sx: BigInt, sq: BigInt) =
+      (BigInt(n) * sq - sx * sx).toDouble / (n.toDouble * (n.toDouble - 1))
+    val w = typeCensus.map { case (_, n, sx, sq) => n.toDouble / s2(n, sx, sq) }
+    val mns = typeCensus.map { case (_, n, sx, _) => sx.toDouble / n }
+    val sw = w.sum
+    val swm = w.zip(mns).map { case (wi, mi) => wi * mi }.sum
+    val anum = w.zip(mns).map { case (wi, mi) =>
+      wi * (mi - swm / sw) * (mi - swm / sw) }.sum
+    val cterm = w.zip(typeCensus).map { case (wi, (_, n, _, _)) =>
+      (1.0 - wi / sw) * (1.0 - wi / sw) / (n.toDouble - 1) }.sum
+    val f = (anum / (k - 1)) / (1.0 + 2.0 * (k - 2) / (k * k - 1) * cterm)
+    val r = Analytics.welchAnova(spark, sf).head()
+    r.getAs[Long]("k") shouldBe typeCensus.length.toLong
+    r.getAs[Long]("n_total") shouldBe typeCensus.map(_._2).sum
+    r.getAs[Double]("f_welch") shouldBe (f +- 1e-4)
+    r.getAs[Double]("df2") shouldBe ((k * k - 1) / (3 * cterm) +- 0.02)
+  }
+
+  it should "match every Games-Howell pair's q and df" in {
+    def von(n: Long, sx: BigInt, sq: BigInt) =
+      (BigInt(n) * sq - sx * sx).toDouble /
+        (n.toDouble * (n.toDouble - 1) * n.toDouble)
+    val expect = (for {
+      i <- typeCensus.indices; j <- (i + 1) until typeCensus.length
+    } yield {
+      val (ta, na, sxa, sqa) = typeCensus(i)
+      val (tb, nb, sxb, sqb) = typeCensus(j)
+      val va = von(na, sxa, sqa); val vb = von(nb, sxb, sqb)
+      val md = sxa.toDouble / na - sxb.toDouble / nb
+      (ta, tb, md, math.abs(md) / math.sqrt((va + vb) / 2),
+        (va + vb) * (va + vb) /
+          (va * va / (na - 1.0) + vb * vb / (nb - 1.0)))
+    }).sortBy(p => (p._1, p._2))
+    val rows = Analytics.gamesHowellPairs(spark, sf).collect()
+    rows.length shouldBe expect.length
+    rows.zip(expect).foreach { case (r, (ta, tb, md, q, df)) =>
+      r.getAs[String]("ta") shouldBe ta
+      r.getAs[String]("tb") shouldBe tb
+      r.getAs[Double]("mean_diff") shouldBe (md +- 1e-4)
+      r.getAs[Double]("q_gh") shouldBe (q +- 1e-4)
+      r.getAs[Double]("df_welch") shouldBe (df +- 0.02)
+    }
+  }
+
+  behavior of "archTest (q_arch) vs a scratch consecutive-pair regression"
+
+  it should "match the e2-on-lagged-e2 LM statistic" in {
+    val daily = eventRows.filter(_._3 == "purchase")
+      .groupBy(e => utcDate(e._1))
+      .map { case (d, es) => (d, es.map(e => cents(e._4)).sum) }
+      .toVector.sortBy(_._1.toEpochDay)
+    val n = daily.length
+    val mu = daily.map(e => BigInt(e._2)).sum.toDouble / n
+    var m = 0L; var su = 0.0; var sv = 0.0
+    var suv = 0.0; var suu = 0.0; var svv = 0.0
+    daily.sliding(2).foreach {
+      case Vector((d0, y0), (d1, y1)) =>
+        if (d1.toEpochDay - d0.toEpochDay == 1) {
+          val u = (y0 - mu) * (y0 - mu); val v = (y1 - mu) * (y1 - mu)
+          m += 1; su += u; sv += v; suv += u * v; suu += u * u; svv += v * v
+        }
+      case _ => ()
+    }
+    val md = m.toDouble
+    val r2 = (md * suv - su * sv) * (md * suv - su * sv) /
+      ((md * suu - su * su) * (md * svv - sv * sv))
+    val r = TimeSeries.archTest(spark, sf).head()
+    r.getAs[Long]("n_days") shouldBe n.toLong
+    r.getAs[Long]("n_pairs") shouldBe m
+    r.getAs[Double]("r2") shouldBe (r2 +- 1e-5)
+    r.getAs[Double]("lm_stat") shouldBe (md * r2 +- 1e-3)
+    r.getAs[Boolean]("arch_95") shouldBe (md * r2 > 3.841458820694124)
+  }
+
+  behavior of "poissonGlm (q_poisson_glm) vs a scratch Fisher-scoring fit"
+
+  it should "match beta, deviance and Pearson dispersion" in {
+    val rows = graft.Tables.orders(spark, sf)
+      .select("o_orderdate").collect()
+    val byDay = rows.groupBy(r => utcDate(r.getTimestamp(0)))
+      .map { case (d, rs) => (d, rs.length.toLong) }
+    val d0 = byDay.keys.min
+    val cs = byDay.toVector
+      .map { case (d, y) => (d.toEpochDay - d0.toEpochDay, y) }
+      .sortBy(_._1)
+    val n = cs.length; val sy = cs.map(_._2).sum
+    var b0 = BigDecimal(math.log(sy.toDouble / n))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var b1 = 0.0
+    (1 to Analytics.poissonIters).foreach { _ =>
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
+      cs.foreach { case (t, y) =>
+        val muT = math.exp(b0 + b1 * t)
+        s0 += y - muT; s1 += (y - muT) * t
+        s2 += muT; s3 += muT * t; s4 += muT * t * t
+      }
+      val det = s2 * s4 - s3 * s3
+      val nb0 = b0 + (s4 * s0 - s3 * s1) / det
+      val nb1 = b1 + (s2 * s1 - s3 * s0) / det
+      b0 = nb0; b1 = nb1
+    }
+    var x2 = 0.0; var dev = 0.0
+    cs.foreach { case (t, y) =>
+      val muT = math.exp(b0 + b1 * t)
+      x2 += (y - muT) * (y - muT) / muT
+      dev += 2.0 * ((if (y > 0) y * math.log(y.toDouble / muT) else 0.0) -
+        (y - muT))
+    }
+    val r = Analytics.poissonGlm(spark, sf).head()
+    r.getAs[Long]("n_days") shouldBe n.toLong
+    r.getAs[Long]("n_orders") shouldBe sy
+    r.getAs[Double]("beta0") shouldBe (b0 +- 1e-5)
+    r.getAs[Double]("beta_t") shouldBe (b1 +- 1e-6)
+    r.getAs[Double]("deviance") shouldBe (dev +- 1e-2)
+    r.getAs[Double]("dispersion") shouldBe (x2 / (n - 2.0) +- 1e-3)
+  }
+
   behavior of "holtWinters (q_holt_winters) vs a scratch recursion"
 
   it should "match all seven holdout forecasts" in {
