@@ -257,11 +257,11 @@ class ThirdImplSpec extends GraftTestBase {
 
   behavior of "coxPh + schoenfeldPh vs a scratch Breslow fit"
 
-  /** (d1, dt, n1, n0) per event time, duplicated logic built from the
-    * raw rows: durations in whole hours, censoring at study end. */
-  private lazy val coxFrame: (Vector[(Long, Long, Long, Long)], Long, Long) = {
+  /** The survival cohort from raw rows: (arm, duration hours,
+    * converted), censoring at study end. */
+  private lazy val survCohort: Vector[(Int, Long, Boolean)] = {
     val tEnd = eventRows.map(e => epochSec(e._1)).max
-    val perUser = eventRows.groupBy(_._2).flatMap { case (uid, es) =>
+    eventRows.groupBy(_._2).flatMap { case (uid, es) =>
       val t0 = es.filter(_._3 == "signup").map(e => epochSec(e._1))
         .minOption
       val tp = es.filter(_._3 == "purchase").map(e => epochSec(e._1))
@@ -273,6 +273,12 @@ class ThirdImplSpec extends GraftTestBase {
         (variantOf(uid), dur, converted)
       }
     }.toVector
+  }
+
+  /** (d1, dt, n1, n0) per event time, duplicated logic built from the
+    * raw rows. */
+  private lazy val coxFrame: (Vector[(Long, Long, Long, Long)], Long, Long) = {
+    val perUser = survCohort
     val eventTimes = perUser.filter(_._3).map(_._2).distinct.sorted
     val frame = eventTimes.map { t =>
       val d1 = perUser.count(u => u._3 && u._2 == t && u._1 == 1).toLong
@@ -333,6 +339,159 @@ class ThirdImplSpec extends GraftTestBase {
     r.getAs[Double]("rank_corr") shouldBe (corr +- 1e-4)
     r.getAs[Double]("z_stat") shouldBe (z +- 1e-3)
     r.getAs[Boolean]("ph_holds_95") shouldBe (math.abs(z) < 1.959963984540054)
+  }
+
+  behavior of "logRank / rmst vs scratch survival recomputations"
+
+  it should "match O-E, the hypergeometric variance and z" in {
+    val (frame, events1, events) = coxFrame
+    val e1 = frame.map { case (_, dt, n1, n0) =>
+      dt.toDouble * n1 / (n1 + n0) }.sum
+    val v = frame.map { case (_, dt, n1, n0) =>
+      val nt = n1 + n0
+      if (nt > 1)
+        dt.toDouble * (n1.toDouble / nt) * (n0.toDouble / nt) *
+          ((nt - dt).toDouble / (nt - 1))
+      else 0.0 }.sum
+    val z = (events1 - e1) / math.sqrt(v)
+    val r = Behavior.logRank(spark, sf).head()
+    r.getAs[Long]("size1") shouldBe survCohort.count(_._1 == 1).toLong
+    r.getAs[Long]("size0") shouldBe survCohort.count(_._1 == 0).toLong
+    r.getAs[Long]("events1") shouldBe events1
+    r.getAs[Long]("events0") shouldBe (events - events1)
+    r.getAs[Double]("o_minus_e") shouldBe (events1 - e1 +- 1e-4)
+    r.getAs[Double]("z_stat") shouldBe (z +- 1e-4)
+    r.getAs[Boolean]("significant_95") shouldBe
+      (math.abs(z) > 1.959963984540054)
+  }
+
+  it should "match the restricted-mean survival integral at tau" in {
+    val tau = Behavior.rmstTauH
+    // POOLED census over every distinct duration (censor-only hours
+    // keep d = 0 but still close intervals)
+    val times = survCohort.map(_._2).distinct.sorted
+    var sKm = 1.0; var tPrev = 0L; var area = 0.0
+    times.foreach { t =>
+      val tc = math.min(t, tau)
+      if (tc > tPrev) { area += sKm * (tc - tPrev); tPrev = tc }
+      if (t <= tau) {
+        val d = survCohort.count(u => u._3 && u._2 == t)
+        val nRisk = survCohort.count(_._2 >= t)
+        sKm *= 1.0 - d.toDouble / nRisk
+      }
+    }
+    val rmstH = area + sKm * (tau - tPrev)
+    val r = Behavior.rmst(spark, sf).head()
+    r.getAs[Long]("n_times") shouldBe times.length.toLong
+    r.getAs[Long]("tau_h") shouldBe tau
+    r.getAs[Double]("rmst_h") shouldBe (rmstH +- 1e-3)
+    r.getAs[Double]("s_at_tau") shouldBe (sKm +- 1e-5)
+  }
+
+  behavior of "brunnerMunzel (q_brunner_munzel) vs per-observation midranks"
+
+  it should "match p-hat, W and the Welch-like df" in {
+    val obs = eventRows.filter(_._3 == "purchase")
+      .map { case (_, uid, _, v) => (variantOf(uid), cents(v)) }
+    val a = obs.filter(_._1 == 0).map(_._2)
+    val b = obs.filter(_._1 == 1).map(_._2)
+    val m = a.length.toDouble; val n = b.length.toDouble
+    val pooled = a ++ b
+    def midrank(x: Long, in: Array[Long]): Double =
+      in.count(_ < x) + (in.count(_ == x) + 1) * 0.5
+    val rA = a.map(x => midrank(x, pooled))      // pooled midranks, arm A
+    val rB = b.map(x => midrank(x, pooled))
+    val rAa = a.map(x => midrank(x, a))          // within-arm midranks
+    val rBb = b.map(x => midrank(x, b))
+    val rbar1 = rA.sum / m; val rbar2 = rB.sum / n
+    val s1 = rA.zip(rAa).map { case (r, ra) =>
+      val t = r - ra - rbar1 + (m + 1) / 2; t * t }.sum / (m - 1)
+    val s2 = rB.zip(rBb).map { case (r, rb) =>
+      val t = r - rb - rbar2 + (n + 1) / 2; t * t }.sum / (n - 1)
+    val core = m * s1 + n * s2
+    val w = m * n * (rbar2 - rbar1) / ((m + n) * math.sqrt(core))
+    val df = core * core /
+      ((m * s1) * (m * s1) / (m - 1) + (n * s2) * (n * s2) / (n - 1))
+    val r = Behavior.brunnerMunzel(spark, sf).head()
+    r.getAs[Long]("n_a") shouldBe a.length.toLong
+    r.getAs[Long]("n_b") shouldBe b.length.toLong
+    r.getAs[Double]("p_hat") shouldBe ((rbar2 - (n + 1) / 2) / m +- 1e-5)
+    r.getAs[Double]("bm_w") shouldBe (w +- 1e-4)
+    r.getAs[Double]("df") shouldBe (df +- 0.05)
+    r.getAs[Boolean]("differs_95") shouldBe
+      (math.abs(w) > 1.959963984540054)
+  }
+
+  behavior of "andersonDarling (q_anderson_darling) vs Scholz-Stephens eq. 3"
+
+  it should "match the tie-adjusted two-sample A2" in {
+    val obs = eventRows.filter(_._3 == "purchase")
+      .map { case (_, uid, _, v) => (variantOf(uid), cents(v)) }
+    val na = obs.count(_._1 == 0).toDouble
+    val nbb = obs.count(_._1 == 1).toDouble
+    val nTot = na + nbb
+    val blocks = obs.groupBy(_._2).toVector.sortBy(_._1)
+    // eq. 3 with k = 2, both sample terms summed explicitly
+    var cum0 = 0.0; var cum1 = 0.0; var cumT = 0.0; var a2 = 0.0
+    blocks.foreach { case (_, group) =>
+      val l = group.length.toDouble
+      cum0 += group.count(_._1 == 0); cum1 += group.count(_._1 == 1)
+      cumT += l
+      if (cumT < nTot) {
+        val t0 = nTot * cum0 - na * cumT
+        val t1 = nTot * cum1 - nbb * cumT
+        a2 += (1.0 / na) * (l / nTot) * t0 * t0 / (cumT * (nTot - cumT)) +
+          (1.0 / nbb) * (l / nTot) * t1 * t1 / (cumT * (nTot - cumT))
+      }
+    }
+    val r = Behavior.andersonDarling(spark, sf).head()
+    r.getAs[Long]("n_a") shouldBe na.toLong
+    r.getAs[Long]("n_b") shouldBe nbb.toLong
+    r.getAs[Double]("ad_a2") shouldBe (a2 +- 1e-4)
+    r.getAs[Boolean]("significant_95") shouldBe (a2 > 2.492)
+  }
+
+  behavior of "ipwAte (q_ipw_ate) vs a row-level logit fit + weighting"
+
+  it should "match the propensity betas and all three estimates" in {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_discount", "l_returnflag").collect()
+      .map { r =>
+        (r.getDouble(0).toLong,
+          if (cents(r.getDouble(1)) >= 5) 1L else 0L,
+          if (r.getString(2) == "R") 1L else 0L) }
+    val n = rows.length
+    var b0 = 0.0; var b1 = 0.0
+    (1 to Analytics.ipwIters).foreach { _ =>
+      var u0 = 0.0; var u1 = 0.0; var i00 = 0.0; var i01 = 0.0; var i11 = 0.0
+      rows.foreach { case (x, t, _) =>
+        val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+        u0 += t - p; u1 += (t - p) * x
+        i00 += p * (1 - p); i01 += p * (1 - p) * x
+        i11 += p * (1 - p) * x * x
+      }
+      val det = i00 * i11 - i01 * i01
+      val nb0 = b0 + (i11 * u0 - i01 * u1) / det
+      val nb1 = b1 + (i00 * u1 - i01 * u0) / det
+      b0 = nb0; b1 = nb1
+    }
+    var ht1 = 0.0; var ht0 = 0.0; var w1 = 0.0; var w0 = 0.0
+    rows.foreach { case (x, t, y) =>
+      val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+      if (t == 1) { ht1 += y / p; w1 += 1.0 / p }
+      else { ht0 += y / (1 - p); w0 += 1.0 / (1 - p) }
+    }
+    val ntr = rows.count(_._2 == 1)
+    val naive = rows.filter(_._2 == 1).map(_._3).sum.toDouble / ntr -
+      rows.filter(_._2 == 0).map(_._3).sum.toDouble / (n - ntr)
+    val r = Analytics.ipwAte(spark, sf).head()
+    r.getAs[Long]("n") shouldBe n.toLong
+    r.getAs[Long]("n_treated") shouldBe ntr.toLong
+    r.getAs[Double]("beta0") shouldBe (b0 +- 1e-4)
+    r.getAs[Double]("beta_quantity") shouldBe (b1 +- 1e-5)
+    r.getAs[Double]("naive_diff") shouldBe (naive +- 1e-5)
+    r.getAs[Double]("ate_ht") shouldBe ((ht1 - ht0) / n +- 1e-4)
+    r.getAs[Double]("ate_hajek") shouldBe (ht1 / w1 - ht0 / w0 +- 1e-4)
   }
 
   behavior of "welchAnova / gamesHowellPairs (q_welch_anova, q_games_howell)"
