@@ -32,7 +32,17 @@ object GraftSession {
       // guessed: q_dedup_jaccard 19s -> see BENCH notes.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    Tables.requiredConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    // Broadcast-budget knobs for small-heap / large-graph captures
+    // (PERF.md round-12 gate): SPARK_GRAFT_AUTOBROADCAST sets the
+    // stats-chosen auto-broadcast threshold (bytes, -1 disables;
+    // AQE's adaptive threshold falls back to the same key), and
+    // SPARK_GRAFT_BROADCAST_ROWCAP sets the graph family's explicit
+    // gated-hint cap (rows, 0 disables the hints).
+    val b2 = sys.env.get("SPARK_GRAFT_AUTOBROADCAST")
+      .foldLeft(b)((bb, v) => bb.config("spark.sql.autoBroadcastJoinThreshold", v))
+    val b3 = sys.env.get("SPARK_GRAFT_BROADCAST_ROWCAP")
+      .foldLeft(b2)((bb, v) => bb.config("spark.graft.graph.broadcastRowCap", v))
+    Tables.requiredConf.foldLeft(b3) { case (bb, (k, v)) => bb.config(k, v) }
   }
 
   /** local[cpus] session for harness entrypoints. Also registers graft's
