@@ -377,7 +377,19 @@ object Dedup {
     * once so the minhash signature pipeline runs exactly once, and each
     * iteration's labels are checkpointed to keep the plan flat
     * (iterative lineage otherwise grows exponentially). */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+  /** Memo cache for suite-shared dedup frames ([[graft.Memo.Cache]]
+    * contract: slot reserved under the module lock, pinned build runs
+    * outside it, Bench attributes build time to the absorbing query). */
+  private val dedupMemo = new graft.Memo.Cache("dedup")
+
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    // memoized per (session, dataset): q_dedup_clusters AND
+    // q_canonical_docs both consume the full propagation — previously
+    // each ran its own signature pipeline + label fixpoint (~3 s of
+    // q_canonical_docs' in-suite bill at sf0.1 was this duplicate)
+    dedupMemo(s, d, "clusters") { dedupClustersBuild(s, d) }
+
+  private def dedupClustersBuild(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashLsh(s, d).select(col("doc_a"), col("doc_b")).pin()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -414,6 +426,7 @@ object Dedup {
     val sizes = labels.groupBy(col("label")).agg(count("*").as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .pin() // memo contract: consumers read materialized blocks
   }
 
   /** Fuzzy (edit-distance) duplicate detection over the DISTINCT name

@@ -964,10 +964,23 @@ object Similarity {
       .filter(col("nn") >= dbscanMinPts - 1)
       .select(col("src").as("x"))
       .pin()
+    // Pinned AND hash-partitioned on the round-join key ONCE: the
+    // propagation loop previously re-derived core-core edges from `sym`
+    // with two joins inside EVERY round's plan (the per-round waste the
+    // label-prop/sssp partitioning-reuse attacks deleted elsewhere —
+    // pin preserves outputPartitioning, so each round's dst-join reuses
+    // this exchange and only the O(core) label frame shuffles).
+    // Measured NEUTRAL at sf0.1 (iso best-of-5 5.30 → 5.32 s, PERF.md
+    // round 12): the query's bill is the all-pairs cosine verifier
+    // stage, not the loop — kept on the loop-invariant-materialization
+    // argument (at a core set that no longer fits a few partitions,
+    // re-deriving two joins per round is real per-round shuffle work).
     val coreEdges = sym
       .join(core.select(col("x").as("src")), Seq("src"))
       .join(core.select(col("x").as("dst")), Seq("dst"))
       .select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .pin()
     var labels = core.select(col("x"), col("x").as("label")).pin()
     var converged = false
     var iter = 0
