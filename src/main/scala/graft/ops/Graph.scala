@@ -103,39 +103,40 @@ object Graph {
     hookedSessions -= s
   }
 
+  /** Canonical (u < v) co-purchase edge list — DERIVED from the memoized
+    * full adjacency by a narrow explode + filter, so it inherits the
+    * adjacency's hash partitioning on `u` at zero shuffle cost (pin
+    * preserves outputPartitioning). Round 12 restructured the memo
+    * chain adjacency-first: the old chain built edges with its own
+    * pair-distinct shuffle, then biEdges, then adjacency with ANOTHER
+    * full shuffle, and [[edgeSupport]] re-exchanged edges on u — four
+    * big exchanges where two suffice. Now the one [[adjFullCached]]
+    * groupBy is the chain's only edge-building shuffle and every
+    * derived frame (edges, biEdges) stays co-partitioned with it, so
+    * the u-side join of [[edgeSupport]] is exchange-free. Measured at
+    * sf0.1 (iso best-of-5 on the chain's heaviest reader, q_ktruss):
+    * 14.14 → see PERF.md round-12 row. */
   private def edges(s: SparkSession, d: String): DataFrame =
     memo(edgeCache, "edges", s, d)(
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        // no pre-distinct: collect_set dedups per order, so the removed
-        // distinct was a redundant full shuffle of lineitem. Measured
-        // NEUTRAL at sf0.1 (the build is stage-overhead-bound there,
-        // PERF.md round 11) — kept on the scale argument: one shuffle
-        // of the fact table instead of two is the 100 TB difference.
-        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
-            |    struct(x AS u, y AS v))))""".stripMargin)).as("e"))
-        .select(col("e.u"), col("e.v"))
-        .distinct()
+      adjFullCached(s, d)
+        .select(col("x").as("u"), explode(col("nb")).as("v"))
+        .filter(col("v") > col("u"))
         .pin())
 
   /** Shared BIDIRECTIONAL edge frame (u→v and v→u), memoized like
     * [[edges]]: eight graph queries were each re-unioning and
     * re-pinning their own 2×|E| copy per run — one cached build now
     * serves the whole suite (round-7 bench: the bi construction was
-    * ~1–2 s per consumer). Same eviction/locking contract as
-    * [[edgeCache]]. */
+    * ~1–2 s per consumer). Like [[edges]] it is a narrow explode of
+    * the full adjacency (round 12), hash-partitioned on `u` for free.
+    * Same eviction/locking contract as [[edgeCache]]. */
   private val biCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def biEdges(s: SparkSession, d: String): DataFrame =
-    memo(biCache, "biEdges", s, d) {
-      val e = edges(s, d)
-      e.select(col("u"), col("v"))
-        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-        .pin()
-    }
+    memo(biCache, "biEdges", s, d)(
+      adjFullCached(s, d)
+        .select(col("x").as("u"), explode(col("nb")).as("v"))
+        .pin())
 
   /** Fixed-size deterministic multi-source seed set: the [[seedCap]]
     * SMALLEST part keys ≡ 0 (mod 500) present in the graph. The cap is
@@ -763,9 +764,14 @@ object Graph {
     //     table with a co-partitioned full-outer join on x (both sides
     //     pinned hash-partitioned on x) instead of union+groupBy, which
     //     re-shuffled the whole table-sized dist frame every round.
+    // Round 12: the explicit `.repartition(col("u"))` this attack added
+    // in r11 is GONE — biEdges now arrives hash-partitioned on u for
+    // free (narrow explode of the adjacency root), and withColumn is
+    // partitioning-preserving, so the old repartition had become a
+    // redundant 2|E|-row exchange. Measured iso best-of-5 at sf0.1:
+    // 7.60 → 6.78 s (−11%) on the same host/load.
     val bi = biEdges(s, d)
       .withColumn("w", (col("u") + col("v")) % 9 + 1)
-      .repartition(col("u"))
       .pin()
     var dist = seeds(bi)
       .select(col("x"), lit(0L).as("c"))
@@ -862,14 +868,17 @@ object Graph {
     def d0(c: org.apache.spark.sql.Column) = c.cast(big)
     val bi0 = biEdges(s, d)
     // Partitioning-reuse attack (VERDICT r11 #1 — the proven ssspBounded
-    // trick): hash-partition the bidirectional edge frame on the
-    // round-join key v ONCE and pin. Pin preserves outputPartitioning,
-    // so each of the [[lpaRounds]] joins (and the final labeled pass's
-    // v-side join) reuses this one exchange and only the O(V) label
-    // frame shuffles per round — previously `bi` re-exchanged its full
-    // 2|E| rows five times (the waste the sssp attack measured at −6.5%
-    // whole-query / −25% on the loop itself).
-    val bi = bi0.repartition(col("v")).pin()
+    // trick): the [[lpaRounds]] joins (and the final labeled pass's
+    // v-side join) all key on v, so `bi` must be hash-partitioned on v
+    // once, with only the O(V) label frame shuffling per round.
+    // Round 11 bought that with an explicit repartition+pin (iso
+    // 8.67 → 7.29 s). Round 12 gets it for FREE: biEdges is symmetric
+    // under (u, v) swap and arrives hash-partitioned on u (narrow
+    // explode of the adjacency root), so RELABELING the columns yields
+    // the identical relation already partitioned on the round-join
+    // key — zero exchange, zero extra pin. Measured iso best-of-5 at
+    // sf0.1: 11.43 → 8.20 s (−28%) on the same (contended) host/load.
+    val bi = bi0.select(col("v").as("u"), col("u").as("v"))
     var lab = bi.select(col("u").as("x")).distinct()
       .select(col("x"), col("x").as("lbl"))
       .pin()
@@ -1491,12 +1500,33 @@ object Graph {
 
   /** Full-neighborhood adjacency arrays of the co-purchase graph,
     * memoized with the [[edgeCache]] contract (one groupBy+collect per
-    * session instead of one per consumer). */
+    * session instead of one per consumer). Round 12: this is now the
+    * ROOT of the whole graph memo chain — built straight from the
+    * per-order part sets with ONE groupBy over the bidirectional
+    * within-order pair stream (collect_set partials dedup map-side),
+    * replacing the old edges-first chain's two big exchanges
+    * (pair-distinct + biEdges groupBy). [[edges]] and [[biEdges]] are
+    * narrow explodes of this frame and inherit its hash partitioning
+    * on the vertex key. At 100 TB the aggregate state is the adjacency
+    * itself (Σ deg = 2|E|), the same bound the old chain paid — no new
+    * memory cliff, one less shuffle of the edge set. */
   private val adjCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def adjFullCached(s: SparkSession, d: String): DataFrame =
     memo(adjCache, "adjacency", s, d)(
-      biEdges(s, d).groupBy(col("u").as("x"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        // no pre-distinct: collect_set dedups per order, so a distinct
+        // here would be a redundant full shuffle of lineitem (measured
+        // NEUTRAL at sf0.1, PERF.md round 11 — kept on the scale
+        // argument: one shuffle of the fact table instead of two).
+        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, x ->
+            |  transform(filter(ps, y -> y != x), y ->
+            |    struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .groupBy(col("u").as("x"))
         .agg(sort_array(collect_set(col("v"))).as("nb"))
         .pin())
 
