@@ -115,7 +115,8 @@ object Graph {
     * derived frame (edges, biEdges) stays co-partitioned with it, so
     * the u-side join of [[edgeSupport]] is exchange-free. Measured at
     * sf0.1 (iso best-of-5 on the chain's heaviest reader, q_ktruss):
-    * 14.14 → see PERF.md round-12 row. */
+    * 14.14 → 13.19 s, cold chain 31.4 → ~12 s on the same contended
+    * host (PERF.md round-12 rows). */
   private def edges(s: SparkSession, d: String): DataFrame =
     memo(edgeCache, "edges", s, d)(
       adjFullCached(s, d)
@@ -1596,9 +1597,11 @@ object Graph {
     // inherit (u, v) clustering from the round-1 join output through
     // filter/join, so rounds 2+ were never re-exchanging the surviving
     // edge set — the residual isolated bill decomposes to the SHARED
-    // memo chain (edges ~3.8 s + adjacency ~2.1 s + edgeSupport
-    // ~3.1 s), i.e. compute amortized across the whole graph suite,
-    // not loop shuffles.
+    // memo chain, i.e. compute amortized across the whole graph suite,
+    // not loop shuffles. That finding motivated the round-12
+    // adjacency-first chain restructure (see [[edges]]), which cut the
+    // chain to one edge-building shuffle: q_ktruss iso best-of-5
+    // 14.14 → 13.19 s on the same contended host.
     var cur = edges(s, d) // canonical u < v
     var out = Seq.empty[DataFrame]
     // Round 1 pays ONE full triangle-support pass (id-oriented higher-
