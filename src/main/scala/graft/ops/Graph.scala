@@ -665,10 +665,13 @@ object Graph {
     * unrolls the same rounds as chained CTEs (the [[pageRankSql]]
     * discipline). */
   def kCorePeeling(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    var bi = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .pin()
+    // Round 12: read the suite-shared [[biEdges]] memo instead of
+    // union-building a private 2|E| copy — the memo is already pinned
+    // AND hash-partitioned on u (adjacency-first chain), so round 1's
+    // degree groupBy and u-side semi-join start co-partitioned.
+    // Measured iso best-of-5 at sf0.1: 3.59 → 2.82 s (−21%), suite-warm
+    // 3.20 → 1.61 s — the private copy's build+pin disappears entirely.
+    var bi = biEdges(s, d)
     val kRow = bi.groupBy("u").agg(count(lit(1)).as("dg"))
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dg)")
         .cast("long").as("k"))
