@@ -302,6 +302,13 @@ object Behavior {
     * one knob needed is a basket-size cap before pair expansion (degenerate
     * mega-baskets are data bugs, same guard as the dedup posting lists). */
   def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    // Round 12: memoized per (session, dataset) — q_copurchase and
+    // q_assoc_rules each rebuilt the identical pair census (the
+    // dedupClusters precedent); one pinned build now serves both, and
+    // Bench's memo log attributes it to whichever query absorbs it.
+    memoCache(s, d, "coPurchasePairs")(coPurchasePairsBuild(s, d).pin())
+
+  private def coPurchasePairsBuild(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
