@@ -4471,7 +4471,12 @@ object Behavior {
       col("mt_m").as("treated_matched"),
       col("mc_m").as("control_matched"),
       (col("mt_all") - col("mt_m")).as("treated_pruned"),
-      when(col("mt_m") === 0L, lit(null).cast("double"))
+      // coalesce: with ZERO matched strata the empty-group sum leaves
+      // mt_m NULL, and a bare `mt_m === 0` guard is NULL too — the CASE
+      // would fall through to the division on an empty fold (0.0 here,
+      // NULL on the oracle: a cross-engine edge divergence). Never
+      // reached by the gate corpus; pinned by DegenerateGuardSpec.
+      when(coalesce(col("mt_m"), lit(0L)) === 0L, lit(null).cast("double"))
         .otherwise(round(att, 4)).as("att_cents"),
       round(naive, 4).as("naive_diff_cents"))
   }
@@ -4521,7 +4526,7 @@ object Behavior {
       |SELECT strata_total, strata_matched,
       |  mt_m AS treated_matched, mc_m AS control_matched,
       |  mt_all - mt_m AS treated_pruned,
-      |  CASE WHEN mt_m = 0 THEN NULL
+      |  CASE WHEN coalesce(mt_m, 0) = 0 THEN NULL
       |    ELSE round(list_sum(list_transform(cells, e ->
       |      e.st - CAST(e.sc AS DOUBLE) * e.mt / e.mc))
       |      / CAST(greatest(mt_m, 1) AS DOUBLE), 4) END AS att_cents,

@@ -1,0 +1,174 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+/** DEGENERATE-PATH guard tests: the NULL/absent/zero guards inside the
+  * statistics (McNemar with no discordant pairs, Durbin–Watson under
+  * the n < 3 floor, CEM with every stratum unmatched, Theil–Sen with no
+  * day pairs, the weighted median of a single row, the backtest with no
+  * evaluable window) are mirror-prone code the oracle gate NEVER
+  * exercises — the synthetic corpus is rich enough that every guard
+  * stays cold at all three SFs. Each test stages a tiny adversarial
+  * table and pins the guarded output shape.
+  */
+class DegenerateGuardSpec extends GraftTestBase {
+
+  private def stage(name: String, df: DataFrame): String = {
+    val dir = Files.createTempDirectory("graft-guard").toString
+    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    dir
+  }
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  behavior of "mcnemarTest with zero discordant pairs"
+
+  it should "emit NULL chi2 and a false verdict, not a division" in {
+    import spark.implicits._
+    // every user has high-value purchases in BOTH halves -> b = c = 0
+    val rows = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 7L, "purchase", 500.0, "{}"),
+      (2L, ts("2024-01-20 00:00:00"), 7L, "purchase", 500.0, "{}"),
+      (3L, ts("2024-01-10 00:00:00"), 8L, "purchase", 500.0, "{}"),
+      (4L, ts("2024-01-20 00:00:00"), 8L, "purchase", 500.0, "{}"))
+    val dir = stage("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Behavior.mcnemarTest(spark, dir).head()
+    r.getAs[Long]("n_pairs") shouldBe 2L
+    r.getAs[Long]("b_count") shouldBe 0L
+    r.getAs[Long]("c_count") shouldBe 0L
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+    assert(r.isNullAt(r.fieldIndex("chi2_cc")))
+    r.getAs[Boolean]("significant_95") shouldBe false
+  }
+
+  behavior of "durbinWatson under the n < 3 floor"
+
+  it should "emit NULL statistics and false flags" in {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, "O", 100.0, ts("1998-03-01 00:00:00"), "1-URGENT"),
+      (2L, 2L, "O", 200.0, ts("1998-03-02 00:00:00"), "1-URGENT"))
+    val dir = stage("orders", rows.toDF("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val r = TimeSeries.durbinWatson(spark, dir).head()
+    r.getAs[Long]("n_days") shouldBe 2L
+    assert(r.isNullAt(r.fieldIndex("dw")))
+    assert(r.isNullAt(r.fieldIndex("rho_hat")))
+    r.getAs[Boolean]("positive_autocorr_95") shouldBe false
+    r.getAs[Boolean]("negative_autocorr_95") shouldBe false
+  }
+
+  behavior of "cemAtt with every stratum unmatched"
+
+  it should "emit NULL ATT and keep the naive contrast" in {
+    import spark.implicits._
+    // treated and control customers live in DISJOINT nations, so no
+    // stratum has common support
+    val cust = Seq(
+      (1L, "c1", 1, 100.0, "BUILDING"),
+      (2L, "c2", 1, 150.0, "BUILDING"),
+      (3L, "c3", 2, 100.0, "MACHINERY"),
+      (4L, "c4", 2, 150.0, "MACHINERY"))
+    val orders = Seq(
+      (10L, 1L, "O", 1000.0, ts("1995-01-01 00:00:00"), "1-URGENT"),
+      (11L, 3L, "O", 500.0, ts("1995-01-01 00:00:00"), "1-URGENT"))
+    val dir = Files.createTempDirectory("graft-guard").toString
+    cust.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment").write.parquet(s"$dir/customer.parquet")
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority").write.parquet(s"$dir/orders.parquet")
+    val r = Behavior.cemAtt(spark, dir).head()
+    r.getAs[Long]("strata_matched") shouldBe 0L
+    // sum-over-empty is NULL in BOTH engines, so the matched counts and
+    // everything derived from them go NULL rather than 0 — the mirrored
+    // convention this spec pins (the gate never reaches it: the corpus
+    // always has common support somewhere)
+    assert(r.isNullAt(r.fieldIndex("treated_matched")))
+    assert(r.isNullAt(r.fieldIndex("treated_pruned")))
+    assert(r.isNullAt(r.fieldIndex("att_cents")))
+    // naive ATT still reads: (100000 + 0)/2 - (50000 + 0)/2 = 25000
+    r.getAs[Double]("naive_diff_cents") shouldBe (25000.0 +- 1e-9)
+  }
+
+  behavior of "theilSenTrend with a single day per priority"
+
+  it should "emit no row for a priority with zero slope pairs" in {
+    import spark.implicits._
+    // priority A has two days (one pair); priority B has one day (none)
+    val rows = Seq(
+      (1L, 1L, "O", 100.0, ts("1995-01-01 00:00:00"), "A"),
+      (2L, 2L, "O", 300.0, ts("1995-01-03 00:00:00"), "A"),
+      (3L, 3L, "O", 100.0, ts("1995-01-01 00:00:00"), "B"))
+    val dir = stage("orders", rows.toDF("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val out = Analytics.theilSenTrend(spark, dir).collect()
+    out.map(_.getAs[String]("o_orderpriority")).toSeq shouldBe Seq("A")
+    val a = out.head
+    a.getAs[Long]("n_pairs") shouldBe 1L
+    // one pair: (30000 - 10000) cents / 2 days / 100 = 100.0 per day
+    a.getAs[Double]("slope_per_day") shouldBe (100.0 +- 1e-9)
+  }
+
+  behavior of "weightedMedianPrice on a single-row flag"
+
+  it should "return that row's price with its full weight" in {
+    import spark.implicits._
+    val rows = Seq(("Z", 42.5, 7.0))
+    val dir = stage("lineitem",
+      rows.toDF("l_returnflag", "l_extendedprice", "l_quantity"))
+    val r = Analytics.weightedMedianPrice(spark, dir).head()
+    r.getAs[String]("l_returnflag") shouldBe "Z"
+    r.getAs[Double]("weighted_median_price") shouldBe 42.5
+    r.getAs[Double]("total_weight") shouldBe (7.0 +- 1e-9)
+  }
+
+  behavior of "forecastBacktest with fewer than 8 observations per type"
+
+  it should "emit no row when no day has both forecasts" in {
+    import spark.implicits._
+    // 5 days of one type: lag-7 never materializes -> empty result
+    val rows = (1 to 5).map(i =>
+      (i.toLong, ts(f"2024-01-0$i%d 00:00:00"), 1L, "click", 10.0, "{}"))
+    val dir = stage("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    TimeSeries.forecastBacktest(spark, dir).collect() shouldBe empty
+  }
+
+  behavior of "sampleRatioCheck at the exact scaled-integer boundary"
+
+  it should "not flag when (na-nb)^2*1000 equals the critical product" in {
+    import spark.implicits._
+    // engineer na, nb with (na-nb)^2 * 1000 <= (na+nb) * 3841 at the
+    // closest achievable margin: na=30, nb=10 -> 400000 vs 153640 FLAGS;
+    // na=12, nb=8 -> 16000 vs 76820 does not. Both directions pinned.
+    def dirFor(na: Int, nb: Int): String = {
+      // md5 parity of small uids: pick uids by their actual parity
+      val uids = Iterator.from(1).map(_.toLong).filter(u => true).take(2000).toVector
+      def par(u: Long): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.take(15), 16) % 2).toInt
+      }
+      val zeros = uids.filter(par(_) == 0).take(na)
+      val ones = uids.filter(par(_) == 1).take(nb)
+      val rows = (zeros ++ ones).zipWithIndex.map { case (u, i) =>
+        (i.toLong, ts("2024-01-01 00:00:00"), u, "view", 1.0, "{}")
+      }
+      stage("events",
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    }
+    val flagged = Behavior.sampleRatioCheck(spark, dirFor(30, 10)).head()
+    flagged.getAs[Long]("n_a") shouldBe 30L
+    flagged.getAs[Long]("n_b") shouldBe 10L
+    flagged.getAs[Boolean]("srm_detected") shouldBe true
+    val ok = Behavior.sampleRatioCheck(spark, dirFor(12, 8)).head()
+    ok.getAs[Boolean]("srm_detected") shouldBe false
+  }
+}
