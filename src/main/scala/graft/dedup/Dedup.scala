@@ -186,7 +186,16 @@ object Dedup {
     * (boilerplate documents), same knob as the stop-shingle cap in
     * [[ngramJaccard]]. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    // featureless docs (< 3 words -> empty shingle set) are EXCLUDED
+    // from banding: their all-NULL signatures would otherwise collapse
+    // into one degenerate "" band key on the Spark side (concat_ws
+    // skips nulls) while the oracle's `||` renders NULL keys that
+    // never join — a silent cross-engine divergence on any corpus with
+    // a short doc, and semantically wrong anyway (no features is not
+    // evidence of duplication). Mirrored by `WHERE len(s) > 0` in
+    // [[minhashPairsBody]]; pinned by DegenerateGuardSpec.
     val sig = docShingles(s, d)
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), shingleFingerprints(col("sh")).as("fp"))
       .select(col("doc_id"), minhashSignature(col("fp")).as("sig"))
     val bands = sig.select(col("doc_id"),
@@ -230,7 +239,9 @@ object Dedup {
     * only candidate pairs — O(pairs · shingles/doc), the bounded
     * near-dup candidate volume, never all-pairs. */
   def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+    // featureless docs excluded from banding — see [[minhashLsh]]
     val base = docShingles(s, d)
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), shingleFingerprints(col("sh")).as("fp0"))
       .select(col("doc_id"), array_distinct(col("fp0")).as("fp"))
       .select(col("doc_id"), col("fp"), minhashSignature(col("fp")).as("sig"))
@@ -896,7 +907,8 @@ object Dedup {
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM words),
        |fps AS (SELECT doc_id, list_transform(s,
-       |  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $minhashP) AS fp FROM sh),
+       |  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $minhashP) AS fp
+       |  FROM sh WHERE len(s) > 0),
        |sig AS (SELECT doc_id, [${sigExprs.mkString(",\n  ")}] AS sig FROM fps),
        |bands AS (SELECT doc_id, i - 1 AS band_idx, [${bandExprs.mkString(",\n  ")}][i] AS band_sig
        |  FROM sig, generate_series(1, $numBands) AS t(i)),
@@ -1078,10 +1090,16 @@ object Dedup {
       1.0 - math.pow(dedupEvalJaccard, bandWidth), numBands)
     truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
-        sum(coalesce(col("is_cand"), lit(0L))).cast("long").as("n_candidates"),
-        sum(coalesce(col("is_true"), lit(0L))).cast("long").as("n_true"),
-        sum(when(col("is_cand").isNotNull && col("is_true").isNotNull, 1L)
-          .otherwise(0L)).cast("long").as("n_hit"))
+        // outer coalesce: on a corpus with NO pairs at all the join is
+        // empty and sum-over-empty is NULL on the Spark side while the
+        // oracle's count(*) subqueries read 0 — the same empty-frame
+        // edge the CEM guard had (DegenerateGuardSpec)
+        coalesce(sum(coalesce(col("is_cand"), lit(0L))), lit(0L))
+          .cast("long").as("n_candidates"),
+        coalesce(sum(coalesce(col("is_true"), lit(0L))), lit(0L))
+          .cast("long").as("n_true"),
+        coalesce(sum(when(col("is_cand").isNotNull && col("is_true").isNotNull,
+          1L).otherwise(0L)), lit(0L)).cast("long").as("n_hit"))
       .select(col("n_candidates"), col("n_true"), col("n_hit"),
         round(col("n_hit").cast("double") /
           greatest(col("n_candidates"), lit(1L)).cast("double"), 6)
@@ -1116,8 +1134,9 @@ object Dedup {
        |    CAST(count(c.doc_a) AS BIGINT) AS n_candidates_hitside,
        |    CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
        |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
-       |    CAST(sum(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |    CAST(coalesce(sum(CASE WHEN t.doc_a IS NOT NULL
+       |      AND c.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS n_hit
        |  FROM truth t FULL OUTER JOIN cand c
        |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
        |SELECT n_candidates, n_true, n_hit,

@@ -129,6 +129,8 @@ object Decontam {
       val sig = df
         .select(col("doc_id"), toks.as("w"))
         .select(col("doc_id"), Dedup.shinglesFromWords(col("w")).as("sh"))
+        // featureless docs excluded from banding — see Dedup.minhashLsh
+        .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
         .select(col("doc_id"), Dedup.shingleFingerprints(col("sh")).as("fp"))
         .select(col("doc_id"), Dedup.minhashSignature(col("fp")).as("sig"))
       sig.select(col("doc_id"),
@@ -194,7 +196,8 @@ object Decontam {
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM words),
        |fps AS (SELECT doc_id, list_transform(s,
-       |  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % ${Dedup.minhashP}) AS fp FROM sh),
+       |  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % ${Dedup.minhashP}) AS fp
+       |  FROM sh WHERE len(s) > 0),
        |sig AS (SELECT doc_id, [${sigExprs.mkString(",\n  ")}] AS sig FROM fps),
        |bands AS (SELECT doc_id, i - 1 AS band_idx, [${bandExprs.mkString(",\n  ")}][i] AS band_sig
        |  FROM sig, generate_series(1, ${Dedup.numBands}) AS t(i)),

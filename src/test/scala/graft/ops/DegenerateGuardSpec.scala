@@ -141,6 +141,46 @@ class DegenerateGuardSpec extends GraftTestBase {
     TimeSeries.forecastBacktest(spark, dir).collect() shouldBe empty
   }
 
+  behavior of "minhashLsh with featureless (sub-3-word) documents"
+
+  it should "never pair docs whose shingle set is empty" in {
+    import spark.implicits._
+    // four short docs (no shingles) that would all have collided on the
+    // degenerate "" band key before the featureless-doc filter, plus
+    // one genuine near-dup pair to prove the normal path still fires
+    val docs = Seq(
+      (1L, "one two"), (2L, "three"), (3L, "four five"), (4L, ""),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon eta"))
+    val dir = stage("documents", docs.toDF("doc_id", "text"))
+    val pairs = graft.dedup.Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    pairs.foreach { case (a, b) =>
+      a should be >= 10L
+      b should be >= 10L
+    }
+    pairs should contain((10L, 11L))
+  }
+
+  behavior of "dedupEval on a corpus with zero candidate pairs"
+
+  it should "report exact zero counts, not empty-sum NULLs" in {
+    import spark.implicits._
+    // disjoint vocabularies: no shared shingles, no band collisions
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "gg hh ii jj kk ll"),
+      (3L, "mm nn oo pp qq rr"))
+    val dir = stage("documents", docs.toDF("doc_id", "text"))
+    val r = graft.dedup.Dedup.dedupEval(spark, dir).head()
+    r.getAs[Long]("n_candidates") shouldBe 0L
+    r.getAs[Long]("n_true") shouldBe 0L
+    r.getAs[Long]("n_hit") shouldBe 0L
+    r.getAs[Double]("precision") shouldBe 0.0
+    r.getAs[Double]("recall") shouldBe 0.0
+    r.getAs[Double]("f1") shouldBe 0.0
+  }
+
   behavior of "sampleRatioCheck at the exact scaled-integer boundary"
 
   it should "not flag when (na-nb)^2*1000 equals the critical product" in {
