@@ -4609,10 +4609,19 @@ object Behavior {
         .as("k1"),
       sum(when(col("event_type") === "view", 1L).otherwise(0L))
         .as("k2"))
-    val z = (col("k1") - col("k2")).cast("double") /
-      sqrt((col("k1") + col("k2")).cast("double"))
-    val ratio = col("k1").cast("double") / col("k2")
-    val se = sqrt(lit(1.0) / col("k1") + lit(1.0) / col("k2"))
+    // NULL-on-zero-divisor guards: with one arm ABSENT (k = 0) the CI's
+    // 1/k and the ratio's /k2 hit ANSI divide-by-zero on the Spark side
+    // while DuckDB's float division yields NULL — found by the
+    // clickless edge-corpus differential sweep (DegenerateGuardSpec
+    // session); the guards reproduce DuckDB's NULL propagation exactly
+    val nullD = lit(null).cast("double")
+    val z = when(col("k1") + col("k2") === 0L, nullD)
+      .otherwise((col("k1") - col("k2")).cast("double") /
+        sqrt((col("k1") + col("k2")).cast("double")))
+    val ratio = when(col("k2") === 0L, nullD)
+      .otherwise(col("k1").cast("double") / col("k2"))
+    val se = when(col("k1") === 0L || col("k2") === 0L, nullD)
+      .otherwise(sqrt(lit(1.0) / col("k1") + lit(1.0) / col("k2")))
     counts.select(col("k1"), col("k2"),
       round(ratio, 6).as("rate_ratio"),
       round(ratio * exp(se * -1.959963984540054), 6).as("ci_lo"),

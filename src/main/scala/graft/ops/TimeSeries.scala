@@ -1005,14 +1005,19 @@ object TimeSeries {
         sum(dx).as("sx"), sum(dy).as("sy"),
         sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"),
         sum(dy * dy).as("syy"))
-      .select(col("lag"), col("n_pairs"),
-        round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .select(col("lag"), col("n_pairs"), {
+        // NULL-on-zero-variance guard (clickless edge sweep): a
+        // constant side zeroes its variance term and sqrt(0) divides by
+        // zero — NULL on DuckDB, an ANSI error here without the guard
+        val vx = (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
           .cast("double")
-          / sqrt(
-            (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-              .cast("double") *
-            (col("n_pairs") * col("syy") - col("sy") * col("sy"))
-              .cast("double")), 6).as("ccf"))
+        val vy = (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+          .cast("double")
+        when(vx * vy === 0d, lit(null).cast("double"))
+          .otherwise(round((col("n_pairs") * col("sxy") -
+            col("sx") * col("sy")).cast("double") / sqrt(vx * vy), 6))
+          .as("ccf")
+      })
       .orderBy("lag")
   }
 
@@ -2514,12 +2519,19 @@ object TimeSeries {
     val c11 = d0(col("s11")) - d0(col("s1")) * d0(col("s1")) / nd
     val c22 = d0(col("s22")) - d0(col("s2")) * d0(col("s2")) / nd
     val c12 = d0(col("s12")) - d0(col("s1")) * d0(col("s2")) / nd
+    // NULL-on-zero-divisor guards (clickless edge sweep): a constant
+    // lagged series zeroes det/c11/ssrU; DuckDB's float division yields
+    // NULL there while Spark's ANSI divide raises — mirror the NULL
+    val nullD = lit(null).cast("double")
     val det = c11 * c22 - c12 * c12
-    val b1 = (c22 * c1y - c12 * c2y) / det
-    val b2 = (c11 * c2y - c12 * c1y) / det
+    val b1 = when(det === 0d, nullD)
+      .otherwise((c22 * c1y - c12 * c2y) / det)
+    val b2 = when(det === 0d, nullD)
+      .otherwise((c11 * c2y - c12 * c1y) / det)
     val ssrU = cYY - b1 * c1y - b2 * c2y
-    val ssrR = cYY - c1y * c1y / c11
-    val f = (ssrR - ssrU) * (nd - 3.0) / ssrU
+    val ssrR = cYY - when(c11 === 0d, nullD).otherwise(c1y * c1y / c11)
+    val f = when(ssrU === 0d, nullD)
+      .otherwise((ssrR - ssrU) * (nd - 3.0) / ssrU)
     sums.select(col("n").as("n_obs"),
       round(b1, 6).as("beta_clicks_lag"),
       round(b2, 6).as("beta_views_lag"),
@@ -2609,8 +2621,13 @@ object TimeSeries {
       sum((col("a").cast(big) * col("b")).cast(big)).cast(big).as("sab"),
       sum((col("b").cast(big) * col("b")).cast(big)).cast(big).as("sbb"))
       .select(col("n"),
-        ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
-          (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
+        // NULL-on-zero-divisor guard: a CONSTANT regressor series zeroes
+        // the OLS denominator (NULL on DuckDB, ANSI error here)
+        when((col("n") * col("sbb") - col("sb") * col("sb"))
+            .cast("double") === 0d, lit(null).cast("double"))
+          .otherwise(
+            (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+            (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
           .as("beta"))
       .crossJoin(broadcast(daily.agg(
         sum(col("a")).as("sa2"), sum(col("b")).as("sb2"),
@@ -2652,11 +2669,20 @@ object TimeSeries {
     val sxy = element_at(col("st"), 5)
     val sxx = element_at(col("st"), 6)
     val syy = element_at(col("st"), 7)
-    val gamma = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    // NULL-on-zero-divisor guards (clickless edge sweep): a constant
+    // series makes every residual 0 and the DF denominators vanish;
+    // DuckDB NULLs the division, Spark ANSI raises — mirror the NULL
+    val nullD = lit(null).cast("double")
+    val gden = m * sxx - sx * sx
+    val gamma = when(gden === 0d, nullD)
+      .otherwise((m * sxy - sx * sy) / gden)
     val cSxx = sxx - sx * sx / m
     val cSyy = syy - sy * sy / m
     val cSxy = sxy - sx * sy / m
-    val t = gamma / sqrt(((cSyy - gamma * cSxy) / (m - 2.0)) / cSxx)
+    val tInner = when(m === 2d, nullD)
+      .otherwise((cSyy - gamma * cSxy) / (m - 2.0))
+    val t = when(cSxx === 0d, nullD)
+      .otherwise(gamma / sqrt(tInner / cSxx))
     folded.select(col("n").as("n_days"),
       round(col("beta"), 6).as("beta"),
       round(col("alpha"), 6).as("alpha"),

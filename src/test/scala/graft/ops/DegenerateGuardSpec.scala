@@ -181,6 +181,35 @@ class DegenerateGuardSpec extends GraftTestBase {
     r.getAs[Double]("f1") shouldBe 0.0
   }
 
+  behavior of "the click-dependent statistics on a clickless corpus"
+
+  it should "emit NULL statistics instead of ANSI division errors" in {
+    import spark.implicits._
+    // views only: the click arm is ABSENT, so every click-variance and
+    // 1/k1 denominator is exactly zero — previously an ANSI
+    // divide-by-zero crash on the Spark side while DuckDB's float
+    // division yields NULL (found by the clickless edge-corpus
+    // differential sweep, fixed with mirrored NULL guards)
+    val rows = (1 to 40).map { i =>
+      (i.toLong, ts(f"2024-01-${i % 20 + 1}%02d 0${i % 9}:00:00"),
+        (i % 7).toLong, "view", 10.0 + i, "{}")
+    }
+    val dir = stage("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rt = Behavior.poissonRateTest(spark, dir).head()
+    rt.getAs[Long]("k1") shouldBe 0L
+    assert(rt.isNullAt(rt.fieldIndex("ci_lo")))
+    rt.getAs[Double]("rate_ratio") shouldBe 0.0 // k2 > 0: ratio survives
+    val ccf = TimeSeries.ccfClicksPurchases(spark, dir).collect()
+    ccf.foreach(r => assert(r.isNullAt(r.fieldIndex("ccf"))))
+    val gr = TimeSeries.grangerCausality(spark, dir).head()
+    assert(gr.isNullAt(gr.fieldIndex("beta_clicks_lag")))
+    assert(gr.isNullAt(gr.fieldIndex("f_stat")))
+    val co = TimeSeries.cointegration(spark, dir).head()
+    assert(co.isNullAt(co.fieldIndex("gamma")))
+    assert(co.isNullAt(co.fieldIndex("t_stat")))
+  }
+
   behavior of "sampleRatioCheck at the exact scaled-integer boundary"
 
   it should "not flag when (na-nb)^2*1000 equals the critical product" in {
