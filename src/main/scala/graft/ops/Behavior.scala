@@ -524,10 +524,16 @@ object Behavior {
       col("gsx").cast("double") * col("gsx").cast("double") / n) / n
     val varY = (col("gsyy").cast("double") -
       col("gsy").cast("double") * col("gsy").cast("double") / n) / n
+    // NULL-on-zero-variance guards (purchaseless edge sweep): with no
+    // pre-period signal varX = 0 and theta is 0/0 — NULL on DuckDB,
+    // an ANSI error here without the guard
+    val nullD = lit(null).cast("double")
     val gRow = glob.select(
-      (covXY / varX).as("theta"),
+      when(varX === 0d, nullD).otherwise(covXY / varX).as("theta"),
       (col("gsx").cast("double") / n).as("xbar"),
-      round(covXY * covXY / (varX * varY), 6).as("var_reduction"))
+      when(varX * varY === 0d, nullD)
+        .otherwise(round(covXY * covXY / (varX * varY), 6))
+        .as("var_reduction"))
     byVariant.crossJoin(broadcast(gRow))
       .select(col("variant"), col("n").as("n_users"),
         round(col("sy").cast("double") / col("n").cast("double") / 100.0, 6)
@@ -645,17 +651,24 @@ object Behavior {
       col("gsx").cast("double") * col("gsy").cast("double") / n) / n
     val varX = (col("gsxx").cast("double") -
       col("gsx").cast("double") * col("gsx").cast("double") / n) / n
-    val rho2 = covXY * covXY / (varX * varY)
+    // NULL guards (purchaseless edge sweep): zero observed delta or a
+    // zero-variance covariate make the sizing formulas 0/0 — NULL on
+    // DuckDB, ANSI errors here without the guards
+    val nullD = lit(null).cast("double")
+    val rho2 = when(varX * varY === 0d, nullD)
+      .otherwise(covXY * covXY / (varX * varY))
     val delta = abs(col("sy_b").cast("double") / nB -
       col("sy_a").cast("double") / nA)
     val zsum2 = lit((zAlpha2 + zBeta) * (zAlpha2 + zBeta))
     sums.select(
       round(delta / 100.0, 6).as("observed_delta"),
       round(sqrt(varY) / 100.0, 6).as("sd_y"),
-      ceil(lit(2.0) * zsum2 * varY / (delta * delta)).cast("long")
-        .as("n_per_arm"),
-      ceil(lit(2.0) * zsum2 * varY * (lit(1.0) - rho2) / (delta * delta))
-        .cast("long").as("n_per_arm_cuped"))
+      when(delta === 0d, lit(null).cast("long"))
+        .otherwise(ceil(lit(2.0) * zsum2 * varY / (delta * delta))
+          .cast("long")).as("n_per_arm"),
+      when(delta === 0d, lit(null).cast("long"))
+        .otherwise(ceil(lit(2.0) * zsum2 * varY * (lit(1.0) - rho2) /
+          (delta * delta)).cast("long")).as("n_per_arm_cuped"))
   }
 
   val powerAnalysisSql: String = {
@@ -747,14 +760,21 @@ object Behavior {
         sum(when(col("variant") === 1, col("sxx"))).as("sxx_b"))
     def mean(sx: String, n: String) =
       col(sx).cast("double") / col(n).cast("double")
-    // sample variance of the per-user metric from exact power sums
+    // sample variance of the per-user metric from exact power sums;
+    // NULL on a single-user arm (n-1 = 0 divides: NULL on DuckDB,
+    // an ANSI error here without the guard — purchaseless edge sweep)
     def varS(sxx: String, sx: String, n: String) =
-      (col(sxx).cast("double") -
-        col(sx).cast("double") * col(sx).cast("double") / col(n).cast("double")) /
-        (col(n).cast("double") - lit(1.0))
-    val z = (mean("sx_b", "n_b") - mean("sx_a", "n_a")) /
-      sqrt(varS("sxx_a", "sx_a", "n_a") / col("n_a").cast("double") +
-        varS("sxx_b", "sx_b", "n_b") / col("n_b").cast("double"))
+      when(col(n) === 1L, lit(null).cast("double")).otherwise(
+        (col(sxx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double") /
+            col(n).cast("double")) /
+          (col(n).cast("double") - lit(1.0)))
+    // NULL z when both arms have zero variance (identical revenue
+    // everywhere, e.g. an absent purchase type): 0/0 on both engines
+    val se2 = varS("sxx_a", "sx_a", "n_a") / col("n_a").cast("double") +
+      varS("sxx_b", "sx_b", "n_b") / col("n_b").cast("double")
+    val z = when(se2 === 0d, lit(null).cast("double"))
+      .otherwise((mean("sx_b", "n_b") - mean("sx_a", "n_a")) / sqrt(se2))
     wide.select(col("n_a"), col("n_b"),
       mean("sx_a", "n_a").as("mean_a"),
       mean("sx_b", "n_b").as("mean_b"),
@@ -2071,6 +2091,10 @@ object Behavior {
       max(col("n")).as("n"), max(col("n1")).as("n1"),
       sort_array(collect_list(struct(col("v"), col("t"), col("t1"),
         col("cumt")))).as("a"))
+      // empty observation set: the global agg still emits one all-NULL
+      // row here while the oracle's joins produce ZERO rows — drop it
+      // to mirror (purchaseless edge sweep)
+      .filter(col("n").isNotNull)
       .select(col("n"), col("n1"), expr("(n + 1) div 2").as("h"), col("a"))
     val folded = packed.select(col("n"), col("n1"), col("h"),
       expr(s"""(${sfun("n")})""").as("stot"),
@@ -4700,10 +4724,25 @@ object Behavior {
                  ((CAST(e.ca AS DOUBLE) / n_a
                    + CAST(e.cb AS DOUBLE) / n_b) / 2.0))
             ELSE 0.0 END))""").as("kl_b"))
-      .select(col("n_a"), col("n_b"), col("n_buckets"),
-        round(col("kl_a"), 6).as("kl_a_to_mix"),
-        round(col("kl_b"), 6).as("kl_b_to_mix"),
-        round((col("kl_a") + col("kl_b")) / 2.0, 6).as("js_nats"))
+      .select(Seq(col("n_a"), col("n_b"), col("n_buckets")) ++ {
+        // mirror DuckDB's NULL algebra on degenerate inputs
+        // (purchaseless edge sweep): an EMPTY cell list folds to the
+        // 0.0 init here but list_sum(NULL) is NULL there; and a
+        // one-sided corpus (n_b = 0 with any ca > 0 mass) divides 0/0
+        // inside the a-side mixture term (NULL there, 0.0-poisoning
+        // here). The other side's KL is a genuine 0.0 in both engines.
+        val nullD = lit(null).cast("double")
+        def guard(kl: Column, otherN: Column, ownN: Column) =
+          when(col("n_buckets") === 0L, nullD)
+            .when(otherN === 0L && ownN > 0L, nullD)
+            .otherwise(round(kl, 6))
+        Seq(guard(col("kl_a"), col("n_b"), col("n_a")).as("kl_a_to_mix"),
+          guard(col("kl_b"), col("n_a"), col("n_b")).as("kl_b_to_mix"),
+          when(col("n_buckets") === 0L ||
+              col("n_a") === 0L || col("n_b") === 0L, nullD)
+            .otherwise(round((col("kl_a") + col("kl_b")) / 2.0, 6))
+            .as("js_nats"))
+      }: _*)
   }
 
   lazy val jsDivergenceSql: String =
@@ -4934,11 +4973,18 @@ object Behavior {
     val folded = packed.select(col("k"),
       expr(orNum).as("or_num"), expr(orDen).as("or_den"),
       expr(sa).as("sa"), expr(se).as("se"), expr(sv).as("sv"))
-    val chi = pow(greatest(abs(col("sa") - col("se")) - lit(0.5), lit(0.0)),
-      2.0) / col("sv")
+    // NULL guards (purchaseless edge sweep): with zero conversions both
+    // the pooled-OR denominator and the CMH variance are exactly 0 —
+    // NULL on DuckDB, ANSI errors here without the guards
+    val nullD = lit(null).cast("double")
+    val orMh = when(col("or_den") === 0d, nullD)
+      .otherwise(col("or_num") / col("or_den"))
+    val chi = when(col("sv") === 0d, nullD)
+      .otherwise(pow(greatest(abs(col("sa") - col("se")) - lit(0.5),
+        lit(0.0)), 2.0) / col("sv"))
     folded.select(col("k").as("n_strata"),
-      round(col("or_num") / col("or_den"), 6).as("or_mh"),
-      round(log(col("or_num") / col("or_den")), 6).as("log_or_mh"),
+      round(orMh, 6).as("or_mh"),
+      round(log(orMh), 6).as("log_or_mh"),
       round(chi, 4).as("cmh_chi2"),
       (chi > lit(3.841458820694124)).as("reject_95"))
   }
@@ -5139,10 +5185,18 @@ object Behavior {
        |    / ((CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))
        |      * (CAST(e.n1 AS DOUBLE) * exp($b) + CAST(e.n0 AS DOUBLE))))"""
       .stripMargin
-  /** The [[coxIters]]-step Newton fold as a text macro. */
+  /** The [[coxIters]]-step Newton fold as a text macro. The
+    * information I(b) is exactly 0 when the event table is EMPTY (the
+    * fold over the empty packed array returns its 0.0 init) — the
+    * Newton step would divide by zero (NULL on DuckDB, whose empty
+    * list folds to NULL; an ANSI error here), so the step guards I = 0
+    * to NULL and the NULL beta then propagates through the remaining
+    * iterations (purchaseless edge sweep). */
   private def coxBetaExpr: String =
     s"""aggregate(sequence(1, $coxIters), CAST(0.0 AS DOUBLE),
-       (b, t) -> b + (${coxU("b")}) / (${coxI("b")}))"""
+       (b, t) -> CASE WHEN (${coxI("b")}) = 0.0D
+         THEN CAST(NULL AS DOUBLE)
+         ELSE b + (${coxU("b")}) / (${coxI("b")}) END)"""
 
   /** COX PROPORTIONAL-HAZARDS fit (one binary covariate, Breslow ties)
     * — the MODEL that completes the survival family: [[kaplanMeier]]/
@@ -5166,13 +5220,18 @@ object Behavior {
     val packed = coxEventFrame(s, d)
     val fitted = packed.select(col("events1"), col("events"), col("a"),
       expr(coxBetaExpr).as("beta"))
+    // I = 0 (empty event table) guards: NULL on DuckDB, ANSI /0 here
+    val nullD = lit(null).cast("double")
     fitted.select(col("events1"), col("events"),
       round(col("beta"), 6).as("beta_hat"),
       round(exp(col("beta")), 6).as("hazard_ratio"),
-      round(lit(1.0) / sqrt(expr(coxI("beta"))), 6).as("se_beta"),
+      when(expr(coxI("beta")) === 0d, nullD)
+        .otherwise(round(lit(1.0) / sqrt(expr(coxI("beta"))), 6))
+        .as("se_beta"),
       round(col("beta") * sqrt(expr(coxI("beta"))), 4).as("wald_z"),
-      round(expr(coxU("CAST(0.0 AS DOUBLE)")) /
-        sqrt(expr(coxI("CAST(0.0 AS DOUBLE)"))), 4).as("score_z"))
+      when(expr(coxI("CAST(0.0 AS DOUBLE)")) === 0d, nullD)
+        .otherwise(round(expr(coxU("CAST(0.0 AS DOUBLE)")) /
+          sqrt(expr(coxI("CAST(0.0 AS DOUBLE)"))), 4)).as("score_z"))
   }
 
   lazy val coxPhSql: String = {
@@ -5295,16 +5354,23 @@ object Behavior {
     // rank moments are closed forms of m (exact integers)
     val si = m * (m + 1.0) / 2.0
     val sii = m * (m + 1.0) * (lit(2.0) * m + 1.0) / 6.0
+    // degenerate-m guards (purchaseless edge sweep): with no events the
+    // residual frame is empty (den = 0 divides: ANSI error here, and
+    // DuckDB's sqrt(m - 2) even ERRORS on the negative argument — the
+    // one edge where the ORACLE also needed a CASE); |r| = 1 zeroes the
+    // z denominator (NULL on DuckDB)
+    val nullD = lit(null).cast("double")
     val num = m * col("st.sir") - si * col("st.sr")
     val den = sqrt((m * sii - si * si) *
       (m * col("st.srr") - col("st.sr") * col("st.sr")))
-    val r = num / den
+    val r = when(den === 0d, nullD).otherwise(num / den)
+    val zS = when(m <= 2d || r * r === 1d, nullD)
+      .otherwise(r * sqrt(m - 2.0) / sqrt(lit(1.0) - r * r))
     folded.select(col("m").as("n_event_times"),
       round(col("beta"), 6).as("beta_hat"),
       round(r, 6).as("rank_corr"),
-      round(r * sqrt(m - 2.0) / sqrt(lit(1.0) - r * r), 4).as("z_stat"),
-      (abs(r * sqrt(m - 2.0) / sqrt(lit(1.0) - r * r)) <
-        lit(1.959963984540054)).as("ph_holds_95"))
+      round(zS, 4).as("z_stat"),
+      (abs(zS) < lit(1.959963984540054)).as("ph_holds_95"))
   }
 
   lazy val schoenfeldPhSql: String = {
@@ -5403,10 +5469,12 @@ object Behavior {
        |SELECT m AS n_event_times,
        |  round(b, 6) AS beta_hat,
        |  round(r, 6) AS rank_corr,
-       |  round(r * sqrt(CAST(m AS DOUBLE) - 2.0) / sqrt(1.0 - r * r), 4)
-       |    AS z_stat,
-       |  (abs(r * sqrt(CAST(m AS DOUBLE) - 2.0) / sqrt(1.0 - r * r))
-       |    < 1.959963984540054) AS ph_holds_95
+       |  CASE WHEN m <= 2 OR r * r = 1.0 THEN NULL
+       |    ELSE round(r * sqrt(CAST(m AS DOUBLE) - 2.0)
+       |      / sqrt(1.0 - r * r), 4) END AS z_stat,
+       |  CASE WHEN m <= 2 OR r * r = 1.0 THEN NULL
+       |    ELSE (abs(r * sqrt(CAST(m AS DOUBLE) - 2.0)
+       |      / sqrt(1.0 - r * r)) < 1.959963984540054) END AS ph_holds_95
        |FROM stat""".stripMargin
   }
 

@@ -1295,6 +1295,12 @@ object TimeSeries {
     val packed = daily
       .groupBy()
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+      // a series shorter than horizon + 2 training points cannot seed
+      // the level/trend init (and the slices go negative under ANSI);
+      // DuckDB emits zero rows there — its recursive seed starts at
+      // i = 2 and never matches WHERE i = len(tr) < 2 — so the filter
+      // is an exact mirror at every length (purchaseless edge sweep)
+      .filter(size(col("arr")) >= holtHorizon + 2)
       .select(
         expr(s"slice(arr, 1, size(arr) - $holtHorizon)").as("tr"),
         expr(s"slice(arr, size(arr) - ${holtHorizon - 1}, $holtHorizon)")
@@ -3455,6 +3461,11 @@ object TimeSeries {
         .as("y"))
     daily.groupBy()
       .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+      // empty series: slice length goes negative and arr[0] indexes out
+      // of bounds under ANSI; DuckDB emits zero rows (its recursive
+      // seed never matches WHERE i = len(arr)) — mirror with a filter
+      // (purchaseless edge sweep)
+      .filter(size(col("arr")) > 0)
       .select(size(col("arr")).cast("long").as("n_days"), expr(
         s"""aggregate(slice(arr, 2, size(arr) - 1),
            |  named_struct(
@@ -3734,10 +3745,20 @@ object TimeSeries {
       (m * col("st.suv") - col("st.su") * col("st.sv"))
     val r2den = (m * col("st.suu") - col("st.su") * col("st.su")) *
       (m * col("st.svv") - col("st.sv") * col("st.sv"))
-    folded.select(col("n").as("n_days"), col("st.m").as("n_pairs"),
-      round(r2num / r2den, 6).as("r2"),
-      round(m * r2num / r2den, 4).as("lm_stat"),
-      (m * r2num / r2den > lit(3.841458820694124)).as("arch_95"))
+    // NULL-on-degenerate guards (purchaseless edge sweep): zero
+    // consecutive pairs or constant squared residuals zero the
+    // regression denominator — NULL on DuckDB, ANSI error here
+    val r2 = when(r2den === 0d, lit(null).cast("double"))
+      .otherwise(r2num / r2den)
+    folded
+      // an EMPTY series would index arr[0] inside the fold init under
+      // ANSI; DuckDB emits zero rows there (its recursive seed never
+      // matches WHERE i = len(arr)) — mirror with a filter
+      .filter(col("n") > 0L)
+      .select(col("n").as("n_days"), col("st.m").as("n_pairs"),
+        round(r2, 6).as("r2"),
+        round(m * r2, 4).as("lm_stat"),
+        (m * r2 > lit(3.841458820694124)).as("arch_95"))
   }
 
   lazy val archTestSql: String =
@@ -4142,17 +4163,27 @@ object TimeSeries {
     val l0 =
       s"""(CAST(aggregate(slice(tr, 1, $m), CAST(0 AS BIGINT),
          |  (a2, e2) -> a2 + e2.c) AS DOUBLE) / $m.0)""".stripMargin
+    // the CASE mirrors DuckDB's list_sum([]) = NULL when the second
+    // seasonal window is empty (len(tr) = m exactly): the fold here
+    // would return its 0 init and silently produce a wrong trend seed
     val b0 =
-      s"""(CAST(aggregate(slice(tr, ${m + 1}, $m), CAST(0 AS BIGINT),
+      s"""(CASE WHEN size(tr) <= $m THEN CAST(NULL AS DOUBLE)
+         |  ELSE CAST(aggregate(slice(tr, ${m + 1}, $m), CAST(0 AS BIGINT),
          |    (a2, e2) -> a2 + e2.c)
          |  - aggregate(slice(tr, 1, $m), CAST(0 AS BIGINT),
-         |    (a2, e2) -> a2 + e2.c) AS DOUBLE) / ${m * m}.0)""".stripMargin
+         |    (a2, e2) -> a2 + e2.c) AS DOUBLE) / ${m * m}.0 END)""".stripMargin
     val lnew =
       s"""($al * (CAST(e.c AS DOUBLE) - acc.s[acc.i % $m])
          |  + ${1 - al} * (acc.l + acc.b))""".stripMargin
     val packed = daily
       .groupBy()
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+      // DuckDB emits rows only when the training slice reaches the
+      // seasonal seed (its recursion starts at i = m, so fin needs
+      // len(tr) >= m, i.e. size(arr) >= m + h); shorter series would
+      // also drive the slices negative under ANSI here — the filter is
+      // the exact mirror (purchaseless edge sweep)
+      .filter(size(col("arr")) >= m + h)
       .select(
         expr(s"slice(arr, 1, size(arr) - $h)").as("tr"),
         expr(s"slice(arr, size(arr) - ${h - 1}, $h)").as("te"))
@@ -4303,8 +4334,13 @@ object TimeSeries {
             * per.sa[CAST(datediff(e.day, arr[0].day) % per.p AS INT)])""")
           .as("ps"))
       .select(col("period"), col("n"),
-        round((col("pc") * col("pc") + col("ps") * col("ps")) /
-          (col("n").cast("double") * col("ss")), 6).as("power_frac"))
+        // NULL-on-zero-energy guard (purchaseless edge sweep): an empty
+        // or constant series has n·ss = 0 exactly (the empty fold
+        // returns its 0.0 init) — NULL on DuckDB, ANSI error here
+        when(col("n").cast("double") * col("ss") === 0d,
+          lit(null).cast("double"))
+          .otherwise(round((col("pc") * col("pc") + col("ps") * col("ps")) /
+            (col("n").cast("double") * col("ss")), 6)).as("power_frac"))
     val best = proj.agg(max(col("power_frac")).as("best_frac"))
     proj.crossJoin(broadcast(best))
       .select(col("period"), col("n").as("n_days"), col("power_frac"),

@@ -210,6 +210,47 @@ class DegenerateGuardSpec extends GraftTestBase {
     assert(co.isNullAt(co.fieldIndex("t_stat")))
   }
 
+  behavior of "the purchase-dependent statistics on a purchaseless corpus"
+
+  it should "emit NULL rows or zero rows, never ANSI errors" in {
+    import spark.implicits._
+    // views and signups only: the purchase arm is ABSENT, zeroing the
+    // revenue variances, conversion cells, survival events and the
+    // daily purchase series — the edge-corpus sweep that found 13
+    // defects (11 ANSI crashes + 2 NULL-vs-0 divergences), all fixed
+    // with mirrored NULL guards / zero-row filters
+    val rows = (1 to 60).map { i =>
+      (i.toLong, ts(f"2024-01-${i % 25 + 1}%02d 0${i % 9}:00:00"),
+        (i % 9).toLong, if (i % 2 == 0) "view" else "signup",
+        10.0 + i % 13, "{}")
+    }
+    val dir = stage("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val ab = Behavior.abTestRevenue(spark, dir).head()
+    assert(ab.isNullAt(ab.fieldIndex("z_stat")))
+    val cu = Behavior.cupedReadout(spark, dir).collect()
+    cu.foreach(r => assert(r.isNullAt(r.fieldIndex("theta"))))
+    val pw = Behavior.powerAnalysis(spark, dir).head()
+    assert(pw.isNullAt(pw.fieldIndex("n_per_arm")))
+    val mh = Behavior.mantelHaenszel(spark, dir).head()
+    assert(mh.isNullAt(mh.fieldIndex("or_mh")))
+    assert(mh.isNullAt(mh.fieldIndex("cmh_chi2")))
+    val cox = Behavior.coxPh(spark, dir).head()
+    assert(cox.isNullAt(cox.fieldIndex("beta_hat")))
+    assert(cox.isNullAt(cox.fieldIndex("se_beta")))
+    val sch = Behavior.schoenfeldPh(spark, dir).head()
+    assert(sch.isNullAt(sch.fieldIndex("z_stat")))
+    val js = Behavior.jsDivergence(spark, dir).head()
+    assert(js.isNullAt(js.fieldIndex("js_nats")))
+    Behavior.ansariBradley(spark, dir).collect() shouldBe empty
+    TimeSeries.holtForecast(spark, dir).collect() shouldBe empty
+    TimeSeries.holtWinters(spark, dir).collect() shouldBe empty
+    TimeSeries.archTest(spark, dir).collect() shouldBe empty
+    TimeSeries.kalmanLevel(spark, dir).collect() shouldBe empty
+    TimeSeries.periodogram(spark, dir).collect()
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("power_frac"))))
+  }
+
   behavior of "sampleRatioCheck at the exact scaled-integer boundary"
 
   it should "not flag when (na-nb)^2*1000 equals the critical product" in {
