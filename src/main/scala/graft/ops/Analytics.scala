@@ -1550,9 +1550,12 @@ object Analytics {
             transform(col("cells"), x => x.getField("pr")))) - 1).as("min_dim"))
       .select(col("n_rows"), col("dof"),
         col("chi2"),
-        round(sqrt(col("chi2") /
-          (col("n_rows").cast("double") * col("min_dim").cast("double"))), 6)
-          .as("cramers_v"))
+        // NULL guard (collapsed-dimension edge sweep): a 1×k table has
+        // min_dim = 0 — NULL on DuckDB, ANSI error here
+        when(col("min_dim") === 0, lit(null).cast("double"))
+          .otherwise(round(sqrt(col("chi2") /
+            (col("n_rows").cast("double") * col("min_dim").cast("double"))),
+            6)).as("cramers_v"))
   }
 
   val chiSquareStatusPrioritySql: String =
@@ -1817,14 +1820,17 @@ object Analytics {
         sum((dec(col(a)) * dec(col(b))).cast(DecimalType(38, 6)))
           .as(s"sp_${a}_$b") }: _*)
     val pairRows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      // NULL guard (collapsed-dimension edge sweep): a CONSTANT column
+      // has zero variance and its correlations divide by zero — NULL
+      // on DuckDB, ANSI error here
+      def vr(c: String) = col(s"ss_$c").cast("double") * col("n") -
+        col(s"s_$c").cast("double") * col(s"s_$c").cast("double")
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
-        ((col(s"sp_${a}_$b").cast("double") * col("n") -
-          col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
-          (sqrt(col(s"ss_$a").cast("double") * col("n") -
-            col(s"s_$a").cast("double") * col(s"s_$a").cast("double")) *
-           sqrt(col(s"ss_$b").cast("double") * col("n") -
-            col(s"s_$b").cast("double") * col(s"s_$b").cast("double"))))
-          .as("corr"))
+        when(vr(a) * vr(b) === 0d, lit(null).cast("double"))
+          .otherwise(
+            (col(s"sp_${a}_$b").cast("double") * col("n") -
+              col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
+              (sqrt(vr(a)) * sqrt(vr(b)))).as("corr"))
     }
     sums.select(explode(array(pairRows: _*)).as("p"))
       .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
@@ -1930,9 +1936,17 @@ object Analytics {
       .select(col("l_returnflag"), col("n"),
         col("concordant").cast("double").as("concordant"),
         col("discordant").cast("double").as("discordant"),
-        round((col("concordant") - col("discordant")).cast("double") /
-          (sqrt((col("n0") - col("tq")).cast("double")) *
-            sqrt((col("n0") - col("td")).cast("double"))), 6).as("tau_b"))
+        // NULL guard (collapsed-dimension edge sweep): a CONSTANT axis
+        // ties every pair on it, zeroing its tie-corrected denominator
+        // leg — NULL on DuckDB, ANSI error here
+        when((col("n0") - col("tq")).cast("double") *
+            (col("n0") - col("td")).cast("double") === 0d,
+          lit(null).cast("double"))
+          .otherwise(
+            round((col("concordant") - col("discordant")).cast("double") /
+              (sqrt((col("n0") - col("tq")).cast("double")) *
+                sqrt((col("n0") - col("td")).cast("double"))), 6))
+          .as("tau_b"))
   }
 
   val kendallTauQtyDiscountSql: String =
@@ -2074,13 +2088,23 @@ object Analytics {
         fold(x => mm(x) * lx(x) * ly(x)).as("sxy"),
         fold(x => mm(x) * lx(x) * lx(x)).as("sxx"),
         fold(x => mm(x) * ly(x) * ly(x)).as("syy"))
-      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("elasticity"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))), 6).as("r2"))
+      .select(Seq(col("l_returnflag"),
+        col("n").cast("long").as("n_rows")) ++ {
+        // collapsed-dimension edge guards: a constant log-price zeroes
+        // the OLS denominator (NULL on DuckDB, ANSI error here), and a
+        // near-constant one leaves a tiny float residual whose rounded
+        // r2 is IEEE -0.0 — pin the signed zero on both sides
+        val nullD = lit(null).cast("double")
+        val eNum = col("n") * col("sxy") - col("sx") * col("sy")
+        val eDen = col("n") * col("sxx") - col("sx") * col("sx")
+        val rDen = eDen * (col("n") * col("syy") - col("sy") * col("sy"))
+        val r2v = round(eNum * eNum / rDen, 6)
+        Seq(
+          when(eDen === 0d, nullD).otherwise(round(eNum / eDen, 6))
+            .as("elasticity"),
+          when(rDen === 0d, nullD)
+            .otherwise(when(r2v === 0d, lit(0d)).otherwise(r2v)).as("r2"))
+      }: _*)
   }
 
   val discountElasticitySql: String =
@@ -2098,9 +2122,14 @@ object Analytics {
       |    sum(m * ln(q) * ln(q) ORDER BY q, dd) AS syy
       |  FROM cells GROUP BY 1)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
-      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |  CASE WHEN n * sxx - sx * sx = 0.0 THEN NULL
+      |    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END
+      |    AS elasticity,
+      |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0 THEN NULL
+      |    WHEN round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      |      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) = 0.0 THEN 0.0
+      |    ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      |      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
       |FROM s""".stripMargin
 
   /** GUMBEL extreme-value fit over monthly block maxima of order value —
@@ -2513,14 +2542,23 @@ object Analytics {
         round(col("sg") - (col("gs") * col("gs")).cast("double")
           / col("n_total"), 6).as("ssb"),
         round(col("gq").cast("double") - col("sg"), 6).as("ssw"),
-        round(((col("sg") - (col("gs") * col("gs")).cast("double")
-            / col("n_total")) / (col("k") - 1)) /
-          ((col("gq").cast("double") - col("sg"))
-            / (col("n_total") - col("k"))), 6).as("f_stat"),
-        round((col("sg") - (col("gs") * col("gs")).cast("double")
-            / col("n_total")) /
-          (col("gq").cast("double") - (col("gs") * col("gs")).cast("double")
-            / col("n_total")), 6).as("eta_sq"))
+        // NULL guards (collapsed-dimension edge-sweep class): k = 1
+        // zeroes the between df, a perfectly-fit corpus zeroes SSW/SST
+        // — NULL on DuckDB, ANSI errors here
+        when(col("k") === 1L ||
+            col("gq").cast("double") - col("sg") === 0d,
+          lit(null).cast("double"))
+          .otherwise(round(((col("sg") - (col("gs") * col("gs"))
+              .cast("double") / col("n_total")) / (col("k") - 1)) /
+            ((col("gq").cast("double") - col("sg"))
+              / (col("n_total") - col("k"))), 6)).as("f_stat"),
+        when(col("gq").cast("double") - (col("gs") * col("gs"))
+            .cast("double") / col("n_total") === 0d,
+          lit(null).cast("double"))
+          .otherwise(round((col("sg") - (col("gs") * col("gs"))
+              .cast("double") / col("n_total")) /
+            (col("gq").cast("double") - (col("gs") * col("gs"))
+              .cast("double") / col("n_total")), 6)).as("eta_sq"))
   }
 
   val anovaValueByTypeSql: String =
@@ -2603,10 +2641,13 @@ object Analytics {
           .as("sg"),
         col("gs"), col("gq"))
       .select(col("k"), col("n_total"),
-        round(((col("sg") - (col("gs") * col("gs")).cast("double")
-            / col("n_total")) / (col("k") - 1)) /
-          ((col("gq").cast("double") - col("sg"))
-            / (col("n_total") - col("k"))), 6).as("f_stat"))
+        // NULL guard (collapsed-dimension edge sweep): k = 1 zeroes the
+        // between-groups df — NULL on DuckDB, ANSI error here
+        when(col("k") === 1L, lit(null).cast("double"))
+          .otherwise(round(((col("sg") - (col("gs") * col("gs"))
+              .cast("double") / col("n_total")) / (col("k") - 1)) /
+            ((col("gq").cast("double") - col("sg"))
+              / (col("n_total") - col("k"))), 6)).as("f_stat"))
   }
 
   val leveneQtyByFlagSql: String =
@@ -2988,8 +3029,12 @@ object Analytics {
       .cast("double")
     sums.select(col("k"), col("n").cast("long").as("n_total"),
       col("r").cast("long").as("n_returned"),
-      round(num / (col("n").cast("double") *
-        sqrt(p * (lit(1.0) - p) * varCore)), 6).as("z_trend"))
+      // NULL guard (collapsed-dimension edge sweep): a single dose level
+      // (constant discount) or an all-/never-returned corpus zeroes the
+      // variance core — NULL on DuckDB, ANSI error here
+      when(p * (lit(1.0) - p) * varCore === 0d, lit(null).cast("double"))
+        .otherwise(round(num / (col("n").cast("double") *
+          sqrt(p * (lit(1.0) - p) * varCore)), 6)).as("z_trend"))
   }
 
   val cochranArmitageTrendSql: String =
@@ -3555,12 +3600,21 @@ object Analytics {
     def vr(a: String): Column =
       col(s"ss_$a").cast("double") * nd -
         col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
-    def r(a: String, b: String): Column = cov(a, b) / sqrt(vr(a) * vr(b))
+    // NULL guards (collapsed-dimension edge sweep): a constant column
+    // zeroes its variance (its correlations divide by zero), and a
+    // perfectly-correlating confounder zeroes the partial-r denominator
+    // — NULL on DuckDB, ANSI errors here
+    def r(a: String, b: String): Column =
+      when(vr(a) * vr(b) === 0d, lit(null).cast("double"))
+        .otherwise(cov(a, b) / sqrt(vr(a) * vr(b)))
     val rqp = r("l_quantity", "l_extendedprice")
     val rqd = r("l_quantity", "l_discount")
     val rpd = r("l_extendedprice", "l_discount")
-    val partial = (rqp - rqd * rpd) /
-      sqrt((lit(1.0) - rqd * rqd) * (lit(1.0) - rpd * rpd))
+    val partial = when(
+      (lit(1.0) - rqd * rqd) * (lit(1.0) - rpd * rpd) === 0d,
+      lit(null).cast("double"))
+      .otherwise((rqp - rqd * rpd) /
+        sqrt((lit(1.0) - rqd * rqd) * (lit(1.0) - rpd * rpd)))
     // Cronbach: item variances and total-score variance from the same
     // sums (var_total = Σvar_i + 2Σcov_ij), all over the common n²
     // denominator, which cancels in the ratio
@@ -4018,8 +4072,11 @@ object Analytics {
        sq(col("n3")) * (lit(2L) * col("n3") + 3L) +
        sq(col("n4")) * (lit(2L) * col("n4") + 3L) +
        sq(col("n5")) * (lit(2L) * col("n5") + 3L))
-    val z = (col("jt2") - col("e2")).cast("double") /
-      sqrt(col("var4num").cast("double") / 18.0)
+    // NULL guard (collapsed-dimension edge sweep): a single occupied
+    // group zeroes the JT variance — NULL on DuckDB, ANSI error here
+    val z = when(col("var4num") === 0L, lit(null).cast("double"))
+      .otherwise((col("jt2") - col("e2")).cast("double") /
+        sqrt(col("var4num").cast("double") / 18.0))
     sums.withColumn("e2", e2).withColumn("var4num", var4num)
       .select(col("n"), col("jt2"), col("e2"),
         round(z, 6).as("z_stat"),
@@ -4384,10 +4441,23 @@ object Analytics {
       .groupBy("x1", "x2")
       .agg(count(lit(1)).cast("long").as("cnt"),
         sum(col("y")).cast("long").as("pos"))
+    // EXACT-INTEGER degenerate-design flag (collapsed-dimension edge
+    // sweep): a constant covariate makes the design singular, but the
+    // float det only hits EXACT zero on one engine (fold-order ulps) —
+    // the integer covariate variances agree bit-for-bit on both, so
+    // they carry the NULL decision
+    val bigD = DecimalType(38, 0)
+    def dI(c: Column) = c.cast(bigD)
     val packed = cells.agg(
       count(lit(1)).cast("long").as("n_cells"),
       sum(col("cnt")).cast("long").as("n"),
       sum(col("pos")).cast("long").as("npos"),
+      ((sum(dI(col("cnt"))) * sum(dI(col("cnt")) * col("x1") * col("x1")) -
+        sum(dI(col("cnt")) * col("x1")) * sum(dI(col("cnt")) * col("x1")))
+        === dI(lit(0)) ||
+       (sum(dI(col("cnt"))) * sum(dI(col("cnt")) * col("x2") * col("x2")) -
+        sum(dI(col("cnt")) * col("x2")) * sum(dI(col("cnt")) * col("x2")))
+        === dI(lit(0))).as("degenerate"),
       sort_array(collect_list(struct(col("x1"), col("x2"), col("cnt"),
         col("pos")))).as("cells"))
     // p(c, b) with 0-based Spark subscripts; b bound per step below.
@@ -4424,33 +4494,56 @@ object Analytics {
     val d2 = s"""((s[4] * s[7] - s[5] * s[6]) * s[0]
       + (s[4] * s[5] - s[3] * s[7]) * s[1]
       + (s[3] * s[6] - s[4] * s[4]) * s[2]) / $det"""
+    // degenerate-design guards (collapsed-dimension edge sweep): a
+    // CONSTANT covariate makes the Hessian singular (det = 0 — NULL on
+    // DuckDB, ANSI error here), and a one-class outcome needs the
+    // textbook 0·ln(0) = 0 deviance convention in BOTH engines (DuckDB
+    // otherwise ERRORS on ln(0))
     val fitted = packed.select(col("n_cells"), col("n"), col("npos"),
-      col("cells"),
-      expr(
-        s"""aggregate(sequence(1, $k),
-           |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-           |        CAST(0.0 AS DOUBLE)),
-           |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
-           |    (bb, s) -> array(bb[0] + $d0, bb[1] + $d1, bb[2] + $d2)))"""
-          .stripMargin).as("b"))
+      col("cells"), col("degenerate"),
+      when(col("degenerate"),
+        array(lit(null).cast("double"), lit(null).cast("double"),
+          lit(null).cast("double")))
+        .otherwise(expr(
+          s"""aggregate(sequence(1, $k),
+             |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             |        CAST(0.0 AS DOUBLE)),
+             |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
+             |    (bb, s) -> CASE WHEN $det = 0.0D
+             |      THEN array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |        CAST(NULL AS DOUBLE))
+             |      ELSE array(bb[0] + $d0, bb[1] + $d1, bb[2] + $d2) END))"""
+            .stripMargin)).as("b"))
     fitted.select(col("n_cells"), col("n"), col("npos"), col("b"),
       expr(s"""-2.0 * ${mom(
-        """CAST(c.pos AS DOUBLE) * ln(P)
-          + (CAST(c.cnt AS DOUBLE) - CAST(c.pos AS DOUBLE)) * ln(1.0 - P)""",
+        """(CASE WHEN c.pos = 0 THEN 0.0
+             ELSE CAST(c.pos AS DOUBLE) * ln(P) END)
+          + (CASE WHEN c.cnt = c.pos THEN 0.0
+             ELSE (CAST(c.cnt AS DOUBLE) - CAST(c.pos AS DOUBLE))
+               * ln(1.0 - P) END)""",
         "b")}""").as("dev"),
-      (lit(-2.0) * (col("npos").cast("double") *
-        log(col("npos").cast("double") / col("n").cast("double")) +
-        (col("n") - col("npos")).cast("double") *
-          log((col("n") - col("npos")).cast("double") /
-            col("n").cast("double")))).as("dev0"))
+      (lit(-2.0) * (
+        when(col("npos") === 0L, lit(0.0))
+          .otherwise(col("npos").cast("double") *
+            log(col("npos").cast("double") / col("n").cast("double"))) +
+        when(col("n") === col("npos"), lit(0.0))
+          .otherwise((col("n") - col("npos")).cast("double") *
+            log((col("n") - col("npos")).cast("double") /
+              col("n").cast("double"))))).as("dev0"))
       .select(col("n").as("n_rows"), col("npos").as("n_pos"),
         col("n_cells"),
         round(expr("b[0]"), 6).as("beta_intercept"),
         round(expr("b[1]"), 6).as("beta_discount_pct"),
         round(expr("b[2]"), 6).as("beta_quantity"),
-        round(col("dev"), 4).as("deviance"),
-        round(col("dev0"), 4).as("null_deviance"),
-        round(lit(1.0) - col("dev") / col("dev0"), 6).as("mcfadden_r2"))
+        // signed-zero pin: a one-class corpus has zero deviance, and
+        // -2.0 * 0.0 is IEEE -0.0 — rendered differently across engines
+        when(round(col("dev"), 4) === 0d, lit(0d))
+          .otherwise(round(col("dev"), 4)).as("deviance"),
+        when(round(col("dev0"), 4) === 0d, lit(0d))
+          .otherwise(round(col("dev0"), 4)).as("null_deviance"),
+        when(col("dev0") === 0d, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("dev") / col("dev0"), 6))
+          .as("mcfadden_r2"))
   }
 
   lazy val logisticRegressionSql: String = {
@@ -4495,6 +4588,12 @@ object Analytics {
        |packed AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
        |    CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS npos,
+       |    (sum(CAST(cnt AS HUGEINT)) * sum(CAST(cnt AS HUGEINT) * x1 * x1)
+       |       - sum(CAST(cnt AS HUGEINT) * x1) * sum(CAST(cnt AS HUGEINT) * x1)
+       |       = 0
+       |     OR sum(CAST(cnt AS HUGEINT)) * sum(CAST(cnt AS HUGEINT) * x2 * x2)
+       |       - sum(CAST(cnt AS HUGEINT) * x2) * sum(CAST(cnt AS HUGEINT) * x2)
+       |       = 0) AS degenerate,
        |    list(struct_pack(x1 := x1, x2 := x2, cnt := cnt, pos := pos)
        |      ORDER BY x1, x2, cnt, pos) AS cells
        |  FROM cellrel),
@@ -4507,25 +4606,39 @@ object Analytics {
        |       for s in [${sumsArr("b")}] ])[1]
        |  FROM newton, packed
        |  WHERE t < $k),
-       |fit AS (SELECT b FROM newton WHERE t = $k),
+       |fit AS (
+       |  SELECT CASE WHEN (SELECT degenerate FROM packed)
+       |    THEN [CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       |      CAST(NULL AS DOUBLE)]
+       |    ELSE b END AS b
+       |  FROM newton WHERE t = $k),
        |devs AS (
        |  SELECT n_cells, n, npos, b,
        |    -2.0 * ${mom(
-      """CAST(c.pos AS DOUBLE) * ln(P)
-        + (CAST(c.cnt AS DOUBLE) - CAST(c.pos AS DOUBLE)) * ln(1.0 - P)""",
+      """(CASE WHEN c.pos = 0 THEN 0.0
+           ELSE CAST(c.pos AS DOUBLE) * ln(P) END)
+        + (CASE WHEN c.cnt = c.pos THEN 0.0
+           ELSE (CAST(c.cnt AS DOUBLE) - CAST(c.pos AS DOUBLE))
+             * ln(1.0 - P) END)""",
       "b")} AS dev,
-       |    -2.0 * (CAST(npos AS DOUBLE)
-       |        * ln(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
-       |      + CAST(n - npos AS DOUBLE)
-       |        * ln(CAST(n - npos AS DOUBLE) / CAST(n AS DOUBLE))) AS dev0
+       |    -2.0 * ((CASE WHEN npos = 0 THEN 0.0
+       |        ELSE CAST(npos AS DOUBLE)
+       |          * ln(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)) END)
+       |      + (CASE WHEN n = npos THEN 0.0
+       |        ELSE CAST(n - npos AS DOUBLE)
+       |          * ln(CAST(n - npos AS DOUBLE) / CAST(n AS DOUBLE)) END))
+       |      AS dev0
        |  FROM fit, packed)
        |SELECT n AS n_rows, npos AS n_pos, n_cells,
        |  round(b[1], 6) AS beta_intercept,
        |  round(b[2], 6) AS beta_discount_pct,
        |  round(b[3], 6) AS beta_quantity,
-       |  round(dev, 4) AS deviance,
-       |  round(dev0, 4) AS null_deviance,
-       |  round(1.0 - dev / dev0, 6) AS mcfadden_r2
+       |  CASE WHEN round(dev, 4) = 0.0 THEN 0.0
+       |    ELSE round(dev, 4) END AS deviance,
+       |  CASE WHEN round(dev0, 4) = 0.0 THEN 0.0
+       |    ELSE round(dev0, 4) END AS null_deviance,
+       |  CASE WHEN dev0 = 0.0 THEN NULL
+       |    ELSE round(1.0 - dev / dev0, 6) END AS mcfadden_r2
        |FROM devs""".stripMargin
   }
 
@@ -4596,21 +4709,31 @@ object Analytics {
         s"""aggregate(sequence(1, $k),
            |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
            |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
-           |    (bb, s) -> array(bb[0] + $d0, bb[1] + $d1)))"""
+           |    (bb, s) -> CASE WHEN $det = 0.0D
+           |      THEN array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+           |      ELSE array(bb[0] + $d0, bb[1] + $d1) END))"""
           .stripMargin).as("b"))
+    // one-armed-corpus guards (collapsed-dimension edge sweep): with
+    // every row treated (or none), the control mean and the Hajek
+    // normalizers divide by zero — NULL on DuckDB, ANSI errors here
+    val nullD = lit(null).cast("double")
+    val hajekDen1 = expr(mom("CAST(c.nt AS DOUBLE) / P", "b"))
+    val hajekDen0 = expr(mom("CAST(c.cnt - c.nt AS DOUBLE) / (1.0 - P)", "b"))
     fitted.select(col("n"), col("ntr").as("n_treated"),
       round(expr("b[0]"), 6).as("beta0"),
       round(expr("b[1]"), 6).as("beta_quantity"),
-      round(col("ts1").cast("double") / col("ntr") -
-        col("ts0").cast("double") / (col("n") - col("ntr")), 6)
+      when(col("ntr") === 0L || col("n") === col("ntr"), nullD)
+        .otherwise(round(col("ts1").cast("double") / col("ntr") -
+          col("ts0").cast("double") / (col("n") - col("ntr")), 6))
         .as("naive_diff"),
       round((expr(mom("CAST(c.s1 AS DOUBLE) / P", "b")).cast("double") -
         expr(mom("CAST(c.s0 AS DOUBLE) / (1.0 - P)", "b"))) /
         col("n").cast("double"), 6).as("ate_ht"),
-      round(expr(mom("CAST(c.s1 AS DOUBLE) / P", "b")) /
-        expr(mom("CAST(c.nt AS DOUBLE) / P", "b")) -
-        expr(mom("CAST(c.s0 AS DOUBLE) / (1.0 - P)", "b")) /
-        expr(mom("CAST(c.cnt - c.nt AS DOUBLE) / (1.0 - P)", "b")), 6)
+      when(hajekDen1 === 0d || hajekDen0 === 0d, nullD)
+        .otherwise(round(expr(mom("CAST(c.s1 AS DOUBLE) / P", "b")) /
+          hajekDen1 -
+          expr(mom("CAST(c.s0 AS DOUBLE) / (1.0 - P)", "b")) /
+          hajekDen0, 6))
         .as("ate_hajek"))
   }
 
@@ -4898,8 +5021,11 @@ object Analytics {
           (acc, e) -> acc + 1.0 / (CAST(e.n AS DOUBLE) - 1.0))""")
           .as("sum_inv"))
     val nmk = (col("n_total") - col("k")).cast("double")
-    val cfac = lit(1.0) + (col("sum_inv") - lit(1.0) / nmk) /
-      (lit(3.0) * (col("k").cast("double") - 1.0))
+    // NULL guard (collapsed-dimension edge sweep): k = 1 zeroes the
+    // 3(k-1) correction denominator — NULL on DuckDB, ANSI error here
+    val cfac = when(col("k") === 1L, lit(null).cast("double"))
+      .otherwise(lit(1.0) + (col("sum_inv") - lit(1.0) / nmk) /
+        (lit(3.0) * (col("k").cast("double") - 1.0)))
     packed.select(col("k"), col("n_total"),
       round((nmk * expr("round(ln(pool_num / " +
         "(CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 12)") -
@@ -5052,20 +5178,36 @@ object Analytics {
     val o2 = s"""((s[4] * s[7] - s[5] * s[6]) * s[0]
       + (s[4] * s[5] - s[3] * s[7]) * s[1]
       + (s[3] * s[6] - s[4] * s[4]) * s[2]) / $detO"""
+    // singular-design guards (collapsed-dimension edge sweep): a
+    // one-armed treatment makes the outcome Hessian singular (det = 0
+    // — NULL on DuckDB, ANSI error here); mirrored for both fits
     val fitted = packed.select(col("n"), col("ntr"), col("cells"),
       expr(
         s"""aggregate(sequence(1, $k),
            |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
            |  (b, t) -> aggregate(array(${sumsArrE("b")}), b,
-           |    (bb, s) -> array(bb[0] + $d0E, bb[1] + $d1E)))"""
+           |    (bb, s) -> CASE WHEN $detE = 0.0D
+           |      THEN array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+           |      ELSE array(bb[0] + $d0E, bb[1] + $d1E) END))"""
           .stripMargin).as("be"),
-      expr(
-        s"""aggregate(sequence(1, $k),
-           |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-           |        CAST(0.0 AS DOUBLE)),
-           |  (b, t) -> aggregate(array(${sumsArrO("b")}), b,
-           |    (bb, s) -> array(bb[0] + $o0, bb[1] + $o1, bb[2] + $o2)))"""
-          .stripMargin).as("bo"))
+      // exact-integer one-armed guard: with ntr = 0 or ntr = n the
+      // treatment indicator is constant and the outcome design is
+      // singular — decided on the INTEGER counts (identical on both
+      // engines) rather than the float det, whose exact zero differs
+      // by fold-order ulps (collapsed-dimension edge sweep)
+      when(col("ntr") === 0L || col("ntr") === col("n"),
+        array(lit(null).cast("double"), lit(null).cast("double"),
+          lit(null).cast("double")))
+        .otherwise(expr(
+          s"""aggregate(sequence(1, $k),
+             |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             |        CAST(0.0 AS DOUBLE)),
+             |  (b, t) -> aggregate(array(${sumsArrO("b")}), b,
+             |    (bb, s) -> CASE WHEN $detO = 0.0D
+             |      THEN array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |        CAST(NULL AS DOUBLE))
+             |      ELSE array(bb[0] + $o0, bb[1] + $o1, bb[2] + $o2) END))"""
+            .stripMargin)).as("bo"))
     // AIPW fold: cnt·(m1−m0) + (s1 − nt·m1)/e − (s0 − (cnt−nt)·m0)/(1−e)
     val mu1 = m1("bo", "1.0")
     val mu0 = m1("bo", "0.0")
@@ -5177,7 +5319,12 @@ object Analytics {
        |  FROM newto, packed
        |  WHERE t < $k),
        |fite AS (SELECT b AS be FROM newte WHERE t = $k),
-       |fito AS (SELECT b AS bo FROM newto WHERE t = $k)
+       |fito AS (
+       |  SELECT CASE WHEN (SELECT ntr = 0 OR ntr = n FROM packed)
+       |    THEN [CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       |      CAST(NULL AS DOUBLE)]
+       |    ELSE b END AS bo
+       |  FROM newto WHERE t = $k)
        |SELECT n, ntr AS n_treated,
        |  round(be[2], 6) AS prop_beta_qty,
        |  round(bo[2], 6) AS outcome_beta_t,

@@ -451,7 +451,10 @@ object Similarity {
     val qVec = emb.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
     val cand = emb.filter(col("vec_id") =!= 0)
-    var picked = Vector.empty[(Long, Array[Float], Double)]
+    // scores carried as Option: with a zero-norm QUERY vector every
+    // cosine is NULL under the engine contract, and getAs[Double]
+    // would silently unbox that NULL to 0.0 (zero-vector edge sweep)
+    var picked = Vector.empty[(Long, Array[Float], Option[Double])]
     for (_ <- 1 to mmrK) {
       val simq = round(cosineSim(col("embedding"), typedLit(qVec)), 4)
       val penalty: org.apache.spark.sql.Column = picked match {
@@ -469,7 +472,8 @@ object Similarity {
         .limit(1).head()
       picked = picked :+ ((row.getAs[Long]("vec_id"),
         row.getAs[scala.collection.Seq[Float]]("embedding").toArray,
-        row.getAs[Double]("sc")))
+        if (row.isNullAt(row.fieldIndex("sc"))) None
+        else Some(row.getAs[Double]("sc"))))
     }
     val s2 = s
     import s2.implicits._
@@ -487,7 +491,10 @@ object Similarity {
       val penalty =
         if (r == 1) "0"
         else "greatest(" + (1 until r).map(i =>
-          s"round(CAST(list_cosine_similarity(embedding, (SELECT e FROM e$i)) AS DOUBLE), 4)")
+          s"""CASE WHEN nrm2 * (SELECT list_sum(list_transform(e,
+             |  x -> CAST(x AS DOUBLE) * x)) FROM e$i) = 0 THEN NULL
+             |ELSE round(CAST(list_cosine_similarity(embedding,
+             |  (SELECT e FROM e$i)) AS DOUBLE), 4) END""".stripMargin)
           .mkString(", ") + ")"
       s"""s$r AS (
          |  SELECT vec_id, round($mmrLambda * simq - $mmrMu * ($penalty), 4) AS sc
@@ -503,8 +510,14 @@ object Similarity {
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |cand AS (
        |  SELECT vec_id, embedding,
-       |    round(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 4)
-       |      AS simq
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))
+       |      AS nrm2,
+       |    CASE WHEN list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * x))
+       |      * (SELECT list_sum(list_transform(qe,
+       |        x -> CAST(x AS DOUBLE) * x)) FROM q) = 0 THEN NULL
+       |    ELSE round(CAST(list_cosine_similarity(embedding,
+       |      (SELECT qe FROM q)) AS DOUBLE), 4) END AS simq
        |  FROM embeddings WHERE vec_id <> 0)$rounds
        |SELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id, mmr_score
        |FROM ($out) ORDER BY sel_round""".stripMargin
@@ -892,12 +905,22 @@ object Similarity {
 
   // ---- DuckDB oracle SQL ----------------------------------------------
 
+  // the CASE mirrors the engine's null-on-zero-norm cosine contract:
+  // DuckDB's list_cosine_similarity returns -1.0 for a zero vector,
+  // which would rank unembeddable vectors as real (anti-)neighbors
+  // (zero-vector edge sweep); NULL cosines sort last under DESC on
+  // both engines
   val bruteForceTopKSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
        |           FROM embeddings WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT q.query_id, c.vec_id AS cand_id,
-       |    round(CAST(list_cosine_similarity(q.q_emb, c.embedding) AS DOUBLE), 4) AS cosine
+       |    CASE WHEN list_sum(list_transform(q.q_emb,
+       |        x -> CAST(x AS DOUBLE) * x))
+       |      * list_sum(list_transform(c.embedding,
+       |        x -> CAST(x AS DOUBLE) * x)) = 0 THEN NULL
+       |    ELSE round(CAST(list_cosine_similarity(q.q_emb, c.embedding)
+       |      AS DOUBLE), 4) END AS cosine
        |  FROM embeddings c, q WHERE q.query_id != c.vec_id),
        |ranked AS (
        |  SELECT query_id, cand_id, cosine, row_number() OVER (
@@ -1070,7 +1093,9 @@ object Similarity {
   val bitextQueryCap = 16
 
   def bitextMining(s: SparkSession, d: String): DataFrame = {
+    // zero-norm vectors excluded — see [[lofOutliers]]
     val emb = Tables.embeddings(s, d)
+      .filter(graft.functions.GraftFunctions.l2Norm(col("embedding")) > 0)
     def milli(a: Column, b: Column): Column =
       round(cosineSim(a, b) * 1000, 0).cast("long")
     val qs = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < bitextQueryCap)
@@ -1136,7 +1161,9 @@ object Similarity {
   val tripletMarginMilli = 200
 
   def tripletMining(s: SparkSession, d: String): DataFrame = {
+    // zero-norm vectors excluded — see [[lofOutliers]]
     val emb = Tables.embeddings(s, d)
+      .filter(graft.functions.GraftFunctions.l2Norm(col("embedding")) > 0)
     val anchors = emb.filter(col("vec_id") < tripletAnchorCap)
       .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
         col("embedding").as("a_emb"))
@@ -1191,7 +1218,12 @@ object Similarity {
   val lofAnchorCap = 8
 
   def lofOutliers(s: SparkSession, d: String): DataFrame = {
+    // zero-norm vectors are excluded on BOTH sides: they have no
+    // direction, so "cosine distance to them" is undefined (NULL under
+    // the engine contract, -1.0 under DuckDB's builtin — the
+    // zero-vector edge sweep's divergence)
     val emb = Tables.embeddings(s, d)
+      .filter(graft.functions.GraftFunctions.l2Norm(col("embedding")) > 0)
     def dist(a: Column, b: Column): Column =
       lit(1000L) - round(cosineSim(a, b) * 1000, 0).cast("long")
     def knn(queries: DataFrame, qid: String, qemb: String,
@@ -1247,7 +1279,7 @@ object Similarity {
     val k = lofK
     s"""WITH anchors AS (
        |  SELECT vec_id AS aid, embedding AS a_emb FROM embeddings
-       |  WHERE vec_id < $lofAnchorCap),
+       |  WHERE vec_id < $lofAnchorCap AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
        |p1 AS (
        |  SELECT * FROM (
        |    SELECT a.aid, e.vec_id AS nb,
@@ -1257,7 +1289,7 @@ object Similarity {
        |        1000 - CAST(round(list_cosine_similarity(a.a_emb, e.embedding)
        |          * 1000, 0) AS BIGINT) ASC, e.vec_id ASC) AS rk
        |    FROM embeddings e CROSS JOIN anchors a
-       |    WHERE e.vec_id <> a.aid) WHERE rk <= $k),
+       |    WHERE e.vec_id <> a.aid AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)) > 0) WHERE rk <= $k),
        |t1 AS (
        |  SELECT DISTINCT p1.nb AS o, e.embedding AS o_emb
        |  FROM p1 JOIN embeddings e ON e.vec_id = p1.nb),
@@ -1270,7 +1302,7 @@ object Similarity {
        |        1000 - CAST(round(list_cosine_similarity(t.o_emb, e.embedding)
        |          * 1000, 0) AS BIGINT) ASC, e.vec_id ASC) AS rk
        |    FROM embeddings e CROSS JOIN t1 t
-       |    WHERE e.vec_id <> t.o) WHERE rk <= $k),
+       |    WHERE e.vec_id <> t.o AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)) > 0) WHERE rk <= $k),
        |kdist_o AS (SELECT o, max(d3) AS kdist_o FROM p2 GROUP BY o),
        |t2 AS (
        |  SELECT DISTINCT p2.p AS q2, e.embedding AS q_emb
@@ -1284,7 +1316,7 @@ object Similarity {
        |        1000 - CAST(round(list_cosine_similarity(t.q_emb, e.embedding)
        |          * 1000, 0) AS BIGINT) ASC, e.vec_id ASC) AS rk
        |    FROM embeddings e CROSS JOIN t2 t
-       |    WHERE e.vec_id <> t.q2) WHERE rk <= $k),
+       |    WHERE e.vec_id <> t.q2 AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)) > 0) WHERE rk <= $k),
        |kdist_p AS (SELECT q2, max(d3) AS kdist_p FROM p3 GROUP BY q2),
        |den_o AS (
        |  SELECT o, greatest(CAST(sum(greatest(d3, kdist_p)) AS BIGINT), 1)
@@ -1309,14 +1341,14 @@ object Similarity {
   val tripletMiningSql: String =
     s"""WITH anchors AS (
        |  SELECT vec_id AS anchor_id, label AS a_label, embedding AS a_emb
-       |  FROM embeddings WHERE vec_id < $tripletAnchorCap),
+       |  FROM embeddings WHERE vec_id < $tripletAnchorCap AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
        |scored AS (
        |  SELECT a.anchor_id, a.a_label, e.vec_id AS cand,
        |    (e.label = a.a_label) AS same,
        |    CAST(round(list_cosine_similarity(a.a_emb, e.embedding) * 1000, 0)
        |      AS BIGINT) AS c3
        |  FROM embeddings e CROSS JOIN anchors a
-       |  WHERE e.vec_id <> a.anchor_id),
+       |  WHERE e.vec_id <> a.anchor_id AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY anchor_id, same
        |    ORDER BY c3 DESC, cand) AS rk
@@ -1348,10 +1380,10 @@ object Similarity {
   val bitextMiningSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-       |  WHERE vec_id % 2 = 0 AND vec_id < $bitextQueryCap),
+       |  WHERE vec_id % 2 = 0 AND vec_id < $bitextQueryCap AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
        |b AS (
        |  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
-       |  WHERE vec_id % 2 = 1),
+       |  WHERE vec_id % 2 = 1 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
        |fwd AS (
        |  SELECT query_id, cand_id,
        |    CAST(round(list_cosine_similarity(q_emb, c_emb) * 1000, 0)
@@ -1371,7 +1403,7 @@ object Similarity {
        |  FROM fagg f JOIN embeddings e ON e.vec_id = f.cand_id),
        |a AS (
        |  SELECT vec_id AS a_id, embedding AS c_emb FROM embeddings
-       |  WHERE vec_id % 2 = 0),
+       |  WHERE vec_id % 2 = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
        |rev AS (
        |  SELECT r_query, a_id,
        |    CAST(round(list_cosine_similarity(q_emb, c_emb) * 1000, 0)
@@ -1592,7 +1624,12 @@ object Similarity {
       lit(1000L) - round(cosineSim(a, b) * 1000, 0).cast("long")
     val anchors = emb.filter(col("vec_id") % hubAnchorMod === 0)
       .select(col("vec_id").as("aid"), col("embedding").as("a_emb"))
-    val w = Window.partitionBy("aid").orderBy(col("d3").asc, col("nb").asc)
+    // asc_nulls_last: a zero-norm vector's cosine (and so its distance)
+    // is NULL under the engine contract — it must never rank as a
+    // nearest neighbor; Spark's ASC default is nulls FIRST while
+    // DuckDB's is nulls LAST (zero-vector edge sweep)
+    val w = Window.partitionBy("aid")
+      .orderBy(col("d3").asc_nulls_last, col("nb").asc)
     val top = emb.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))
       .select(col("aid"), col("vec_id").as("nb"),
@@ -1635,8 +1672,13 @@ object Similarity {
        |  SELECT * FROM (
        |    SELECT a.aid, e.vec_id AS nb,
        |      row_number() OVER (PARTITION BY a.aid ORDER BY
-       |        1000 - CAST(round(list_cosine_similarity(a.a_emb, e.embedding)
-       |          * 1000, 0) AS BIGINT) ASC, e.vec_id ASC) AS rk
+       |        CASE WHEN list_sum(list_transform(a.a_emb,
+       |            x -> CAST(x AS DOUBLE) * x))
+       |          * list_sum(list_transform(e.embedding,
+       |            x -> CAST(x AS DOUBLE) * x)) = 0 THEN NULL
+       |        ELSE 1000 - CAST(round(
+       |          list_cosine_similarity(a.a_emb, e.embedding)
+       |          * 1000, 0) AS BIGINT) END ASC, e.vec_id ASC) AS rk
        |    FROM embeddings e CROSS JOIN anchors a
        |    WHERE e.vec_id <> a.aid) WHERE rk <= $k),
        |occ AS (SELECT nb, CAST(count(*) AS BIGINT) AS c FROM top GROUP BY nb),
@@ -1693,7 +1735,12 @@ object Similarity {
         col("nrm"))
       .groupBy("dim")
       .agg(round(avg(col("v").cast("double")), 4).as("mraw"),
-        round(avg(col("v").cast("double") / col("nrm")), 4).as("munit"))
+        // zero-norm guard (edge sweep): a zero vector cannot be unit-
+        // normalized; NULL drops it from the avg on BOTH engines
+        // (DuckDB's 0/0 is NULL and both avgs skip NULLs)
+        round(avg(when(col("nrm") === 0d, lit(null).cast("double"))
+          .otherwise(col("v").cast("double") / col("nrm"))), 4)
+          .as("munit"))
     val nRow = withNorm.agg(count(lit(1)).cast("long").as("n"),
       round(avg(col("nrm")), 4).as("mean_norm"))
     dims
