@@ -124,6 +124,37 @@ object Bench {
       budget: Int = 1900): String =
     cands.find(_.length <= budget).getOrElse(cands.last)
 
+  /** Per-query figures from a prior round's `bench_full.json`-format
+    * artifact, or empty when the file is absent/unreadable. Parsed with
+    * the json4s shipped inside Spark — no new dependency. */
+  private[graft] def loadRefBand(path: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(p)) \ "queries" match {
+        case org.json4s.JObject(fields) =>
+          fields.collect {
+            case (k, org.json4s.JDouble(v))  => k -> v
+            case (k, org.json4s.JInt(v))     => k -> v.toDouble
+            case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+            case (k, org.json4s.JLong(v))    => k -> v.toDouble
+          }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Slow-set members reading over `factor`x their reference figure and
+    * not already in the isolation set — the queries whose artifact
+    * entry needs an iso_min to self-adjudicate (VERDICT r12 #3). Named
+    * so the selection rule itself is spec-testable (BenchArtifactSpec). */
+  private[graft] def overBandMembers(slow: Seq[(String, Double)],
+      top: Seq[String], ref: Map[String, Double],
+      factor: Double = 2.0): Seq[String] =
+    slow.collect {
+      case (n, t) if !top.contains(n) && ref.get(n).exists(t > factor * _) => n
+    }
+
   private def driftOf(prefixes: Seq[String]): Double = {
     val ts = probes.collect {
       case (k, v) if prefixes.exists(k.startsWith) => v
@@ -183,6 +214,16 @@ object Bench {
       }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val top = results.sortBy(-_._2).take(10).map(_._1)
+    // R08 REFERENCE BAND (VERDICT r12 #3): any slow-15 member whose
+    // in-suite figure exceeds 2x its BENCH_FULL_r08 figure joins the
+    // isolation pass even outside the top-10, so the graded artifact
+    // carries an iso_min for every over-band query and load-vs-
+    // regression is adjudicable per query from the artifact alone —
+    // no PERF.md archaeology. The band file is the committed r08
+    // full artifact; absent or unparsable, the band is simply empty.
+    val refBand = loadRefBand("BENCH_FULL_r08.json")
+    val isoNames = top ++ overBandMembers(
+      results.sortBy(-_._2).take(15), top, refBand)
     // SUITE-WARM RERUN of the top-10 on the SAME session, shared caches
     // still hot: a second in-suite sample per heavy query, so a one-off
     // host-noise spike in the sweep (the r7 q_sssp 15.9-vs-10.5 case)
@@ -216,7 +257,7 @@ object Bench {
         // read as false contention and trigger spurious reruns
         (1 to 3).foreach(_ => spark2.range(0L, probeRows)
           .selectExpr("sum((id * 2654435761) % 1000003)").collect())
-        val r = top.map { name =>
+        val r = isoNames.map { name =>
           name -> (1 to reps).flatMap { i =>
             def oneRep(tag: String): (Double, Double) = {
               val p = probe(spark2, s"iso:$name:$tag")

@@ -170,6 +170,52 @@ object Dedup {
         (lit(minhashA(j)) * x + lit(minhashB(j))) % minhashP))
     }: _*)
 
+  /** THE memoized signature frame, one build per (session, dataset):
+    * `(doc_id, fp — DISTINCT shingle fingerprints, sig — 16-slot minhash
+    * signature)`, featureless docs (< 3 words → empty shingle set)
+    * already excluded — see [[minhashLsh]] for why exclusion is the
+    * correct semantics, not a convenience.
+    *
+    * Four suite consumers used to rebuild this identical
+    * docShingles→fingerprints→signature subtree per query
+    * (q_dedup_minhash, q_minhash_calib, q_decontam_fuzzy — both its
+    * train and eval legs — and q_dedup_eval's candidate leg; VERDICT
+    * r12 #1); now it builds once under the [[graft.Memo.Cache]]
+    * contract and every consumer reads pinned blocks. Deliberately
+    * COMPACT: doc_id plus integer arrays only — the raw shingle TEXT
+    * (corpus-sized) is never pinned, so the memo stores the signature
+    * derivative, not a second copy of the corpus; that is the 100 TB
+    * storage posture (the text-bearing legs, e.g. [[ngramJaccard]]'s
+    * posting lists, re-scan parquet instead of pinning text).
+    *
+    * `sig` is computed over the DISTINCT fingerprints: array_min is
+    * duplicate-insensitive, so the signature equals the raw-fingerprint
+    * form and one frame serves both the banding consumers (sig) and the
+    * calibration/exact-Jaccard joins (fp sets). */
+  def signatures(s: SparkSession, d: String): DataFrame =
+    dedupMemo(s, d, "signatures") {
+      // The exclusion predicate is `size(w) >= 3`, NOT `size(sh) > 0`,
+      // though they are equivalent ([[shinglesFromWords]] maps shorter
+      // docs to the empty array and a >= 3-word doc always yields >= 1
+      // distinct 3-gram): filtering on the staged shingle column — the
+      // r12 banding-fix form — let PushDownPredicate rewrite the
+      // condition BELOW the shingle-defining projection in terms of the
+      // whole tokenize+3-gram+distinct subtree, evaluating it once in
+      // the filter and again in the projection. Measured ~15x on the
+      // warm sf0.1 build (0.20 s -> 3.9 s) — the r12 bench's minhash
+      // family 3x regression, adjudicated with a quiet best-of-5
+      // capture before this fix (VERDICT r12 #1; PERF.md round 13).
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
+        .select(col("doc_id"),
+          array_distinct(shingleFingerprints(col("sh"))).as("fp"))
+        .select(col("doc_id"), col("fp"),
+          minhashSignature(col("fp")).as("sig"))
+        .pin()
+    }
+
   /** MinHash LSH candidate pairs: docs agreeing on at least one full band
     * of the signature. Output: (doc_a, doc_b, n_bands_shared).
     *
@@ -187,17 +233,15 @@ object Dedup {
     * [[ngramJaccard]]. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     // featureless docs (< 3 words -> empty shingle set) are EXCLUDED
-    // from banding: their all-NULL signatures would otherwise collapse
-    // into one degenerate "" band key on the Spark side (concat_ws
-    // skips nulls) while the oracle's `||` renders NULL keys that
-    // never join — a silent cross-engine divergence on any corpus with
-    // a short doc, and semantically wrong anyway (no features is not
-    // evidence of duplication). Mirrored by `WHERE len(s) > 0` in
+    // from banding (the exclusion lives in [[signatures]]): their
+    // all-NULL signatures would otherwise collapse into one degenerate
+    // "" band key on the Spark side (concat_ws skips nulls) while the
+    // oracle's `||` renders NULL keys that never join — a silent
+    // cross-engine divergence on any corpus with a short doc, and
+    // semantically wrong anyway (no features is not evidence of
+    // duplication). Mirrored by `WHERE len(s) > 0` in
     // [[minhashPairsBody]]; pinned by DegenerateGuardSpec.
-    val sig = docShingles(s, d)
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), shingleFingerprints(col("sh")).as("fp"))
-      .select(col("doc_id"), minhashSignature(col("fp")).as("sig"))
+    val sig = signatures(s, d)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until numBands).map { b =>
         concat_ws("|",
@@ -239,13 +283,10 @@ object Dedup {
     * only candidate pairs — O(pairs · shingles/doc), the bounded
     * near-dup candidate volume, never all-pairs. */
   def minhashCalibration(s: SparkSession, d: String): DataFrame = {
-    // featureless docs excluded from banding — see [[minhashLsh]]
-    val base = docShingles(s, d)
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), shingleFingerprints(col("sh")).as("fp0"))
-      .select(col("doc_id"), array_distinct(col("fp0")).as("fp"))
-      .select(col("doc_id"), col("fp"), minhashSignature(col("fp")).as("sig"))
-      .pin() // consumers: banding + both pair-join sides
+    // featureless docs excluded from banding — see [[minhashLsh]];
+    // the memoized [[signatures]] frame (already pinned) serves all
+    // three consumers here: banding + both pair-join sides
+    val base = signatures(s, d)
     val pairs = base.select(col("doc_id"),
       posexplode(array((0 until numBands).map { b =>
         concat_ws("|",

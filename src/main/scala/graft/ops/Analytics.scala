@@ -3031,8 +3031,13 @@ object Analytics {
       col("r").cast("long").as("n_returned"),
       // NULL guard (collapsed-dimension edge sweep): a single dose level
       // (constant discount) or an all-/never-returned corpus zeroes the
-      // variance core — NULL on DuckDB, ANSI error here
-      when(p * (lit(1.0) - p) * varCore === 0d, lit(null).cast("double"))
+      // variance core — NULL on DuckDB, ANSI error here. The n-degenerate
+      // arm comes FIRST so p = r/n is never evaluated over an empty
+      // census (CaseWhen branches evaluate lazily; over empty lineitem n
+      // is NULL, not 0, so this arm is belt-and-braces — ADVICE r12 asked
+      // the guard shape to match the sweep's others anyway).
+      when(col("n").isNull || col("n") === 0, lit(null).cast("double"))
+        .when(p * (lit(1.0) - p) * varCore === 0d, lit(null).cast("double"))
         .otherwise(round(num / (col("n").cast("double") *
           sqrt(p * (lit(1.0) - p) * varCore)), 6)).as("z_trend"))
   }

@@ -4710,15 +4710,23 @@ object Behavior {
       sort_array(collect_list(struct(col("bucket"), col("ca"), col("cb"))))
         .as("a"))
       .select(col("n_a"), col("n_b"), col("n_buckets"),
+        // the OTHER side's total is a divisor inside each mixture term,
+        // so the one-sided zero (n_b = 0 with ca > 0 mass, or mirror)
+        // must short-circuit INSIDE the fold lambda — a projection-level
+        // guard above this aggregate cannot stop the division from
+        // evaluating (ADVICE r12). A NULL term NULLs the whole fold,
+        // which is exactly DuckDB's rendering (0/0 → NULL there).
         expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
-            acc + (CASE WHEN e.ca > 0 THEN
+            acc + (CASE WHEN e.ca > 0 AND n_b = 0 THEN CAST(NULL AS DOUBLE)
+            WHEN e.ca > 0 THEN
               (CAST(e.ca AS DOUBLE) / n_a) *
               ln((CAST(e.ca AS DOUBLE) / n_a) /
                  ((CAST(e.ca AS DOUBLE) / n_a
                    + CAST(e.cb AS DOUBLE) / n_b) / 2.0))
             ELSE 0.0 END))""").as("kl_a"),
         expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
-            acc + (CASE WHEN e.cb > 0 THEN
+            acc + (CASE WHEN e.cb > 0 AND n_a = 0 THEN CAST(NULL AS DOUBLE)
+            WHEN e.cb > 0 THEN
               (CAST(e.cb AS DOUBLE) / n_b) *
               ln((CAST(e.cb AS DOUBLE) / n_b) /
                  ((CAST(e.ca AS DOUBLE) / n_a
@@ -4727,10 +4735,11 @@ object Behavior {
       .select(Seq(col("n_a"), col("n_b"), col("n_buckets")) ++ {
         // mirror DuckDB's NULL algebra on degenerate inputs
         // (purchaseless edge sweep): an EMPTY cell list folds to the
-        // 0.0 init here but list_sum(NULL) is NULL there; and a
-        // one-sided corpus (n_b = 0 with any ca > 0 mass) divides 0/0
-        // inside the a-side mixture term (NULL there, 0.0-poisoning
-        // here). The other side's KL is a genuine 0.0 in both engines.
+        // 0.0 init here but list_sum(NULL) is NULL there. The one-sided
+        // zero-divisor (n_b = 0 with ca > 0 mass, or mirror) is handled
+        // INSIDE the fold lambdas above; this projection guard only
+        // renders the degenerate outputs. The surviving side's KL is a
+        // genuine 0.0 in both engines.
         val nullD = lit(null).cast("double")
         def guard(kl: Column, otherN: Column, ownN: Column) =
           when(col("n_buckets") === 0L, nullD)
@@ -4979,12 +4988,17 @@ object Behavior {
     val nullD = lit(null).cast("double")
     val orMh = when(col("or_den") === 0d, nullD)
       .otherwise(col("or_num") / col("or_den"))
+    // ln of a ZERO pooled OR (a = 0 in every stratum while or_den > 0 —
+    // the one-armed-conversion corpus, ADVICE r12): ln(0) errors in both
+    // engines, so a zero OR renders a NULL log explicitly; a NULL orMh
+    // (or_den = 0) already falls through log() as NULL
+    val logOrMh = when(orMh === 0d, nullD).otherwise(log(orMh))
     val chi = when(col("sv") === 0d, nullD)
       .otherwise(pow(greatest(abs(col("sa") - col("se")) - lit(0.5),
         lit(0.0)), 2.0) / col("sv"))
     folded.select(col("k").as("n_strata"),
       round(orMh, 6).as("or_mh"),
-      round(log(orMh), 6).as("log_or_mh"),
+      round(logOrMh, 6).as("log_or_mh"),
       round(chi, 4).as("cmh_chi2"),
       (chi > lit(3.841458820694124)).as("reject_95"))
   }
@@ -5035,7 +5049,8 @@ object Behavior {
        |  FROM packed)
        |SELECT k AS n_strata,
        |  round(or_num / or_den, 6) AS or_mh,
-       |  round(ln(or_num / or_den), 6) AS log_or_mh,
+       |  CASE WHEN or_num = 0 THEN NULL
+       |    ELSE round(ln(or_num / or_den), 6) END AS log_or_mh,
        |  round(pow(greatest(abs(sa - se) - 0.5, 0.0), 2.0) / sv, 4)
        |    AS cmh_chi2,
        |  (pow(greatest(abs(sa - se) - 0.5, 0.0), 2.0) / sv

@@ -1034,8 +1034,8 @@ object Graph {
         pmod(col("v"), lit(bits)).cast("long").as("pos"))
       .groupBy("u", "bkt").agg(expr("bitmap_construct_agg(pos)").as("nbm"))
       .pin()
-    // pinned so [[gatedBroadcast]]'s row-count probe reads materialized
-    // blocks instead of re-running the seed selection
+    // pinned so [[gatedBroadcast]]'s stats probe reads materialized
+    // sizes instead of plan-level guesses over the seed selection
     var frontier = seeds(bi).select(col("x").as("src"), col("x").as("u"))
       .pin()
     var visited = frontier
@@ -1498,8 +1498,34 @@ object Graph {
       .getOption("spark.graft.graph.broadcastRowCap")
       .map(_.toLong).getOrElse(4000000L)
     if (cap <= 0) df
-    else if (df.count() <= cap) broadcast(df)
-    else df
+    else {
+      // STATS probe, not a count() job (VERDICT r12 #4): every caller
+      // passes a pinned frame or a narrow projection of one, and a pin
+      // propagates the origin's statistics into its LogicalRDD
+      // (Dataset.checkpoint keeps stats since Spark 3.4), so reading
+      // the optimized plan's stats is FREE — the old df.count() probe
+      // was one extra driver barrier per BFS/propagation round. Uses
+      // the planner's rowCount when it survived; otherwise estimates
+      // rows as sizeInBytes over the schema's Catalyst row width. Both
+      // err on the LARGE side for the skinny key frames this guards,
+      // and an overestimate only declines a broadcast — the
+      // conservative direction (the shuffle join is the correct plan
+      // for a frame near the cap anyway). [[probedRowEstimate]] is the
+      // spec hook: PlanShapeSpec asserts the probe launches no job.
+      if (probedRowEstimate(df) <= cap) broadcast(df) else df
+    }
+  }
+
+  /** Row estimate off the optimizer's statistics — never an action.
+    * Package-visible so PlanShapeSpec can assert the zero-job claim
+    * directly against a pinned frame. */
+  private[graft] def probedRowEstimate(df: DataFrame): BigInt = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.getOrElse {
+      val width =
+        math.max(1, plan.output.map(_.dataType.defaultSize).sum)
+      plan.stats.sizeInBytes / width
+    }
   }
 
   /** Full-neighborhood adjacency arrays of the co-purchase graph,

@@ -125,25 +125,23 @@ object Decontam {
     * it collides with and the strongest collision (bands shared with its
     * closest eval partner, out of ${Dedup.numBands}). */
   def minhashDecontam(s: SparkSession, d: String): DataFrame = {
-    def bandsOf(df: DataFrame): DataFrame = {
-      val sig = df
-        .select(col("doc_id"), toks.as("w"))
-        .select(col("doc_id"), Dedup.shinglesFromWords(col("w")).as("sh"))
-        // featureless docs excluded from banding — see Dedup.minhashLsh
-        .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
-        .select(col("doc_id"), Dedup.shingleFingerprints(col("sh")).as("fp"))
-        .select(col("doc_id"), Dedup.minhashSignature(col("fp")).as("sig"))
-      sig.select(col("doc_id"),
+    // band keys come straight off the memoized full-corpus
+    // [[Dedup.signatures]] frame (featureless docs already excluded
+    // there): the doc_id-mod train/eval split commutes with the per-row
+    // signature map, so filtering the shared pinned frame is exactly
+    // the old per-split signature build — minus two rebuilds of the
+    // md5+minhash subtree per query (VERDICT r12 #1).
+    def bandsOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
         posexplode(array((0 until Dedup.numBands).map { b =>
           concat_ws("|",
             element_at(col("sig"), b * Dedup.bandWidth + 1),
             element_at(col("sig"), b * Dedup.bandWidth + 2))
         }: _*)).as(Seq("band_idx", "band_sig")))
-    }
-    val docs = Tables.documents(s, d)
-    val evalBands = bandsOf(docs.filter(col("doc_id") % evalMod === 0))
+    val sig = Dedup.signatures(s, d)
+    val evalBands = bandsOf(sig.filter(col("doc_id") % evalMod === 0))
       .withColumnRenamed("doc_id", "eval_id")
-    val trainBands = bandsOf(docs.filter(col("doc_id") % evalMod =!= 0))
+    val trainBands = bandsOf(sig.filter(col("doc_id") % evalMod =!= 0))
     trainBands
       .join(broadcast(evalBands), Seq("band_idx", "band_sig"))
       .groupBy(col("doc_id"), col("eval_id"))

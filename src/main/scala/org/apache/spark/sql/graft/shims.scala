@@ -27,6 +27,12 @@ object shims {
       org.apache.spark.sql.catalyst.InternalRow] =
     df.queryExecution.toRdd
 
+  /** Drain the context's listener bus (private[spark]) — lets a spec
+    * assert "this call launched no job" deterministically instead of
+    * sleeping for event delivery. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** DataFrame over an InternalRow RDD — the `internalCreateDataFrame`
     * constructor (private[sql]); the inverse of [[internalRdd]]. */
   def internalDF(spark: SparkSession,

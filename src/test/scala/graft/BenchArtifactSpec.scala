@@ -30,6 +30,41 @@ class BenchArtifactSpec extends AnyFlatSpec with Matchers {
     Bench.pickUnderBudget(Seq(exact, "small")) shouldBe exact
   }
 
+  behavior of "Bench.overBandMembers"
+
+  it should "select slow members over 2x their reference, outside the top set" in {
+    val slow = Seq("q_a" -> 6.0, "q_b" -> 5.0, "q_c" -> 4.0, "q_d" -> 3.0)
+    val top = Seq("q_a") // already in the isolation pass
+    val ref = Map("q_a" -> 2.0, "q_b" -> 2.0, "q_c" -> 3.0, "q_d" -> 1.0)
+    // q_a over band but in top; q_b 2.5x; q_c 1.33x (in band); q_d 3x
+    Bench.overBandMembers(slow, top, ref) shouldBe Seq("q_b", "q_d")
+  }
+
+  it should "treat exactly-2x as in band and missing references as in band" in {
+    val slow = Seq("q_x" -> 4.0, "q_new" -> 9.9)
+    Bench.overBandMembers(slow, Seq.empty, Map("q_x" -> 2.0)) shouldBe Seq.empty
+  }
+
+  behavior of "Bench.loadRefBand"
+
+  it should "read per-query figures from a bench_full artifact" in {
+    val f = java.nio.file.Files.createTempFile("band", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"bench_full","total":10.5,"n":2,
+        |"queries":{"q_a":2.25,"q_b":8}}""".stripMargin)
+    val band = Bench.loadRefBand(f.toString)
+    band shouldBe Map("q_a" -> 2.25, "q_b" -> 8.0)
+    java.nio.file.Files.delete(f)
+  }
+
+  it should "return empty for a missing or malformed file" in {
+    Bench.loadRefBand("/nonexistent/band.json") shouldBe Map.empty
+    val f = java.nio.file.Files.createTempFile("bad", ".json")
+    java.nio.file.Files.writeString(f, "not json at all {")
+    Bench.loadRefBand(f.toString) shouldBe Map.empty
+    java.nio.file.Files.delete(f)
+  }
+
   it should "keep a realistic worst-case compact line parseable" in {
     // 10 heavy queries × 6 contended iso samples × 9-digit doubles —
     // the BENCH_r11 failure shape. The degraded candidates must include

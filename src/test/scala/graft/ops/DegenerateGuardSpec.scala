@@ -281,4 +281,86 @@ class DegenerateGuardSpec extends GraftTestBase {
     val ok = Behavior.sampleRatioCheck(spark, dirFor(12, 8)).head()
     ok.getAs[Boolean]("srm_detected") shouldBe false
   }
+
+  /** md5-parity variant assignment, matching the engine's hash. */
+  private def variantOf(u: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 2).toInt
+  }
+  private def uidsOfVariant(v: Int, n: Int): Vector[Long] =
+    Iterator.from(1).map(_.toLong).filter(variantOf(_) == v).take(n).toVector
+
+  behavior of "mantelHaenszel with conversions in one arm only"
+
+  it should "render a zero pooled OR with a NULL log, not ln(0)" in {
+    import spark.implicits._
+    // variant-1 users never convert (a = 0 in every stratum) while
+    // variant-0 users do (c > 0), so or_num = 0 with or_den > 0 —
+    // ln(0) is an error in BOTH engines without the guard (ADVICE r12)
+    val v0 = uidsOfVariant(0, 3)
+    val v1 = uidsOfVariant(1, 2)
+    val rows =
+      v0.take(2).zipWithIndex.map { case (u, i) =>
+        (i.toLong, ts("2024-01-10 00:00:00"), u, "purchase", 100.0, "{}")
+      } ++ Seq((10L, ts("2024-01-10 00:00:00"), v0(2), "view", 1.0, "{}")) ++
+      v1.zipWithIndex.map { case (u, i) =>
+        (20L + i, ts("2024-01-10 00:00:00"), u, "view", 1.0, "{}")
+      }
+    val dir = stage("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Behavior.mantelHaenszel(spark, dir).head()
+    // one stratum (every user has 1 event): a=0 b=2 c=2 d=1, n=5
+    r.getAs[Long]("n_strata") shouldBe 1L
+    r.getAs[Double]("or_mh") shouldBe 0.0
+    assert(r.isNullAt(r.fieldIndex("log_or_mh")))
+    // the CMH chi2 is still defined: (|0-0.8|-0.5)^2 / 0.36 = 0.25
+    r.getAs[Double]("cmh_chi2") shouldBe (0.25 +- 1e-9)
+    r.getAs[Boolean]("reject_95") shouldBe false
+  }
+
+  behavior of "jsDivergence with all purchase mass in one variant"
+
+  it should "NULL the starved side's KL inside the fold, not divide 0/0" in {
+    import spark.implicits._
+    // every purchase belongs to variant-0 users -> n_b = 0 while buckets
+    // carry ca > 0 mass: the a-side mixture term divides by n_b INSIDE
+    // the fold lambda, which must short-circuit to NULL there (a guard
+    // in the projection above cannot stop that division — ADVICE r12)
+    val v0 = uidsOfVariant(0, 3)
+    val v1 = uidsOfVariant(1, 2)
+    val rows =
+      v0.zipWithIndex.map { case (u, i) =>
+        (i.toLong, ts("2024-01-10 00:00:00"), u, "purchase",
+          20.0 * (i + 1), "{}")
+      } ++ v1.zipWithIndex.map { case (u, i) =>
+        (30L + i, ts("2024-01-10 00:00:00"), u, "view", 1.0, "{}")
+      }
+    val dir = stage("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Behavior.jsDivergence(spark, dir).head()
+    r.getAs[Long]("n_a") shouldBe 3L
+    r.getAs[Long]("n_b") shouldBe 0L
+    assert(r.isNullAt(r.fieldIndex("kl_a_to_mix")))
+    // the surviving side's KL is a genuine 0.0 (every cb = 0 term)
+    r.getAs[Double]("kl_b_to_mix") shouldBe 0.0
+    assert(r.isNullAt(r.fieldIndex("js_nats")))
+  }
+
+  behavior of "cochranArmitageTrend over an empty fact table"
+
+  it should "emit the NULL-degenerate row without evaluating r/n" in {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long, Int, Double, Double, Double,
+      Double, String, String, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = stage("lineitem", empty)
+    val r = Analytics.cochranArmitageTrend(spark, dir).head()
+    r.getAs[Long]("k") shouldBe 0L
+    assert(r.isNullAt(r.fieldIndex("n_total")))
+    assert(r.isNullAt(r.fieldIndex("n_returned")))
+    assert(r.isNullAt(r.fieldIndex("z_trend")))
+  }
 }

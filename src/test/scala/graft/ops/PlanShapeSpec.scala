@@ -218,4 +218,51 @@ class PlanShapeSpec extends GraftTestBase {
     plan.linesIterator.filter(_.contains("PushedFilters"))
       .mkString should include("p_brand")
   }
+
+  behavior of "gatedBroadcast stats probe"
+
+  it should "estimate pinned-frame rows from plan stats without launching a job" in {
+    import graft.Pin.Pinned
+    // the two shapes every gatedBroadcast caller passes: a pinned frame
+    // (the BFS seed frontier) and a narrow projection of one (the
+    // in-loop frontier decode) — VERDICT r12 #4 replaced the old
+    // df.count() probe (one driver barrier per propagation round) with
+    // a driver-side stats read; this pins the zero-job claim
+    val pinned = spark.range(0, 5000)
+      .selectExpr("id AS u", "CAST(id % 7 AS LONG) AS v").pin()
+    val proj = pinned.select(col("u"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.sql.graft.shims.flushListenerBus(spark)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val est = Graph.probedRowEstimate(pinned)
+      val estProj = Graph.probedRowEstimate(proj)
+      org.apache.spark.sql.graft.shims.flushListenerBus(spark)
+      withClue("the stats probe must not launch a Spark job: ") {
+        jobs.get() shouldBe 0
+      }
+      // rowCount survives the pin only when the origin plan carried one
+      // (e.g. through a GlobalLimit); otherwise the sizeInBytes/row-width
+      // fallback must land within the order of magnitude — what a
+      // row-cap gate needs (the cap sits 100x above these frames)
+      est should be >= BigInt(1000)
+      est should be <= BigInt(5000L * 64)
+      estProj should be >= BigInt(1000)
+      estProj should be <= BigInt(5000L * 64)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  it should "read an exact row count when the origin plan carries one" in {
+    import graft.Pin.Pinned
+    // GlobalLimit is a rowCount-bearing node, so the pin's origin stats
+    // carry the exact count into the LogicalRDD
+    val limited = spark.range(0, 100000).toDF("u").limit(1234).pin()
+    Graph.probedRowEstimate(limited) shouldBe BigInt(1234)
+  }
 }

@@ -239,4 +239,303 @@ class ScratchPropSpec extends GraftTestBase {
       r.getAs[Long]("n_eff") shouldBe expect(r.getAs[Int]("replicate"))
     }
   }
+
+  // ================================================================
+  // Round-13 guard properties (VERDICT r12 #6): the 19 round-12 edge
+  // fixes are pinned against GENERATED degenerate corpora, not just
+  // the three hand corpora — zero-variance arms, one-sided purchase
+  // mass, empty folds, single-user arms, and the series-length floors.
+  // ================================================================
+
+  private def variantOf(u: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 2).toInt
+  }
+  private def uidsOf(v: Int, n: Int, from: Int = 1): Vector[Long] =
+    Iterator.from(from).map(_.toLong).filter(variantOf(_) == v)
+      .take(n).toVector
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Generated degenerate EVENT corpora: every scenario is a class one
+    * of the round-12 sweeps fixed a defect in. Rows follow the events
+    * schema (event_id, ts, user_id, event_type, value, props). */
+  private def eventCorpora(seed: Long)
+      : Seq[(String, Seq[(Long, java.sql.Timestamp, Long, String, Double, String)])] = {
+    val rng = new scala.util.Random(seed)
+    val day = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    def purch(id: Long, u: Long, v: Double) = (id, day, u, "purchase", v, "{}")
+    def view(id: Long, u: Long) = (id, day, u, "view", 1.0, "{}")
+    val a = uidsOf(0, 4); val b = uidsOf(1, 4)
+    Seq(
+      // all purchase mass in arm A (the jsDivergence 0/0 class)
+      "one_sided_a" -> (
+        a.zipWithIndex.map { case (u, i) =>
+          purch(i, u, 20.0 + rng.nextInt(60)) } ++
+        b.zipWithIndex.map { case (u, i) => view(100 + i, u) }),
+      // mirror: all mass in arm B
+      "one_sided_b" -> (
+        b.zipWithIndex.map { case (u, i) =>
+          purch(i, u, 20.0 + rng.nextInt(60)) } ++
+        a.zipWithIndex.map { case (u, i) => view(100 + i, u) }),
+      // no purchases anywhere (the purchaseless sweep's class)
+      "no_purchases" -> (a ++ b).zipWithIndex.map { case (u, i) =>
+        view(i, u) },
+      // identical revenue everywhere -> zero variance in BOTH arms
+      "constant_values" -> (a ++ b).zipWithIndex.map { case (u, i) =>
+        purch(i, u, 50.0) },
+      // a single-user arm (n - 1 = 0 in the sample variance)
+      "single_user_arm" -> (
+        Seq(purch(0, a.head, 75.0)) ++
+        b.zipWithIndex.map { case (u, i) =>
+          purch(10 + i, u, 20.0 + rng.nextInt(60)) }),
+      // a healthy corpus as the non-degenerate control
+      "mixed" -> (a ++ b).zipWithIndex.flatMap { case (u, i) =>
+        Seq(purch(i * 2, u, 10.0 + rng.nextInt(90)), view(i * 2 + 1, u)) })
+  }
+
+  private def stageEvents(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    stage("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
+  behavior of "guarded statistics on generated degenerate corpora"
+
+  it should "never emit NaN or Infinity — degenerate paths are NULL" in {
+    val fns: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
+      "ab_test" -> (Behavior.abTestRevenue _),
+      "cuped" -> (Behavior.cupedReadout _),
+      "power" -> (Behavior.powerAnalysis _),
+      "mantel_haenszel" -> (Behavior.mantelHaenszel _),
+      "js_div" -> (Behavior.jsDivergence _),
+      "holt" -> (TimeSeries.holtForecast _),
+      "holt_winters" -> (TimeSeries.holtWinters _),
+      "arch" -> (TimeSeries.archTest _),
+      "kalman" -> (TimeSeries.kalmanLevel _))
+    for ((cname, rows) <- eventCorpora(seed = 1301L)) {
+      val dir = stageEvents(rows)
+      for ((fname, fn) <- fns) withClue(s"$fname on $cname: ") {
+        // must not raise (the ANSI divide-by-zero class), and every
+        // double that survives the guards is finite — the engine's
+        // discipline is NULL, never NaN/Inf poisoning
+        val out = fn(spark, dir).collect()
+        for (r <- out; i <- 0 until r.length if !r.isNullAt(i)) {
+          r.get(i) match {
+            case d: Double =>
+              assert(!d.isNaN && !d.isInfinite,
+                s"$fname($cname) col $i = $d")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
+  behavior of "scratch A/B z-statistic vs abTestRevenue on degenerate arms"
+
+  it should "agree on the z value and on WHERE the guards render NULL" in {
+    for ((cname, rows) <- eventCorpora(seed = 1302L)) withClue(s"$cname: ") {
+      val dir = stageEvents(rows)
+      // scratch: per-user revenue over ALL users (0 without purchases)
+      val byUser = rows.groupBy(_._3).map { case (u, es) =>
+        u -> es.filter(_._4 == "purchase")
+          .map(e => BigDecimal(e._5).setScale(2)).sum
+      }
+      val arms = byUser.groupBy { case (u, _) => variantOf(u) }
+      def stats(v: Int): Option[(Long, BigDecimal, BigDecimal)] =
+        arms.get(v).map { m =>
+          val xs = m.values.toSeq
+          (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+        }
+      def varS(s: Option[(Long, BigDecimal, BigDecimal)]): Option[Double] =
+        s.flatMap { case (n, sx, sxx) =>
+          if (n == 1L) None
+          else Some((sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1.0))
+        }
+      val se2 = for {
+        va <- varS(stats(0)); vb <- varS(stats(1))
+        (na, _, _) <- stats(0); (nb, _, _) <- stats(1)
+      } yield va / na + vb / nb
+      val zExp = se2 match {
+        case Some(s) if s != 0.0 =>
+          (for { (na, sxa, _) <- stats(0); (nb, sxb, _) <- stats(1) }
+            yield (sxb.toDouble / nb - sxa.toDouble / na) / math.sqrt(s))
+        case _ => None
+      }
+      val r = Behavior.abTestRevenue(spark, dir).head()
+      zExp match {
+        case Some(z) => r.getAs[Double]("z_stat") shouldBe (z +- 1e-9)
+        case None => assert(r.isNullAt(r.fieldIndex("z_stat")))
+      }
+    }
+  }
+
+  behavior of "scratch JS divergence vs jsDivergence on generated corpora"
+
+  it should "agree on the KL folds and the one-sided/empty NULL rules" in {
+    for ((cname, rows) <- eventCorpora(seed = 1303L)) withClue(s"$cname: ") {
+      val dir = stageEvents(rows)
+      val cells = rows.filter(_._4 == "purchase")
+        .groupBy { e =>
+          (BigDecimal(e._5).setScale(2) * 100).toLongExact / 2000L
+        }
+        .map { case (bkt, es) =>
+          val ca = es.count(e => variantOf(e._3) == 0).toLong
+          val cb = es.count(e => variantOf(e._3) == 1).toLong
+          (bkt, ca, cb)
+        }.toVector.sortBy(_._1)
+      val nA = cells.map(_._2).sum
+      val nB = cells.map(_._3).sum
+      def kl(own: ((Long, Long, Long)) => Long,
+             other: ((Long, Long, Long)) => Long,
+             nOwn: Long, nOther: Long): Option[Double] =
+        if (cells.isEmpty || (nOther == 0L && nOwn > 0L)) None
+        else Some(cells.foldLeft(0.0) { (acc, e) =>
+          if (own(e) == 0L) acc
+          else {
+            val p = own(e).toDouble / nOwn
+            val m = (p + other(e).toDouble / nOther) / 2.0
+            acc + p * math.log(p / m)
+          }
+        })
+      val r = Behavior.jsDivergence(spark, dir).head()
+      def check(colName: String, v: Option[Double]): Unit = v match {
+        case Some(x) =>
+          r.getAs[Double](colName) shouldBe (r6(x) +- 1e-12)
+        case None => assert(r.isNullAt(r.fieldIndex(colName)))
+      }
+      check("kl_a_to_mix", kl(_._2, _._3, nA, nB))
+      check("kl_b_to_mix", kl(_._3, _._2, nB, nA))
+      val js = for {
+        a <- kl(_._2, _._3, nA, nB); b <- kl(_._3, _._2, nB, nA)
+        if nA > 0 && nB > 0 && cells.nonEmpty
+      } yield (a + b) / 2.0
+      check("js_nats", js)
+    }
+  }
+
+  behavior of "scratch Mantel-Haenszel vs the engine on sparse conversions"
+
+  it should "agree on the pooled OR, its log, and the CMH guards" in {
+    for ((cname, rows) <- eventCorpora(seed = 1304L)) withClue(s"$cname: ") {
+      val dir = stageEvents(rows)
+      // scratch: one week in every corpus -> stratum by event count
+      val perUser = rows.groupBy(_._3).map { case (u, es) =>
+        (variantOf(u), math.min(es.size / 5, 4),
+          if (es.exists(_._4 == "purchase")) 1 else 0)
+      }.toSeq
+      val strata = perUser.groupBy(_._2).map { case (st, us) =>
+        val a = us.count(x => x._1 == 1 && x._3 == 1).toLong
+        val b = us.count(x => x._1 == 1 && x._3 == 0).toLong
+        val c = us.count(x => x._1 == 0 && x._3 == 1).toLong
+        val dd = us.count(x => x._1 == 0 && x._3 == 0).toLong
+        (st, a, b, c, dd, a + b + c + dd)
+      }.toVector.sortBy(_._1).filter(_._6 >= 2)
+      def fold(t: (Long, Long, Long, Long, Long) => Double): Double =
+        strata.foldLeft(0.0) { case (acc, (_, a, b, c, dd, n)) =>
+          acc + t(a, b, c, dd, n) }
+      val orNum = fold((a, _, _, dd, n) => a.toDouble * dd / n)
+      val orDen = fold((_, b, c, _, n) => b.toDouble * c / n)
+      val sa = fold((a, _, _, _, _) => a.toDouble)
+      val se = fold((a, b, c, _, n) => (a + b).toDouble * (a + c) / n)
+      val sv = fold((a, b, c, dd, n) =>
+        (a + b).toDouble * (c + dd) * (a + c) * (b + dd) /
+          (n.toDouble * n * (n - 1.0)))
+      val orMh = if (orDen == 0.0) None else Some(orNum / orDen)
+      val logOr = orMh.filter(_ != 0.0).map(math.log)
+      val chi = if (sv == 0.0) None
+        else Some(math.pow(math.max(math.abs(sa - se) - 0.5, 0.0), 2) / sv)
+      val r = Behavior.mantelHaenszel(spark, dir).head()
+      def check(colName: String, v: Option[Double], dp: Int): Unit = v match {
+        case Some(x) => r.getAs[Double](colName) shouldBe
+          (BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble +- 1e-12)
+        case None => assert(r.isNullAt(r.fieldIndex(colName)))
+      }
+      check("or_mh", orMh, 6)
+      check("log_or_mh", logOr, 6)
+      check("cmh_chi2", chi, 4)
+    }
+  }
+
+  behavior of "scratch Cochran-Armitage vs the engine on collapsed doses"
+
+  it should "agree on z and NULL exactly when the variance core dies" in {
+    import spark.implicits._
+    val ts0 = new java.sql.Timestamp(0L)
+    val scenarios = Seq(
+      // one dose level -> varCore = 0
+      "one_level" -> Seq((0.05, "R"), (0.05, "N"), (0.05, "R")),
+      // every row returned -> p(1-p) = 0
+      "all_returned" -> Seq((0.00, "R"), (0.05, "R"), (0.10, "R")),
+      // nothing returned -> p(1-p) = 0
+      "none_returned" -> Seq((0.00, "N"), (0.05, "N"), (0.10, "N")),
+      // healthy trend as the control
+      "mixed" -> Seq((0.00, "N"), (0.00, "N"), (0.05, "R"), (0.05, "N"),
+        (0.10, "R"), (0.10, "R")))
+    for ((cname, items) <- scenarios) withClue(s"$cname: ") {
+      val rows = items.zipWithIndex.map { case ((disc, fl), i) =>
+        (i.toLong, i.toLong % 3, 1L, 1, 1.0, 100.0, disc, 0.0, fl, "O", ts0)
+      }
+      val dir = stage("lineitem", rows.toDF("l_orderkey", "l_partkey",
+        "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+      val census = items.groupBy(x => math.round(x._1 * 100)).map {
+        case (w, xs) => (BigInt(w), BigInt(xs.size),
+          BigInt(xs.count(_._2 == "R")))
+      }.toVector
+      val n = census.map(_._2).sum; val rr = census.map(_._3).sum
+      val swn = census.map(x => x._1 * x._2).sum
+      val swr = census.map(x => x._1 * x._3).sum
+      val sw2n = census.map(x => x._1 * x._1 * x._2).sum
+      val p = rr.toDouble / n.toDouble
+      val varCore = (n * sw2n - swn * swn).toDouble
+      val zExp =
+        if (p * (1 - p) * varCore == 0.0) None
+        else Some(r6((n * swr - rr * swn).toDouble /
+          (n.toDouble * math.sqrt(p * (1 - p) * varCore))))
+      val r = Analytics.cochranArmitageTrend(spark, dir).head()
+      zExp match {
+        case Some(z) => r.getAs[Double]("z_trend") shouldBe (z +- 1e-12)
+        case None => assert(r.isNullAt(r.fieldIndex("z_trend")))
+      }
+    }
+  }
+
+  behavior of "series folds across generated series-length floors"
+
+  it should "emit rows per the documented floors and never throw" in {
+    import spark.implicits._
+    // daily purchase series of length L for L around every floor: the
+    // round-12 purchaseless sweep fixed negative slice lengths in all
+    // four folds — this walks the whole boundary ladder
+    for (len <- Seq(0, 1, 2, 3, 7, 8, 9, 14)) withClue(s"len=$len: ") {
+      val rows = (0 until len).map { i =>
+        (i.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+          (i % 5).toLong, "purchase", 25.0 + 7 * i, "{}")
+      }
+      val dir = stageEvents(rows)
+      val holt = TimeSeries.holtForecast(spark, dir).collect()
+      holt.length shouldBe
+        (if (len >= TimeSeries.holtHorizon + 2) TimeSeries.holtHorizon else 0)
+      // the other three folds: emission counts are their own contracts,
+      // pinned elsewhere — here they must simply never raise on any
+      // length, and whatever survives is NaN/Inf-free
+      for (fn <- Seq(TimeSeries.holtWinters _, TimeSeries.archTest _,
+          TimeSeries.kalmanLevel _)) {
+        for (r <- fn(spark, dir).collect();
+             i <- 0 until r.length if !r.isNullAt(i)) {
+          r.get(i) match {
+            case d: Double => assert(!d.isNaN && !d.isInfinite)
+            case _ =>
+          }
+        }
+      }
+    }
+  }
 }
