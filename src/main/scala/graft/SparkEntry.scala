@@ -521,15 +521,22 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // HAVING n > 0: over an EMPTY fact table Spark's ROLLUP/CUBE emit
+    // zero rows while the standard (and DuckDB) still emit the
+    // empty-grouping-set grand-total row (n = 0, total NULL) — the only
+    // zero-count row either form can produce, so the clause is inert on
+    // any non-empty input (empty-orders edge sweep)
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |HAVING count(*) > 0""".stripMargin,
     "q_cube" ->
       """SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY CUBE (event_type, hour_of_day)""".stripMargin,
+        |FROM events GROUP BY CUBE (event_type, hour_of_day)
+        |HAVING count(*) > 0""".stripMargin,
     "q_case_when_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,

@@ -912,19 +912,26 @@ object Analytics {
         datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
           .cast("long").as("x"))
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100).cast("long").as("y"))
+    // NULL guard (single-customer edge sweep): a priority whose orders
+    // all land on ONE day has zero x-variance — the OLS denominator is
+    // exactly 0 (NULL on DuckDB's x/0, ANSI error here)
+    val den = (d0(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val num = (d0(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val nullD = lit(null).cast("double")
     daily.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(d0(col("x"))).as("sx"), sum(d0(col("y"))).as("sy"),
         sum(d0(col("x")) * d0(col("y"))).as("sxy"),
         sum(d0(col("x")) * d0(col("x"))).as("sxx"))
       .select(col("o_orderpriority"), col("n"),
-        ((d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") / 100.0)
+        when(den === 0d, nullD).otherwise(num / den / 100.0)
           .as("slope_per_day"),
-        ((col("sy").cast("double") / col("n").cast("double") -
-          (d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
-            (col("sx").cast("double") / col("n").cast("double"))) / 100.0)
+        when(den === 0d, nullD).otherwise(
+          (col("sy").cast("double") / col("n").cast("double") -
+            num / den * (col("sx").cast("double") / col("n").cast("double")))
+            / 100.0)
           .as("intercept"))
   }
 
@@ -1578,7 +1585,10 @@ object Analytics {
       |    round(sum(term ORDER BY st, pr), 6) AS chi2,
       |    CAST(least(count(DISTINCT st) - 1, count(DISTINCT pr) - 1) AS INTEGER)
       |      AS min_dim
-      |  FROM terms)
+      |  -- GROUP BY 1: over an EMPTY fact table the engine's grouped
+      |  -- aggregate emits zero rows; the bare global aggregate here
+      |  -- would emit one all-NULL row (empty-orders edge sweep)
+      |  FROM terms GROUP BY 1)
       |SELECT n_rows, dof, chi2,
       |  round(sqrt(chi2 / (CAST(n_rows AS DOUBLE) * CAST(min_dim AS DOUBLE))), 6)
       |    AS cramers_v
@@ -1825,12 +1835,19 @@ object Analytics {
       // on DuckDB, ANSI error here
       def vr(c: String) = col(s"ss_$c").cast("double") * col("n") -
         col(s"s_$c").cast("double") * col(s"s_$c").cast("double")
+      // round 12: the correlation is pure double arithmetic on exact
+      // decimal sums, but the DECIMAL→DOUBLE conversion itself is not
+      // bit-identical across engines (DuckDB converts int128·10^-s in
+      // two float ops; Spark's BigDecimal conversion is correctly
+      // rounded) — a 1-ulp input skew that surfaced in the 17th digit
+      // on the single-customer edge corpus (the q_moments sf0.001
+      // class; trap list says round corr 12 dp)
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
         when(vr(a) * vr(b) === 0d, lit(null).cast("double"))
-          .otherwise(
+          .otherwise(round(
             (col(s"sp_${a}_$b").cast("double") * col("n") -
               col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
-              (sqrt(vr(a)) * sqrt(vr(b)))).as("corr"))
+              (sqrt(vr(a)) * sqrt(vr(b))), 12)).as("corr"))
     }
     sums.select(explode(array(pairRows: _*)).as("p"))
       .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
@@ -1841,12 +1858,12 @@ object Analytics {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val pairSelects = cols.combinations(2).toSeq.map { case Seq(a, b) =>
       s"""SELECT '$a' AS var_a, '$b' AS var_b,
-         |  (CAST(sp_${a}_$b AS DOUBLE) * n
+         |  round((CAST(sp_${a}_$b AS DOUBLE) * n
          |    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
          |  (sqrt(CAST(ss_$a AS DOUBLE) * n
          |    - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
          |   sqrt(CAST(ss_$b AS DOUBLE) * n
-         |    - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) AS corr
+         |    - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 12) AS corr
          |FROM sums""".stripMargin
     }
     val sumExprs = (
@@ -2374,25 +2391,45 @@ object Analytics {
       .select(col("segment"), col("n_h"),
         (col("sx").cast("double") / col("n_h").cast("double"))
           .as("mean_cents"),
-        sqrt((col("n_h").cast(big) * col("sxx") - col("sx") * col("sx"))
-          .cast("double") /
-          (col("n_h").cast(big) * (col("n_h") - 1).cast(big)).cast("double"))
+        // NULL guard (single-customer edge sweep): a singleton stratum
+        // has n_h(n_h-1) = 0 in the sample-sd denominator — sqrt(0/0)
+        // is NULL on DuckDB, an ANSI error here
+        when(col("n_h") === 1L, lit(null).cast("double")).otherwise(
+          sqrt((col("n_h").cast(big) * col("sxx") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("n_h").cast(big) * (col("n_h") - 1).cast(big))
+              .cast("double")))
           .as("s_h"))
-    // pinned cross-stratum normalizer: fold N_h·s_h in segment order
+    // pinned cross-stratum normalizer: fold N_h·s_h in segment order,
+    // SKIPPING NULL weights (singleton strata) exactly like the
+    // oracle's list_sum — NULL only when every weight is NULL
     val tot = strata
       .groupBy()
       .agg(sort_array(collect_list(struct(col("segment"),
         (col("n_h").cast("double") * col("s_h")).as("w")))).as("a"))
-      .select(aggregate(col("a"), lit(0.0),
-        (acc, e) => acc + e.getField("w")).as("tot_w"))
+      .select(
+        when(size(filter(col("a"), e => e.getField("w").isNotNull)) === 0,
+          lit(null).cast("double"))
+          .otherwise(aggregate(
+            filter(col("a"), e => e.getField("w").isNotNull), lit(0.0),
+            (acc, e) => acc + e.getField("w"))).as("tot_w"))
+    // zero normalizer (every stratum constant-balance): share/alloc
+    // divide by 0 — NULL on DuckDB, ANSI error here
+    val nullD = lit(null).cast("double")
     strata.crossJoin(broadcast(tot))
       .select(col("segment"), col("n_h"),
         round(col("mean_cents") / 100.0, 6).as("mean_bal"),
         round(col("s_h") / 100.0, 6).as("stddev_bal"),
-        round(col("n_h").cast("double") * col("s_h") / col("tot_w"), 6)
+        when(col("tot_w") === 0d, nullD)
+          .otherwise(round(
+            col("n_h").cast("double") * col("s_h") / col("tot_w"), 6))
           .as("share"),
-        floor(lit(surveyBudget.toDouble) * col("n_h").cast("double") *
-          col("s_h") / col("tot_w")).cast("long").as("alloc"))
+        // op order matches the oracle exactly (budget·n_h·s_h, then /)
+        when(col("tot_w") === 0d, lit(null).cast("long"))
+          .otherwise(floor(lit(surveyBudget.toDouble) *
+            col("n_h").cast("double") * col("s_h") / col("tot_w"))
+            .cast("long"))
+          .as("alloc"))
       .orderBy("segment")
   }
 
@@ -2449,6 +2486,14 @@ object Analytics {
     lvl.groupBy()
       .agg(sort_array(collect_list(struct(col("pct"), col("n"), col("sy"))))
         .as("a"))
+      // EMPTY census (empty-orders edge sweep): Spark's sequence(1, 0)
+      // DESCENDS to [1, 0] instead of yielding the empty sequence
+      // DuckDB's generate_series(1, 0) does, so the minimax transform
+      // would index prefix arrays out of bounds; filtering the packed
+      // row out reproduces the oracle's zero-row answer and keeps the
+      // transform unevaluated (the filter sits ABOVE the aggregate, so
+      // no pushdown can re-site it)
+      .filter(org.apache.spark.sql.functions.size(col("a")) > 0)
       .select(col("a"),
         expr("""transform(sequence(0, size(a)), t ->
           | aggregate(slice(a, 1, t), CAST(0 AS BIGINT), (acc, e) -> acc + e.sy))""".stripMargin)
@@ -3158,7 +3203,12 @@ object Analytics {
     perCust.crossJoin(broadcast(mom))
       .select(col("o_custkey"), col("x").as("n_orders"),
         col("y").as("spend_cents"),
-        round(num.cast("double") / det.cast("double"), 6).as("d2"))
+        // singular covariance (single-customer edge sweep: one point
+        // zeroes every central moment) — the exact-integer det is 0 on
+        // both engines; NULL on DuckDB's x/0, ANSI error here
+        when(det === lit(0).cast(big), lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / det.cast("double"), 6))
+          .as("d2"))
       .orderBy(col("d2").desc, col("o_custkey"))
       .limit(20)
   }
@@ -3551,9 +3601,15 @@ object Analytics {
       .select(abs(col("cents") - col("med_cents")).as("r"))
     val qhat = calib.agg(sort_array(collect_list(col("r"))).as("rs"))
       .select(size(col("rs")).as("n_cal"),
-        element_at(col("rs"),
-          least(ceil((size(col("rs")) + 1) * lit(0.9)).cast("int"),
-            size(col("rs")))).as("qhat_cents"))
+        // empty calibration split (single-customer edge sweep): the
+        // ceil-index collapses to 0 and element_at(rs, 0) is an error
+        // in BOTH engines' 1-based indexing; a NULL qhat marks every
+        // test row uncovered, which is the honest conformal answer
+        // with no calibration data (CaseWhen keeps the access lazy)
+        when(size(col("rs")) === 0, lit(null).cast("long"))
+          .otherwise(element_at(col("rs"),
+            least(ceil((size(col("rs")) + 1) * lit(0.9)).cast("int"),
+              size(col("rs"))))).as("qhat_cents"))
     o.filter(col("k") % 10 >= 8)
       .join(broadcast(med), Seq("priority"))
       .crossJoin(broadcast(qhat))
@@ -3838,30 +3894,49 @@ object Analytics {
       sum(col("qg")).as("qtot"), count(lit(1)).as("gq"),
       sort_array(collect_list(struct(col("nk"), col("sg"), col("ng"))))
         .as("a"))
+    // degenerate-path guards (single-customer / empty-orders edge
+    // sweep), each mirroring DuckDB's NULL algebra exactly:
+    //  - a SINGLE cluster makes every leave-one-out mean 0/0 (the term
+    //    guard inside the lambda — only reachable at gq = 1, so the
+    //    all-NULL fold equals list_sum's NULL);
+    //  - an EMPTY census folds to the 0.0 init here but list_sum(NULL)
+    //    is NULL there (the size(a) = 0 guard);
+    //  - gq = 0 / ntot = 1 / s2 = 0 zero the v_jack, s2, and
+    //    design-effect divisors (NULL on DuckDB's x/0, ANSI error here)
     val folded = packed.select(col("stot"), col("ntot"), col("qtot"),
       col("gq"),
-      expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
-        acc + CAST(stot - e.sg AS DOUBLE) / CAST(ntot - e.ng AS DOUBLE))""")
+      expr("""CASE WHEN size(a) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+        aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+        acc + (CASE WHEN ntot - e.ng = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(stot - e.sg AS DOUBLE) / CAST(ntot - e.ng AS DOUBLE)
+          END)) END""")
         .as("tjsum"))
     val stage2 = folded.select(col("stot"), col("ntot"), col("qtot"),
       col("gq"), (col("tjsum") / col("gq").cast("double")).as("tbar"))
       .crossJoin(broadcast(packed.select(col("a"))))
       .select(col("stot"), col("ntot"), col("qtot"), col("gq"), col("tbar"),
-        expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
-          acc + (CAST(stot - e.sg AS DOUBLE) / CAST(ntot - e.ng AS DOUBLE)
+        expr("""CASE WHEN size(a) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+          aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+          acc + (CASE WHEN ntot - e.ng = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE (CAST(stot - e.sg AS DOUBLE)
+              / CAST(ntot - e.ng AS DOUBLE)
             - tbar) * (CAST(stot - e.sg AS DOUBLE)
-            / CAST(ntot - e.ng AS DOUBLE) - tbar))""").as("ssq"))
+            / CAST(ntot - e.ng AS DOUBLE) - tbar) END)) END""").as("ssq"))
     val nd = col("ntot").cast("double")
-    val vJack = (col("gq") - 1).cast("double") / col("gq").cast("double") *
-      col("ssq")
-    val s2 = (col("qtot").cast("double") -
-      col("stot").cast("double") * col("stot").cast("double") / nd) /
-      (nd - 1.0)
+    val nullD = lit(null).cast("double")
+    val vJack = when(col("gq") === 0L, nullD).otherwise(
+      (col("gq") - 1).cast("double") / col("gq").cast("double") *
+        col("ssq"))
+    val s2 = when(col("ntot") === 1L, nullD).otherwise(
+      (col("qtot").cast("double") -
+        col("stot").cast("double") * col("stot").cast("double") / nd) /
+        (nd - 1.0))
     stage2.select(col("gq").as("g_clusters"), col("ntot").as("n_orders"),
       round(col("stot").cast("double") / nd, 6).as("theta_cents"),
       round(sqrt(s2 / nd), 6).as("se_iid_cents"),
       round(sqrt(vJack), 6).as("se_jack_cents"),
-      round(vJack / (s2 / nd), 4).as("design_effect"))
+      when(s2 === 0d, nullD)
+        .otherwise(round(vJack / (s2 / nd), 4)).as("design_effect"))
   }
 
   val jackknifeClusterSeSql: String =
@@ -3984,9 +4059,12 @@ object Analytics {
       |  SELECT abs(cents - med_cents) AS r
       |  FROM o JOIN med USING (priority) WHERE k % 200 = 7),
       |qhat AS (
-      |  SELECT len(rs) AS n_cal,
-      |    rs[least(CAST(ceil((len(rs) + 1) * 0.9) AS INT), len(rs))]
-      |      AS qhat_cents
+      |  -- coalesce: DuckDB's list() over zero rows is NULL where the
+      |  -- engine's collect_list is the empty array; n_cal = 0 is the
+      |  -- honest rendering on both sides (the qhat stays NULL)
+      |  SELECT coalesce(len(rs), 0) AS n_cal,
+      |    rs[least(CAST(ceil((coalesce(len(rs), 0) + 1) * 0.9) AS INT),
+      |      coalesce(len(rs), 0))] AS qhat_cents
       |  FROM (SELECT list_sort(list(r)) AS rs FROM calib))
       |SELECT priority, n_cal, qhat_cents, count(*) AS n_test,
       |  CAST(sum(CASE WHEN abs(cents - med_cents) <= qhat_cents
@@ -4325,6 +4403,13 @@ object Analytics {
            |  aggregate(sequence(0, ${nNations - 1}), CAST(0 AS BIGINT),
            |    (acc, j) -> acc + wf[i * $nNations + j]))""".stripMargin)
         .as("wtot"))
+    // zero-pair denominators (empty/single-customer edge sweep): a
+    // nation pair with pi_i + pi_j = 0 (both strengths zeroed by the
+    // no-games branch) divides 0/0 inside the MM denominator — an ANSI
+    // error here where DuckDB's NULL term is simply SKIPPED by
+    // list_sum, so contributing 0.0 is the exact mirror; and on an
+    // all-zero strength vector the final normalizer is 0 — NULL on
+    // DuckDB's x/0, matched by the explicit NULL arm
     val folded = packed.select(expr(
       s"""aggregate(sequence(1, $btIters),
          |  transform(sequence(0, ${nNations - 1}),
@@ -4332,19 +4417,24 @@ object Analytics {
          |  (pi, t) -> transform(sequence(0, ${nNations - 1}), i ->
          |    CASE WHEN aggregate(sequence(0, ${nNations - 1}),
          |        CAST(0.0 AS DOUBLE),
-         |        (acc, j) -> acc + (CASE WHEN j = i THEN 0.0 ELSE
+         |        (acc, j) -> acc + (CASE WHEN j = i OR pi[i] + pi[j] = 0.0D
+         |          THEN 0.0 ELSE
          |          CAST(nf[i * $nNations + j] AS DOUBLE) / (pi[i] + pi[j])
          |          END)) = 0.0 THEN 0.0
          |      ELSE CAST(wtot[i] AS DOUBLE) /
          |        aggregate(sequence(0, ${nNations - 1}),
          |          CAST(0.0 AS DOUBLE),
-         |          (acc, j) -> acc + (CASE WHEN j = i THEN 0.0 ELSE
+         |          (acc, j) -> acc + (CASE WHEN j = i OR pi[i] + pi[j] = 0.0D
+         |            THEN 0.0 ELSE
          |            CAST(nf[i * $nNations + j] AS DOUBLE) / (pi[i] + pi[j])
          |            END)) END))""".stripMargin).as("pi"),
       col("wtot"))
     folded
       .select(expr("""transform(pi, x ->
-          x / aggregate(pi, CAST(0.0 AS DOUBLE), (a, b) -> a + b))""")
+          CASE WHEN aggregate(pi, CAST(0.0 AS DOUBLE), (a, b) -> a + b)
+            = 0.0D THEN CAST(NULL AS DOUBLE)
+          ELSE x / aggregate(pi, CAST(0.0 AS DOUBLE), (a, b) -> a + b)
+          END)""")
         .as("pin"), col("wtot"))
       .select(posexplode(col("pin")).as(Seq("nk", "p")), col("wtot"))
       .select(col("nk"), col("p"),
@@ -4520,13 +4610,17 @@ object Analytics {
              |      ELSE array(bb[0] + $d0, bb[1] + $d1, bb[2] + $d2) END))"""
             .stripMargin)).as("b"))
     fitted.select(col("n_cells"), col("n"), col("npos"), col("b"),
-      expr(s"""-2.0 * ${mom(
-        """(CASE WHEN c.pos = 0 THEN 0.0
-             ELSE CAST(c.pos AS DOUBLE) * ln(P) END)
-          + (CASE WHEN c.cnt = c.pos THEN 0.0
-             ELSE (CAST(c.cnt AS DOUBLE) - CAST(c.pos AS DOUBLE))
-               * ln(1.0 - P) END)""",
-        "b")}""").as("dev"),
+      // empty census (empty-orders edge sweep): the deviance fold's
+      // 0.0 init must not surface — DuckDB's list_sum over the empty
+      // cell list is NULL
+      when(col("n_cells") === 0L, lit(null).cast("double")).otherwise(
+        expr(s"""-2.0 * ${mom(
+          """(CASE WHEN c.pos = 0 THEN 0.0
+               ELSE CAST(c.pos AS DOUBLE) * ln(P) END)
+            + (CASE WHEN c.cnt = c.pos THEN 0.0
+               ELSE (CAST(c.cnt AS DOUBLE) - CAST(c.pos AS DOUBLE))
+                 * ln(1.0 - P) END)""",
+          "b")}""")).as("dev"),
       (lit(-2.0) * (
         when(col("npos") === 0L, lit(0.0))
           .otherwise(col("npos").cast("double") *
@@ -4708,16 +4802,25 @@ object Analytics {
     val det = "(s[2] * s[4] - s[3] * s[3])"
     val d0 = s"(s[4] * s[0] - s[3] * s[1]) / $det"
     val d1 = s"(s[2] * s[1] - s[3] * s[0]) / $det"
+    // the Newton fold is WRAPPED in a Column-level empty-census guard
+    // (the logisticRegression `degenerate` precedent) rather than
+    // relying on the fold's det CASE alone: over an AQE-emptied scan
+    // the downstream round(b[0]) extraction was measured to read the
+    // fold's INIT elements instead of the guard's NULLs (empty-orders
+    // edge sweep) — the CaseWhen wrapper is the shape that evaluates
+    // correctly, and DuckDB's empty-list moments give NULL betas there
     val fitted = packed.select(col("n"), col("ntr"), col("ts1"), col("ts0"),
       col("cells"),
-      expr(
-        s"""aggregate(sequence(1, $k),
-           |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-           |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
-           |    (bb, s) -> CASE WHEN $det = 0.0D
-           |      THEN array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
-           |      ELSE array(bb[0] + $d0, bb[1] + $d1) END))"""
-          .stripMargin).as("b"))
+      when(size(col("cells")) === 0,
+        array(lit(null).cast("double"), lit(null).cast("double")))
+        .otherwise(expr(
+          s"""aggregate(sequence(1, $k),
+             |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+             |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
+             |    (bb, s) -> CASE WHEN $det = 0.0D
+             |      THEN array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+             |      ELSE array(bb[0] + $d0, bb[1] + $d1) END))"""
+            .stripMargin)).as("b"))
     // one-armed-corpus guards (collapsed-dimension edge sweep): with
     // every row treated (or none), the control mean and the Hajek
     // normalizers divide by zero — NULL on DuckDB, ANSI errors here
@@ -5186,21 +5289,26 @@ object Analytics {
     // singular-design guards (collapsed-dimension edge sweep): a
     // one-armed treatment makes the outcome Hessian singular (det = 0
     // — NULL on DuckDB, ANSI error here); mirrored for both fits
+    // empty-census wrapper on the propensity fold: same AQE-emptied
+    // extraction hazard (and DuckDB NULL mirror) as ipwAte — see there
     val fitted = packed.select(col("n"), col("ntr"), col("cells"),
-      expr(
-        s"""aggregate(sequence(1, $k),
-           |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-           |  (b, t) -> aggregate(array(${sumsArrE("b")}), b,
-           |    (bb, s) -> CASE WHEN $detE = 0.0D
-           |      THEN array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
-           |      ELSE array(bb[0] + $d0E, bb[1] + $d1E) END))"""
-          .stripMargin).as("be"),
+      when(size(col("cells")) === 0,
+        array(lit(null).cast("double"), lit(null).cast("double")))
+        .otherwise(expr(
+          s"""aggregate(sequence(1, $k),
+             |  array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+             |  (b, t) -> aggregate(array(${sumsArrE("b")}), b,
+             |    (bb, s) -> CASE WHEN $detE = 0.0D
+             |      THEN array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+             |      ELSE array(bb[0] + $d0E, bb[1] + $d1E) END))"""
+            .stripMargin)).as("be"),
       // exact-integer one-armed guard: with ntr = 0 or ntr = n the
       // treatment indicator is constant and the outcome design is
       // singular — decided on the INTEGER counts (identical on both
       // engines) rather than the float det, whose exact zero differs
       // by fold-order ulps (collapsed-dimension edge sweep)
-      when(col("ntr") === 0L || col("ntr") === col("n"),
+      when(size(col("cells")) === 0 ||
+          col("ntr") === 0L || col("ntr") === col("n"),
         array(lit(null).cast("double"), lit(null).cast("double"),
           lit(null).cast("double")))
         .otherwise(expr(
@@ -5392,14 +5500,23 @@ object Analytics {
     val det = "(s[2] * s[4] - s[3] * s[3])"
     val d0u = s"(s[4] * s[0] - s[3] * s[1]) / $det"
     val d1u = s"(s[2] * s[1] - s[3] * s[0]) / $det"
+    // degenerate-series guard (empty-orders edge sweep): n = 0 zeroes
+    // every moment (det = 0/0 inside the un-CASEd fold — an ANSI error
+    // here, NULL on DuckDB's empty list_sum) and n = 1 makes t constant
+    // with det EXACTLY 0 on both engines (t = 0, so the products are
+    // exact); both shapes must render NULL betas, decided on the
+    // integer count OUTSIDE the fold (the extraction-safe wrapper — see
+    // ipwAte)
     val fitted = packed.select(col("n"), col("sy"), col("cs"),
-      expr(
-        s"""aggregate(sequence(1, $k),
-           |  array(round(ln(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 12),
-           |        CAST(0.0 AS DOUBLE)),
-           |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
-           |    (bb, s) -> array(bb[0] + $d0u, bb[1] + $d1u)))"""
-          .stripMargin).as("b"))
+      when(col("n") <= 1L,
+        array(lit(null).cast("double"), lit(null).cast("double")))
+        .otherwise(expr(
+          s"""aggregate(sequence(1, $k),
+             |  array(round(ln(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 12),
+             |        CAST(0.0 AS DOUBLE)),
+             |  (b, t) -> aggregate(array(${sumsArr("b")}), b,
+             |    (bb, s) -> array(bb[0] + $d0u, bb[1] + $d1u)))"""
+            .stripMargin)).as("b"))
     // Pearson X² and deviance folds on the fitted b (y ln(y/μ) with the
     // y = 0 limit handled by the CASE — ln never sees 0)
     val x2 = mom("(CAST(c.y AS DOUBLE) - MU) * (CAST(c.y AS DOUBLE) - MU) / MU", "b")
@@ -5407,11 +5524,18 @@ object Analytics {
       """2.0 * ((CASE WHEN c.y > 0
         |  THEN CAST(c.y AS DOUBLE) * ln(CAST(c.y AS DOUBLE) / MU)
         |  ELSE 0.0 END) - (CAST(c.y AS DOUBLE) - MU))""".stripMargin, "b")
+    val nullDp = lit(null).cast("double")
     fitted.select(col("n").as("n_days"), col("sy").as("n_orders"),
       round(expr("b[0]"), 6).as("beta0"),
       round(expr("b[1]"), 8).as("beta_t"),
-      round(expr(dev), 4).as("deviance"),
-      round(expr(x2) / (col("n").cast("double") - 2.0), 4)
+      // empty series: the fold's 0.0 init must not surface (list_sum
+      // over the empty list is NULL on the oracle side)
+      when(col("n") === 0L, nullDp).otherwise(round(expr(dev), 4))
+        .as("deviance"),
+      // n = 2 zeroes the dispersion's n-2 divisor (NULL on DuckDB);
+      // n = 0 would surface the x2 fold's init over that same divisor
+      when(col("n") === 0L || col("n") === 2L, nullDp)
+        .otherwise(round(expr(x2) / (col("n").cast("double") - 2.0), 4))
         .as("dispersion"))
   }
 

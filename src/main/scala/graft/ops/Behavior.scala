@@ -4845,6 +4845,11 @@ object Behavior {
       .agg(count(lit(1)).cast("long").as("n_times"),
         sort_array(collect_list(struct(col("dur_h"), col("d"), col("n_risk"))))
           .as("arr"))
+      // zero evaluable users (a SIGNUPLESS corpus, edge sweep): the
+      // oracle's recursive seed never reaches `i = len(arr)` on a NULL
+      // list and emits zero rows — the packed row is filtered out to
+      // match (the same no-evaluable-window contract as the backtest)
+      .filter(org.apache.spark.sql.functions.size(col("arr")) > 0)
       .select(col("n_times"), expr(
         s"""aggregate(arr,
            |  named_struct('t', CAST(0 AS BIGINT), 's', CAST(1.0 AS DOUBLE),

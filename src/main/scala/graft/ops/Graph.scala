@@ -1663,7 +1663,10 @@ object Graph {
           coalesce(col("sup"), lit(0L)).as("sup"))
         .pin() // consumers: peel, deleted-diff, census, delta
       if (r == 1)
-        total = scored.agg((sum(col("sup")) / 3).cast("long").as("nt"))
+        // coalesce: on an EMPTY graph the sum over zero edges is NULL
+        // where the oracle's census reads 0 (empty-orders edge sweep)
+        total = scored.agg((coalesce(sum(col("sup")), lit(0L)) / 3)
+          .cast("long").as("nt"))
           .pin()
       val nTriRow = total
       val next = scored.filter(col("sup") >= k - 2)

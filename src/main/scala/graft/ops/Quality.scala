@@ -38,9 +38,13 @@ object Quality {
   def dqAudit(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
+    // coalesce: over an EMPTY table these sums are NULL where the
+    // oracle's count(*) FILTER reads 0 (empty-orders edge sweep)
     val scalarChecks = o.agg(
-      sum(col("o_custkey").isNull.cast("long")).as("orders_null_custkey"),
-      sum((col("o_totalprice") <= 0).cast("long")).as("orders_nonpositive_price"))
+      coalesce(sum(col("o_custkey").isNull.cast("long")), lit(0L))
+        .as("orders_null_custkey"),
+      coalesce(sum((col("o_totalprice") <= 0).cast("long")), lit(0L))
+        .as("orders_nonpositive_price"))
     val dupPk = o.groupBy(col("o_orderkey")).agg(count("*").as("c"))
       .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n"))
       .select(lit("orders_dup_pk").as("check"), col("n").as("n_violations"))
@@ -52,10 +56,12 @@ object Quality {
       .agg(count("*").as("n"))
       .select(lit("lineitem_orphan_orderkey").as("check"), col("n").as("n_violations"))
     val discRange = l.agg(
-        sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long")).as("n"))
+        coalesce(sum((col("l_discount") < 0 || col("l_discount") > 1)
+          .cast("long")), lit(0L)).as("n"))
       .select(lit("lineitem_discount_range").as("check"), col("n").as("n_violations"))
     val shipBefore = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .agg(sum((col("l_shipdate") < col("o_orderdate")).cast("long")).as("n"))
+      .agg(coalesce(sum((col("l_shipdate") < col("o_orderdate"))
+        .cast("long")), lit(0L)).as("n"))
       .select(lit("lineitem_ship_before_order").as("check"), col("n").as("n_violations"))
     scalarChecks
       .select(explode(map(

@@ -2287,10 +2287,15 @@ object TimeSeries {
       .select(col("w"), col("n_blocks"),
         (expr("""aggregate(a, CAST(0.0 AS DOUBLE),
             (acc, e) -> acc + e.rs)""") / col("n_blocks")).as("avg_rs"))
+    // m <= 1 guard (single-customer edge sweep): with zero or one
+    // window size surviving, the log-log slope denominator is exactly 0
+    // (m = 1: the same ln(w)² product appears on both sides) — NULL on
+    // DuckDB's x/0, ANSI error here; the broadcast side evaluates even
+    // when per_w is empty, so the guard must live inside fit itself
     val fit = perW
       .agg(sort_array(collect_list(struct(col("w"), col("avg_rs"))))
         .as("pts"), count(lit(1)).cast("long").as("m"))
-      .select((
+      .select(when(col("m") <= 1L, lit(null).cast("double")).otherwise(
         (col("m") * expr("""aggregate(pts, CAST(0.0 AS DOUBLE),
             (acc, e) -> acc + ln(CAST(e.w AS DOUBLE)) * ln(e.avg_rs))""")
           - expr("""aggregate(pts, CAST(0.0 AS DOUBLE),
@@ -3571,37 +3576,43 @@ object TimeSeries {
       .agg(max(col("n")).as("n"),
         sort_array(collect_list(struct(col("lag"), col("rho")))).as("rl"))
       .select(col("n"), expr("transform(rl, e -> e.rho)").as("rho"))
+      // every rho access goes through get() (the out-of-bounds-tolerant
+      // 0-based accessor): on a sparse/empty daily series some lags have
+      // no pairs at all, so rho is SHORTER than K — or empty — and the
+      // bare rho[i] is an ANSI array-index error where DuckDB's 1-based
+      // list access reads NULL (single-customer edge sweep); the NULLs
+      // then flow through the Durbin–Levinson fold exactly as there
       .select(col("n"), expr(
         s"""aggregate(sequence(2, $K),
-           |  named_struct('phi', array(rho[0]),
-           |    'e', 1.0 - rho[0] * rho[0],
-           |    'pout', array(rho[0])),
+           |  named_struct('phi', array(get(rho, 0)),
+           |    'e', 1.0 - get(rho, 0) * get(rho, 0),
+           |    'pout', array(get(rho, 0))),
            |  (acc, k) -> named_struct(
            |    'phi', concat(
            |      transform(sequence(1, k - 1), j ->
            |        acc.phi[j - 1] -
-           |          ((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |          ((get(rho, k - 1) - aggregate(sequence(1, k - 1),
            |              CAST(0.0 AS DOUBLE),
-           |              (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
-           |            / acc.e) * acc.phi[k - j - 1]),
-           |      array((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |              (sm, j2) -> sm + acc.phi[j2 - 1] * get(rho, k - j2 - 1)))
+           |            / nullif(acc.e, 0.0D)) * acc.phi[k - j - 1]),
+           |      array((get(rho, k - 1) - aggregate(sequence(1, k - 1),
            |          CAST(0.0 AS DOUBLE),
-           |          (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
-           |        / acc.e)),
+           |          (sm, j2) -> sm + acc.phi[j2 - 1] * get(rho, k - j2 - 1)))
+           |        / nullif(acc.e, 0.0D))),
            |    'e', acc.e * (1.0 -
-           |      ((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |      ((get(rho, k - 1) - aggregate(sequence(1, k - 1),
            |          CAST(0.0 AS DOUBLE),
-           |          (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
-           |        / acc.e) *
-           |      ((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |          (sm, j2) -> sm + acc.phi[j2 - 1] * get(rho, k - j2 - 1)))
+           |        / nullif(acc.e, 0.0D)) *
+           |      ((get(rho, k - 1) - aggregate(sequence(1, k - 1),
            |          CAST(0.0 AS DOUBLE),
-           |          (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
-           |        / acc.e)),
+           |          (sm, j2) -> sm + acc.phi[j2 - 1] * get(rho, k - j2 - 1)))
+           |        / nullif(acc.e, 0.0D))),
            |    'pout', concat(acc.pout,
-           |      array((rho[k - 1] - aggregate(sequence(1, k - 1),
+           |      array((get(rho, k - 1) - aggregate(sequence(1, k - 1),
            |          CAST(0.0 AS DOUBLE),
-           |          (sm, j2) -> sm + acc.phi[j2 - 1] * rho[k - j2 - 1]))
-           |        / acc.e))))""".stripMargin).as("st"))
+           |          (sm, j2) -> sm + acc.phi[j2 - 1] * get(rho, k - j2 - 1)))
+           |        / nullif(acc.e, 0.0D)))))""".stripMargin).as("st"))
       .select(col("n"), posexplode(col("st.pout")).as(Seq("pos", "p")))
       .select((col("pos") + 1).as("lag"),
         round(col("p"), 6).as("pacf"),
@@ -3949,10 +3960,15 @@ object TimeSeries {
         sum(d0(col("t")) * d0(col("y"))).cast(big).as("sty"),
         sum(d0(col("t")) * d0(col("t"))).cast(big).as("stt"),
         sort_array(collect_list(struct(col("t"), col("y")))).as("cs"))
-      // slope/intercept: exact decimal subterms, ONE conversion each
+      // slope/intercept: exact decimal subterms, ONE conversion each.
+      // NULL guard (single-day series, edge sweep): n·stt − st² is
+      // exactly 0 with one day (t = 0) — NULL on DuckDB's x/0, ANSI
+      // error here; every residual consumer then NULL-propagates
       .select(col("n"), col("cs"),
-        ((col("n") * col("sty") - col("st") * col("sy")).cast("double") /
-          (col("n") * col("stt") - col("st") * col("st")).cast("double"))
+        when((col("n") * col("stt") - col("st") * col("st")) === 0,
+          lit(null).cast("double")).otherwise(
+          (col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+            (col("n") * col("stt") - col("st") * col("st")).cast("double"))
           .as("slope"),
         (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
         (col("st").cast("double") / col("n").cast("double")).as("tbar"))
@@ -3994,10 +4010,20 @@ object TimeSeries {
       (m * col("sut") - col("stt1") * col("su"))
     val r2den = (m * col("stt2") - col("stt1") * col("stt1")) *
       (m * col("suu") - col("su") * col("su"))
+    // NULL guard (empty/degenerate series, edge sweep): r2den is
+    // exactly 0 on an empty series (all five folds 0), a single day,
+    // or a 2-day fit (residuals identically 0) — NULL on DuckDB's x/0,
+    // ANSI error here; a NULL r2den (NULL slope upstream) already
+    // NULL-propagates through the division on both engines
+    val nullD = lit(null).cast("double")
     folded.select(col("n").as("n_days"),
-      round(r2num / r2den, 6).as("r2_aux"),
-      round(m * r2num / r2den, 4).as("lm_stat"),
-      (m * r2num / r2den > lit(3.841458820694124)).as("hetero_95"))
+      when(r2den === 0d, nullD).otherwise(round(r2num / r2den, 6))
+        .as("r2_aux"),
+      when(r2den === 0d, nullD).otherwise(round(m * r2num / r2den, 4))
+        .as("lm_stat"),
+      when(r2den === 0d, lit(null).cast("boolean"))
+        .otherwise(m * r2num / r2den > lit(3.841458820694124))
+        .as("hetero_95"))
   }
 
   /** JARQUE–BERA TEST on the same residuals — are they NORMAL enough
@@ -4015,23 +4041,35 @@ object TimeSeries {
       s"""aggregate(cs, CAST(0.0 AS DOUBLE), (acc, c) -> acc + ($term))"""
     val base = olsDailyPacked(s, d).select(col("n"), col("cs"),
       col("icept"), col("slope"),
-      (expr(f(olsResid)) / col("n").cast("double")).as("ebar"))
+      // n = 0 guard (empty-orders edge sweep): the residual fold's 0.0
+      // init over n = 0 is an ANSI 0/0 here, NULL on DuckDB
+      when(col("n") === 0L, lit(null).cast("double"))
+        .otherwise(expr(f(olsResid)) / col("n").cast("double"))
+        .as("ebar"))
     def dev = s"($olsResid - ebar)"
     val folded = base.select(col("n"),
       expr(f(s"$dev * $dev")).as("m2s"),
       expr(f(s"$dev * $dev * $dev")).as("m3s"),
       expr(f(s"$dev * $dev * $dev * $dev")).as("m4s"))
     val m = col("n").cast("double")
+    // zero second moment (empty series: the folds' 0.0 inits; or
+    // exactly-zero residuals): skew/kurtosis divide by 0 — NULL on
+    // DuckDB, ANSI error here. NULL m2s (NULL slope on a 1-day series)
+    // already NULL-propagates identically on both engines.
+    val nullD = lit(null).cast("double")
+    val degenerate = col("n") === 0L || col("m2s") === 0d
     val skew = (col("m3s") / m) /
       sqrt((col("m2s") / m) * (col("m2s") / m) * (col("m2s") / m))
     val kurt = (col("m4s") / m) / ((col("m2s") / m) * (col("m2s") / m))
     val jb = m * (skew * skew / 6.0 +
       (kurt - 3.0) * (kurt - 3.0) / 24.0)
     folded.select(col("n").as("n_days"),
-      round(skew, 6).as("resid_skew"),
-      round(kurt, 6).as("resid_kurtosis"),
-      round(jb, 4).as("jb_stat"),
-      (jb > lit(5.991464547107979)).as("nonnormal_95"))
+      when(degenerate, nullD).otherwise(round(skew, 6)).as("resid_skew"),
+      when(degenerate, nullD).otherwise(round(kurt, 6))
+        .as("resid_kurtosis"),
+      when(degenerate, nullD).otherwise(round(jb, 4)).as("jb_stat"),
+      when(degenerate, lit(null).cast("boolean"))
+        .otherwise(jb > lit(5.991464547107979)).as("nonnormal_95"))
   }
 
   private val olsCteSql =

@@ -347,6 +347,60 @@ class DegenerateGuardSpec extends GraftTestBase {
     assert(r.isNullAt(r.fieldIndex("js_nats")))
   }
 
+  behavior of "ipwAte over an empty fact table"
+
+  it should "render NULL betas through the fold-extraction path" in {
+    import spark.implicits._
+    // pins the round-13 finding: over an AQE-emptied scan, a
+    // downstream round(b[0]) extraction of the naked Newton fold read
+    // the fold's INIT elements (0.0) instead of the det-guard NULLs;
+    // the Column-level empty-census wrapper is the shape that
+    // evaluates correctly
+    val empty = Seq.empty[(Long, Long, Long, Int, Double, Double, Double,
+      Double, String, String, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = stage("lineitem", empty)
+    val r = Analytics.ipwAte(spark, dir).head()
+    assert(r.isNullAt(r.fieldIndex("beta0")))
+    assert(r.isNullAt(r.fieldIndex("beta_quantity")))
+    assert(r.isNullAt(r.fieldIndex("ate_hajek")))
+    val r2 = Analytics.drAte(spark, dir).head()
+    assert(r2.isNullAt(r2.fieldIndex("prop_beta_qty")))
+    assert(r2.isNullAt(r2.fieldIndex("outcome_beta_t")))
+  }
+
+  behavior of "rmst on a corpus with no signups"
+
+  it should "emit zero rows, matching the oracle's unreachable seed" in {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-11 00:00:00"), 8L, "purchase", 50.0, "{}"))
+    val dir = stage("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    Behavior.rmst(spark, dir).count() shouldBe 0L
+  }
+
+  behavior of "pacf on a series with no lag pairs"
+
+  it should "emit one NULL row per lag instead of indexing out of bounds" in {
+    import spark.implicits._
+    // three orders far apart: every lag 1..K has zero day pairs, so the
+    // rho list is EMPTY and every access must read NULL (get()), not
+    // raise the ANSI array-index error
+    val rows = Seq(
+      (1L, 1L, "O", 100.0, ts("1995-01-01 00:00:00"), "1-URGENT"),
+      (2L, 2L, "O", 200.0, ts("1996-06-15 00:00:00"), "1-URGENT"),
+      (3L, 3L, "O", 300.0, ts("1997-12-31 00:00:00"), "1-URGENT"))
+    val dir = stage("orders", rows.toDF("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val out = TimeSeries.pacfDailyRevenue(spark, dir).collect()
+    out.length shouldBe TimeSeries.pacfMaxLag
+    out.foreach(r => assert(r.isNullAt(r.fieldIndex("pacf"))))
+  }
+
   behavior of "cochranArmitageTrend over an empty fact table"
 
   it should "emit the NULL-degenerate row without evaluating r/n" in {

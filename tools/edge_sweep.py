@@ -152,6 +152,11 @@ def run_one(repo, corpus_dir, vout, env):
         tail = (v.stdout + v.stderr)[-3000:]
         return {"ok": False, "stage": "verify", "sec": time.time() - t0,
                 "tail": tail}
+    # graft.Verify catches per-query exceptions and logs them — surface
+    # those lines even when the run exits 0 (a crashed query shows up in
+    # check.py only as "no spark output", which hides the actual error)
+    crashed = [l.strip() for l in (v.stdout + v.stderr).splitlines()
+               if "[verify] " in l and " failed: " in l]
     c = subprocess.run(
         [sys.executable, "tools/check.py", corpus_dir, vout],
         cwd=repo, env=env, capture_output=True, text=True)
@@ -160,7 +165,7 @@ def run_one(repo, corpus_dir, vout, env):
     summary = lines[-1] if lines else "no output"
     return {"ok": c.returncode == 0, "stage": "check",
             "sec": time.time() - t0, "summary": summary,
-            "fails": fails[:20]}
+            "fails": fails[:20], "crashed": crashed[:20]}
 
 
 def main():
@@ -201,6 +206,8 @@ def main():
               f"{r.get('summary', '')}", flush=True)
         for f in r.get("fails", []):
             print(f"    {f}", flush=True)
+        for c in r.get("crashed", []):
+            print(f"    {c}", flush=True)
 
     n_ok = sum(1 for r in results.values() if r["ok"])
     tzs = args.tz or "UTC(default)"
