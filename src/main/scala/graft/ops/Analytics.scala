@@ -2852,7 +2852,7 @@ object Analytics {
       .agg(sum(col("r2")).cast("long").as("rs2"),
         count(lit(1)).cast("long").as("n_days"), max(col("k")).as("k"))
     sums
-      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+      .agg(coalesce(max(col("k")), lit(0L)).as("k"), max(col("n_days")).as("n"),
         sum(col("rs2") * col("rs2")).cast("long").as("ssq4"))
       .select(col("k"), col("n"),
         // χ² = 12/(n·k·(k+1)) · Σ R_j² − 3n(k+1); R_j = rs2/2 so
@@ -2909,7 +2909,7 @@ object Analytics {
     val sums = ranked.groupBy("event_type")
       .agg(sum(col("r2")).cast("long").as("rs2"),
         count(lit(1)).cast("long").as("n_days"), max(col("k")).as("k"))
-      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+      .agg(coalesce(max(col("k")), lit(0L)).as("k"), max(col("n_days")).as("n"),
         sum(col("rs2") * col("rs2")).cast("long").as("ssq4"))
     val ties = ranked.groupBy("day", "cents")
       .agg(count(lit(1)).cast("long").as("t"))
@@ -2990,7 +2990,7 @@ object Analytics {
       .withColumn("c",
         row_number().over(Window.orderBy("event_type")).cast("long"))
     sums
-      .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+      .agg(coalesce(max(col("k")), lit(0L)).as("k"), max(col("n_days")).as("n"),
         sum(col("c") * col("rs2")).cast("long").as("l2"))
       .select(col("k"), col("n"), (col("l2").cast("double") / 2.0).as("l"),
         (col("n").cast("double") * col("k") * (col("k") + 1) *
@@ -3134,10 +3134,13 @@ object Analytics {
         sort_array(collect_list(struct(col("event_type"), col("hr"),
           col("c"), col("r"), col("cc")))).as("a"))
       .select(col("n"), col("n_cells"),
-        round(expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+        // empty census guard (empty-events edge sweep): the fold's 0.0
+        // init vs the oracle's NULL empty list_sum
+        when(col("n_cells") === 0L, lit(null).cast("double")).otherwise(
+          round(expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
             acc + (CAST(e.c AS DOUBLE) / n) *
               ln(CAST(e.c AS DOUBLE) * n /
-                (CAST(e.r AS DOUBLE) * e.cc)))"""), 6).as("mi_nats"))
+                (CAST(e.r AS DOUBLE) * e.cc)))"""), 6)).as("mi_nats"))
   }
 
   val mutualInfoTypeHourSql: String =
@@ -4958,10 +4961,18 @@ object Analytics {
           (acc, e) -> acc + (1.0 - $we / sw) * (1.0 - $we / sw)
             / (CAST(e.n AS DOUBLE) - 1.0))""").as("cterm"))
       .select(col("k"), col("n_total"),
-        round((col("anum") / (kk - 1.0)) /
-          (lit(1.0) + lit(2.0) * (kk - 2.0) / (kk * kk - 1.0)
-            * col("cterm")), 6).as("f_welch"),
-        round((kk * kk - 1.0) / (lit(3.0) * col("cterm")), 2).as("df2"))
+        // cterm = 0 guard (empty-events / single-group edge sweep):
+        // with no groups (folds at their 0.0 init) or one group (the
+        // 1 − w/sw term is exactly 0), Welch's df2 divides by zero —
+        // NULL on DuckDB, ANSI error here; f_welch mirrors the
+        // oracle's NULL there too (its anum fold is NULL on DuckDB)
+        when(col("cterm") === 0d, lit(null).cast("double"))
+          .otherwise(round((col("anum") / (kk - 1.0)) /
+            (lit(1.0) + lit(2.0) * (kk - 2.0) / (kk * kk - 1.0)
+              * col("cterm")), 6)).as("f_welch"),
+        when(col("cterm") === 0d, lit(null).cast("double"))
+          .otherwise(round((kk * kk - 1.0) / (lit(3.0) * col("cterm")), 2))
+          .as("df2"))
   }
 
   val welchAnovaSql: String = {

@@ -2551,19 +2551,25 @@ object Behavior {
       sum(col("n0")).cast("long").as("n0t"),
       sum(col("y1")).cast("long").as("y1t"),
       sum(col("y0")).cast("long").as("y0t"))
+    // GLOBAL aggregate then cross join (the oracle's `used CROSS JOIN
+    // tot` shape): the old groupBy on tot's columns dropped the output
+    // row entirely on an empty corpus, where the oracle still emits one
+    // all-NULL row (empty-events edge sweep)
     val packed = cells.filter(col("n1") > 0 && col("n0") > 0)
-      .crossJoin(broadcast(tot))
-      .groupBy("n_users", "n1t", "n0t", "y1t", "y0t")
       .agg(sort_array(collect_list(struct(col("st"), col("n1"), col("n0"),
         col("y1"), col("y0")))).as("a"),
         sum(col("n1") + col("n0")).cast("long").as("n_used"),
         count(lit(1)).cast("long").as("n_strata"))
+      .crossJoin(broadcast(tot))
     packed.select(col("n_users"), col("n_used"), col("n_strata"),
-      round(expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
+      // zero common-support strata: the fold's 0.0 init must not
+      // surface (the oracle's list over zero rows is NULL)
+      when(col("n_strata") === 0L, lit(null).cast("double")).otherwise(
+        round(expr("""aggregate(a, CAST(0.0 AS DOUBLE), (acc, e) ->
         |  acc + (CAST(e.n1 + e.n0 AS DOUBLE) / CAST(n_used AS DOUBLE))
         |    * (CAST(e.y1 AS DOUBLE) / CAST(e.n1 AS DOUBLE)
         |       - CAST(e.y0 AS DOUBLE) / CAST(e.n0 AS DOUBLE)))"""
-        .stripMargin), 4).as("ate_cents"),
+          .stripMargin), 4)).as("ate_cents"),
       round(col("y1t").cast("double") / col("n1t").cast("double") -
         col("y0t").cast("double") / col("n0t").cast("double"), 4)
         .as("naive_cents"))
@@ -3610,18 +3616,33 @@ object Behavior {
         (acc, e) -> acc + $wgt)""").as("sw"),
       expr(s"""aggregate(ws, CAST(0.0 AS DOUBLE),
         (acc, e) -> acc + $wgt * ($y))""").as("swy"))
-    val theta = col("swy") / col("sw")
+    // k = 0 guard (empty-events edge sweep): the weight folds sit at
+    // their 0.0 inits, so theta is 0/0 — NULL on DuckDB's empty
+    // list_sum, ANSI error here. i_squared keeps the oracle's exact
+    // shape: greatest SKIPS NULLs in both engines, so a NULL
+    // heterogeneity ratio (qstat = 0 — also the all-identical-y case)
+    // renders 0.0, not NULL.
+    val nullD = lit(null).cast("double")
+    val theta = when(col("k") === 0L, nullD)
+      .otherwise(col("swy") / col("sw"))
     val qstat = expr(s"""aggregate(ws, CAST(0.0 AS DOUBLE),
       (acc, e) -> acc + $wgt * (($y) - swy / sw) * (($y) - swy / sw))""")
     folded.select(col("k").as("n_weeks"),
       round(theta, 6).as("pooled_log_or"),
       round(exp(theta), 6).as("pooled_or"),
-      round(exp(theta - lit(1.959963984540054) / sqrt(col("sw"))), 6)
+      // the CI terms divide by sqrt(sw) = 0 on the empty shape even
+      // with theta guarded — same k = 0 arm
+      when(col("k") === 0L, nullD).otherwise(
+        round(exp(theta - lit(1.959963984540054) / sqrt(col("sw"))), 6))
         .as("ci_low"),
-      round(exp(theta + lit(1.959963984540054) / sqrt(col("sw"))), 6)
+      when(col("k") === 0L, nullD).otherwise(
+        round(exp(theta + lit(1.959963984540054) / sqrt(col("sw"))), 6))
         .as("ci_high"),
-      round(qstat, 6).as("cochran_q"),
-      round(greatest((qstat - (col("k") - 1).cast("double")) / qstat,
+      when(col("k") === 0L, nullD).otherwise(round(qstat, 6))
+        .as("cochran_q"),
+      round(greatest(
+        when(col("k") === 0L || qstat === 0d, nullD)
+          .otherwise((qstat - (col("k") - 1).cast("double")) / qstat),
         lit(0.0)), 6).as("i_squared"))
   }
 
@@ -4385,10 +4406,16 @@ object Behavior {
         |  + ((e.ng - e.above) - CAST(e.ng AS DOUBLE) * (n - a_total) / n)
         |    * ((e.ng - e.above) - CAST(e.ng AS DOUBLE) * (n - a_total) / n)
         |    / (CAST(e.ng AS DOUBLE) * (n - a_total) / n))""".stripMargin)
+    // k_groups = 0 guard (empty-events edge sweep): the chi2 fold's
+    // 0.0 init must not surface — the oracle's list over zero groups
+    // is NULL, so its fold reads NULL
     folded.select(col("k_groups"), col("n"),
       col("median_v").cast("double").as("median_value"),
-      col("a_total"), round(chi2, 6).as("chi2"),
-      (chi2 > chi2Df4Crit).as("significant_95"))
+      col("a_total"),
+      when(col("k_groups") === 0, lit(null).cast("double"))
+        .otherwise(round(chi2, 6)).as("chi2"),
+      when(col("k_groups") === 0, lit(null).cast("boolean"))
+        .otherwise(chi2 > chi2Df4Crit).as("significant_95"))
   }
 
   val moodMedianTestSql: String =

@@ -456,8 +456,11 @@ object Sketches {
       .agg(countDistinct("user_id").as("n_exact"))
     val est = when(col("k_seen") < kmvK, col("k_seen").cast("double"))
       .otherwise(lit((kmvK - 1) * kmvSpace) / col("hk").cast("double"))
-    val relErr = abs(est - col("n_exact").cast("double")) /
-      col("n_exact").cast("double")
+    // n_exact = 0 guard (empty-events edge sweep): the relative error
+    // of "nothing vs nothing" is 0/0 — NULL on DuckDB, ANSI error here
+    val relErr = when(col("n_exact") === 0L, lit(null).cast("double"))
+      .otherwise(abs(est - col("n_exact").cast("double")) /
+        col("n_exact").cast("double"))
     low.crossJoin(broadcast(ex)).select(
       lit(kmvK).as("k"), col("k_seen"), col("hk"),
       round(est, 4).as("kmv_est"), col("n_exact"),

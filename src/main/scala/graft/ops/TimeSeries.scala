@@ -2649,6 +2649,11 @@ object TimeSeries {
     val folded = daily
       .agg(sort_array(collect_list(struct(col("day"), col("a"), col("b"))))
         .as("arr"))
+      // empty series (empty-events edge sweep): the oracle's recursive
+      // DF walk emits zero rows on an empty/NULL list; filtering the
+      // packed row out matches, and keeps the centered-moment
+      // projection (which would divide by m = 0) unevaluated
+      .filter(org.apache.spark.sql.functions.size(col("arr")) > 0)
       .crossJoin(broadcast(ols))
       .select(col("n"), col("beta"), col("alpha"), expr(
         """aggregate(arr,
@@ -2906,11 +2911,19 @@ object TimeSeries {
           .as("a"),
         expr("transform(sort_array(collect_list(struct(day, v))), x -> x.v)")
           .as("b"))
+      // empty-series guards (empty-events edge sweep): DuckDB's list()
+      // over zero rows is NULL, so the oracle renders every column of
+      // its one row NULL; here the guards also keep the DP fold
+      // unevaluated — Spark's sequence(1, 0) DESCENDS to [1, 0] and
+      // would index the empty arrays (ANSI error)
       .select(
-        size(col("a")).as("n_days"),
-        expr("aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0L, (s, x) -> s + x)")
+        when(size(col("a")) === 0, lit(null).cast("int"))
+          .otherwise(size(col("a"))).as("n_days"),
+        when(size(col("a")) === 0, lit(null).cast("long")).otherwise(
+          expr("aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0L, (s, x) -> s + x)"))
           .as("lockstep_l1"),
-        expr(s"""aggregate(
+        when(size(col("a")) === 0, lit(null).cast("long")).otherwise(
+          expr(s"""aggregate(
             sequence(1, size(a)),
             concat(array(0L), transform(sequence(1, size(b)), x -> $inf)),
             (prev, i) -> aggregate(
@@ -2922,7 +2935,7 @@ object TimeSeries {
                   least(element_at(prev, j + 1), element_at(prev, j),
                     element_at(cur, size(cur)))
                 END))),
-            row -> element_at(row, size(b) + 1))""").as("dtw"))
+            row -> element_at(row, size(b) + 1))""")).as("dtw"))
       .select(col("n_days"), col("lockstep_l1"), col("dtw"),
         round(col("dtw").cast("double") /
           greatest(col("lockstep_l1"), lit(1L)), 6).as("warp_gain"),

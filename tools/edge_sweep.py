@@ -29,6 +29,8 @@ Corpora (the round-12 set plus the VERDICT-r12 additions):
                      that customer (collapses most grouping dimensions)
   empty_orders       orders and lineitem empty (empty co-purchase graph,
                      empty TPC-H facts — the deepest ANSI-edge slice)
+  empty_events       events empty (every behavioral statistic on zero
+                     observations — the mirror slice of empty_orders)
 
 Usage:
   python3 tools/edge_sweep.py                  # full sweep at sf0.001
@@ -110,6 +112,11 @@ def corpus_specs(base):
                 "WHERE 1 = 0",
             "lineitem":
                 f"SELECT * FROM read_parquet('{base}/lineitem.parquet') "
+                "WHERE 1 = 0",
+        },
+        "empty_events": {
+            "events":
+                f"SELECT * FROM read_parquet('{base}/events.parquet') "
                 "WHERE 1 = 0",
         },
     }
