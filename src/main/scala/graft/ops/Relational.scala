@@ -116,13 +116,34 @@ object Relational {
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  /** ROLLUP hierarchy aggregate (grouping-sets surface). */
+  /** ROLLUP hierarchy aggregate (grouping-sets surface).
+    *
+    * EMPTY-INPUT CONTRACT (here, because this is where the semantics
+    * live — ADVICE r13 asked for it to be specified with the operator,
+    * not only beside the oracle SQL): over ZERO input rows this engine
+    * emits ZERO rows, dropping the SQL-standard grand-total row (the
+    * `()` grouping set would emit `n = 0, total NULL`). That is Spark's
+    * native grouping-sets behavior: ROLLUP/CUBE plan as Expand +
+    * grouped aggregation on `spark_grouping_id`, and a GROUPED
+    * aggregate over empty input has no groups — there is no un-grouped
+    * fallback row to synthesize without a correctness-risky
+    * union-if-empty append on every call. The contract is deliberate:
+    * downstream consumers of a rollup frame key on the grouping
+    * columns and treat "no row" and "zero-count row" identically, and
+    * a synthesized all-NULL row is indistinguishable from a legitimate
+    * NULL-valued group on nullable grouping columns. The oracle
+    * mirrors the contract with `HAVING count(*) > 0` (inert on any
+    * non-empty input — the grand-total row is the only zero-count row
+    * either engine can produce). Same contract for [[cubeEvents]] and
+    * the global-aggregate-over-empty family (chi-square etc.). */
   def rollupOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
 
-  /** CUBE over events: all grouping-set combinations of (type, hour-of-day). */
+  /** CUBE over events: all grouping-set combinations of (type,
+    * hour-of-day). Empty-input contract: zero rows — see
+    * [[rollupOrders]]. */
   def cubeEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("hour_of_day", hour(col("ts")))

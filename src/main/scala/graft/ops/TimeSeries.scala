@@ -2692,9 +2692,15 @@ object TimeSeries {
     val gden = m * sxx - sx * sx
     val gamma = when(gden === 0d, nullD)
       .otherwise((m * sxy - sx * sy) / gden)
-    val cSxx = sxx - sx * sx / m
-    val cSyy = syy - sy * sy / m
-    val cSxy = sxy - sx * sy / m
+    // m = 0 guard (r14 randomized degenerate-corpus property): a
+    // LENGTH-1 daily series runs exactly the fold's first step, which
+    // stores the first residual but leaves the counter at its 0.0
+    // init — the centered moments then divide 0 by 0 (NULL on DuckDB's
+    // division, ANSI error here). The empty series never reaches this
+    // projection (filtered above); length 1 does.
+    val cSxx = when(m === 0d, nullD).otherwise(sxx - sx * sx / m)
+    val cSyy = when(m === 0d, nullD).otherwise(syy - sy * sy / m)
+    val cSxy = when(m === 0d, nullD).otherwise(sxy - sx * sy / m)
     val tInner = when(m === 2d, nullD)
       .otherwise((cSyy - gamma * cSxy) / (m - 2.0))
     val t = when(cSxx === 0d, nullD)

@@ -265,4 +265,20 @@ class PlanShapeSpec extends GraftTestBase {
     val limited = spark.range(0, 100000).toDF("u").limit(1234).pin()
     Graph.probedRowEstimate(limited) shouldBe BigInt(1234)
   }
+
+  it should "fall back to an exact count when the plan contains a Generate" in {
+    import graft.Pin.Pinned
+    // The exploded-frontier shape the harmonic-centrality BFS actually
+    // passes from round 2 on (ADVICE r13): explode over a pinned frame.
+    // Spark's size-only stats visitor scales a Generate by row width
+    // and ignores fan-out, so a stats read could under-gate by the
+    // explode factor — the broadcast-an-over-cap-frame direction. The
+    // probe must return the TRUE post-explode row count (3x here),
+    // which only the exact-count branch produces.
+    val pinned = spark.range(0, 100)
+      .selectExpr("id AS src", "array(id, id + 1000L, id + 2000L) AS ps")
+      .pin()
+    val exploded = pinned.selectExpr("src", "explode(ps) AS u")
+    Graph.probedRowEstimate(exploded) shouldBe BigInt(300)
+  }
 }

@@ -538,4 +538,218 @@ class ScratchPropSpec extends GraftTestBase {
       }
     }
   }
+
+  // ================================================================
+  // Round-14 guard properties (VERDICT r13 #4): the ninth edge
+  // corpus's 11 fixes (Welch df2, pooled-OR CIs, KMV 0/0,
+  // cointegration moments, DTW empty arrays, the NULL-vs-0 k-counts,
+  // stratified ATE's kept output row) were pinned only by the fixed
+  // empty-events corpus — here the same guard class is walked on
+  // RANDOMLY degenerate event tables: empty, single-event,
+  // single-type, single-user, single-day, one-variant-arm-only, and
+  // sparse-random shapes.
+  // ================================================================
+
+  private val eventTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  /** Randomly-degenerate event tables around the empty-events guard
+    * class. Deterministic per seed (the fixed-seed-ladder pattern). */
+  private def degenerateEventTables(seed: Long)
+      : Seq[(String, Seq[(Long, java.sql.Timestamp, Long, String, Double, String)])] = {
+    val rng = new scala.util.Random(seed)
+    def dayTs(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
+    def row(id: Long, d: Int, u: Long, t: String, v: Double) =
+      (id, dayTs(d, 1 + rng.nextInt(20)), u, t, v, "{}")
+    def rt() = eventTypes(rng.nextInt(eventTypes.size))
+    def rv() = math.round((5.0 + rng.nextDouble() * 90.0) * 100) / 100.0
+    val armA = uidsOf(0, 3); val armB = uidsOf(1, 3)
+    Seq(
+      "empty" -> Seq.empty,
+      "single_event" -> Seq(row(1, 0, armA.head, rt(), rv())),
+      // every event one random type (4 of the 5 absent at once)
+      "one_type" -> {
+        val t = rt()
+        (0 until 1 + rng.nextInt(5)).map(i =>
+          row(i, rng.nextInt(3), (armA ++ armB)(rng.nextInt(6)), t, rv()))
+      },
+      // a single user owns the whole corpus (one arm empty)
+      "one_user" -> (0 until 3 + rng.nextInt(5)).map(i =>
+        row(i, rng.nextInt(4), armA.head, rt(), rv())),
+      // every user hashes into the SAME variant arm
+      "one_arm_only" -> armB.zipWithIndex.flatMap { case (u, i) =>
+        Seq(row(i * 2, 0, u, "purchase", rv()), row(i * 2 + 1, 1, u, rt(), rv()))
+      },
+      // one day: every daily series has length 1
+      "one_day" -> (armA ++ armB).zipWithIndex.map { case (u, i) =>
+        row(i, 0, u, rt(), rv())
+      },
+      // sparse random rows (2-4), any shape the dice land on
+      "sparse" -> (0 until 2 + rng.nextInt(3)).map(i =>
+        row(i, rng.nextInt(5), 1L + rng.nextInt(8), rt(), rv())))
+  }
+
+  /** Assert every non-null double in the frame is finite. */
+  private def assertFinite(rows: Array[org.apache.spark.sql.Row]): Unit =
+    for (r <- rows; i <- 0 until r.length if !r.isNullAt(i)) r.get(i) match {
+      case d: Double => assert(!d.isNaN && !d.isInfinite, s"col $i = $d")
+      case _ =>
+    }
+
+  behavior of "the empty-events guard class on randomly-degenerate corpora"
+
+  it should "keep stratifiedAte at exactly one row with non-NULL counts" in {
+    for (s <- 0 until 3; (cname, rows) <- degenerateEventTables(1401L + s)) {
+      val dir = stageEvents(rows)
+      withClue(s"stratifiedAte on $cname (seed ${1401 + s}): ") {
+        val out = Behavior.stratifiedAte(spark, dir).collect()
+        out should have length 1 // the global-agg ⋈ tot shape never drops it
+        val r = out.head
+        // n_strata is a count (never NULL); n_used is a SUM, which the
+        // oracle renders NULL over zero common-support strata — NULL
+        // exactly when n_strata = 0, like ate_cents
+        r.isNullAt(r.fieldIndex("n_strata")) shouldBe false
+        val zeroStrata = r.getAs[Long]("n_strata") == 0L
+        zeroStrata shouldBe r.isNullAt(r.fieldIndex("n_used"))
+        zeroStrata shouldBe r.isNullAt(r.fieldIndex("ate_cents"))
+        assertFinite(out)
+      }
+    }
+  }
+
+  it should "null the meta-analysis estimate family exactly at k = 0" in {
+    for (s <- 0 until 3; (cname, rows) <- degenerateEventTables(1411L + s)) {
+      val dir = stageEvents(rows)
+      withClue(s"metaFixedEffect on $cname: ") {
+        val out = Behavior.metaFixedEffect(spark, dir).collect()
+        out should have length 1
+        val r = out.head
+        r.isNullAt(r.fieldIndex("n_weeks")) shouldBe false
+        val k0 = r.getAs[Long]("n_weeks") == 0L
+        for (c <- Seq("pooled_log_or", "pooled_or", "ci_low", "ci_high",
+            "cochran_q")) {
+          withClue(s"$c at k=${r.getAs[Long]("n_weeks")}: ") {
+            if (k0) r.isNullAt(r.fieldIndex(c)) shouldBe true
+            else r.isNullAt(r.fieldIndex(c)) shouldBe false
+          }
+        }
+        // greatest(NULL, 0.0) renders 0.0 — the documented oracle shape
+        if (k0) r.getAs[Double]("i_squared") shouldBe 0.0
+        assertFinite(out)
+      }
+    }
+  }
+
+  it should "null the Mood-median chi2 family exactly at k_groups = 0" in {
+    for (s <- 0 until 3; (cname, rows) <- degenerateEventTables(1421L + s)) {
+      val dir = stageEvents(rows)
+      withClue(s"moodMedianTest on $cname: ") {
+        val out = Behavior.moodMedianTest(spark, dir).collect()
+        out should have length 1
+        val r = out.head
+        // k_groups is a count (never NULL); n rides a first() over the
+        // grouped frame, so the oracle's shape renders it NULL exactly
+        // on the zero-group corpus
+        r.isNullAt(r.fieldIndex("k_groups")) shouldBe false
+        val k0 = r.getAs[Int]("k_groups") == 0
+        k0 shouldBe r.isNullAt(r.fieldIndex("n"))
+        // chi2 is dead when there are no groups OR every expected
+        // count is zero (all values tied at the median: a_total = 0;
+        // or none at-or-below it: a_total = n)
+        val dead = k0 || r.getAs[Long]("a_total") == 0L ||
+          r.getAs[Long]("a_total") == r.getAs[Long]("n")
+        dead shouldBe r.isNullAt(r.fieldIndex("chi2"))
+        dead shouldBe r.isNullAt(r.fieldIndex("significant_95"))
+        assertFinite(out)
+      }
+    }
+  }
+
+  it should "never raise or leak NaN/Inf from Welch ANOVA" in {
+    for (s <- 0 until 3; (cname, rows) <- degenerateEventTables(1431L + s)) {
+      val dir = stageEvents(rows)
+      withClue(s"welchAnova on $cname: ") {
+        assertFinite(Analytics.welchAnova(spark, dir).collect())
+      }
+    }
+  }
+
+  it should "keep the KMV sketch finite with non-NULL k_seen and n_exact" in {
+    for (s <- 0 until 3; (cname, rows) <- degenerateEventTables(1441L + s)) {
+      val dir = stageEvents(rows)
+      withClue(s"kmvDistinct on $cname: ") {
+        val out = Sketches.kmvDistinct(spark, dir).collect()
+        out should have length 1
+        val r = out.head
+        r.isNullAt(r.fieldIndex("k_seen")) shouldBe false
+        r.isNullAt(r.fieldIndex("n_exact")) shouldBe false
+        // the 0/0 guard: rel_err is NULL exactly on the empty universe
+        (r.getAs[Long]("n_exact") == 0L) shouldBe
+          r.isNullAt(r.fieldIndex("rel_err"))
+        // below the sketch size the estimate is exact by construction
+        if (r.getAs[Long]("n_exact") > 0 &&
+            r.getAs[Long]("k_seen") < Sketches.kmvK)
+          r.getAs[Double]("kmv_est") shouldBe r.getAs[Long]("n_exact").toDouble
+        assertFinite(out)
+      }
+    }
+  }
+
+  it should "never raise from cointegration on degenerate daily series" in {
+    for (s <- 0 until 3; (cname, rows) <- degenerateEventTables(1451L + s)) {
+      val dir = stageEvents(rows)
+      withClue(s"cointegration on $cname: ") {
+        assertFinite(TimeSeries.cointegration(spark, dir).collect())
+      }
+    }
+  }
+
+  it should "never raise from DTW on empty or length-1 series" in {
+    for (s <- 0 until 3; (cname, rows) <- degenerateEventTables(1461L + s)) {
+      val dir = stageEvents(rows)
+      withClue(s"dtwDistance on $cname: ") {
+        assertFinite(TimeSeries.dtwDistance(spark, dir).collect())
+      }
+    }
+  }
+
+  it should "agree with a scratch stratified-ATE recomputation on every corpus" in {
+    for (s <- 0 until 2; (cname, rows) <- degenerateEventTables(1471L + s)) {
+      val dir = stageEvents(rows)
+      withClue(s"scratch ATE on $cname: ") {
+        // scratch form: per-user purchase cents (HALF_UP) + non-purchase
+        // activity count, md5 variant arm, stratum min(4, acts div 5),
+        // common-support strata only — the engine's documented algebra
+        val perUser = rows.groupBy(_._3).map { case (u, es) =>
+          val y = es.filter(_._4 == "purchase").map(e =>
+            BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .*(100).toLong).sum
+          val acts = es.count(_._4 != "purchase").toLong
+          (variantOf(u), y, math.min(4L, acts / 5L))
+        }.toSeq
+        val cells = perUser.groupBy(_._3).map { case (st, us) =>
+          val n1 = us.count(_._1 == 1).toLong
+          val n0 = us.count(_._1 == 0).toLong
+          val y1 = us.filter(_._1 == 1).map(_._2).sum
+          val y0 = us.filter(_._1 == 0).map(_._2).sum
+          (st, n1, n0, y1, y0)
+        }.toSeq.filter(c => c._2 > 0 && c._3 > 0).sortBy(_._1)
+        val nUsed = cells.map(c => c._2 + c._3).sum
+        val expAte =
+          if (cells.isEmpty) None
+          else Some(r6(cells.map(c =>
+            (c._2 + c._3).toDouble / nUsed *
+              (c._4.toDouble / c._2 - c._5.toDouble / c._3)).sum))
+        val r = Behavior.stratifiedAte(spark, dir).head()
+        r.getAs[Long]("n_strata") shouldBe cells.length.toLong
+        expAte match {
+          case None => assert(r.isNullAt(r.fieldIndex("ate_cents")))
+          case Some(a) =>
+            val got = r.getAs[Double]("ate_cents")
+            got shouldBe (BigDecimal(a).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9)
+        }
+      }
+    }
+  }
 }
