@@ -11,14 +11,33 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on (runtime re-planning: skew joins, partition coalescing — the
   *    100 TB posture even though local runs are small),
   *  - shuffle partitions sized to the actual core count, not the 200
-  *    default that would fragment local runs.
+  *    default that would fragment local runs — but with the AQE INITIAL
+  *    partition number set 8× higher, so a shuffle whose data outgrows
+  *    the core count starts wide and AQE coalesces it back down
+  *    (parallelism-first, so small shuffles land on the same effective
+  *    width as before). This is the "size shuffle partitions so
+  *    partitions fit in executor memory" rule made adaptive instead of
+  *    hand-tuned — the cluster posture. Honesty note (PERF.md round-14
+  *    scale-sweep investigation): on THIS single-node harness the knob
+  *    measured neutral on the one wall the sweep found — the graph
+  *    chain's edgeSupport build at a ×16-derived corpus is bound by
+  *    single-disk spill-merge of its intrinsic Θ(E·d̄) array exchange
+  *    (jstack: UnsafeShuffleWriter.mergeSpills; 48 GiB-heap A/B also
+  *    neutral), which more reducers cannot shrink. The config is kept
+  *    for what it does buy: wide-start shuffles are the correct
+  *    default when per-executor memory, not one local disk, is the
+  *    binding constraint.
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder = {
+    val initialParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+      .getOrElse((shufflePartitions.toInt * 8).toString)
     val b = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

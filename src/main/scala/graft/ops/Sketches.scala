@@ -50,6 +50,33 @@ object Sketches {
     * (rank error ≤ n/10000 — value-space slack for it). */
   val pctRelErrBound = 0.02
 
+  // NOTE: the floors must be DECLARED before the oracle-SQL vals that
+  // interpolate them — Scala object vals initialize in declaration
+  // order, and a forward reference silently reads the default 0 into
+  // the SQL string (the r14 edge sweep caught exactly that: an oracle
+  // gating at >= 0 while the engine gated at >= 10).
+  /** PER-CONTRACT grading floors (ADVICE r13 replaced the one blanket
+    * n≥100 floor, which was 5× looser than any bound's actual
+    * resolution). Each floor is the smallest input where the asserted
+    * band is at least one resolution step wide, so a failure below it
+    * says nothing about the sketch:
+    *  - [[hllContractFloor]]: a ±[[hllRelErrBound]] RELATIVE band on an
+    *    integer cardinality spans one integer only once the exact count
+    *    reaches 1/bound = 10 — gated on `custkeys_exact`, not row count
+    *    (a million rows of one customer still can't grade a ±10% band).
+    *  - [[kllContractFloor]]: the ±[[kllRankErrBound]]·n rank window
+    *    spans one rank at n = 1/bound = 20.
+    *  - [[pctContractFloor]]: the ±[[pctRelErrBound]] VALUE band has no
+    *    scale-free resolution step (one interpolation gap is
+    *    data-dependent), so this floor is EMPIRICAL: on the o_totalprice
+    *    / l_extendedprice domains one gap stays inside ±2% from ~100
+    *    rows up, and the single-customer edge sweep showed legitimate
+    *    sub-100 flips. Kept at 100 and documented as empirical.
+    * Below a floor the contract now reads NULL (ungraded), never TRUE. */
+  val hllContractFloor = math.ceil(1.0 / hllRelErrBound).toLong
+  val kllContractFloor = 20L
+  val pctContractFloor = 100L
+
   /** Per-orderstatus cardinality + quantile sketches graded through
     * their error contracts: one pass, partial aggregation on every map
     * task; exact companions ride the same aggregate. The exact
@@ -98,28 +125,6 @@ object Sketches {
       |  CASE WHEN count(*) >= $pctContractFloor THEN TRUE END AS p95_ok,
       |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max
       |FROM orders GROUP BY o_orderstatus""".stripMargin
-
-  /** PER-CONTRACT grading floors (ADVICE r13 replaced the one blanket
-    * n≥100 floor, which was 5× looser than any bound's actual
-    * resolution). Each floor is the smallest input where the asserted
-    * band is at least one resolution step wide, so a failure below it
-    * says nothing about the sketch:
-    *  - [[hllContractFloor]]: a ±[[hllRelErrBound]] RELATIVE band on an
-    *    integer cardinality spans one integer only once the exact count
-    *    reaches 1/bound = 10 — gated on `custkeys_exact`, not row count
-    *    (a million rows of one customer still can't grade a ±10% band).
-    *  - [[kllContractFloor]]: the ±[[kllRankErrBound]]·n rank window
-    *    spans one rank at n = 1/bound = 20.
-    *  - [[pctContractFloor]]: the ±[[pctRelErrBound]] VALUE band has no
-    *    scale-free resolution step (one interpolation gap is
-    *    data-dependent), so this floor is EMPIRICAL: on the o_totalprice
-    *    / l_extendedprice domains one gap stays inside ±2% from ~100
-    *    rows up, and the single-customer edge sweep showed legitimate
-    *    sub-100 flips. Kept at 100 and documented as empirical.
-    * Below a floor the contract now reads NULL (ungraded), never TRUE. */
-  val hllContractFloor = math.ceil(1.0 / hllRelErrBound).toLong
-  val kllContractFloor = 20L
-  val pctContractFloor = 100L
 
   /** Absolute RANK-error bound asserted for the custom
     * [[graft.functions.QuantileSketch]] estimates: the exact rank of the

@@ -90,6 +90,24 @@ KEYED = {
     "embeddings": ["vec_id"],
 }
 COPY_AS_IS = ["region", "nation"]
+
+# Memo-sharing FAMILIES: members of one family share session-memoized
+# builds (the graph adjacency chain, the dedup signature+cluster chain),
+# and WHICH member pays the shared build in a sweep depends on order and
+# cache state — at x1 the cluster fixpoint landed under
+# q_canonical_docs, at x4 under q_dedup_clusters, which reads as a fake
+# slope-3 on the latter. Per-family SUM slopes are attribution-immune;
+# per-query slopes are only meaningful for queries outside a family (or
+# together with the memo logs).
+FAMILIES = {
+    "graph_chain": ["q_ktruss", "q_bfs", "q_sssp", "q_kcore",
+                    "q_triangles", "q_pagerank", "q_label_prop",
+                    "q_harmonic", "q_clustering_coef",
+                    "q_eigencentrality", "q_reco_eval"],
+    "dedup_chain": ["q_dedup_exact", "q_dedup_minhash",
+                    "q_dedup_clusters", "q_decontam_fuzzy",
+                    "q_dedup_simhash", "q_canonical_docs"],
+}
 # stride is shared per ENTITY, not per table, so FKs stay aligned
 ENTITY_OF = {
     "l_orderkey": "orderkey", "o_orderkey": "orderkey",
@@ -205,6 +223,9 @@ def main():
     ap.add_argument("--queries", default=",".join(PANEL))
     ap.add_argument("--keep", action="store_true",
                     help="keep derived corpora under /tmp")
+    ap.add_argument("--refit", action="store_true",
+                    help="re-fit from saved bench_full_x*_p*.json "
+                         "without re-benching")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     queries = [q for q in args.queries.split(",") if q]
@@ -216,14 +237,21 @@ def main():
             d = SRC
         else:
             d = f"{WORK}/x{r}"
-            if not os.path.exists(f"{d}/lineitem.parquet"):
+            if not args.refit and not os.path.exists(f"{d}/lineitem.parquet"):
                 print(f"[scale_sweep] deriving x{r} ...", flush=True)
                 derive(r, d)
         best = {}
         for p in range(args.passes):
-            print(f"[scale_sweep] bench x{r} pass {p + 1}/{args.passes}",
-                  flush=True)
-            t = bench_once(d, queries, f"x{r}_p{p + 1}")
+            tag = f"x{r}_p{p + 1}"
+            if args.refit:
+                fp = f"{WORK}/bench_full_{tag}.json"
+                if not os.path.exists(fp):
+                    continue
+                t = json.load(open(fp))["queries"]
+            else:
+                print(f"[scale_sweep] bench x{r} pass {p + 1}/{args.passes}",
+                      flush=True)
+                t = bench_once(d, queries, tag)
             for q, v in t.items():
                 if v >= 0:
                     best[q] = min(best.get(q, float("inf")), v)
@@ -239,18 +267,46 @@ def main():
         rows.append((q, pts, fit_slope(pts)))
     rows.sort(key=lambda x: -(x[2] if x[2] is not None else -9))
 
+    fam_rows = []
+    for fam, members in FAMILIES.items():
+        pts = []
+        for r in scales:
+            ts = [per_scale[r][q] for q in members
+                  if q in per_scale[r] and per_scale[r][q] > 0]
+            if len(ts) == len([q for q in members if q in queries]):
+                pts.append((r, sum(ts)))
+        fam_rows.append((fam, pts,
+                         fit_slope(pts) if len(pts) >= 2 else None))
+    in_family = {q for ms in FAMILIES.values() for q in ms}
+
     out = {
         "scales": scales, "passes": args.passes, "base": SRC,
         "queries": {q: {"t": {str(r): dict(pts).get(r) for r in scales},
                         "slope": sl}
                     for q, pts, sl in rows},
-        "flagged": [q for q, _, sl in rows
-                    if sl is not None and sl >= SLOPE_FLAG],
+        "families": {f: {"t": {str(r): dict(pts).get(r) for r in scales},
+                         "slope": sl}
+                     for f, pts, sl in fam_rows},
+        # a family member's own slope is attribution noise; flag only
+        # out-of-family queries and family SUMS
+        "flagged": sorted(
+            [q for q, _, sl in rows
+             if sl is not None and sl >= SLOPE_FLAG and q not in in_family] +
+            [f for f, _, sl in fam_rows
+             if sl is not None and sl >= SLOPE_FLAG]),
     }
     with open(os.path.join(REPO, "SCALE_SWEEP.json"), "w") as f:
         json.dump(out, f, indent=1)
 
     hdr = " | ".join(f"x{r}" for r in scales)
+    print(f"\n| family (memo-attribution-immune sums) | {hdr} | slope | |")
+    print("|---|" + "---|" * (len(scales) + 2))
+    for f, pts, sl in fam_rows:
+        d = dict(pts)
+        cells = " | ".join(f"{d[r]:.2f}" if r in d else "—" for r in scales)
+        flag = "**SUPER-LINEAR**" if sl is not None and sl >= SLOPE_FLAG else ""
+        print(f"| {f} | {cells} | {sl:.2f} | {flag} |" if sl is not None
+              else f"| {f} | {cells} | — | no fit |")
     print(f"\n| query | {hdr} | slope | |")
     print("|---|" + "---|" * (len(scales) + 2))
     for q, pts, sl in rows:
