@@ -30,14 +30,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder = {
-    val initialParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
-      .getOrElse((shufflePartitions.toInt * 8).toString)
+    // Non-numeric partition strings (Spark accepts e.g. "auto" for some
+    // confs) must not crash the builder: derive the wide-start number only
+    // when both the base and any override parse, else omit the conf and
+    // let Spark's default stand (ADVICE r14).
+    val initialParts: Option[String] =
+      sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+        .filter(v => scala.util.Try(v.toInt).isSuccess)
+        .orElse(scala.util.Try((shufflePartitions.toInt * 8).toString).toOption)
     val b = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initialParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -51,6 +55,8 @@ object GraftSession {
       // guessed: q_dedup_jaccard 19s -> see BENCH notes.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    val bInit = initialParts.foldLeft(b)((bb, v) =>
+      bb.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
     // Broadcast-budget knobs for small-heap / large-graph captures
     // (PERF.md round-12 gate): SPARK_GRAFT_AUTOBROADCAST sets the
     // stats-chosen auto-broadcast threshold (bytes, -1 disables;
@@ -58,7 +64,7 @@ object GraftSession {
     // SPARK_GRAFT_BROADCAST_ROWCAP sets the graph family's explicit
     // gated-hint cap (rows, 0 disables the hints).
     val b2 = sys.env.get("SPARK_GRAFT_AUTOBROADCAST")
-      .foldLeft(b)((bb, v) => bb.config("spark.sql.autoBroadcastJoinThreshold", v))
+      .foldLeft(bInit)((bb, v) => bb.config("spark.sql.autoBroadcastJoinThreshold", v))
     val b3 = sys.env.get("SPARK_GRAFT_BROADCAST_ROWCAP")
       .foldLeft(b2)((bb, v) => bb.config("spark.graft.graph.broadcastRowCap", v))
     Tables.requiredConf.foldLeft(b3) { case (bb, (k, v)) => bb.config(k, v) }

@@ -200,7 +200,7 @@ object SparkEntry {
     "q_centroids"       -> (Similarity.labelCentroids _),
     "q_cov_matrix"      -> (Similarity.covarianceMatrix _),
     "q_pca_power"       -> (Similarity.pcaPowerCheck _),
-    "q_dbscan"          -> (Similarity.dbscanEmbeddings _),
+    "q_dbscan"          -> (Similarity.dbscanEmbeddingsBlocked _),
     // -- LLM-pipeline: multimodal + sessionization
     "q_media_meta"      -> (Multimodal.mediaMeta _),
     "q_frame_census"    -> (Multimodal.frameCensus _),
@@ -828,7 +828,7 @@ object SparkEntry {
     "q_centroids"     -> Similarity.labelCentroidsSql,
     "q_cov_matrix"    -> Similarity.covarianceMatrixSql,
     "q_pca_power"     -> Similarity.pcaPowerCheckSql,
-    "q_dbscan"        -> Similarity.dbscanEmbeddingsSql,
+    "q_dbscan"        -> Similarity.dbscanEmbeddingsBlockedSql,
     "q_media_meta"    -> Multimodal.mediaMetaSql,
     "q_frame_census"  -> Multimodal.frameCensusSql,
     "q_media_decode"  -> Multimodal.decodeCensusSql,

@@ -593,63 +593,77 @@ object Dedup {
     * tables). */
   val blockedMinRecall = 0.5
 
+  /** Cosine threshold for the near-dup audit pair (shared by the exact
+    * verifier and the blocked production path). */
+  val nearDupEps = 0.4
+
   /** The PRODUCTION rendering of [[embeddingNearDup]], graded through
-    * its contract (the q_knn_lsh discipline): LSH-bucket the corpus with
-    * the same seed-free [[graft.similarity.Similarity.lshBuckets]]
-    * projection, generate candidate pairs per bucket join-free (posting
-    * lists, like [[minhashLsh]]), verify candidates with the IDENTICAL
-    * hoisted-norm cosine — so every emitted pair is exact, and the only
-    * approximation is recall. Cost: O(n²/2^planes) verified pairs
-    * instead of O(n²), and the pair space never carries vectors — the
-    * n-row side carries them once.
+    * its contract (the q_knn_lsh discipline). VERDICT r14 #3 reshape:
+    * the r14 graded form JOINED THE FULL O(n²) exact verifier to
+    * measure corpus recall, so the graded query itself was quadratic
+    * (scale-sweep slope 1.98, flagged). Now the query runs ONLY the
+    * production path — [[graft.similarity.Similarity.blockedScoredPairs]],
+    * the adaptive-granularity LSH generator whose verified-candidate
+    * volume is linear×log(n) — and the exact verification is anchored
+    * to the DETERMINISTIC CONSTANT-SIZE sample (vec_id <
+    * [[graft.similarity.Similarity.blockedSampleCap]]): true pairs
+    * within the sample cost O(cap²) at any corpus scale, and the
+    * oracle computes the identical number. Corpus-wide recall (the
+    * full-verifier figure) is pinned in DedupBlockedRecallSpec at
+    * sf0.001/0.01, where O(n²) is a spec-budget cost, not a graded-
+    * query cost.
     *
-    * The query emits the deterministic contract row the oracle can
-    * grade: the TRUE pair count (exact, DuckDB-computable), whether
-    * corpus recall clears [[blockedMinRecall]] (deterministic — buckets
-    * are md5-derived), and whether every blocked score bit-matches the
-    * all-pairs verifier's score for that pair (subset-correctness). */
+    * Contract row: the sample's exact pair count (oracle-exact),
+    * whether the production path finds ≥ [[blockedMinRecall]] of those
+    * sample pairs (deterministic — md5-derived hyperplanes), and
+    * whether each found pair's blocked score equals the independently-
+    * computed exact score (subset-correctness of the scoring plumbing).
+    * Booleans are NULL when the sample has no true pairs — nothing to
+    * grade (the sketch-floor discipline). */
   def embeddingNearDupBlocked(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.{dotProduct, l2Norm}
     val e = Tables.embeddings(s, d)
-    val buckets = e.select(col("vec_id"),
-      posexplode(graft.similarity.Similarity.lshBuckets(col("embedding"), 64))
-        .as(Seq("t", "b")))
-    val cands = buckets.groupBy("t", "b")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(org.apache.spark.sql.functions.size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y ->
-          |    struct(x AS vec_a, y AS vec_b))))""".stripMargin)).as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
-      .distinct()
-    val withVec = e.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm"))
-    val blocked = cands
-      .join(withVec.as("va"), col("vec_a") === col("va.vec_id"))
-      .join(withVec.as("vb"), col("vec_b") === col("vb.vec_id"))
+    val cap = graft.similarity.Similarity.blockedSampleCap
+    val sample = e.filter(col("vec_id") < cap)
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val sa = sample.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val sb = sample.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val sampleTrue = sa.join(sb, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dotProduct(col("va.embedding"), col("vb.embedding")) /
-          (col("va.nrm") * col("vb.nrm")), 4).as("cosine"))
-      .filter(col("cosine") >= 0.4)
-    embeddingNearDup(s, d).as("e")
-      .join(blocked.as("b"), Seq("vec_a", "vec_b"), "left")
-      .agg(count(lit(1)).as("n_true_pairs"),
+        round(dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= nearDupEps)
+    // the production run: full-corpus blocked pairs; the sample
+    // restriction pushes down into the pinned frame's scan
+    val blockedSam = graft.similarity.Similarity.blockedScoredPairs(s, d)
+      .filter(col("cosine") >= nearDupEps)
+      .filter(col("vec_a") < cap && col("vec_b") < cap)
+    sampleTrue.as("e")
+      .join(blockedSam.as("b"), Seq("vec_a", "vec_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs_sample"),
         sum(when(col("b.cosine").isNotNull, 1L).otherwise(0L)).as("found"),
-        min(when(col("b.cosine").isNotNull, col("b.cosine") === col("e.cosine"))
-          .otherwise(lit(true))).as("scores_match"))
-      .select(col("n_true_pairs"),
-        (col("found").cast("double") >=
-          lit(blockedMinRecall) * col("n_true_pairs").cast("double")).as("recall_ok"),
-        col("scores_match"))
+        min(when(col("b.cosine").isNotNull, col("b.cosine") === col("e.cosine")))
+          .as("sm"))
+      .select(col("n_true_pairs_sample"),
+        when(col("n_true_pairs_sample") > 0,
+          col("found").cast("double") >=
+            lit(blockedMinRecall) * col("n_true_pairs_sample").cast("double"))
+          .as("recall_ok"),
+        when(col("n_true_pairs_sample") > 0, coalesce(col("sm"), lit(true)))
+          .as("scores_match"))
   }
 
   val embeddingNearDupBlockedSql: String =
-    """SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
-      |  TRUE AS recall_ok, TRUE AS scores_match
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_true_pairs_sample,
+      |  CASE WHEN count(*) > 0 THEN TRUE END AS recall_ok,
+      |  CASE WHEN count(*) > 0 THEN TRUE END AS scores_match
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
-      |  >= 0.4""".stripMargin
+      |WHERE a.vec_id < ${graft.similarity.Similarity.blockedSampleCap}
+      |  AND b.vec_id < ${graft.similarity.Similarity.blockedSampleCap}
+      |  AND round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+      |  >= $nearDupEps""".stripMargin
 
   /** Span length (tokens) for cross-document substring dedup. */
   val spanLen = 8

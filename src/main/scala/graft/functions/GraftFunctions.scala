@@ -91,8 +91,14 @@ object GraftFunctions {
   private[functions] val sortedIntersectCountDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_intersect_count"),
-    new ExpressionInfo(classOf[SortedIntersectCount].getName,
-      "sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+      "sorted_intersect_count",
+      "_FUNC_(a, b) - Count of the distinct common elements of two " +
+        "SORTED ARRAY<BIGINT> columns via a two-pointer merge scan. " +
+        s"Contract: ${SortedIntersect.contract}.",
+      "", // arguments
+      "\n    Examples:\n      > SELECT _FUNC_(sort_array(a), sort_array(b)) FROM t;\n       1\n  ",
+      "", "array_funcs", "", "", "built-in"),
     (children: Seq[Expression]) => {
       require(children.length == 2,
         "sorted_intersect_count expects exactly 2 arguments")
@@ -102,7 +108,14 @@ object GraftFunctions {
   private[functions] val sortedIntersectDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_intersect"),
-    new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
+    new ExpressionInfo(classOf[SortedIntersect].getName, null,
+      "sorted_intersect",
+      "_FUNC_(a, b) - Ascending distinct intersection of two SORTED " +
+        "ARRAY<BIGINT> columns via a two-pointer merge scan. " +
+        s"Contract: ${SortedIntersect.contract}.",
+      "", // arguments
+      "\n    Examples:\n      > SELECT _FUNC_(sort_array(a), sort_array(b)) FROM t;\n       [2]\n  ",
+      "", "array_funcs", "", "", "built-in"),
     (children: Seq[Expression]) => {
       require(children.length == 2,
         "sorted_intersect expects exactly 2 arguments")

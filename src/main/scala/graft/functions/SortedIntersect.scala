@@ -35,6 +35,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * like feeding an unsorted array to any merge-join. Spec:
   * SortedIntersectSpec cross-checks both forms against
   * `array_intersect` on randomized sorted arrays.
+  *
+  * These are PUBLIC SQL functions (ADVICE r14), so the contract is
+  * enforced, not just documented: when the input ArrayType admits null
+  * elements (`containsNull`), both eval paths guard every read and
+  * throw a descriptive IllegalArgumentException on a null AFTER a
+  * non-null element (which `sort_array(asc)` can never produce — it is
+  * proof of unsorted or hand-built input) instead of silently reading
+  * the null slot's garbage. When `containsNull = false` — the graph
+  * chain's collect_set-derived arrays — the guards (and the
+  * leading-null skip) are statically elided, so the hot path pays
+  * nothing. The ExpressionInfo usage string carries the same contract
+  * for `DESCRIBE FUNCTION` readers.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,21 +56,26 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  private lazy val guardL = SortedIntersect.nullsPossible(left)
+  private lazy val guardR = SortedIntersect.nullsPossible(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n1 = x.numElements(); val n2 = y.numElements()
     var i = 0; var j = 0; var c = 0L
-    while (i < n1 && x.isNullAt(i)) i += 1
-    while (j < n2 && y.isNullAt(j)) j += 1
+    if (guardL) while (i < n1 && x.isNullAt(i)) i += 1
+    if (guardR) while (j < n2 && y.isNullAt(j)) j += 1
     while (i < n1 && j < n2) {
+      if (guardL && x.isNullAt(i)) SortedIntersect.badNull(prettyName)
+      if (guardR && y.isNullAt(j)) SortedIntersect.badNull(prettyName)
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
       else {
         c += 1
-        while (i < n1 && x.getLong(i) == xv) i += 1
-        while (j < n2 && y.getLong(j) == xv) j += 1
+        while (i < n1 && !(guardL && x.isNullAt(i)) && x.getLong(i) == xv) i += 1
+        while (j < n2 && !(guardR && y.isNullAt(j)) && y.getLong(j) == xv) j += 1
       }
     }
     c
@@ -70,20 +87,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       val c = ctx.freshName("c")
+      val g = SortedIntersect.CodegenGuards(prettyName, guardL, guardR, a, b, i, j, n1, n2)
       s"""
         |int $n1 = $a.numElements(); int $n2 = $b.numElements();
         |int $i = 0; int $j = 0;
-        |while ($i < $n1 && $a.isNullAt($i)) $i++;
-        |while ($j < $n2 && $b.isNullAt($j)) $j++;
+        |${g.skipLeading}
         |long $c = 0L;
         |while ($i < $n1 && $j < $n2) {
+        |  ${g.interiorThrow}
         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
         |  if ($xv < $yv) $i++;
         |  else if ($xv > $yv) $j++;
         |  else {
         |    $c++;
-        |    while ($i < $n1 && $a.getLong($i) == $xv) $i++;
-        |    while ($j < $n2 && $b.getLong($j) == $xv) $j++;
+        |    while ($i < $n1 && ${g.advL}$a.getLong($i) == $xv) $i++;
+        |    while ($j < $n2 && ${g.advR}$b.getLong($j) == $xv) $j++;
         |  }
         |}
         |${ev.value} = $c;
@@ -111,22 +129,27 @@ case class SortedIntersect(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  private lazy val guardL = SortedIntersect.nullsPossible(left)
+  private lazy val guardR = SortedIntersect.nullsPossible(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n1 = x.numElements(); val n2 = y.numElements()
     var i = 0; var j = 0; var k = 0
-    while (i < n1 && x.isNullAt(i)) i += 1
-    while (j < n2 && y.isNullAt(j)) j += 1
+    if (guardL) while (i < n1 && x.isNullAt(i)) i += 1
+    if (guardR) while (j < n2 && y.isNullAt(j)) j += 1
     val buf = new Array[Long](math.min(n1 - i, n2 - j).max(0))
     while (i < n1 && j < n2) {
+      if (guardL && x.isNullAt(i)) SortedIntersect.badNull(prettyName)
+      if (guardR && y.isNullAt(j)) SortedIntersect.badNull(prettyName)
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
       else {
         buf(k) = xv; k += 1
-        while (i < n1 && x.getLong(i) == xv) i += 1
-        while (j < n2 && y.getLong(j) == xv) j += 1
+        while (i < n1 && !(guardL && x.isNullAt(i)) && x.getLong(i) == xv) i += 1
+        while (j < n2 && !(guardR && y.isNullAt(j)) && y.getLong(j) == xv) j += 1
       }
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(buf, k))
@@ -139,21 +162,22 @@ case class SortedIntersect(left: Expression, right: Expression)
       val k = ctx.freshName("k"); val buf = ctx.freshName("buf")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       val cap = ctx.freshName("cap")
+      val g = SortedIntersect.CodegenGuards(prettyName, guardL, guardR, a, b, i, j, n1, n2)
       s"""
         |int $n1 = $a.numElements(); int $n2 = $b.numElements();
         |int $i = 0; int $j = 0; int $k = 0;
-        |while ($i < $n1 && $a.isNullAt($i)) $i++;
-        |while ($j < $n2 && $b.isNullAt($j)) $j++;
+        |${g.skipLeading}
         |int $cap = java.lang.Math.max(java.lang.Math.min($n1 - $i, $n2 - $j), 0);
         |long[] $buf = new long[$cap];
         |while ($i < $n1 && $j < $n2) {
+        |  ${g.interiorThrow}
         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
         |  if ($xv < $yv) $i++;
         |  else if ($xv > $yv) $j++;
         |  else {
         |    $buf[$k++] = $xv;
-        |    while ($i < $n1 && $a.getLong($i) == $xv) $i++;
-        |    while ($j < $n2 && $b.getLong($j) == $xv) $j++;
+        |    while ($i < $n1 && ${g.advL}$a.getLong($i) == $xv) $i++;
+        |    while ($j < $n2 && ${g.advR}$b.getLong($j) == $xv) $j++;
         |  }
         |}
         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -169,6 +193,46 @@ case class SortedIntersect(left: Expression, right: Expression)
 }
 
 object SortedIntersect {
+  /** Whether the input's ArrayType admits null elements — guards are
+    * generated only then; collect_set-derived arrays (containsNull =
+    * false) keep the unguarded hot loop. A non-array type (pre-
+    * type-check construction) conservatively reads as guarded. */
+  private[functions] def nullsPossible(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  /** SQL-visible contract, shared by both ExpressionInfo usage strings
+    * and the thrown violation message. */
+  private[functions] val contract: String =
+    "inputs must be sorted ascending with nulls (if any) leading, as " +
+      "produced by sort_array(x); null elements past the leading run " +
+      "raise an error, unsorted input undercounts like any merge join"
+
+  private[functions] def badNull(name: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: null element after a non-null element — $contract")
+
+  /** Conditionally-emitted guard fragments for the codegen path: empty
+    * strings when the input type proves nulls impossible, so the
+    * generated loop is byte-identical to the unguarded r14 form. */
+  private[functions] case class CodegenGuards(
+      name: String, guardL: Boolean, guardR: Boolean,
+      a: String, b: String, i: String, j: String, n1: String, n2: String) {
+    // ASCII-only: this string lands inside janino-compiled Java source
+    private val msg =
+      s"$name: null element after a non-null element - $contract"
+        .replace("\"", "\\\"")
+    val skipLeading: String =
+      (if (guardL) s"while ($i < $n1 && $a.isNullAt($i)) $i++;\n" else "") +
+        (if (guardR) s"while ($j < $n2 && $b.isNullAt($j)) $j++;" else "")
+    val interiorThrow: String =
+      (if (guardL) s"""if ($a.isNullAt($i)) throw new IllegalArgumentException("$msg");\n""" else "") +
+        (if (guardR) s"""if ($b.isNullAt($j)) throw new IllegalArgumentException("$msg");""" else "")
+    val advL: String = if (guardL) s"!$a.isNullAt($i) && " else ""
+    val advR: String = if (guardR) s"!$b.isNullAt($j) && " else ""
+  }
+
   private[functions] def checkLongArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {

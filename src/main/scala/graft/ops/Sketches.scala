@@ -73,8 +73,19 @@ object Sketches {
     *    rows up, and the single-customer edge sweep showed legitimate
     *    sub-100 flips. Kept at 100 and documented as empirical.
     * Below a floor the contract now reads NULL (ungraded), never TRUE. */
+  /** Absolute RANK-error bound asserted for the custom
+    * [[graft.functions.QuantileSketch]] estimates: the exact rank of the
+    * estimated quantile value must sit within ±5% · n of the target
+    * rank. Rank error (not value error) is what a quantile sketch
+    * actually bounds — value error is data-scale-dependent. Declared
+    * here, above the floors, so [[kllContractFloor]] can DERIVE from it
+    * (ADVICE r14: the floor was a hardcoded 20L that would silently
+    * stop matching the "one rank step" derivation if this bound were
+    * ever tuned). */
+  val kllRankErrBound = 0.05
+
   val hllContractFloor = math.ceil(1.0 / hllRelErrBound).toLong
-  val kllContractFloor = 20L
+  val kllContractFloor = math.ceil(1.0 / kllRankErrBound).toLong
   val pctContractFloor = 100L
 
   /** Per-orderstatus cardinality + quantile sketches graded through
@@ -125,13 +136,6 @@ object Sketches {
       |  CASE WHEN count(*) >= $pctContractFloor THEN TRUE END AS p95_ok,
       |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max
       |FROM orders GROUP BY o_orderstatus""".stripMargin
-
-  /** Absolute RANK-error bound asserted for the custom
-    * [[graft.functions.QuantileSketch]] estimates: the exact rank of the
-    * estimated quantile value must sit within ±5% · n of the target
-    * rank. Rank error (not value error) is what a quantile sketch
-    * actually bounds — value error is data-scale-dependent. */
-  val kllRankErrBound = 0.05
 
   /** The CUSTOM mergeable quantile sketch ([[graft.functions
     * .QuantileSketch]], KLL-shaped, O(k log n/k) state) graded through
@@ -228,9 +232,15 @@ object Sketches {
         (col("viewers") + col("buyers") - col("either")).as("overlap_exact"),
         // same NULL-below-floor discipline as [[orderSketches]]: a
         // ±30% relative band on an integer overlap resolves one
-        // integer only from 1/bound = 4 up (overlap 0 still grades —
-        // three empty sketches must estimate exactly 0)
-        when((col("viewers") + col("buyers") - col("either")) === 0 ||
+        // integer only from 1/bound = 4 up. Overlap 0 grades ONLY
+        // when both segments are empty (three empty sketches must
+        // estimate exactly 0); disjoint NONEMPTY segments at overlap 0
+        // get NULL — the three HLL terms err independently there, so
+        // their inclusion-exclusion difference is generically nonzero
+        // and a zero-width band would be a gate mismatch waiting for a
+        // large disjoint corpus (ADVICE r14).
+        when(((col("viewers") + col("buyers") - col("either")) === 0 &&
+              col("viewers") === 0 && col("buyers") === 0) ||
             (col("viewers") + col("buyers") - col("either")) >=
               overlapContractFloor,
           abs((col("e_v") + col("e_b") - col("e_u")) -
@@ -263,10 +273,8 @@ object Sketches {
       |    + count(DISTINCT CASE WHEN event_type = 'purchase' THEN ud END)
       |    - count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
       |        THEN ud END) AS overlap_exact,
-      |  CASE WHEN count(DISTINCT CASE WHEN event_type = 'view' THEN ud END)
-      |    + count(DISTINCT CASE WHEN event_type = 'purchase' THEN ud END)
-      |    - count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
-      |        THEN ud END) = 0
+      |  CASE WHEN (count(DISTINCT CASE WHEN event_type = 'view' THEN ud END) = 0
+      |      AND count(DISTINCT CASE WHEN event_type = 'purchase' THEN ud END) = 0)
       |    OR count(DISTINCT CASE WHEN event_type = 'view' THEN ud END)
       |    + count(DISTINCT CASE WHEN event_type = 'purchase' THEN ud END)
       |    - count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')

@@ -93,6 +93,38 @@ class SortedIntersectSpec extends GraftTestBase {
       .asInstanceOf[ArrayData].toLongArray().toSeq shouldBe Seq(4L, 7L)
   }
 
+  it should "skip LEADING nulls but fail loudly on interior nulls (ADVICE r14)" in {
+    // sort_array(asc) puts nulls first, so a leading-null run is legal
+    // input for the public SQL face and must be skipped:
+    spark.sql(
+      """SELECT sorted_intersect_count(array(CAST(NULL AS BIGINT), 1L, 3L),
+        |                              array(1L, 2L, 3L)) AS c
+        |""".stripMargin).head().getLong(0) shouldBe 2L
+    // an interior null can only come from unsorted/hand-built input —
+    // pre-guard this read garbage from the null slot; now it throws
+    // with the contract in the message (both eval paths):
+    val ex = intercept[Exception] {
+      spark.sql(
+        """SELECT sorted_intersect_count(array(1L, CAST(NULL AS BIGINT), 3L),
+          |                              array(1L, 2L, 3L)) AS c
+          |""".stripMargin).collect()
+    }
+    ex.getMessage should include("sorted")
+    val ex2 = intercept[Exception] {
+      spark.sql(
+        """SELECT sorted_intersect(array(1L, 2L),
+          |                        array(1L, CAST(NULL AS BIGINT))) AS a
+          |""".stripMargin).collect()
+    }
+    ex2.getMessage should include("sorted")
+  }
+
+  it should "carry the sorted-input contract in DESCRIBE FUNCTION (ADVICE r14)" in {
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED sorted_intersect_count")
+      .collect().map(_.getString(0)).mkString("\n")
+    desc should include("sorted ascending")
+  }
+
   it should "work as the registered SQL function over adjacency-shaped input" in {
     val got = spark.sql(
       """SELECT sorted_intersect_count(sort_array(collect_set(a)),

@@ -1,0 +1,100 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftTestBase
+
+/** Spec-level home of the FULL exact-verifier comparison that VERDICT
+  * r14 #3 moved out of the graded queries: the graded forms of
+  * q_dedup_embed_blocked / q_dbscan now run only the production blocked
+  * path plus a constant-size sample anchor, so the corpus-WIDE recall
+  * claim (`Dedup.blockedMinRecall`, `Similarity.dbscanCoreRecallFloor`)
+  * is pinned here, at SFs where the O(n²) verifier is a spec-budget
+  * cost (50 and 500 rows). */
+class BlockedPairsSpec extends GraftTestBase {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  behavior of "adaptivePlanes"
+
+  it should "grow bucket granularity with corpus breadth, clamped" in {
+    Similarity.adaptivePlanes(0L) shouldBe Similarity.nPlanes
+    Similarity.adaptivePlanes(500L) shouldBe 4
+    Similarity.adaptivePlanes(2000L) shouldBe 6
+    Similarity.adaptivePlanes(32000L) shouldBe 10
+    // clamp: the max keeps tiny buckets from over-fragmenting recall
+    Similarity.adaptivePlanes(Long.MaxValue) shouldBe Similarity.blockedMaxPlanes
+    // monotone over a broad sweep (granularity never shrinks as n grows)
+    val ps = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+      .map(Similarity.adaptivePlanes)
+    ps shouldBe ps.sorted
+  }
+
+  behavior of "blockedScoredPairs (full-verifier comparison, spec-only)"
+
+  for (dir <- Seq("/root/testdata/sf0.001", sf001)) {
+    it should s"clear the corpus-wide recall floor with exact scores at $dir" in {
+      val exact = graft.dedup.Dedup.embeddingNearDup(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val blocked = Similarity.blockedScoredPairs(spark, dir)
+        .filter(col("cosine") >= graft.dedup.Dedup.nearDupEps)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // subset-correctness: every blocked pair is a true pair with the
+      // identical (hoisted-norm, round-4) score
+      blocked.foreach { case (k, c) =>
+        withClue(s"blocked pair $k not in exact set or score drifted: ") {
+          exact.get(k) shouldBe Some(c)
+        }
+      }
+      // corpus-wide recall, the figure the graded query now only
+      // samples: must clear the documented floor with headroom
+      if (exact.nonEmpty) {
+        val recall = blocked.size.toDouble / exact.size
+        withClue(s"recall $recall (${blocked.size}/${exact.size}): ") {
+          recall should be >= graft.dedup.Dedup.blockedMinRecall
+        }
+      }
+      exact should not be empty
+    }
+  }
+
+  it should "cover the exact DBSCAN core set above the core-recall floor at sf0.01" in {
+    // exact ε-graph cores, recomputed from the exact pair frame
+    val eps = Similarity.dbscanEps
+    val pairs = Similarity.blockedScoredPairs(spark, sf001)
+      .filter(col("cosine") >= eps)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val blockedDeg = scala.collection.mutable.Map.empty[Long, Int]
+    pairs.foreach { case (a, b) =>
+      blockedDeg(a) = blockedDeg.getOrElse(a, 0) + 1
+      blockedDeg(b) = blockedDeg.getOrElse(b, 0) + 1
+    }
+    val blockedCore =
+      blockedDeg.filter(_._2 >= Similarity.dbscanMinPts - 1).keySet
+    val vecs = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosR(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      BigDecimal(d / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exactDeg = scala.collection.mutable.Map.empty[Long, Int]
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length
+         if cosR(vecs(i)._2, vecs(j)._2) >= eps) {
+      exactDeg(vecs(i)._1) = exactDeg.getOrElse(vecs(i)._1, 0) + 1
+      exactDeg(vecs(j)._1) = exactDeg.getOrElse(vecs(j)._1, 0) + 1
+    }
+    val exactCore =
+      exactDeg.filter(_._2 >= Similarity.dbscanMinPts - 1).keySet
+    exactCore should not be empty
+    val recall =
+      exactCore.count(blockedCore.contains).toDouble / exactCore.size
+    withClue(s"core recall $recall: ") {
+      recall should be >= Similarity.dbscanCoreRecallFloor
+    }
+  }
+}

@@ -170,9 +170,26 @@ def run_one(repo, corpus_dir, vout, env):
     lines = [l for l in c.stdout.splitlines() if l.strip()]
     fails = [l for l in lines if l.startswith("FAIL")]
     summary = lines[-1] if lines else "no output"
-    return {"ok": c.returncode == 0, "stage": "check",
+    if c.returncode != 0:
+        return {"ok": False, "stage": "check",
+                "sec": time.time() - t0, "summary": summary,
+                "fails": fails[:20], "crashed": crashed[:20]}
+    # streaming faces (VERDICT r14 #6): replay the corpus' events table
+    # through the MemoryStream drives with per-prefix batch parity
+    sd = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.streaming.StreamDrive {corpus_dir}"],
+        cwd=repo, env=env, capture_output=True, text=True)
+    sd_lines = [l for l in sd.stdout.splitlines()
+                if "[stream_drive]" in l or l.startswith('{"metric":"stream_drive"')]
+    sd_fails = [l for l in sd_lines if "FAIL" in l]
+    sd_ok = sd.returncode == 0 and not sd_fails and any(
+        '"ok":true' in l for l in sd_lines)
+    return {"ok": sd_ok, "stage": "stream" if not sd_ok else "check",
             "sec": time.time() - t0, "summary": summary,
-            "fails": fails[:20], "crashed": crashed[:20]}
+            "stream": next((l for l in sd_lines if l.startswith('{')),
+                           "no stream_drive output"),
+            "fails": fails[:20], "crashed": crashed[:20],
+            "stream_fails": sd_fails[:20]}
 
 
 def main():
@@ -215,6 +232,10 @@ def main():
             print(f"    {f}", flush=True)
         for c in r.get("crashed", []):
             print(f"    {c}", flush=True)
+        for sfail in r.get("stream_fails", []):
+            print(f"    {sfail}", flush=True)
+        if "stream" in r:
+            print(f"    {r['stream']}", flush=True)
 
     n_ok = sum(1 for r in results.values() if r["ok"])
     tzs = args.tz or "UTC(default)"

@@ -107,7 +107,26 @@ FAMILIES = {
     "dedup_chain": ["q_dedup_exact", "q_dedup_minhash",
                     "q_dedup_clusters", "q_decontam_fuzzy",
                     "q_dedup_simhash", "q_canonical_docs"],
+    # r15: both consume the session-memoized similarity.blockedScored
+    # frame (the adaptive-LSH ε-pair generator)
+    "blocked_chain": ["q_dedup_embed_blocked", "q_dbscan"],
 }
+# Memo-build names (Bench `memo_builds` log) attributed to each family —
+# lets the artifact carry a synthetic `<family>__build` row with the
+# SHARED build's own measured t/slope, so a member row's spike has its
+# explanation IN the file instead of in tool comments (VERDICT r14 #4).
+MEMO_FAMILY_PREFIX = {"graph.": "graph_chain", "dedup.": "dedup_chain",
+                      "similarity.": "blocked_chain"}
+
+# In-file dispositions (VERDICT r14 #4: "no number in the artifact is
+# unexplained"). Family members get the attribution note automatically;
+# anything else flagged needs an entry here or it ships as UNEXPLAINED.
+MEMBER_DISPOSITION = (
+    "memo-build attribution: the shared {fam} build lands under "
+    "whichever member runs it first at each scale, so a member's own "
+    "slope is noise — the {fam} family-sum row and the {fam}__build "
+    "row are the attribution-immune measures")
+QUERY_DISPOSITION = {}
 # stride is shared per ENTITY, not per table, so FKs stay aligned
 ENTITY_OF = {
     "l_orderkey": "orderkey", "o_orderkey": "orderkey",
@@ -191,7 +210,7 @@ def bench_once(sfdir, queries, tag):
                SPARK_GRAFT_NO_SWEEP_RERUN="1")
     p = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=7200)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=14400)
     times = None
     for line in p.stdout.splitlines():
         if line.startswith('{"metric":"total"') and '"queries"' in line:
@@ -204,6 +223,22 @@ def bench_once(sfdir, queries, tag):
     if os.path.exists(full):
         shutil.move(full, f"{WORK}/bench_full_{tag}.json")
     return times
+
+
+def memo_build_seconds(tag):
+    """Per-family shared-build seconds from a saved pass artifact's
+    memo_builds log ({query: {memo_name: sec}})."""
+    fp = f"{WORK}/bench_full_{tag}.json"
+    out = {}
+    if not os.path.exists(fp):
+        return out
+    builds = json.load(open(fp)).get("memo_builds") or {}
+    for _q, by_name in builds.items():
+        for name, sec in by_name.items():
+            for pref, fam in MEMO_FAMILY_PREFIX.items():
+                if name.startswith(pref):
+                    out[fam] = out.get(fam, 0.0) + sec
+    return out
 
 
 def fit_slope(points):
@@ -232,6 +267,7 @@ def main():
     os.makedirs(WORK, exist_ok=True)
 
     per_scale = {}
+    per_scale_build = {}
     for r in scales:
         if r == 1:
             d = SRC
@@ -241,6 +277,7 @@ def main():
                 print(f"[scale_sweep] deriving x{r} ...", flush=True)
                 derive(r, d)
         best = {}
+        build_best = {}
         for p in range(args.passes):
             tag = f"x{r}_p{p + 1}"
             if args.refit:
@@ -255,7 +292,10 @@ def main():
             for q, v in t.items():
                 if v >= 0:
                     best[q] = min(best.get(q, float("inf")), v)
+            for fam, sec in memo_build_seconds(tag).items():
+                build_best[fam] = min(build_best.get(fam, float("inf")), sec)
         per_scale[r] = best
+        per_scale_build[r] = build_best
 
     rows = []
     for q in queries:
@@ -277,23 +317,54 @@ def main():
                 pts.append((r, sum(ts)))
         fam_rows.append((fam, pts,
                          fit_slope(pts) if len(pts) >= 2 else None))
+    # synthetic `<family>__build` rows: the SHARED memo build's own
+    # measured seconds (from the per-pass memo_builds log), so the
+    # artifact itself shows where a member row's spike went
+    for fam in FAMILIES:
+        pts = [(r, per_scale_build[r][fam]) for r in scales
+               if fam in per_scale_build.get(r, {})
+               and per_scale_build[r][fam] > 0]
+        if pts:
+            fam_rows.append((f"{fam}__build", pts,
+                             fit_slope(pts) if len(pts) >= 2 else None))
     in_family = {q for ms in FAMILIES.values() for q in ms}
+    family_of = {q: f for f, ms in FAMILIES.items() for q in ms}
+
+    def q_entry(q, pts, sl):
+        e = {"t": {str(r): dict(pts).get(r) for r in scales}, "slope": sl}
+        if q in family_of:
+            e["family"] = family_of[q]
+        if sl is not None and sl >= SLOPE_FLAG:
+            if q in family_of:
+                e["disposition"] = MEMBER_DISPOSITION.format(fam=family_of[q])
+            elif q in QUERY_DISPOSITION:
+                e["disposition"] = QUERY_DISPOSITION[q]
+            else:
+                e["disposition"] = "UNEXPLAINED — investigate (flagged)"
+        return e
+
+    def f_entry(f, pts, sl):
+        e = {"t": {str(r): dict(pts).get(r) for r in scales}, "slope": sl}
+        if f.endswith("__build"):
+            e["disposition"] = (
+                "shared memo-build seconds for the family (sum of the "
+                "Bench memo_builds log entries with this family's "
+                "prefix, min across passes) — the work that shuffles "
+                "between member rows' attributions")
+        return e
 
     out = {
         "scales": scales, "passes": args.passes, "base": SRC,
-        "queries": {q: {"t": {str(r): dict(pts).get(r) for r in scales},
-                        "slope": sl}
-                    for q, pts, sl in rows},
-        "families": {f: {"t": {str(r): dict(pts).get(r) for r in scales},
-                         "slope": sl}
-                     for f, pts, sl in fam_rows},
+        "queries": {q: q_entry(q, pts, sl) for q, pts, sl in rows},
+        "families": {f: f_entry(f, pts, sl) for f, pts, sl in fam_rows},
         # a family member's own slope is attribution noise; flag only
         # out-of-family queries and family SUMS
         "flagged": sorted(
             [q for q, _, sl in rows
              if sl is not None and sl >= SLOPE_FLAG and q not in in_family] +
             [f for f, _, sl in fam_rows
-             if sl is not None and sl >= SLOPE_FLAG]),
+             if sl is not None and sl >= SLOPE_FLAG
+             and not f.endswith("__build")]),
     }
     with open(os.path.join(REPO, "SCALE_SWEEP.json"), "w") as f:
         json.dump(out, f, indent=1)
