@@ -146,9 +146,12 @@ object Similarity {
     * The pinned frame carries (vec_a < vec_b, cosine) only — the pair
     * space never carries vectors; the n-row side carries them once. */
   def blockedScoredPairs(s: SparkSession, d: String): DataFrame =
-    simMemo(s, d, "blockedScored") { blockedScoredPairsBuild(s, d) }
+    simMemo(s, d, "blockedScored") { blockedScoredPairsUnpinned(s, d).pin() }
 
-  private def blockedScoredPairsBuild(s: SparkSession, d: String): DataFrame = {
+  /** The build plan BEFORE the final pin — exposed package-private so
+    * BlockedPairsSpec can assert its join shape (no nested-loop product
+    * anywhere; pin() would truncate the plan to an RDD scan). */
+  private[similarity] def blockedScoredPairsUnpinned(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.{dotProduct, l2Norm}
     val e = Tables.embeddings(s, d)
     // parquet-metadata count: O(row groups), sizes the bucket granularity
@@ -183,7 +186,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(dotProduct(col("bva.embedding"), col("bvb.embedding")) /
           (col("bva.nrm") * col("bvb.nrm")), 4).as("cosine"))
-      .pin()
   }
 
   /** Approximate top-k: candidates are corpus vectors sharing the

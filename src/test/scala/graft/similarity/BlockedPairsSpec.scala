@@ -32,6 +32,16 @@ class BlockedPairsSpec extends GraftTestBase {
 
   behavior of "blockedScoredPairs (full-verifier comparison, spec-only)"
 
+  it should "never plan a BroadcastNestedLoopJoin in the production build" in {
+    // candidates come from posting lists (equi-joins on (t, b) and on the
+    // pair keys) — an all-pairs product anywhere in the BUILD plan would
+    // be the quadratic shape VERDICT r14 #3 removed from the graded query
+    val plan = Similarity.blockedScoredPairsUnpinned(spark, sf001)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   for (dir <- Seq("/root/testdata/sf0.001", sf001)) {
     it should s"clear the corpus-wide recall floor with exact scores at $dir" in {
       val exact = graft.dedup.Dedup.embeddingNearDup(spark, dir)
