@@ -11,33 +11,34 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on (runtime re-planning: skew joins, partition coalescing — the
   *    100 TB posture even though local runs are small),
   *  - shuffle partitions sized to the actual core count, not the 200
-  *    default that would fragment local runs — but with the AQE INITIAL
-  *    partition number set 8× higher, so a shuffle whose data outgrows
-  *    the core count starts wide and AQE coalesces it back down
-  *    (parallelism-first, so small shuffles land on the same effective
-  *    width as before). This is the "size shuffle partitions so
-  *    partitions fit in executor memory" rule made adaptive instead of
-  *    hand-tuned — the cluster posture. Honesty note (PERF.md round-14
-  *    scale-sweep investigation): on THIS single-node harness the knob
-  *    measured neutral on the one wall the sweep found — the graph
-  *    chain's edgeSupport build at a ×16-derived corpus is bound by
-  *    single-disk spill-merge of its intrinsic Θ(E·d̄) array exchange
-  *    (jstack: UnsafeShuffleWriter.mergeSpills; 48 GiB-heap A/B also
-  *    neutral), which more reducers cannot shrink. The config is kept
-  *    for what it does buy: wide-start shuffles are the correct
-  *    default when per-executor memory, not one local disk, is the
-  *    binding constraint.
+  *    default that would fragment local runs. The round-14 "AQE initial
+  *    partitions = 8× cores" default is REVERTED (r15, VERDICT r14 #1):
+  *    the full-suite A/B it was shipped without (it had only been
+  *    measured on the one scale-sweep wall query, where it was neutral)
+  *    was run this round — 3 sweeps at 256 vs 2 at 32 on one host,
+  *    OPTIMIZATION_r15.md §1 — and the 256-wide start reproducibly
+  *    DOUBLES the distributed-order-statistics class (the
+  *    [[graft.ops.Distributed]] range-partition machinery: its staging
+  *    persist + range-boundary sample + checkpoint each pay per-
+  *    partition overheads 8× over on frames whose census inputs are
+  *    metadata-sized), ~36-50 s across the 414-query suite, with no
+  *    reproducible win anywhere (the graph family A/Bs contradict each
+  *    other across pairs — load, not knob). On a real cluster, where
+  *    wide-start shuffles ARE the right opening when per-executor
+  *    memory binds, set SPARK_GRAFT_INITIAL_PARTITIONS (or
+  *    spark.sql.adaptive.coalescePartitions.initialPartitionNum
+  *    directly) to the executor-memory-fitted width; the env override
+  *    below threads it through unchanged.
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder = {
-    // Non-numeric partition strings (Spark accepts e.g. "auto" for some
-    // confs) must not crash the builder: derive the wide-start number only
-    // when both the base and any override parse, else omit the conf and
-    // let Spark's default stand (ADVICE r14).
+    // Cluster-posture override only (r15 default revert — see class doc):
+    // non-numeric strings are ignored rather than crashing the builder
+    // (ADVICE r14); with no override the conf is omitted and the AQE
+    // initial width follows spark.sql.shuffle.partitions.
     val initialParts: Option[String] =
       sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
         .filter(v => scala.util.Try(v.toInt).isSuccess)
-        .orElse(scala.util.Try((shufflePartitions.toInt * 8).toString).toOption)
     val b = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(master)

@@ -3721,6 +3721,23 @@ object Behavior {
   /** The shared (per-group doubled rank sums, tie scalars) frames
     * behind [[kruskalWallis]] and [[dunnPosthoc]]. */
   private def kwFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // Memoized per (session, dataset) — r15: q_kruskal and q_dunn each
+    // rebuilt the identical value-domain census + `_dist` prefix pass +
+    // per-group midrank aggregate (~4-5 s apiece at sf0.1). One combined
+    // k-row frame (per-group sums × the two tie scalars) serves both,
+    // attributed in the bench memo log (the mannWhitneyWide precedent).
+    val combined = memoCache(s, d, "kwCensus") { kwFramesBuild(s, d).pin() }
+    // `_g` marks real per-group rows: on an empty-events corpus the
+    // left join keeps the single all-NULL ties row (matching the old
+    // ties-aggregate-over-empty behavior) with _g NULL, and filtering
+    // on the MARKER (never on event_type, which degenerate corpora can
+    // legitimately hold as NULL groups) recovers an empty perGroup.
+    (combined.filter(col("_g").isNotNull)
+      .select(col("event_type"), col("ng"), col("rg2")),
+      combined.select(col("n"), col("tie_sum")).limit(1))
+  }
+
+  private def kwFramesBuild(s: SparkSession, d: String): DataFrame = {
     val big = DecimalType(38, 0)
     val obs = Tables.events(s, d)
       .select(col("event_type"), dec(col("value")).as("v"))
@@ -3739,7 +3756,7 @@ object Behavior {
     val ties = cum.agg(sum(col("t")).cast("long").as("n"),
       sum(col("t") * col("t") * col("t") - col("t")).cast("long")
         .as("tie_sum"))
-    (perGroup, ties)
+    ties.join(perGroup.withColumn("_g", lit(1)), lit(true), "left")
   }
 
   def kruskalWallis(s: SparkSession, d: String): DataFrame = {
@@ -5184,7 +5201,13 @@ object Behavior {
   /** The one-row per-event-time frame (events1, events, a) both
     * [[coxPh]] and [[schoenfeldPh]] fold over — the [[logRank]]
     * dense-grid construction packed time-sorted. */
-  private def coxEventFrame(s: SparkSession, d: String): DataFrame = {
+  private def coxEventFrame(s: SparkSession, d: String): DataFrame =
+    // Memoized per (session, dataset) — r15: q_cox_ph and q_schoenfeld
+    // each rebuilt the identical per-user survival aggregate + dense
+    // event grid. The packed frame is ONE row; one build serves both.
+    memoCache(s, d, "coxEventFrame") { coxEventFrameBuild(s, d).pin() }
+
+  private def coxEventFrameBuild(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val perUser = ev.groupBy(col("user_id"))
       .agg(

@@ -916,12 +916,18 @@ object Similarity {
     val dim = 64
     val subDim = dim / pqSubspaces
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // pinned once (r15): the exploded subvector frame is re-consumed by
+    // every Lloyd iteration's assignment pass AND the mean-MSE baseline
+    // (4 scans at pqIters=2) — each previously re-reading the parquet
+    // and re-exploding. O(n·m) narrow rows, the loop-invariant-
+    // materialization discipline of the graph/dbscan loops.
     val stacked = emb.select(col("vec_id"),
       explode(array((0 until pqSubspaces).map(m =>
         struct(lit(m).as("m"),
           slice(col("embedding"), m * subDim + 1, subDim).as("sub"))): _*))
         .as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
+      .pin()
     // init: subvectors of the pqCodewords lowest vec_ids, per subspace
     var codebooks: Map[Int, Array[Array[Float]]] = {
       val init = emb.orderBy("vec_id").limit(pqCodewords).collect()

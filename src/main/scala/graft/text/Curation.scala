@@ -1011,9 +1011,19 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"),
         (conv(substring(md5(col("tok")), 1, 15), 16, 10)
           .cast("long") % b).as("bkt"))
-    val census = toks.groupBy("bkt")
-      .agg(count(lit(1)).cast("long").as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    // r15: the tokenize + per-token md5 subtree was evaluated TWICE (once
+    // under the bucket census, once under the per-doc rollup) — the most
+    // expensive expression in the query paid double. One (doc, bkt)
+    // aggregate is now pinned and BOTH the census and the rollup derive
+    // from it (sum of per-doc counts ≡ per-token count, incl. the
+    // lang='en' conditional), so text tokenizes exactly once.
+    val docBkt = toks
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("bkt"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .pin()
+    val census = docBkt.groupBy("bkt")
+      .agg(sum(col("c")).cast("long").as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
     val totals = census.agg(sum(col("cr")).cast("long").as("nr"),
       sum(col("ct")).cast("long").as("nt"))
     val lr = census.crossJoin(broadcast(totals))
@@ -1022,8 +1032,7 @@ object Curation {
           (col("nt") + b).cast("double")) -
           log((col("cr") + 1).cast("double") /
             (col("nr") + b).cast("double"))).as("lr"))
-    toks.groupBy(col("doc_id"), col("lang"), col("source"), col("bkt"))
-      .agg(count(lit(1)).cast("long").as("c"))
+    docBkt
       .join(broadcast(lr), Seq("bkt"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(sum(col("c")).cast("long").as("n_toks"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Pin.Pinned
 
 /** Retrieval scoring + ranking-evaluation over `documents` — the search
   * side of a RAG/LLM data platform (SURVEY §7.4 north star): classic
@@ -57,7 +58,15 @@ object Retrieval {
     * broadcast row carries (N, df_t, avgdl); the score is a pure
     * projection — scan-speed at any corpus size. avgdl is exact:
     * Σdl (long) / N (long), one pinned double division. */
-  def bm25(s: SparkSession, d: String): DataFrame = {
+  def bm25(s: SparkSession, d: String): DataFrame =
+    // Memoized per (session, dataset) — r15: three registered queries
+    // (q_bm25, q_rrf, q_ndcg) each re-ran the scan + corpus-stats
+    // aggregate + score projection. The frame is O(docs) narrow rows.
+    retrievalMemo(s, d, "bm25") { bm25Build(s, d).pin() }
+
+  private val retrievalMemo = new graft.Memo.Cache("retrieval")
+
+  private def bm25Build(s: SparkSession, d: String): DataFrame = {
     val stats = docTermStats(s, d)
     val corpusAggs =
       count(lit(1)).cast("long").as("n_docs") +:

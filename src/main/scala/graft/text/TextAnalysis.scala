@@ -591,7 +591,21 @@ object TextAnalysis {
     * as a broadcast one-row frame off a narrow column scan. Document text
     * never shuffles. Final score rounds 4dp (double summation order
     * differs across engines, error ~1e-13). */
-  def lmScore(s: SparkSession, d: String): DataFrame = {
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    // Memoized per (session, dataset) — r15: EIGHT registered queries
+    // consume this frame (q_lm_score, q_canonical_docs, q_lm_calibration,
+    // q_rater_agreement, q_lm_auc, q_pr_auc, q_fleiss, q_cronbach), each
+    // previously re-tokenizing the corpus and re-paying the token-window
+    // shuffle. One build serves all, attributed in the bench memo log
+    // (the variantCdfGaps/coPurchasePairs precedent). The pinned frame is
+    // O(docs) rows (doc_id + 3 numerics) — storage-safe at any corpus
+    // size where O(docs) frames pin, which the dedup chain already
+    // assumes.
+    textMemo(s, d, "lmScore") { lmScoreBuild(s, d).pin() }
+
+  private val textMemo = new graft.Memo.Cache("text")
+
+  private def lmScoreBuild(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
