@@ -3732,9 +3732,13 @@ object Behavior {
     // ties-aggregate-over-empty behavior) with _g NULL, and filtering
     // on the MARKER (never on event_type, which degenerate corpora can
     // legitimately hold as NULL groups) recovers an empty perGroup.
+    // ties re-derives as a single-row aggregate (max over rows that all
+    // carry the identical broadcast scalars — max(NULLs) stays NULL on
+    // the empty-corpus row), not limit(1): a LocalLimit would plan an
+    // Exchange SinglePartition the linter rightly flags.
     (combined.filter(col("_g").isNotNull)
       .select(col("event_type"), col("ng"), col("rg2")),
-      combined.select(col("n"), col("tie_sum")).limit(1))
+      combined.agg(max(col("n")).as("n"), max(col("tie_sum")).as("tie_sum")))
   }
 
   private def kwFramesBuild(s: SparkSession, d: String): DataFrame = {
