@@ -727,7 +727,7 @@ object EventStreams {
   final case class MhState(cells: Map[(Long, Long), (Long, Long)], snap: Long)
   final case class MhOut(snapshot: Long, n_strata: Long,
       or_mh: java.lang.Double, log_or_mh: java.lang.Double,
-      cmh_chi2: java.lang.Double, reject_95: Boolean)
+      cmh_chi2: java.lang.Double, reject_95: java.lang.Boolean)
 
   /** md5-derived 50/50 variant, identical to the batch operators'
     * `conv(substring(md5(user_id), 1, 15), 16, 10) % 2`. */
@@ -757,9 +757,11 @@ object EventStreams {
     * replay O(user-weeks), same contract as the SPRT face. All double
     * arithmetic replays the batch column expressions' IEEE sequence
     * (stratum-sorted fold, one ½ continuity literal), so per-prefix
-    * equality holds to the bit; or_mh is NULL while a prefix still has
-    * an empty denominator cell (the early-traffic state a live monitor
-    * must render, not crash on). */
+    * equality holds to the bit; or_mh/log_or_mh/cmh_chi2/reject_95
+    * follow the batch NULL algebra exactly (or_den = 0 → or_mh NULL;
+    * or_mh 0 → log NULL; zero variance → chi AND reject_95 NULL — the
+    * early-traffic / degenerate states a live monitor must render, not
+    * crash on or mis-render as a confident FALSE). */
   def mhStream(events: Dataset[Event]): Dataset[MhOut] = {
     import events.sparkSession.implicits._
     events
@@ -813,16 +815,25 @@ object EventStreams {
             if (sv > 0.0)
               Some(math.pow(math.max(math.abs(sa - se) - 0.5, 0.0), 2) / sv)
             else None
-          val orOk = orDen > 0.0 && orNum > 0.0
+          // NULL algebra mirrors the batch column expressions exactly
+          // (the r15 purchaseless edge-sweep finding: reject_95 must be
+          // NULL — not false — when the CMH variance is 0, and or_mh is
+          // 0.0 — not NULL — when only the numerator is empty):
+          //   or_mh      NULL iff or_den = 0, else or_num/or_den (incl. 0)
+          //   log_or_mh  NULL iff or_mh NULL or 0 (ln(0) guarded)
+          //   reject_95  NULL iff chi NULL (zero variance), else chi > crit
+          val orMh: Option[Double] =
+            if (orDen > 0.0) Some(orNum / orDen) else None
           val snap = st.snap + 1
           state.update(MhState(cells, snap))
           Iterator(MhOut(snap, k,
-            if (orOk) java.lang.Double.valueOf(round(orNum / orDen, 6))
-            else null,
-            if (orOk) java.lang.Double.valueOf(
-              round(math.log(orNum / orDen), 6)) else null,
+            orMh.map(v => java.lang.Double.valueOf(round(v, 6))).orNull,
+            orMh.filter(_ != 0.0)
+              .map(v => java.lang.Double.valueOf(round(math.log(v), 6)))
+              .orNull,
             chiRaw.map(v => java.lang.Double.valueOf(round(v, 4))).orNull,
-            chiRaw.exists(_ > 3.841458820694124)))
+            chiRaw.map(v => java.lang.Boolean.valueOf(
+              v > 3.841458820694124)).orNull))
       }
   }
 }
